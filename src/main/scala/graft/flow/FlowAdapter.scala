@@ -1,0 +1,83 @@
+package graft.flow
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic adapter: driver `events` table → flow records.
+  *
+  * The reference pipeline's records come from a synthetic generator
+  * (`/root/reference/mocker/mocker.go:54-90`); the driver harness instead
+  * provides a deterministic `events` parquet (TESTDATA.md). This adapter
+  * derives a flow table from `events` using *pure integer arithmetic* so the
+  * exact same derivation is expressible in DuckDB SQL ([[FlowAdapter.ducksql]])
+  * — which makes every flow-surface query oracle-checkable end-to-end.
+  *
+  * Field distributions echo the mocker's shapes (bytes bounded by 1500,
+  * packets by 100, AS numbers in 65000..65002 — `mocker.go:59-62,78-81`)
+  * without copying any code: the mapping here is plain modular arithmetic
+  * over event_id/user_id/value.
+  *
+  * At scale this is a narrow projection over the scan — no shuffle, fully
+  * codegen'd, and column pruning still reaches the parquet reader for
+  * downstream queries that select a subset.
+  */
+object FlowAdapter {
+
+  /** Spark-side flows view. Keep in lock-step with [[ducksql]].
+    *
+    * The driver's events.parquet carries TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; `nanosAsLong` reads it as epoch-nanos Long,
+    * and integer division recovers epoch seconds — bit-identical to DuckDB's
+    * `floor(epoch(ts))` (DuckDB truncates ns→µs on read, both floor the
+    * sub-second part). Set here, not only in our session factory, so the
+    * query works under any driver-created session.
+    */
+  def flows(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.events(spark, dir)
+    // integer division: nanos exceed double mantissa range, so a float
+    // divide could land on the wrong second at boundaries
+    val timeReceived =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000000000")
+      else unix_timestamp(ev("ts"))
+    ev.select(
+      ev("event_id").as("seq"),
+      timeReceived.as("time_received"),
+      (lit(1L) + ev("user_id") % 4).as("sampling_rate"),
+      (lit(65000L) + ev("user_id") % 3).cast("int").as("src_as"),
+      (lit(65000L) + expr("user_id div 3") % 3).cast("int").as("dst_as"),
+      when(ev("event_id") % 4 < 3, lit(2048)).otherwise(lit(34525)).as("etype"),
+      when(ev("user_id") % 2 === 0, lit(6)).otherwise(lit(17)).as("proto"),
+      ((ev("event_id") * 7919L) % 65536L).cast("int").as("src_port"),
+      ((ev("event_id") * 104729L) % 65536L).cast("int").as("dst_port"),
+      (floor(abs(ev("value")) * 1000).cast("long") % 1500L).as("bytes"),
+      (lit(1L) + (floor(abs(ev("value")) * 1000).cast("long") % 1500L) % 100L).as("packets"),
+      ((ev("user_id") * 2654435761L) % 4294967296L).as("src_ip"),
+      (((ev("user_id") + 77L) * 2246822519L) % 4294967296L).as("dst_ip"))
+  }
+
+  /** DuckDB CTE computing the identical flows relation from `events`.
+    * Prefix for every flow-surface oracle query.
+    */
+  val ducksql: String =
+    """WITH flows AS (
+      |  SELECT
+      |    event_id AS seq,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS time_received,
+      |    1 + user_id % 4 AS sampling_rate,
+      |    CAST(65000 + user_id % 3 AS INT) AS src_as,
+      |    CAST(65000 + (user_id // 3) % 3 AS INT) AS dst_as,
+      |    CAST(CASE WHEN event_id % 4 < 3 THEN 2048 ELSE 34525 END AS INT) AS etype,
+      |    CAST(CASE WHEN user_id % 2 = 0 THEN 6 ELSE 17 END AS INT) AS proto,
+      |    CAST((event_id * 7919) % 65536 AS INT) AS src_port,
+      |    CAST((event_id * 104729) % 65536 AS INT) AS dst_port,
+      |    CAST(floor(abs(value) * 1000) AS BIGINT) % 1500 AS bytes,
+      |    1 + (CAST(floor(abs(value) * 1000) AS BIGINT) % 1500) % 100 AS packets,
+      |    (user_id * 2654435761) % 4294967296 AS src_ip,
+      |    ((user_id + 77) * 2246822519) % 4294967296 AS dst_ip
+      |  FROM events
+      |)
+      |""".stripMargin
+}

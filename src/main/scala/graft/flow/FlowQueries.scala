@@ -1,0 +1,295 @@
+package graft.flow
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftFunctions._
+
+/** The reference's interactive query surface (SURVEY.md §2.2–2.4), as a
+  * library of DataFrame transforms over the flows view, each paired with a
+  * DuckDB oracle statement over the identical [[FlowAdapter.ducksql]] CTE.
+  *
+  * Determinism rules for oracle parity:
+  *  - aggregates are computed over integers only (bytes, packets, counts) —
+  *    exact regardless of partitioning / order;
+  *  - any division happens once, on the final exact integer sum → identical
+  *    IEEE double on both engines, no rounding needed;
+  *  - every query carries a total ORDER BY so output is deterministic whether
+  *    or not the comparator re-sorts;
+  *  - top-N ties are broken by the group key.
+  *
+  * Scale notes: all aggregations are plain `groupBy` → Catalyst plans
+  * partial (map-side) + final HashAggregate around a single shuffle; top-N
+  * (`orderBy.limit`) plans as TakeOrderedAndProject — no global sort.
+  */
+object FlowQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // epoch literals for the dashboard-style time-range predicate (P3):
+  // 2024-01-10T00:00:00Z .. 2024-01-20T00:00:00Z, inside the events span.
+  private val T0 = 1704844800L
+  private val T1 = 1705708800L
+
+  private def fl(spark: SparkSession, dir: String): DataFrame = FlowAdapter.flows(spark, dir)
+
+  /** Civil date from epoch seconds via pure day arithmetic (timezone-free on
+    * both engines; F1 `toDate`). */
+  private def eventDate(c: Column): Column =
+    date_add(to_date(lit("1970-01-01")), (c / 86400).cast("int"))
+
+  private val duckDate = "DATE '1970-01-01' + CAST(time_received // 86400 AS INT)"
+
+  /** Render `src`/`dst` like the dashboards (viz-ch.json:233): conditional on
+    * EType, v4 dotted-quad or v6 text of the left-packed address (P5+F6/F7/F10). */
+  private def ipStr(num: Column, ety: Column): Column =
+    when(ety === 2048, ip4_ntoa(num)).otherwise(ip6_ntoa(ip4_to_bin16(num)))
+
+  /** DuckDB: dotted quad of a uint32 expression. */
+  private def duckDotted(n: String): String =
+    s"printf('%d.%d.%d.%d', ($n // 16777216) % 256, ($n // 65536) % 256, ($n // 256) % 256, $n % 256)"
+
+  /** DuckDB: RFC-5952 text of a uint32 packed left-aligned LE into 16 bytes
+    * (groups g0,g1,0,0,0,0,0,0 → longest-zero-run compression). */
+  private def duckIp6LeftPacked(n: String): String = {
+    val g0 = s"(($n % 256) * 256 + ($n // 256) % 256)"
+    val g1 = s"((($n // 65536) % 256) * 256 + ($n // 16777216) % 256)"
+    s"""CASE
+       | WHEN $g0 = 0 AND $g1 = 0 THEN '::'
+       | WHEN $g1 = 0 THEN printf('%x', $g0) || '::'
+       | WHEN $g0 = 0 THEN '0:' || printf('%x', $g1) || '::'
+       | ELSE printf('%x', $g0) || ':' || printf('%x', $g1) || '::'
+       |END""".stripMargin.replace('\n', ' ')
+  }
+
+  private def duckIpStr(n: String): String =
+    s"CASE WHEN etype = 2048 THEN ${duckDotted(n)} ELSE ${duckIp6LeftPacked(n)} END"
+
+  // ---------------------------------------------------------------- queries
+
+  /** P1/S9: insert-time projection — raw columns + derived Date. */
+  def rawProjection(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir).select(
+      col("seq"), col("time_received"), eventDate(col("time_received")).as("event_date"),
+      col("sampling_rate"), col("src_as"), col("dst_as"), col("etype"), col("proto"),
+      col("src_port"), col("dst_port"), col("bytes"), col("packets"),
+      col("src_ip"), col("dst_ip"))
+      .orderBy("seq")
+
+  /** P3: dashboard time-range predicate — pushed down to the parquet scan. */
+  def timeFilter(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir)
+      .filter(col("time_received") >= T0 && col("time_received") < T1)
+      .select(col("seq"), col("time_received"), col("src_as"), col("dst_as"),
+        col("bytes"), col("packets"))
+      .orderBy("seq")
+
+  /** A3/F5: 30-second traffic-rate buckets, bits/sec (viz.json:62). */
+  def rate30s(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir)
+      .groupBy(((col("time_received") / 30).cast("long") * 30).as("bucket"))
+      .agg((sum(col("bytes") * col("sampling_rate")) * 8).as("sum_bits"))
+      .withColumn("rate_bps", col("sum_bits") / 30.0)
+      .orderBy("bucket")
+
+  /** A4/F3/F4: per-minute traffic with Grafana ms-epoch key (viz-ch.json:74). */
+  def rate1m(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir)
+      .groupBy(((col("time_received") / 60).cast("long") * 60).as("bucket"))
+      .agg(sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
+      .withColumn("bucket_ms", col("bucket") * 1000)
+      .orderBy("bucket")
+
+  /** A1/S10/F2: the flows_5m rollup — 5-minute timeslots keyed
+    * (Date, Timeslot, SrcAS, DstAS, EType) with sums + count (create.sh:92-110). */
+  def rollup5m(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir)
+      .groupBy(
+        eventDate(col("time_received")).as("event_date"),
+        ((col("time_received") / 300).cast("long") * 300).as("timeslot"),
+        col("src_as"), col("dst_as"), col("etype"))
+      .agg(sum("bytes").as("sum_bytes"), sum("packets").as("sum_packets"),
+        count(lit(1)).as("flow_count"))
+      .orderBy("event_date", "timeslot", "src_as", "dst_as", "etype")
+
+  /** A2: read-time re-merge over the rollup — SummingMergeTree "query before
+    * OPTIMIZE" semantics (README.md:164-183). */
+  def rollupReagg(spark: SparkSession, dir: String): DataFrame =
+    rollup5m(spark, dir)
+      .groupBy("src_as", "dst_as")
+      .agg(sum("sum_bytes").as("total_bytes"), sum("sum_packets").as("total_packets"),
+        sum("flow_count").as("total_flows"))
+      .orderBy("src_as", "dst_as")
+
+  /** A5 + P5 + F6/F7/F10: top-10 source addresses by sampled bytes
+    * (viz-ch.json:233). */
+  def topSrcIp(spark: SparkSession, dir: String): DataFrame =
+    topIp(spark, dir, "src_ip")
+
+  /** A5: top-10 destination addresses (viz-ch.json:479). */
+  def topDstIp(spark: SparkSession, dir: String): DataFrame =
+    topIp(spark, dir, "dst_ip")
+
+  private def topIp(spark: SparkSession, dir: String, ipCol: String): DataFrame =
+    fl(spark, dir)
+      .groupBy(ipStr(col(ipCol), col("etype")).as("addr"))
+      .agg(count(lit(1)).as("flow_count"),
+        sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
+      .orderBy(desc("sum_bytes"), asc("addr"))
+      .limit(10)
+
+  /** A5: top-10 source ports (viz-ch.json:358). */
+  def topSrcPort(spark: SparkSession, dir: String): DataFrame =
+    topPort(spark, dir, "src_port")
+
+  /** A5: top-10 destination ports (viz-ch.json:604). */
+  def topDstPort(spark: SparkSession, dir: String): DataFrame =
+    topPort(spark, dir, "dst_port")
+
+  private def topPort(spark: SparkSession, dir: String, portCol: String): DataFrame =
+    fl(spark, dir)
+      .groupBy(col(portCol).as("port"))
+      .agg(count(lit(1)).as("flow_count"),
+        sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
+      .orderBy(desc("sum_bytes"), asc("port"))
+      .limit(10)
+
+  /** A6: per-(SrcAS,DstAS) EType sub-map (create.sh:78-86,99-102), encoded as
+    * a sorted `etype:bytes:packets:count` string so the oracle hash is
+    * representation-stable. The typed ArrayType form is [[etypeMapTyped]]. */
+  def etypeMap(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir)
+      .groupBy(col("src_as"), col("dst_as"), col("etype"))
+      .agg(sum("bytes").as("b"), sum("packets").as("p"), count(lit(1)).as("c"))
+      .groupBy(col("src_as"), col("dst_as"))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("etype"), col("b"), col("p"), col("c")))),
+            x => concat_ws(":", x.getField("etype"), x.getField("b"), x.getField("p"), x.getField("c"))),
+          ";").as("etype_map"),
+        sum("b").as("total_bytes"), sum("p").as("total_packets"), sum("c").as("total_flows"))
+      .orderBy("src_as", "dst_as")
+
+  /** A6 typed form: ArrayType(Struct(etype,bytes,packets,count)) — the Spark
+    * mapping of ClickHouse `Nested` (SURVEY.md §1.1). Library/tests use this;
+    * oracle uses the string rendering above. */
+  def etypeMapTyped(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir)
+      .groupBy(col("src_as"), col("dst_as"), col("etype"))
+      .agg(sum("bytes").as("bytes"), sum("packets").as("packets"), count(lit(1)).as("flow_count"))
+      .groupBy(col("src_as"), col("dst_as"))
+      .agg(
+        sort_array(collect_list(struct(col("etype"), col("bytes"), col("packets"), col("flow_count"))))
+          .as("etype_map"),
+        sum("bytes").as("total_bytes"), sum("packets").as("total_packets"),
+        sum("flow_count").as("total_flows"))
+
+  /** P6: NULL-guard default — the inserter's `0.0.0.0` substitution
+    * (inserter.go:135-140). v6 rows have no v4 form → NULL → default. */
+  def nullDefault(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir)
+      .select(col("seq"),
+        coalesce(when(col("etype") === 2048, ip4_ntoa(col("src_ip"))), lit("0.0.0.0"))
+          .as("src_ip_str"))
+      .orderBy("seq")
+
+  /** F6–F11 codec round-trip surface: dotted quad, left-packed v6 text, and
+    * LE-reinterpret round-trip of every source address. */
+  def ipCodec(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir)
+      .select(col("seq"), col("src_ip"),
+        ip4_ntoa(col("src_ip")).as("src_ip_v4"),
+        ip6_ntoa(ip4_to_bin16(col("src_ip"))).as("src_ip_v6"),
+        reinterpret_uint32(ip4_to_bin16(col("src_ip"))).as("src_ip_roundtrip"))
+      .orderBy("seq")
+
+  /** P4-adjacent: protocol/etype distribution (equality predicates on the agg
+    * table, README.md:174-178). */
+  def protoDist(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir)
+      .filter(col("src_as") === 65001)
+      .groupBy("proto", "etype")
+      .agg(count(lit(1)).as("flow_count"), sum("bytes").as("sum_bytes"))
+      .orderBy("proto", "etype")
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "flow_raw_projection" -> (rawProjection _),
+    "flow_time_filter" -> (timeFilter _),
+    "flow_rate_30s" -> (rate30s _),
+    "flow_rate_1m" -> (rate1m _),
+    "flow_rollup_5m" -> (rollup5m _),
+    "flow_rollup_reagg" -> (rollupReagg _),
+    "flow_top_src_ip" -> (topSrcIp _),
+    "flow_top_dst_ip" -> (topDstIp _),
+    "flow_top_src_port" -> (topSrcPort _),
+    "flow_top_dst_port" -> (topDstPort _),
+    "flow_etype_map" -> (etypeMap _),
+    "flow_null_default" -> (nullDefault _),
+    "flow_ip_codec" -> (ipCodec _),
+    "flow_proto_dist" -> (protoDist _))
+
+  private val cte = FlowAdapter.ducksql
+
+  val oracles: Map[String, String] = Map(
+    "flow_raw_projection" ->
+      s"""${cte}SELECT seq, time_received, $duckDate AS event_date, sampling_rate,
+         | src_as, dst_as, etype, proto, src_port, dst_port, bytes, packets, src_ip, dst_ip
+         | FROM flows ORDER BY seq""".stripMargin.replace('\n', ' '),
+    "flow_time_filter" ->
+      s"""${cte}SELECT seq, time_received, src_as, dst_as, bytes, packets FROM flows
+         | WHERE time_received >= $T0 AND time_received < $T1 ORDER BY seq""".stripMargin.replace('\n', ' '),
+    "flow_rate_30s" ->
+      s"""${cte}SELECT (time_received // 30) * 30 AS bucket,
+         | CAST(sum(bytes * sampling_rate) * 8 AS BIGINT) AS sum_bits,
+         | CAST(sum(bytes * sampling_rate) * 8 AS BIGINT) / 30.0 AS rate_bps
+         | FROM flows GROUP BY 1 ORDER BY bucket""".stripMargin.replace('\n', ' '),
+    "flow_rate_1m" ->
+      s"""${cte}SELECT (time_received // 60) * 60 AS bucket,
+         | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes,
+         | (time_received // 60) * 60 * 1000 AS bucket_ms
+         | FROM flows GROUP BY 1 ORDER BY bucket""".stripMargin.replace('\n', ' '),
+    "flow_rollup_5m" ->
+      s"""${cte}SELECT $duckDate AS event_date, (time_received // 300) * 300 AS timeslot,
+         | src_as, dst_as, etype, CAST(sum(bytes) AS BIGINT) AS sum_bytes, CAST(sum(packets) AS BIGINT) AS sum_packets,
+         | count(*) AS flow_count FROM flows GROUP BY 1, 2, 3, 4, 5
+         | ORDER BY event_date, timeslot, src_as, dst_as, etype""".stripMargin.replace('\n', ' '),
+    "flow_rollup_reagg" ->
+      s"""${cte}SELECT src_as, dst_as, CAST(sum(sum_bytes) AS BIGINT) AS total_bytes,
+         | CAST(sum(sum_packets) AS BIGINT) AS total_packets, CAST(sum(flow_count) AS BIGINT) AS total_flows FROM (
+         |   SELECT $duckDate AS event_date, (time_received // 300) * 300 AS timeslot,
+         |   src_as, dst_as, etype, CAST(sum(bytes) AS BIGINT) AS sum_bytes, CAST(sum(packets) AS BIGINT) AS sum_packets,
+         |   count(*) AS flow_count FROM flows GROUP BY 1, 2, 3, 4, 5)
+         | GROUP BY src_as, dst_as ORDER BY src_as, dst_as""".stripMargin.replace('\n', ' '),
+    "flow_top_src_ip" -> duckTopIp("src_ip"),
+    "flow_top_dst_ip" -> duckTopIp("dst_ip"),
+    "flow_top_src_port" -> duckTopPort("src_port"),
+    "flow_top_dst_port" -> duckTopPort("dst_port"),
+    "flow_etype_map" ->
+      s"""${cte}SELECT src_as, dst_as,
+         | string_agg(printf('%d:%d:%d:%d', etype, b, p, c), ';' ORDER BY etype) AS etype_map,
+         | CAST(sum(b) AS BIGINT) AS total_bytes, CAST(sum(p) AS BIGINT) AS total_packets, CAST(sum(c) AS BIGINT) AS total_flows FROM (
+         |   SELECT src_as, dst_as, etype, CAST(sum(bytes) AS BIGINT) AS b, CAST(sum(packets) AS BIGINT) AS p, count(*) AS c
+         |   FROM flows GROUP BY 1, 2, 3)
+         | GROUP BY src_as, dst_as ORDER BY src_as, dst_as""".stripMargin.replace('\n', ' '),
+    "flow_null_default" ->
+      s"""${cte}SELECT seq, coalesce(CASE WHEN etype = 2048 THEN ${duckDotted("src_ip")} END, '0.0.0.0')
+         | AS src_ip_str FROM flows ORDER BY seq""".stripMargin.replace('\n', ' '),
+    "flow_ip_codec" ->
+      s"""${cte}SELECT seq, src_ip, ${duckDotted("src_ip")} AS src_ip_v4,
+         | ${duckIp6LeftPacked("src_ip")} AS src_ip_v6, src_ip AS src_ip_roundtrip
+         | FROM flows ORDER BY seq""".stripMargin.replace('\n', ' '),
+    "flow_proto_dist" ->
+      s"""${cte}SELECT proto, etype, count(*) AS flow_count, CAST(sum(bytes) AS BIGINT) AS sum_bytes
+         | FROM flows WHERE src_as = 65001 GROUP BY 1, 2 ORDER BY proto, etype""".stripMargin.replace('\n', ' '))
+
+  private def duckTopIp(ipCol: String): String =
+    s"""${cte}SELECT ${duckIpStr(ipCol)} AS addr, count(*) AS flow_count,
+       | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes FROM flows GROUP BY 1
+       | ORDER BY sum_bytes DESC, addr ASC LIMIT 10""".stripMargin.replace('\n', ' ')
+
+  private def duckTopPort(portCol: String): String =
+    s"""${cte}SELECT $portCol AS port, count(*) AS flow_count,
+       | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes FROM flows GROUP BY 1
+       | ORDER BY sum_bytes DESC, port ASC LIMIT 10""".stripMargin.replace('\n', ' ')
+}

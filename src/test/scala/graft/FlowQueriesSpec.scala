@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.flow.{FlowAdapter, FlowQueries}
+
+/** Structural and semantic sanity for the flow query surface at sf0.001.
+  * (Value-level parity with DuckDB is the driver's oracle gate; tools/
+  * oracle_check.py replicates it locally.)
+  */
+class FlowQueriesSpec extends SparkTestBase {
+
+  test("flows adapter: schema, determinism, field ranges") {
+    val fl = FlowAdapter.flows(spark, sf).cache()
+    assert(fl.count() === 1000)
+    val r = fl.agg(
+      min("bytes"), max("bytes"), min("packets"), max("packets"),
+      min("src_as"), max("src_as"), min("src_port"), max("src_port"),
+      min("src_ip"), max("src_ip")).head()
+    assert(r.getLong(0) >= 0 && r.getLong(1) < 1500)   // mocker.go:59 bound
+    assert(r.getLong(2) >= 1 && r.getLong(3) <= 100)   // mocker.go:60 bound
+    assert(r.getInt(4) === 65000 && r.getInt(5) === 65002) // mocker.go:61-62
+    assert(r.getInt(6) >= 0 && r.getInt(7) < 65536)
+    assert(r.getLong(8) >= 0 && r.getLong(9) < 4294967296L)
+    fl.unpersist()
+  }
+
+  test("rollup 5m: totals reconcile with raw (SummingMergeTree invariant)") {
+    val raw = FlowAdapter.flows(spark, sf)
+    val rollup = FlowQueries.rollup5m(spark, sf)
+    val rawTotals = raw.agg(sum("bytes"), sum("packets"), count(lit(1))).head()
+    val rollTotals = rollup.agg(sum("sum_bytes"), sum("sum_packets"), sum("flow_count")).head()
+    assert(rawTotals.getLong(0) === rollTotals.getLong(0))
+    assert(rawTotals.getLong(1) === rollTotals.getLong(1))
+    assert(rawTotals.getLong(2) === rollTotals.getLong(2))
+    // every timeslot is 5-min aligned
+    assert(rollup.filter(col("timeslot") % 300 =!= 0).count() === 0)
+  }
+
+  test("re-agg over rollup equals direct agg over raw (A2 parity)") {
+    val direct = FlowAdapter.flows(spark, sf)
+      .groupBy("src_as", "dst_as")
+      .agg(sum("bytes").as("total_bytes"))
+      .orderBy("src_as", "dst_as")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val viaRollup = FlowQueries.rollupReagg(spark, sf)
+      .select("src_as", "dst_as", "total_bytes")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(direct.toSeq === viaRollup.toSeq)
+  }
+
+  test("top-N: exactly 10 rows, sorted desc, addresses render as text") {
+    val top = FlowQueries.topSrcIp(spark, sf).collect()
+    assert(top.length === 10)
+    val sums = top.map(_.getLong(2))
+    assert(sums.toSeq === sums.sortBy(-_).toSeq)
+    top.foreach { r =>
+      val a = r.getString(0)
+      assert(a.contains(".") || a.contains(":"), s"unrendered addr: $a")
+    }
+  }
+
+  test("etype map: one or two etypes per AS pair, totals consistent") {
+    val m = FlowQueries.etypeMapTyped(spark, sf).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val entries = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(entries.nonEmpty && entries.size <= 2)
+      assert(entries.map(_.getLong(1)).sum === r.getLong(3)) // bytes
+      assert(entries.map(_.getLong(3)).sum === r.getLong(5)) // count
+    }
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("time filter bounds are respected and pushed") {
+    val df = FlowQueries.timeFilter(spark, sf)
+    val mm = df.agg(min("time_received"), max("time_received")).head()
+    assert(mm.getLong(0) >= 1704844800L && mm.getLong(1) < 1705708800L)
+  }
+}
