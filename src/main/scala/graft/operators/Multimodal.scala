@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column handling: media as opaque `binary` payloads with typed
+  * metadata, plus batched decode / feature-extract / resize / frame-sample
+  * plumbing.
+  *
+  * The decode step itself is a clearly-marked deterministic STUB (no codec
+  * libraries in this environment); everything around it — schema, the
+  * batched per-partition execution shape (the Scala analog of
+  * `mapInPandas`: one buffer of records per batch, columnar-friendly), the
+  * typed result encoding, and the partitioning story — is real and tested.
+  *
+  * At 100 TB: payloads never shuffle (decode happens in the scan stage,
+  * feature vectors — 1000x smaller — flow on); the media table would be
+  * written partitioned by `kind` so per-modality jobs prune.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A media record: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, byte_len: Long, features: Array[Float])
+
+  /** Derive a deterministic media table from `documents`: text bytes stand in
+    * for encoded media; metadata is arithmetic on doc_id. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (lit(16) + (col("doc_id") % 16) * lit(4)).cast("int").as("width"),
+      (lit(16) + (col("doc_id") % 9) * lit(8)).cast("int").as("height"),
+      when(col("doc_id") % 3 === 1, 16000).otherwise(0).cast("int").as("sample_rate"))
+
+  // ----------------------------------------------------------- decode stubs
+
+  /** STUB: stands in for a real image/audio/video decoder (no codec libs in
+    * this container). Deterministic byte-statistics "features" keep the
+    * pipeline testable end-to-end; swap for JNI/FFI codecs in production. */
+  def decodeStub(payload: Array[Byte], dims: Int = 8): Array[Float] = {
+    val hist = new Array[Float](dims)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xFF) % dims) += 1f; i += 1 }
+    if (payload.length > 0) {
+      var d = 0
+      while (d < dims) { hist(d) /= payload.length.toFloat; d += 1 }
+    }
+    hist
+  }
+
+  /** STUB: resize — a real implementation decodes, scales, re-encodes. The
+    * deterministic fake truncates/pads payload to the target byte budget. */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
+    java.util.Arrays.copyOf(payload, math.min(payload.length, targetW * targetH))
+
+  /** STUB: frame sampling — returns every nth "frame" (fixed-size payload
+    * slice) like a real video frame sampler would. */
+  def frameSampleStub(payload: Array[Byte], frameSize: Int, everyNth: Int): Seq[Array[Byte]] =
+    payload.grouped(frameSize).zipWithIndex
+      .collect { case (f, i) if i % everyNth == 0 => f }
+      .toSeq
+
+  /** Batched feature extraction — the Scala analog of `mapInPandas`: records
+    * are processed per-partition in fixed-size batches (the batch boundary is
+    * where a real implementation amortizes codec/model setup). */
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would go here (decoder init, model session, ...)
+        batch.iterator.map { m =>
+          MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+            decodeStub(m.payload))
+        }
+      }
+    }
+  }
+
+  /** Typed media dataset from the derived table. */
+  def mediaDataset(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+  }
+
+  // -------------------------------------------------------------- queries
+
+  /** Metadata surface (oracle-checkable: byte lengths + arithmetic meta). */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("media_id"), col("kind"), length(col("payload")).cast("long").as("byte_len"),
+        col("width"), col("height"), col("sample_rate"))
+      .orderBy("media_id")
+
+  /** Feature-extraction surface (decode is stubbed ⇒ rows-only check; the
+    * batch plumbing and schema are the thing under test). */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaDataset(spark, dir))
+      .select(col("media_id"), col("kind"), col("byte_len"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+        round(element_at(col("features"), 2).cast("double"), 6).as("f1"))
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "multimodal_meta" -> (mediaMeta _),
+    "multimodal_features" -> (mediaFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | CAST(16 + (doc_id % 16) * 4 AS INT) AS width,
+        | CAST(16 + (doc_id % 9) * 8 AS INT) AS height,
+        | CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate
+        | FROM documents ORDER BY media_id""".stripMargin.replace('\n', ' '))
+    // multimodal_features: decode is stubbed — driver records rows-only.
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational query surface: the reference's designed-in enrichment join
+  * (`/root/reference/README.md:44-51` — a dimension lookup against the flow
+  * stream; schema slots at `pb-ext/flow.pb.go:140-143`) realized as broadcast
+  * hash joins over the driver's star schema, plus the join/window/set-op
+  * surface a Spark user expects (SURVEY.md §2.5 roadmap).
+  *
+  * Determinism for oracle parity: money aggregates floor each row's value to
+  * integer cents *before* summing — per-row double ops are bit-identical on
+  * both engines, and integer sums are order-independent. Single final
+  * divisions (cents/100.0) are exact-match afterwards.
+  *
+  * Scale notes: dimension sides (region/nation/customer at any realistic SF)
+  * are explicitly `broadcast()` — no shuffle of the fact table; the
+  * lineitem⋈orders join shuffles both sides on the join key once, which AQE
+  * may convert to broadcast at runtime when the filtered side is small.
+  * Window top-N per group shuffles once on the partition key.
+  */
+object RelQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100).cast("long")
+
+  /** Enrichment broadcast join: customer → nation → region rollup. */
+  def enrichJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("customer_count"),
+        sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Fact⋈fact join: revenue by order priority (lineitem ⋈ orders). */
+  def revenueByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(cents(li("l_extendedprice") * (lit(1.0) - li("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("line_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Semi join (EXISTS): orders having at least one heavy line. */
+  def ordersWithHeavyLines(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val heavy = Tables.lineitem(spark, dir).filter(col("l_quantity") > 45)
+    o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Anti join (NOT EXISTS): customers with no urgent orders. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Window ranking: top-3 orders per customer by total price (the
+    * Spark-native upgrade of the dashboards' sort-desc top-N, SURVEY §2.5). */
+  def top3OrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_cents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("total_cents").desc, col("o_orderkey").asc)))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Distinct aggregation: exact + per-group distinct part counts. */
+  def distinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+        count(lit(1)).as("line_count"))
+      .orderBy("l_returnflag")
+
+  /** Global top-N: TakeOrderedAndProject, no full sort. */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("total_cents"))
+      .orderBy(desc("total_cents"), asc("o_orderkey"))
+      .limit(25)
+
+  /** Multi-way join + filter: revenue per nation for one region (TPC-H Q5
+    * shape — the full enrichment cascade). */
+  def revenuePerNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(li("l_extendedprice") * (lit(1.0) - li("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("line_count"))
+      .orderBy("n_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "rel_enrich_join" -> (enrichJoin _),
+    "rel_revenue_by_priority" -> (revenueByPriority _),
+    "rel_semi_join" -> (ordersWithHeavyLines _),
+    "rel_anti_join" -> (customersWithoutOrders _),
+    "rel_window_top3" -> (top3OrdersPerCustomer _),
+    "rel_distinct_parts" -> (distinctParts _),
+    "rel_top_orders" -> (topOrders _),
+    "rel_revenue_per_nation" -> (revenuePerNation _))
+
+  val oracles: Map[String, String] = Map(
+    "rel_enrich_join" ->
+      """SELECT r_name, n_name, count(*) AS customer_count,
+        | CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin.replace('\n', ' '),
+    "rel_revenue_by_priority" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS line_count
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace('\n', ' '),
+    "rel_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        | WHERE EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        | ORDER BY o_orderkey""".stripMargin.replace('\n', ' '),
+    "rel_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        | ORDER BY c_custkey""".stripMargin.replace('\n', ' '),
+    "rel_window_top3" ->
+      """SELECT o_custkey, o_orderkey, total_cents, CAST(rn AS INT) AS rn FROM (
+        |   SELECT o_custkey, o_orderkey,
+        |     CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |     row_number() OVER (PARTITION BY o_custkey
+        |       ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC, o_orderkey ASC) AS rn
+        |   FROM orders)
+        | WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin.replace('\n', ' '),
+    "rel_distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+        | count(*) AS line_count FROM lineitem
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace('\n', ' '),
+    "rel_top_orders" ->
+      """SELECT o_orderkey, o_custkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+        | FROM orders ORDER BY total_cents DESC, o_orderkey ASC LIMIT 25""".stripMargin.replace('\n', ' '),
+    "rel_revenue_per_nation" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS line_count
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'AMERICA'
+        | GROUP BY n_name ORDER BY n_name""".stripMargin.replace('\n', ' '))
+}

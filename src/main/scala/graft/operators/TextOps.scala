@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * statistics, quality scoring, language identification, and document
+  * fingerprinting — each a narrow, shuffle-free projection (per-document
+  * work scales embarrassingly; only explicit aggregations shuffle).
+  *
+  * Oracle-parity rules: counts are integers; ratios are a single final
+  * division of integers; fingerprints use md5 (identical lowercase-hex
+  * output on both engines).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Substring occurrence count via the replace-length identity — identical
+    * semantics on both engines, no regex dialect risk. */
+  private def subCount(c: Column, s: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(s), ""))) / s.length).cast("long")
+
+  private def duckSubCount(col: String, s: String): String =
+    s"(len($col) - len(replace($col, '$s', ''))) // ${s.length}"
+
+  /** Token statistics: counts, distinct counts, average token length. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = toks(col("text"))
+    d.select(
+      col("doc_id"), col("n_chars"),
+      length(col("text")).as("char_count"),
+      size(w).cast("long").as("token_count"),
+      size(array_distinct(w)).cast("long").as("distinct_tokens"),
+      (length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").cast("double")
+        / size(w)).as("avg_alpha_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: structural ratios + a small integer rubric — the
+    * length/punctuation/stopword heuristics of pre-training data filters. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val text = col("text")
+    val w = toks(text)
+    val tokenCount = size(w).cast("long")
+    val alphaChars = length(regexp_replace(text, "[^a-z]", "")).cast("long")
+    val spaceChars = (length(text) - length(regexp_replace(text, " ", ""))).cast("long")
+    val stopHits = (subCount(text, "the ") + subCount(text, "a ") + subCount(text, "of "))
+    val distinctRatio = size(array_distinct(w)).cast("long").cast("double") / tokenCount
+    d.select(
+      col("doc_id"),
+      tokenCount.as("token_count"),
+      alphaChars.as("alpha_chars"),
+      spaceChars.as("space_chars"),
+      stopHits.as("stop_hits"),
+      distinctRatio.as("distinct_ratio"),
+      (when(tokenCount.between(10, 1000), 1).otherwise(0)
+        + when(alphaChars * 10 > length(text) * 7, 1).otherwise(0)
+        + when(stopHits > 0, 1).otherwise(0)).cast("int").as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Language identification by marker-word frequency (n-gram-heuristic
+    * class of language ID; markers per language, argmax with deterministic
+    * tie-break by marker order). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val en = subCount(padded, " the ") + subCount(padded, " and ") + subCount(padded, " of ")
+    val es = subCount(padded, " el ") + subCount(padded, " la ") + subCount(padded, " de ")
+    val de = subCount(padded, " und ") + subCount(padded, " der ") + subCount(padded, " die ")
+    val fr = subCount(padded, " le ") + subCount(padded, " et ") + subCount(padded, " les ")
+    d.select(
+      col("doc_id"), col("lang").as("label_lang"),
+      en.as("en_hits"), es.as("es_hits"), de.as("de_hits"), fr.as("fr_hits"),
+      when(en >= es && en >= de && en >= fr && en > 0, "en")
+        .when(es >= de && es >= fr && es > 0, "es")
+        .when(de >= fr && de > 0, "de")
+        .when(fr > 0, "fr")
+        .otherwise("und").as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 content hash over whitespace-normalized
+    * text + a 64-bit prefix — the exact-dup key at 100 TB scale. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    d.select(
+      col("doc_id"),
+      md5(norm).as("content_md5"),
+      substring(md5(norm), 1, 16).as("fp64"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_token_stats" -> (tokenStats _),
+    "text_quality" -> (qualityScore _),
+    "text_langid" -> (langId _),
+    "text_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = {
+    val w = "regexp_split_to_array(trim(text), '\\s+')"
+    Map(
+      "text_token_stats" ->
+        s"""SELECT doc_id, n_chars, len(text) AS char_count,
+           | CAST(len($w) AS BIGINT) AS token_count,
+           | CAST(len(list_distinct($w)) AS BIGINT) AS distinct_tokens,
+           | CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) / len($w) AS avg_alpha_per_token
+           | FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+      "text_quality" ->
+        s"""SELECT doc_id,
+           | CAST(len($w) AS BIGINT) AS token_count,
+           | CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+           | CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS space_chars,
+           | CAST(${duckSubCount("text", "the ")} + ${duckSubCount("text", "a ")} + ${duckSubCount("text", "of ")} AS BIGINT) AS stop_hits,
+           | CAST(len(list_distinct($w)) AS BIGINT) / len($w) AS distinct_ratio,
+           | CAST((CASE WHEN len($w) BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+           |  + (CASE WHEN len(regexp_replace(text, '[^a-z]', '', 'g')) * 10 > len(text) * 7 THEN 1 ELSE 0 END)
+           |  + (CASE WHEN ${duckSubCount("text", "the ")} + ${duckSubCount("text", "a ")} + ${duckSubCount("text", "of ")} > 0 THEN 1 ELSE 0 END) AS INT) AS quality_score
+           | FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+      "text_langid" -> {
+        def hits(ms: Seq[String]) =
+          ms.map(m => duckSubCount("(' ' || lower(text) || ' ')", s" $m ")).mkString(" + ")
+        val en = hits(Seq("the", "and", "of"))
+        val es = hits(Seq("el", "la", "de"))
+        val de = hits(Seq("und", "der", "die"))
+        val fr = hits(Seq("le", "et", "les"))
+        s"""SELECT doc_id, lang AS label_lang,
+           | CAST($en AS BIGINT) AS en_hits, CAST($es AS BIGINT) AS es_hits,
+           | CAST($de AS BIGINT) AS de_hits, CAST($fr AS BIGINT) AS fr_hits,
+           | CASE WHEN ($en) >= ($es) AND ($en) >= ($de) AND ($en) >= ($fr) AND ($en) > 0 THEN 'en'
+           |  WHEN ($es) >= ($de) AND ($es) >= ($fr) AND ($es) > 0 THEN 'es'
+           |  WHEN ($de) >= ($fr) AND ($de) > 0 THEN 'de'
+           |  WHEN ($fr) > 0 THEN 'fr'
+           |  ELSE 'und' END AS predicted_lang
+           | FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+      },
+      "text_fingerprint" ->
+        """SELECT doc_id,
+          | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_md5,
+          | substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp64
+          | FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' '))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+
+  test("exact dedup keeps one row per distinct text") {
+    val n = Tables.documents(spark, sf).select("text").distinct().count()
+    assert(Dedup.exactDedup(spark, sf).count() === n)
+    val summary = Dedup.exactSummary(spark, sf)
+    assert(summary.agg(sum("dup_count")).head().getLong(0)
+      === Tables.documents(spark, sf).count())
+  }
+
+  test("minhash+LSH finds exactly the exact-jaccard ground-truth pairs") {
+    val truth = Dedup.ngramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDupPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh === truth)
+  }
+
+  test("minhash+LSH on planted synthetic duplicates") {
+    import spark.implicits._
+    // two near-identical docs + unrelated ones
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (1 to 60).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("planted")
+    val sh = Dedup.withMinhashSignature(
+      docs.select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(split(trim(text),'\\\\s+'))-3), " +
+          "i -> concat_ws(' ', split(trim(text),'\\\\s+')[i], split(trim(text),'\\\\s+')[i+1], split(trim(text),'\\\\s+')[i+2])))").as("sh")),
+      "sh", 64)
+    val cands = Dedup.minhashCandidates(
+      sh.select(col("doc_id") +: (0 until 64).map(i => col(s"mh_$i")): _*), "doc_id", 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+    assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)))
+  }
+
+  test("simhash pairs near-identical docs, not unrelated ones") {
+    val pairs = Dedup.simhashDupPairs(spark, sf, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash at hamming<=3 should recover most >=0.8-jaccard planted dups
+    val recall = if (truth.isEmpty) 1.0 else truth.count(pairs.contains).toDouble / truth.size
+    assert(recall >= 0.6, s"simhash recall $recall over ${truth.size} planted pairs")
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("media table: payload bytes + typed metadata, one row per document") {
+    val m = Multimodal.mediaTable(spark, sf).collect()
+    assert(m.length === Tables.documents(spark, sf).count())
+    m.foreach { r =>
+      assert(Set("image", "audio", "video").contains(r.getString(1)))
+      assert(r.getAs[Array[Byte]]("payload").nonEmpty)
+      assert(r.getInt(3) >= 16) // width
+    }
+  }
+
+  test("batched feature extraction: schema, determinism, normalized histogram") {
+    val f1 = Multimodal.extractFeatures(Multimodal.mediaDataset(spark, sf)).collect()
+    val f2 = Multimodal.extractFeatures(Multimodal.mediaDataset(spark, sf), batchSize = 7).collect()
+    assert(f1.length === f2.length)
+    // batch size must not affect results (plumbing-only knob)
+    val m1 = f1.map(f => f.media_id -> f.features.toSeq).toMap
+    val m2 = f2.map(f => f.media_id -> f.features.toSeq).toMap
+    assert(m1 === m2)
+    f1.foreach { f =>
+      assert(f.features.length === 8)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3, "histogram normalized")
+      assert(f.byte_len > 0)
+    }
+  }
+
+  test("resize and frame-sample stubs preserve shape invariants") {
+    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val resized = Multimodal.resizeStub(payload, 10, 20)
+    assert(resized.length === 200)
+    val frames = Multimodal.frameSampleStub(payload, frameSize = 100, everyNth = 2)
+    assert(frames.length === 5)
+    assert(frames.forall(_.length === 100))
+  }
+}
