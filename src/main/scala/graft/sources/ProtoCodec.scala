@@ -1,0 +1,186 @@
+package graft.sources
+
+import graft.flow.FlowMessage
+
+/** Hand-rolled proto3 wire codec for `FlowMessage`, implementing the public
+  * protobuf wire format (varints, tag = field<<3 | wireType, wire types 0 =
+  * varint and 2 = length-delimited) plus the varint-length-delimited stream
+  * framing the reference's Kafka payloads use ("written with their lengths",
+  * `/root/reference/README.md:104`; producer framing
+  * `/root/reference/mocker/mocker.go:95-102`).
+  *
+  * Field numbers follow the reference wire schema
+  * (`/root/reference/pb-ext/flow.proto:16-64`): Type=1, TimeReceived=2,
+  * SamplingRate=3, SequenceNum=4, TimeFlowEnd=5, SrcAddr=6, DstAddr=7,
+  * Bytes=9, Packets=10, SamplerAddress=11, SrcAS=14, DstAS=15, Proto=20,
+  * SrcPort=21, DstPort=22, Etype=30, TimeFlowStart=38. Unknown fields are
+  * skipped on decode (forward-extensible, the reference's consumer behavior
+  * with its richer production schema — SURVEY.md §1.1).
+  *
+  * There's no spark-protobuf or Kafka connector jar in this environment; on
+  * a full cluster deployment `from_protobuf`/`to_protobuf` with a descriptor
+  * file replace this codec, and this module remains the framing layer +
+  * offline reference implementation. Used from Spark via byte-array UDFs —
+  * decode happens in the scan/ingest stage, never post-shuffle.
+  */
+object ProtoCodec {
+
+  // ------------------------------------------------------------- primitives
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0L) {
+      out.write(((v & 0x7F) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasRemaining: Boolean = pos < end
+    def readVarint(): Long = {
+      var shift = 0
+      var result = 0L
+      while (shift < 64) {
+        val b = buf(pos); pos += 1
+        result |= (b & 0x7FL) << shift
+        if ((b & 0x80) == 0) return result
+        shift += 7
+      }
+      throw new IllegalArgumentException("malformed varint")
+    }
+    def readBytes(): Array[Byte] = {
+      val len = readVarint().toInt
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+      pos += len
+      out
+    }
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => readVarint()
+      case 1 => pos += 8
+      case 2 =>
+        // `pos += readVarint()` would capture pos BEFORE the varint read
+        // advances it (Scala evaluates the lhs of += first) — read then add
+        val len = readVarint().toInt
+        pos += len
+      case 5 => pos += 4
+      case other => throw new IllegalArgumentException(s"unsupported wire type $other")
+    }
+  }
+
+  // ----------------------------------------------------------------- encode
+
+  /** Encode one message (bare, no framing). proto3 default-value elision:
+    * zero-valued scalars and empty bytes are not written. */
+  def encode(m: FlowMessage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(96)
+    def varintField(field: Int, v: Long): Unit = if (v != 0L) {
+      writeVarint(out, (field.toLong << 3) | 0L)
+      writeVarint(out, v)
+    }
+    // all-zero addresses are our canonical "unset" (the mocker leaves them
+    // unset, SURVEY.md FIXTURES §1) and are elided like proto3 empty bytes
+    def bytesField(field: Int, b: Array[Byte]): Unit =
+      if (b != null && b.nonEmpty && b.exists(_ != 0)) {
+        writeVarint(out, (field.toLong << 3) | 2L)
+        writeVarint(out, b.length.toLong)
+        out.write(b, 0, b.length)
+      }
+    varintField(1, m.flowType.toLong)
+    varintField(2, m.timeReceived)
+    varintField(3, m.samplingRate)
+    varintField(4, m.sequenceNum)
+    varintField(5, m.timeFlowEnd)
+    bytesField(6, m.srcAddr)
+    bytesField(7, m.dstAddr)
+    varintField(9, m.bytes)
+    varintField(10, m.packets)
+    bytesField(11, m.samplerAddress)
+    varintField(14, m.srcAS.toLong)
+    varintField(15, m.dstAS.toLong)
+    varintField(20, m.proto.toLong)
+    varintField(21, m.srcPort.toLong)
+    varintField(22, m.dstPort.toLong)
+    varintField(30, m.etype.toLong)
+    varintField(38, m.timeFlowStart)
+    out.toByteArray
+  }
+
+  /** Frame a message with its varint length prefix (the reference's Kafka
+    * payload framing, `mocker.go:95-102`). */
+  def encodeDelimited(m: FlowMessage): Array[Byte] = {
+    val body = encode(m)
+    val out = new java.io.ByteArrayOutputStream(body.length + 5)
+    writeVarint(out, body.length.toLong)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------------- decode
+
+  private def pad16(b: Array[Byte]): Array[Byte] =
+    if (b.length == 16) b else java.util.Arrays.copyOf(b, 16)
+
+  /** Decode one bare message. Unknown fields are skipped. */
+  def decode(buf: Array[Byte], start: Int = 0, endOpt: Int = -1): FlowMessage = {
+    val end = if (endOpt < 0) buf.length else endOpt
+    val r = new Reader(buf, start, end)
+    var flowType = 0; var timeReceived = 0L; var sequenceNum = 0L; var samplingRate = 0L
+    var samplerAddress = new Array[Byte](16)
+    var timeFlowStart = 0L; var timeFlowEnd = 0L; var bytes = 0L; var packets = 0L
+    var srcAddr = new Array[Byte](16); var dstAddr = new Array[Byte](16)
+    var etype = 0; var proto = 0; var srcPort = 0; var dstPort = 0
+    var srcAS = 0; var dstAS = 0
+    while (r.hasRemaining) {
+      val tag = r.readVarint()
+      val field = (tag >>> 3).toInt
+      val wire = (tag & 7L).toInt
+      (field, wire) match {
+        case (1, 0) => flowType = r.readVarint().toInt
+        case (2, 0) => timeReceived = r.readVarint()
+        case (3, 0) => samplingRate = r.readVarint()
+        case (4, 0) => sequenceNum = r.readVarint()
+        case (5, 0) => timeFlowEnd = r.readVarint()
+        case (6, 2) => srcAddr = pad16(r.readBytes())
+        case (7, 2) => dstAddr = pad16(r.readBytes())
+        case (9, 0) => bytes = r.readVarint()
+        case (10, 0) => packets = r.readVarint()
+        case (11, 2) => samplerAddress = pad16(r.readBytes())
+        case (14, 0) => srcAS = r.readVarint().toInt
+        case (15, 0) => dstAS = r.readVarint().toInt
+        case (20, 0) => proto = r.readVarint().toInt
+        case (21, 0) => srcPort = r.readVarint().toInt
+        case (22, 0) => dstPort = r.readVarint().toInt
+        case (30, 0) => etype = r.readVarint().toInt
+        case (38, 0) => timeFlowStart = r.readVarint()
+        case (_, w) => r.skip(w)
+      }
+    }
+    FlowMessage(flowType, timeReceived, sequenceNum, samplingRate, samplerAddress,
+      timeFlowStart, timeFlowEnd, bytes, packets, srcAddr, dstAddr,
+      etype, proto, srcPort, dstPort, srcAS, dstAS)
+  }
+
+  /** Decode a varint-length-delimited stream of messages (one Kafka payload
+    * may carry several framed records). */
+  def decodeDelimitedStream(buf: Array[Byte]): Seq[FlowMessage] = {
+    val r = new Reader(buf, 0, buf.length)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FlowMessage]
+    while (r.hasRemaining) {
+      val len = r.readVarint().toInt
+      out += decode(buf, r.pos, r.pos + len)
+      r.pos += len
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------ Spark bridge
+
+  /** Wire → typed flow records: the S3 decode stage. Works on batch or
+    * streaming DataFrames alike (a Kafka source's `value` column is exactly
+    * this shape); decode runs in the scan stage, pre-shuffle. */
+  def fromWire(df: org.apache.spark.sql.DataFrame, bytesCol: String): org.apache.spark.sql.Dataset[FlowMessage] = {
+    import df.sparkSession.implicits._
+    df.select(bytesCol).as[Array[Byte]].flatMap(decodeDelimitedStream(_))
+  }
+}

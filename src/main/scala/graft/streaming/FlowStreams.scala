@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's streaming core re-expressed as Structured Streaming: two
+  * always-on materialized-view queries over one source, feeding a raw table
+  * and a 5-minute pre-aggregate (SURVEY.md §2.1 S9/S10, §2.6).
+  *
+  * Topology (mirrors `/root/reference/compose/clickhouse/create.sh:36-110`):
+  *
+  *   source stream ─┬─► raw MV: project + derive Date ─► flows_raw
+  *                  │    (append, partitionBy(event_date))        [S9/S7]
+  *                  └─► 5m MV: per-batch partial GROUP BY ─► flows_5m
+  *                       (append partial aggregate rows)          [S10/S8]
+  *
+  * SummingMergeTree parity (§7.4 decision): each micro-batch appends its
+  * *partial* aggregate rows; equal-key rows accumulate across batches exactly
+  * like unmerged SummingMergeTree parts (`README.md:164-172`). Reads go
+  * through [[readRollup]] (query-time re-merge = "SELECT ... GROUP BY" before
+  * OPTIMIZE); [[optimizeRollup]] is the explicit `OPTIMIZE TABLE` — a batch
+  * rewrite that folds each partition to one row per key. This keeps streaming
+  * state at zero (no unbounded state store) and makes late data trivially
+  * correct: a late row lands as one more partial, folded at the next read or
+  * compaction — the reference's exact semantics (T4).
+  *
+  * Delivery: Spark checkpointing + idempotent-per-batch file sinks give
+  * exactly-once — strictly stronger than the reference inserter's
+  * at-least-once offset handling (`inserter.go:181-188`, T1).
+  *
+  * Kafka: this module is source-agnostic (any flow-schema streaming
+  * DataFrame). On a cluster with the kafka connector on the classpath, the
+  * source is `spark.readStream.format("kafka").option("subscribe","flows")`
+  * + the protobuf decode in [[graft.sources.ProtoCodec]]; tests drive the
+  * same code with MemoryStream/file sources (none of the MV logic changes).
+  */
+object FlowStreams {
+
+  /** Default micro-batch cadence — the reference inserter's 5-second flush
+    * timer (`inserter.go:35-36`, T2); the count-based flush is subsumed by
+    * Spark's batch sizing. */
+  val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
+
+  /** S9: the insert-time projection of the raw MV — `toDate(TimeReceived) AS
+    * Date, *` (`create.sh:64-67`), epoch-day arithmetic like the batch path. */
+  def projectRaw(df: DataFrame): DataFrame =
+    df.withColumn("event_date",
+      date_add(to_date(lit("1970-01-01")), (col("timeReceived") / 86400).cast("int")))
+
+  /** Partial 5-minute rollup of one micro-batch (`create.sh:92-110` performs
+    * this per insert block). Runs as a *batch* plan inside foreachBatch. */
+  def rollupPartials(df: DataFrame): DataFrame =
+    projectRaw(df)
+      .groupBy(
+        col("event_date"),
+        ((col("timeReceived") / 300).cast("long") * 300).as("timeslot"),
+        col("srcAS"), col("dstAS"), col("etype"))
+      .agg(sum("bytes").as("sum_bytes"), sum("packets").as("sum_packets"),
+        count(lit(1)).as("flow_count"))
+
+  /** Start the raw MV: stream → project → partitioned parquet, append.
+    * Partitioning by event_date is the reference's `PARTITION BY Date`
+    * (`create.sh:60-62`) and gives partition pruning to every dashboard
+    * time-range query. */
+  def startRawMV(stream: DataFrame, outPath: String, checkpoint: String,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    projectRaw(stream).writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("event_date")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** Start the 5-minute rollup MV: per-batch partial aggregates appended to
+    * the rollup table — zero streaming state, SummingMergeTree semantics. */
+  def startRollupMV(stream: DataFrame, outPath: String, checkpoint: String,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        rollupPartials(batch).write
+          .mode("append")
+          .partitionBy("event_date")
+          .parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Query-time re-merge of the rollup — reading `flows_5m` before OPTIMIZE
+    * (`README.md:164-183`): equal keys summed at read. */
+  def readRollup(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("event_date", "timeslot", "srcAS", "dstAS", "etype")
+      .agg(sum("sum_bytes").as("sum_bytes"), sum("sum_packets").as("sum_packets"),
+        sum("flow_count").as("flow_count"))
+
+  /** `OPTIMIZE TABLE flows_5m` equivalent (`README.md:168-172`): fold the
+    * table to one row per key. Dynamic partition overwrite rewrites only the
+    * partitions present in the folded result — at scale this is run per
+    * recent Date partition, old partitions stay untouched. */
+  def optimizeRollup(spark: SparkSession, path: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // localCheckpoint (eager) cuts lineage to the files being overwritten —
+      // a plain cache could be evicted and recomputed from deleted parts
+      val folded = readRollup(spark, path).localCheckpoint(true)
+      folded.write
+        .mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+      // drop stale file listings for the rewritten path from the shared cache
+      spark.catalog.refreshByPath(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Watermarked event-time aggregation — the Spark-native alternative to
+    * partial-append when bounded state + on-time finalized rows are wanted
+    * (T3/T4/T5): tumbling 5-minute windows, 1-hour lateness. Caller picks
+    * sink/output mode (tests use the memory sink in update mode). */
+  def watermarkedRollup(stream: DataFrame, lateness: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("event_time", timestamp_seconds(col("timeReceived")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), "5 minutes"), col("srcAS"), col("dstAS"), col("etype"))
+      .agg(sum("bytes").as("sum_bytes"), sum("packets").as("sum_packets"),
+        count(lit(1)).as("flow_count"))
+
+  /** S6: the inserter's micro-flush JDBC sink shape — buffered rows flushed
+    * on a timer, here exactly-once per micro-batch. `writer` receives each
+    * batch (e.g. `_.write.mode("append").jdbc(url, "flows", props)`); tests
+    * inject a collector. */
+  def startMicroFlushSink(stream: DataFrame, checkpoint: String,
+      writer: DataFrame => Unit,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => writer(batch) }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+}
