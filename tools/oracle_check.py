@@ -62,7 +62,7 @@ def main():
             continue
         try:
             got = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+                f"SELECT * FROM '{out_dir}/{name}.parquet/*.parquet'").df()
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
