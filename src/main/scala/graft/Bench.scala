@@ -25,7 +25,11 @@ object Bench {
     // query, not first-touch JIT/IO
     try SparkEntry.entry(spark).foreachPartition { (_: Iterator[org.apache.spark.sql.Row]) => () }
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run while iterating
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).foreachPartition { (_: Iterator[org.apache.spark.sql.Row]) => () }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }

@@ -9,16 +9,21 @@ import graft.Tables
   * 100 TB path:
   *
   *  - exact: hash-groupBy on a content digest — one shuffle on a 16-byte
-  *    key, never on the document body;
-  *  - n-gram Jaccard: shingle-explode → self-join on shingle → count — the
-  *    exact ground truth for near-dup (quadratic only within co-shingle
-  *    groups, not globally);
+  *    key, never on the document body (the keep-lowest variant projects to
+  *    (id, digest, small meta) BEFORE its window shuffle);
+  *  - n-gram Jaccard: shingle-explode → self-join on the 64-bit shingle
+  *    hash → count — the exact ground truth for near-dup (quadratic only
+  *    within co-shingle groups, not globally; only 8-byte hashes + ids
+  *    cross the shuffles);
   *  - MinHash + LSH: signature → banding → bucket join — candidate
   *    generation is linear in corpus size; candidates are verified with the
-  *    exact Jaccard so the output has no false positives;
-  *  - SimHash: 64-bit weighted-bit-vote fingerprint, pigeonhole-banded
-  *    (hamming ≤ k ⇒ some band of k+1 chunks is equal) so the near-dup
-  *    join is equality-based, not all-pairs;
+  *    exact Jaccard computed from a shingle-HASH equality join (never the
+  *    shingle arrays or document bodies), so the output has no false
+  *    positives;
+  *  - SimHash: 64-bit md5-vote fingerprint, pigeonhole-banded (hamming <= k
+  *    ⇒ some band of k+1 chunks is equal) so the near-dup join is
+  *    equality-based, not all-pairs — and md5-derived bits make the
+  *    fingerprints reproducible in the DuckDB oracle;
   *  - embedding cosine: see [[Similarity]] — near-dup is threshold-filtered
   *    cosine over bucketed candidates.
   *
@@ -28,15 +33,35 @@ import graft.Tables
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** 3-word shingles, distinct, of a whitespace-tokenized text column.
-    * Indexing matches the DuckDB oracle (1-based element_at). */
-  private def shingles(text: Column): Column = {
-    val w = split(trim(text), "\\s+")
-    when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(0), size(w) - 3),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
-      .otherwise(array().cast("array<string>"))
+  /** Add a distinct 3-word shingle array column `sh` for `textCol`.
+    *
+    * A single-pass UDF on purpose. The r1 column-expression form captured
+    * the `split(...)` expression inside a `transform` lambda — higher-order
+    * functions are interpreted (no codegen, no CSE of captured
+    * expressions), so the regex split re-ran PER SHINGLE: a hidden
+    * O(words²) that made the shingle queries 30-50x slower than the data
+    * size justifies. The tokenization (trim + `\s+` split) and shingle
+    * text (space-joined 3-grams, first-occurrence-distinct) exactly match
+    * the DuckDB oracle's `regexp_split_to_array` / `list_distinct` CTE. */
+  private val shinglesUdf = udf { (text: String) =>
+    if (text == null) Seq.empty[String]
+    else {
+      val w = text.trim.split("\\s+")
+      if (w.length < 3) Seq.empty[String]
+      else {
+        val seen = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i + 2 < w.length) {
+          seen += (w(i) + " " + w(i + 1) + " " + w(i + 2))
+          i += 1
+        }
+        seen.toSeq
+      }
+    }
   }
+
+  def withShingles(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("sh", shinglesUdf(col(textCol)))
 
   /** Exact-dup groups: digest → canonical id + duplicate count. */
   def exactSummary(spark: SparkSession, dir: String): DataFrame =
@@ -45,26 +70,33 @@ object Dedup {
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("dup_count"))
       .orderBy("canonical_id")
 
-  /** Exact dedup: keep the lowest doc_id of each identical-text group. */
+  /** Exact dedup: keep the lowest doc_id of each identical-text group.
+    * The digest is computed in the scan-side projection, so only
+    * (doc_id, 32-char digest, small meta) crosses the window shuffle —
+    * document bodies never leave the scan stage. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    d.withColumn("canonical_id", min("doc_id").over(Window.partitionBy(md5(col("text")))))
+    val slim = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"), col("source"), col("n_chars"))
+    slim
+      .withColumn("canonical_id", min("doc_id").over(Window.partitionBy(col("text_md5"))))
       .filter(col("doc_id") === col("canonical_id"))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
 
   /** Exact n-gram Jaccard similar pairs — ground truth for near-dup.
-    * Quadratic only within shingle groups: the self-join keys on the
-    * shingle value, so disjoint documents never pair. */
+    * Quadratic only within shingle groups: the self-join keys on the 64-bit
+    * shingle hash (not the shingle string), so disjoint documents never pair
+    * and only 8-byte keys + ids cross the shuffle. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val d = withShingles(Tables.documents(spark, dir).select("doc_id", "text"), "text")
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
     val ex = d.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("s"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("s"))
-    a.join(b, Seq("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("h"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("h"))
+    a.join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("common"))
@@ -77,14 +109,20 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash/LSH
 
-  /** MinHash signature columns mh_0..mh_{k-1}: min over shingles of a
-    * per-seed 64-bit hash. Seeding by prefixing the shingle keeps everything
-    * inside codegen'd xxhash64. */
+  /** MinHash signature columns mh_0..mh_{k-1}: min over shingles of
+    * xxhash64(i, xxhash64(shingle)) — each shingle string is hashed ONCE,
+    * then the k seeded variants re-hash only the fixed-width 8-byte value
+    * (the r1 form hashed a fresh string concat k times per shingle — 64
+    * full string passes). xxhash64-of-the-seed keeps it ANSI-safe (no
+    * wrap-around multiplies) and identical between this array form and the
+    * exploded groupBy form in [[minhashDupPairs]]. */
   def withMinhashSignature(df: DataFrame, shingleCol: String, numHashes: Int): DataFrame = {
     val sigs = (0 until numHashes).map { i =>
-      array_min(transform(col(shingleCol), s => xxhash64(concat(lit(s"$i|"), s)))).as(s"mh_$i")
+      array_min(transform(col("__hs"), h => xxhash64(lit(i), h))).as(s"mh_$i")
     }
-    df.select(col("*") +: sigs: _*)
+    df.withColumn("__hs", transform(col(shingleCol), s => xxhash64(s)))
+      .select(col("*") +: sigs: _*)
+      .drop("__hs")
   }
 
   /** LSH candidate pairs: band the signature, bucket-join on band hash.
@@ -105,21 +143,34 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard — no false
-    * positives; recall is the LSH S-curve at (bands, rows). */
+    * positives; recall is the LSH S-curve at (bands, rows).
+    *
+    * The verify stage computes the exact intersection size with a
+    * shingle-HASH equality join: candidates × exploded (id, n, hash) rows,
+    * grouped per pair. Only ids, counts and 8-byte hashes cross the
+    * shuffles — never shingle arrays or document text (the r1 review flagged
+    * the array_intersect form for dragging body-scale data through the
+    * exchange; this replaces it at identical semantics, xxhash64 collisions
+    * being the only — negligible — difference). */
   def minhashDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val docs = withShingles(Tables.documents(spark, dir).select("doc_id", "text"), "text")
       .filter(size(col("sh")) > 0)
-    val sig = withMinhashSignature(docs, "sh", numHashes)
-    val cands = minhashCandidates(sig.select(col("doc_id") +: (0 until numHashes).map(i => col(s"mh_$i")): _*),
-      "doc_id", numHashes, bands)
-    // verify candidates with exact jaccard on the shingle sets
-    val withSets = docs.select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
+    // one shingle-string hash per shingle; signatures come from a single
+    // codegen'd hash-aggregate over the exploded (doc_id, n, h) rows — the
+    // same relation the verify stage joins, so the whole operator touches
+    // each shingle string exactly twice (build + hash), never k times
+    val ex = docs
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
+    val sigAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
+    val sig = ex.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val cands = minhashCandidates(sig, "doc_id", numHashes, bands)
     val verified = cands
-      .join(withSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(withSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .join(ex.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("h")), Seq("id_a"))
+      .join(ex.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
       .withColumn("jaccard", col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
     verified.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("common"), col("jaccard"))
@@ -128,21 +179,27 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of a token array: per-token 64-bit hash, bitwise vote,
-    * sign → fingerprint. Pure column expressions (no UDF): votes per bit via
-    * aggregate over the token array. */
+  /** 64-bit SimHash over whitespace tokens: per-token 64 bits from the first
+    * 16 hex digits of md5(token) — bit i = bit (i mod 4) of hex digit
+    * (i div 4) — voted per position, majority → fingerprint bit. md5 gives
+    * well-mixed 64-bit token hashes (the r1 review flagged the earlier
+    * 32-bit String.hashCode seed) AND is reproducible in DuckDB, so
+    * [[simhashDupPairs]] is fully oracle-checked. */
   private val simhashUdf = udf { (tokens: Seq[String]) =>
     if (tokens == null || tokens.isEmpty) 0L
     else {
+      val md = java.security.MessageDigest.getInstance("MD5")
       val votes = new Array[Int](64)
       tokens.foreach { t =>
-        // splitmix64 over the token's content hash — stable, seedable, public construction
-        var z = t.hashCode.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z = z ^ (z >>> 31)
+        md.reset()
+        val h = md.digest(t.getBytes("UTF-8"))
         var i = 0
-        while (i < 64) { if (((z >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1; i += 1 }
+        while (i < 64) {
+          val j = i >> 2 // hex digit index; even j = high nibble of byte j/2
+          val digit = if ((j & 1) == 0) (h(j >> 1) >> 4) & 0xF else h(j >> 1) & 0xF
+          if (((digit >> (i & 3)) & 1) == 1) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
       }
       var fp = 0L
       var i = 0
@@ -172,7 +229,7 @@ object Dedup {
     l.join(r, Seq("band", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
@@ -211,6 +268,29 @@ object Dedup {
        |HAVING CAST(count(*) AS BIGINT) / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)) >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')
 
+  /** DuckDB reproduction of the md5-vote SimHash + all-pairs hamming —
+    * exact parity with the banded Spark plan, because pigeonhole banding at
+    * maxDist=3 finds EVERY pair with hamming <= 3. */
+  private val duckSimhash =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents
+      |), th AS (
+      |  SELECT doc_id, md5(t) AS hx FROM toks
+      |), bits AS (
+      |  SELECT doc_id, bi.i AS i,
+      |    (((strpos('0123456789abcdef', substr(hx, (bi.i // 4) + 1, 1)) - 1) >> (bi.i % 4)) & 1) AS bit
+      |  FROM th, (SELECT unnest(generate_series(0, 63)) AS i) bi
+      |), votes AS (
+      |  SELECT doc_id, i, CASE WHEN 2 * sum(bit) > count(*) THEN 1 ELSE 0 END AS vb
+      |  FROM bits GROUP BY doc_id, i
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(sum(CASE WHEN a.vb <> b.vb THEN 1 ELSE 0 END) AS INT) AS hamming
+      |FROM votes a JOIN votes b ON a.i = b.i AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |HAVING sum(CASE WHEN a.vb <> b.vb THEN 1 ELSE 0 END) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')
+
   val oracles: Map[String, String] = Map(
     "dedup_exact_summary" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
@@ -226,5 +306,6 @@ object Dedup {
     // subset of the ground truth with S-curve recall; on this corpus the
     // banding (16 bands x 4 rows) has ~certain recall at j >= 0.2 candidates
     // that share any band — validated in DedupSpec with planted duplicates.
-    "dedup_minhash_lsh" -> duckJaccard)
+    "dedup_minhash_lsh" -> duckJaccard,
+    "dedup_simhash" -> duckSimhash)
 }

@@ -100,14 +100,19 @@ object Multimodal {
         col("width"), col("height"), col("sample_rate"))
       .orderBy("media_id")
 
-  /** Feature-extraction surface (decode is stubbed ⇒ rows-only check; the
-    * batch plumbing and schema are the thing under test). */
+  /** Feature-extraction surface. The decode stub's features are byte-class
+    * fractions; multiplying back by byte_len and rounding recovers the exact
+    * integer histogram counts (float error < 0.5 for any payload < 8 MB), so
+    * this query is fully DuckDB-oracle-checkable even though decode itself
+    * is a stub — the r1 review asked for this row to stop being rows-only. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(mediaDataset(spark, dir))
       .select(col("media_id"), col("kind"), col("byte_len"),
-        round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
-        round(element_at(col("features"), 2).cast("double"), 6).as("f1"))
+        round(element_at(col("features"), 1).cast("double") * col("byte_len"))
+          .cast("long").as("f0_count"),
+        round(element_at(col("features"), 2).cast("double") * col("byte_len"))
+          .cast("long").as("f1_count"))
       .orderBy("media_id")
   }
 
@@ -123,6 +128,28 @@ object Multimodal {
         | CAST(16 + (doc_id % 16) * 4 AS INT) AS width,
         | CAST(16 + (doc_id % 9) * 8 AS INT) AS height,
         | CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate
-        | FROM documents ORDER BY media_id""".stripMargin.replace('\n', ' '))
-    // multimodal_features: decode is stubbed — driver records rows-only.
+        | FROM documents ORDER BY media_id""".stripMargin.replace('\n', ' '),
+    // The decode stub computes a byte-value histogram mod 8; DuckDB
+    // recomputes the same counts from hex(encode(text)).
+    "multimodal_features" ->
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+        |), u AS (
+        |  SELECT doc_id, hx, n, unnest(generate_series(1, n)) AS i FROM h
+        |), b AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS byte
+        |  FROM u
+        |), c AS (
+        |  SELECT doc_id, sum(CASE WHEN byte % 8 = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN byte % 8 = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM b GROUP BY doc_id
+        |)
+        |SELECT h.doc_id AS media_id,
+        | CASE CAST(h.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(h.n AS BIGINT) AS byte_len,
+        | CAST(coalesce(c.c0, 0) AS BIGINT) AS f0_count,
+        | CAST(coalesce(c.c1, 0) AS BIGINT) AS f1_count
+        |FROM h LEFT JOIN c ON c.doc_id = h.doc_id ORDER BY media_id""".stripMargin.replace('\n', ' '))
 }
