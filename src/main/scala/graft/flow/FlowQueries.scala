@@ -4,6 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftFunctions._
 
+/** Inclusive-from / exclusive-until event-time range — the dashboards'
+  * `$timeFilter` variable (SURVEY.md §2.2 P3). Every dashboard query takes
+  * an optional range; the registry binds fixed constants only so the DuckDB
+  * oracle is deterministic. */
+final case class TimeRange(from: Long, until: Long)
+
 /** The reference's interactive query surface (SURVEY.md §2.2–2.4), as a
   * library of DataFrame transforms over the flows view, each paired with a
   * DuckDB oracle statement over the identical [[FlowAdapter.ducksql]] CTE.
@@ -24,12 +30,20 @@ import graft.GraftFunctions._
 object FlowQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  // epoch literals for the dashboard-style time-range predicate (P3):
-  // 2024-01-10T00:00:00Z .. 2024-01-20T00:00:00Z, inside the events span.
-  private val T0 = 1704844800L
-  private val T1 = 1705708800L
+  // epoch literals the REGISTRY binds for the oracle (real callers pass any
+  // range): 2024-01-10T00:00:00Z .. 2024-01-20T00:00:00Z, inside the events
+  // span.
+  val T0 = 1704844800L
+  val T1 = 1705708800L
 
   private def fl(spark: SparkSession, dir: String): DataFrame = FlowAdapter.flows(spark, dir)
+
+  /** Apply an optional `$timeFilter` range — a plain predicate on the scan
+    * column, so it pushes down to parquet row-group stats / partition
+    * pruning like the reference's `PARTITION BY Date ORDER BY TimeReceived`
+    * layout intends. */
+  private def inRange(df: DataFrame, r: Option[TimeRange]): DataFrame =
+    r.fold(df)(t => df.filter(col("time_received") >= t.from && col("time_received") < t.until))
 
   /** Civil date from epoch seconds via pure day arithmetic (timezone-free on
     * both engines; F1 `toDate`). */
@@ -75,24 +89,25 @@ object FlowQueries {
       .orderBy("seq")
 
   /** P3: dashboard time-range predicate — pushed down to the parquet scan. */
-  def timeFilter(spark: SparkSession, dir: String): DataFrame =
+  def timeFilter(spark: SparkSession, dir: String,
+      range: TimeRange = TimeRange(T0, T1)): DataFrame =
     fl(spark, dir)
-      .filter(col("time_received") >= T0 && col("time_received") < T1)
+      .filter(col("time_received") >= range.from && col("time_received") < range.until)
       .select(col("seq"), col("time_received"), col("src_as"), col("dst_as"),
         col("bytes"), col("packets"))
       .orderBy("seq")
 
   /** A3/F5: 30-second traffic-rate buckets, bits/sec (viz.json:62). */
-  def rate30s(spark: SparkSession, dir: String): DataFrame =
-    fl(spark, dir)
+  def rate30s(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+    inRange(fl(spark, dir), range)
       .groupBy(((col("time_received") / 30).cast("long") * 30).as("bucket"))
       .agg((sum(col("bytes") * col("sampling_rate")) * 8).as("sum_bits"))
       .withColumn("rate_bps", col("sum_bits") / 30.0)
       .orderBy("bucket")
 
   /** A4/F3/F4: per-minute traffic with Grafana ms-epoch key (viz-ch.json:74). */
-  def rate1m(spark: SparkSession, dir: String): DataFrame =
-    fl(spark, dir)
+  def rate1m(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+    inRange(fl(spark, dir), range)
       .groupBy(((col("time_received") / 60).cast("long") * 60).as("bucket"))
       .agg(sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
       .withColumn("bucket_ms", col("bucket") * 1000)
@@ -100,8 +115,8 @@ object FlowQueries {
 
   /** A1/S10/F2: the flows_5m rollup — 5-minute timeslots keyed
     * (Date, Timeslot, SrcAS, DstAS, EType) with sums + count (create.sh:92-110). */
-  def rollup5m(spark: SparkSession, dir: String): DataFrame =
-    fl(spark, dir)
+  def rollup5m(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+    inRange(fl(spark, dir), range)
       .groupBy(
         eventDate(col("time_received")).as("event_date"),
         ((col("time_received") / 300).cast("long") * 300).as("timeslot"),
@@ -121,15 +136,16 @@ object FlowQueries {
 
   /** A5 + P5 + F6/F7/F10: top-10 source addresses by sampled bytes
     * (viz-ch.json:233). */
-  def topSrcIp(spark: SparkSession, dir: String): DataFrame =
-    topIp(spark, dir, "src_ip")
+  def topSrcIp(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+    topIp(spark, dir, "src_ip", range)
 
   /** A5: top-10 destination addresses (viz-ch.json:479). */
-  def topDstIp(spark: SparkSession, dir: String): DataFrame =
-    topIp(spark, dir, "dst_ip")
+  def topDstIp(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+    topIp(spark, dir, "dst_ip", range)
 
-  private def topIp(spark: SparkSession, dir: String, ipCol: String): DataFrame =
-    fl(spark, dir)
+  private def topIp(spark: SparkSession, dir: String, ipCol: String,
+      range: Option[TimeRange] = None): DataFrame =
+    inRange(fl(spark, dir), range)
       .groupBy(ipStr(col(ipCol), col("etype")).as("addr"))
       .agg(count(lit(1)).as("flow_count"),
         sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
@@ -137,15 +153,16 @@ object FlowQueries {
       .limit(10)
 
   /** A5: top-10 source ports (viz-ch.json:358). */
-  def topSrcPort(spark: SparkSession, dir: String): DataFrame =
-    topPort(spark, dir, "src_port")
+  def topSrcPort(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+    topPort(spark, dir, "src_port", range)
 
   /** A5: top-10 destination ports (viz-ch.json:604). */
-  def topDstPort(spark: SparkSession, dir: String): DataFrame =
-    topPort(spark, dir, "dst_port")
+  def topDstPort(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+    topPort(spark, dir, "dst_port", range)
 
-  private def topPort(spark: SparkSession, dir: String, portCol: String): DataFrame =
-    fl(spark, dir)
+  private def topPort(spark: SparkSession, dir: String, portCol: String,
+      range: Option[TimeRange] = None): DataFrame =
+    inRange(fl(spark, dir), range)
       .groupBy(col(portCol).as("port"))
       .agg(count(lit(1)).as("flow_count"),
         sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
@@ -215,15 +232,15 @@ object FlowQueries {
 
   val queries: Map[String, Q] = Map(
     "flow_raw_projection" -> (rawProjection _),
-    "flow_time_filter" -> (timeFilter _),
-    "flow_rate_30s" -> (rate30s _),
-    "flow_rate_1m" -> (rate1m _),
-    "flow_rollup_5m" -> (rollup5m _),
+    "flow_time_filter" -> ((s: SparkSession, d: String) => timeFilter(s, d)),
+    "flow_rate_30s" -> ((s: SparkSession, d: String) => rate30s(s, d)),
+    "flow_rate_1m" -> ((s: SparkSession, d: String) => rate1m(s, d)),
+    "flow_rollup_5m" -> ((s: SparkSession, d: String) => rollup5m(s, d)),
     "flow_rollup_reagg" -> (rollupReagg _),
-    "flow_top_src_ip" -> (topSrcIp _),
-    "flow_top_dst_ip" -> (topDstIp _),
-    "flow_top_src_port" -> (topSrcPort _),
-    "flow_top_dst_port" -> (topDstPort _),
+    "flow_top_src_ip" -> ((s: SparkSession, d: String) => topSrcIp(s, d)),
+    "flow_top_dst_ip" -> ((s: SparkSession, d: String) => topDstIp(s, d)),
+    "flow_top_src_port" -> ((s: SparkSession, d: String) => topSrcPort(s, d)),
+    "flow_top_dst_port" -> ((s: SparkSession, d: String) => topDstPort(s, d)),
     "flow_etype_map" -> (etypeMap _),
     "flow_null_default" -> (nullDefault _),
     "flow_ip_codec" -> (ipCodec _),

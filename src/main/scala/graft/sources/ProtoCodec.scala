@@ -121,14 +121,19 @@ object ProtoCodec {
   private def pad16(b: Array[Byte]): Array[Byte] =
     if (b.length == 16) b else java.util.Arrays.copyOf(b, 16)
 
-  /** Decode one bare message. Unknown fields are skipped. */
+  /** Decode one bare message. Unknown fields are skipped. Absent address
+    * fields decode to null — the Go consumer sees a nil slice there and
+    * substitutes the `0.0.0.0` default at render time
+    * (`/root/reference/inserter/inserter.go:135-140`); keeping the
+    * distinction lets [[graft.streaming.FlowStreams.jdbcFlushProjection]]
+    * reproduce that exactly via coalesce. */
   def decode(buf: Array[Byte], start: Int = 0, endOpt: Int = -1): FlowMessage = {
     val end = if (endOpt < 0) buf.length else endOpt
     val r = new Reader(buf, start, end)
     var flowType = 0; var timeReceived = 0L; var sequenceNum = 0L; var samplingRate = 0L
-    var samplerAddress = new Array[Byte](16)
+    var samplerAddress: Array[Byte] = null
     var timeFlowStart = 0L; var timeFlowEnd = 0L; var bytes = 0L; var packets = 0L
-    var srcAddr = new Array[Byte](16); var dstAddr = new Array[Byte](16)
+    var srcAddr: Array[Byte] = null; var dstAddr: Array[Byte] = null
     var etype = 0; var proto = 0; var srcPort = 0; var dstPort = 0
     var srcAS = 0; var dstAS = 0
     while (r.hasRemaining) {

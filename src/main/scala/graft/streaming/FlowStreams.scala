@@ -49,15 +49,27 @@ object FlowStreams {
       date_add(to_date(lit("1970-01-01")), (col("timeReceived") / 86400).cast("int")))
 
   /** Partial 5-minute rollup of one micro-batch (`create.sh:92-110` performs
-    * this per insert block). Runs as a *batch* plan inside foreachBatch. */
+    * this per insert block). Runs as a *batch* plan inside foreachBatch.
+    *
+    * Shape mirrors `flows_5m` (`create.sh:70-90`): rows keyed
+    * (Date, Timeslot, SrcAS, DstAS) carrying the Nested per-EType sub-map —
+    * here a sorted ArrayType(Struct(etype, bytes, packets, flow_count)) —
+    * plus the summed totals. Two-level aggregation: the inner per-etype agg
+    * is the single shuffle; the map re-collect happens on already-reduced
+    * rows. */
   def rollupPartials(df: DataFrame): DataFrame =
     projectRaw(df)
       .groupBy(
         col("event_date"),
         ((col("timeReceived") / 300).cast("long") * 300).as("timeslot"),
         col("srcAS"), col("dstAS"), col("etype"))
-      .agg(sum("bytes").as("sum_bytes"), sum("packets").as("sum_packets"),
-        count(lit(1)).as("flow_count"))
+      .agg(sum("bytes").as("b"), sum("packets").as("p"), count(lit(1)).as("c"))
+      .groupBy("event_date", "timeslot", "srcAS", "dstAS")
+      .agg(
+        sort_array(collect_list(struct(col("etype"),
+          col("b").as("bytes"), col("p").as("packets"), col("c").as("flow_count"))))
+          .as("etype_map"),
+        sum("b").as("sum_bytes"), sum("p").as("sum_packets"), sum("c").as("flow_count"))
 
   /** Start the raw MV: stream → project → partitioned parquet, append.
     * Partitioning by event_date is the reference's `PARTITION BY Date`
@@ -90,12 +102,24 @@ object FlowStreams {
       .start()
 
   /** Query-time re-merge of the rollup — reading `flows_5m` before OPTIMIZE
-    * (`README.md:164-183`): equal keys summed at read. */
+    * (`README.md:164-183`): equal keys summed at read, and the Nested
+    * ETypeMap merged ELEMENT-WISE by etype (the SummingMergeTree Nested
+    * merge, `README.md:180-183`): explode → per-etype sum → re-collect. */
   def readRollup(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+      .select(col("event_date"), col("timeslot"), col("srcAS"), col("dstAS"),
+        explode(col("etype_map")).as("em"))
+      .select(col("event_date"), col("timeslot"), col("srcAS"), col("dstAS"),
+        col("em.etype").as("etype"), col("em.bytes").as("bytes"),
+        col("em.packets").as("packets"), col("em.flow_count").as("fc"))
       .groupBy("event_date", "timeslot", "srcAS", "dstAS", "etype")
-      .agg(sum("sum_bytes").as("sum_bytes"), sum("sum_packets").as("sum_packets"),
-        sum("flow_count").as("flow_count"))
+      .agg(sum("bytes").as("b"), sum("packets").as("p"), sum("fc").as("c"))
+      .groupBy("event_date", "timeslot", "srcAS", "dstAS")
+      .agg(
+        sort_array(collect_list(struct(col("etype"),
+          col("b").as("bytes"), col("p").as("packets"), col("c").as("flow_count"))))
+          .as("etype_map"),
+        sum("b").as("sum_bytes"), sum("p").as("sum_packets"), sum("c").as("flow_count"))
 
   /** `OPTIMIZE TABLE flows_5m` equivalent (`README.md:168-172`): fold the
     * table to one row per key. Dynamic partition overwrite rewrites only the
@@ -146,4 +170,34 @@ object FlowStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** The inserter's 14-column insert tuple (`inserter.go:142-158`): epoch →
+    * timestamp, addresses rendered Go-style with the nil → `0.0.0.0`
+    * default (`inserter.go:129-140`), scalar fields passed through. */
+  def jdbcFlushProjection(df: DataFrame): DataFrame = {
+    import graft.GraftFunctions._
+    df.select(
+      timestamp_seconds(col("timeReceived")).as("time_received"),
+      timestamp_seconds(col("timeFlowStart")).as("time_flow_start"),
+      timestamp_seconds(col("timeFlowEnd")).as("time_flow_end"),
+      coalesce(ip_string(col("srcAddr")), lit("0.0.0.0")).as("src_ip"),
+      coalesce(ip_string(col("dstAddr")), lit("0.0.0.0")).as("dst_ip"),
+      col("bytes"), col("packets"),
+      col("srcPort").as("src_port"), col("dstPort").as("dst_port"),
+      col("etype"), col("proto"),
+      col("srcAS").as("src_as"), col("dstAS").as("dst_as"),
+      col("samplingRate").as("sampling_rate"))
+  }
+
+  /** S6 with a REAL JDBC endpoint: micro-batches append through
+    * `DataFrameWriter.jdbc` (multi-row batched INSERTs — the Go flush loop's
+    * `inserter.go:90-111` equivalent, with Spark's `batchsize` replacing the
+    * hand-rolled 100-row buffer). Tested against embedded Derby; on a
+    * cluster the url/props point at Postgres and nothing else changes. */
+  def startJdbcSink(stream: DataFrame, checkpoint: String, url: String,
+      table: String, props: java.util.Properties,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    startMicroFlushSink(stream, checkpoint,
+      batch => jdbcFlushProjection(batch).write.mode("append").jdbc(url, table, props),
+      trigger)
 }

@@ -13,6 +13,19 @@ class DedupSpec extends SparkTestBase {
       === Tables.documents(spark, sf).count())
   }
 
+  test("exact dedup never shuffles document bodies (digest-only below the exchange)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // EnsureRequirements puts the hash exchange directly below WindowExec,
+    // so the window child's output is exactly what crosses the shuffle
+    val plan = Dedup.exactDedup(spark, sf).queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(!w.child.output.map(_.name).contains("text"),
+        s"document bodies cross the shuffle: ${w.child.output.map(_.name)}")
+    }
+  }
+
   test("minhash+LSH finds exactly the exact-jaccard ground-truth pairs") {
     val truth = Dedup.ngramJaccardPairs(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -79,4 +79,27 @@ class FlowQueriesSpec extends SparkTestBase {
     val mm = df.agg(min("time_received"), max("time_received")).head()
     assert(mm.getLong(0) >= 1704844800L && mm.getLong(1) < 1705708800L)
   }
+
+  test("parameterized time ranges: any (from, until) binds like the dashboard $timeFilter") {
+    import graft.flow.TimeRange
+    val fl = FlowAdapter.flows(spark, sf)
+    val span = fl.agg(min("time_received"), max("time_received")).head()
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    val r = TimeRange(lo, mid)
+    // timeFilter with an explicit range returns exactly the manual predicate
+    val manual = fl.filter(col("time_received") >= lo && col("time_received") < mid).count()
+    assert(FlowQueries.timeFilter(spark, sf, r).count() === manual)
+    assert(manual > 0 && manual < fl.count())
+    // ranged aggregates equal the same aggregate over the pre-filtered view
+    val rangedTotal = FlowQueries.rate30s(spark, sf, Some(r))
+      .agg(sum("sum_bits")).head().getLong(0)
+    val manualTotal = fl.filter(col("time_received") >= lo && col("time_received") < mid)
+      .agg(sum(col("bytes") * col("sampling_rate")) * 8).head().getLong(0)
+    assert(rangedTotal === manualTotal)
+    // ranged top-N stays within range-consistent totals (subset sum <= full)
+    val full = FlowQueries.topSrcIp(spark, sf).agg(sum("flow_count")).head().getLong(0)
+    val ranged = FlowQueries.topSrcIp(spark, sf, Some(r)).agg(sum("flow_count")).head().getLong(0)
+    assert(ranged <= full)
+  }
 }

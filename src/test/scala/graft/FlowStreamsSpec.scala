@@ -65,6 +65,11 @@ class FlowStreamsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
     assert(direct === viaStream)
 
+    // ETypeMap (create.sh:78-86): cross-batch element-wise merge by etype
+    // equals the single-batch aggregation, including the nested arrays
+    val directFull = FlowStreams.rollupPartials(all)
+    assert(merged.except(directFull).isEmpty && directFull.except(merged).isEmpty)
+
     // OPTIMIZE: folds to one row per key; reads unchanged
     FlowStreams.optimizeRollup(spark, out)
     val afterOpt = spark.read.parquet(out)
@@ -73,6 +78,60 @@ class FlowStreamsSpec extends SparkTestBase {
       .select("timeslot", "srcAS", "dstAS", "sum_bytes", "flow_count")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
     assert(reread === direct)
+    // and the merged maps survive compaction byte-for-byte
+    val rereadFull = FlowStreams.readRollup(spark, out)
+    assert(rereadFull.except(directFull).isEmpty && directFull.except(rereadFull).isEmpty)
+  }
+
+  test("wire bytes -> decode -> raw + rollup MVs reconcile; absent addr renders 0.0.0.0") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Array[Byte]]
+    val flows = graft.sources.ProtoCodec
+      .fromWire(src.toDF().withColumnRenamed("value", "payload"), "payload").toDF()
+    val outRaw = tmp(); val cpRaw = tmp(); val outRoll = tmp(); val cpRoll = tmp()
+    val q1 = FlowStreams.startRawMV(flows, outRaw, cpRaw)
+    val q2 = FlowStreams.startRollupMV(flows, outRoll, cpRoll)
+    val msgs0 = genBatch(200, seed = 21, baseTime = 1704067200L)
+    // 20 records with an absent source address — the Go consumer sees a nil
+    // slice there (inserter.go:135-140)
+    val msgs = msgs0.take(20).map(_.copy(srcAddr = null)) ++ msgs0.drop(20)
+    // several framed records per Kafka-style payload (README.md:104)
+    val payloads = msgs.grouped(3).map(_.flatMap(graft.sources.ProtoCodec.encodeDelimited).toArray).toSeq
+    src.addData(payloads)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+
+    val raw = spark.read.parquet(outRaw)
+    assert(raw.count() === 200)
+    assert(raw.agg(sum("bytes")).head.getLong(0) === msgs.map(_.bytes).sum)
+    // rollup MV totals reconcile with the same wire input
+    val merged = FlowStreams.readRollup(spark, outRoll)
+    assert(merged.agg(sum("sum_bytes")).head.getLong(0) === msgs.map(_.bytes).sum)
+    assert(merged.agg(sum("flow_count")).head.getLong(0) === 200L)
+    // inserter.go:135-140 parity: absent address -> '0.0.0.0'
+    val rendered = FlowStreams.jdbcFlushProjection(raw)
+    assert(rendered.filter(col("src_ip") === "0.0.0.0").count() === 20)
+    assert(rendered.filter(col("dst_ip") === "0.0.0.0").count() === 0)
+  }
+
+  test("real JDBC micro-flush into embedded Derby (S6, inserter.go:90-111 parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val cp = tmp()
+    val url = s"jdbc:derby:${tmp()}/flowdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val q = FlowStreams.startJdbcSink(src.toDF(), cp, url, "flows", props)
+    src.addData(genBatch(120, seed = 22, baseTime = 1704067200L))
+    q.processAllAvailable()
+    src.addData(genBatch(80, seed = 23, baseTime = 1704070800L))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.jdbc(url, "flows", props)
+    assert(back.count() === 200)
+    assert(back.columns.length === 14) // the inserter's 14-column tuple
+    assert(back.agg(sum("bytes")).head.getLong(0) ===
+      (genBatch(120, 22, 1704067200L) ++ genBatch(80, 23, 1704070800L)).map(_.bytes).sum)
   }
 
   test("watermarked rollup: update-mode incremental aggregation") {
