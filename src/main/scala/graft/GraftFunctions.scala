@@ -5,47 +5,50 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
 import graft.functions.IpCodec
 
-/** The graft scalar function family (SURVEY.md §2.4 F6–F11,F15) as
-  * session-independent `UserDefinedFunction`s, plus SQL registration.
+/** The graft scalar function family (SURVEY.md §2.4 F6–F11,F15).
   *
-  * These start life as Scala UDFs — each sits inside a codegen'd projection
-  * and the surrounding plan stays whole-stage; promote to native Catalyst
-  * `Expression`s only if profiling shows UDF boxing on the hot path
-  * (SURVEY.md §4 note).
+  * The four codecs on dashboard hot paths (address rendering, bin16
+  * packing, LE reinterpret) are native Catalyst expressions with codegen
+  * ([[graft.functions.IpExpressions]]) — the §4 promotion the survey
+  * reserved for profiled hot spots. The rarely-hot inverse/parsing codecs
+  * stay Scala UDFs; either form sits inside a whole-stage-codegen'd
+  * projection, the native ones just skip the UDF encoder round-trip.
   */
 object GraftFunctions {
+  import graft.functions.{Ip4Ntoa, Ip4ToBin16, Ip6Ntoa, ReinterpretUint32}
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
-  private val ip4NtoaUdf: UserDefinedFunction = udf((n: Long) => IpCodec.ip4NumToString(n))
   private val ip4AtonUdf: UserDefinedFunction = udf((s: String) => IpCodec.ip4StringToNum(s))
-  private val ip6NtoaUdf: UserDefinedFunction = udf((b: Array[Byte]) => IpCodec.ip6NumToString(b))
   private val ip6AtonUdf: UserDefinedFunction = udf((s: String) => IpCodec.ip6StringToNum(s))
   private val ipStringUdf: UserDefinedFunction = udf((b: Array[Byte]) => IpCodec.ipString(b))
-  private val ip4ToBin16Udf: UserDefinedFunction = udf((n: Long) => IpCodec.ip4ToBin16(n))
-  private val reinterpretUint32Udf: UserDefinedFunction = udf((b: Array[Byte]) => IpCodec.reinterpretUint32LE(b))
 
   /** IPv4 uint32 → dotted quad (ClickHouse IPv4NumToString). */
-  def ip4_ntoa(c: Column): Column = ip4NtoaUdf(c)
+  def ip4_ntoa(c: Column): Column = column(Ip4Ntoa(expression(c)))
   /** dotted quad → IPv4 uint32 (ClickHouse IPv4StringToNum). */
   def ip4_aton(c: Column): Column = ip4AtonUdf(c)
   /** 16-byte binary → RFC 5952 IPv6 text (ClickHouse IPv6NumToString). */
-  def ip6_ntoa(c: Column): Column = ip6NtoaUdf(c)
+  def ip6_ntoa(c: Column): Column = column(Ip6Ntoa(expression(c)))
   /** IPv6 text → 16-byte binary (ClickHouse IPv6StringToNum). */
   def ip6_aton(c: Column): Column = ip6AtonUdf(c)
   /** Go net.IP.String() semantics (inserter.go:131-134). */
   def ip_string(c: Column): Column = ipStringUdf(c)
   /** IPv4 uint32 → left-packed-LE 16-byte binary (README.md:186-202 convention). */
-  def ip4_to_bin16(c: Column): Column = ip4ToBin16Udf(c)
+  def ip4_to_bin16(c: Column): Column = column(Ip4ToBin16(expression(c)))
   /** LE reinterpret of leading 4 bytes as uint32 (ClickHouse reinterpretAsUInt32). */
-  def reinterpret_uint32(c: Column): Column = reinterpretUint32Udf(c)
+  def reinterpret_uint32(c: Column): Column = column(ReinterpretUint32(expression(c)))
 
-  /** Register the family for SQL (`spark.sql("select ip4_ntoa(...)")`). */
+  /** Register the family for SQL (`spark.sql("select ip4_ntoa(...)")`).
+    * The native-expression four go into the session function registry as
+    * expression builders (still codegen'd from SQL); the parsers register
+    * as UDFs. */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("ip4_ntoa", ip4NtoaUdf)
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("ip4_ntoa", es => Ip4Ntoa(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ip6_ntoa", es => Ip6Ntoa(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ip4_to_bin16", es => Ip4ToBin16(es.head), "built-in")
+    reg.createOrReplaceTempFunction("reinterpret_uint32", es => ReinterpretUint32(es.head), "built-in")
     spark.udf.register("ip4_aton", ip4AtonUdf)
-    spark.udf.register("ip6_ntoa", ip6NtoaUdf)
     spark.udf.register("ip6_aton", ip6AtonUdf)
     spark.udf.register("ip_string", ipStringUdf)
-    spark.udf.register("ip4_to_bin16", ip4ToBin16Udf)
-    spark.udf.register("reinterpret_uint32", reinterpretUint32Udf)
   }
 }

@@ -143,12 +143,20 @@ object FlowQueries {
   def topDstIp(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
     topIp(spark, dir, "dst_ip", range)
 
+  /** Groups on the NUMERIC (ip, etype) pair and renders the address text
+    * after the aggregate — ≤ groups renders instead of one per input row,
+    * and the shuffle keys are 12 bytes, not strings. Output-identical to
+    * the dashboards' group-by-rendered-string (viz-ch.json:233): rendering
+    * is injective in (ip, etype) — dotted quads never collide with v6 text
+    * and each codec is 1:1 — so the groups are in bijection. */
   private def topIp(spark: SparkSession, dir: String, ipCol: String,
       range: Option[TimeRange] = None): DataFrame =
     inRange(fl(spark, dir), range)
-      .groupBy(ipStr(col(ipCol), col("etype")).as("addr"))
+      .groupBy(col(ipCol), col("etype"))
       .agg(count(lit(1)).as("flow_count"),
         sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
+      .select(ipStr(col(ipCol), col("etype")).as("addr"),
+        col("flow_count"), col("sum_bytes"))
       .orderBy(desc("sum_bytes"), asc("addr"))
       .limit(10)
 

@@ -188,4 +188,23 @@ object ProtoCodec {
     import df.sparkSession.implicits._
     df.select(bytesCol).as[Array[Byte]].flatMap(decodeDelimitedStream(_))
   }
+
+  /** S1/S2 stand-in with a real on-disk source (no Kafka connector jar in
+    * this environment): stream a directory of binary files, each file one
+    * producer payload of varint-framed protobuf records — the exact bytes a
+    * Kafka `value` would carry (`mocker.go:95-106`). New files appear as new
+    * micro-batch input, so the MV cascade downstream is identical to the
+    * Kafka deployment; swapping in `readStream.format("kafka")` changes
+    * only this one method. */
+  def binaryFileStream(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.Dataset[FlowMessage] = {
+    import org.apache.spark.sql.types._
+    // the binaryFile source's fixed schema (streaming sources require it
+    // explicitly)
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    fromWire(spark.readStream.format("binaryFile").schema(schema).load(dir), "content")
+  }
 }

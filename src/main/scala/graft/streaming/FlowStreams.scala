@@ -171,22 +171,24 @@ object FlowStreams {
       .trigger(trigger)
       .start()
 
-  /** The inserter's 14-column insert tuple (`inserter.go:142-158`): epoch →
-    * timestamp, addresses rendered Go-style with the nil → `0.0.0.0`
-    * default (`inserter.go:129-140`), scalar fields passed through. */
+  /** The inserter's exact 14-column insert tuple (`inserter.go:142-158`,
+    * PG DDL `compose/postgres/create.sh:5-24`): NOW() insert timestamp
+    * (F17, `inserter.go:143`), `time_flow` from TimeFlowStart
+    * (`inserter.go:129`), addresses rendered Go-style with the nil →
+    * `0.0.0.0` default (`inserter.go:131-140`), scalar fields through. */
   def jdbcFlushProjection(df: DataFrame): DataFrame = {
     import graft.GraftFunctions._
     df.select(
-      timestamp_seconds(col("timeReceived")).as("time_received"),
-      timestamp_seconds(col("timeFlowStart")).as("time_flow_start"),
-      timestamp_seconds(col("timeFlowEnd")).as("time_flow_end"),
+      current_timestamp().as("date_inserted"),
+      timestamp_seconds(col("timeFlowStart")).as("time_flow"),
+      col("flowType").as("type"),
+      col("samplingRate").as("sampling_rate"),
       coalesce(ip_string(col("srcAddr")), lit("0.0.0.0")).as("src_ip"),
       coalesce(ip_string(col("dstAddr")), lit("0.0.0.0")).as("dst_ip"),
       col("bytes"), col("packets"),
       col("srcPort").as("src_port"), col("dstPort").as("dst_port"),
       col("etype"), col("proto"),
-      col("srcAS").as("src_as"), col("dstAS").as("dst_as"),
-      col("samplingRate").as("sampling_rate"))
+      col("srcAS").as("src_as"), col("dstAS").as("dst_as"))
   }
 
   /** S6 with a REAL JDBC endpoint: micro-batches append through

@@ -55,6 +55,27 @@ class ProtoCodecSpec extends SparkTestBase {
     assertSame(ProtoCodec.decode(out.toByteArray), m)
   }
 
+  test("binary-file source streams framed payload files through the MV cascade") {
+    val srcDir = java.nio.file.Files.createTempDirectory("proto_files")
+    val out = java.nio.file.Files.createTempDirectory("proto_files_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("proto_files_cp").toString
+    val msgs = FlowGen.flows(spark, 90, seed = 15).collect().toSeq
+    // three payload files of 30 framed records each (one file = one Kafka
+    // payload's bytes)
+    msgs.grouped(30).zipWithIndex.foreach { case (g, i) =>
+      java.nio.file.Files.write(srcDir.resolve(f"payload_$i%03d.bin"),
+        g.flatMap(ProtoCodec.encodeDelimited).toArray)
+    }
+    val q = FlowStreams.startRawMV(
+      ProtoCodec.binaryFileStream(spark, srcDir.toString).toDF(), out, cp)
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(out)
+    assert(written.count() === 90)
+    assert(written.agg(org.apache.spark.sql.functions.sum("bytes")).head.getLong(0)
+      === msgs.map(_.bytes).sum)
+  }
+
   test("wire stream -> decode -> raw MV end-to-end (S1-S3+S9 cascade)") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Array[Byte]]
