@@ -190,12 +190,60 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF (inverted-file) approximate top-k — the clustered alternative to
+    * hyperplane LSH: the corpus is assigned once to its nearest centroid
+    * (broadcast centroids, one streaming pass; the partial `max_by`
+    * aggregate collapses the K scored copies of each vector BEFORE the
+    * shuffle, so only N assignment rows move), queries probe the `nProbe`
+    * nearest clusters and re-rank exactly within them. Centroids are the
+    * `nCentroids` lowest vec_ids — deterministic, so the DuckDB oracle
+    * reproduces the exact partition. At 100 TB the assigned corpus is
+    * written partitioned by `cid`, making each probe a partition-pruned
+    * read; k-means refinement of the centroid set changes only the `cents`
+    * relation. */
+  def knnIvf(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    // nearest centroid per vector: argmax over (rounded cosine, -cid)
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("cos_c", round(cosine(col("embedding"), col("c_emb")), 6))
+      .groupBy(col("vec_id").as("neighbor_id"))
+      .agg(max_by(col("cid"), struct(col("cos_c"), -col("cid"))).as("cid"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .join(broadcast(cents))
+      .withColumn("cos_c", round(cosine(col("embedding"), col("c_emb")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("cos_c"), asc("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val cands = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val e = Tables.embeddings(spark, dir)
+    val scored = cands
+      .join(broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "sim_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "sim_cosine_dup_pairs" -> ((s: SparkSession, d: String) => cosineDupPairs(s, d)),
-    "sim_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)))
+    "sim_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
+    "sim_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)))
 
   /** DuckDB cosine mirroring the Spark fold: explicit double cast, ordered
     * element-wise products, list_sum. */
@@ -238,6 +286,26 @@ object Similarity {
          |     round(${duckCos("ea.embedding", "eb.embedding")}, 6) AS cos_sim
          |   FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
          | WHERE cos_sim >= 0.9 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '),
+    "sim_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         | cents AS (SELECT vec_id AS cid, embedding AS c_emb FROM e WHERE vec_id < 16),
+         | asg AS (SELECT vec_id AS neighbor_id, cid FROM (
+         |   SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY round(${duckCos("e.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
+         |   FROM e, cents c) WHERE rn = 1),
+         | probes AS (SELECT query_id, cid FROM (
+         |   SELECT q.vec_id AS query_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY round(${duckCos("q.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
+         |   FROM e q, cents c WHERE q.vec_id < 5) WHERE rn <= 4),
+         | cand AS (SELECT p.query_id, a.neighbor_id FROM probes p JOIN asg a ON a.cid = p.cid
+         |   WHERE a.neighbor_id <> p.query_id),
+         | scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |     round(${duckCos("eq.embedding", "ec.embedding")}, 6) AS cos_sim
+         |   FROM cand JOIN e eq ON eq.vec_id = cand.query_id JOIN e ec ON ec.vec_id = cand.neighbor_id)
+         | SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |   FROM scored)
+         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
     "sim_knn_lsh" ->
       s"""${duckSigCte(8)},
          | cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id

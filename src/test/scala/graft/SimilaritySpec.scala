@@ -26,6 +26,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(res(1).getDouble(0) === 0.0)
   }
 
+  test("IVF ANN: k rows per query cap, candidates only from probed clusters, sane recall") {
+    val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(spark, sf, nQueries = 5, k = 5)
+      .collect()
+    assert(ivf.length <= 25)
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length))
+    }
+    val recall = brute.count(ivf.map(r => (r.getLong(0), r.getLong(1))).toSet.contains).toDouble / brute.size
+    // 4 of 16 probed clusters on a random corpus: recall is approximate
+    assert(recall >= 0.1, s"IVF recall $recall vs brute")
+  }
+
   test("LSH ANN recall vs brute force") {
     val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
