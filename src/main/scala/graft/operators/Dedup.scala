@@ -59,6 +59,13 @@ object Dedup {
       }
     }
   }
+  // asNondeterministic is an OPTIMIZER BARRIER, not a semantic statement:
+  // the UDF is pure, but without the barrier InferFiltersFromGenerate +
+  // predicate pushdown substitute the UDF into inferred `size(..) > 0`
+  // filters below the projection, re-running the shingle build 3x per row
+  // (visible in the executed plan as UDF(text) inside Filter). The barrier
+  // keeps exactly one evaluation per row per side.
+    .asNondeterministic()
 
   def withShingles(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("sh", shinglesUdf(col(textCol)))
@@ -94,10 +101,14 @@ object Dedup {
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
     val ex = d.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
-    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("h"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("h"))
-    a.join(b, Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
+    // alias-based self-join, renames AFTER: both sides present the identical
+    // plan subtree, so ReuseExchange computes the scan+shingle+shuffle once
+    // (renaming before the join made Spark evaluate the whole exploded
+    // relation twice)
+    ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard", col("common").cast("double")
@@ -135,11 +146,12 @@ object Dedup {
     }
     val banded = df.select(col(idCol), explode(array(bandCols: _*)).as("b"))
       .select(col(idCol), col("b.band"), col("b.bh"))
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bh"))
-    val rt = banded.select(col(idCol).as("id_b"), col("band"), col("bh"))
-    l.join(rt, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // alias self-join → one banding pass + one shuffle (ReuseExchange)
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
   }
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard — no false
@@ -207,6 +219,9 @@ object Dedup {
       fp
     }
   }
+  // optimizer barrier (pure UDF): keeps the fingerprint from being inlined
+  // into the 4 per-chunk banding expressions (4x evaluation otherwise)
+    .asNondeterministic()
 
   def withSimhash(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("simhash", simhashUdf(split(trim(col(textCol)), "\\s+")))
@@ -224,11 +239,12 @@ object Dedup {
     }
     val banded = d.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.chunk"))
-    val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("band"), col("chunk"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("band"), col("chunk"))
-    l.join(r, Seq("band", "chunk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+    // alias self-join → one fingerprint+banding pass (ReuseExchange)
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b")).distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
       .filter(col("hamming") <= maxDist)
       .select("doc_a", "doc_b", "hamming")

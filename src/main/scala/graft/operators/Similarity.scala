@@ -53,6 +53,10 @@ object Similarity {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+  // optimizer barrier (the UDF is pure): without it, predicate pushdown
+  // substitutes the UDF into threshold filters below the projection and
+  // evaluates every cosine twice
+    .asNondeterministic()
 
   def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
@@ -109,6 +113,11 @@ object Similarity {
     }
     sig
   }
+  // optimizer barrier (pure UDF): stops CollapseProject from inlining the
+  // signature computation BELOW the multiprobe explode — which would
+  // re-evaluate the full planes x dims dot product once per probe mask
+  // (~300x) instead of once per vector
+    .asNondeterministic()
 
   def withSignature(df: DataFrame, embCol: String, bits: Int = 8): DataFrame =
     df.withColumn("lsh_sig", signatureUdf(bits)(col(embCol)))
@@ -174,8 +183,11 @@ object Similarity {
       bits: Int = 12, probeDist: Int = 3): DataFrame = {
     val emb = withSignature(Tables.embeddings(spark, dir), "embedding", bits)
     val ids = emb.select(col("vec_id"), col("lsh_sig"))
-    val probes = probeMasks(bits, probeDist).map(m => col("lsh_sig").bitwiseXOR(lit(m)))
-    val a = ids.select(col("vec_id").as("id_a"), explode(array(probes: _*)).as("bkt"))
+    // explode a CONSTANT mask array (one allocation, constant-folded) and
+    // xor per exploded row — not a per-row array of xor'd columns
+    val a = ids.select(col("vec_id").as("id_a"), col("lsh_sig"),
+        explode(typedLit(probeMasks(bits, probeDist))).as("m"))
+      .select(col("id_a"), col("m").bitwiseXOR(col("lsh_sig")).as("bkt"))
     val b = ids.select(col("vec_id").as("id_b"), col("lsh_sig").as("bkt"))
     val cands = a.join(b, Seq("bkt"))
       .filter(col("id_a") < col("id_b"))
