@@ -26,7 +26,13 @@ object TextOps {
   private def duckSubCount(col: String, s: String): String =
     s"(len($col) - len(replace($col, '$s', ''))) // ${s.length}"
 
-  /** Token statistics: counts, distinct counts, average token length. */
+  /** BPE-style pre-tokenization pattern (letter runs, single digits,
+    * punctuation singletons — the GPT-2 pre-tokenizer shape, simplified to
+    * classes that mean the same in Java and RE2 regex dialects). */
+  private val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Token statistics: whitespace counts, distinct counts, a BPE-ish
+    * subword-unit count, average token length. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val w = toks(col("text"))
@@ -35,6 +41,8 @@ object TextOps {
       length(col("text")).as("char_count"),
       size(w).cast("long").as("token_count"),
       size(array_distinct(w)).cast("long").as("distinct_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long").as("bpe_token_count"),
       (length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").cast("double")
         / size(w)).as("avg_alpha_per_token"))
       .orderBy("doc_id")
@@ -110,6 +118,7 @@ object TextOps {
         s"""SELECT doc_id, n_chars, len(text) AS char_count,
            | CAST(len($w) AS BIGINT) AS token_count,
            | CAST(len(list_distinct($w)) AS BIGINT) AS distinct_tokens,
+           | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_token_count,
            | CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) / len($w) AS avg_alpha_per_token
            | FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' '),
       "text_quality" ->

@@ -80,6 +80,22 @@ class FlowQueriesSpec extends SparkTestBase {
     assert(mm.getLong(0) >= 1704844800L && mm.getLong(1) < 1705708800L)
   }
 
+  test("dashboard SQL through the registered function surface equals the DataFrame query") {
+    GraftFunctions.register(spark)
+    FlowAdapter.flows(spark, sf).createOrReplaceTempView("flows_raw")
+    // the viz-ch.json:233 panel, as literal SQL over the registered codecs
+    val viaSql = spark.sql(
+      """SELECT CASE WHEN etype = 2048 THEN ip4_ntoa(src_ip)
+        |            ELSE ip6_ntoa(ip4_to_bin16(src_ip)) END AS addr,
+        |       count(*) AS flow_count,
+        |       sum(bytes * sampling_rate) AS sum_bytes
+        |FROM flows_raw GROUP BY 1
+        |ORDER BY sum_bytes DESC, addr ASC LIMIT 10""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val viaDf = FlowQueries.topSrcIp(spark, sf).collect().map(_.toSeq).toSeq
+    assert(viaSql === viaDf)
+  }
+
   test("parameterized time ranges: any (from, until) binds like the dashboard $timeFilter") {
     import graft.flow.TimeRange
     val fl = FlowAdapter.flows(spark, sf)
