@@ -16,6 +16,7 @@ object GraftSession {
       .master(master)
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.shuffle.partitions", "32")

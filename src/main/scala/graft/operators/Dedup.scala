@@ -118,6 +118,40 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Skew-safe n-gram Jaccard: identical to [[ngramJaccardPairs]] except
+    * shingles whose document frequency exceeds `maxDf` are excluded from
+    * PAIR GENERATION (set sizes still count every shingle). A shingle
+    * shared by n documents contributes n² join rows — on a web-scale corpus
+    * the "the of the"-class shingles alone make the exact self-join
+    * quadratic. Capping df bounds every join group at maxDf² while barely
+    * moving the scores (hot shingles carry no similarity signal — every
+    * document matches them), which is why production near-dup pipelines
+    * standardly drop high-df features. The candidate loss is one-sided:
+    * scores can only decrease, and the MinHash path remains the recall
+    *-calibrated product operator. The df computation is one extra
+    * hash-aggregate over shingle hashes. */
+  def ngramJaccardPairsCapped(spark: SparkSession, dir: String,
+      threshold: Double = 0.2, maxDf: Int = 100): DataFrame = {
+    val d = withShingles(Tables.documents(spark, dir).select("doc_id", "text"), "text")
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
+    val ex = d.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
+    val rare = ex.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select("h")
+    val exR = ex.join(rare, Seq("h"))
+    exR.as("a").join(exR.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double")
+        / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ------------------------------------------------------------- MinHash/LSH
 
   /** MinHash signature columns mh_0..mh_{k-1}: min over shingles of
@@ -257,6 +291,7 @@ object Dedup {
     "dedup_exact_summary" -> (exactSummary _),
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(s, d)),
+    "dedup_ngram_capped" -> ((s: SparkSession, d: String) => ngramJaccardPairsCapped(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashDupPairs(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashDupPairs(s, d)))
 
@@ -318,6 +353,21 @@ object Dedup {
         |  FROM documents)
         | WHERE doc_id = canonical_id ORDER BY doc_id""".stripMargin.replace('\n', ' '),
     "dedup_ngram_jaccard" -> duckJaccard,
+    "dedup_ngram_capped" ->
+      s"""$duckShingleCte, df AS (
+         |  SELECT s, count(*) AS df FROM sh GROUP BY s
+         |), shr AS (
+         |  SELECT sh.doc_id, sh.s FROM sh JOIN df ON df.s = sh.s WHERE df.df <= 100
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS common,
+         |  CAST(count(*) AS BIGINT) / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)) AS jaccard
+         |FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |JOIN sizes sa ON sa.doc_id = a.doc_id
+         |JOIN sizes sb ON sb.doc_id = b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING CAST(count(*) AS BIGINT) / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' '),
     // MinHash+LSH is verified against exact Jaccard, so its output is a
     // subset of the ground truth with S-curve recall; on this corpus the
     // banding (16 bands x 4 rows) has ~certain recall at j >= 0.2 candidates

@@ -56,6 +56,17 @@ class DedupSpec extends SparkTestBase {
     assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)))
   }
 
+  test("df-capped ngram equals exact ground truth when no shingle is hot") {
+    // the test corpus's hottest shingle df is far below the cap, so the
+    // skew-safe variant must reproduce the exact result; on a skewed corpus
+    // it bounds every join group at maxDf²
+    val exact = Dedup.ngramJaccardPairs(spark, sf).collect().map(_.toSeq).toSeq
+    val capped = Dedup.ngramJaccardPairsCapped(spark, sf).collect().map(_.toSeq).toSeq
+    assert(capped === exact)
+    // a cap of 1 removes every shared shingle -> no pairs survive
+    assert(Dedup.ngramJaccardPairsCapped(spark, sf, maxDf = 1).count() === 0)
+  }
+
   test("simhash pairs near-identical docs, not unrelated ones") {
     val pairs = Dedup.simhashDupPairs(spark, sf, maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
