@@ -236,6 +236,33 @@ object FlowQueries {
       .agg(count(lit(1)).as("flow_count"), sum("bytes").as("sum_bytes"))
       .orderBy("proto", "etype")
 
+  /** Gap-based session stitching over the flow surface (batch form; the
+    * streaming flatMapGroupsWithState form is
+    * [[graft.streaming.FlowSessions.sessionize]]): flows of one transport
+    * 5-tuple within `gapSeconds` of each other merge into one session row.
+    * Lag-window + prefix-sum session ids — one shuffle on the 5-tuple key. */
+  def sessions(spark: SparkSession, dir: String, gapSeconds: Long = 600): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = fl(spark, dir).select(
+      concat_ws("|", col("src_ip"), col("dst_ip"), col("src_port"), col("dst_port"),
+        col("proto")).as("key"),
+      col("time_received").as("ts"), col("bytes"), col("packets"))
+    val w = Window.partitionBy("key").orderBy("ts")
+    obs
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + gapSeconds, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("key", "session_id")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        sum("bytes").as("sum_bytes"), sum("packets").as("sum_packets"),
+        count(lit(1)).as("flow_count"))
+      .withColumn("duration", col("session_end") - col("session_start"))
+      .drop("session_id")
+      .orderBy("key", "session_start")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -252,7 +279,8 @@ object FlowQueries {
     "flow_etype_map" -> (etypeMap _),
     "flow_null_default" -> (nullDefault _),
     "flow_ip_codec" -> (ipCodec _),
-    "flow_proto_dist" -> (protoDist _))
+    "flow_proto_dist" -> (protoDist _),
+    "flow_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)))
 
   private val cte = FlowAdapter.ducksql
 
@@ -306,7 +334,23 @@ object FlowQueries {
          | FROM flows ORDER BY seq""".stripMargin.replace('\n', ' '),
     "flow_proto_dist" ->
       s"""${cte}SELECT proto, etype, count(*) AS flow_count, CAST(sum(bytes) AS BIGINT) AS sum_bytes
-         | FROM flows WHERE src_as = 65001 GROUP BY 1, 2 ORDER BY proto, etype""".stripMargin.replace('\n', ' '))
+         | FROM flows WHERE src_as = 65001 GROUP BY 1, 2 ORDER BY proto, etype""".stripMargin.replace('\n', ' '),
+    "flow_sessions" ->
+      s"""${cte}, obs AS (
+         |  SELECT src_ip::VARCHAR || '|' || dst_ip::VARCHAR || '|' || src_port::VARCHAR
+         |    || '|' || dst_port::VARCHAR || '|' || proto::VARCHAR AS key,
+         |    time_received AS ts, bytes, packets FROM flows
+         |), lagged AS (
+         |  SELECT *, lag(ts) OVER (PARTITION BY key ORDER BY ts) AS prev_ts FROM obs
+         |), marked AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + 600 THEN 1 ELSE 0 END AS ns FROM lagged
+         |), sess AS (
+         |  SELECT *, sum(ns) OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marked
+         |)
+         |SELECT key, min(ts) AS session_start, max(ts) AS session_end,
+         |  CAST(sum(bytes) AS BIGINT) AS sum_bytes, CAST(sum(packets) AS BIGINT) AS sum_packets,
+         |  count(*) AS flow_count, max(ts) - min(ts) AS duration
+         |FROM sess GROUP BY key, sid ORDER BY key, session_start""".stripMargin.replace('\n', ' '))
 
   private def duckTopIp(ipCol: String): String =
     s"""${cte}SELECT ${duckIpStr(ipCol)} AS addr, count(*) AS flow_count,
