@@ -263,6 +263,43 @@ object FlowQueries {
       .orderBy("key", "session_start")
   }
 
+  /** Distinct source addresses per timeslot — the classic "unique talkers"
+    * panel. Exact form (oracle-checked); [[uniqueSrcApprox]] is the
+    * HLL-sketch variant for the 100 TB path, where exact distinct means a
+    * full shuffle of every distinct key and the sketch is a fixed few KB
+    * per group. */
+  def uniqueSrc(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+    inRange(fl(spark, dir), range)
+      .groupBy(((col("time_received") / 3600).cast("long") * 3600).as("bucket"))
+      .agg(count_distinct(col("src_ip")).as("unique_src"),
+        count(lit(1)).as("flow_count"))
+      .orderBy("bucket")
+
+  /** HLL++ approximate unique talkers (relative error ~2% at the default
+    * precision): partial sketches merge map-side, so the shuffle carries one
+    * sketch per (partition, bucket) instead of every distinct address. */
+  def uniqueSrcApprox(spark: SparkSession, dir: String, rsd: Double = 0.02,
+      range: Option[TimeRange] = None): DataFrame =
+    inRange(fl(spark, dir), range)
+      .groupBy(((col("time_received") / 3600).cast("long") * 3600).as("bucket"))
+      .agg(approx_count_distinct(col("src_ip"), rsd).as("unique_src_approx"),
+        count(lit(1)).as("flow_count"))
+      .orderBy("bucket")
+
+  /** Exact byte-size quantiles per protocol (viz-style distribution panel).
+    * Interpolated continuous quantiles over integers; rounded to 4 decimals
+    * so the engines' different (lo + (hi-lo)*f vs lo*(1-f) + hi*f)
+    * evaluation orders can't flip the last ulp. */
+  def bytesQuantiles(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir)
+      .groupBy("proto")
+      .agg(
+        round(expr("percentile(bytes, 0.5)"), 4).as("p50"),
+        round(expr("percentile(bytes, 0.95)"), 4).as("p95"),
+        round(expr("percentile(bytes, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("flow_count"))
+      .orderBy("proto")
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -280,7 +317,9 @@ object FlowQueries {
     "flow_null_default" -> (nullDefault _),
     "flow_ip_codec" -> (ipCodec _),
     "flow_proto_dist" -> (protoDist _),
-    "flow_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)))
+    "flow_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
+    "flow_unique_src" -> ((s: SparkSession, d: String) => uniqueSrc(s, d)),
+    "flow_bytes_quantiles" -> (bytesQuantiles _))
 
   private val cte = FlowAdapter.ducksql
 
@@ -350,7 +389,16 @@ object FlowQueries {
          |SELECT key, min(ts) AS session_start, max(ts) AS session_end,
          |  CAST(sum(bytes) AS BIGINT) AS sum_bytes, CAST(sum(packets) AS BIGINT) AS sum_packets,
          |  count(*) AS flow_count, max(ts) - min(ts) AS duration
-         |FROM sess GROUP BY key, sid ORDER BY key, session_start""".stripMargin.replace('\n', ' '))
+         |FROM sess GROUP BY key, sid ORDER BY key, session_start""".stripMargin.replace('\n', ' '),
+    "flow_unique_src" ->
+      s"""${cte}SELECT (time_received // 3600) * 3600 AS bucket,
+         | CAST(count(DISTINCT src_ip) AS BIGINT) AS unique_src, count(*) AS flow_count
+         | FROM flows GROUP BY 1 ORDER BY bucket""".stripMargin.replace('\n', ' '),
+    "flow_bytes_quantiles" ->
+      s"""${cte}SELECT proto, round(quantile_cont(bytes, 0.5), 4) AS p50,
+         | round(quantile_cont(bytes, 0.95), 4) AS p95,
+         | round(quantile_cont(bytes, 0.99), 4) AS p99, count(*) AS flow_count
+         | FROM flows GROUP BY 1 ORDER BY proto""".stripMargin.replace('\n', ' '))
 
   private def duckTopIp(ipCol: String): String =
     s"""${cte}SELECT ${duckIpStr(ipCol)} AS addr, count(*) AS flow_count,

@@ -70,6 +70,19 @@ class FlowQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("approximate unique talkers within HLL error of the exact count") {
+    val exact = FlowQueries.uniqueSrc(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = FlowQueries.uniqueSrcApprox(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (bucket, n) =>
+      val a = approx(bucket)
+      assert(math.abs(a - n).toDouble / n <= 0.10,
+        s"bucket $bucket: approx $a vs exact $n")
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
