@@ -300,6 +300,20 @@ object FlowQueries {
         count(lit(1)).as("flow_count"))
       .orderBy("proto")
 
+  /** Top-3 byte counts per protocol through the custom [[graft.plans.GroupTopK]]
+    * physical operator (bounded per-group heaps, partial→final around one
+    * k-bounded shuffle — no per-group sort, no full-input shuffle). Output
+    * projected to (proto, bytes) so boundary ties are value-deterministic
+    * for the oracle. */
+  def topBytesPerProto(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.plans.{GroupTopK, GroupTopKStrategy}
+    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ GroupTopKStrategy
+    GroupTopK.topK(fl(spark, dir), Seq(col("proto")), col("bytes"), k)
+      .select("proto", "bytes")
+      .orderBy(col("proto"), desc("bytes"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -319,7 +333,8 @@ object FlowQueries {
     "flow_proto_dist" -> (protoDist _),
     "flow_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
     "flow_unique_src" -> ((s: SparkSession, d: String) => uniqueSrc(s, d)),
-    "flow_bytes_quantiles" -> (bytesQuantiles _))
+    "flow_bytes_quantiles" -> (bytesQuantiles _),
+    "flow_top_bytes_per_proto" -> ((s: SparkSession, d: String) => topBytesPerProto(s, d)))
 
   private val cte = FlowAdapter.ducksql
 
@@ -398,7 +413,12 @@ object FlowQueries {
       s"""${cte}SELECT proto, round(quantile_cont(bytes, 0.5), 4) AS p50,
          | round(quantile_cont(bytes, 0.95), 4) AS p95,
          | round(quantile_cont(bytes, 0.99), 4) AS p99, count(*) AS flow_count
-         | FROM flows GROUP BY 1 ORDER BY proto""".stripMargin.replace('\n', ' '))
+         | FROM flows GROUP BY 1 ORDER BY proto""".stripMargin.replace('\n', ' '),
+    "flow_top_bytes_per_proto" ->
+      s"""${cte}SELECT proto, bytes FROM (
+         |  SELECT proto, bytes, row_number() OVER (PARTITION BY proto ORDER BY bytes DESC) AS rn
+         |  FROM flows)
+         | WHERE rn <= 3 ORDER BY proto, bytes DESC""".stripMargin.replace('\n', ' '))
 
   private def duckTopIp(ipCol: String): String =
     s"""${cte}SELECT ${duckIpStr(ipCol)} AS addr, count(*) AS flow_count,

@@ -97,6 +97,7 @@ object RenderAfterAggregate extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RenderAfterAggregate)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     def info(name: String) = new ExpressionInfo("graft", name)

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.flow.FlowAdapter
+import graft.plans.{GroupTopK, GroupTopKExec, GroupTopKStrategy}
+
+class GroupTopKSpec extends SparkTestBase {
+
+  private def withStrategy[T](f: => T): T = {
+    val prev = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = prev :+ GroupTopKStrategy
+    try f finally spark.experimental.extraStrategies = prev
+  }
+
+  test("top-k per group equals window row_number on the value multiset") {
+    withStrategy {
+      val fl = FlowAdapter.flows(spark, sf)
+      val got = GroupTopK.topK(fl, Seq(col("proto"), col("etype")), col("bytes"), 5)
+        .select("proto", "etype", "bytes")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+      val want = fl
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("proto", "etype").orderBy(desc("bytes"))))
+        .filter(col("rn") <= 5)
+        .select("proto", "etype", "bytes")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+      assert(got === want)
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("plans as partial + final exec around one bounded exchange, no sort") {
+    withStrategy {
+      val df = GroupTopK.topK(FlowAdapter.flows(spark, sf), Seq(col("proto")), col("bytes"), 3)
+      val plan = df.queryExecution.sparkPlan
+      val execs = plan.collect { case g: GroupTopKExec => g }
+      assert(execs.map(_.partial).sorted === Seq(false, true))
+      assert(plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty)
+      // partial phase bounds what the exchange carries: <= k rows per group
+      // per input partition
+      val partialRows = df.collect()
+      assert(partialRows.length <= 3 * 2) // 2 protos in the adapter
+    }
+  }
+
+  test("groups smaller than k return all their rows") {
+    withStrategy {
+      import spark.implicits._
+      val df = Seq((1, 10L), (1, 20L), (2, 5L)).toDF("g", "v")
+      val got = GroupTopK.topK(df, Seq(col("g")), col("v"), 5)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(got === Set((1, 10L), (1, 20L), (2, 5L)))
+    }
+  }
+}
