@@ -55,7 +55,29 @@ object FlowAdapter {
       (floor(abs(ev("value")) * 1000).cast("long") % 1500L).as("bytes"),
       (lit(1L) + (floor(abs(ev("value")) * 1000).cast("long") % 1500L) % 100L).as("packets"),
       ((ev("user_id") * 2654435761L) % 4294967296L).as("src_ip"),
-      (((ev("user_id") + 77L) * 2246822519L) % 4294967296L).as("dst_ip"))
+      (((ev("user_id") + 77L) * 2246822519L) % 4294967296L).as("dst_ip"),
+      // the raw scan column, kept so range predicates have a form that
+      // reaches parquet row-group stats (see rawTsBound)
+      ev("ts").as("__raw_ts"))
+  }
+
+  /** Scan-pushable companion of a seconds range predicate: a bound on the
+    * DERIVED `time_received` (`ts div 1e9`) never reaches the parquet scan
+    * (PushedFilters showed only IsNotNull in the r2 plan dump — a full scan
+    * per dashboard query at scale). For non-negative ts,
+    * `ts div G >= a  ⟺  ts >= a*G`, so this equivalent raw-column bound
+    * pushes down to row-group stats while the derived predicate keeps the
+    * exact semantics. */
+  def rawTsBound(df: org.apache.spark.sql.DataFrame, fromSec: Long, untilSec: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema.find(_.name == "__raw_ts").map(_.dataType) match {
+      case Some(LongType) =>
+        col("__raw_ts") >= fromSec * 1000000000L && col("__raw_ts") < untilSec * 1000000000L
+      case Some(TimestampType) =>
+        col("__raw_ts") >= timestamp_seconds(lit(fromSec)) &&
+          col("__raw_ts") < timestamp_seconds(lit(untilSec))
+      case _ => lit(true)
+    }
   }
 
   /** DuckDB CTE computing the identical flows relation from `events`.
@@ -76,7 +98,8 @@ object FlowAdapter {
       |    CAST(floor(abs(value) * 1000) AS BIGINT) % 1500 AS bytes,
       |    1 + (CAST(floor(abs(value) * 1000) AS BIGINT) % 1500) % 100 AS packets,
       |    (user_id * 2654435761) % 4294967296 AS src_ip,
-      |    ((user_id + 77) * 2246822519) % 4294967296 AS dst_ip
+      |    ((user_id + 77) * 2246822519) % 4294967296 AS dst_ip,
+      |    ts AS __raw_ts
       |  FROM events
       |)
       |""".stripMargin

@@ -43,7 +43,9 @@ object FlowQueries {
     * pruning like the reference's `PARTITION BY Date ORDER BY TimeReceived`
     * layout intends. */
   private def inRange(df: DataFrame, r: Option[TimeRange]): DataFrame =
-    r.fold(df)(t => df.filter(col("time_received") >= t.from && col("time_received") < t.until))
+    r.fold(df)(t => df.filter(
+      col("time_received") >= t.from && col("time_received") < t.until &&
+        FlowAdapter.rawTsBound(df, t.from, t.until)))
 
   /** Civil date from epoch seconds via pure day arithmetic (timezone-free on
     * both engines; F1 `toDate`). */
@@ -91,8 +93,7 @@ object FlowQueries {
   /** P3: dashboard time-range predicate — pushed down to the parquet scan. */
   def timeFilter(spark: SparkSession, dir: String,
       range: TimeRange = TimeRange(T0, T1)): DataFrame =
-    fl(spark, dir)
-      .filter(col("time_received") >= range.from && col("time_received") < range.until)
+    inRange(fl(spark, dir), Some(range))
       .select(col("seq"), col("time_received"), col("src_as"), col("dst_as"),
         col("bytes"), col("packets"))
       .orderBy("seq")

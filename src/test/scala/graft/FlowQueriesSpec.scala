@@ -91,6 +91,11 @@ class FlowQueriesSpec extends SparkTestBase {
     val df = FlowQueries.timeFilter(spark, sf)
     val mm = df.agg(min("time_received"), max("time_received")).head()
     assert(mm.getLong(0) >= 1704844800L && mm.getLong(1) < 1705708800L)
+    // the raw-ts companion bound must reach the parquet scan — a predicate
+    // only on the derived time_received would leave PushedFilters empty
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts") && plan.contains("LessThan(ts"),
+      s"range predicate not pushed to scan:\n${plan.take(2000)}")
   }
 
   test("dashboard SQL through the registered function surface equals the DataFrame query") {
