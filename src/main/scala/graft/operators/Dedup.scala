@@ -99,12 +99,12 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
     val d = withShingles(Tables.documents(spark, dir).select("doc_id", "text"), "text")
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
+    // materialize the exploded hash relation once (lazy local checkpoint):
+    // it feeds both join sides, and the relation is ids + 8-byte hashes —
+    // tiny next to re-running the scan + shingle build per consumer
     val ex = d.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
-    // alias-based self-join, renames AFTER: both sides present the identical
-    // plan subtree, so ReuseExchange computes the scan+shingle+shuffle once
-    // (renaming before the join made Spark evaluate the whole exploded
-    // relation twice)
+      .localCheckpoint(false)
     ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -136,6 +136,7 @@ object Dedup {
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
     val ex = d.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
+      .localCheckpoint(false) // shared by the df-count and both join sides
     val rare = ex.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
       .select("h")
     val exR = ex.join(rare, Seq("h"))
@@ -204,11 +205,13 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     // one shingle-string hash per shingle; signatures come from a single
     // codegen'd hash-aggregate over the exploded (doc_id, n, h) rows — the
-    // same relation the verify stage joins, so the whole operator touches
-    // each shingle string exactly twice (build + hash), never k times
+    // same relation the verify stage joins. The lazy checkpoint matters:
+    // sig, banding and the two verify sides would otherwise each re-run the
+    // scan + shingle build (the r2 plan dump showed 8 parquet scans)
     val ex = docs
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
+      .localCheckpoint(false)
     val sigAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     val sig = ex.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val cands = minhashCandidates(sig, "doc_id", numHashes, bands)
