@@ -36,29 +36,15 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   /** cosine(a,b) over float arrays, computed in double as a left fold in
-    * array order — bit-identical to the zip_with/aggregate column form AND
-    * to the DuckDB oracle's ordered list arithmetic. A UDF rather than
-    * higher-order functions on purpose: HOFs don't participate in codegen
-    * (interpreted, one boxed lambda call per element), so on a candidate
-    * set of ~10^5 pairs x 64 dims the tight-loop UDF is ~10x faster at the
-    * same IEEE semantics. */
-  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    val n = math.min(a.length, b.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    * array order — bit-identical to the DuckDB oracle's ordered list
+    * arithmetic. A native Catalyst expression with codegen
+    * ([[graft.functions.CosineSim]]): no UDF encoder round-trip, no boxed
+    * per-element access, stays inside whole-stage codegen. Cheap enough
+    * that optimizer duplication into threshold filters no longer matters. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.CosineSim(expression(a), expression(b)))
   }
-  // optimizer barrier (the UDF is pure): without it, predicate pushdown
-  // substitutes the UDF into threshold filters below the projection and
-  // evaluates every cosine twice
-    .asNondeterministic()
-
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Brute-force cosine top-k for a set of query vectors (vec_id < nQueries),
     * excluding self. Deterministic: rank on (round(cos,6) desc, vec_id asc). */
