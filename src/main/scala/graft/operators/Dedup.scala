@@ -226,6 +226,59 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ------------------------------------------------------------- clustering
+
+  /** Connected components over the near-dup pair graph: every document in a
+    * component gets the component's minimum doc_id as `cluster_id` — the
+    * canonical-selection step after candidate generation.
+    *
+    * Pregel-style min-label propagation: each iteration joins labels across
+    * edges and keeps the minimum — O(component diameter) rounds, each a
+    * distributed join+aggregate (near-dup components are shallow in
+    * practice: dup clusters, not long chains). Eager checkpoints cut the
+    * growing lineage; the driver only ever sees one Long per round (the
+    * changed-label count), never data. */
+  def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.2,
+      maxIters: Int = 50): DataFrame = {
+    val pairs = minhashDupPairs(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val viaNeighbors = edges.join(labels, edges("doc_b") === labels("node"))
+        .select(edges("doc_a").as("node"), col("label"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** The cleaned-corpus keep list: every document that is either outside any
+    * near-dup component or the canonical (minimum-id) member of its
+    * component. Exact duplicates have identical shingle sets, so they land
+    * in the same component — this one operator is the end-to-end dedup
+    * product. */
+  def corpusKeep(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val clusters = nearDupClusters(spark, dir, threshold)
+    Tables.documents(spark, dir).select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: per-token 64 bits from the first
@@ -296,7 +349,9 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(s, d)),
     "dedup_ngram_capped" -> ((s: SparkSession, d: String) => ngramJaccardPairsCapped(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashDupPairs(s, d)),
-    "dedup_simhash" -> ((s: SparkSession, d: String) => simhashDupPairs(s, d)))
+    "dedup_simhash" -> ((s: SparkSession, d: String) => simhashDupPairs(s, d)),
+    "dedup_clusters" -> ((s: SparkSession, d: String) => nearDupClusters(s, d)),
+    "dedup_corpus_keep" -> ((s: SparkSession, d: String) => corpusKeep(s, d)))
 
   private val duckShingleCte =
     """WITH toks AS (
@@ -345,6 +400,36 @@ object Dedup {
       |HAVING sum(CASE WHEN a.vb <> b.vb THEN 1 ELSE 0 END) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' ')
 
+  /** Recursive-CTE reproduction of min-label connected components over the
+    * exact-Jaccard pair graph (identical to the LSH pair set on this
+    * corpus, as dedup_minhash_lsh's own oracle establishes). */
+  private def duckClusters(withKeep: Boolean): String = {
+    val head = duckShingleCte.replaceFirst("WITH", "WITH RECURSIVE")
+    val core = s"""$head, prs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN sizes sa ON sa.doc_id = a.doc_id
+      |  JOIN sizes sb ON sb.doc_id = b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING CAST(count(*) AS BIGINT) / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)) >= 0.2
+      |), edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM prs UNION ALL SELECT doc_b, doc_a FROM prs
+      |), reach(node, lab) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+      |), cc AS (
+      |  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+      |)""".stripMargin
+    val tail =
+      if (withKeep)
+        """SELECT doc_id FROM documents
+          | WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+          | ORDER BY doc_id""".stripMargin
+      else "SELECT node AS doc_id, cluster_id FROM cc ORDER BY doc_id"
+    (core + "\n" + tail).replace('\n', ' ')
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact_summary" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
@@ -376,5 +461,7 @@ object Dedup {
     // banding (16 bands x 4 rows) has ~certain recall at j >= 0.2 candidates
     // that share any band — validated in DedupSpec with planted duplicates.
     "dedup_minhash_lsh" -> duckJaccard,
-    "dedup_simhash" -> duckSimhash)
+    "dedup_simhash" -> duckSimhash,
+    "dedup_clusters" -> duckClusters(withKeep = false),
+    "dedup_corpus_keep" -> duckClusters(withKeep = true))
 }

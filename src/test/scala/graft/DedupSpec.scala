@@ -67,6 +67,22 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.ngramJaccardPairsCapped(spark, sf, maxDf = 1).count() === 0)
   }
 
+  test("near-dup clusters: labels are component minima; keep-list = canonicals + singletons") {
+    val cl = Dedup.nearDupClusters(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cl.nonEmpty)
+    cl.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid, s"cluster $cid label is not its min member")
+    }
+    // every near-dup pair ends up inside one cluster
+    val lbl = cl.toMap
+    Dedup.minhashDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (a, b) => assert(lbl(a) === lbl(b)) }
+    val keep = Dedup.corpusKeep(spark, sf).count()
+    val total = Tables.documents(spark, sf).count()
+    assert(keep === total - cl.count(x => x._1 != x._2))
+  }
+
   test("simhash pairs near-identical docs, not unrelated ones") {
     val pairs = Dedup.simhashDupPairs(spark, sf, maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
