@@ -245,19 +245,26 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(false)
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed each node with min(self, neighbors) — one propagation round for
+    // free; labels only ever decrease, so the (monotone) label sum detects
+    // convergence with a single cheap aggregate per round instead of a join
+    var labels = edges
+      .groupBy(col("doc_a").as("node"))
+      .agg(least(min(col("doc_b")), first(col("doc_a"))).as("label"))
       .localCheckpoint()
-    var changed = 1L
+    def labelSum(df: DataFrame): Long = df.agg(sum("label")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    var converged = false
+    while (!converged && iter < maxIters) {
       val viaNeighbors = edges.join(labels, edges("doc_b") === labels("node"))
         .select(edges("doc_a").as("node"), col("label"))
       val next = labels.union(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .filter(col("label") =!= col("prev")).count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
