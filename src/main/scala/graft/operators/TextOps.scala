@@ -105,11 +105,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic per-document hash bucket in [0, 10000): first 6 hex
+    * digits of md5(doc_id) — reproducible on any engine, stable across
+    * runs/partitions, independent of row order (the properties
+    * `df.sample`'s seeded RNG does NOT give you on re-partitioned data).
+    * The standard reproducible-sampling / train-val-test primitive for
+    * training corpora. */
+  private def hashBucket(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 10000)
+
+  private val duckHashBucket: String = {
+    val digits = (1 to 6).map { i =>
+      val w = math.pow(16, 6 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $i, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"(($digits) % 10000)"
+  }
+
+  /** Deterministic sample: keep documents whose hash bucket < rate·10000. */
+  def sampleDocs(spark: SparkSession, dir: String, rate: Double = 0.1): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(hashBucket(col("doc_id")) < (rate * 10000).toInt)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** Deterministic train/val/test assignment (98/1/1-style by bucket
+    * ranges), with per-split counts by language. */
+  def splitCounts(spark: SparkSession, dir: String,
+      valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val b = hashBucket(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(b < valPct * 100, "val")
+          .when(b < (valPct + testPct) * 100, "test")
+          .otherwise("train"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("doc_count"), sum("n_chars").as("char_count"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_token_stats" -> (tokenStats _),
     "text_quality" -> (qualityScore _),
     "text_langid" -> (langId _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_sample" -> ((s: SparkSession, d: String) => sampleDocs(s, d)),
+    "text_split_counts" -> ((s: SparkSession, d: String) => splitCounts(s, d)))
 
   val oracles: Map[String, String] = {
     val w = "regexp_split_to_array(trim(text), '\\s+')"
@@ -153,6 +194,14 @@ object TextOps {
         """SELECT doc_id,
           | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_md5,
           | substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp64
-          | FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' '))
+          | FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+      "text_sample" ->
+        s"""SELECT doc_id, lang, source, n_chars FROM documents
+           | WHERE $duckHashBucket < 1000 ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+      "text_split_counts" ->
+        s"""SELECT CASE WHEN $duckHashBucket < 500 THEN 'val'
+           |   WHEN $duckHashBucket < 1000 THEN 'test' ELSE 'train' END AS split,
+           | lang, count(*) AS doc_count, CAST(sum(n_chars) AS BIGINT) AS char_count
+           | FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin.replace('\n', ' '))
   }
 }
