@@ -131,11 +131,15 @@ object Similarity {
     * dedup shuffle; embeddings re-attach via id-keyed joins. */
   def knnLsh(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
       bits: Int = 8, probeDist: Int = 2): DataFrame = {
-    val emb = withSignature(Tables.embeddings(spark, dir), "embedding", bits)
+    // filter BEFORE signing the query side: the signature UDF's optimizer
+    // barrier stops predicate pushdown, so signing-then-filtering would
+    // compute corpus-wide signatures just to keep nQueries rows
     val probes = probeMasks(bits, probeDist).map(m => col("lsh_sig").bitwiseXOR(lit(m)))
-    val q = emb.filter(col("vec_id") < nQueries)
+    val q = withSignature(
+        Tables.embeddings(spark, dir).filter(col("vec_id") < nQueries), "embedding", bits)
       .select(col("vec_id").as("query_id"), explode(array(probes: _*)).as("probe"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("lsh_sig").as("probe"))
+    val c = withSignature(Tables.embeddings(spark, dir), "embedding", bits)
+      .select(col("vec_id").as("neighbor_id"), col("lsh_sig").as("probe"))
     val cands = c.join(broadcast(q), Seq("probe"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
