@@ -38,7 +38,28 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ingestion throughput vs the reference's only published number
+    // (>100k flows/s, /root/reference/README.md:91-92): full wire path —
+    // framed-protobuf decode -> raw projection + 5-minute partial rollup —
+    // over generated records, measured end-to-end in batch shape
+    val ingest = try {
+      import spark.implicits._
+      val n = 1000000L
+      val payloads = graft.flow.FlowGen.flows(spark, n, seed = 99L)
+        .mapPartitions(_.grouped(64).map(g =>
+          g.flatMap(graft.sources.ProtoCodec.encodeDelimited).toArray))
+        .toDF("value").localCheckpoint(true) // pre-materialize the wire bytes
+      val t0 = System.nanoTime()
+      val decoded = graft.sources.ProtoCodec.fromWire(payloads, "value").toDF()
+      val out = graft.streaming.FlowStreams.rollupPartials(decoded)
+        .agg(org.apache.spark.sql.functions.sum("flow_count")).head().getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(out == n, s"ingest lost rows: $out of $n")
+      f""","ingest":{"rows":$n,"sec":$sec%.3f,"rows_per_sec":${(n / sec).toLong}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ingest failed: ${e.getMessage}"); ""
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
