@@ -294,10 +294,13 @@ object Dedup {
     * well-mixed 64-bit token hashes (the r1 review flagged the earlier
     * 32-bit String.hashCode seed) AND is reproducible in DuckDB, so
     * [[simhashDupPairs]] is fully oracle-checked. */
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   private val simhashUdf = udf { (tokens: Seq[String]) =>
     if (tokens == null || tokens.isEmpty) 0L
     else {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = md5Local.get()
       val votes = new Array[Int](64)
       tokens.foreach { t =>
         md.reset()

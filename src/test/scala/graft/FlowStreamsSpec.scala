@@ -114,6 +114,35 @@ class FlowStreamsSpec extends SparkTestBase {
     assert(rendered.filter(col("dst_ip") === "0.0.0.0").count() === 0)
   }
 
+  test("metrics endpoint: /metrics serves insert_count in Prometheus text format (S12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val (collector, server) = graft.streaming.FlowMetrics.start(spark)
+    try {
+      val src = MemoryStream[FlowMessage]
+      val cp = tmp()
+      // insert_count is fed at the sink (inserter.go parity); the
+      // listener tracks batch/start counters
+      val q = FlowStreams.startMicroFlushSink(src.toDF(), cp,
+        collector.countingWriter(_ => ()))
+      src.addData(genBatch(150, seed = 51, baseTime = 1704067200L))
+      q.processAllAvailable()
+      src.addData(genBatch(80, seed = 52, baseTime = 1704067300L))
+      q.processAllAvailable()
+      q.stop()
+      assert(collector.insertCount.get === 230)
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 20000
+      while (collector.batchCount.get < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(collector.batchCount.get >= 1)
+      val port = server.getAddress.getPort
+      val body = scala.io.Source.fromURL(s"http://localhost:$port/metrics").mkString
+      assert(body.contains("# TYPE graft_insert_count counter"))
+      assert("graft_insert_count (\\d+)".r.findFirstMatchIn(body)
+        .exists(_.group(1).toLong === 230))
+    } finally graft.streaming.FlowMetrics.stop(spark, collector, server)
+  }
+
   test("real JDBC micro-flush into embedded Derby (S6, inserter.go:90-111 parity)") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[FlowMessage]
