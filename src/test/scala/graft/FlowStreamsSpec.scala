@@ -143,6 +143,28 @@ class FlowStreamsSpec extends SparkTestBase {
     } finally graft.streaming.FlowMetrics.stop(spark, collector, server)
   }
 
+  test("exactly-once JDBC sink: batch replay leaves no duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val cp = tmp()
+    val url = s"jdbc:derby:${tmp()}/xodb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val q = FlowStreams.startJdbcSinkExactlyOnce(src.toDF(), cp, url, "flows_xo", props)
+    val b1 = genBatch(90, seed = 61, baseTime = 1704067200L)
+    src.addData(b1); q.processAllAvailable()
+    src.addData(genBatch(60, seed = 62, baseTime = 1704070800L)); q.processAllAvailable()
+    q.stop()
+    assert(spark.read.jdbc(url, "flows_xo", props).count() === 150)
+    // simulate a micro-batch REPLAY (crash between write and checkpoint
+    // commit): re-flushing batch 0's data with the same id must not
+    // duplicate anything
+    FlowStreams.idempotentJdbcFlush(b1.toDS().toDF(), 0L, url, "flows_xo", props)
+    val after = spark.read.jdbc(url, "flows_xo", props)
+    assert(after.count() === 150)
+    assert(after.filter(col("batch_id") === 0L).count() === 90)
+  }
+
   test("real JDBC micro-flush into embedded Derby (S6, inserter.go:90-111 parity)") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[FlowMessage]
