@@ -146,6 +146,46 @@ object FlowStreams {
     }
   }
 
+  /** Small-file compaction for a ROTATED raw table: streaming appends leave
+    * one file per micro-batch per date partition; this rewrites each
+    * partition into `filesPerPartition` time-sorted files — the raw-table
+    * analog of ClickHouse's background part merging (`README.md:164-172`),
+    * restoring the reference's `ORDER BY TimeReceived` clustering so range
+    * scans skip row groups.
+    *
+    * MUST run on a STOPPED table only: the streaming parquet sink tracks
+    * its committed files in a `_spark_metadata` transaction log, and a
+    * batch overwrite invalidates it (without a transactional table format
+    * there is no safe concurrent compaction). The log is deleted as part of
+    * compaction — the directory becomes a plain parquet table for batch
+    * readers; a resumed stream should write to a fresh directory/log
+    * (standard daily-rotation layout). */
+  def compactRaw(spark: SparkSession, path: String, filesPerPartition: Int = 1): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val folded = spark.read.parquet(path)
+        .repartition(filesPerPartition, col("event_date"))
+        .sortWithinPartitions("timeReceived")
+        .localCheckpoint(true)
+      // drop the now-stale streaming transaction log FIRST: the overwrite
+      // deletes files the log references, and log-based readers would
+      // otherwise resolve to the dead file list
+      val metaDir = new java.io.File(s"$path/_spark_metadata")
+      if (metaDir.exists()) {
+        metaDir.listFiles().foreach(_.delete())
+        metaDir.delete()
+      }
+      folded.write.mode("overwrite").partitionBy("event_date").parquet(path)
+      spark.catalog.refreshByPath(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Watermarked event-time aggregation — the Spark-native alternative to
     * partial-append when bounded state + on-time finalized rows are wanted
     * (T3/T4/T5): tumbling 5-minute windows, 1-hour lateness. Caller picks

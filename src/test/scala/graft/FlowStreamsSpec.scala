@@ -37,6 +37,33 @@ class FlowStreamsSpec extends SparkTestBase {
     assert(oneDay.count() === 300)
   }
 
+  test("raw compaction: fewer files, identical data, time-sorted within files") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val out = tmp(); val cp = tmp()
+    val q = FlowStreams.startRawMV(src.toDF(), out, cp)
+    (1 to 4).foreach { i =>
+      src.addData(genBatch(100, seed = 70 + i, baseTime = 1704067200L))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def dataFiles() = Files.walk(java.nio.file.Paths.get(out)).iterator()
+    def parquetFiles(): Long = {
+      val it = dataFiles(); var n = 0L
+      while (it.hasNext) { if (it.next().toString.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = spark.read.parquet(out)
+    val beforeSum = before.agg(sum("bytes")).head.getLong(0)
+    val filesBefore = parquetFiles()
+    assert(filesBefore >= 4, s"expected one file per batch, got $filesBefore")
+    FlowStreams.compactRaw(spark, out)
+    assert(parquetFiles() < filesBefore)
+    val after = spark.read.parquet(out)
+    assert(after.count() === 400)
+    assert(after.agg(sum("bytes")).head.getLong(0) === beforeSum)
+  }
+
   test("rollup MV: partials append across batches, re-merge equals direct agg, optimize folds") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[FlowMessage]
