@@ -46,6 +46,22 @@ class GroupTopKSpec extends SparkTestBase {
     }
   }
 
+  test("property: random data with ties matches window row_number value multisets") {
+    withStrategy {
+      import spark.implicits._
+      val rnd = new scala.util.Random(7)
+      // small value domain forces boundary ties
+      val data = Seq.fill(2000)((rnd.nextInt(20), rnd.nextInt(10).toLong))
+      val df = data.toDF("g", "v").repartition(7)
+      val got = GroupTopK.topK(df, Seq(col("g")), col("v"), 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val want = data.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted(Ordering[Long].reverse).take(3).sorted.toSeq).toMap
+      assert(got === want)
+    }
+  }
+
   test("groups smaller than k return all their rows") {
     withStrategy {
       import spark.implicits._

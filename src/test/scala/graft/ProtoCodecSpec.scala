@@ -27,6 +27,41 @@ class ProtoCodecSpec extends SparkTestBase {
     }
   }
 
+  test("property: random extreme field values round-trip (seeded fuzz)") {
+    val rnd = new scala.util.Random(4242)
+    def rndLong(): Long = rnd.nextInt(4) match {
+      case 0 => rnd.nextLong().abs
+      case 1 => rnd.nextInt(300).toLong
+      case 2 => Long.MaxValue - rnd.nextInt(2)
+      case _ => 0L
+    }
+    def rndAddr(): Array[Byte] = rnd.nextInt(4) match {
+      case 0 => null
+      case 1 => Array.fill(16)(rnd.nextInt(256).toByte)
+      case 2 => Array.fill(4)(rnd.nextInt(256).toByte) // short v4 → padded
+      case _ => new Array[Byte](16) // all-zero = canonical unset
+    }
+    (1 to 500).foreach { _ =>
+      val m = FlowMessage(
+        flowType = rnd.nextInt(5), timeReceived = rndLong(), sequenceNum = rndLong(),
+        samplingRate = rndLong(), samplerAddress = rndAddr(),
+        timeFlowStart = rndLong(), timeFlowEnd = rndLong(),
+        bytes = rndLong(), packets = rndLong(),
+        srcAddr = rndAddr(), dstAddr = rndAddr(),
+        etype = rnd.nextInt(0x10000), proto = rnd.nextInt(256),
+        srcPort = rnd.nextInt(0x10000), dstPort = rnd.nextInt(0x10000),
+        srcAS = rnd.nextInt(Int.MaxValue), dstAS = rnd.nextInt(Int.MaxValue))
+      val addrNormed = m.copy(
+        srcAddr = if (m.srcAddr != null && m.srcAddr.length == 4)
+          java.util.Arrays.copyOf(m.srcAddr, 16) else m.srcAddr,
+        dstAddr = if (m.dstAddr != null && m.dstAddr.length == 4)
+          java.util.Arrays.copyOf(m.dstAddr, 16) else m.dstAddr,
+        samplerAddress = if (m.samplerAddress != null && m.samplerAddress.length == 4)
+          java.util.Arrays.copyOf(m.samplerAddress, 16) else m.samplerAddress)
+      assertSame(ProtoCodec.decode(ProtoCodec.encode(m)), addrNormed)
+    }
+  }
+
   test("varint boundaries survive the round trip") {
     val extremes = Seq(0L, 1L, 127L, 128L, 300L, 0xFFFFFFFFL, Long.MaxValue)
     extremes.foreach { v =>
