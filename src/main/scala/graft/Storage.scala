@@ -23,4 +23,19 @@ object Storage {
       .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Materialize a shared intermediate relation once (executor-local
+    * blocks, lineage cut) so diamond-shaped plans — several consumers of
+    * one expensive subtree — compute it exactly once.
+    *
+    * EAGER on purpose: a lazy `localCheckpoint(false)` drops the
+    * pre-checkpoint plan (and its weakly-registered SQL-metric
+    * accumulators) as soon as the caller's expression ends; when the RDD
+    * materializes later, its task closures still report those accumulator
+    * ids, the driver can no longer resolve them, and the DAGScheduler logs
+    * an "attempted to access non-existent accumulator" ERROR stack per
+    * task — the r2 bench-tail noise. Materializing while the plan is on
+    * the call stack keeps every metric resolvable; the only cost is that
+    * the cache-fill job runs now instead of at first use. */
+  def materializeOnce(df: DataFrame): DataFrame = df.localCheckpoint(true)
 }

@@ -99,12 +99,13 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
     val d = withShingles(Tables.documents(spark, dir).select("doc_id", "text"), "text")
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
-    // materialize the exploded hash relation once (lazy local checkpoint):
-    // it feeds both join sides, and the relation is ids + 8-byte hashes —
-    // tiny next to re-running the scan + shingle build per consumer
+    // materialize the exploded hash relation once: it feeds both join
+    // sides, and the relation is ids + 8-byte hashes — tiny next to
+    // re-running the scan + shingle build per consumer (eager, see
+    // Storage.materializeOnce for why not a lazy checkpoint)
     val ex = d.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
-      .localCheckpoint(false)
+      .transform(graft.Storage.materializeOnce)
     ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -136,7 +137,7 @@ object Dedup {
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
     val ex = d.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
-      .localCheckpoint(false) // shared by the df-count and both join sides
+      .transform(graft.Storage.materializeOnce) // shared by the df-count and both join sides
     val rare = ex.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
       .select("h")
     val exR = ex.join(rare, Seq("h"))
@@ -205,13 +206,13 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     // one shingle-string hash per shingle; signatures come from a single
     // codegen'd hash-aggregate over the exploded (doc_id, n, h) rows — the
-    // same relation the verify stage joins. The lazy checkpoint matters:
+    // same relation the verify stage joins. The materialization matters:
     // sig, banding and the two verify sides would otherwise each re-run the
     // scan + shingle build (the r2 plan dump showed 8 parquet scans)
     val ex = docs
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
-      .localCheckpoint(false)
+      .transform(graft.Storage.materializeOnce)
     val sigAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     val sig = ex.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val cands = minhashCandidates(sig, "doc_id", numHashes, bands)
@@ -241,10 +242,10 @@ object Dedup {
   def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.2,
       maxIters: Int = 50): DataFrame = {
     val pairs = minhashDupPairs(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+      .select(col("doc_a"), col("doc_b")).transform(graft.Storage.materializeOnce)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(false)
+      .transform(graft.Storage.materializeOnce)
     // seed each node with min(self, neighbors) — one propagation round for
     // free; labels only ever decrease, so the (monotone) label sum detects
     // convergence with a single cheap aggregate per round instead of a join
@@ -356,7 +357,11 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_exact_summary" -> (exactSummary _),
     "dedup_exact" -> (exactDedup _),
-    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(s, d)),
+    // "groundtruth" in the name on purpose: this is the EXACT uncapped
+    // pairwise oracle (quadratic within hot-shingle groups on a web corpus);
+    // the production near-dup operators are dedup_ngram_capped and
+    // dedup_minhash_lsh
+    "dedup_ngram_groundtruth" -> ((s: SparkSession, d: String) => ngramJaccardPairs(s, d)),
     "dedup_ngram_capped" -> ((s: SparkSession, d: String) => ngramJaccardPairsCapped(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashDupPairs(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashDupPairs(s, d)),
@@ -450,7 +455,7 @@ object Dedup {
         |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
         |  FROM documents)
         | WHERE doc_id = canonical_id ORDER BY doc_id""".stripMargin.replace('\n', ' '),
-    "dedup_ngram_jaccard" -> duckJaccard,
+    "dedup_ngram_groundtruth" -> duckJaccard,
     "dedup_ngram_capped" ->
       s"""$duckShingleCte, df AS (
          |  SELECT s, count(*) AS df FROM sh GROUP BY s

@@ -171,11 +171,11 @@ object Similarity {
     * exponentially). */
   def cosineDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
       bits: Int = 12, probeDist: Int = 3): DataFrame = {
-    // ids+signatures materialized once (lazy checkpoint): both probe sides
-    // and the candidate join read it; 12 bytes per vector
+    // ids+signatures materialized once: both probe sides and the candidate
+    // join read it; 12 bytes per vector (eager — Storage.materializeOnce)
     val ids = withSignature(Tables.embeddings(spark, dir), "embedding", bits)
       .select(col("vec_id"), col("lsh_sig"))
-      .localCheckpoint(false)
+      .transform(graft.Storage.materializeOnce)
     // explode a CONSTANT mask array (one allocation, constant-folded) and
     // xor per exploded row — not a per-row array of xor'd columns
     val a = ids.select(col("vec_id").as("id_a"), col("lsh_sig"),

@@ -71,17 +71,21 @@ object ProtoCodec {
   // ----------------------------------------------------------------- encode
 
   /** Encode one message (bare, no framing). proto3 default-value elision:
-    * zero-valued scalars and empty bytes are not written. */
-  def encode(m: FlowMessage): Array[Byte] = {
+    * zero-valued scalars and EMPTY bytes are not written — but bytes with
+    * all-zero CONTENT are content, not default, and are encoded (strict
+    * wire parity: an explicit `::`/`0.0.0.0` address round-trips
+    * bit-for-bit). `elideZeroAddrs = true` opts back into treating all-zero
+    * address bytes as unset — the mocker-fixture convention (the reference
+    * mocker never populates an address with zeros, SURVEY.md FIXTURES §1),
+    * kept only for byte-identical fixture reproduction. */
+  def encode(m: FlowMessage, elideZeroAddrs: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(96)
     def varintField(field: Int, v: Long): Unit = if (v != 0L) {
       writeVarint(out, (field.toLong << 3) | 0L)
       writeVarint(out, v)
     }
-    // all-zero addresses are our canonical "unset" (the mocker leaves them
-    // unset, SURVEY.md FIXTURES §1) and are elided like proto3 empty bytes
     def bytesField(field: Int, b: Array[Byte]): Unit =
-      if (b != null && b.nonEmpty && b.exists(_ != 0)) {
+      if (b != null && b.nonEmpty && (!elideZeroAddrs || b.exists(_ != 0))) {
         writeVarint(out, (field.toLong << 3) | 2L)
         writeVarint(out, b.length.toLong)
         out.write(b, 0, b.length)

@@ -28,14 +28,22 @@ object FlowMetrics {
 
     def addInserted(n: Long): Unit = insertCount.addAndGet(n)
 
-    /** Wrap a batch writer so flushed rows feed insert_count. */
+    /** Wrap a batch writer so flushed rows feed insert_count.
+      *
+      * Counting rides the writer's own action via a LongAccumulator
+      * incremented in a narrow map pass — zero extra materialization (the
+      * earlier cache()+count() ran every micro-batch twice). Accumulator
+      * semantics are the right ones for a monitoring counter: a retried
+      * task can over-report transiently, but no rows are ever missed and
+      * the sink itself (e.g. the idempotent JDBC flush) stays exact. */
     def countingWriter(writer: org.apache.spark.sql.DataFrame => Unit): org.apache.spark.sql.DataFrame => Unit =
       batch => {
-        val materialized = batch.cache()
-        try {
-          writer(materialized)
-          addInserted(materialized.count())
-        } finally materialized.unpersist()
+        val acc = batch.sparkSession.sparkContext.longAccumulator("graft_insert_rows")
+        val counted = batch.mapPartitions { it =>
+          it.map { r => acc.add(1L); r }
+        }(org.apache.spark.sql.Encoders.row(batch.schema)).toDF()
+        writer(counted)
+        addInserted(acc.value)
       }
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =

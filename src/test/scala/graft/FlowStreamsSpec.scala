@@ -148,9 +148,11 @@ class FlowStreamsSpec extends SparkTestBase {
       val src = MemoryStream[FlowMessage]
       val cp = tmp()
       // insert_count is fed at the sink (inserter.go parity); the
-      // listener tracks batch/start counters
+      // listener tracks batch/start counters. The writer must actually
+      // consume the batch (the accumulator rides the sink action) — the
+      // noop format is the "real write, discard bytes" sink
       val q = FlowStreams.startMicroFlushSink(src.toDF(), cp,
-        collector.countingWriter(_ => ()))
+        collector.countingWriter(_.write.format("noop").mode("overwrite").save()))
       src.addData(genBatch(150, seed = 51, baseTime = 1704067200L))
       q.processAllAvailable()
       src.addData(genBatch(80, seed = 52, baseTime = 1704067300L))

@@ -8,17 +8,19 @@ import graft.streaming.FlowStreams
 class ProtoCodecSpec extends SparkTestBase {
   import spark.implicits._
 
-  /** null, empty, and all-zero addresses are all the canonical "unset"
-    * (proto3 elides them on encode; decode yields null for absent). */
-  private def addrNorm(b: Array[Byte]): Seq[Byte] =
-    if (b == null || b.forall(_ == 0)) Nil else b.toSeq
+  /** Strict parity: only null/EMPTY is "absent" (decodes to null); all-zero
+    * content round-trips bit-for-bit, padded to 16 bytes like any short
+    * address. */
+  private def addrStrict(b: Array[Byte]): Seq[Byte] =
+    if (b == null || b.isEmpty) Nil
+    else java.util.Arrays.copyOf(b, 16).toSeq
 
   private def assertSame(a: FlowMessage, b: FlowMessage): Unit = {
     assert(a.copy(srcAddr = null, dstAddr = null, samplerAddress = null)
       === b.copy(srcAddr = null, dstAddr = null, samplerAddress = null))
-    assert(addrNorm(a.srcAddr) === addrNorm(b.srcAddr))
-    assert(addrNorm(a.dstAddr) === addrNorm(b.dstAddr))
-    assert(addrNorm(a.samplerAddress) === addrNorm(b.samplerAddress))
+    assert(addrStrict(a.srcAddr) === addrStrict(b.srcAddr))
+    assert(addrStrict(a.dstAddr) === addrStrict(b.dstAddr))
+    assert(addrStrict(a.samplerAddress) === addrStrict(b.samplerAddress))
   }
 
   test("encode/decode round-trip over generated records") {
@@ -39,7 +41,7 @@ class ProtoCodecSpec extends SparkTestBase {
       case 0 => null
       case 1 => Array.fill(16)(rnd.nextInt(256).toByte)
       case 2 => Array.fill(4)(rnd.nextInt(256).toByte) // short v4 → padded
-      case _ => new Array[Byte](16) // all-zero = canonical unset
+      case _ => new Array[Byte](16) // all-zero CONTENT — must round-trip exactly
     }
     (1 to 500).foreach { _ =>
       val m = FlowMessage(
@@ -60,6 +62,20 @@ class ProtoCodecSpec extends SparkTestBase {
           java.util.Arrays.copyOf(m.samplerAddress, 16) else m.samplerAddress)
       assertSame(ProtoCodec.decode(ProtoCodec.encode(m)), addrNormed)
     }
+  }
+
+  test("explicit all-zero address round-trips bit-exact; elision is opt-in") {
+    val m = FlowGen.flows(spark, 1, seed = 19).head()
+      .copy(srcAddr = new Array[Byte](16), dstAddr = null)
+    // strict default: the zero address is content and comes back as 16 zero
+    // bytes; the truly-absent address comes back null
+    val strict = ProtoCodec.decode(ProtoCodec.encode(m))
+    assert(strict.srcAddr != null && strict.srcAddr.toSeq === Seq.fill(16)(0: Byte))
+    assert(strict.dstAddr == null)
+    // fixture-parity mode: all-zero elided like the mocker's unset fields
+    val elided = ProtoCodec.decode(ProtoCodec.encode(m, elideZeroAddrs = true))
+    assert(elided.srcAddr == null && elided.dstAddr == null)
+    assert(ProtoCodec.encode(m, elideZeroAddrs = true).length < ProtoCodec.encode(m).length)
   }
 
   test("varint boundaries survive the round trip") {
