@@ -106,7 +106,11 @@ object FlowStreams {
     * ETypeMap merged ELEMENT-WISE by etype (the SummingMergeTree Nested
     * merge, `README.md:180-183`): explode → per-etype sum → re-collect. */
   def readRollup(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    mergeRollup(spark.read.parquet(path))
+
+  /** The SummingMergeTree fold itself, over any partial-rows relation. */
+  def mergeRollup(parts: DataFrame): DataFrame =
+    parts
       .select(col("event_date"), col("timeslot"), col("srcAS"), col("dstAS"),
         explode(col("etype_map")).as("em"))
       .select(col("event_date"), col("timeslot"), col("srcAS"), col("dstAS"),
@@ -124,15 +128,32 @@ object FlowStreams {
   /** `OPTIMIZE TABLE flows_5m` equivalent (`README.md:168-172`): fold the
     * table to one row per key. Dynamic partition overwrite rewrites only the
     * partitions present in the folded result — at scale this is run per
-    * recent Date partition, old partitions stay untouched. */
-  def optimizeRollup(spark: SparkSession, path: String): Unit = {
+    * recent Date partition, old partitions stay untouched.
+    *
+    * Durability: the fold is first written to a STAGING directory as real
+    * parquet, and the overwrite of `path` reads from that staged copy —
+    * never from in-memory blocks whose lineage points at the files being
+    * deleted (the r2 localCheckpoint protocol lost the table if an executor
+    * died mid-OPTIMIZE). For compaction concurrent with a RUNNING stream,
+    * use the manifest-committed table instead ([[optimizeRollupOnline]]). */
+  def optimizeRollup(spark: SparkSession, path: String): Unit =
+    stagedOverwrite(spark, path, s"$path.optimize-staging")(readRollup(spark, path))
+
+  /** Write `df` durably to `staging`, then dynamically overwrite `path`'s
+    * partitions from the staged copy, then drop the staging dir. */
+  private def stagedOverwrite(spark: SparkSession, path: String, staging: String)
+      (df: DataFrame): Unit = {
+    df.write.mode("overwrite").partitionBy("event_date").parquet(staging)
+    overwriteFromStaging(spark, path, staging)
+  }
+
+  /** Dynamic-partition-overwrite `path` from the (already durable) staged
+    * copy; refresh cached listings; delete the staging dir. */
+  private def overwriteFromStaging(spark: SparkSession, path: String, staging: String): Unit = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      // localCheckpoint (eager) cuts lineage to the files being overwritten —
-      // a plain cache could be evicted and recomputed from deleted parts
-      val folded = readRollup(spark, path).localCheckpoint(true)
-      folded.write
+      spark.read.parquet(staging).write
         .mode("overwrite")
         .partitionBy("event_date")
         .parquet(path)
@@ -142,6 +163,14 @@ object FlowStreams {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val root = java.nio.file.Paths.get(staging)
+      if (java.nio.file.Files.exists(root)) {
+        val s = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toList.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally s.close()
       }
     }
   }
@@ -159,31 +188,93 @@ object FlowStreams {
     * there is no safe concurrent compaction). The log is deleted as part of
     * compaction — the directory becomes a plain parquet table for batch
     * readers; a resumed stream should write to a fresh directory/log
-    * (standard daily-rotation layout). */
+    * (standard daily-rotation layout). For compaction WITHOUT stopping the
+    * stream, use the manifest-committed layout: [[startRawMVManaged]] +
+    * [[compactRawOnline]]. */
   def compactRaw(spark: SparkSession, path: String, filesPerPartition: Int = 1): Unit = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val folded = spark.read.parquet(path)
-        .repartition(filesPerPartition, col("event_date"))
-        .sortWithinPartitions("timeReceived")
-        .localCheckpoint(true)
-      // drop the now-stale streaming transaction log FIRST: the overwrite
-      // deletes files the log references, and log-based readers would
-      // otherwise resolve to the dead file list
-      val metaDir = new java.io.File(s"$path/_spark_metadata")
-      if (metaDir.exists()) {
-        metaDir.listFiles().foreach(_.delete())
-        metaDir.delete()
-      }
-      folded.write.mode("overwrite").partitionBy("event_date").parquet(path)
-      spark.catalog.refreshByPath(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+    val compacted = spark.read.parquet(path)
+      .repartition(filesPerPartition, col("event_date"))
+      .sortWithinPartitions("timeReceived")
+    // the staged copy is durable parquet BEFORE anything is deleted; the
+    // streaming transaction log is dropped only after the staging write
+    // completes, since log-based readers would otherwise resolve to the
+    // dead file list mid-rewrite
+    val staging = s"$path.compact-staging"
+    compacted.write.mode("overwrite").partitionBy("event_date").parquet(staging)
+    val metaDir = new java.io.File(s"$path/_spark_metadata")
+    if (metaDir.exists()) {
+      metaDir.listFiles().foreach(_.delete())
+      metaDir.delete()
     }
+    overwriteFromStaging(spark, path, staging)
+  }
+
+  // ------------------------------------------------- manifest-committed MVs
+
+  /** Raw MV over a [[ManifestTable]]: same projection and event_date
+    * partitioning as [[startRawMV]], but every micro-batch is committed as
+    * an atomic manifest version — so [[compactRawOnline]] can merge parts
+    * WHILE THE STREAM RUNS, the reference's always-on semantics
+    * (`README.md:164-172`). Appends are exactly-once: Spark's checkpoint
+    * replays a batch at most once uncommitted, and the manifest's batch-id
+    * guard makes the replayed commit a no-op. */
+  def startRawMVManaged(stream: DataFrame, table: String, checkpoint: String,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ManifestTable.append(projectRaw(batch), table, Some("event_date"), id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Rollup MV over a [[ManifestTable]]: per-batch partial aggregates,
+    * SummingMergeTree semantics, manifest-committed. */
+  def startRollupMVManaged(stream: DataFrame, table: String, checkpoint: String,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ManifestTable.append(rollupPartials(batch), table, Some("event_date"), id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Read the managed raw table at its latest committed snapshot. */
+  def readRawManaged(spark: SparkSession, table: String): DataFrame =
+    ManifestTable.read(spark, table)
+
+  /** Read-time re-merge of the managed rollup (pre-OPTIMIZE semantics). */
+  def readRollupManaged(spark: SparkSession, table: String): DataFrame =
+    mergeRollup(ManifestTable.read(spark, table))
+
+  /** ONLINE `OPTIMIZE TABLE`: fold the files of the current snapshot to one
+    * row per key and swap them out in a single manifest commit. Safe with a
+    * running [[startRollupMVManaged]] stream: batches appended after the
+    * snapshot are not in the replaced set and survive; readers at every
+    * instant see exactly one committed snapshot. The folded output is
+    * durable parquet before the swap — no checkpoint-block lineage. */
+  def optimizeRollupOnline(spark: SparkSession, table: String): Unit = {
+    val (_, files) = ManifestTable.snapshot(table)
+    if (files.isEmpty) return
+    val folded = mergeRollup(
+      spark.read.option("basePath", table).parquet(files.map(f => s"$table/$f"): _*))
+    ManifestTable.swap(folded, table, Some("event_date"), files)
+  }
+
+  /** ONLINE raw-table compaction: rewrite the current snapshot's files into
+    * `filesPerPartition` time-sorted files per date partition (ClickHouse's
+    * background part merge restoring `ORDER BY TimeReceived` clustering)
+    * and swap them in one manifest commit, stream still running. */
+  def compactRawOnline(spark: SparkSession, table: String,
+      filesPerPartition: Int = 1): Unit = {
+    val (_, files) = ManifestTable.snapshot(table)
+    if (files.isEmpty) return
+    val compacted = spark.read.option("basePath", table)
+      .parquet(files.map(f => s"$table/$f"): _*)
+      .repartition(filesPerPartition, col("event_date"))
+      .sortWithinPartitions("timeReceived")
+    ManifestTable.swap(compacted, table, Some("event_date"), files)
   }
 
   /** Watermarked event-time aggregation — the Spark-native alternative to

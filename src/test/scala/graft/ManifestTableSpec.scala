@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.flow.{FlowGen, FlowMessage}
+import graft.streaming.{FlowStreams, ManifestTable}
+
+/** The online-compaction contract: manifest-committed MV tables admit
+  * OPTIMIZE / part-merge swaps concurrent with streaming appends, readers
+  * never observe loss or duplication, and batch replays are no-ops.
+  */
+class ManifestTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_manifest").toString
+
+  private def genBatch(n: Long, seed: Long, baseTime: Long): Seq[FlowMessage] =
+    FlowGen.flows(spark, n, seed, baseTime).collect().toSeq
+
+  private def parquetFiles(table: String): Seq[String] = {
+    val s = Files.walk(Paths.get(table))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet")).map(_.toString).toList
+    } finally s.close()
+  }
+
+  test("rollup MV: OPTIMIZE runs online, interleaved with appends; re-merge stays exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp(); val cp = tmp()
+    val src = MemoryStream[FlowMessage]
+    val q = FlowStreams.startRollupMVManaged(src.toDF(), table, cp)
+    // same baseTime: batches overlap the same 5-minute keys, so the fold is
+    // doing real SummingMergeTree work, not concatenation
+    val b1 = genBatch(300, seed = 31, baseTime = 1704067200L)
+    val b2 = genBatch(300, seed = 32, baseTime = 1704067200L)
+    val b3 = genBatch(300, seed = 33, baseTime = 1704067200L)
+
+    src.addData(b1); q.processAllAvailable()
+    FlowStreams.optimizeRollupOnline(spark, table)   // stream NOT stopped
+    src.addData(b2); q.processAllAvailable()
+    val midTotal = FlowStreams.readRollupManaged(spark, table)
+      .agg(sum("sum_bytes")).head.getLong(0)
+    assert(midTotal === (b1 ++ b2).map(_.bytes).sum)
+    FlowStreams.optimizeRollupOnline(spark, table)
+    src.addData(b3); q.processAllAvailable()
+    q.stop()
+
+    val all = (b1 ++ b2 ++ b3).toDS().toDF()
+    val direct = FlowStreams.rollupPartials(all)
+    val merged = FlowStreams.readRollupManaged(spark, table)
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+
+    // final OPTIMIZE folds to one row per key; vacuum drops the dead parts
+    FlowStreams.optimizeRollupOnline(spark, table)
+    assert(ManifestTable.vacuum(table) > 0)
+    val after = FlowStreams.readRollupManaged(spark, table)
+    assert(after.except(direct).isEmpty && direct.except(after).isEmpty)
+    assert(ManifestTable.read(spark, table).count() === direct.count())
+  }
+
+  test("raw MV: part merge runs online; counts and sums survive; file count shrinks") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmp(); val cp = tmp()
+    val src = MemoryStream[FlowMessage]
+    val q = FlowStreams.startRawMVManaged(src.toDF(), table, cp)
+    val batches = (1 to 4).map(i => genBatch(100, seed = 40 + i, baseTime = 1704067200L))
+    batches.take(3).foreach { b => src.addData(b); q.processAllAvailable() }
+    val filesBefore = ManifestTable.snapshot(table)._2.size
+    assert(filesBefore >= 3)
+    FlowStreams.compactRawOnline(spark, table)       // stream NOT stopped
+    src.addData(batches(3)); q.processAllAvailable() // appends keep landing
+    q.stop()
+    val live = ManifestTable.snapshot(table)._2
+    assert(live.size < filesBefore + 1)
+    val back = FlowStreams.readRawManaged(spark, table)
+    assert(back.count() === 400)
+    assert(back.agg(sum("bytes")).head.getLong(0) === batches.flatten.map(_.bytes).sum)
+    ManifestTable.vacuum(table)
+    // post-vacuum, on-disk files are exactly the live snapshot
+    assert(parquetFiles(table).size === ManifestTable.snapshot(table)._2.size)
+    assert(FlowStreams.readRawManaged(spark, table).count() === 400)
+  }
+
+  test("batch replay is a no-op (exactly-once append)") {
+    val table = tmp()
+    val df = genBatch(50, seed = 50, baseTime = 1704067200L).toDS()
+      .toDF().transform(FlowStreams.projectRaw)
+    ManifestTable.append(df, table, Some("event_date"), batchId = 7L)
+    val v1 = ManifestTable.snapshot(table)
+    ManifestTable.append(df, table, Some("event_date"), batchId = 7L) // replay
+    assert(ManifestTable.snapshot(table) === v1)
+    assert(ManifestTable.read(spark, table).count() === 50)
+  }
+
+  test("uncommitted files are invisible to readers and removed by vacuum") {
+    val table = tmp()
+    val df = genBatch(60, seed = 51, baseTime = 1704067200L).toDS()
+      .toDF().transform(FlowStreams.projectRaw)
+    ManifestTable.append(df, table, Some("event_date"), batchId = 0L)
+    // simulate a crash between staging and commit: an orphan data file
+    val live = ManifestTable.snapshot(table)._2.head
+    val orphan = Paths.get(table).resolve(live).resolveSibling("b99-orphan.parquet")
+    Files.copy(Paths.get(table).resolve(live), orphan)
+    assert(ManifestTable.read(spark, table).count() === 60)
+    assert(ManifestTable.vacuum(table) === 1L)
+    assert(!Files.exists(orphan))
+    assert(ManifestTable.read(spark, table).count() === 60)
+  }
+
+  test("concurrent commits: CAS retry keeps every committer's files") {
+    val table = tmp()
+    Files.createDirectories(Paths.get(table))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 40).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            ManifestTable.commit(table)(files => files :+ s"f$i.parquet")
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val (v, files) = ManifestTable.snapshot(table)
+    assert(v === 40L)
+    assert(files.toSet === (1 to 40).map(i => s"f$i.parquet").toSet)
+  }
+}
