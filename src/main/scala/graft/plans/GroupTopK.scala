@@ -61,33 +61,127 @@ final case class GroupTopKExec(grouping: Seq[Expression], order: Expression,
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(groupingExprs, childOutput)
       val bound = BindReferences.bindReference(orderExpr, childOutput)
-      val ord = TypeUtils.getInterpretedOrdering(bound.dataType)
-      // min-heap per group: head is the weakest of the kept top-k
-      val cmp = new java.util.Comparator[(Any, InternalRow)] {
-        override def compare(a: (Any, InternalRow), b: (Any, InternalRow)): Int =
-          ord.compare(a._1, b._1)
-      }
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Any, InternalRow)]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val v = bound.eval(row)
-        if (v != null) {
-          val key = groupProj(row)
-          var heap = heaps.get(key)
-          if (heap == null) {
-            heap = new java.util.PriorityQueue[(Any, InternalRow)](kk + 1, cmp)
-            heaps.put(key.copy(), heap)
+      GroupTopKExec.longKeyOf(bound.dataType) match {
+        case Some(toKey) =>
+          // primitive path (the dashboards' sum(bytes)/count orderings):
+          // parallel long[] / row[] min-heaps, zero boxing per row
+          val heaps = new java.util.HashMap[UnsafeRow, GroupTopKExec.LongKeyHeap]()
+          while (iter.hasNext) {
+            val row = iter.next()
+            val v = bound.eval(row)
+            if (v != null) {
+              val key = toKey(v)
+              val g = groupProj(row)
+              var heap = heaps.get(g)
+              if (heap == null) {
+                heap = new GroupTopKExec.LongKeyHeap(kk)
+                heaps.put(g.copy(), heap)
+              }
+              if (heap.size < kk) heap.insert(key, row.copy())
+              else if (key > heap.min) heap.replaceMin(key, row.copy())
+            }
           }
-          if (heap.size < kk) heap.add((v, row.copy()))
-          else if (ord.compare(v, heap.peek()._1) > 0) {
-            heap.poll()
-            heap.add((v, row.copy()))
+          import scala.jdk.CollectionConverters._
+          heaps.values.asScala.iterator.flatMap(_.rowIterator)
+        case None =>
+          // generic path: any orderable type via interpreted ordering
+          val ord = TypeUtils.getInterpretedOrdering(bound.dataType)
+          val cmp = new java.util.Comparator[(Any, InternalRow)] {
+            override def compare(a: (Any, InternalRow), b: (Any, InternalRow)): Int =
+              ord.compare(a._1, b._1)
           }
-        }
+          val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Any, InternalRow)]]()
+          while (iter.hasNext) {
+            val row = iter.next()
+            val v = bound.eval(row)
+            if (v != null) {
+              val key = groupProj(row)
+              var heap = heaps.get(key)
+              if (heap == null) {
+                heap = new java.util.PriorityQueue[(Any, InternalRow)](kk + 1, cmp)
+                heaps.put(key.copy(), heap)
+              }
+              // copyValue: eval results for string/array/map types are
+              // views into the reused input-row buffer — a retained key
+              // would mutate as iteration advances
+              if (heap.size < kk) heap.add((InternalRow.copyValue(v), row.copy()))
+              else if (ord.compare(v, heap.peek()._1) > 0) {
+                heap.poll()
+                heap.add((InternalRow.copyValue(v), row.copy()))
+              }
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          heaps.values.asScala.iterator.flatMap(_.iterator().asScala.map(_._2))
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap(_.iterator().asScala.map(_._2))
     }, preservesPartitioning = true)
+  }
+}
+
+object GroupTopKExec {
+  import org.apache.spark.sql.types._
+
+  /** Monotone Any→Long key extractor for types whose ordering embeds in
+    * long comparison. Floating point goes through the IEEE-754 bit trick
+    * (`bits ^ ((bits >> 63) | Long.MinValue)`), which reproduces
+    * `java.lang.Double.compare` exactly: -0.0 < 0.0 and NaN (canonical
+    * bits) above every finite value — the same total order Spark's
+    * interpreted ordering uses. Other types (strings, decimals, structs)
+    * return None and take the interpreted path. */
+  private[plans] def longKeyOf(dt: DataType): Option[Any => Long] = dt match {
+    case LongType | TimestampType | TimestampNTZType => Some(v => v.asInstanceOf[Long])
+    case IntegerType | DateType => Some(v => v.asInstanceOf[Int].toLong)
+    case ShortType => Some(v => v.asInstanceOf[Short].toLong)
+    case ByteType => Some(v => v.asInstanceOf[Byte].toLong)
+    case DoubleType => Some(v => sortableBits(v.asInstanceOf[Double]))
+    case FloatType => Some(v => sortableBits(v.asInstanceOf[Float].toDouble))
+    case _ => None
+  }
+
+  private def sortableBits(d: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    // negative: invert the 63 magnitude bits (sign stays set, so negatives
+    // order below positives and more-negative orders lower); positive /
+    // NaN: unchanged. Reproduces java.lang.Double.compare as signed-long
+    // comparison.
+    bits ^ ((bits >> 63) & 0x7FFFFFFFFFFFFFFFL)
+  }
+
+  /** Bounded min-heap over primitive long keys with rows carried in a
+    * parallel array — head is the weakest kept row. */
+  private[plans] final class LongKeyHeap(k: Int) {
+    private val keys = new Array[Long](k)
+    private val rows = new Array[InternalRow](k)
+    private var n = 0
+    def size: Int = n
+    def min: Long = keys(0)
+    def insert(key: Long, row: InternalRow): Unit = {
+      var i = n
+      keys(i) = key; rows(i) = row; n += 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (keys(p) <= keys(i)) return
+        swap(i, p); i = p
+      }
+    }
+    def replaceMin(key: Long, row: InternalRow): Unit = {
+      keys(0) = key; rows(0) = row
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < n && keys(l) < keys(m)) m = l
+        if (r < n && keys(r) < keys(m)) m = r
+        if (m == i) return
+        swap(i, m); i = m
+      }
+    }
+    private def swap(a: Int, b: Int): Unit = {
+      val tk = keys(a); keys(a) = keys(b); keys(b) = tk
+      val tr = rows(a); rows(a) = rows(b); rows(b) = tr
+    }
+    def rowIterator: Iterator[InternalRow] = rows.iterator.take(n)
   }
 }
 

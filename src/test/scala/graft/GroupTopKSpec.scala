@@ -62,6 +62,39 @@ class GroupTopKSpec extends SparkTestBase {
     }
   }
 
+  test("property: double ordering (primitive bit-trick path) matches window, incl -0.0") {
+    withStrategy {
+      import spark.implicits._
+      val rnd = new scala.util.Random(11)
+      val specials = Seq(0.0, -0.0, Double.MinPositiveValue, -1e300, 1e300)
+      val data = Seq.fill(1500)((rnd.nextInt(12),
+        if (rnd.nextInt(10) == 0) specials(rnd.nextInt(specials.size))
+        else rnd.nextGaussian() * 1e6))
+      val df = data.toDF("g", "v").repartition(5)
+      val got = GroupTopK.topK(df, Seq(col("g")), col("v"), 4)
+        .collect().map(r => (r.getInt(0), r.getDouble(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val want = data.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted(Ordering[Double].reverse).take(4).sorted.toSeq).toMap
+      assert(got === want)
+    }
+  }
+
+  test("string ordering takes the generic path and matches window") {
+    withStrategy {
+      import spark.implicits._
+      val rnd = new scala.util.Random(13)
+      val data = Seq.fill(800)((rnd.nextInt(8), rnd.alphanumeric.take(6).mkString))
+      val df = data.toDF("g", "v").repartition(3)
+      val got = GroupTopK.topK(df, Seq(col("g")), col("v"), 3)
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val want = data.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted(Ordering[String].reverse).take(3).sorted.toSeq).toMap
+      assert(got === want)
+    }
+  }
+
   test("groups smaller than k return all their rows") {
     withStrategy {
       import spark.implicits._
