@@ -197,28 +197,92 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF
 
+  /** Fixed-point scale for the k-means centroid sums: float components are
+    * quantized to round(v · 2^20) longs, so per-cluster accumulation is an
+    * INTEGER sum — exact and order-independent, which is what lets the
+    * DuckDB oracle reproduce the centroids bit-for-bit (a double sum would
+    * depend on partition order). */
+  private val KmeansScale = 1048576L
+
+  /** Deterministic Lloyd refinement of the IVF centroid set.
+    *
+    * Seeding: the `nCentroids` vectors with the LOWEST md5(vec_id) — a
+    * deterministic hash-spread sample, reproducible in the DuckDB oracle.
+    * The r2 seeding (lowest `nCentroids` vec_ids) made recall
+    * luck-of-the-prefix: at scale the lowest ids are the oldest corpus
+    * region, and degenerate seeds are a fixed point Lloyd cannot escape
+    * (identical seeds assign everything to one cid and stay identical).
+    * Hash seeding decouples the seed set from data layout;
+    * `hashSeeds = false` keeps the old behavior for comparison tests.
+    *
+    * Refinement: `iters` fixed iterations of assign-to-nearest (argmax
+    * rounded cosine, ties to the lowest cid) and re-center. The new
+    * centroid is the per-dimension fixed-point SUM of its members cast to
+    * float — cosine is scale-invariant, so the sum is the mean direction
+    * without a division step, and integer accumulation is exact and
+    * order-independent (bit-reproducible across engines); empty clusters
+    * keep their previous centroid. Each iteration is one broadcast-join
+    * streaming pass with a partial `max_by` collapsing the K scored copies
+    * pre-shuffle, plus one posexplode aggregate over (cid, dim) — at
+    * 100 TB centroid training runs on a deterministic hash sample
+    * ([[TextOps.sampleByHash]] semantics) and only the final assignment
+    * pass sees the full corpus. */
+  def kmeansCentroids(emb: DataFrame, nCentroids: Int, iters: Int,
+      hashSeeds: Boolean = true): DataFrame = {
+    val seeds =
+      if (hashSeeds)
+        emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCentroids)
+      else emb.filter(col("vec_id") < nCentroids)
+    var cents = seeds.select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    for (_ <- 0 until iters) {
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("cos_c", round(cosine(col("embedding"), col("c_emb")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cos_c"), -col("cid"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .select(col("cid"), col("pos"),
+          round(col("col").cast("double") * KmeansScale).cast("long").as("q"))
+        .groupBy("cid", "pos").agg(sum("q").as("s"))
+      val refreshed = sums.groupBy("cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s").cast("float")).as("c_emb_next"))
+      cents = cents.join(refreshed, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("c_emb_next"), col("c_emb")).as("c_emb"))
+        .transform(graft.Storage.materializeOnce) // iterative: cut lineage per round
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k — the clustered alternative to
     * hyperplane LSH: the corpus is assigned once to its nearest centroid
     * (broadcast centroids, one streaming pass; the partial `max_by`
     * aggregate collapses the K scored copies of each vector BEFORE the
     * shuffle, so only N assignment rows move), queries probe the `nProbe`
-    * nearest clusters and re-rank exactly within them. Centroids are the
-    * `nCentroids` lowest vec_ids — deterministic, so the DuckDB oracle
-    * reproduces the exact partition. At 100 TB the assigned corpus is
-    * written partitioned by `cid`, making each probe a partition-pruned
-    * read; k-means refinement of the centroid set changes only the `cents`
-    * relation. */
+    * nearest clusters and re-rank exactly within them. Centroids are
+    * hash-spread-seeded and Lloyd-refined by [[kmeansCentroids]] — fully
+    * deterministic, so the DuckDB oracle replays the same fixed-iteration
+    * Lloyd and reproduces the exact partition. At 100 TB the assigned corpus is written partitioned by
+    * `cid`, making each probe a partition-pruned read. */
   def knnIvf(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame =
+    knnIvfOver(Tables.embeddings(spark, dir), col("vec_id") < nQueries,
+      k, nCentroids, nProbe, kmeansIters)
+
+  /** [[knnIvf]] over an arbitrary embeddings relation with an arbitrary
+    * query-row predicate (the registry uses vec_id < nQueries; tests use
+    * planted corpora with spread query sets). */
+  def knnIvfOver(emb: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int, nProbe: Int, kmeansIters: Int,
+      hashSeeds: Boolean = true): DataFrame = {
+    val cents = kmeansCentroids(emb, nCentroids, kmeansIters, hashSeeds)
     // nearest centroid per vector: argmax over (rounded cosine, -cid)
     val assigned = emb.join(broadcast(cents))
       .withColumn("cos_c", round(cosine(col("embedding"), col("c_emb")), 6))
       .groupBy(col("vec_id").as("neighbor_id"))
       .agg(max_by(col("cid"), struct(col("cos_c"), -col("cid"))).as("cid"))
-    val probes = emb.filter(col("vec_id") < nQueries)
+    val probes = emb.filter(queryPred)
       .join(broadcast(cents))
       .withColumn("cos_c", round(cosine(col("embedding"), col("c_emb")), 6))
       .withColumn("rn", row_number().over(
@@ -228,11 +292,10 @@ object Similarity {
     val cands = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
-    val e = Tables.embeddings(spark, dir)
     val scored = cands
-      .join(broadcast(e.filter(col("vec_id") < nQueries)
+      .join(broadcast(emb.filter(queryPred)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))), Seq("query_id"))
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")), Seq("neighbor_id"))
       .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 6))
     scored
       .withColumn("rank", row_number().over(
@@ -257,6 +320,31 @@ object Similarity {
        | i -> ($a::DOUBLE[])[i] * ($b::DOUBLE[])[i]))
        | / (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> ($a::DOUBLE[])[i] * ($a::DOUBLE[])[i])))
        |  * sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> ($b::DOUBLE[])[i] * ($b::DOUBLE[])[i])))))""".stripMargin.replace('\n', ' ')
+
+  /** DuckDB CTEs replaying the fixed-iteration Lloyd refinement: seeds →
+    * (assign, fixed-point sum, re-center) × iters, ending at
+    * `cents{iters}`. Integer centroid sums make every iteration
+    * bit-reproducible across engines. */
+  private def duckKmeansCtes(nCentroids: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
+    sb ++= "ed AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding FROM e), "
+    sb ++= "cents0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM e "
+    sb ++= s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCentroids)"
+    for (t <- 0 until iters) {
+      sb ++= s", asg$t AS (SELECT vec_id, cid FROM ("
+      sb ++= s"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+      sb ++= s"ORDER BY round(${duckCos("e.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn "
+      sb ++= s"FROM e, cents$t c) WHERE rn = 1)"
+      sb ++= s", sm$t AS (SELECT a.cid, d.i - 1 AS pos, "
+      sb ++= s"sum(CAST(round((d.embedding[d.i])::DOUBLE * $KmeansScale) AS BIGINT)) AS s "
+      sb ++= s"FROM asg$t a JOIN ed d ON d.vec_id = a.vec_id GROUP BY 1, 2)"
+      sb ++= s", cents${t + 1} AS (SELECT c.cid, coalesce(n.c_emb, c.c_emb) AS c_emb "
+      sb ++= s"FROM cents$t c LEFT JOIN (SELECT cid, list(CAST(s AS REAL) ORDER BY pos) AS c_emb "
+      sb ++= s"FROM sm$t GROUP BY cid) n ON n.cid = c.cid)"
+    }
+    sb.toString
+  }
 
   /** DuckDB CTEs reproducing the md5-derived hyperplane signature bits:
     * sig(vec_id, p, bit) for p in 0..bits-1. */
@@ -292,8 +380,8 @@ object Similarity {
          |   FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
          | WHERE cos_sim >= 0.9 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '),
     "sim_knn_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         | cents AS (SELECT vec_id AS cid, embedding AS c_emb FROM e WHERE vec_id < 16),
+      s"""${duckKmeansCtes(16, 2)},
+         | cents AS (SELECT cid, c_emb FROM cents2),
          | asg AS (SELECT vec_id AS neighbor_id, cid FROM (
          |   SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
          |     ORDER BY round(${duckCos("e.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn

@@ -40,6 +40,69 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.1, s"IVF recall $recall vs brute")
   }
 
+  test("hash-seeded k-means centroids beat prefix seeds on a planted-cluster corpus") {
+    import spark.implicits._
+    // Adversarial-for-prefix corpus: the 16 LOWEST vec_ids (the r2 seed
+    // set) are near-identical cluster-0 vectors whose only variation is in
+    // "noise" dims 16..23 — so prefix seeding scatters every vector by its
+    // noise phase, uncorrelated with the true cluster structure. The real
+    // corpus (ids 16..335) is 8 tight clusters on primary dims 0..7, with
+    // within-cluster neighbor order driven by a monotone component on the
+    // shared dim 23.
+    val dim = 26; val perCluster = 40; val nClusters = 8
+    def seedVec(s: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(0) = 10f
+      a(16 + s % 8) = 1f
+      a
+    }
+    def vec(c: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(c) = 10f
+      a(8 + c) = 2f
+      // noise phase (dims 16..23): the ONLY overlap with the prefix seeds
+      // (so prefix assignment scatters by phase), but weak enough that true
+      // neighbor ranking is driven by the monotone dim below (adjacent j).
+      // dim 25 is untouched by any seed, so it cannot rescue prefix probing.
+      a(16 + j % 8) = 0.3f
+      a(25) = 0.1f * j
+      a
+    }
+    val rows = (0 until 16).map(s => (s.toLong, seedVec(s))) ++
+      (for (c <- 0 until nClusters; j <- 0 until perCluster)
+        yield ((16 + c * perCluster + j).toLong, vec(c, j)))
+    val emb = rows.toDF("vec_id", "embedding")
+    // queries: one mid-cluster member per cluster
+    val qPred = (col("vec_id") - 16) % perCluster === 17 && col("vec_id") >= 16
+    val k = 5
+
+    // exact reference ranking, computed locally (336 vectors)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = rows.toMap
+    val queries = rows.map(_._1).filter(id => id >= 16 && (id - 16) % perCluster == 17)
+    val brute = queries.flatMap { q =>
+      rows.filter(_._1 != q)
+        .map { case (id, v) => (id, BigDecimal(cos(byId(q), v)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(x => (q, x._1))
+    }.toSet
+
+    def recallOf(iters: Int, hashSeeds: Boolean): Double = {
+      val got = Similarity.knnIvfOver(emb, qPred, k, nCentroids = 16, nProbe = 4,
+          kmeansIters = iters, hashSeeds = hashSeeds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(got.contains).toDouble / brute.size
+    }
+    val prefixRecall = recallOf(0, hashSeeds = false) // the r2 centroid rule
+    val kmeansRecall = recallOf(2, hashSeeds = true)  // the product rule
+    assert(kmeansRecall > prefixRecall,
+      s"k-means recall $kmeansRecall should beat prefix-seed recall $prefixRecall")
+    assert(kmeansRecall >= 0.8, s"k-means recall $kmeansRecall too low on planted clusters")
+  }
+
   test("LSH ANN recall vs brute force") {
     val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
