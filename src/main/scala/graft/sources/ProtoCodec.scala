@@ -170,6 +170,63 @@ object ProtoCodec {
       etype, proto, srcPort, dstPort, srcAS, dstAS)
   }
 
+  // ---------------------------------------------------- extended schema
+
+  /** Encode one EXTENDED message: the base fields plus the production
+    * enrichment fields 100-103 (`/root/reference/pb-ext/flow.pb.go:140-143`
+    * — SrcCountry=100, DstCountry=101 as UTF-8 strings, SrcASDB=102,
+    * DstASDB=103 as varints). proto3 elision: empty strings / zero ints
+    * are not written, so an unenriched ext record is byte-identical to its
+    * base encoding. */
+  def encodeExt(m: graft.flow.FlowEnrich.FlowMessageExt): Array[Byte] = {
+    val base = encode(graft.flow.FlowMessage(m.flowType, m.timeReceived,
+      m.sequenceNum, m.samplingRate, m.samplerAddress, m.timeFlowStart,
+      m.timeFlowEnd, m.bytes, m.packets, m.srcAddr, m.dstAddr, m.etype,
+      m.proto, m.srcPort, m.dstPort, m.srcAS, m.dstAS))
+    val out = new java.io.ByteArrayOutputStream(base.length + 24)
+    out.write(base, 0, base.length)
+    def strField(field: Int, s: String): Unit = if (s != null && s.nonEmpty) {
+      val b = s.getBytes("UTF-8")
+      writeVarint(out, (field.toLong << 3) | 2L)
+      writeVarint(out, b.length.toLong)
+      out.write(b, 0, b.length)
+    }
+    def varintField(field: Int, v: Long): Unit = if (v != 0L) {
+      writeVarint(out, (field.toLong << 3) | 0L)
+      writeVarint(out, v)
+    }
+    strField(100, m.srcCountry)
+    strField(101, m.dstCountry)
+    varintField(102, m.srcASDB.toLong)
+    varintField(103, m.dstASDB.toLong)
+    out.toByteArray
+  }
+
+  /** Decode one message INCLUDING fields 100-103. The base [[decode]]
+    * skips them (forward-extensible light consumer); this is the
+    * enrichment-aware consumer of the same wire bytes. */
+  def decodeExt(buf: Array[Byte], start: Int = 0, endOpt: Int = -1): graft.flow.FlowEnrich.FlowMessageExt = {
+    val end = if (endOpt < 0) buf.length else endOpt
+    // base pass for the 17 light fields, second cursor for the ext fields —
+    // wire order of unknown-to-base fields is irrelevant to either pass
+    val base = decode(buf, start, end)
+    var srcCountry = ""; var dstCountry = ""; var srcASDB = 0; var dstASDB = 0
+    val r = new Reader(buf, start, end)
+    while (r.hasRemaining) {
+      val tag = r.readVarint()
+      val field = (tag >>> 3).toInt
+      val wire = (tag & 7L).toInt
+      (field, wire) match {
+        case (100, 2) => srcCountry = new String(r.readBytes(), "UTF-8")
+        case (101, 2) => dstCountry = new String(r.readBytes(), "UTF-8")
+        case (102, 0) => srcASDB = r.readVarint().toInt
+        case (103, 0) => dstASDB = r.readVarint().toInt
+        case (_, w) => r.skip(w)
+      }
+    }
+    graft.flow.FlowEnrich.FlowMessageExt.from(base, srcCountry, dstCountry, srcASDB, dstASDB)
+  }
+
   /** Decode a varint-length-delimited stream of messages (one Kafka payload
     * may carry several framed records). */
   def decodeDelimitedStream(buf: Array[Byte]): Seq[FlowMessage] = {

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** The reference's streaming core re-expressed as Structured Streaming: two
   * always-on materialized-view queries over one source, feeding a raw table
@@ -288,6 +288,76 @@ object FlowStreams {
       .groupBy(window(col("event_time"), "5 minutes"), col("srcAS"), col("dstAS"), col("etype"))
       .agg(sum("bytes").as("sum_bytes"), sum("packets").as("sum_packets"),
         count(lit(1)).as("flow_count"))
+
+  /** One observation entering the typed watermarked rollup; `event_time`
+    * must stay in the plan for event-time timeouts. */
+  final case class RollupObs(timeslot: Long, srcAS: Int, dstAS: Int, etype: Int,
+      bytes: Long, packets: Long, event_time: java.sql.Timestamp)
+
+  /** One entry of the Nested ETypeMap (`create.sh:78-86`). */
+  final case class EtypeEntry(etype: Int, bytes: Long, packets: Long, flow_count: Long)
+
+  /** Finalized watermarked-rollup row — schema-identical to one
+    * [[rollupPartials]] row, Nested map included. */
+  final case class RollupFinal(event_date: java.sql.Date, timeslot: Long,
+      srcAS: Int, dstAS: Int, etype_map: Seq[EtypeEntry],
+      sum_bytes: Long, sum_packets: Long, flow_count: Long)
+
+  /** Watermarked rollup CARRYING THE NESTED ETypeMap — the r2 gap: the
+    * partial-append path has the per-EType sub-map but Spark refuses
+    * chained stateful aggregations, so `watermarkedRollup` emitted flat
+    * sums only. One `flatMapGroupsWithState` keyed on
+    * (timeslot, srcAS, dstAS) sidesteps the restriction: the per-etype
+    * sub-aggregation lives INSIDE the group state (a small map, one entry
+    * per distinct etype of the key — a handful in practice), so there is
+    * exactly one stateful operator. A key finalizes via event-time timeout
+    * when the watermark passes its window end, emitting one row with the
+    * sorted Nested map and the summed totals — bit-identical to the batch
+    * [[rollupPartials]] row for the same input (the spec asserts equality
+    * across late-data batches). State is bounded by the number of OPEN
+    * windows × keys, the same bound the flat watermarked form has. */
+  def watermarkedRollupTyped(stream: DataFrame,
+      lateness: String = "1 hour"): Dataset[RollupFinal] = {
+    import stream.sparkSession.implicits._
+    val slotSeconds = 300L
+    stream
+      .select(
+        ((col("timeReceived") / slotSeconds).cast("long") * slotSeconds).as("timeslot"),
+        col("srcAS"), col("dstAS"), col("etype"), col("bytes"), col("packets"),
+        timestamp_seconds(col("timeReceived")).as("event_time"))
+      .as[RollupObs]
+      .withWatermark("event_time", lateness)
+      .groupByKey(o => (o.timeslot, o.srcAS, o.dstAS))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Long, Int, Int), it: Iterator[RollupObs],
+            state: GroupState[Map[Int, EtypeEntry]]) => {
+          val (slot, srcAS, dstAS) = key
+          if (state.hasTimedOut) {
+            val m = state.get
+            state.remove()
+            val entries = m.valuesIterator.toSeq.sortBy(_.etype)
+            Iterator.single(RollupFinal(
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(slot / 86400)),
+              slot, srcAS, dstAS, entries,
+              entries.map(_.bytes).sum, entries.map(_.packets).sum,
+              entries.map(_.flow_count).sum))
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[Int, EtypeEntry])
+            it.foreach { o =>
+              val prev = m.getOrElse(o.etype, EtypeEntry(o.etype, 0L, 0L, 0L))
+              m = m.updated(o.etype, EtypeEntry(o.etype,
+                prev.bytes + o.bytes, prev.packets + o.packets, prev.flow_count + 1))
+            }
+            state.update(m)
+            // finalize once the watermark (which already lags by the
+            // allowed lateness) passes the window end; Spark requires the
+            // timeout to sit strictly beyond the current watermark
+            state.setTimeoutTimestamp(
+              math.max((slot + slotSeconds) * 1000L, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+        })
+  }
 
   /** S6: the inserter's micro-flush JDBC sink shape — buffered rows flushed
     * on a timer, here exactly-once per micro-batch. `writer` receives each

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.flow.{FlowEnrich, FlowGen}
+import graft.flow.FlowEnrich.FlowMessageExt
+import graft.sources.ProtoCodec
+
+/** The enrichment processor surface: extended wire fields 100-103
+  * (pb-ext/flow.pb.go:140-143), the broadcast AS-dimension join, and the
+  * consume → enrich → re-inject loop (README.md:44-51).
+  */
+class FlowEnrichSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("extended wire fields 100-103 round-trip; base codec interop both ways") {
+    val base = FlowGen.flows(spark, 20, seed = 91).collect().toSeq
+    val ext = base.zipWithIndex.map { case (m, i) =>
+      FlowMessageExt.from(m,
+        srcCountry = if (i % 3 == 0) "" else s"C${i % 5}",
+        dstCountry = s"D${i % 4}", srcASDB = i % 2, dstASDB = 7)
+    }
+    ext.foreach { e =>
+      val back = ProtoCodec.decodeExt(ProtoCodec.encodeExt(e))
+      assert(back.srcCountry === e.srcCountry)
+      assert(back.dstCountry === e.dstCountry)
+      assert(back.srcASDB === e.srcASDB && back.dstASDB === e.dstASDB)
+      assert(back.srcAS === e.srcAS && back.bytes === e.bytes)
+      // the LIGHT consumer skips 100-103 (forward-extensible) and still
+      // reads the 17 base fields
+      val light = ProtoCodec.decode(ProtoCodec.encodeExt(e))
+      assert(light.srcAS === e.srcAS && light.bytes === e.bytes
+        && light.timeReceived === e.timeReceived)
+    }
+    // an unenriched ext record is byte-identical to its base encoding
+    val plain = FlowMessageExt.from(base.head, "", "", 0, 0)
+    assert(ProtoCodec.encodeExt(plain).toSeq === ProtoCodec.encode(base.head).toSeq)
+    // and the ext consumer reads plain base bytes with default ext fields
+    val extOfBase = ProtoCodec.decodeExt(ProtoCodec.encode(base.head))
+    assert(extOfBase.srcCountry === "" && extOfBase.srcASDB === 0)
+  }
+
+  test("enrich processor: decode -> broadcast join -> re-encode carries geo on the wire") {
+    val dims = Seq((65000, "AS-ALPHA", "NL"), (65001, "AS-BETA", "US"))
+      .toDF("asn", "as_name", "country")
+    val flows = FlowGen.flows(spark, 100, seed = 92) // srcAS/dstAS in 65000..65002
+    val enriched = FlowEnrich.enrichExt(flows, dims, asdb = 20240101).collect()
+    assert(enriched.length === 100)
+    enriched.foreach { e =>
+      val expected = e.srcAS match {
+        case 65000 => "NL"; case 65001 => "US"; case _ => "--"
+      }
+      assert(e.srcCountry === expected, s"srcAS ${e.srcAS}")
+      assert((e.srcASDB != 0) === (e.srcCountry != "--"))
+      // full loop: re-inject to wire, extended consumer sees the geo
+      val onWire = ProtoCodec.decodeExt(ProtoCodec.encodeExt(e))
+      assert(onWire.srcCountry === e.srcCountry && onWire.dstCountry === e.dstCountry)
+    }
+    // both dimension ASNs actually occurred (the generator spans all three)
+    assert(enriched.map(_.srcCountry).toSet === Set("NL", "US", "--"))
+  }
+
+  test("flow_enrich surface: broadcast-join plan, no shuffle on the fact side") {
+    val df = FlowEnrich.enrichFlows(
+      graft.flow.FlowAdapter.flows(spark, sf), FlowEnrich.asDims(spark, sf))
+    // sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its inner
+    // tree from collect until execution
+    val plan = df.queryExecution.sparkPlan
+    val outerBhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter => j }
+    assert(outerBhj.size === 2, s"expected 2 broadcast enrich joins, got:\n$plan")
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.isEmpty, "enrichment must not sort-merge")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, "fact side must not shuffle for the enrichment join")
+    // unmatched AS renders the '--' default
+    val rows = FlowEnrich.flowEnrich(spark, sf)
+    assert(rows.filter(col("src_as_name") === "--").count() === 0) // 65000..02 all match
+    assert(rows.count() > 0)
+  }
+}

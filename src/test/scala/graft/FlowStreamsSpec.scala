@@ -231,6 +231,38 @@ class FlowStreamsSpec extends SparkTestBase {
     assert(out.select("window").distinct().count() >= 2)
   }
 
+  test("watermarked rollup with ETypeMap: finalized rows equal batch rollup, late data folded") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val typed = FlowStreams.watermarkedRollupTyped(src.toDF(), lateness = "10 minutes")
+    val q = typed.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("wm_typed").start()
+    // two etypes in play so the Nested map has real per-etype structure
+    def withEtypes(msgs: Seq[FlowMessage]): Seq[FlowMessage] =
+      msgs.zipWithIndex.map { case (m, i) =>
+        if (i % 3 == 0) m.copy(etype = 0x0800) else m }
+    val b1 = withEtypes(genBatch(300, seed = 81, baseTime = 1704067200L))
+    // batch 2 lands in the SAME slots after batch 1 (late, inside lateness)
+    val b2 = withEtypes(genBatch(200, seed = 82, baseTime = 1704067200L))
+    src.addData(b1); q.processAllAvailable()
+    src.addData(b2); q.processAllAvailable()
+    // sentinel far in the future: advances the watermark past every real
+    // window's end + lateness, firing the event-time timeouts
+    src.addData(genBatch(1, seed = 83, baseTime = 1704067200L + 86400L))
+    q.processAllAvailable()
+    q.stop()
+
+    import spark.implicits._
+    val emitted = spark.table("wm_typed")
+    val direct = FlowStreams.rollupPartials((b1 ++ b2).toDS().toDF())
+    // every real window finalized exactly once, bit-identical to the batch
+    // two-level aggregation (the sentinel's own window never finalizes)
+    assert(emitted.count() === direct.count())
+    assert(emitted.except(direct).isEmpty && direct.except(emitted).isEmpty)
+    // the map genuinely has two etypes in it
+    assert(emitted.filter(size(col("etype_map")) === 2).count() > 0)
+  }
+
   test("micro-flush sink: every batch delivered exactly once to the writer") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[FlowMessage]
