@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.flow.FlowGen
+import graft.sources.ProtoCodec
+import graft.streaming.{FlowStreams, ManifestTable}
+
+/** The 100×-scale proof run (r2 verdict action 1): everything above sf0.1
+  * was argued from plan shape over ~600k rows; this main converts the
+  * argument into evidence by pushing 50M+ generated flow records through
+  * the REAL pipeline — wire bytes on disk → streaming decode → raw MV +
+  * 5-min rollup MV (manifest-committed, exactly-once) → ONLINE compaction
+  * racing the stream → the dashboard query set over the ingested table —
+  * and reporting wall-times + rows/s next to the reference's >100k
+  * flows/s production anchor (`/root/reference/README.md:91-92`).
+  *
+  * Row count via SPARK_GRAFT_SCALE_ROWS (default 50M ≈ 83× the sf0.1
+  * table; ~3.6 GB of wire bytes, 5.8 simulated days of event time).
+  * Writes one JSON line and, when run in the repo, BENCH_scale.json.
+  */
+object BenchScale {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "50000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val genFiles = 256
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val work = java.nio.file.Files.createTempDirectory("graft_scale")
+    val wireDir = work.resolve("wire").toString
+    val rawTable = work.resolve("flows_raw").toString
+    val rollupTable = work.resolve("flows_5m").toString
+    val checkpoint = work.resolve("cp").toString
+    new java.io.File(wireDir).mkdirs()
+
+    // ---- stage 0: generate + frame the wire corpus onto disk ------------
+    // (the mocker's job — measured separately, not part of ingest time)
+    val (_, genSec) = timed {
+      FlowGen.flows(spark, n, seed = 1234L, numPartitions = genFiles)
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(f"$wireDir/payload_$pid%05d.bin"), 1 << 20)
+          var c = 0L
+          it.foreach { m => val b = ProtoCodec.encodeDelimited(m); out.write(b, 0, b.length); c += 1 }
+          out.close()
+          Iterator.single(c)
+        }.reduce(_ + _)
+    }
+
+    // ---- stage 1: streaming ingest, raw MV + rollup MV, exactly-once ----
+    // one decode feeds both MVs (ClickHouse's one-insert-two-MVs topology);
+    // manifest commits make every batch atomic and online-compactable
+    val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val (_, ingestSec) = timed {
+      val stream = ProtoCodec.binaryFileStream(spark, wireDir).toDF()
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val b = batch.persist()
+          try {
+            ManifestTable.append(FlowStreams.projectRaw(b), rawTable, Some("event_date"), id)
+            ManifestTable.append(FlowStreams.rollupPartials(b), rollupTable, Some("event_date"), id)
+          } finally { b.unpersist(); () }
+        }
+        .option("checkpointLocation", checkpoint)
+        .option("maxFilesPerTrigger", (genFiles / 8).toString)
+        .start()
+      // online compaction RACES the running stream (r2 had to stop it).
+      // The stop flag (not q.isActive) serializes against the FINAL
+      // compaction below — and even a true overlap is safe now: a swap
+      // whose snapshot went stale aborts instead of double-applying
+      val stopCompactor = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val compactor = new Thread(() => {
+        while (!stopCompactor.get()) {
+          Thread.sleep(3000)
+          if (!stopCompactor.get() && ManifestTable.snapshot(rawTable)._2.nonEmpty) {
+            val a = FlowStreams.compactRawOnline(spark, rawTable, filesPerPartition = 4)
+            val b = FlowStreams.optimizeRollupOnline(spark, rollupTable)
+            if (a && b) compactions.incrementAndGet()
+          }
+        }
+      })
+      compactor.setDaemon(true)
+      compactor.start()
+      q.processAllAvailable()
+      q.stop()
+      stopCompactor.set(true)
+      compactor.join(120000)
+    }
+
+    // final compaction + vacuum to the steady-state layout
+    val (_, compactSec) = timed {
+      FlowStreams.compactRawOnline(spark, rawTable, filesPerPartition = 4)
+      FlowStreams.optimizeRollupOnline(spark, rollupTable)
+      ManifestTable.vacuum(rawTable)
+      ManifestTable.vacuum(rollupTable)
+    }
+
+    // ---- stage 2: reconcile (no loss, no duplication) -------------------
+    val raw = FlowStreams.readRawManaged(spark, rawTable)
+    val rawRows = raw.count()
+    val rollupFlows = ManifestTable.read(spark, rollupTable)
+      .agg(sum("flow_count")).head.getLong(0)
+    require(rawRows == n, s"raw table lost rows: $rawRows of $n")
+    require(rollupFlows == n, s"rollup lost flows: $rollupFlows of $n")
+
+    // ---- stage 3: the dashboard set over the ingested table -------------
+    def consume(df: DataFrame): Unit =
+      df.foreachPartition { (_: Iterator[org.apache.spark.sql.Row]) => () }
+    val queries = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def bench(name: String)(df: => DataFrame): Unit = {
+      val (_, s) = timed(consume(df))
+      queries(name) = s
+    }
+    bench("scale_top_src_ip") {
+      raw.groupBy("srcAddr").agg(sum("bytes").as("sum_bytes"))
+        .orderBy(desc("sum_bytes")).limit(10)
+    }
+    bench("scale_top_pairs") {
+      raw.groupBy("srcAS", "dstAS").agg(sum("bytes").as("sum_bytes"), count(lit(1)).as("c"))
+        .orderBy(desc("sum_bytes")).limit(10)
+    }
+    bench("scale_rate_30s") {
+      raw.groupBy(((col("timeReceived") / 30).cast("long") * 30).as("slot"))
+        .agg(sum("bytes").as("b"), count(lit(1)).as("c"))
+    }
+    bench("scale_time_filter") {
+      // one simulated day out of 5.8: partition pruning + row-group stats
+      raw.filter(col("event_date") === "2024-01-02")
+        .filter(col("timeReceived") >= 1704153600L && col("timeReceived") < 1704240000L)
+        .agg(sum("bytes"), count(lit(1)))
+    }
+    bench("scale_rollup_readback") {
+      FlowStreams.readRollupManaged(spark, rollupTable)
+        .groupBy("srcAS").agg(sum("sum_bytes").as("b"))
+    }
+    bench("scale_quantiles") {
+      raw.agg(percentile_approx(col("bytes"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)))
+    }
+
+    val ingestRate = (n / ingestSec).toLong
+    val queriesJson = queries.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val json =
+      f"""{"metric":"scale_total","rows":$n,"gen_sec":$genSec%.1f,"ingest_sec":$ingestSec%.1f,""" +
+      f""""ingest_rows_per_sec":$ingestRate,"final_compact_sec":$compactSec%.1f,""" +
+      f""""online_compactions_during_ingest":${compactions.get},""" +
+      f""""raw_rows":$rawRows,"rollup_flow_count":$rollupFlows,""" +
+      f""""queries":$queriesJson,"baseline_anchor_rows_per_sec":100000}"""
+    println(json)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_scale.json"), json + "\n")
+    catch { case _: Throwable => () }
+
+    // clean the multi-GB scratch
+    val s = java.nio.file.Files.walk(work)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toList.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally s.close()
+    spark.stop()
+  }
+}

@@ -33,11 +33,15 @@ object FlowGen {
   }
 
   /** n deterministic flow records starting at epoch second `baseTime`,
-    * `ratePerSec` records per second of event time. */
+    * `ratePerSec` records per second of event time. `numPartitions > 0`
+    * overrides the default split count (values depend only on the id, so
+    * partitioning never changes the data). */
   def flows(spark: SparkSession, n: Long, seed: Long = 42L,
-      baseTime: Long = 1704067200L, ratePerSec: Long = 100L): Dataset[FlowMessage] = {
+      baseTime: Long = 1704067200L, ratePerSec: Long = 100L,
+      numPartitions: Int = 0): Dataset[FlowMessage] = {
     import spark.implicits._
-    spark.range(n).map { i =>
+    val ids = if (numPartitions > 0) spark.range(0L, n, 1L, numPartitions) else spark.range(n)
+    ids.map { i =>
       val h = mix(seed ^ i)
       def field(k: Int): Long = mix(h + k) & Long.MaxValue
       val t = baseTime + i / ratePerSec

@@ -253,10 +253,12 @@ object FlowStreams {
     * running [[startRollupMVManaged]] stream: batches appended after the
     * snapshot are not in the replaced set and survive; readers at every
     * instant see exactly one committed snapshot. The folded output is
-    * durable parquet before the swap — no checkpoint-block lineage. */
-  def optimizeRollupOnline(spark: SparkSession, table: String): Unit = {
+    * durable parquet before the swap — no checkpoint-block lineage.
+    * Returns false if a concurrent compaction won the swap race (this
+    * one's snapshot went stale and it aborted cleanly). */
+  def optimizeRollupOnline(spark: SparkSession, table: String): Boolean = {
     val (_, files) = ManifestTable.snapshot(table)
-    if (files.isEmpty) return
+    if (files.isEmpty) return true
     val folded = mergeRollup(
       spark.read.option("basePath", table).parquet(files.map(f => s"$table/$f"): _*))
     ManifestTable.swap(folded, table, Some("event_date"), files)
@@ -265,11 +267,12 @@ object FlowStreams {
   /** ONLINE raw-table compaction: rewrite the current snapshot's files into
     * `filesPerPartition` time-sorted files per date partition (ClickHouse's
     * background part merge restoring `ORDER BY TimeReceived` clustering)
-    * and swap them in one manifest commit, stream still running. */
+    * and swap them in one manifest commit, stream still running. Returns
+    * false on a lost swap race (aborted cleanly, see [[ManifestTable.swap]]). */
   def compactRawOnline(spark: SparkSession, table: String,
-      filesPerPartition: Int = 1): Unit = {
+      filesPerPartition: Int = 1): Boolean = {
     val (_, files) = ManifestTable.snapshot(table)
-    if (files.isEmpty) return
+    if (files.isEmpty) return true
     val compacted = spark.read.option("basePath", table)
       .parquet(files.map(f => s"$table/$f"): _*)
       .repartition(filesPerPartition, col("event_date"))

@@ -89,8 +89,11 @@ object ManifestTable {
 
   /** Optimistic commit: transform the latest committed file list and
     * atomically publish it as the next version. Retries on CAS loss with
-    * the delta re-applied to the fresh snapshot. */
-  def commit(table: String)(delta: Seq[String] => Seq[String]): Long =
+    * the delta re-applied to the fresh snapshot. `delta` returning None
+    * aborts without publishing (used by [[swap]] when its snapshot went
+    * stale — re-applying a swap on top of someone else's swap would
+    * DUPLICATE the staged copy; the 50M scale run caught exactly that). */
+  def tryCommit(table: String)(delta: Seq[String] => Option[Seq[String]]): Option[Long] =
     lockFor(table).synchronized {
       val dir = manifestDir(table)
       Files.createDirectories(dir)
@@ -98,21 +101,28 @@ object ManifestTable {
       while (attempts < 100) {
         attempts += 1
         val (v, files) = snapshot(table)
-        val next = delta(files)
-        val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-        Files.write(tmp, next.mkString("\n").getBytes("UTF-8"))
-        val target = dir.resolve(f"v${v + 1}%020d.manifest")
-        try {
-          // no REPLACE_EXISTING: rename-no-overwrite is the CAS — a loser
-          // gets FileAlreadyExistsException and retries on the new snapshot
-          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-          return v + 1
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+        delta(files) match {
+          case None => return None
+          case Some(next) =>
+            val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+            Files.write(tmp, next.mkString("\n").getBytes("UTF-8"))
+            val target = dir.resolve(f"v${v + 1}%020d.manifest")
+            try {
+              // no REPLACE_EXISTING: rename-no-overwrite is the CAS — a
+              // loser gets FileAlreadyExistsException and retries on the
+              // new snapshot
+              Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+              return Some(v + 1)
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+            }
         }
       }
       throw new IllegalStateException(s"manifest commit contention on $table")
     }
+
+  def commit(table: String)(delta: Seq[String] => Seq[String]): Long =
+    tryCommit(table)(files => Some(delta(files))).get
 
   /** Stage `df` into the table directory and commit it as an APPEND.
     * Data files land under their partition dirs named `b<batchId>-<uuid>`;
@@ -127,12 +137,24 @@ object ManifestTable {
 
   /** Replace `replaced` files with the staged contents of `df` in one
     * commit — the compaction swap. Files appended concurrently (present in
-    * the latest snapshot but not in `replaced`) survive untouched. */
+    * the latest snapshot but not in `replaced`) survive untouched.
+    *
+    * Returns false (and deletes its staged files) if ANY `replaced` file
+    * has already left the manifest — i.e. another swap won the race. A
+    * stale swap must ABORT, never re-apply: its staged output is a copy of
+    * data the winning swap already re-staged, so applying both doubles the
+    * table. Appends never conflict with this check (they only add files). */
   def swap(df: DataFrame, table: String, partitionCol: Option[String],
-      replaced: Seq[String]): Unit = {
+      replaced: Seq[String]): Boolean = {
     val staged = stage(df, table, partitionCol, s"c${System.nanoTime()}")
     val dead = replaced.toSet
-    commit(table)(files => files.filterNot(dead) ++ staged)
+    val committed = tryCommit(table) { files =>
+      if (replaced.forall(files.contains)) Some(files.filterNot(dead) ++ staged)
+      else None
+    }
+    if (committed.isEmpty)
+      staged.foreach(f => Files.deleteIfExists(Paths.get(table).resolve(f)))
+    committed.nonEmpty
   }
 
   /** Write `df` as parquet into a scratch dir, then move the data files to

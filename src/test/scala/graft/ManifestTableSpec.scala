@@ -109,6 +109,27 @@ class ManifestTableSpec extends SparkTestBase {
     assert(ManifestTable.read(spark, table).count() === 60)
   }
 
+  test("stale swap aborts: two compactions of the same snapshot never double the table") {
+    val table = tmp()
+    val df = genBatch(80, seed = 55, baseTime = 1704067200L).toDS()
+      .toDF().transform(FlowStreams.projectRaw)
+    ManifestTable.append(df, table, Some("event_date"), batchId = 0L)
+    val snapshotFiles = ManifestTable.snapshot(table)._2
+    val contents = ManifestTable.read(spark, table)
+    // two compactions race from the SAME snapshot (the 50M scale run hit
+    // this: the loser's retry re-applied its staged copy on top of the
+    // winner's, doubling the table to exactly 2x)
+    val first = ManifestTable.swap(contents, table, Some("event_date"), snapshotFiles)
+    val second = ManifestTable.swap(
+      ManifestTable.read(spark, table), table, Some("event_date"), snapshotFiles)
+    assert(first === true)
+    assert(second === false, "swap with a stale snapshot must abort")
+    assert(ManifestTable.read(spark, table).count() === 80)
+    // the aborted swap's staged files are gone from disk, not just invisible
+    ManifestTable.vacuum(table)
+    assert(parquetFiles(table).size === ManifestTable.snapshot(table)._2.size)
+  }
+
   test("concurrent commits: CAS retry keeps every committer's files") {
     val table = tmp()
     Files.createDirectories(Paths.get(table))
