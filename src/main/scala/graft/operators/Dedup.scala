@@ -287,6 +287,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- cross-split leakage
+
+  /** Train/test CONTAMINATION detector: near-duplicate pairs whose members
+    * land in DIFFERENT splits of the deterministic train/val/test
+    * assignment — the document pairs that leak evaluation data into
+    * training. Composes the MinHash+LSH verified pair set with
+    * [[TextOps.splitCol]]'s hash-bucket split rule, so both stages are
+    * deterministic and the whole detector is oracle-checkable. At 100 TB
+    * this adds two narrow md5 projections on top of the near-dup join —
+    * the split labels ride the id columns, no extra shuffle. */
+  def splitContamination(spark: SparkSession, dir: String, threshold: Double = 0.2,
+      valPct: Int = 5, testPct: Int = 5): DataFrame =
+    minhashDupPairs(spark, dir, threshold)
+      .withColumn("split_a", TextOps.splitCol(col("doc_a"), valPct, testPct))
+      .withColumn("split_b", TextOps.splitCol(col("doc_b"), valPct, testPct))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: per-token 64 bits from the first
@@ -366,7 +385,8 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashDupPairs(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashDupPairs(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => nearDupClusters(s, d)),
-    "dedup_corpus_keep" -> ((s: SparkSession, d: String) => corpusKeep(s, d)))
+    "dedup_corpus_keep" -> ((s: SparkSession, d: String) => corpusKeep(s, d)),
+    "dedup_split_leakage" -> ((s: SparkSession, d: String) => splitContamination(s, d)))
 
   private val duckShingleCte =
     """WITH toks AS (
@@ -478,5 +498,14 @@ object Dedup {
     "dedup_minhash_lsh" -> duckJaccard,
     "dedup_simhash" -> duckSimhash,
     "dedup_clusters" -> duckClusters(withKeep = false),
-    "dedup_corpus_keep" -> duckClusters(withKeep = true))
+    "dedup_corpus_keep" -> duckClusters(withKeep = true),
+    // the exact-Jaccard pair set == the LSH-verified set on this corpus
+    // (established by dedup_minhash_lsh's own oracle), so the leakage
+    // oracle wraps the same ground-truth pair query
+    "dedup_split_leakage" ->
+      s"""SELECT doc_a, split_a, doc_b, split_b, jaccard FROM (
+         |  SELECT p.doc_a, ${TextOps.duckSplitOf("p.doc_a", 5, 5)} AS split_a,
+         |         p.doc_b, ${TextOps.duckSplitOf("p.doc_b", 5, 5)} AS split_b, p.jaccard
+         |  FROM ($duckJaccard) p)
+         | WHERE split_a <> split_b ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' '))
 }

@@ -111,16 +111,33 @@ object TextOps {
     * `df.sample`'s seeded RNG does NOT give you on re-partitioned data).
     * The standard reproducible-sampling / train-val-test primitive for
     * training corpora. */
-  private def hashBucket(id: Column): Column =
+  private[operators] def hashBucket(id: Column): Column =
     (conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 10000)
 
-  private val duckHashBucket: String = {
+  private[operators] def duckHashBucketOf(idExpr: String): String = {
     val digits = (1 to 6).map { i =>
       val w = math.pow(16, 6 - i).toLong
-      s"(strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $i, 1)) - 1) * $w"
+      s"(strpos('0123456789abcdef', substr(md5($idExpr::VARCHAR), $i, 1)) - 1) * $w"
     }.mkString(" + ")
     s"(($digits) % 10000)"
   }
+
+  private val duckHashBucket: String = duckHashBucketOf("doc_id")
+
+  /** Deterministic split label for any id column — the train/val/test
+    * assignment rule shared by [[splitCounts]] and the cross-split
+    * leakage detector ([[Dedup.splitContamination]]). */
+  private[operators] def splitCol(id: Column, valPct: Int, testPct: Int): Column = {
+    val b = hashBucket(id)
+    when(b < valPct * 100, "val")
+      .when(b < (valPct + testPct) * 100, "test")
+      .otherwise("train")
+  }
+
+  private[operators] def duckSplitOf(idExpr: String, valPct: Int, testPct: Int): String =
+    s"""CASE WHEN ${duckHashBucketOf(idExpr)} < ${valPct * 100} THEN 'val'
+       | WHEN ${duckHashBucketOf(idExpr)} < ${(valPct + testPct) * 100} THEN 'test'
+       | ELSE 'train' END""".stripMargin.replace('\n', ' ')
 
   /** Deterministic sample: keep documents whose hash bucket < rate·10000. */
   def sampleDocs(spark: SparkSession, dir: String, rate: Double = 0.1): DataFrame =
@@ -132,16 +149,29 @@ object TextOps {
   /** Deterministic train/val/test assignment (98/1/1-style by bucket
     * ranges), with per-split counts by language. */
   def splitCounts(spark: SparkSession, dir: String,
-      valPct: Int = 5, testPct: Int = 5): DataFrame = {
-    val b = hashBucket(col("doc_id"))
+      valPct: Int = 5, testPct: Int = 5): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("split",
-        when(b < valPct * 100, "val")
-          .when(b < (valPct + testPct) * 100, "test")
-          .otherwise("train"))
+      .withColumn("split", splitCol(col("doc_id"), valPct, testPct))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("doc_count"), sum("n_chars").as("char_count"))
       .orderBy("split", "lang")
+
+  /** STRATIFIED deterministic sampling: per-language keep rates (the
+    * "rebalance the corpus mixture" primitive — e.g. downsample the
+    * dominant language, keep the tail whole). Same md5-bucket mechanics as
+    * [[sampleDocs]], so the draw is order/partition-independent and each
+    * document's fate is stable across runs — what `df.stat.sampleBy`'s
+    * seeded RNG does NOT guarantee after a repartition. One narrow
+    * filter, no shuffle. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      rates: Map[String, Double] = Map("en" -> 0.05), defaultRate: Double = 0.3): DataFrame = {
+    val threshold = rates.foldLeft(lit((defaultRate * 10000).toInt)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit((r * 10000).toInt)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .filter(hashBucket(col("doc_id")) < threshold)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -150,6 +180,7 @@ object TextOps {
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_sample" -> ((s: SparkSession, d: String) => sampleDocs(s, d)),
+    "text_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "text_split_counts" -> ((s: SparkSession, d: String) => splitCounts(s, d)))
 
   val oracles: Map[String, String] = {
@@ -198,6 +229,10 @@ object TextOps {
       "text_sample" ->
         s"""SELECT doc_id, lang, source, n_chars FROM documents
            | WHERE $duckHashBucket < 1000 ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+      "text_stratified_sample" ->
+        s"""SELECT doc_id, lang, source, n_chars FROM documents
+           | WHERE $duckHashBucket < (CASE WHEN lang = 'en' THEN 500 ELSE 3000 END)
+           | ORDER BY doc_id""".stripMargin.replace('\n', ' '),
       "text_split_counts" ->
         s"""SELECT CASE WHEN $duckHashBucket < 500 THEN 'val'
            |   WHEN $duckHashBucket < 1000 THEN 'test' ELSE 'train' END AS split,

@@ -35,6 +35,30 @@ class DedupSpec extends SparkTestBase {
     assert(lsh === truth)
   }
 
+  test("split leakage = near-dup pairs crossing the deterministic split boundary") {
+    val pairs = Dedup.minhashDupPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val leaks = Dedup.splitContamination(spark, sf).collect()
+    // every leak is a genuine near-dup pair with genuinely different splits
+    leaks.foreach { r =>
+      assert(pairs.contains((r.getLong(0), r.getLong(2))))
+      assert(r.getString(1) !== r.getString(3))
+      assert(Set("train", "val", "test").contains(r.getString(1)))
+    }
+    // and pairs NOT reported are genuinely same-split (the filter is
+    // exact, not lossy) — split recomputed independently here
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val b = java.lang.Long.parseLong(hex, 16) % 10000
+      if (b < 500) "val" else if (b < 1000) "test" else "train"
+    }
+    val leakSet = leaks.map(r => (r.getLong(0), r.getLong(2))).toSet
+    (pairs -- leakSet).foreach { case (a, b) => assert(split(a) === split(b)) }
+    leakSet.foreach { case (a, b) => assert(split(a) !== split(b)) }
+  }
+
   test("minhash+LSH on planted synthetic duplicates") {
     import spark.implicits._
     // two near-identical docs + unrelated ones
