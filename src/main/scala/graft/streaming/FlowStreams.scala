@@ -255,29 +255,51 @@ object FlowStreams {
     * instant see exactly one committed snapshot. The folded output is
     * durable parquet before the swap — no checkpoint-block lineage.
     * Returns false if a concurrent compaction won the swap race (this
-    * one's snapshot went stale and it aborted cleanly). */
+    * one's snapshot went stale and it aborted cleanly).
+    *
+    * Partition-selective like [[compactRawOnline]]: a one-file partition
+    * is a single batch's partials — already one row per key (each batch's
+    * [[rollupPartials]] is a grouped aggregate) — so only multi-file
+    * partitions need folding, and rollup keys never span event_date
+    * partitions, so the per-partition fold is exact. */
   def optimizeRollupOnline(spark: SparkSession, table: String): Boolean = {
     val (_, files) = ManifestTable.snapshot(table)
     if (files.isEmpty) return true
+    val byPartition = files.groupBy(f =>
+      f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
+    val unfolded = byPartition.filter(_._2.size > 1).values.flatten.toSeq
+    if (unfolded.isEmpty) return true
     val folded = mergeRollup(
-      spark.read.option("basePath", table).parquet(files.map(f => s"$table/$f"): _*))
-    ManifestTable.swap(folded, table, Some("event_date"), files)
+      spark.read.option("basePath", table).parquet(unfolded.map(f => s"$table/$f"): _*))
+    ManifestTable.swap(folded, table, Some("event_date"), unfolded)
   }
 
-  /** ONLINE raw-table compaction: rewrite the current snapshot's files into
-    * `filesPerPartition` time-sorted files per date partition (ClickHouse's
-    * background part merge restoring `ORDER BY TimeReceived` clustering)
-    * and swap them in one manifest commit, stream still running. Returns
-    * false on a lost swap race (aborted cleanly, see [[ManifestTable.swap]]). */
+  /** ONLINE raw-table compaction: rewrite fragmented date partitions into
+    * `filesPerPartition` time-sorted files (ClickHouse's background part
+    * merge restoring `ORDER BY TimeReceived` clustering) and swap them in
+    * one manifest commit, stream still running.
+    *
+    * PARTITION-SELECTIVE: only partitions holding more than
+    * `filesPerPartition` files are rewritten — cold partitions' files are
+    * not read, not rewritten, and keep their manifest entries. That makes
+    * each merge cycle cost ∝ freshly-appended fragmentation, not table
+    * size (the 50M proof run showed whole-table rewrites growing linearly
+    * as the table filled — exactly what ClickHouse's per-part merging
+    * avoids). Returns false on a lost swap race (aborted cleanly). */
   def compactRawOnline(spark: SparkSession, table: String,
       filesPerPartition: Int = 1): Boolean = {
     val (_, files) = ManifestTable.snapshot(table)
     if (files.isEmpty) return true
+    val byPartition = files.groupBy(f =>
+      f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
+    val fragmented = byPartition.filter(_._2.size > filesPerPartition)
+      .values.flatten.toSeq
+    if (fragmented.isEmpty) return true
     val compacted = spark.read.option("basePath", table)
-      .parquet(files.map(f => s"$table/$f"): _*)
+      .parquet(fragmented.map(f => s"$table/$f"): _*)
       .repartition(filesPerPartition, col("event_date"))
       .sortWithinPartitions("timeReceived")
-    ManifestTable.swap(compacted, table, Some("event_date"), files)
+    ManifestTable.swap(compacted, table, Some("event_date"), fragmented)
   }
 
   /** Watermarked event-time aggregation — the Spark-native alternative to

@@ -83,6 +83,31 @@ class ManifestTableSpec extends SparkTestBase {
     assert(FlowStreams.readRawManaged(spark, table).count() === 400)
   }
 
+  test("partition-selective compaction leaves cold partitions' files untouched") {
+    val table = tmp()
+    def append(id: Long, baseTime: Long, parts: Int): Unit =
+      ManifestTable.append(
+        genBatch(60, seed = 60 + id, baseTime).toDS().toDF().coalesce(parts)
+          .transform(FlowStreams.projectRaw),
+        table, Some("event_date"), id)
+    // day 1 fragmented by three appends; day 2 a single cold file
+    append(0, 1704067200L, 2); append(1, 1704067200L, 2); append(2, 1704067200L, 2)
+    append(3, 1704153600L, 1)
+    val before = ManifestTable.snapshot(table)._2
+    val coldBefore = before.filter(_.startsWith("event_date=2024-01-02")).toSet
+    assert(coldBefore.size === 1)
+    assert(FlowStreams.compactRawOnline(spark, table, filesPerPartition = 1))
+    val after = ManifestTable.snapshot(table)._2
+    // cold partition: same file, not rewritten; hot partition: one new file
+    assert(after.filter(_.startsWith("event_date=2024-01-02")).toSet === coldBefore)
+    assert(after.count(_.startsWith("event_date=2024-01-01")) === 1)
+    assert(ManifestTable.read(spark, table).count() === 240)
+    // second cycle is a no-op (nothing fragmented): manifest version stable
+    val v = ManifestTable.snapshot(table)._1
+    assert(FlowStreams.compactRawOnline(spark, table, filesPerPartition = 1))
+    assert(ManifestTable.snapshot(table)._1 === v)
+  }
+
   test("batch replay is a no-op (exactly-once append)") {
     val table = tmp()
     val df = genBatch(50, seed = 50, baseTime = 1704067200L).toDS()
