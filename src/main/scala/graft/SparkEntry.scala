@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.flow.{FlowEnrich, FlowQueries}
-import graft.operators.{Dedup, Multimodal, RelQueries, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, OpsMetrics, RelQueries, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    FlowQueries.queries ++ FlowEnrich.queries ++ RelQueries.queries ++ TextOps.queries ++
+    FlowQueries.queries ++ FlowEnrich.queries ++ OpsMetrics.queries ++
+      RelQueries.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Map(
       "q1_agg" -> ((s: SparkSession, dir: String) =>
         Tables.lineitem(s, dir)
@@ -36,7 +37,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    FlowQueries.oracles ++ FlowEnrich.oracles ++ RelQueries.oracles ++ TextOps.oracles ++
+    FlowQueries.oracles ++ FlowEnrich.oracles ++ OpsMetrics.oracles ++
+      RelQueries.oracles ++ TextOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,

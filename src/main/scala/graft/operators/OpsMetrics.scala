@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.flow.FlowAdapter
+
+/** A7: the ops-dashboard query surface — the reference monitors itself
+  * with PromQL over its Prometheus counters (`compose/grafana/dashboards/
+  * perfs.json`: `sum(rate(metric[5m])) by (...)`, `avg(...) by
+  * (quantile)`). The counters exist in this engine (S12,
+  * [[graft.streaming.FlowMetrics]]); this module adds the QUERY side as
+  * plain DataFrame window operators over a (metric, instance, ts, value)
+  * counter-sample relation:
+  *
+  *  - [[perStepIncrease]]: per-sample positive delta, counter-RESET aware
+  *    (a decrease means the process restarted; the new value IS the
+  *    increase since the reset — Prometheus's rate/increase rule);
+  *  - [[rate]]: sliding-range sum of those deltas / range seconds —
+  *    `rate(c[N])` at every scrape point, one range-frame window over the
+  *    series partition (no self-join);
+  *  - [[sumRateBy]]: `sum(rate(c[N])) by (labels)`.
+  *
+  * Simplification vs Prometheus: no boundary extrapolation (Prometheus
+  * scales the window delta by range/covered-time; at fixed scrape
+  * intervals the difference is the partial first interval only) —
+  * documented, deterministic, and identically expressible in the DuckDB
+  * oracle's window SQL.
+  *
+  * Scale shape: one hash exchange on the series key for the windows, then
+  * a hash aggregate for the BY clause. Series cardinality bounds state,
+  * exactly like Prometheus itself.
+  */
+object OpsMetrics {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val series = Seq(col("metric"), col("instance"))
+
+  /** Deterministic counter-sample fixture from the flow relation:
+    * cumulative flow and byte counters per src_as "instance", scraped at
+    * 30-s boundaries — the shape FlowMetrics would expose over a day. */
+  def counterSamples(spark: SparkSession, dir: String): DataFrame = {
+    val flows = FlowAdapter.flows(spark, dir)
+    val perSlot = flows
+      .groupBy(col("src_as").cast("string").as("instance"),
+        ((col("time_received") / 30).cast("long") * 30).as("ts"))
+      .agg(count(lit(1)).as("flows"), sum("bytes").as("bytes"))
+    val w = Window.partitionBy("instance").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSlot.select(
+      lit("graft_flows_total").as("metric"), col("instance"), col("ts"),
+      sum("flows").over(w).cast("double").as("value"))
+      .union(perSlot.select(
+        lit("graft_bytes_total").as("metric"), col("instance"), col("ts"),
+        sum("bytes").over(w).cast("double").as("value")))
+  }
+
+  /** Positive per-sample delta with Prometheus reset handling: value
+    * dropped ⇒ the counter restarted at 0 and the whole new value is
+    * growth. The first sample of a series contributes nothing (no
+    * interval). */
+  def perStepIncrease(samples: DataFrame): DataFrame = {
+    val w = Window.partitionBy(series: _*).orderBy("ts")
+    val prev = lag("value", 1).over(w)
+    samples.withColumn("d",
+      when(prev.isNull, lit(0.0))
+        .when(col("value") >= prev, col("value") - prev)
+        .otherwise(col("value")))
+  }
+
+  /** `increase(counter[rangeSec])`: sum of reset-corrected deltas over
+    * (t - rangeSec, t] — kept UNDIVIDED so downstream sums stay
+    * integer-valued doubles (exact in any aggregation order; the single
+    * division happens last — that's what keeps the DuckDB hash compare
+    * bit-stable). */
+  def slidingIncrease(samples: DataFrame, rangeSec: Long): DataFrame = {
+    val frame = Window.partitionBy(series: _*).orderBy(col("ts"))
+      .rangeBetween(-(rangeSec - 1), Window.currentRow)
+    perStepIncrease(samples)
+      .withColumn("increase", sum("d").over(frame))
+      .drop("d")
+  }
+
+  /** `rate(counter[rangeSec])` evaluated at every scrape point. */
+  def rate(samples: DataFrame, rangeSec: Long): DataFrame =
+    slidingIncrease(samples, rangeSec)
+      .withColumn("rate", col("increase") / rangeSec)
+      .drop("increase")
+
+  /** `sum(rate(counter[rangeSec])) by (instance)` — the perfs.json panel
+    * shape; grouping keys beyond the metric name are the BY clause. */
+  def sumRateBy(samples: DataFrame, rangeSec: Long, by: Seq[Column]): DataFrame =
+    rate(samples, rangeSec)
+      .groupBy(col("metric") +: by: _*)
+      .agg(sum("rate").as("rate_sum"))
+
+  // --------------------------------------------------------------- registry
+
+  def opsRateSum(spark: SparkSession, dir: String): DataFrame =
+    slidingIncrease(counterSamples(spark, dir), 300L)
+      .groupBy("metric", "ts")
+      .agg(round(sum("increase") / 300, 6).as("rate_sum"))
+      .orderBy("metric", "ts")
+
+  val queries: Map[String, Q] = Map(
+    "ops_rate_sum" -> (opsRateSum _))
+
+  val oracles: Map[String, String] = Map(
+    "ops_rate_sum" ->
+      s"""${FlowAdapter.ducksql.trim},
+         | per_slot AS (
+         |   SELECT CAST(src_as AS VARCHAR) AS instance,
+         |     (time_received // 30) * 30 AS ts,
+         |     count(*) AS flows, CAST(sum(bytes) AS BIGINT) AS bytes
+         |   FROM flows GROUP BY 1, 2),
+         | samples AS (
+         |   SELECT 'graft_flows_total' AS metric, instance, ts,
+         |     CAST(sum(flows) OVER (PARTITION BY instance ORDER BY ts
+         |       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS value FROM per_slot
+         |   UNION ALL
+         |   SELECT 'graft_bytes_total' AS metric, instance, ts,
+         |     CAST(sum(bytes) OVER (PARTITION BY instance ORDER BY ts
+         |       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS value FROM per_slot),
+         | deltas AS (
+         |   SELECT metric, instance, ts,
+         |     CASE WHEN lag(value) OVER w IS NULL THEN 0.0
+         |          WHEN value >= lag(value) OVER w THEN value - lag(value) OVER w
+         |          ELSE value END AS d
+         |   FROM samples WINDOW w AS (PARTITION BY metric, instance ORDER BY ts)),
+         | incs AS (
+         |   SELECT metric, instance, ts,
+         |     sum(d) OVER (PARTITION BY metric, instance ORDER BY ts
+         |       RANGE BETWEEN 299 PRECEDING AND CURRENT ROW) AS increase
+         |   FROM deltas)
+         | SELECT metric, ts, round(sum(increase) / 300, 6) AS rate_sum
+         | FROM incs GROUP BY 1, 2 ORDER BY metric, ts""".stripMargin.replace('\n', ' '))
+}
