@@ -107,8 +107,8 @@ object BenchScale {
     val (_, compactSec) = timed {
       FlowStreams.compactRawOnline(spark, rawTable, filesPerPartition = 4)
       FlowStreams.optimizeRollupOnline(spark, rollupTable)
-      ManifestTable.vacuum(rawTable)
-      ManifestTable.vacuum(rollupTable)
+      ManifestTable.vacuum(rawTable, graceSeconds = 0)
+      ManifestTable.vacuum(rollupTable, graceSeconds = 0)
     }
 
     // ---- stage 2: reconcile (no loss, no duplication) -------------------

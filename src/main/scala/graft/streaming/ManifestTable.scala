@@ -185,19 +185,31 @@ object ManifestTable {
   }
 
   /** Delete data files no committed snapshot references (crash leftovers,
-    * compacted-away inputs). Safe online: the latest manifest is re-read
-    * AFTER listing, so a file committed mid-vacuum is never touched —
-    * files are staged before commit, never the other way around. */
-  def vacuum(table: String): Long = {
-    val root = Paths.get(table)
-    if (!Files.isDirectory(root)) return 0L
-    val all = listed(Files.walk(root))(_
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .filterNot(_.startsWith(manifestDir(table)))
-      .map(p => root.relativize(p).toString).toSet)
-    val live = snapshot(table)._2.toSet
-    val dead = all -- live
-    dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
-    dead.size.toLong
-  }
+    * compacted-away inputs).
+    *
+    * Online safety: files are STAGED into the table directory before
+    * their manifest commit, so an unreferenced file may simply be an
+    * in-flight append/swap that has not committed yet — deleting it would
+    * commit a manifest over missing data. Two guards: `graceSeconds`
+    * spares unreferenced files younger than the grace (staging → commit
+    * is seconds; crash orphans are old by the time vacuum runs), and the
+    * per-table commit lock excludes same-JVM commits during the
+    * delete-set computation (the normal driver topology). Cross-JVM
+    * writers should schedule vacuum from the owning driver only. Pass
+    * `graceSeconds = 0` only when no writer is active. */
+  def vacuum(table: String, graceSeconds: Long = 600L): Long =
+    lockFor(table).synchronized {
+      val root = Paths.get(table)
+      if (!Files.isDirectory(root)) return 0L
+      val cutoff = System.currentTimeMillis() - graceSeconds * 1000L
+      val all = listed(Files.walk(root))(_
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .filterNot(_.startsWith(manifestDir(table)))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .map(p => root.relativize(p).toString).toSet)
+      val live = snapshot(table)._2.toSet
+      val dead = all -- live
+      dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
+      dead.size.toLong
+    }
 }

@@ -59,6 +59,31 @@ class FlowEnrichSpec extends SparkTestBase {
     assert(enriched.map(_.srcCountry).toSet === Set("NL", "US", "--"))
   }
 
+  test("enrichment runs inside the streaming MV cascade (processor-in-stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dims = Seq((65000, "AS-ALPHA", "NL"), (65001, "AS-BETA", "US"),
+      (65002, "AS-GAMMA", "DE")).toDF("asn", "as_name", "country")
+    val src = MemoryStream[graft.flow.FlowMessage]
+    val out = java.nio.file.Files.createTempDirectory("enrich_mv").toString
+    val cp = java.nio.file.Files.createTempDirectory("enrich_cp").toString
+    // the README's processor topology, streaming form: decode → enrich →
+    // materialize; the broadcast dimension join runs per micro-batch
+    val q = src.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.flow.FlowMessage], _: Long) =>
+        FlowEnrich.enrichExt(batch, dims, asdb = 20240101).write
+          .mode("append").parquet(out)
+      }
+      .option("checkpointLocation", cp)
+      .start()
+    src.addData(FlowGen.flows(spark, 120, seed = 93).collect().toSeq)
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() === 120)
+    assert(back.filter(col("srcCountry").isin("NL", "US", "DE")).count() === 120)
+    assert(back.filter(col("srcASDB") === 20240101).count() === 120)
+  }
+
   test("flow_enrich surface: broadcast-join plan, no shuffle on the fact side") {
     val df = FlowEnrich.enrichFlows(
       graft.flow.FlowAdapter.flows(spark, sf), FlowEnrich.asDims(spark, sf))

@@ -54,7 +54,7 @@ class ManifestTableSpec extends SparkTestBase {
 
     // final OPTIMIZE folds to one row per key; vacuum drops the dead parts
     FlowStreams.optimizeRollupOnline(spark, table)
-    assert(ManifestTable.vacuum(table) > 0)
+    assert(ManifestTable.vacuum(table, graceSeconds = 0) > 0)
     val after = FlowStreams.readRollupManaged(spark, table)
     assert(after.except(direct).isEmpty && direct.except(after).isEmpty)
     assert(ManifestTable.read(spark, table).count() === direct.count())
@@ -77,7 +77,7 @@ class ManifestTableSpec extends SparkTestBase {
     val back = FlowStreams.readRawManaged(spark, table)
     assert(back.count() === 400)
     assert(back.agg(sum("bytes")).head.getLong(0) === batches.flatten.map(_.bytes).sum)
-    ManifestTable.vacuum(table)
+    ManifestTable.vacuum(table, graceSeconds = 0)
     // post-vacuum, on-disk files are exactly the live snapshot
     assert(parquetFiles(table).size === ManifestTable.snapshot(table)._2.size)
     assert(FlowStreams.readRawManaged(spark, table).count() === 400)
@@ -129,9 +129,28 @@ class ManifestTableSpec extends SparkTestBase {
     val orphan = Paths.get(table).resolve(live).resolveSibling("b99-orphan.parquet")
     Files.copy(Paths.get(table).resolve(live), orphan)
     assert(ManifestTable.read(spark, table).count() === 60)
-    assert(ManifestTable.vacuum(table) === 1L)
+    assert(ManifestTable.vacuum(table, graceSeconds = 0) === 1L)
     assert(!Files.exists(orphan))
     assert(ManifestTable.read(spark, table).count() === 60)
+  }
+
+  test("vacuum grace spares in-flight staged files, reaps old orphans") {
+    val table = tmp()
+    val df = genBatch(40, seed = 58, baseTime = 1704067200L).toDS()
+      .toDF().transform(FlowStreams.projectRaw)
+    ManifestTable.append(df, table, Some("event_date"), batchId = 0L)
+    val live = ManifestTable.snapshot(table)._2.head
+    // a FRESH unreferenced file = an append that staged but has not yet
+    // committed; deleting it would break the commit that follows
+    val inflight = Paths.get(table).resolve(live).resolveSibling("b42-inflight.parquet")
+    Files.copy(Paths.get(table).resolve(live), inflight)
+    assert(ManifestTable.vacuum(table) === 0L) // default grace: spared
+    assert(Files.exists(inflight))
+    // an OLD unreferenced file = a crash orphan; reaped
+    Files.setLastModifiedTime(inflight,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000L))
+    assert(ManifestTable.vacuum(table) === 1L)
+    assert(!Files.exists(inflight))
   }
 
   test("stale swap aborts: two compactions of the same snapshot never double the table") {
@@ -151,7 +170,7 @@ class ManifestTableSpec extends SparkTestBase {
     assert(second === false, "swap with a stale snapshot must abort")
     assert(ManifestTable.read(spark, table).count() === 80)
     // the aborted swap's staged files are gone from disk, not just invisible
-    ManifestTable.vacuum(table)
+    ManifestTable.vacuum(table, graceSeconds = 0)
     assert(parquetFiles(table).size === ManifestTable.snapshot(table)._2.size)
   }
 
