@@ -115,7 +115,7 @@ object BenchScale {
     val raw = FlowStreams.readRawManaged(spark, rawTable)
     val rawRows = raw.count()
     val rollupFlows = ManifestTable.read(spark, rollupTable)
-      .agg(sum("flow_count")).head.getLong(0)
+      .agg(sum("flow_count")).head().getLong(0)
     require(rawRows == n, s"raw table lost rows: $rawRows of $n")
     require(rollupFlows == n, s"rollup lost flows: $rollupFlows of $n")
 

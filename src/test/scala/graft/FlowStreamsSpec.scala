@@ -54,14 +54,14 @@ class FlowStreamsSpec extends SparkTestBase {
       n
     }
     val before = spark.read.parquet(out)
-    val beforeSum = before.agg(sum("bytes")).head.getLong(0)
+    val beforeSum = before.agg(sum("bytes")).head().getLong(0)
     val filesBefore = parquetFiles()
     assert(filesBefore >= 4, s"expected one file per batch, got $filesBefore")
     FlowStreams.compactRaw(spark, out)
     assert(parquetFiles() < filesBefore)
     val after = spark.read.parquet(out)
     assert(after.count() === 400)
-    assert(after.agg(sum("bytes")).head.getLong(0) === beforeSum)
+    assert(after.agg(sum("bytes")).head().getLong(0) === beforeSum)
   }
 
   test("rollup MV: partials append across batches, re-merge equals direct agg, optimize folds") {
@@ -130,11 +130,11 @@ class FlowStreamsSpec extends SparkTestBase {
 
     val raw = spark.read.parquet(outRaw)
     assert(raw.count() === 200)
-    assert(raw.agg(sum("bytes")).head.getLong(0) === msgs.map(_.bytes).sum)
+    assert(raw.agg(sum("bytes")).head().getLong(0) === msgs.map(_.bytes).sum)
     // rollup MV totals reconcile with the same wire input
     val merged = FlowStreams.readRollup(spark, outRoll)
-    assert(merged.agg(sum("sum_bytes")).head.getLong(0) === msgs.map(_.bytes).sum)
-    assert(merged.agg(sum("flow_count")).head.getLong(0) === 200L)
+    assert(merged.agg(sum("sum_bytes")).head().getLong(0) === msgs.map(_.bytes).sum)
+    assert(merged.agg(sum("flow_count")).head().getLong(0) === 200L)
     // inserter.go:135-140 parity: absent address -> '0.0.0.0'
     val rendered = FlowStreams.jdbcFlushProjection(raw)
     assert(rendered.filter(col("src_ip") === "0.0.0.0").count() === 20)
@@ -210,7 +210,7 @@ class FlowStreamsSpec extends SparkTestBase {
     val back = spark.read.jdbc(url, "flows", props)
     assert(back.count() === 200)
     assert(back.columns.length === 14) // the inserter's 14-column tuple
-    assert(back.agg(sum("bytes")).head.getLong(0) ===
+    assert(back.agg(sum("bytes")).head().getLong(0) ===
       (genBatch(120, 22, 1704067200L) ++ genBatch(80, 23, 1704070800L)).map(_.bytes).sum)
   }
 

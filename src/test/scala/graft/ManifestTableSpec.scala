@@ -41,7 +41,7 @@ class ManifestTableSpec extends SparkTestBase {
     FlowStreams.optimizeRollupOnline(spark, table)   // stream NOT stopped
     src.addData(b2); q.processAllAvailable()
     val midTotal = FlowStreams.readRollupManaged(spark, table)
-      .agg(sum("sum_bytes")).head.getLong(0)
+      .agg(sum("sum_bytes")).head().getLong(0)
     assert(midTotal === (b1 ++ b2).map(_.bytes).sum)
     FlowStreams.optimizeRollupOnline(spark, table)
     src.addData(b3); q.processAllAvailable()
@@ -76,7 +76,7 @@ class ManifestTableSpec extends SparkTestBase {
     assert(live.size < filesBefore + 1)
     val back = FlowStreams.readRawManaged(spark, table)
     assert(back.count() === 400)
-    assert(back.agg(sum("bytes")).head.getLong(0) === batches.flatten.map(_.bytes).sum)
+    assert(back.agg(sum("bytes")).head().getLong(0) === batches.flatten.map(_.bytes).sum)
     ManifestTable.vacuum(table, graceSeconds = 0)
     // post-vacuum, on-disk files are exactly the live snapshot
     assert(parquetFiles(table).size === ManifestTable.snapshot(table)._2.size)
@@ -106,6 +106,30 @@ class ManifestTableSpec extends SparkTestBase {
     val v = ManifestTable.snapshot(table)._1
     assert(FlowStreams.compactRawOnline(spark, table, filesPerPartition = 1))
     assert(ManifestTable.snapshot(table)._1 === v)
+  }
+
+  test("restart recovery: resumed stream on the same checkpoint+manifest stays exactly-once") {
+    val srcDir = Files.createTempDirectory("manifest_restart")
+    val table = tmp(); val cp = tmp()
+    def writePayload(name: String, msgs: Seq[FlowMessage]): Unit =
+      Files.write(srcDir.resolve(name),
+        msgs.flatMap(graft.sources.ProtoCodec.encodeDelimited).toArray)
+    val b1 = genBatch(70, seed = 71, baseTime = 1704067200L)
+    val b2 = genBatch(50, seed = 72, baseTime = 1704153600L)
+    writePayload("a.bin", b1)
+    val q1 = FlowStreams.startRawMVManaged(
+      graft.sources.ProtoCodec.binaryFileStream(spark, srcDir.toString).toDF(), table, cp)
+    q1.processAllAvailable(); q1.stop()
+    // new wire files arrive while the query is down; the resumed query on
+    // the SAME checkpoint processes exactly the remainder, committing on
+    // top of the existing manifest (batch-id guard + checkpointed offsets)
+    writePayload("b.bin", b2)
+    val q2 = FlowStreams.startRawMVManaged(
+      graft.sources.ProtoCodec.binaryFileStream(spark, srcDir.toString).toDF(), table, cp)
+    q2.processAllAvailable(); q2.stop()
+    val back = FlowStreams.readRawManaged(spark, table)
+    assert(back.count() === 120)
+    assert(back.agg(sum("bytes")).head().getLong(0) === (b1 ++ b2).map(_.bytes).sum)
   }
 
   test("batch replay is a no-op (exactly-once append)") {

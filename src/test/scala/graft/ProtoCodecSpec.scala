@@ -123,7 +123,7 @@ class ProtoCodecSpec extends SparkTestBase {
     q.stop()
     val written = spark.read.parquet(out)
     assert(written.count() === 90)
-    assert(written.agg(org.apache.spark.sql.functions.sum("bytes")).head.getLong(0)
+    assert(written.agg(org.apache.spark.sql.functions.sum("bytes")).head().getLong(0)
       === msgs.map(_.bytes).sum)
   }
 
@@ -150,7 +150,7 @@ class ProtoCodecSpec extends SparkTestBase {
 
     val written = spark.read.parquet(out)
     assert(written.count() === 100)
-    assert(written.agg(org.apache.spark.sql.functions.sum("bytes")).head.getLong(0)
+    assert(written.agg(org.apache.spark.sql.functions.sum("bytes")).head().getLong(0)
       === (b1 ++ b2).map(_.bytes).sum)
   }
 
