@@ -94,6 +94,25 @@ object OpsMetrics {
       .groupBy(col("metric") +: by: _*)
       .agg(sum("rate").as("rate_sum"))
 
+  /** Gauge-sample fixture with a `quantile` LABEL — the shape of
+    * Prometheus summary metrics (perfs.json's `avg(...) by (quantile)`
+    * panels read pre-computed quantile labels; the label is opaque to the
+    * query layer). Gauges stay integer-valued so the BY-average divides
+    * exactly once. */
+  def summarySamples(spark: SparkSession, dir: String): DataFrame =
+    FlowAdapter.flows(spark, dir)
+      .groupBy(
+        ((col("time_received") / 30).cast("long") * 30).as("ts"),
+        when(col("proto") === 6, "0.5").otherwise(
+          when(col("etype") === 2048, "0.9").otherwise("0.99")).as("quantile"))
+      .agg(sum("bytes").cast("double").as("value"))
+      .select(lit("graft_flush_duration").as("metric"), col("quantile"), col("ts"), col("value"))
+
+  /** `avg(metric) by (quantile)` — the summary-panel aggregation. */
+  def avgByQuantile(samples: DataFrame): DataFrame =
+    samples.groupBy("metric", "quantile")
+      .agg(round(sum("value") / count(lit(1)), 6).as("avg_value"))
+
   // --------------------------------------------------------------- registry
 
   def opsRateSum(spark: SparkSession, dir: String): DataFrame =
@@ -102,8 +121,12 @@ object OpsMetrics {
       .agg(round(sum("increase") / 300, 6).as("rate_sum"))
       .orderBy("metric", "ts")
 
+  def opsAvgByQuantile(spark: SparkSession, dir: String): DataFrame =
+    avgByQuantile(summarySamples(spark, dir)).orderBy("metric", "quantile")
+
   val queries: Map[String, Q] = Map(
-    "ops_rate_sum" -> (opsRateSum _))
+    "ops_rate_sum" -> (opsRateSum _),
+    "ops_avg_by_quantile" -> (opsAvgByQuantile _))
 
   val oracles: Map[String, String] = Map(
     "ops_rate_sum" ->
@@ -133,5 +156,16 @@ object OpsMetrics {
          |       RANGE BETWEEN 299 PRECEDING AND CURRENT ROW) AS increase
          |   FROM deltas)
          | SELECT metric, ts, round(sum(increase) / 300, 6) AS rate_sum
-         | FROM incs GROUP BY 1, 2 ORDER BY metric, ts""".stripMargin.replace('\n', ' '))
+         | FROM incs GROUP BY 1, 2 ORDER BY metric, ts""".stripMargin.replace('\n', ' '),
+    "ops_avg_by_quantile" ->
+      s"""${FlowAdapter.ducksql.trim},
+         | samples AS (
+         |   SELECT 'graft_flush_duration' AS metric,
+         |     CASE WHEN proto = 6 THEN '0.5'
+         |          WHEN etype = 2048 THEN '0.9' ELSE '0.99' END AS quantile,
+         |     (time_received // 30) * 30 AS ts,
+         |     CAST(sum(bytes) AS DOUBLE) AS value
+         |   FROM flows GROUP BY 1, 2, 3)
+         | SELECT metric, quantile, round(sum(value) / count(*), 6) AS avg_value
+         | FROM samples GROUP BY 1, 2 ORDER BY metric, quantile""".stripMargin.replace('\n', ' '))
 }

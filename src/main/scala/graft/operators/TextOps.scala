@@ -174,8 +174,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source document cap — the "downsample dominant domains"
+    * primitive: keep at most `cap` documents per source, chosen by the
+    * deterministic hash order (so the survivors are a stable random-like
+    * draw, not the first rows by ingest order). Runs through the custom
+    * [[graft.plans.GroupTopK]] operator: bounded per-group heaps, shuffle
+    * carries ≤ cap rows per source per input partition — a hot source
+    * (the web-corpus reality) never drags its full row set through the
+    * exchange the way a window row_number would. The heap ordering is the
+    * NEGATED composite (bucket, doc_id) key, unique per document, so the
+    * kept set is exact and deterministic. */
+  def sourceCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import graft.plans.{GroupTopK, GroupTopKStrategy}
+    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ GroupTopKStrategy
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "lang", "n_chars")
+    // bucket < 10000 < 2^14; doc_id far below 2^49 — the composite is
+    // collision-free and orders by (bucket asc, doc_id asc) when negated
+    val key = -(hashBucket(col("doc_id")) * lit(1L << 49) + col("doc_id"))
+    GroupTopK.topK(docs, Seq(col("source")), key, cap)
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_token_stats" -> (tokenStats _),
+    "text_source_cap" -> ((s: SparkSession, d: String) => sourceCap(s, d)),
     "text_quality" -> (qualityScore _),
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
@@ -233,6 +257,13 @@ object TextOps {
         s"""SELECT doc_id, lang, source, n_chars FROM documents
            | WHERE $duckHashBucket < (CASE WHEN lang = 'en' THEN 500 ELSE 3000 END)
            | ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+      "text_source_cap" ->
+        s"""SELECT doc_id, source, lang, n_chars FROM (
+           |  SELECT doc_id, source, lang, n_chars,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY $duckHashBucket, doc_id) AS rn
+           |  FROM documents)
+           | WHERE rn <= 10 ORDER BY doc_id""".stripMargin.replace('\n', ' '),
       "text_split_counts" ->
         s"""SELECT CASE WHEN $duckHashBucket < 500 THEN 'val'
            |   WHEN $duckHashBucket < 1000 THEN 'test' ELSE 'train' END AS split,
