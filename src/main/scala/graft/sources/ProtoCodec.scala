@@ -42,6 +42,7 @@ object ProtoCodec {
       var shift = 0
       var result = 0L
       while (shift < 64) {
+        if (pos >= end) throw new IllegalArgumentException("truncated varint")
         val b = buf(pos); pos += 1
         result |= (b & 0x7FL) << shift
         if ((b & 0x80) == 0) return result
@@ -51,6 +52,11 @@ object ProtoCodec {
     }
     def readBytes(): Array[Byte] = {
       val len = readVarint().toInt
+      // bounds BEFORE the copy: copyOfRange silently zero-pads past the end
+      // of the buffer — a truncated payload must fail loudly, not decode
+      // into fabricated zero bytes
+      if (len < 0 || pos + len > end)
+        throw new IllegalArgumentException(s"truncated length-delimited field ($len bytes at $pos, end $end)")
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       out
@@ -62,6 +68,8 @@ object ProtoCodec {
         // `pos += readVarint()` would capture pos BEFORE the varint read
         // advances it (Scala evaluates the lhs of += first) — read then add
         val len = readVarint().toInt
+        if (len < 0 || pos + len > end)
+          throw new IllegalArgumentException("truncated skipped field")
         pos += len
       case 5 => pos += 4
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
@@ -228,12 +236,14 @@ object ProtoCodec {
   }
 
   /** Decode a varint-length-delimited stream of messages (one Kafka payload
-    * may carry several framed records). */
+    * may carry several framed records). Throws on truncated frames. */
   def decodeDelimitedStream(buf: Array[Byte]): Seq[FlowMessage] = {
     val r = new Reader(buf, 0, buf.length)
     val out = scala.collection.mutable.ArrayBuffer.empty[FlowMessage]
     while (r.hasRemaining) {
       val len = r.readVarint().toInt
+      if (len < 0 || r.pos + len > buf.length)
+        throw new IllegalArgumentException(s"truncated frame ($len bytes at ${r.pos})")
       out += decode(buf, r.pos, r.pos + len)
       r.pos += len
     }
@@ -244,10 +254,24 @@ object ProtoCodec {
 
   /** Wire → typed flow records: the S3 decode stage. Works on batch or
     * streaming DataFrames alike (a Kafka source's `value` column is exactly
-    * this shape); decode runs in the scan stage, pre-shuffle. */
-  def fromWire(df: org.apache.spark.sql.DataFrame, bytesCol: String): org.apache.spark.sql.Dataset[FlowMessage] = {
+    * this shape); decode runs in the scan stage, pre-shuffle.
+    *
+    * Strict by default: a malformed/truncated payload fails the task (and
+    * with it the micro-batch) rather than decoding into fabricated
+    * records. `lenient = true` is the dead-letter posture for an untrusted
+    * topic at scale: malformed payloads are DROPPED whole (a frame
+    * boundary can't be trusted past the first error) and the stream keeps
+    * flowing; pair it with a monitoring counter on input-vs-output rows. */
+  def fromWire(df: org.apache.spark.sql.DataFrame, bytesCol: String,
+      lenient: Boolean = false): org.apache.spark.sql.Dataset[FlowMessage] = {
     import df.sparkSession.implicits._
-    df.select(bytesCol).as[Array[Byte]].flatMap(decodeDelimitedStream(_))
+    val payloads = df.select(bytesCol).as[Array[Byte]]
+    if (lenient)
+      payloads.flatMap { b =>
+        try decodeDelimitedStream(b)
+        catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => Nil }
+      }
+    else payloads.flatMap(decodeDelimitedStream(_))
   }
 
   /** S1/S2 stand-in with a real on-disk source (no Kafka connector jar in

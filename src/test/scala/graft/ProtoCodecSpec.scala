@@ -106,6 +106,29 @@ class ProtoCodecSpec extends SparkTestBase {
     assertSame(ProtoCodec.decode(out.toByteArray), m)
   }
 
+  test("truncated payloads fail loudly; lenient mode drops them and keeps the stream") {
+    val msgs = FlowGen.flows(spark, 6, seed = 18).collect().toSeq
+    val good = msgs.flatMap(ProtoCodec.encodeDelimited).toArray
+    // cut mid-record: strict decode must throw, never zero-pad
+    val truncated = java.util.Arrays.copyOf(good, good.length - 3)
+    intercept[IllegalArgumentException](ProtoCodec.decodeDelimitedStream(truncated))
+    // frame length larger than the remaining buffer
+    val lied = good.clone(); lied(0) = 127 // first frame claims 127 bytes
+    intercept[IllegalArgumentException](ProtoCodec.decodeDelimitedStream(lied))
+
+    // lenient wire ingest: corrupt payloads dropped whole, good ones survive
+    import spark.implicits._
+    val goodPayloads = msgs.grouped(2).map(_.flatMap(ProtoCodec.encodeDelimited).toArray).toSeq
+    val mixed = goodPayloads :+ truncated
+    val decoded = ProtoCodec.fromWire(mixed.toDF("value"), "value", lenient = true).collect()
+    assert(decoded.length === 6)
+    assert(decoded.map(_.sequenceNum).sorted.toSeq === msgs.map(_.sequenceNum).sorted)
+    // strict default: the same mixed input fails the job
+    intercept[org.apache.spark.SparkException] {
+      ProtoCodec.fromWire(mixed.toDF("value"), "value").collect()
+    }
+  }
+
   test("binary-file source streams framed payload files through the MV cascade") {
     val srcDir = java.nio.file.Files.createTempDirectory("proto_files")
     val out = java.nio.file.Files.createTempDirectory("proto_files_out").toString
