@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.flow.{FlowEnrich, FlowQueries}
 import graft.operators.{Dedup, Multimodal, OpsMetrics, RelQueries, Similarity, TextOps}
+// registry spans: flow dashboards, enrichment, ops metrics, relational,
+// text/dedup/similarity/multimodal training-pipeline operators
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *

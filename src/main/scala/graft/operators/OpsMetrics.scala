@@ -45,14 +45,18 @@ object OpsMetrics {
       .groupBy(col("src_as").cast("string").as("instance"),
         ((col("time_received") / 30).cast("long") * 30).as("ts"))
       .agg(count(lit(1)).as("flows"), sum("bytes").as("bytes"))
-    val w = Window.partitionBy("instance").orderBy("ts")
+    // one scan + explode instead of a per-metric union (which would run
+    // the slot aggregation once per branch); the running sum of per-slot
+    // increments IS the counter series
+    val w = Window.partitionBy("metric", "instance").orderBy("ts")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perSlot.select(
-      lit("graft_flows_total").as("metric"), col("instance"), col("ts"),
-      sum("flows").over(w).cast("double").as("value"))
-      .union(perSlot.select(
-        lit("graft_bytes_total").as("metric"), col("instance"), col("ts"),
-        sum("bytes").over(w).cast("double").as("value")))
+    perSlot
+      .select(col("instance"), col("ts"), explode(array(
+        struct(lit("graft_flows_total").as("metric"), col("flows").cast("double").as("v")),
+        struct(lit("graft_bytes_total").as("metric"), col("bytes").cast("double").as("v")))).as("m"))
+      .select(col("m.metric").as("metric"), col("instance"), col("ts"), col("m.v").as("v"))
+      .withColumn("value", sum("v").over(w))
+      .drop("v")
   }
 
   /** Positive per-sample delta with Prometheus reset handling: value
