@@ -287,6 +287,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------- streaming dedup
+
+  /** STREAMING exact dedup — drop duplicate documents in-flight during
+    * ingest, before they ever land in the corpus. Keyed on the content
+    * digest (16-byte md5 of the body; the body itself never enters the
+    * state store), with `dropDuplicatesWithinWatermark`: state is bounded
+    * by the watermark horizon — a duplicate arriving within `lateness` of
+    * the original is dropped, one arriving later is a new document (the
+    * standard ingest-window dedup contract; cross-horizon dups fall to the
+    * batch [[exactDedup]] sweep). At scale this is one hash exchange on
+    * the digest and a fixed-size state row per in-horizon document. */
+  def streamingExactDedup(stream: org.apache.spark.sql.DataFrame, textCol: String,
+      tsCol: String, lateness: String = "1 hour"): org.apache.spark.sql.DataFrame =
+    stream
+      .withColumn("event_time", timestamp_seconds(col(tsCol)))
+      .withColumn("text_md5", md5(col(textCol)))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   // ------------------------------------------------- cross-split leakage
 
   /** Train/test CONTAMINATION detector: near-duplicate pairs whose members

@@ -59,6 +59,40 @@ class DedupSpec extends SparkTestBase {
     leakSet.foreach { case (a, b) => assert(split(a) !== split(b)) }
   }
 
+  test("streaming exact dedup: in-horizon duplicates dropped, bodies stay out of state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Long, String)]
+    val deduped = graft.operators.Dedup.streamingExactDedup(
+      src.toDF().toDF("doc_id", "ts", "text"), "text", "ts", lateness = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    val t0 = 1704067200L
+    // batch 1: three distinct texts, one in-batch duplicate
+    src.addData((1L, t0, "alpha body"), (2L, t0 + 10, "beta body"),
+      (3L, t0 + 20, "alpha body"), (4L, t0 + 30, "gamma body"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate inside the horizon + one new text
+    src.addData((5L, t0 + 60, "beta body"), (6L, t0 + 70, "delta body"))
+    q.processAllAvailable()
+    // doc 7 rides the batch that ADVANCES the watermark past the horizon:
+    // eviction happens after that batch, so the original's state is still
+    // live when 7 arrives — dropped. Doc 8, in the NEXT batch, sees the
+    // evicted state and counts as a new document.
+    src.addData((7L, t0 + 7200, "alpha body"))
+    q.processAllAvailable()
+    src.addData((8L, t0 + 7300, "alpha body"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("stream_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(Set(1L, 2L, 4L, 6L)).size === 4) // originals kept
+    assert(!kept.contains(3L) && !kept.contains(5L))       // in-horizon dups dropped
+    assert(!kept.contains(7L))                             // dup while state still live
+    assert(kept.contains(8L))                              // post-eviction re-appearance = new
+  }
+
   test("minhash+LSH on planted synthetic duplicates") {
     import spark.implicits._
     // two near-identical docs + unrelated ones
