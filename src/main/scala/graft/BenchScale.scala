@@ -68,7 +68,10 @@ object BenchScale {
     // manifest commits make every batch atomic and online-compactable
     val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
     val (_, ingestSec) = timed {
-      val stream = ProtoCodec.binaryFileStream(spark, wireDir).toDF()
+      // maxFilesPerTrigger is a SOURCE option — on the sink Spark ignores
+      // it silently and the whole corpus would ingest as one micro-batch
+      val stream = ProtoCodec.binaryFileStream(spark, wireDir,
+        Map("maxFilesPerTrigger" -> (genFiles / 8).toString)).toDF()
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           val b = batch.persist()
@@ -78,7 +81,6 @@ object BenchScale {
           } finally { b.unpersist(); () }
         }
         .option("checkpointLocation", checkpoint)
-        .option("maxFilesPerTrigger", (genFiles / 8).toString)
         .start()
       // online compaction RACES the running stream (r2 had to stop it).
       // The stop flag (not q.isActive) serializes against the FINAL
@@ -100,7 +102,9 @@ object BenchScale {
       q.processAllAvailable()
       q.stop()
       stopCompactor.set(true)
-      compactor.join(120000)
+      // unbounded join: a timed-out join would let the grace-0 vacuum
+      // below race the compactor's in-flight staging
+      compactor.join()
     }
 
     // final compaction + vacuum to the steady-state layout
@@ -166,11 +170,7 @@ object BenchScale {
     catch { case _: Throwable => () }
 
     // clean the multi-GB scratch
-    val s = java.nio.file.Files.walk(work)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.toList.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    } finally s.close()
+    Storage.deleteTree(work)
     spark.stop()
   }
 }

@@ -38,4 +38,16 @@ object Storage {
     * the call stack keeps every metric resolvable; the only cost is that
     * the cache-fill job runs now instead of at first use. */
   def materializeOnce(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Recursively delete a directory tree (children before parents).
+    * Shared by staging/scratch cleanup in FlowStreams, ManifestTable and
+    * BenchScale. */
+  def deleteTree(root: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(root)) return
+    val s = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toList.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally s.close()
+  }
 }

@@ -90,7 +90,13 @@ object FlowEnrich {
         col("timeFlowEnd"), col("bytes"), col("packets"), col("srcAddr"),
         col("dstAddr"), col("etype"), col("proto"), col("srcPort"),
         col("dstPort"), col("srcAS"), col("dstAS"),
-        col("src_country").as("srcCountry"), col("dst_country").as("dstCountry"),
+        // on the WIRE an unenriched endpoint stays the proto3 unset
+        // default "" (so the record remains byte-identical to its base
+        // encoding); "--" is strictly a display rendering
+        when(col("src_country") =!= "--", col("src_country")).otherwise(lit(""))
+          .as("srcCountry"),
+        when(col("dst_country") =!= "--", col("dst_country")).otherwise(lit(""))
+          .as("dstCountry"),
         when(col("src_country") =!= "--", lit(asdb)).otherwise(lit(0)).as("srcASDB"),
         when(col("dst_country") =!= "--", lit(asdb)).otherwise(lit(0)).as("dstASDB"))
       .as[FlowMessageExt]

@@ -61,9 +61,13 @@ object ProtoCodec {
       pos += len
       out
     }
+    private def advance(n: Int): Unit = {
+      if (pos + n > end) throw new IllegalArgumentException("truncated fixed-width field")
+      pos += n
+    }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
-      case 1 => pos += 8
+      case 1 => advance(8)
       case 2 =>
         // `pos += readVarint()` would capture pos BEFORE the varint read
         // advances it (Scala evaluates the lhs of += first) — read then add
@@ -71,7 +75,7 @@ object ProtoCodec {
         if (len < 0 || pos + len > end)
           throw new IllegalArgumentException("truncated skipped field")
         pos += len
-      case 5 => pos += 4
+      case 5 => advance(4)
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
     }
   }
@@ -281,15 +285,18 @@ object ProtoCodec {
     * micro-batch input, so the MV cascade downstream is identical to the
     * Kafka deployment; swapping in `readStream.format("kafka")` changes
     * only this one method. */
-  def binaryFileStream(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.Dataset[FlowMessage] = {
+  def binaryFileStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): org.apache.spark.sql.Dataset[FlowMessage] = {
     import org.apache.spark.sql.types._
     // the binaryFile source's fixed schema (streaming sources require it
-    // explicitly)
+    // explicitly). Source-side options (e.g. maxFilesPerTrigger, which
+    // Spark silently IGNORES if set on the sink) go here.
     val schema = StructType(Seq(
       StructField("path", StringType),
       StructField("modificationTime", TimestampType),
       StructField("length", LongType),
       StructField("content", BinaryType)))
-    fromWire(spark.readStream.format("binaryFile").schema(schema).load(dir), "content")
+    fromWire(spark.readStream.format("binaryFile").schema(schema)
+      .options(options).load(dir), "content")
   }
 }

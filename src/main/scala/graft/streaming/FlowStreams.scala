@@ -164,14 +164,7 @@ object FlowStreams {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      val root = java.nio.file.Paths.get(staging)
-      if (java.nio.file.Files.exists(root)) {
-        val s = java.nio.file.Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toList.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        } finally s.close()
-      }
+      graft.Storage.deleteTree(java.nio.file.Paths.get(staging))
     }
   }
 
@@ -292,12 +285,18 @@ object FlowStreams {
     if (files.isEmpty) return true
     val byPartition = files.groupBy(f =>
       f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
-    val fragmented = byPartition.filter(_._2.size > filesPerPartition)
-      .values.flatten.toSeq
+    val fragmentedGroups = byPartition.filter(_._2.size > filesPerPartition)
+    val fragmented = fragmentedGroups.values.flatten.toSeq
     if (fragmented.isEmpty) return true
+    // range partitioning on (date, time): hash-partitioning by date alone
+    // would collapse each date into ONE task/file regardless of the
+    // target, serializing the hottest partition on a single core; ranges
+    // give ~filesPerPartition contiguous-time files per date, which also
+    // preserves the ORDER BY TimeReceived clustering ACROSS files
     val compacted = spark.read.option("basePath", table)
       .parquet(fragmented.map(f => s"$table/$f"): _*)
-      .repartition(filesPerPartition, col("event_date"))
+      .repartitionByRange(fragmentedGroups.size * filesPerPartition,
+        col("event_date"), col("timeReceived"))
       .sortWithinPartitions("timeReceived")
     ManifestTable.swap(compacted, table, Some("event_date"), fragmented)
   }

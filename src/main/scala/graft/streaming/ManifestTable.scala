@@ -57,16 +57,27 @@ object ManifestTable {
     n.stripPrefix("v").stripSuffix(".manifest").toLong
   }
 
-  /** Latest committed (version, relative file list); (0, empty) if none. */
-  def snapshot(table: String): (Long, Seq[String]) = {
+  /** Latest committed (version, relative file list); (0, empty) if none.
+    * Header lines (`#…`) carry snapshot metadata and are not files. */
+  def snapshot(table: String): (Long, Seq[String]) =
+    readLatest(table) match { case (v, _, files) => (v, files) }
+
+  /** Highest batch id any committed snapshot has absorbed; -1 if none. */
+  def maxBatchId(table: String): Long = readLatest(table)._2
+
+  private def readLatest(table: String): (Long, Long, Seq[String]) = {
     val dir = manifestDir(table)
-    if (!Files.isDirectory(dir)) return (0L, Nil)
+    if (!Files.isDirectory(dir)) return (0L, -1L, Nil)
     val latest = listed(Files.list(dir))(_
       .filter(_.getFileName.toString.matches("v\\d+\\.manifest"))
       .maxByOption(versionOf))
     latest match {
-      case None => (0L, Nil)
-      case Some(m) => (versionOf(m), Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty))
+      case None => (0L, -1L, Nil)
+      case Some(m) =>
+        val lines = Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+        val maxBatch = lines.find(_.startsWith("#maxBatch:"))
+          .map(_.stripPrefix("#maxBatch:").toLong).getOrElse(-1L)
+        (versionOf(m), maxBatch, lines.filterNot(_.startsWith("#")))
     }
   }
 
@@ -80,12 +91,16 @@ object ManifestTable {
       .parquet(files.map(f => s"$table/$f"): _*)
   }
 
-  /** True if any committed snapshot already contains files of this batch —
-    * the replay guard that makes foreachBatch appends exactly-once. */
-  def hasBatch(table: String, batchId: Long): Boolean = {
-    val tag = s"b$batchId-"
-    snapshot(table)._2.exists(f => f.startsWith(tag) || f.contains(s"/$tag"))
-  }
+  /** True if this batch is already absorbed — the replay guard that makes
+    * foreachBatch appends exactly-once. Keyed on the MANIFEST-RECORDED max
+    * batch id, not filenames: compaction renames data files, and Spark's
+    * checkpoint guarantees batch ids commit in order per query, so a
+    * replayed id is always ≤ the recorded max (the same max-batchId
+    * contract Spark documents for idempotent batch sinks). A table is
+    * paired with one checkpoint lineage; re-pointing a FRESH checkpoint at
+    * an existing table restarts ids at 0 and must use a new table dir. */
+  def hasBatch(table: String, batchId: Long): Boolean =
+    batchId <= maxBatchId(table)
 
   /** Optimistic commit: transform the latest committed file list and
     * atomically publish it as the next version. Retries on CAS loss with
@@ -93,19 +108,21 @@ object ManifestTable {
     * aborts without publishing (used by [[swap]] when its snapshot went
     * stale — re-applying a swap on top of someone else's swap would
     * DUPLICATE the staged copy; the 50M scale run caught exactly that). */
-  def tryCommit(table: String)(delta: Seq[String] => Option[Seq[String]]): Option[Long] =
+  def tryCommit(table: String, absorbBatch: Option[Long] = None)
+      (delta: Seq[String] => Option[Seq[String]]): Option[Long] =
     lockFor(table).synchronized {
       val dir = manifestDir(table)
       Files.createDirectories(dir)
       var attempts = 0
       while (attempts < 100) {
         attempts += 1
-        val (v, files) = snapshot(table)
+        val (v, maxB, files) = readLatest(table)
         delta(files) match {
           case None => return None
           case Some(next) =>
+            val newMax = math.max(maxB, absorbBatch.getOrElse(-1L))
             val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-            Files.write(tmp, next.mkString("\n").getBytes("UTF-8"))
+            Files.write(tmp, (s"#maxBatch:$newMax" +: next).mkString("\n").getBytes("UTF-8"))
             val target = dir.resolve(f"v${v + 1}%020d.manifest")
             try {
               // no REPLACE_EXISTING: rename-no-overwrite is the CAS — a
@@ -121,8 +138,9 @@ object ManifestTable {
       throw new IllegalStateException(s"manifest commit contention on $table")
     }
 
-  def commit(table: String)(delta: Seq[String] => Seq[String]): Long =
-    tryCommit(table)(files => Some(delta(files))).get
+  def commit(table: String, absorbBatch: Option[Long] = None)
+      (delta: Seq[String] => Seq[String]): Long =
+    tryCommit(table, absorbBatch)(files => Some(delta(files))).get
 
   /** Stage `df` into the table directory and commit it as an APPEND.
     * Data files land under their partition dirs named `b<batchId>-<uuid>`;
@@ -132,7 +150,9 @@ object ManifestTable {
       batchId: Long): Unit = {
     if (hasBatch(table, batchId)) return
     val staged = stage(df, table, partitionCol, s"b$batchId")
-    if (staged.nonEmpty) commit(table)(files => files ++ staged)
+    // commit even when the batch produced no files: the id must be
+    // absorbed into the manifest header or a replay would re-run it
+    commit(table, absorbBatch = Some(batchId))(files => files ++ staged)
   }
 
   /** Replace `replaced` files with the staged contents of `df` in one
@@ -180,7 +200,7 @@ object ManifestTable {
         moved += relOut
       }
     // scratch now holds only _SUCCESS/metadata droppings
-    listed(Files.walk(scratch))(_.toList).reverse.foreach(Files.deleteIfExists(_))
+    graft.Storage.deleteTree(scratch)
     moved.toSeq
   }
 

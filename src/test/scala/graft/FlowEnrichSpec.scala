@@ -46,17 +46,27 @@ class FlowEnrichSpec extends SparkTestBase {
     val enriched = FlowEnrich.enrichExt(flows, dims, asdb = 20240101).collect()
     assert(enriched.length === 100)
     enriched.foreach { e =>
+      // on the wire, an unmatched endpoint is the proto3 unset default ""
+      // (never the display sentinel "--")
       val expected = e.srcAS match {
-        case 65000 => "NL"; case 65001 => "US"; case _ => "--"
+        case 65000 => "NL"; case 65001 => "US"; case _ => ""
       }
       assert(e.srcCountry === expected, s"srcAS ${e.srcAS}")
-      assert((e.srcASDB != 0) === (e.srcCountry != "--"))
+      assert((e.srcASDB != 0) === (e.srcCountry != ""))
       // full loop: re-inject to wire, extended consumer sees the geo
       val onWire = ProtoCodec.decodeExt(ProtoCodec.encodeExt(e))
       assert(onWire.srcCountry === e.srcCountry && onWire.dstCountry === e.dstCountry)
     }
     // both dimension ASNs actually occurred (the generator spans all three)
-    assert(enriched.map(_.srcCountry).toSet === Set("NL", "US", "--"))
+    assert(enriched.map(_.srcCountry).toSet === Set("NL", "US", ""))
+    // a fully-unmatched record re-encodes byte-identical to its base form
+    enriched.find(e => e.srcCountry == "" && e.dstCountry == "").foreach { e =>
+      val base = graft.flow.FlowMessage(e.flowType, e.timeReceived, e.sequenceNum,
+        e.samplingRate, e.samplerAddress, e.timeFlowStart, e.timeFlowEnd, e.bytes,
+        e.packets, e.srcAddr, e.dstAddr, e.etype, e.proto, e.srcPort, e.dstPort,
+        e.srcAS, e.dstAS)
+      assert(ProtoCodec.encodeExt(e).toSeq === ProtoCodec.encode(base).toSeq)
+    }
   }
 
   test("enrichment runs inside the streaming MV cascade (processor-in-stream)") {

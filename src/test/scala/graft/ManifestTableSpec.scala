@@ -143,6 +143,26 @@ class ManifestTableSpec extends SparkTestBase {
     assert(ManifestTable.read(spark, table).count() === 50)
   }
 
+  test("replay guard survives compaction renaming every data file") {
+    val table = tmp()
+    val df = genBatch(50, seed = 52, baseTime = 1704067200L).toDS()
+      .toDF().transform(FlowStreams.projectRaw)
+    ManifestTable.append(df, table, Some("event_date"), batchId = 3L)
+    // compaction swaps b3-* files out for c*-named ones — the guard must
+    // key on the manifest-recorded batch id, not filenames
+    assert(FlowStreams.compactRawOnline(spark, table, filesPerPartition = 1))
+    assert(ManifestTable.snapshot(table)._2.forall(f => !f.contains("/b3-")))
+    ManifestTable.append(df, table, Some("event_date"), batchId = 3L) // crash replay
+    assert(ManifestTable.read(spark, table).count() === 50,
+      "replayed batch after compaction must not duplicate")
+    // and a batch that produced zero files is still absorbed
+    val empty = df.filter(lit(false))
+    ManifestTable.append(empty, table, Some("event_date"), batchId = 4L)
+    assert(ManifestTable.maxBatchId(table) === 4L)
+    ManifestTable.append(df, table, Some("event_date"), batchId = 4L) // replay w/ data
+    assert(ManifestTable.read(spark, table).count() === 50)
+  }
+
   test("uncommitted files are invisible to readers and removed by vacuum") {
     val table = tmp()
     val df = genBatch(60, seed = 51, baseTime = 1704067200L).toDS()

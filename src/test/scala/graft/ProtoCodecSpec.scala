@@ -115,6 +115,12 @@ class ProtoCodecSpec extends SparkTestBase {
     // frame length larger than the remaining buffer
     val lied = good.clone(); lied(0) = 127 // first frame claims 127 bytes
     intercept[IllegalArgumentException](ProtoCodec.decodeDelimitedStream(lied))
+    // truncation inside a skipped fixed-width field (wire types 1 and 5;
+    // fields 12/13 are outside the decoded subset, single-byte tags)
+    val fixedCut = Array[Byte]((12 << 3 | 1).toByte, 1, 2) // fixed64 tag, 2 of 8 bytes
+    intercept[IllegalArgumentException](ProtoCodec.decode(fixedCut))
+    val fixed32Cut = Array[Byte]((13 << 3 | 5).toByte, 1) // fixed32 tag, 1 of 4 bytes
+    intercept[IllegalArgumentException](ProtoCodec.decode(fixed32Cut))
 
     // lenient wire ingest: corrupt payloads dropped whole, good ones survive
     import spark.implicits._
