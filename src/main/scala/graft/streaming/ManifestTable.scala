@@ -17,9 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   _graft_manifest/v<version>.manifest       committed snapshots
   * }}}
   *
-  * Readers list `_graft_manifest`, take the HIGHEST version, and read
-  * exactly the files it names — uncommitted/orphaned data files are
-  * invisible. A commit writes the new file list to a temp name and
+  * Readers resolve the HIGHEST committed version (O(1) via the
+  * `_latest.hint` pointer + forward probe; full listing only as fallback)
+  * and read exactly the files it names — uncommitted/orphaned data files
+  * are invisible. Superseded manifests are garbage-collected by [[vacuum]]
+  * (retain-last-N), so metadata cost stays flat over an always-on table's
+  * lifetime: each commit writes one manifest of O(live files) — bounded by
+  * compaction — not O(commits ever made). A commit writes the new file list to a temp name and
   * atomically renames it to `v<latest+1>.manifest`; rename-no-overwrite
   * doubles as compare-and-swap, so a loser re-reads the latest snapshot,
   * re-applies its delta (add files / replace files), and retries. Writers
@@ -41,6 +45,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ManifestTable {
 
   private val manifestDirName = "_graft_manifest"
+  private val hintName = "_latest.hint"
 
   /** Per-path in-JVM commit lock (stream + compactor share the driver). */
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -57,6 +62,48 @@ object ManifestTable {
     n.stripPrefix("v").stripSuffix(".manifest").toLong
   }
 
+  private def manifestPath(dir: Path, v: Long): Path = dir.resolve(f"v$v%020d.manifest")
+
+  /** Advisory pointer to the latest version, rewritten after every commit.
+    * Correctness never depends on it: a stale-low hint is fixed by the
+    * forward probe, a missing/corrupt one falls back to a full listing, and
+    * the rename-no-overwrite CAS still rejects commits built on a stale
+    * read. It exists so latest-version lookup — paid on every read AND
+    * inside the commit lock on every append/swap — is O(1), not
+    * O(all manifests ever committed): an always-on table at a 5-second
+    * trigger accumulates ~17k manifests/day, and without the hint every
+    * commit re-lists all of them. */
+  private def readHint(dir: Path): Option[Long] = {
+    val h = dir.resolve(hintName)
+    if (!Files.isRegularFile(h)) None
+    else try Some(new String(Files.readAllBytes(h), "UTF-8").trim.toLong)
+    catch { case _: NumberFormatException => None }
+  }
+
+  private def writeHint(dir: Path, v: Long): Unit =
+    try {
+      val tmp = dir.resolve(s".hint-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, v.toString.getBytes("UTF-8"))
+      Files.move(tmp, dir.resolve(hintName),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: java.io.IOException => () } // best-effort: readers fall back
+
+  /** O(1) latest-manifest lookup: hint + forward probe (covers commits by
+    * other JVMs since the hint was written); full listing only when the
+    * hint is absent or points at a vanished file. */
+  private def latestManifest(dir: Path): Option[Path] = {
+    val hinted = readHint(dir)
+      .filter(v => v > 0 && Files.exists(manifestPath(dir, v)))
+      .map { h =>
+        var v = h
+        while (Files.exists(manifestPath(dir, v + 1))) v += 1
+        manifestPath(dir, v)
+      }
+    hinted.orElse(listed(Files.list(dir))(_
+      .filter(_.getFileName.toString.matches("v\\d+\\.manifest"))
+      .maxByOption(versionOf)))
+  }
+
   /** Latest committed (version, relative file list); (0, empty) if none.
     * Header lines (`#…`) carry snapshot metadata and are not files. */
   def snapshot(table: String): (Long, Seq[String]) =
@@ -68,10 +115,7 @@ object ManifestTable {
   private def readLatest(table: String): (Long, Long, Seq[String]) = {
     val dir = manifestDir(table)
     if (!Files.isDirectory(dir)) return (0L, -1L, Nil)
-    val latest = listed(Files.list(dir))(_
-      .filter(_.getFileName.toString.matches("v\\d+\\.manifest"))
-      .maxByOption(versionOf))
-    latest match {
+    latestManifest(dir) match {
       case None => (0L, -1L, Nil)
       case Some(m) =>
         val lines = Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
@@ -83,11 +127,20 @@ object ManifestTable {
 
   /** Read the table at its latest committed snapshot. `basePath` keeps
     * partition-directory columns (event_date=…) in the schema even though
-    * we hand Spark an explicit file list. */
-  def read(spark: SparkSession, table: String): DataFrame = {
+    * we hand Spark an explicit file list. A committed-but-empty table (all
+    * batches so far produced zero rows) composes as an empty DataFrame when
+    * the caller supplies the table schema; without one there is nothing to
+    * infer from, so it stays an error. */
+  def read(spark: SparkSession, table: String,
+      emptySchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val (_, files) = snapshot(table)
-    require(files.nonEmpty, s"empty manifest table: $table")
-    spark.read.option("basePath", table)
+    if (files.isEmpty) emptySchema match {
+      case Some(s) =>
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+      case None => throw new IllegalArgumentException(
+        s"empty manifest table: $table (pass emptySchema to read it as an empty DataFrame)")
+    }
+    else spark.read.option("basePath", table)
       .parquet(files.map(f => s"$table/$f"): _*)
   }
 
@@ -129,6 +182,7 @@ object ManifestTable {
               // loser gets FileAlreadyExistsException and retries on the
               // new snapshot
               Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+              writeHint(dir, v + 1)
               return Some(v + 1)
             } catch {
               case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
@@ -216,8 +270,13 @@ object ManifestTable {
     * per-table commit lock excludes same-JVM commits during the
     * delete-set computation (the normal driver topology). Cross-JVM
     * writers should schedule vacuum from the owning driver only. Pass
-    * `graceSeconds = 0` only when no writer is active. */
-  def vacuum(table: String, graceSeconds: Long = 600L): Long =
+    * `graceSeconds = 0` only when no writer is active.
+    *
+    * Also garbage-collects manifest metadata (see [[gcManifests]]) so an
+    * always-on table's commit/read cost stays flat instead of growing
+    * O(commits) with uptime. */
+  def vacuum(table: String, graceSeconds: Long = 600L,
+      retainManifests: Int = 100): Long =
     lockFor(table).synchronized {
       val root = Paths.get(table)
       if (!Files.isDirectory(root)) return 0L
@@ -230,6 +289,28 @@ object ManifestTable {
       val live = snapshot(table)._2.toSet
       val dead = all -- live
       dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
+      gcManifests(table, retainManifests)
+      dead.size.toLong
+    }
+
+  /** Drop committed manifests older than the newest `retain` versions.
+    * Only superseded snapshots are deleted — the latest always survives
+    * (retain ≥ 1 enforced), and `retain` versions of history give
+    * concurrent readers that resolved a snapshot just before GC ample
+    * margin (a reader holds a manifest for one query, not hours). Returns
+    * the number deleted. */
+  def gcManifests(table: String, retain: Int = 100): Long =
+    lockFor(table).synchronized {
+      val dir = manifestDir(table)
+      if (!Files.isDirectory(dir)) return 0L
+      val keep = math.max(1, retain)
+      val latest = readLatest(table)._1
+      if (latest <= keep) return 0L
+      val dead = listed(Files.list(dir))(_
+        .filter(_.getFileName.toString.matches("v\\d+\\.manifest"))
+        .filter(p => versionOf(p) <= latest - keep)
+        .toList)
+      dead.foreach(Files.deleteIfExists(_))
       dead.size.toLong
     }
 }

@@ -218,6 +218,46 @@ class ManifestTableSpec extends SparkTestBase {
     assert(parquetFiles(table).size === ManifestTable.snapshot(table)._2.size)
   }
 
+  test("manifest metadata stays bounded across 1200 commits with GC running") {
+    val table = tmp()
+    Files.createDirectories(Paths.get(table))
+    def manifestCount: Long = {
+      val s = Files.list(Paths.get(table, "_graft_manifest"))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.toString.endsWith(".manifest")).toLong
+      } finally s.close()
+    }
+    (1 to 1200).foreach { i =>
+      ManifestTable.commit(table, absorbBatch = Some(i.toLong))(files =>
+        // keep the live list small, like a compacting table would
+        files.takeRight(4) :+ s"f$i.parquet")
+      if (i % 100 == 0) ManifestTable.vacuum(table, graceSeconds = 0)
+    }
+    ManifestTable.vacuum(table, graceSeconds = 0)
+    assert(manifestCount <= 101L, s"manifest metadata grew unbounded: $manifestCount files")
+    val (v, files) = ManifestTable.snapshot(table)
+    assert(v === 1200L)
+    assert(files.last === "f1200.parquet")
+    assert(ManifestTable.maxBatchId(table) === 1200L)
+    // hint-file loss degrades to a listing, never to a wrong answer
+    Files.delete(Paths.get(table, "_graft_manifest", "_latest.hint"))
+    assert(ManifestTable.snapshot(table)._1 === 1200L)
+    ManifestTable.commit(table)(files => files :+ "post-hint-loss.parquet")
+    assert(ManifestTable.snapshot(table)._1 === 1201L)
+  }
+
+  test("empty committed table reads as empty DataFrame when schema is supplied") {
+    val table = tmp()
+    val df = genBatch(10, seed = 90, baseTime = 1704067200L).toDS()
+      .toDF().transform(FlowStreams.projectRaw)
+    // a batch that produced zero rows still commits (absorbs the batch id)
+    ManifestTable.append(df.filter(lit(false)), table, Some("event_date"), batchId = 0L)
+    assertThrows[IllegalArgumentException](ManifestTable.read(spark, table))
+    val schema = df.schema
+    val empty = ManifestTable.read(spark, table, emptySchema = Some(schema))
+    assert(empty.isEmpty && empty.schema === schema)
+  }
+
   test("concurrent commits: CAS retry keeps every committer's files") {
     val table = tmp()
     Files.createDirectories(Paths.get(table))
