@@ -223,19 +223,32 @@ object Similarity {
     * order-independent (bit-reproducible across engines); empty clusters
     * keep their previous centroid. Each iteration is one broadcast-join
     * streaming pass with a partial `max_by` collapsing the K scored copies
-    * pre-shuffle, plus one posexplode aggregate over (cid, dim) — at
-    * 100 TB centroid training runs on a deterministic hash sample
-    * ([[TextOps.sampleByHash]] semantics) and only the final assignment
-    * pass sees the full corpus. */
+    * pre-shuffle, plus one posexplode aggregate over (cid, dim).
+    *
+    * Sampled training (`trainBuckets` < 10000): Lloyd runs on the
+    * deterministic md5-bucket sample `hashBucket(vec_id) < trainBuckets`
+    * ([[TextOps.hashBucket]] — the same order/partition-independent draw
+    * as the corpus samplers), so training cost scales with the sample, not
+    * the corpus; only the caller's final assignment pass sees every
+    * vector. That is the 100 TB posture: centroids are a statistic, and a
+    * few hundred thousand sampled vectors pin them as well as a hundred
+    * billion. The sample is materialized once — it is re-scanned
+    * 2·iters+1 times and is orders of magnitude smaller than its source.
+    * The DuckDB oracle replays the identical sample predicate, so sampled
+    * training stays bit-reproducible. */
   def kmeansCentroids(emb: DataFrame, nCentroids: Int, iters: Int,
-      hashSeeds: Boolean = true): DataFrame = {
+      hashSeeds: Boolean = true, trainBuckets: Int = 10000): DataFrame = {
+    val train =
+      if (trainBuckets >= 10000) emb
+      else emb.filter(TextOps.hashBucket(col("vec_id")) < trainBuckets)
+        .transform(graft.Storage.materializeOnce)
     val seeds =
       if (hashSeeds)
-        emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCentroids)
-      else emb.filter(col("vec_id") < nCentroids)
+        train.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCentroids)
+      else train.filter(col("vec_id") < nCentroids)
     var cents = seeds.select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
     for (_ <- 0 until iters) {
-      val assigned = emb.join(broadcast(cents))
+      val assigned = train.join(broadcast(cents))
         .withColumn("cos_c", round(cosine(col("embedding"), col("c_emb")), 6))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cid"), struct(col("cos_c"), -col("cid"))).as("cid"),
@@ -266,17 +279,18 @@ object Similarity {
     * Lloyd and reproduces the exact partition. At 100 TB the assigned corpus is written partitioned by
     * `cid`, making each probe a partition-pruned read. */
   def knnIvf(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
-      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame =
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2,
+      trainBuckets: Int = 2500): DataFrame =
     knnIvfOver(Tables.embeddings(spark, dir), col("vec_id") < nQueries,
-      k, nCentroids, nProbe, kmeansIters)
+      k, nCentroids, nProbe, kmeansIters, trainBuckets = trainBuckets)
 
   /** [[knnIvf]] over an arbitrary embeddings relation with an arbitrary
     * query-row predicate (the registry uses vec_id < nQueries; tests use
     * planted corpora with spread query sets). */
   def knnIvfOver(emb: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int, nProbe: Int, kmeansIters: Int,
-      hashSeeds: Boolean = true): DataFrame = {
-    val cents = kmeansCentroids(emb, nCentroids, kmeansIters, hashSeeds)
+      hashSeeds: Boolean = true, trainBuckets: Int = 10000): DataFrame = {
+    val cents = kmeansCentroids(emb, nCentroids, kmeansIters, hashSeeds, trainBuckets)
     // nearest centroid per vector: argmax over (rounded cosine, -cid)
     val assigned = emb.join(broadcast(cents))
       .withColumn("cos_c", round(cosine(col("embedding"), col("c_emb")), 6))
@@ -324,18 +338,23 @@ object Similarity {
   /** DuckDB CTEs replaying the fixed-iteration Lloyd refinement: seeds →
     * (assign, fixed-point sum, re-center) × iters, ending at
     * `cents{iters}`. Integer centroid sums make every iteration
-    * bit-reproducible across engines. */
-  private def duckKmeansCtes(nCentroids: Int, iters: Int): String = {
+    * bit-reproducible across engines. Training CTEs (`tr`, seeds, assign,
+    * sums) see only the md5-bucket sample when `trainBuckets` < 10000 —
+    * the same predicate the Spark side applies. */
+  private def duckKmeansCtes(nCentroids: Int, iters: Int,
+      trainBuckets: Int = 10000): String = {
     val sb = new StringBuilder
     sb ++= "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
     sb ++= "ed AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding FROM e), "
-    sb ++= "cents0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM e "
+    sb ++= (if (trainBuckets >= 10000) "tr AS (SELECT vec_id, embedding FROM e), "
+      else s"tr AS (SELECT vec_id, embedding FROM e WHERE ${TextOps.duckHashBucketOf("vec_id")} < $trainBuckets), ")
+    sb ++= "cents0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM tr "
     sb ++= s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCentroids)"
     for (t <- 0 until iters) {
       sb ++= s", asg$t AS (SELECT vec_id, cid FROM ("
       sb ++= s"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
       sb ++= s"ORDER BY round(${duckCos("e.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn "
-      sb ++= s"FROM e, cents$t c) WHERE rn = 1)"
+      sb ++= s"FROM tr e, cents$t c) WHERE rn = 1)"
       sb ++= s", sm$t AS (SELECT a.cid, d.i - 1 AS pos, "
       sb ++= s"sum(CAST(round((d.embedding[d.i])::DOUBLE * $KmeansScale) AS BIGINT)) AS s "
       sb ++= s"FROM asg$t a JOIN ed d ON d.vec_id = a.vec_id GROUP BY 1, 2)"
@@ -380,7 +399,7 @@ object Similarity {
          |   FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
          | WHERE cos_sim >= 0.9 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '),
     "sim_knn_ivf" ->
-      s"""${duckKmeansCtes(16, 2)},
+      s"""${duckKmeansCtes(16, 2, trainBuckets = 2500)},
          | cents AS (SELECT cid, c_emb FROM cents2),
          | asg AS (SELECT vec_id AS neighbor_id, cid FROM (
          |   SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id

@@ -90,9 +90,9 @@ class SimilaritySpec extends SparkTestBase {
         .sortBy { case (id, s) => (-s, id) }.take(k).map(x => (q, x._1))
     }.toSet
 
-    def recallOf(iters: Int, hashSeeds: Boolean): Double = {
+    def recallOf(iters: Int, hashSeeds: Boolean, trainBuckets: Int = 10000): Double = {
       val got = Similarity.knnIvfOver(emb, qPred, k, nCentroids = 16, nProbe = 4,
-          kmeansIters = iters, hashSeeds = hashSeeds)
+          kmeansIters = iters, hashSeeds = hashSeeds, trainBuckets = trainBuckets)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       brute.count(got.contains).toDouble / brute.size
     }
@@ -101,6 +101,12 @@ class SimilaritySpec extends SparkTestBase {
     assert(kmeansRecall > prefixRecall,
       s"k-means recall $kmeansRecall should beat prefix-seed recall $prefixRecall")
     assert(kmeansRecall >= 0.8, s"k-means recall $kmeansRecall too low on planted clusters")
+    // the 100 TB posture: Lloyd on a ~50% md5-bucket sample, assignment on
+    // the full corpus — centroids are a statistic, the sample pins them
+    val sampledRecall = recallOf(2, hashSeeds = true, trainBuckets = 5000)
+    assert(sampledRecall > prefixRecall,
+      s"sampled-training recall $sampledRecall should beat prefix-seed recall $prefixRecall")
+    assert(sampledRecall >= 0.8, s"sampled-training recall $sampledRecall too low")
   }
 
   test("LSH ANN recall vs brute force") {
