@@ -236,6 +236,29 @@ object Similarity {
     * 2·iters+1 times and is orders of magnitude smaller than its source.
     * The DuckDB oracle replays the identical sample predicate, so sampled
     * training stays bit-reproducible. */
+  /** Nearest-centroid assignment as a single codegen'd projection: the
+    * centroid set is folded into ONE array row, broadcast, and each vector
+    * takes the argmax of rounded cosine over it with a higher-order
+    * `aggregate` (lexicographic max on (cos, -cid): ties to the lowest
+    * cid, matching the oracle's `ORDER BY cos DESC, cid ASC`). ZERO
+    * exchange — the r3 shape scored K copies per vector and collapsed
+    * them through a `groupBy(vec_id)` shuffle of all N rows; at 100 TB
+    * that exchange is the whole cost of assignment. `collect_list` order
+    * does not matter: (cos, -cid) pairs are distinct (cids are unique),
+    * so the strict max is order-independent. */
+  private def withNearestCid(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val arr = cents.agg(collect_list(struct(col("cid"), col("c_emb"))).as("cents_arr"))
+    val scored = transform(col("cents_arr"), c =>
+      struct(round(cosine(col("embedding"), c.getField("c_emb")), 6).as("cos"),
+        (-c.getField("cid")).as("ncid")))
+    val best = aggregate(scored,
+      struct(lit(Double.NegativeInfinity).as("cos"), lit(Long.MinValue).as("ncid")),
+      (acc, x) => when(x > acc, x).otherwise(acc))
+    emb.crossJoin(broadcast(arr))
+      .withColumn("cid", -best.getField("ncid"))
+      .drop("cents_arr")
+  }
+
   def kmeansCentroids(emb: DataFrame, nCentroids: Int, iters: Int,
       hashSeeds: Boolean = true, trainBuckets: Int = 10000): DataFrame = {
     val train =
@@ -248,11 +271,7 @@ object Similarity {
       else train.filter(col("vec_id") < nCentroids)
     var cents = seeds.select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
     for (_ <- 0 until iters) {
-      val assigned = train.join(broadcast(cents))
-        .withColumn("cos_c", round(cosine(col("embedding"), col("c_emb")), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("cos_c"), -col("cid"))).as("cid"),
-          first(col("embedding")).as("embedding"))
+      val assigned = withNearestCid(train, cents)
       val sums = assigned
         .select(col("cid"), posexplode(col("embedding")))
         .select(col("cid"), col("pos"),
@@ -261,18 +280,23 @@ object Similarity {
       val refreshed = sums.groupBy("cid")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("s")))),
           x => x.getField("s").cast("float")).as("c_emb_next"))
-      cents = cents.join(refreshed, Seq("cid"), "left")
+      val next = cents.join(refreshed, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("c_emb_next"), col("c_emb")).as("c_emb"))
-        .transform(graft.Storage.materializeOnce) // iterative: cut lineage per round
+      // pin the nCentroids-row statistic as a LocalRelation: centroids are
+      // driver-resident anyway (every consumer broadcasts them), and a
+      // LocalTableScan costs downstream jobs nothing — unlike the r3
+      // localCheckpoint, whose block-store writes made each Lloyd round a
+      // heavyweight job and every consumer a block fetch
+      cents = next.sparkSession.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
     cents
   }
 
   /** IVF (inverted-file) approximate top-k — the clustered alternative to
     * hyperplane LSH: the corpus is assigned once to its nearest centroid
-    * (broadcast centroids, one streaming pass; the partial `max_by`
-    * aggregate collapses the K scored copies of each vector BEFORE the
-    * shuffle, so only N assignment rows move), queries probe the `nProbe`
+    * ([[withNearestCid]]: broadcast centroid array, argmax in one
+    * codegen'd projection, ZERO exchange), queries probe the `nProbe`
     * nearest clusters and re-rank exactly within them. Centroids are
     * hash-spread-seeded and Lloyd-refined by [[kmeansCentroids]] — fully
     * deterministic, so the DuckDB oracle replays the same fixed-iteration
@@ -291,11 +315,9 @@ object Similarity {
       nCentroids: Int, nProbe: Int, kmeansIters: Int,
       hashSeeds: Boolean = true, trainBuckets: Int = 10000): DataFrame = {
     val cents = kmeansCentroids(emb, nCentroids, kmeansIters, hashSeeds, trainBuckets)
-    // nearest centroid per vector: argmax over (rounded cosine, -cid)
-    val assigned = emb.join(broadcast(cents))
-      .withColumn("cos_c", round(cosine(col("embedding"), col("c_emb")), 6))
-      .groupBy(col("vec_id").as("neighbor_id"))
-      .agg(max_by(col("cid"), struct(col("cos_c"), -col("cid"))).as("cid"))
+    // nearest centroid per vector: shuffle-free argmax projection
+    val assigned = withNearestCid(emb, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
     val probes = emb.filter(queryPred)
       .join(broadcast(cents))
       .withColumn("cos_c", round(cosine(col("embedding"), col("c_emb")), 6))

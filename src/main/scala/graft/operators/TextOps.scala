@@ -94,14 +94,23 @@ object TextOps {
   }
 
   /** Document fingerprinting: md5 content hash over whitespace-normalized
-    * text + a 64-bit prefix — the exact-dup key at 100 TB scale. */
+    * text + a 64-bit prefix — the exact-dup key at 100 TB scale.
+    *
+    * Two-step projection on purpose: `fp64` derives from the `content_md5`
+    * ALIAS, so the regex normalization + md5 run once per row.
+    * A single select spelled both columns as `md5(norm)` — and whole-stage
+    * codegen's subexpression elimination is not guaranteed across
+    * independent output expressions, so the doubled (regexp + digest) work
+    * showed up as a +57% bench regression in r3. CollapseProject keeps the
+    * split: it never inlines a non-cheap alias referenced more than once. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    d.select(
-      col("doc_id"),
-      md5(norm).as("content_md5"),
-      substring(md5(norm), 1, 16).as("fp64"))
+    d.select(col("doc_id"), md5(norm).as("content_md5"))
+      .select(
+        col("doc_id"),
+        col("content_md5"),
+        substring(col("content_md5"), 1, 16).as("fp64"))
       .orderBy("doc_id")
   }
 
