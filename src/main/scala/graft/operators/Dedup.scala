@@ -172,16 +172,23 @@ object Dedup {
       .drop("__hs")
   }
 
-  /** LSH candidate pairs: band the signature, bucket-join on band hash.
-    * numHashes = bands * rowsPerBand. */
-  def minhashCandidates(df: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+  /** (id, band, bh) banding rows of a minhash-signature relation —
+    * the bucket keys for both the batch self-join and the streaming
+    * signature index. */
+  private def bandedOf(sig: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
     val bandCols = (0 until bands).map { bIdx =>
       struct(lit(bIdx).as("band"),
         xxhash64((bIdx * r until (bIdx + 1) * r).map(i => col(s"mh_$i")): _*).as("bh"))
     }
-    val banded = df.select(col(idCol), explode(array(bandCols: _*)).as("b"))
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
       .select(col(idCol), col("b.band"), col("b.bh"))
+  }
+
+  /** LSH candidate pairs: band the signature, bucket-join on band hash.
+    * numHashes = bands * rowsPerBand. */
+  def minhashCandidates(df: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val banded = bandedOf(df, idCol, numHashes, bands)
     // alias self-join → one banding pass + one shuffle (ReuseExchange)
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -201,8 +208,15 @@ object Dedup {
     * exchange; this replaces it at identical semantics, xxhash64 collisions
     * being the only — negligible — difference). */
   def minhashDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minhashDupPairsOver(Tables.documents(spark, dir).select("doc_id", "text"),
+      threshold, numHashes, bands)
+
+  /** [[minhashDupPairs]] over an arbitrary (doc_id, text) relation — the
+    * batch reference the streaming spec compares against. */
+  def minhashDupPairsOver(docsIn: DataFrame,
       threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val docs = withShingles(Tables.documents(spark, dir).select("doc_id", "text"), "text")
+    val docs = withShingles(docsIn, "text")
       .filter(size(col("sh")) > 0)
     // one shingle-string hash per shingle; signatures come from a single
     // codegen'd hash-aggregate over the exploded (doc_id, n, h) rows — the
@@ -305,6 +319,113 @@ object Dedup {
       .withColumn("text_md5", md5(col(textCol)))
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("text_md5")
+
+  /** STREAMING near-dup dedup — MinHash banding per micro-batch against a
+    * manifest-committed signature index: the LLM-pipeline counterpart of
+    * the reference's insert-time MV cascade
+    * (`/root/reference/compose/clickhouse/create.sh:64-67`), for the dedup
+    * no equality key can catch. Each batch:
+    *
+    *  1. shingle-hash + minhash-sign its documents (same expressions as
+    *     the batch [[minhashDupPairs]], so results are bit-identical);
+    *  2. generate candidates batch-locally (band self-join) AND against
+    *     the committed band index of every earlier batch (equality join
+    *     on (band, bh) — never all-pairs);
+    *  3. verify candidates with exact Jaccard via the shingle-hash join
+    *     (batch ∪ index shingle relations), drop every batch document
+    *     with a verified match to a lower-id / earlier-seen document;
+    *  4. append the batch's signatures to the index and its survivors to
+    *     the output — three [[graft.streaming.ManifestTable]] appends,
+    *     each replay-guarded, so the whole step is exactly-once.
+    *
+    * Semantics: a document is dropped iff it has a verified EDGE to an
+    * earlier/lower document (every seen document indexes, kept or not).
+    * On clique-shaped dup groups — variants of one source text, the
+    * near-dup reality — this equals the batch keep set derived from
+    * [[minhashDupPairs]]; chain-shaped components can differ from full
+    * connected-components canonicalization, which is inherently
+    * retrospective and stays the batch [[corpusKeep]] sweep's job.
+    *
+    * Scale shape: the index holds ids + 8-byte hashes only (bands: one
+    * row per band per doc; shingles: one row per distinct shingle), text
+    * never leaves the batch projection; cross-batch matching is an
+    * equality join against a manifest table that at 100 TB would be
+    * bucketed by `bh` so each micro-batch probes, not scans. The index
+    * read is filtered to `src_batch < batchId`, which keeps a crash
+    * replay deterministic even after the index append committed. */
+  def startStreamingNearDup(stream: DataFrame, textCol: String, idCol: String,
+      indexDir: String, outDir: String, checkpoint: String,
+      threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        nearDupBatch(b, id, textCol, idCol, indexDir, outDir, threshold, numHashes, bands)
+      }
+      .start()
+
+  private[graft] def nearDupBatch(batch: DataFrame, batchId: Long, textCol: String,
+      idCol: String, indexDir: String, outDir: String,
+      threshold: Double, numHashes: Int, bands: Int): Unit = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import graft.streaming.ManifestTable
+    val spark = batch.sparkSession
+    val shTable = s"$indexDir/shingles"
+    val bdTable = s"$indexDir/bands"
+    if (ManifestTable.hasBatch(outDir, batchId) && ManifestTable.hasBatch(shTable, batchId)
+      && ManifestTable.hasBatch(bdTable, batchId)) return
+
+    val shSchema = StructType(Seq(StructField("doc_id", LongType), StructField("n_sh", LongType),
+      StructField("h", LongType), StructField("src_batch", LongType)))
+    val bdSchema = StructType(Seq(StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("bh", LongType), StructField("src_batch", LongType)))
+
+    val docs = batch.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val ex = withShingles(docs, "text")
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
+      .transform(graft.Storage.materializeOnce) // feeds sig, verify AND the index append
+    val sigAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
+    val sig = ex.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val banded = bandedOf(sig, "doc_id", numHashes, bands)
+      .transform(graft.Storage.materializeOnce) // self-join + cross-join + index append
+
+    val priorSh = ManifestTable.read(spark, shTable, Some(shSchema))
+      .filter(col("src_batch") < batchId)
+    val priorBd = ManifestTable.read(spark, bdTable, Some(bdSchema))
+      .filter(col("src_batch") < batchId)
+
+    val localCands = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+    val crossCands = priorBd.as("p").join(banded.as("c"),
+        col("p.band") === col("c.band") && col("p.bh") === col("c.bh"))
+      .select(col("p.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
+    val cands = localCands.union(crossCands).distinct()
+
+    val aSide = ex.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("h"))
+      .union(priorSh.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("h")))
+    val dropIds = cands
+      .join(aSide, Seq("id_a"))
+      .join(ex.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("common"))
+      .filter(col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))
+        >= threshold)
+      .select(col("id_b").as("__drop_id")).distinct()
+
+    val keep = batch.withColumn("__id", col(idCol).cast("long"))
+      .join(dropIds, col("__id") === col("__drop_id"), "left_anti")
+      .drop("__id")
+
+    // index first, output last: every append is replay-guarded and the
+    // prior-index read excludes this batch, so any crash point replays to
+    // the same three commits
+    ManifestTable.append(ex.withColumn("src_batch", lit(batchId)), shTable, None, batchId)
+    ManifestTable.append(banded.withColumn("src_batch", lit(batchId)), bdTable, None, batchId)
+    ManifestTable.append(keep, outDir, None, batchId)
+  }
 
   // ------------------------------------------------- cross-split leakage
 

@@ -93,6 +93,52 @@ class DedupSpec extends SparkTestBase {
     assert(kept.contains(8L))                              // post-eviction re-appearance = new
   }
 
+  test("streaming near-dup dedup: cross-batch variants drop in-flight; equals the batch keep set") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.ManifestTable
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(): String = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    def words(prefix: String): Seq[String] = (0 until 30).map(i => s"$prefix$i")
+    // one substituted word: jaccard ≈ 25/31 ≈ 0.81, so the 16×4 banding
+    // catches the pair with probability 1 - (1-0.81⁴)¹⁶ ≈ 0.9998 (and the
+    // draw is deterministic — xxhash64 — so the test cannot flake)
+    def variantOf(ws: Seq[String], tag: String): Seq[String] =
+      ws.updated(10, tag + "x")
+    def t(ws: Seq[String]): String = ws.mkString(" ")
+    val b1 = Seq(1L -> t(words("alpha")), 2L -> t(words("beta")), 3L -> t(words("gamma")))
+    val b2 = Seq(4L -> t(words("delta")),
+      5L -> t(variantOf(words("alpha"), "v5")),   // cross-batch near-dup of 1
+      6L -> t(variantOf(words("delta"), "v6")))   // batch-local near-dup of 4
+    val b3 = Seq(7L -> t(words("beta")),          // exact cross-batch dup of 2
+      8L -> t(words("eps")),
+      9L -> t(variantOf(words("eps"), "v9")))     // batch-local near-dup of 8
+
+    val idx = tmp(); val out = tmp(); val cp = tmp()
+    val src = MemoryStream[(Long, String)]
+    val q = Dedup.startStreamingNearDup(
+      src.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, out, cp)
+    Seq(b1, b2, b3).foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val kept = ManifestTable.read(spark, out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch reference: the same pair set, derived by the edge rule
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDupPairsOver(all)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.map(_._2).toSet
+    assert(dropped === Set(5L, 6L, 7L, 9L), "planted dups should all be caught")
+    assert(kept === (b1 ++ b2 ++ b3).map(_._1).toSet -- dropped)
+    // a crash replay of the last micro-batch must be a no-op on all three tables
+    val vOut = ManifestTable.snapshot(out)
+    val vSh = ManifestTable.snapshot(s"$idx/shingles")
+    Dedup.nearDupBatch(b3.toDF("doc_id", "text"), 2L, "text", "doc_id",
+      idx, out, 0.2, 64, 16)
+    assert(ManifestTable.snapshot(out) === vOut)
+    assert(ManifestTable.snapshot(s"$idx/shingles") === vSh)
+  }
+
   test("minhash+LSH on planted synthetic duplicates") {
     import spark.implicits._
     // two near-identical docs + unrelated ones
