@@ -1,0 +1,107 @@
+package graft.flow
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL-TEXT query surface — what a dashboard client actually issues.
+  *
+  * The reference's user interface IS SQL strings: Grafana posts raw
+  * ClickHouse SQL against `flows_raw`/`flows_5m`
+  * (`/root/reference/compose/grafana/dashboards/viz-ch.json:74,233,358,
+  * 479,604`, `viz.json:62,206`). The engine registered the codec function
+  * family for SQL from day one ([[graft.GraftFunctions.register]]); this
+  * object adds the missing half — named views plus the panel queries as
+  * SQL strings a porting user can issue near-verbatim through
+  * `spark.sql`, with only dialect renames (`IPv4NumToString` →
+  * `ip4_ntoa`, `toStartOfMinute` → epoch arithmetic).
+  *
+  * Column aliases match the DataFrame library queries exactly, so each
+  * string is hash-comparable against its [[FlowQueries]] counterpart —
+  * DashboardSqlSpec asserts the equivalence, and the DataFrame forms are
+  * the oracle-checked registry entries; the SQL surface inherits their
+  * correctness transitively.
+  *
+  * Scale: the views are plain projections over the parquet relations, so
+  * Catalyst treats SQL text and DataFrame forms identically — same
+  * pushdown, same partial+final aggregates, same TakeOrderedAndProject
+  * top-N. There is no second query path to keep fast.
+  */
+object DashboardSql {
+
+  /** Register `flows_raw` and `flows_5m` temp views over `dir` plus the
+    * codec functions; afterwards every string in [[panels]] runs through
+    * `spark.sql`. `flows_5m` is the merged rollup view (read-time
+    * re-merge semantics, like querying the SummingMergeTree table). */
+  def register(spark: SparkSession, dir: String): Unit = {
+    graft.GraftFunctions.register(spark)
+    FlowAdapter.flows(spark, dir).createOrReplaceTempView("flows_raw")
+    FlowQueries.rollup5m(spark, dir).createOrReplaceTempView("flows_5m")
+  }
+
+  /** The dashboard panels as SQL text (source panel cited per entry). */
+  val panels: Map[String, String] = Map(
+    // viz.json:62 — "Instant traffic", 30-second buckets in bits/sec
+    "instant_traffic_30s" ->
+      """SELECT CAST(time_received / 30 AS BIGINT) * 30 AS bucket,
+        |       sum(bytes * sampling_rate) * 8 AS sum_bits,
+        |       (sum(bytes * sampling_rate) * 8) / 30.0D AS rate_bps
+        |FROM flows_raw
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+    // viz-ch.json:74 — "Instant traffic", per-minute with Grafana ms epoch
+    "instant_traffic_1m" ->
+      """SELECT CAST(time_received / 60 AS BIGINT) * 60 AS bucket,
+        |       sum(bytes * sampling_rate) AS sum_bytes,
+        |       CAST(time_received / 60 AS BIGINT) * 60 * 1000 AS bucket_ms
+        |FROM flows_raw
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+    // viz-ch.json:233 — "Top source IPs" (EType-conditional rendering)
+    "top_src_ip" ->
+      """SELECT IF(etype = 2048, ip4_ntoa(src_ip), ip6_ntoa(ip4_to_bin16(src_ip))) AS addr,
+        |       count(1) AS flow_count,
+        |       sum(bytes * sampling_rate) AS sum_bytes
+        |FROM flows_raw
+        |GROUP BY addr
+        |ORDER BY sum_bytes DESC, addr ASC
+        |LIMIT 10""".stripMargin,
+    // viz-ch.json:479 — "Top destination IPs"
+    "top_dst_ip" ->
+      """SELECT IF(etype = 2048, ip4_ntoa(dst_ip), ip6_ntoa(ip4_to_bin16(dst_ip))) AS addr,
+        |       count(1) AS flow_count,
+        |       sum(bytes * sampling_rate) AS sum_bytes
+        |FROM flows_raw
+        |GROUP BY addr
+        |ORDER BY sum_bytes DESC, addr ASC
+        |LIMIT 10""".stripMargin,
+    // viz-ch.json:358 — "Top source ports"
+    "top_src_port" ->
+      """SELECT src_port AS port,
+        |       count(1) AS flow_count,
+        |       sum(bytes * sampling_rate) AS sum_bytes
+        |FROM flows_raw
+        |GROUP BY port
+        |ORDER BY sum_bytes DESC, port ASC
+        |LIMIT 10""".stripMargin,
+    // viz-ch.json:604 — "Top destination ports"
+    "top_dst_port" ->
+      """SELECT dst_port AS port,
+        |       count(1) AS flow_count,
+        |       sum(bytes * sampling_rate) AS sum_bytes
+        |FROM flows_raw
+        |GROUP BY port
+        |ORDER BY sum_bytes DESC, port ASC
+        |LIMIT 10""".stripMargin,
+    // the rollup read: SummingMergeTree re-merge over flows_5m
+    // (README.md:164-183 query-before-OPTIMIZE semantics)
+    "rollup_read" ->
+      """SELECT src_as, dst_as,
+        |       sum(sum_bytes) AS total_bytes,
+        |       sum(sum_packets) AS total_packets,
+        |       sum(flow_count) AS total_flows
+        |FROM flows_5m
+        |GROUP BY src_as, dst_as
+        |ORDER BY src_as, dst_as""".stripMargin)
+
+  /** Run one panel by name (after [[register]]). */
+  def run(spark: SparkSession, name: String): DataFrame = spark.sql(panels(name))
+}
