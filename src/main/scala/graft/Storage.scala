@@ -39,6 +39,25 @@ object Storage {
     * the cache-fill job runs now instead of at first use. */
   def materializeOnce(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Reliable variant of [[materializeOnce]]: blocks go to `checkpointDir`
+    * on the table filesystem instead of executor memory/disk.
+    *
+    * Contract difference that matters at cluster scale: localCheckpoint
+    * blocks are executor-resident and NON-RECOMPUTABLE — lineage is
+    * truncated, so losing one executor mid-computation fails every job
+    * that still needs its blocks. For a short diamond-shaped reuse that
+    * is a fine trade; for ITERATIVE algorithms (connected components)
+    * whose rounds each stake the accumulated work on every executor
+    * surviving, a 1000-executor / hours-long run wants the checkpoint on
+    * durable storage — any executor can re-read it, none can lose it.
+    * The cost is a filesystem round-trip per round instead of a memory
+    * write, which is why it is opt-in rather than the default. */
+  def materializeReliable(df: DataFrame, checkpointDir: String): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (!sc.getCheckpointDir.contains(checkpointDir)) sc.setCheckpointDir(checkpointDir)
+    df.checkpoint(true)
+  }
+
   /** Recursively delete a directory tree (children before parents).
     * Shared by staging/scratch cleanup in FlowStreams, ManifestTable and
     * BenchScale. */

@@ -252,21 +252,31 @@ object Dedup {
     * distributed join+aggregate (near-dup components are shallow in
     * practice: dup clusters, not long chains). Eager checkpoints cut the
     * growing lineage; the driver only ever sees one Long per round (the
-    * changed-label count), never data. */
+    * changed-label count), never data.
+    *
+    * Durability: by default rounds pin to `localCheckpoint` — executor
+    * memory, non-recomputable, so one executor loss mid-iteration fails
+    * the job (acceptable for short runs; Spark retries the job, not the
+    * round). Pass `checkpointDir` to pin every round to durable storage
+    * instead ([[graft.Storage.materializeReliable]]) — the posture for
+    * long iterative runs on a real cluster, where some executor loss is
+    * expected, at the price of a filesystem round-trip per round. */
   def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.2,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val pin: DataFrame => DataFrame = checkpointDir
+      .fold((df: DataFrame) => graft.Storage.materializeOnce(df))(
+        d => (df: DataFrame) => graft.Storage.materializeReliable(df, d))
     val pairs = minhashDupPairs(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b")).transform(graft.Storage.materializeOnce)
+      .select(col("doc_a"), col("doc_b")).transform(pin)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .transform(graft.Storage.materializeOnce)
+      .transform(pin)
     // seed each node with min(self, neighbors) — one propagation round for
     // free; labels only ever decrease, so the (monotone) label sum detects
     // convergence with a single cheap aggregate per round instead of a join
-    var labels = edges
+    var labels = pin(edges
       .groupBy(col("doc_a").as("node"))
-      .agg(least(min(col("doc_b")), first(col("doc_a"))).as("label"))
-      .localCheckpoint()
+      .agg(least(min(col("doc_b")), first(col("doc_a"))).as("label")))
     def labelSum(df: DataFrame): Long = df.agg(sum("label")).head().getLong(0)
     var prevSum = labelSum(labels)
     var iter = 0
@@ -274,9 +284,8 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val viaNeighbors = edges.join(labels, edges("doc_b") === labels("node"))
         .select(edges("doc_a").as("node"), col("label"))
-      val next = labels.union(viaNeighbors)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
+      val next = pin(labels.union(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label")))
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s

@@ -185,6 +185,15 @@ class DedupSpec extends SparkTestBase {
     val keep = Dedup.corpusKeep(spark, sf).count()
     val total = Tables.documents(spark, sf).count()
     assert(keep === total - cl.count(x => x._1 != x._2))
+    // reliable-checkpoint mode (durable rounds for executor-loss-prone
+    // clusters): identical output through a filesystem checkpoint dir
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val reliable = Dedup.nearDupClusters(spark, sf, checkpointDir = Some(ckpt))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reliable.sorted.toSeq === cl.sorted.toSeq,
+      "reliable-checkpoint clusters must equal the localCheckpoint fast path")
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(ckpt)).count() > 0,
+      "rounds should have checkpointed to the durable dir")
   }
 
   test("simhash pairs near-identical docs, not unrelated ones") {
