@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.flow.{FlowEnrich, FlowQueries}
-import graft.operators.{Dedup, Multimodal, OpsMetrics, RelQueries, Similarity, TextOps}
+import graft.operators.{AsofJoin, Dedup, Multimodal, OpsMetrics, RelQueries, Similarity, TextOps}
 // registry spans: flow dashboards, enrichment, ops metrics, relational,
 // text/dedup/similarity/multimodal training-pipeline operators
 
@@ -25,7 +25,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FlowQueries.queries ++ FlowEnrich.queries ++ OpsMetrics.queries ++
-      RelQueries.queries ++ TextOps.queries ++
+      RelQueries.queries ++ TextOps.queries ++ AsofJoin.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Map(
       "q1_agg" -> ((s: SparkSession, dir: String) =>
         Tables.lineitem(s, dir)
@@ -40,7 +40,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     FlowQueries.oracles ++ FlowEnrich.oracles ++ OpsMetrics.oracles ++
-      RelQueries.oracles ++ TextOps.oracles ++
+      RelQueries.oracles ++ TextOps.oracles ++ AsofJoin.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,

@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -60,17 +60,22 @@ final case class GroupTopKExec(grouping: Seq[Expression], order: Expression,
     val kk = k
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(groupingExprs, childOutput)
-      val bound = BindReferences.bindReference(orderExpr, childOutput)
-      GroupTopKExec.longKeyOf(bound.dataType) match {
+      // the ordering expression evaluates through a GENERATED unsafe
+      // projection (same codegen Catalyst aggregation uses for its keys),
+      // not interpreted eval — per-row cost is a generated-code call +
+      // primitive field read, so this operator is no longer the one
+      // interpreted island in an otherwise codegen'd plan
+      val orderProj = UnsafeProjection.create(Seq(orderExpr), childOutput)
+      GroupTopKExec.longKeyOf(orderExpr.dataType) match {
         case Some(toKey) =>
           // primitive path (the dashboards' sum(bytes)/count orderings):
           // parallel long[] / row[] min-heaps, zero boxing per row
           val heaps = new java.util.HashMap[UnsafeRow, GroupTopKExec.LongKeyHeap]()
           while (iter.hasNext) {
             val row = iter.next()
-            val v = bound.eval(row)
-            if (v != null) {
-              val key = toKey(v)
+            val or = orderProj(row)
+            if (!or.isNullAt(0)) {
+              val key = toKey(or)
               val g = groupProj(row)
               var heap = heaps.get(g)
               if (heap == null) {
@@ -84,30 +89,33 @@ final case class GroupTopKExec(grouping: Seq[Expression], order: Expression,
           import scala.jdk.CollectionConverters._
           heaps.values.asScala.iterator.flatMap(_.rowIterator)
         case None =>
-          // generic path: any orderable type via interpreted ordering
-          val ord = TypeUtils.getInterpretedOrdering(bound.dataType)
-          val cmp = new java.util.Comparator[(Any, InternalRow)] {
-            override def compare(a: (Any, InternalRow), b: (Any, InternalRow)): Int =
-              ord.compare(a._1, b._1)
+          // generic path: any orderable type — the order value is kept as a
+          // copied one-column UnsafeRow and compared with a GENERATED
+          // ordering (GenerateOrdering), matching SortExec's comparator
+          // codegen instead of the interpreted ordering
+          val rowOrd = GenerateOrdering.generate(Seq(SortOrder(
+            BoundReference(0, orderExpr.dataType, nullable = false), Ascending)))
+          val cmp = new java.util.Comparator[(UnsafeRow, InternalRow)] {
+            override def compare(a: (UnsafeRow, InternalRow), b: (UnsafeRow, InternalRow)): Int =
+              rowOrd.compare(a._1, b._1)
           }
-          val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Any, InternalRow)]]()
+          val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(UnsafeRow, InternalRow)]]()
           while (iter.hasNext) {
             val row = iter.next()
-            val v = bound.eval(row)
-            if (v != null) {
+            val or = orderProj(row)
+            if (!or.isNullAt(0)) {
               val key = groupProj(row)
               var heap = heaps.get(key)
               if (heap == null) {
-                heap = new java.util.PriorityQueue[(Any, InternalRow)](kk + 1, cmp)
+                heap = new java.util.PriorityQueue[(UnsafeRow, InternalRow)](kk + 1, cmp)
                 heaps.put(key.copy(), heap)
               }
-              // copyValue: eval results for string/array/map types are
-              // views into the reused input-row buffer — a retained key
-              // would mutate as iteration advances
-              if (heap.size < kk) heap.add((InternalRow.copyValue(v), row.copy()))
-              else if (ord.compare(v, heap.peek()._1) > 0) {
+              // copy on retention: the projection reuses its buffer — a
+              // retained key would mutate as iteration advances
+              if (heap.size < kk) heap.add((or.copy(), row.copy()))
+              else if (rowOrd.compare(or, heap.peek()._1) > 0) {
                 heap.poll()
-                heap.add((InternalRow.copyValue(v), row.copy()))
+                heap.add((or.copy(), row.copy()))
               }
             }
           }
@@ -121,20 +129,21 @@ final case class GroupTopKExec(grouping: Seq[Expression], order: Expression,
 object GroupTopKExec {
   import org.apache.spark.sql.types._
 
-  /** Monotone Any→Long key extractor for types whose ordering embeds in
-    * long comparison. Floating point goes through the IEEE-754 bit trick
+  /** Monotone UnsafeRow→Long key extractor (field 0 of the generated
+    * order projection) for types whose ordering embeds in long comparison.
+    * Floating point goes through the IEEE-754 bit trick
     * (`bits ^ ((bits >> 63) | Long.MinValue)`), which reproduces
     * `java.lang.Double.compare` exactly: -0.0 < 0.0 and NaN (canonical
     * bits) above every finite value — the same total order Spark's
-    * interpreted ordering uses. Other types (strings, decimals, structs)
-    * return None and take the interpreted path. */
-  private[plans] def longKeyOf(dt: DataType): Option[Any => Long] = dt match {
-    case LongType | TimestampType | TimestampNTZType => Some(v => v.asInstanceOf[Long])
-    case IntegerType | DateType => Some(v => v.asInstanceOf[Int].toLong)
-    case ShortType => Some(v => v.asInstanceOf[Short].toLong)
-    case ByteType => Some(v => v.asInstanceOf[Byte].toLong)
-    case DoubleType => Some(v => sortableBits(v.asInstanceOf[Double]))
-    case FloatType => Some(v => sortableBits(v.asInstanceOf[Float].toDouble))
+    * orderings use. Other types (strings, decimals, structs) return None
+    * and take the generated-ordering path. */
+  private[plans] def longKeyOf(dt: DataType): Option[UnsafeRow => Long] = dt match {
+    case LongType | TimestampType | TimestampNTZType => Some(r => r.getLong(0))
+    case IntegerType | DateType => Some(r => r.getInt(0).toLong)
+    case ShortType => Some(r => r.getShort(0).toLong)
+    case ByteType => Some(r => r.getByte(0).toLong)
+    case DoubleType => Some(r => sortableBits(r.getDouble(0)))
+    case FloatType => Some(r => sortableBits(r.getFloat(0).toDouble))
     case _ => None
   }
 

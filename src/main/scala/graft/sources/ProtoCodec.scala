@@ -239,6 +239,162 @@ object ProtoCodec {
     graft.flow.FlowEnrich.FlowMessageExt.from(base, srcCountry, dstCountry, srcASDB, dstASDB)
   }
 
+  // ------------------------------------------------- full production schema
+
+  /** Encode one message with the FULL production field set
+    * (`/root/reference/pb-ext/flow.pb.go:57-147`): base 17 light fields via
+    * [[encode]], then fields 12-64 and 100-103. proto3 default elision
+    * throughout — a rich record whose extra groups are all at defaults is
+    * byte-identical to its base encoding. */
+  def encodeRich(m: graft.flow.FlowRich.FlowMessageRich): Array[Byte] = {
+    val base = encode(m.base)
+    val out = new java.io.ByteArrayOutputStream(base.length + 96)
+    out.write(base, 0, base.length)
+    def varintField(field: Int, v: Long): Unit = if (v != 0L) {
+      writeVarint(out, (field.toLong << 3) | 0L)
+      writeVarint(out, v)
+    }
+    def boolField(field: Int, v: Boolean): Unit = varintField(field, if (v) 1L else 0L)
+    def bytesField(field: Int, b: Array[Byte]): Unit = if (b != null && b.nonEmpty) {
+      writeVarint(out, (field.toLong << 3) | 2L)
+      writeVarint(out, b.length.toLong)
+      out.write(b, 0, b.length)
+    }
+    def strField(field: Int, s: String): Unit =
+      if (s != null && s.nonEmpty) bytesField(field, s.getBytes("UTF-8"))
+    // uint32 fields ride Int bit-preserving: mask to the unsigned value so
+    // e.g. 0xFFFFFFFF encodes as 5 varint bytes, not 10 sign-extended ones
+    def u(v: Int): Long = v.toLong & 0xFFFFFFFFL
+    val r = m.routing
+    bytesField(12, r.nextHop); varintField(13, u(r.nextHopAS))
+    varintField(16, u(r.srcNet)); varintField(17, u(r.dstNet))
+    varintField(18, u(r.inIf)); varintField(19, u(r.outIf))
+    varintField(39, u(r.ingressVrfId)); varintField(40, u(r.egressVrfId))
+    varintField(41, u(r.biFlowDirection)); varintField(42, u(r.flowDirection))
+    val l2 = m.l2
+    varintField(27, l2.srcMac); varintField(28, l2.dstMac)
+    varintField(29, u(l2.vlanId))
+    varintField(33, u(l2.srcVlan)); varintField(34, u(l2.dstVlan))
+    val ip = m.ip
+    varintField(23, u(ip.ipTos)); varintField(24, u(ip.forwardingStatus))
+    varintField(25, u(ip.ipTtl)); varintField(26, u(ip.tcpFlags))
+    varintField(31, u(ip.icmpType)); varintField(32, u(ip.icmpCode))
+    varintField(35, u(ip.fragmentId)); varintField(36, u(ip.fragmentOffset))
+    varintField(37, u(ip.ipv6FlowLabel))
+    val e = m.encap
+    boolField(43, e.hasEncap)
+    bytesField(44, e.srcAddrEncap); bytesField(45, e.dstAddrEncap)
+    varintField(46, u(e.protoEncap)); varintField(47, u(e.etypeEncap))
+    varintField(48, u(e.ipTosEncap)); varintField(49, u(e.ipTtlEncap))
+    varintField(50, u(e.ipv6FlowLabelEncap)); varintField(51, u(e.fragmentIdEncap))
+    varintField(52, u(e.fragmentOffsetEncap))
+    val mp = m.mpls
+    boolField(53, mp.hasMpls); varintField(54, u(mp.mplsCount))
+    varintField(55, u(mp.mpls1Ttl)); varintField(56, u(mp.mpls1Label))
+    varintField(57, u(mp.mpls2Ttl)); varintField(58, u(mp.mpls2Label))
+    varintField(59, u(mp.mpls3Ttl)); varintField(60, u(mp.mpls3Label))
+    varintField(61, u(mp.mplsLastTtl)); varintField(62, u(mp.mplsLastLabel))
+    boolField(63, m.ppp.hasPpp); varintField(64, u(m.ppp.pppAddressControl))
+    strField(100, m.geo.srcCountry); strField(101, m.geo.dstCountry)
+    varintField(102, u(m.geo.srcAsdb)); varintField(103, u(m.geo.dstAsdb))
+    out.toByteArray
+  }
+
+  /** Decode one message with the FULL production field set. Base fields
+    * come from [[decode]] (untouched); a second cursor collects fields
+    * 12-64 / 100-103 — wire order is irrelevant to either pass. Addresses
+    * here (NextHop, encap addresses) keep their wire length: they are
+    * routing/tunnel detail, not the 16-byte-normalized render path. */
+  def decodeRich(buf: Array[Byte], start: Int = 0, endOpt: Int = -1): graft.flow.FlowRich.FlowMessageRich = {
+    import graft.flow.FlowRich._
+    val end = if (endOpt < 0) buf.length else endOpt
+    val base = decode(buf, start, end)
+    var nextHop: Array[Byte] = null; var nextHopAS = 0; var srcNet = 0; var dstNet = 0
+    var inIf = 0; var outIf = 0; var ingressVrf = 0; var egressVrf = 0
+    var biDir = 0; var dir = 0
+    var srcMac = 0L; var dstMac = 0L; var srcVlan = 0; var dstVlan = 0; var vlanId = 0
+    var ipTos = 0; var fwdStatus = 0; var ipTtl = 0; var tcpFlags = 0
+    var icmpType = 0; var icmpCode = 0; var v6Label = 0; var fragId = 0; var fragOff = 0
+    var hasEncap = false; var srcAddrEncap: Array[Byte] = null; var dstAddrEncap: Array[Byte] = null
+    var protoEncap = 0; var etypeEncap = 0; var ipTosEncap = 0; var ipTtlEncap = 0
+    var v6LabelEncap = 0; var fragIdEncap = 0; var fragOffEncap = 0
+    var hasMpls = false; var mplsCount = 0
+    var m1t = 0; var m1l = 0; var m2t = 0; var m2l = 0; var m3t = 0; var m3l = 0
+    var mlt = 0; var mll = 0
+    var hasPpp = false; var pppAc = 0
+    var srcCountry = ""; var dstCountry = ""; var srcAsdb = 0; var dstAsdb = 0
+    val r = new Reader(buf, start, end)
+    while (r.hasRemaining) {
+      val tag = r.readVarint()
+      val field = (tag >>> 3).toInt
+      val wire = (tag & 7L).toInt
+      (field, wire) match {
+        case (12, 2) => nextHop = r.readBytes()
+        case (13, 0) => nextHopAS = r.readVarint().toInt
+        case (16, 0) => srcNet = r.readVarint().toInt
+        case (17, 0) => dstNet = r.readVarint().toInt
+        case (18, 0) => inIf = r.readVarint().toInt
+        case (19, 0) => outIf = r.readVarint().toInt
+        case (23, 0) => ipTos = r.readVarint().toInt
+        case (24, 0) => fwdStatus = r.readVarint().toInt
+        case (25, 0) => ipTtl = r.readVarint().toInt
+        case (26, 0) => tcpFlags = r.readVarint().toInt
+        case (27, 0) => srcMac = r.readVarint()
+        case (28, 0) => dstMac = r.readVarint()
+        case (29, 0) => vlanId = r.readVarint().toInt
+        case (31, 0) => icmpType = r.readVarint().toInt
+        case (32, 0) => icmpCode = r.readVarint().toInt
+        case (33, 0) => srcVlan = r.readVarint().toInt
+        case (34, 0) => dstVlan = r.readVarint().toInt
+        case (35, 0) => fragId = r.readVarint().toInt
+        case (36, 0) => fragOff = r.readVarint().toInt
+        case (37, 0) => v6Label = r.readVarint().toInt
+        case (39, 0) => ingressVrf = r.readVarint().toInt
+        case (40, 0) => egressVrf = r.readVarint().toInt
+        case (41, 0) => biDir = r.readVarint().toInt
+        case (42, 0) => dir = r.readVarint().toInt
+        case (43, 0) => hasEncap = r.readVarint() != 0L
+        case (44, 2) => srcAddrEncap = r.readBytes()
+        case (45, 2) => dstAddrEncap = r.readBytes()
+        case (46, 0) => protoEncap = r.readVarint().toInt
+        case (47, 0) => etypeEncap = r.readVarint().toInt
+        case (48, 0) => ipTosEncap = r.readVarint().toInt
+        case (49, 0) => ipTtlEncap = r.readVarint().toInt
+        case (50, 0) => v6LabelEncap = r.readVarint().toInt
+        case (51, 0) => fragIdEncap = r.readVarint().toInt
+        case (52, 0) => fragOffEncap = r.readVarint().toInt
+        case (53, 0) => hasMpls = r.readVarint() != 0L
+        case (54, 0) => mplsCount = r.readVarint().toInt
+        case (55, 0) => m1t = r.readVarint().toInt
+        case (56, 0) => m1l = r.readVarint().toInt
+        case (57, 0) => m2t = r.readVarint().toInt
+        case (58, 0) => m2l = r.readVarint().toInt
+        case (59, 0) => m3t = r.readVarint().toInt
+        case (60, 0) => m3l = r.readVarint().toInt
+        case (61, 0) => mlt = r.readVarint().toInt
+        case (62, 0) => mll = r.readVarint().toInt
+        case (63, 0) => hasPpp = r.readVarint() != 0L
+        case (64, 0) => pppAc = r.readVarint().toInt
+        case (100, 2) => srcCountry = new String(r.readBytes(), "UTF-8")
+        case (101, 2) => dstCountry = new String(r.readBytes(), "UTF-8")
+        case (102, 0) => srcAsdb = r.readVarint().toInt
+        case (103, 0) => dstAsdb = r.readVarint().toInt
+        case (_, w) => r.skip(w)
+      }
+    }
+    FlowMessageRich(base,
+      RoutingInfo(nextHop, nextHopAS, srcNet, dstNet, inIf, outIf,
+        ingressVrf, egressVrf, biDir, dir),
+      L2Info(srcMac, dstMac, srcVlan, dstVlan, vlanId),
+      IpInfo(ipTos, fwdStatus, ipTtl, tcpFlags, icmpType, icmpCode,
+        v6Label, fragId, fragOff),
+      EncapInfo(hasEncap, srcAddrEncap, dstAddrEncap, protoEncap, etypeEncap,
+        ipTosEncap, ipTtlEncap, v6LabelEncap, fragIdEncap, fragOffEncap),
+      MplsInfo(hasMpls, mplsCount, m1t, m1l, m2t, m2l, m3t, m3l, mlt, mll),
+      PppInfo(hasPpp, pppAc),
+      GeoInfo(srcCountry, dstCountry, srcAsdb, dstAsdb))
+  }
+
   /** Decode a varint-length-delimited stream of messages (one Kafka payload
     * may carry several framed records). Throws on truncated frames. */
   def decodeDelimitedStream(buf: Array[Byte]): Seq[FlowMessage] = {

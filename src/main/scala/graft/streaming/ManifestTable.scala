@@ -23,15 +23,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * are invisible. Superseded manifests are garbage-collected by [[vacuum]]
   * (retain-last-N), so metadata cost stays flat over an always-on table's
   * lifetime: each commit writes one manifest of O(live files) — bounded by
-  * compaction — not O(commits ever made). A commit writes the new file list to a temp name and
-  * atomically renames it to `v<latest+1>.manifest`; rename-no-overwrite
-  * doubles as compare-and-swap, so a loser re-reads the latest snapshot,
+  * compaction — not O(commits ever made). A commit stages the new file
+  * list and atomically publishes it at `v<latest+1>.manifest` iff that
+  * name is free; publish-if-absent doubles as compare-and-swap, so a loser
+  * re-reads the latest snapshot,
   * re-applies its delta (add files / replace files), and retries. Writers
   * in the same JVM (the normal driver topology: stream thread + compactor
   * thread) additionally serialize on an intern'd path lock, making the
-  * CAS race-free locally; across JVMs the rename-no-overwrite semantics of
-  * HDFS-like filesystems give the same guarantee (an object store would
-  * need its own CAS primitive, e.g. conditional PUT).
+  * CAS race-free locally; across JVMs the storage layer's publish-if-absent
+  * primitive gives the same guarantee. That primitive is PLUGGABLE
+  * ([[CasPrimitive]]): `link(2)` create-if-absent on POSIX — the same
+  * shape as an object store's conditional PUT — is the default
+  * ([[ConditionalPutCas]]); [[RenameCas]] serves HDFS-like stores whose
+  * rename natively fails on an existing destination. The whole protocol
+  * needs exactly one storage guarantee, "make this fully-formed object
+  * appear at this name iff nothing is there", and everything else is
+  * ordinary immutable-file I/O.
   *
   * Why this beats the r2 protocol at scale: the folded output of a
   * compaction is written as REAL parquet in the table directory before the
@@ -43,6 +50,73 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * committed snapshot: no loss, no duplication.
   */
 object ManifestTable {
+
+  /** The ONE storage primitive the commit protocol needs: atomically
+    * publish a fully-formed object at `target` iff nothing exists there.
+    * Returns false (and publishes nothing) when the name is taken — the
+    * CAS loss signal that drives optimistic retry. */
+  sealed trait CasPrimitive {
+    def publish(target: Path, bytes: Array[Byte]): Boolean
+  }
+
+  /** Publish-if-absent via `link(2)` (DEFAULT): the complete bytes land in
+    * a temp file, and hard-link creation atomically binds them to `target`
+    * — failing with EEXIST if the name is taken. This is the operation
+    * POSIX actually guarantees to FAIL on an existing destination;
+    * `rename(2)` silently REPLACES one, so the r3 protocol's
+    * `Files.move(…, ATOMIC_MOVE)` "rename-no-overwrite CAS" was not a CAS
+    * across JVMs on a local/POSIX filesystem (the in-JVM table lock masked
+    * it; the raw-primitive race test caught 16/16 racers "winning").
+    * Deployment mapping: this shape IS the object-store conditional PUT —
+    * S3 `If-None-Match: *`, GCS `ifGenerationMatch(0)`, ABFS conditional
+    * create — publish a fully-formed object iff the name is free; an
+    * object-store build swaps the body for the store SDK call and nothing
+    * else in the protocol changes. */
+  case object ConditionalPutCas extends CasPrimitive {
+    def publish(target: Path, bytes: Array[Byte]): Boolean = {
+      val tmp = target.getParent.resolve(s".put-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, bytes)
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** HDFS-posture CAS: temp file + rename onto the final name, relying on
+    * the STORE's no-overwrite rename contract. HDFS `rename` natively
+    * fails when the destination exists, making this a true CAS there — but
+    * local/POSIX `rename(2)` replaces silently, so on a local filesystem
+    * this primitive is only safe under the in-JVM table lock (single-driver
+    * topology). Cross-JVM local deployments must use [[ConditionalPutCas]];
+    * this one exists for HDFS-like stores where rename-no-overwrite is the
+    * cheapest native primitive. */
+  case object RenameCas extends CasPrimitive {
+    def publish(target: Path, bytes: Array[Byte]): Boolean = {
+      if (Files.exists(target)) return false // advisory; HDFS makes the move itself fail
+      val tmp = target.getParent.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, bytes)
+      try { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); false
+      }
+    }
+  }
+
+  /** Commit primitive selection: per-table override (tests, mixed-store
+    * deployments) over the JVM-wide default (`graft.manifest.cas` system
+    * property: `put` (default) | `rename`). */
+  private val casOverrides = new java.util.concurrent.ConcurrentHashMap[String, CasPrimitive]()
+  def setCasPrimitive(table: String, p: CasPrimitive): Unit =
+    casOverrides.put(Paths.get(table).toAbsolutePath.normalize.toString, p)
+  def clearCasPrimitive(table: String): Unit =
+    casOverrides.remove(Paths.get(table).toAbsolutePath.normalize.toString)
+  private def casFor(table: String): CasPrimitive =
+    Option(casOverrides.get(Paths.get(table).toAbsolutePath.normalize.toString))
+      .getOrElse(sys.props.get("graft.manifest.cas") match {
+        case Some("rename") => RenameCas
+        case _ => ConditionalPutCas
+      })
 
   private val manifestDirName = "_graft_manifest"
   private val hintName = "_latest.hint"
@@ -174,18 +248,13 @@ object ManifestTable {
           case None => return None
           case Some(next) =>
             val newMax = math.max(maxB, absorbBatch.getOrElse(-1L))
-            val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-            Files.write(tmp, (s"#maxBatch:$newMax" +: next).mkString("\n").getBytes("UTF-8"))
+            val bytes = (s"#maxBatch:$newMax" +: next).mkString("\n").getBytes("UTF-8")
             val target = dir.resolve(f"v${v + 1}%020d.manifest")
-            try {
-              // no REPLACE_EXISTING: rename-no-overwrite is the CAS — a
-              // loser gets FileAlreadyExistsException and retries on the
-              // new snapshot
-              Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+            // publish-if-absent IS the CAS — a loser retries its delta on
+            // the new snapshot
+            if (casFor(table).publish(target, bytes)) {
               writeHint(dir, v + 1)
               return Some(v + 1)
-            } catch {
-              case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
             }
         }
       }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("planted version boundaries: each fact picks the newest version at-or-before it") {
+    val dim = Seq(
+      (1, 100L, "a-v0"), (1, 200L, "a-v1"), (1, 300L, "a-v2"),
+      (2, 150L, "b-v0")).toDF("k", "valid_from", "name")
+    val fact = Seq(
+      (1, 99L), // before any version → null
+      (1, 100L), // exactly at v0 → v0
+      (1, 199L), (1, 200L), (1, 250L), (1, 300L), (1, 9999L),
+      (2, 149L), (2, 150L),
+      (3, 500L) // key with no versions at all → null
+    ).toDF("k", "t")
+    val got = AsofJoin.asofJoin(fact, dim, "k", "k", "t", "valid_from")
+      .orderBy("k", "t").select("k", "t", "name").as[(Int, Long, Option[String])]
+      .collect().toSeq
+    assert(got === Seq(
+      (1, 99L, None), (1, 100L, Some("a-v0")), (1, 199L, Some("a-v0")),
+      (1, 200L, Some("a-v1")), (1, 250L, Some("a-v1")), (1, 300L, Some("a-v2")),
+      (1, 9999L, Some("a-v2")), (2, 149L, None), (2, 150L, Some("b-v0")),
+      (3, 500L, None)))
+  }
+
+  test("row-atomic fill: a newer version's null field does not inherit the older version's value") {
+    val dim = Seq(
+      (1, 100L, Some("x"), Some(10)), (1, 200L, None, Some(20))
+    ).toDF("k", "valid_from", "label", "weight")
+    val fact = Seq((1, 250L)).toDF("k", "t")
+    val row = AsofJoin.asofJoin(fact, dim, "k", "k", "t", "valid_from")
+      .select("label", "weight").as[(Option[String], Option[Int])].collect().head
+    // the effective version at t=250 is v(200): label NULL, weight 20 —
+    // a per-column fill would wrongly resurrect label "x" from v(100)
+    assert(row === ((None, Some(20))))
+  }
+
+  test("property: asof equals the quadratic inequality-join reference (seeded)") {
+    val rnd = new scala.util.Random(1337)
+    val dim = (1 to 6).flatMap(k => (0 until rnd.nextInt(4)).map(v =>
+      (k, 100L * (v + 1) + k, s"k$k-v$v"))).toDF("k", "valid_from", "name")
+    val fact = (1 to 300).map(i => (1 + rnd.nextInt(7), rnd.nextInt(600).toLong))
+      .toDF("k", "t")
+    val got = AsofJoin.asofJoin(fact, dim, "k", "k", "t", "valid_from")
+    fact.createOrReplaceTempView("f"); dim.createOrReplaceTempView("d")
+    val ref = spark.sql(
+      """SELECT f.k, f.t, (SELECT max_by(d.name, d.valid_from) FROM d
+        |   WHERE d.k = f.k AND d.valid_from <= f.t) AS name
+        |FROM f""".stripMargin)
+    assert(got.select("k", "t", "name").orderBy("k", "t", "name").collect().toSeq
+      === ref.select("k", "t", "name").orderBy("k", "t", "name").collect().toSeq)
+  }
+
+  test("flow_enrich_asof: early flows unversioned, later flows step through releases") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AsofJoin.flowEnrichAsof(spark, dir).cache()
+    val n = out.count()
+    assert(n > 0)
+    // the +1 start leaves at least the earliest flow before any release
+    assert(out.filter(col("src_as_name") === "--").count() > 0)
+    // all three releases appear (quarter-point effective times over the range)
+    val seen = out.filter(col("asdb") > 0).select("asdb").distinct()
+      .as[Int].collect().toSet
+    assert(seen === Set(1, 2, 3))
+    out.unpersist()
+  }
+
+  test("plan: single hash exchange on the join key, no broadcast of the version history") {
+    val plan = AsofJoin.flowEnrichAsof(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one exchange for the asof union; the orderBy adds a range exchange
+    assert(exchanges === 1, s"expected exactly one hash exchange:\n$plan")
+  }
+}

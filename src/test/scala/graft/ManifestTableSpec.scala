@@ -275,4 +275,66 @@ class ManifestTableSpec extends SparkTestBase {
     assert(v === 40L)
     assert(files.toSet === (1 to 40).map(i => s"f$i.parquet").toSet)
   }
+
+  // RenameCas is deliberately NOT in this race: POSIX rename(2) silently
+  // replaces an existing destination, so its no-overwrite contract only
+  // holds on stores (HDFS) that natively reject it — exactly why the
+  // link(2)-based primitive is the local default. (This race test is what
+  // exposed the r3 ATOMIC_MOVE "CAS" as last-writer-wins across JVMs.)
+  test("CAS primitives: exactly one of N racing publishers wins, content intact") {
+    for (cas <- Seq(ManifestTable.ConditionalPutCas)) {
+      val dir = Files.createTempDirectory("graft_cas")
+      val target = dir.resolve("v1.manifest")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val barrier = new java.util.concurrent.CyclicBarrier(16)
+      try {
+        val wins = (1 to 16).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            override def call(): Boolean = {
+              barrier.await()
+              cas.publish(target, s"writer-$i".getBytes("UTF-8"))
+            }
+          })
+        }.map(_.get())
+        assert(wins.count(identity) === 1, s"$cas: exactly one publish must win")
+        val content = new String(Files.readAllBytes(target), "UTF-8")
+        assert(content.matches("writer-\\d+"), s"$cas: winner's bytes must be intact")
+        // no temp droppings left behind by the losers
+        val leftovers = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          assert(leftovers.iterator().asScala.map(_.getFileName.toString).toList
+            === List("v1.manifest"), s"$cas: losers must clean up")
+        } finally leftovers.close()
+      } finally pool.shutdown()
+    }
+  }
+
+  test("conditional-PUT posture: full commit protocol (contention + swap-abort) green") {
+    val table = tmp()
+    Files.createDirectories(Paths.get(table))
+    ManifestTable.setCasPrimitive(table, ManifestTable.ConditionalPutCas)
+    try {
+      // contended appends — every committer's delta survives CAS retries
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        (1 to 30).map { i =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              ManifestTable.commit(table)(files => files :+ s"f$i.parquet")
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+      val (v, files) = ManifestTable.snapshot(table)
+      assert(v === 30L)
+      assert(files.toSet === (1 to 30).map(i => s"f$i.parquet").toSet)
+      // swap-abort: a swap whose inputs already left the manifest must not
+      // commit (same invariant the rename posture enforces)
+      val df = spark.range(3).toDF("n")
+      val swallowed = ManifestTable.swap(df, table, None, replaced = Seq("f1.parquet"))
+      assert(swallowed, "first swap of a live file commits")
+      val stale = ManifestTable.swap(df, table, None, replaced = Seq("f1.parquet"))
+      assert(!stale, "second swap of the same (now gone) file must abort")
+    } finally ManifestTable.clearCasPrimitive(table)
+  }
 }
