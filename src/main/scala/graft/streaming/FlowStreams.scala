@@ -233,6 +233,43 @@ object FlowStreams {
       .trigger(trigger)
       .start()
 
+  /** STREAMING AS-OF ENRICHMENT: annotate flows in-flight against a
+    * TIME-VERSIONED dimension that itself updates mid-stream — the
+    * production posture of the reference's enrichment-processor roadmap
+    * (`/root/reference/README.md:44-51`): AS/geo databases are released in
+    * dated versions WHILE the stream runs, and the historically-correct
+    * join is as-of on event time, not equality against "whatever is
+    * loaded now".
+    *
+    * The dimension lives in a [[ManifestTable]] (columns: `key`,
+    * `valid_from`, payload…): publishing a new release is one manifest
+    * append — no stream restart, no broadcast rebuild ceremony. Each
+    * micro-batch re-reads the latest committed snapshot and
+    * [[graft.operators.AsofJoin]]s on (key, event time): a batch row whose
+    * event time predates a release keeps the OLDER version even if a newer
+    * one is already committed — late data joins its own era. Output
+    * appends to a ManifestTable with the batch-id replay guard, so the
+    * whole stage is exactly-once end-to-end.
+    *
+    * Scale: the asof join is one hash exchange sized by the batch; the
+    * dimension snapshot read is O(live files) via the manifest (no
+    * listing), and version history length only grows the dim side of the
+    * union, never the per-row state. */
+  def startAsofEnrich(stream: DataFrame, dimTable: String, outTable: String,
+      checkpoint: String, factKey: String, factTime: String,
+      dimKey: String = "asn", dimTime: String = "valid_from",
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val dims = ManifestTable.read(batch.sparkSession, dimTable)
+        val enriched = graft.operators.AsofJoin.asofJoin(
+          batch, dims, factKey, dimKey, factTime, dimTime)
+        ManifestTable.append(enriched, outTable, None, id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Read the managed raw table at its latest committed snapshot. */
   def readRawManaged(spark: SparkSession, table: String): DataFrame =
     ManifestTable.read(spark, table)

@@ -69,6 +69,41 @@ class AsofJoinSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("streaming: dimension releases committed mid-stream enrich by event time, exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{FlowStreams, ManifestTable}
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(): String = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    val dimTable = tmp(); val outTable = tmp(); val cp = tmp()
+
+    // release v1 of the dimension, effective from t=100
+    ManifestTable.append(Seq((1, 100L, 1)).toDF("asn", "valid_from", "asdb"),
+      dimTable, None, batchId = 0L)
+
+    val src = MemoryStream[(Int, Long)]
+    val q = FlowStreams.startAsofEnrich(src.toDF().toDF("src_as", "t"),
+      dimTable, outTable, cp, factKey = "src_as", factTime = "t",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      src.addData((1, 50L), (1, 150L)) // before/after v1's effective time
+      q.processAllAvailable()
+      // release v2 mid-stream: one manifest append, no restart
+      ManifestTable.append(Seq((1, 200L, 2)).toDF("asn", "valid_from", "asdb"),
+        dimTable, None, batchId = 1L)
+      src.addData((1, 180L), (1, 250L)) // late row keeps v1; current row gets v2
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = ManifestTable.read(spark, outTable)
+      .select("src_as", "t", "asdb").as[(Int, Long, Option[Int])]
+      .collect().toSeq.sortBy(_._2)
+    assert(got === Seq(
+      (1, 50L, None), // predates every release
+      (1, 150L, Some(1)),
+      (1, 180L, Some(1)), // v2 already committed, but event time is v1-era
+      (1, 250L, Some(2))))
+  }
+
   test("plan: single hash exchange on the join key, no broadcast of the version history") {
     val plan = AsofJoin.flowEnrichAsof(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
