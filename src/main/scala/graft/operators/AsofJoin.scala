@@ -15,41 +15,81 @@ import graft.flow.FlowAdapter
   * join March's database, not today's).
   *
   * Spark has no asof-join operator. The scalable composition (preference
-  * (a) of the custom-op ladder) is union + ordered forward-fill:
+  * (a) of the custom-op ladder) is union + ordered forward-fill,
+  * SUB-PARTITIONED on (key, coarse time bucket) so a hot key does not
+  * serialize through one task:
   *
   *  1. tag dim rows (side 0) and fact rows (side 1) into one relation;
-  *  2. ONE hash exchange on the join key, sort within partitions by
+  *  2. derive a bucket width from the fact time range (a broadcast 1-row
+  *     min/max aggregate — no driver round-trip) and give every row a
+  *     bucket id `(t - tmin) div width`;
+  *  3. per (key, bucket) present on the fact side, compute the BOUNDARY
+  *     version — the newest dim version effective strictly before the
+  *     bucket's start instant — with an equality join on the key (the
+  *     range predicate rides as a post-join filter) + `max_by`; it enters
+  *     the union as side -1 at the bucket-start instant, so it seeds the
+  *     fill but loses ties to a real version effective exactly at start;
+  *  4. ONE hash exchange on (key, bucket), sort within partitions by
   *     (time, side) — dim versions sort before facts at the same instant,
   *     so a version effective AT t applies to facts at t;
-  *  3. running `last(dim_payload, ignoreNulls)` over the ordered frame
+  *  5. running `last(dim_payload, ignoreNulls)` over the ordered frame
   *     forward-fills each fact row with the newest version at-or-before
   *     it; the payload rides ONE struct column, so the fill is row-atomic
   *     (a later version's null field never inherits an older version's
   *     value);
-  *  4. keep side 1, expand the struct: left-join semantics — facts before
+  *  6. keep side 1, expand the struct: left-join semantics — facts before
   *     the first version carry nulls.
   *
-  * Scale shape: exactly one shuffle, keyed on the join key, sized by the
-  * fact table; no range-bucket explosion, no per-row binary search, and —
-  * unlike a broadcast of the whole version history — the dimension can be
-  * arbitrarily large. Skewed keys sort more rows per partition but the
-  * window frame is running-last (O(1) state per row, no buffering).
-  * Catalyst plans it as Exchange → Sort → Window → Filter → Project, all
-  * but Window whole-stage-codegen'd.
+  * Scale shape: the big exchange is keyed on (key, bucket), sized by the
+  * fact table — a Zipfian-hot key (one giant ASN carrying most of the
+  * traffic) spreads across `timeBuckets` tasks instead of sorting the
+  * world in one. The boundary side is tiny: |distinct (key, bucket)| ≤
+  * keys × buckets rows probing the dim with an equi-join, and the dim can
+  * be arbitrarily large (no broadcast of the version history). The window
+  * frame is running-last (O(1) state per row, no buffering). Catalyst
+  * plans the spine as Exchange(k,b) → Sort → Window → Filter → Project,
+  * all but Window whole-stage-codegen'd; the fact side is scanned twice
+  * more (bounds aggregate + distinct (k,b)), both narrow two-column
+  * column-pruned scans.
   */
 object AsofJoin {
+
+  /** Default sub-partition count per join key. At 1000 executors a hot key
+    * fans out to 64 sorts; raise for extreme skew, 1 = legacy single
+    * window per key. */
+  val DefaultTimeBuckets = 64
 
   /** Left as-of join. `fact`'s columns pass through; `dim`'s payload
     * columns (everything but `dimKey`/`dimTime`) append, null where no
     * version is effective yet. Payload names must not collide with fact
     * names (rename on the way in). */
   def asofJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
-      factTime: String, dimTime: String): DataFrame = {
+      factTime: String, dimTime: String,
+      timeBuckets: Int = DefaultTimeBuckets): DataFrame = {
     val factCols = fact.columns.toSeq
     val dimPayload = dim.columns.toSeq.filterNot(c => c == dimKey || c == dimTime)
     require(dimPayload.nonEmpty, "dim must carry payload columns beyond key+time")
+    require(timeBuckets >= 1, s"timeBuckets must be >= 1, got $timeBuckets")
     val clash = factCols.intersect(dimPayload)
     require(clash.isEmpty, s"dim payload collides with fact columns: $clash")
+    val union = taggedUnion(fact, dim, factKey, dimKey, factTime, dimTime, timeBuckets)
+    val w = Window.partitionBy("__k", "__b").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    union
+      .withColumn("__v", last("__dim", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(factCols.map(c => col(s"__fact.$c").as(c))
+        ++ dimPayload.map(c => col(s"__v.$c").as(c)): _*)
+  }
+
+  /** The tagged, bucketed union the forward-fill window runs over —
+    * exposed for plan/partitioning assertions in AsofJoinSpec. Columns:
+    * `__k, __t, __side, __b, __dim, __fact`. */
+  private[graft] def taggedUnion(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, factTime: String, dimTime: String,
+      timeBuckets: Int): DataFrame = {
+    val factCols = fact.columns.toSeq
+    val dimPayload = dim.columns.toSeq.filterNot(c => c == dimKey || c == dimTime)
     val keyT = fact.schema(factKey).dataType
     val timeT = fact.schema(factTime).dataType
     val dimSide = dim.select(
@@ -58,13 +98,48 @@ object AsofJoin {
     val factSide = fact.select(
       col(factKey).as("__k"), col(factTime).as("__t"),
       lit(1).as("__side"), struct(factCols.map(col): _*).as("__fact"))
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dimSide.unionByName(factSide, allowMissingColumns = true)
-      .withColumn("__v", last("__dim", ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(factCols.map(c => col(s"__fact.$c").as(c))
-        ++ dimPayload.map(c => col(s"__v.$c").as(c)): _*)
+    if (timeBuckets == 1)
+      return dimSide.unionByName(factSide, allowMissingColumns = true)
+        .withColumn("__b", lit(0L))
+
+    // Bucket width from the fact time range: broadcast 1-row aggregate,
+    // integer `div` (a float divide could misplace boundary rows when the
+    // numeric time exceeds double's 2^53 mantissa, e.g. epoch nanos).
+    val bounds = broadcast(factSide.agg(
+        min(col("__t").cast("long")).as("__tmin"),
+        max(col("__t").cast("long")).as("__tmax"))
+      .select(col("__tmin"),
+        expr(s"greatest((__tmax - __tmin) div $timeBuckets + 1, 1L)").as("__w")))
+
+    val factB = factSide.crossJoin(bounds)
+      .withColumn("__b", expr("(cast(__t as long) - __tmin) div __w"))
+    // versions effective inside the fact range ride their own bucket;
+    // earlier (and later) ones reach facts only via the boundary join
+    val dimB = dimSide.crossJoin(bounds)
+      .withColumn("__tn", col("__t").cast("long"))
+      .filter(col("__tn") >= col("__tmin") &&
+        col("__tn") <= col("__tmin") + col("__w") * lit(timeBuckets.toLong))
+      .withColumn("__b", expr("(__tn - __tmin) div __w"))
+
+    // Boundary seed per fact-side (key, bucket): newest version strictly
+    // before the bucket start. Equality join on the key — the time bound
+    // is a post-join filter, group sizes bounded by versions-per-key.
+    val factKB = factB.select("__k", "__b", "__tmin", "__w").distinct()
+    val boundary = factKB
+      .join(dim.select(col(dimKey).cast(keyT).as("__k"),
+        col(dimTime).cast(timeT).cast("long").as("__dtn"),
+        struct(dimPayload.map(col): _*).as("__dim")), Seq("__k"))
+      .filter(col("__dtn") < col("__tmin") + col("__b") * col("__w"))
+      .groupBy("__k", "__b", "__tmin", "__w")
+      .agg(max_by(col("__dim"), col("__dtn")).as("__dim"))
+      .select(col("__k"),
+        (col("__tmin") + col("__b") * col("__w")).cast(timeT).as("__t"),
+        lit(-1).as("__side"), col("__dim"), col("__b"))
+
+    factB.select("__k", "__t", "__side", "__fact", "__b")
+      .unionByName(dimB.select("__k", "__t", "__side", "__dim", "__b"),
+        allowMissingColumns = true)
+      .unionByName(boundary, allowMissingColumns = true)
   }
 
   // --------------------------------------------------------------- registry

@@ -104,11 +104,47 @@ class AsofJoinSpec extends SparkTestBase {
       (1, 250L, Some(2))))
   }
 
-  test("plan: single hash exchange on the join key, no broadcast of the version history") {
+  test("plan: the fill window exchanges on (key, bucket), no broadcast of the version history") {
     val plan = AsofJoin.flowEnrichAsof(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    // one exchange for the asof union; the orderBy adds a range exchange
-    assert(exchanges === 1, s"expected exactly one hash exchange:\n$plan")
+    // the spine exchange hashes on BOTH the join key and the time bucket —
+    // this is the line that keeps a hot key off a single task
+    assert("hashpartitioning\\(__k#\\d+L?, __b#\\d+L?".r.findFirstIn(plan).isDefined,
+      s"expected a hashpartitioning(__k, __b) exchange:\n$plan")
+    assert(!plan.contains("BroadcastExchange") ||
+      !"BroadcastExchange[^\\n]*__dim".r.findFirstIn(plan).isDefined,
+      s"version history must not be broadcast:\n$plan")
+  }
+
+  test("hot key parallelism: one key's rows spread across >1 partition and many buckets") {
+    val dim = Seq((1, 100L, "v0"), (1, 5000L, "v1")).toDF("k", "valid_from", "name")
+    val fact = (0 until 4000).map(i => (1, i.toLong * 3)).toDF("k", "t") // ONE key
+    val tagged = AsofJoin.taggedUnion(fact, dim, "k", "k", "t", "valid_from", 8)
+    val buckets = tagged.filter(col("__side") === 1)
+      .select("__b").distinct().as[Long].collect().toSet
+    assert(buckets.size === 8, s"expected the hot key split into 8 buckets, got $buckets")
+    // the window's exchange hash-partitions on (k, b) — the same murmur3
+    // slot assignment must place the single hot key on more than one of the
+    // 32 reducers (AQE may later coalesce EMPTY slots, never split busy ones)
+    val slots = tagged.filter(col("__side") === 1)
+      .select(pmod(hash(col("__k"), col("__b")), lit(32)).as("slot"))
+      .distinct().count()
+    assert(slots > 1, s"hot key still hashes to one reducer slot (slots=$slots)")
+    // and the bucketed result is identical to the single-window legacy path
+    val got = AsofJoin.asofJoin(fact, dim, "k", "k", "t", "valid_from", 8)
+      .orderBy("t").select("t", "name").collect().toSeq
+    val legacy = AsofJoin.asofJoin(fact, dim, "k", "k", "t", "valid_from", 1)
+      .orderBy("t").select("t", "name").collect().toSeq
+    assert(got === legacy)
+  }
+
+  test("bucket-boundary seeding: facts in later buckets see versions from earlier buckets") {
+    // versions all land in bucket 0; facts span every bucket — each later
+    // bucket's fill must be seeded by the max-join boundary row
+    val dim = Seq((7, 0L, "old"), (7, 10L, "new")).toDF("k", "valid_from", "name")
+    val fact = (0 until 800).map(i => (7, i.toLong)).toDF("k", "t")
+    val got = AsofJoin.asofJoin(fact, dim, "k", "k", "t", "valid_from", 16)
+      .filter(col("t") >= 10).select("name").distinct().as[String].collect().toSeq
+    assert(got === Seq("new"))
   }
 }
