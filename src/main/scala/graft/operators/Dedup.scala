@@ -357,25 +357,36 @@ object Dedup {
     *
     * Scale shape: the index holds ids + 8-byte hashes only (bands: one
     * row per band per doc; shingles: one row per distinct shingle), text
-    * never leaves the batch projection; cross-batch matching is an
-    * equality join against a manifest table that at 100 TB would be
-    * bucketed by `bh` so each micro-batch probes, not scans. The index
-    * read is filtered to `src_batch < batchId`, which keeps a crash
-    * replay deterministic even after the index append committed. */
+    * never leaves the batch projection; cross-batch matching PROBES, not
+    * scans — both index tables are written BUCKETED (`indexBuckets`
+    * partition dirs: bands by `pmod(bh, N)`, shingles by `pmod(doc_id,
+    * N)`) and each micro-batch reads only the buckets its own band
+    * hashes / candidate ids fall in ([[graft.streaming.ManifestTable
+    * .readPruned]] prunes at the manifest, so unprobed buckets cost
+    * nothing — not even a footer read). The per-batch probe key sets are
+    * bounded by `indexBuckets` values (a few hundred longs to the
+    * driver), and each probed bucket holds ~1/N of the index, so
+    * per-batch read cost is O(batch's bucket fan-out × index/N) instead
+    * of O(corpus seen). The index read is filtered to `src_batch <
+    * batchId`, which keeps a crash replay deterministic even after the
+    * index append committed. */
   def startStreamingNearDup(stream: DataFrame, textCol: String, idCol: String,
       indexDir: String, outDir: String, checkpoint: String,
-      threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16)
+      threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16,
+      indexBuckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        nearDupBatch(b, id, textCol, idCol, indexDir, outDir, threshold, numHashes, bands)
+        nearDupBatch(b, id, textCol, idCol, indexDir, outDir, threshold, numHashes,
+          bands, indexBuckets)
       }
       .start()
 
   private[graft] def nearDupBatch(batch: DataFrame, batchId: Long, textCol: String,
       idCol: String, indexDir: String, outDir: String,
-      threshold: Double, numHashes: Int, bands: Int): Unit = {
+      threshold: Double, numHashes: Int, bands: Int,
+      indexBuckets: Int = 64): Unit = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     import graft.streaming.ManifestTable
     val spark = batch.sparkSession
@@ -400,9 +411,15 @@ object Dedup {
     val banded = bandedOf(sig, "doc_id", numHashes, bands)
       .transform(graft.Storage.materializeOnce) // self-join + cross-join + index append
 
-    val priorSh = ManifestTable.read(spark, shTable, Some(shSchema))
-      .filter(col("src_batch") < batchId)
-    val priorBd = ManifestTable.read(spark, bdTable, Some(bdSchema))
+    // Probe key sets: the buckets THIS batch's band hashes / candidate
+    // prior ids fall in. Each collect is bounded by `indexBuckets`
+    // distinct small values — a probe-key list, not data, to the driver.
+    val bdBuckets = banded
+      .select(pmod(col("bh"), lit(indexBuckets.toLong)).as("bkt")).distinct()
+      .collect().map(_.getLong(0).toString).toSet
+    val priorBd = ManifestTable
+      .readPruned(spark, bdTable, "bh_bucket", bdBuckets, Some(bdSchema))
+      .drop("bh_bucket")
       .filter(col("src_batch") < batchId)
 
     val localCands = banded.as("l").join(banded.as("r"),
@@ -413,6 +430,15 @@ object Dedup {
         col("p.band") === col("c.band") && col("p.bh") === col("c.bh"))
       .select(col("p.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
     val cands = localCands.union(crossCands).distinct()
+      .transform(graft.Storage.materializeOnce) // bucket-collect + verify join
+
+    val shBuckets = cands
+      .select(pmod(col("id_a"), lit(indexBuckets.toLong)).as("bkt")).distinct()
+      .collect().map(_.getLong(0).toString).toSet
+    val priorSh = ManifestTable
+      .readPruned(spark, shTable, "doc_bucket", shBuckets, Some(shSchema))
+      .drop("doc_bucket")
+      .filter(col("src_batch") < batchId)
 
     val aSide = ex.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("h"))
       .union(priorSh.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("h")))
@@ -430,9 +456,20 @@ object Dedup {
 
     // index first, output last: every append is replay-guarded and the
     // prior-index read excludes this batch, so any crash point replays to
-    // the same three commits
-    ManifestTable.append(ex.withColumn("src_batch", lit(batchId)), shTable, None, batchId)
-    ManifestTable.append(banded.withColumn("src_batch", lit(batchId)), bdTable, None, batchId)
+    // the same three commits. Index appends land under their bucket's
+    // partition directory — the layout [[readPruned]] prunes on.
+    // repartition on the bucket col first: one writer task per bucket →
+    // O(buckets) files per append, not O(tasks × buckets)
+    ManifestTable.append(
+      ex.withColumn("src_batch", lit(batchId))
+        .withColumn("doc_bucket", pmod(col("doc_id"), lit(indexBuckets.toLong)))
+        .repartition(col("doc_bucket")),
+      shTable, Some("doc_bucket"), batchId)
+    ManifestTable.append(
+      banded.withColumn("src_batch", lit(batchId))
+        .withColumn("bh_bucket", pmod(col("bh"), lit(indexBuckets.toLong)))
+        .repartition(col("bh_bucket")),
+      bdTable, Some("bh_bucket"), batchId)
     ManifestTable.append(keep, outDir, None, batchId)
   }
 

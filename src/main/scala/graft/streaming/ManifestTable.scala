@@ -218,6 +218,42 @@ object ManifestTable {
       .parquet(files.map(f => s"$table/$f"): _*)
   }
 
+  /** Last [[readPruned]] selectivity per table — (files selected, files in
+    * snapshot). Test seam: specs assert a probe read a bounded subset. */
+  private[graft] val pruneStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  /** Read only the snapshot files under the partition directories named by
+    * `keep` — manifest-level file pruning, the same shape as a lakehouse
+    * table skipping files by partition stats. The manifest records each
+    * file's partition directory (`partitionCol=value/…`), so a reader that
+    * knows its probe keys hands Spark ONLY the matching files: a probe of
+    * a corpus-sized index costs O(files in probed buckets), not O(table).
+    * Files outside any `partitionCol=` directory (a legacy unpartitioned
+    * append) are conservatively kept — correctness never depends on the
+    * layout. */
+  def readPruned(spark: SparkSession, table: String, partitionCol: String,
+      keep: Set[String], emptySchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val (_, files) = snapshot(table)
+    val dirs = keep.map(v => s"$partitionCol=$v/")
+    val selected = files.filter(f =>
+      !f.contains(s"$partitionCol=") || dirs.exists(f.startsWith))
+    pruneStats.put(Paths.get(table).toAbsolutePath.normalize.toString,
+      (selected.size, files.size))
+    if (selected.isEmpty) emptySchema match {
+      case Some(s) =>
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+      case None => throw new IllegalArgumentException(
+        s"no files selected in manifest table: $table (pass emptySchema)")
+    }
+    else spark.read.option("basePath", table)
+      .parquet(selected.map(f => s"$table/$f"): _*)
+  }
+
+  private[graft] def lastPruneStats(table: String): Option[(Int, Int)] =
+    Option(pruneStats.get(Paths.get(table).toAbsolutePath.normalize.toString))
+
   /** True if this batch is already absorbed — the replay guard that makes
     * foreachBatch appends exactly-once. Keyed on the MANIFEST-RECORDED max
     * batch id, not filenames: compaction renames data files, and Spark's
