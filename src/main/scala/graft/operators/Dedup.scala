@@ -387,13 +387,48 @@ object Dedup {
       idCol: String, indexDir: String, outDir: String,
       threshold: Double, numHashes: Int, bands: Int,
       indexBuckets: Int = 64): Unit = {
+    import graft.streaming.ManifestTable
+    val shTable = s"$indexDir/shingles"
+    val bdTable = s"$indexDir/bands"
+    if (ManifestTable.hasBatch(outDir, batchId) && ManifestTable.hasBatch(shTable, batchId)
+      && ManifestTable.hasBatch(bdTable, batchId)) return
+
+    val (keep, ex, banded) = nearDupKeep(batch, batchId, textCol, idCol, indexDir,
+      threshold, numHashes, bands, indexBuckets)
+
+    // index first, output last: every append is replay-guarded and the
+    // prior-index read excludes this batch, so any crash point replays to
+    // the same three commits. Index appends land under their bucket's
+    // partition directory — the layout [[ManifestTable.readPruned]] prunes
+    // on. repartition on the bucket col first: one writer task per bucket
+    // → O(buckets) files per append, not O(tasks × buckets)
+    ManifestTable.append(
+      ex.withColumn("src_batch", lit(batchId))
+        .withColumn("doc_bucket", pmod(col("doc_id"), lit(indexBuckets.toLong)))
+        .repartition(col("doc_bucket")),
+      shTable, Some("doc_bucket"), batchId)
+    ManifestTable.append(
+      banded.withColumn("src_batch", lit(batchId))
+        .withColumn("bh_bucket", pmod(col("bh"), lit(indexBuckets.toLong)))
+        .repartition(col("bh_bucket")),
+      bdTable, Some("bh_bucket"), batchId)
+    ManifestTable.append(keep, outDir, None, batchId)
+  }
+
+  /** Steps 1-3 of the micro-batch (sign → candidates → verify → keep),
+    * returning `(keep, shingle-relation, banded-signatures)` without
+    * committing anything — [[nearDupBatch]] appends the latter two to the
+    * index; [[graft.Plans]] dumps `keep`'s physical plan (the pruned
+    * index probe is the part the 100 TB posture rests on). */
+  private[graft] def nearDupKeep(batch: DataFrame, batchId: Long, textCol: String,
+      idCol: String, indexDir: String,
+      threshold: Double, numHashes: Int, bands: Int,
+      indexBuckets: Int): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     import graft.streaming.ManifestTable
     val spark = batch.sparkSession
     val shTable = s"$indexDir/shingles"
     val bdTable = s"$indexDir/bands"
-    if (ManifestTable.hasBatch(outDir, batchId) && ManifestTable.hasBatch(shTable, batchId)
-      && ManifestTable.hasBatch(bdTable, batchId)) return
 
     val shSchema = StructType(Seq(StructField("doc_id", LongType), StructField("n_sh", LongType),
       StructField("h", LongType), StructField("src_batch", LongType)))
@@ -453,24 +488,7 @@ object Dedup {
     val keep = batch.withColumn("__id", col(idCol).cast("long"))
       .join(dropIds, col("__id") === col("__drop_id"), "left_anti")
       .drop("__id")
-
-    // index first, output last: every append is replay-guarded and the
-    // prior-index read excludes this batch, so any crash point replays to
-    // the same three commits. Index appends land under their bucket's
-    // partition directory — the layout [[readPruned]] prunes on.
-    // repartition on the bucket col first: one writer task per bucket →
-    // O(buckets) files per append, not O(tasks × buckets)
-    ManifestTable.append(
-      ex.withColumn("src_batch", lit(batchId))
-        .withColumn("doc_bucket", pmod(col("doc_id"), lit(indexBuckets.toLong)))
-        .repartition(col("doc_bucket")),
-      shTable, Some("doc_bucket"), batchId)
-    ManifestTable.append(
-      banded.withColumn("src_batch", lit(batchId))
-        .withColumn("bh_bucket", pmod(col("bh"), lit(indexBuckets.toLong)))
-        .repartition(col("bh_bucket")),
-      bdTable, Some("bh_bucket"), batchId)
-    ManifestTable.append(keep, outDir, None, batchId)
+    (keep, ex, banded)
   }
 
   // ------------------------------------------------- cross-split leakage

@@ -139,6 +139,35 @@ class DedupSpec extends SparkTestBase {
     assert(ManifestTable.snapshot(s"$idx/shingles") === vSh)
   }
 
+  test("streaming near-dup probe reads a bounded bucket subset, not the corpus index") {
+    import spark.implicits._
+    import graft.streaming.ManifestTable
+    def tmp(): String = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    def words(prefix: String): Seq[String] = (0 until 30).map(i => s"$prefix$i")
+    val idx = tmp(); val out = tmp()
+    // seed batch: 12 distinct docs → band index spread over many bh buckets
+    val corpus = (1L to 12L).map(i => (i, words(s"p${i}x").mkString(" ")))
+    Dedup.nearDupBatch(corpus.toDF("doc_id", "text"), 0L, "text", "doc_id",
+      idx, out, 0.2, 64, 16)
+    // probe batch: ONE doc, a near-dup variant of doc 3 (jaccard ≈ 0.81)
+    val probe = Seq((100L, words("p3x").updated(10, "subst").mkString(" ")))
+    Dedup.nearDupBatch(probe.toDF("doc_id", "text"), 1L, "text", "doc_id",
+      idx, out, 0.2, 64, 16)
+    // a 1-doc batch has ≤16 distinct band hashes → probes ≤16 of the 64
+    // bh buckets; the manifest prune must hand Spark only those files
+    val (bSel, bTot) = ManifestTable.lastPruneStats(s"$idx/bands").get
+    assert(bSel <= 16, s"1-doc batch should probe ≤16 band buckets, read $bSel")
+    assert(bSel < bTot, s"bands probe should prune files: read $bSel of $bTot")
+    // shingle verify probes only the candidate ids' buckets (here: doc 3's)
+    val (sSel, sTot) = ManifestTable.lastPruneStats(s"$idx/shingles").get
+    assert(sSel < sTot, s"shingles probe should prune files: read $sSel of $sTot")
+    // and the pruned probe still catches the planted cross-batch near-dup
+    val kept = ManifestTable.read(spark, out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(100L), "cross-batch near-dup must drop through the pruned probe")
+    assert(kept === (1L to 12L).toSet)
+  }
+
   test("minhash+LSH on planted synthetic duplicates") {
     import spark.implicits._
     // two near-identical docs + unrelated ones
