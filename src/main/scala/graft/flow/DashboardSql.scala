@@ -37,7 +37,12 @@ object DashboardSql {
     FlowQueries.rollup5m(spark, dir).createOrReplaceTempView("flows_5m")
   }
 
-  /** The dashboard panels as SQL text (source panel cited per entry). */
+  /** The dashboard panels as SQL TEMPLATES. Every string carries a
+    * `$timeFilter` placeholder exactly where the reference dashboards put
+    * theirs (every Grafana panel is time-bounded: `$timeFilter` in
+    * `viz-ch.json:74,233,358,479,604`, `$__timeFilter` in
+    * `viz.json:62,206`); [[render]] binds a concrete `(from, until)` range
+    * or a tautology for the all-time form. */
   val panels: Map[String, String] = Map(
     // viz.json:62 — "Instant traffic", 30-second buckets in bits/sec
     "instant_traffic_30s" ->
@@ -45,6 +50,7 @@ object DashboardSql {
         |       sum(bytes * sampling_rate) * 8 AS sum_bits,
         |       (sum(bytes * sampling_rate) * 8) / 30.0D AS rate_bps
         |FROM flows_raw
+        |WHERE $timeFilter
         |GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
     // viz-ch.json:74 — "Instant traffic", per-minute with Grafana ms epoch
@@ -53,6 +59,7 @@ object DashboardSql {
         |       sum(bytes * sampling_rate) AS sum_bytes,
         |       CAST(time_received / 60 AS BIGINT) * 60 * 1000 AS bucket_ms
         |FROM flows_raw
+        |WHERE $timeFilter
         |GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
     // viz-ch.json:233 — "Top source IPs" (EType-conditional rendering)
@@ -61,6 +68,7 @@ object DashboardSql {
         |       count(1) AS flow_count,
         |       sum(bytes * sampling_rate) AS sum_bytes
         |FROM flows_raw
+        |WHERE $timeFilter
         |GROUP BY addr
         |ORDER BY sum_bytes DESC, addr ASC
         |LIMIT 10""".stripMargin,
@@ -70,6 +78,7 @@ object DashboardSql {
         |       count(1) AS flow_count,
         |       sum(bytes * sampling_rate) AS sum_bytes
         |FROM flows_raw
+        |WHERE $timeFilter
         |GROUP BY addr
         |ORDER BY sum_bytes DESC, addr ASC
         |LIMIT 10""".stripMargin,
@@ -79,6 +88,7 @@ object DashboardSql {
         |       count(1) AS flow_count,
         |       sum(bytes * sampling_rate) AS sum_bytes
         |FROM flows_raw
+        |WHERE $timeFilter
         |GROUP BY port
         |ORDER BY sum_bytes DESC, port ASC
         |LIMIT 10""".stripMargin,
@@ -88,6 +98,7 @@ object DashboardSql {
         |       count(1) AS flow_count,
         |       sum(bytes * sampling_rate) AS sum_bytes
         |FROM flows_raw
+        |WHERE $timeFilter
         |GROUP BY port
         |ORDER BY sum_bytes DESC, port ASC
         |LIMIT 10""".stripMargin,
@@ -99,9 +110,51 @@ object DashboardSql {
         |       sum(sum_packets) AS total_packets,
         |       sum(flow_count) AS total_flows
         |FROM flows_5m
+        |WHERE $timeFilter
         |GROUP BY src_as, dst_as
         |ORDER BY src_as, dst_as""".stripMargin)
 
-  /** Run one panel by name (after [[register]]). */
-  def run(spark: SparkSession, name: String): DataFrame = spark.sql(panels(name))
+  /** SQL text of `$timeFilter` for the raw view: the user-facing bound on
+    * `time_received` PLUS the equivalent bound on the raw scan column, so
+    * the SQL surface gets the same parquet row-group pruning as the
+    * DataFrame path ([[FlowAdapter.rawTsBound]] — the derived-column bound
+    * alone never reaches PushedFilters). The raw column's type is read
+    * from the registered view, matching rawTsBound's dispatch. */
+  private def rawTimeFilter(spark: SparkSession, r: TimeRange): String = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val rawBound = spark.table("flows_raw").schema.find(_.name == "__raw_ts")
+      .map(_.dataType) match {
+        case Some(LongType) =>
+          s" AND __raw_ts >= ${r.from * 1000000000L} AND __raw_ts < ${r.until * 1000000000L}"
+        case Some(TimestampType) =>
+          s" AND __raw_ts >= timestamp_seconds(${r.from}) AND __raw_ts < timestamp_seconds(${r.until})"
+        case _ => ""
+      }
+    s"(time_received >= ${r.from} AND time_received < ${r.until}$rawBound)"
+  }
+
+  /** `$timeFilter` for the 5-minute rollup view: bucket-level, on the
+    * `timeslot` key — what a dashboard can express against an
+    * already-aggregated table (the reference binds `$timeFilter` on the
+    * rollup's Date/Timeslot columns the same way). */
+  private def rollupTimeFilter(r: TimeRange): String =
+    s"(timeslot >= ${r.from} AND timeslot < ${r.until})"
+
+  /** Render one panel's SQL with the time range bound in — `None` renders
+    * the all-time tautology (`1 = 1`), mirroring a dashboard with the
+    * range picker set to "all". */
+  def render(spark: SparkSession, name: String, range: Option[TimeRange] = None): String = {
+    val template = panels(name)
+    val filter = range match {
+      case None => "1 = 1"
+      case Some(r) =>
+        if (template.contains("FROM flows_5m")) rollupTimeFilter(r)
+        else rawTimeFilter(spark, r)
+    }
+    template.replace("$timeFilter", filter)
+  }
+
+  /** Run one panel by name (after [[register]]), optionally time-bounded. */
+  def run(spark: SparkSession, name: String, range: Option[TimeRange] = None): DataFrame =
+    spark.sql(render(spark, name, range))
 }

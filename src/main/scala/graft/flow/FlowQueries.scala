@@ -127,9 +127,14 @@ object FlowQueries {
       .orderBy("event_date", "timeslot", "src_as", "dst_as", "etype")
 
   /** A2: read-time re-merge over the rollup — SummingMergeTree "query before
-    * OPTIMIZE" semantics (README.md:164-183). */
-  def rollupReagg(spark: SparkSession, dir: String): DataFrame =
-    rollup5m(spark, dir)
+    * OPTIMIZE" semantics (README.md:164-183). An optional range bounds the
+    * rollup BUCKET key (`timeslot`) — what a dashboard can express against
+    * an already-aggregated table, and exactly what the SQL-text twin's
+    * `$timeFilter` binds ([[DashboardSql]]). */
+  def rollupReagg(spark: SparkSession, dir: String,
+      range: Option[TimeRange] = None): DataFrame =
+    range.fold(rollup5m(spark, dir))(r => rollup5m(spark, dir)
+        .filter(col("timeslot") >= r.from && col("timeslot") < r.until))
       .groupBy("src_as", "dst_as")
       .agg(sum("sum_bytes").as("total_bytes"), sum("sum_packets").as("total_packets"),
         sum("flow_count").as("total_flows"))
@@ -323,7 +328,7 @@ object FlowQueries {
     "flow_rate_30s" -> ((s: SparkSession, d: String) => rate30s(s, d)),
     "flow_rate_1m" -> ((s: SparkSession, d: String) => rate1m(s, d)),
     "flow_rollup_5m" -> ((s: SparkSession, d: String) => rollup5m(s, d)),
-    "flow_rollup_reagg" -> (rollupReagg _),
+    "flow_rollup_reagg" -> ((s, d) => rollupReagg(s, d)),
     "flow_top_src_ip" -> ((s: SparkSession, d: String) => topSrcIp(s, d)),
     "flow_top_dst_ip" -> ((s: SparkSession, d: String) => topDstIp(s, d)),
     "flow_top_src_port" -> ((s: SparkSession, d: String) => topSrcPort(s, d)),
