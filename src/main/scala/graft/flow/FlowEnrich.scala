@@ -72,6 +72,31 @@ object FlowEnrich {
       .withColumn("dst_country", coalesce(col("dst_country"), lit("--")))
   }
 
+  /** The enrichment join for the case the broadcast path can't cover: a
+    * dimension too large to broadcast against Zipfian fact keys (real AS
+    * traffic — a handful of eyeball/content ASNs carry most flows, so a
+    * plain hash join sends most of the table through the hot keys' tasks).
+    * [[graft.operators.Skew.saltedEquiJoin]] scatters each key over
+    * `salts` sub-keys and replicates the dimension per salt: the hot ASN's
+    * rows spread across `salts` tasks, output row-identical to
+    * [[enrichFlows]]. Cost: dims × salts extra rows hashed — the right
+    * trade exactly when dims ≫ broadcast threshold but ≪ fact side. */
+  def enrichFlowsSalted(flows: DataFrame, dims: DataFrame, salts: Int = 8): DataFrame = {
+    import graft.operators.Skew
+    val src = dims.select(col("asn").as("src_as"),
+      col("as_name").as("src_as_name"), col("country").as("src_country"))
+    val dst = dims.select(col("asn").as("dst_as"),
+      col("as_name").as("dst_as_name"), col("country").as("dst_country"))
+    val joined = Skew.saltedEquiJoin(
+      Skew.saltedEquiJoin(flows, src, "src_as", salts, "left"),
+      dst, "dst_as", salts, "left")
+    joined
+      .withColumn("src_as_name", coalesce(col("src_as_name"), lit("--")))
+      .withColumn("src_country", coalesce(col("src_country"), lit("--")))
+      .withColumn("dst_as_name", coalesce(col("dst_as_name"), lit("--")))
+      .withColumn("dst_country", coalesce(col("dst_country"), lit("--")))
+  }
+
   /** The processor: typed flows in, extended (fields-100-103-populated)
     * records out — ready for `ProtoCodec.encodeExt` re-injection
     * (`README.md:44-51`). `asdb` tags which AS database release attributed
@@ -122,8 +147,18 @@ object FlowEnrich {
       .agg(sum("bytes").as("sum_bytes"), count(lit(1)).as("flow_count"))
       .orderBy("src_country", "dst_country")
 
+  /** flow_enrich_salted: the same enriched surface through the salted
+    * join — the skew-mitigation plan, oracle-checked against the identical
+    * SQL as flow_enrich (salting must be invisible in the result). */
+  def flowEnrichSalted(spark: SparkSession, dir: String): DataFrame =
+    enrichFlowsSalted(FlowAdapter.flows(spark, dir), asDims(spark, dir))
+      .select(col("seq"), col("src_as"), col("src_as_name"), col("src_country"),
+        col("dst_as"), col("dst_as_name"), col("dst_country"), col("bytes"))
+      .orderBy("seq")
+
   val queries: Map[String, Q] = Map(
     "flow_enrich" -> (flowEnrich _),
+    "flow_enrich_salted" -> (flowEnrichSalted _),
     "flow_enrich_geo" -> (flowEnrichGeo _))
 
   private val dimsCte =
@@ -132,17 +167,20 @@ object FlowEnrich {
       |  FROM nation JOIN region ON r_regionkey = n_regionkey
       |)""".stripMargin
 
+  private val enrichSql =
+    s"""${FlowAdapter.ducksql.trim}, $dimsCte
+       |SELECT f.seq, f.src_as, coalesce(s.as_name, '--') AS src_as_name,
+       |  coalesce(s.country, '--') AS src_country,
+       |  f.dst_as, coalesce(d.as_name, '--') AS dst_as_name,
+       |  coalesce(d.country, '--') AS dst_country, f.bytes
+       |FROM flows f
+       |LEFT JOIN dims s ON s.asn = f.src_as
+       |LEFT JOIN dims d ON d.asn = f.dst_as
+       |ORDER BY seq""".stripMargin.replace('\n', ' ')
+
   val oracles: Map[String, String] = Map(
-    "flow_enrich" ->
-      s"""${FlowAdapter.ducksql.trim}, $dimsCte
-         |SELECT f.seq, f.src_as, coalesce(s.as_name, '--') AS src_as_name,
-         |  coalesce(s.country, '--') AS src_country,
-         |  f.dst_as, coalesce(d.as_name, '--') AS dst_as_name,
-         |  coalesce(d.country, '--') AS dst_country, f.bytes
-         |FROM flows f
-         |LEFT JOIN dims s ON s.asn = f.src_as
-         |LEFT JOIN dims d ON d.asn = f.dst_as
-         |ORDER BY seq""".stripMargin.replace('\n', ' '),
+    "flow_enrich_salted" -> enrichSql, // salting must be result-invisible
+    "flow_enrich" -> enrichSql,
     "flow_enrich_geo" ->
       s"""${FlowAdapter.ducksql.trim}, $dimsCte
          |SELECT coalesce(s.country, '--') AS src_country,

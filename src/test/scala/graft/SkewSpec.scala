@@ -45,6 +45,30 @@ class SkewSpec extends SparkTestBase {
       s"salt buckets should be near-uniform, spread=$spread")
   }
 
+  test("salted enrichment: plan hashes on (key, salt); result identical to broadcast path") {
+    import graft.flow.{FlowAdapter, FlowEnrich}
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = FlowEnrich.enrichFlowsSalted(
+        FlowAdapter.flows(spark, sf), FlowEnrich.asDims(spark, sf), salts = 8)
+      // the scatter is in the PLAN: the join exchange hashes on (key, salt),
+      // so a hot ASN spreads over 8 reducer sub-keys instead of one
+      // (exchanges are inserted by EnsureRequirements → read the executed
+      // plan's explain text, which shows them under AQE too)
+      val planText = salted.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val saltedExchange = planText.linesIterator.exists(l =>
+        l.contains("hashpartitioning") && l.contains("__salt"))
+      assert(saltedExchange,
+        s"join exchange must include the salt in its hash keys:\n$planText")
+      // and the salting is result-invisible vs the broadcast product path
+      val got = FlowEnrich.flowEnrichSalted(spark, sf).collect().map(_.toSeq).toSeq
+      val want = FlowEnrich.flowEnrich(spark, sf).collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got === want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("duplicate build rows per key replicate correctly (multiplicity preserved)") {
     val probe = spark.range(1000).select(lit(1L).as("k"), col("id").as("payload"))
     val build = Seq((1L, "a"), (1L, "b")).toDF("k", "name") // two matches per probe row
