@@ -54,8 +54,11 @@ object ManifestTable {
   /** The ONE storage primitive the commit protocol needs: atomically
     * publish a fully-formed object at `target` iff nothing exists there.
     * Returns false (and publishes nothing) when the name is taken — the
-    * CAS loss signal that drives optimistic retry. */
-  sealed trait CasPrimitive {
+    * CAS loss signal that drives optimistic retry. Open for extension on
+    * purpose: an object-store build implements it over the store's
+    * conditional PUT, and fault-injection specs wrap it to crash a
+    * publisher at chosen points (the protocol must recover from any). */
+  trait CasPrimitive {
     def publish(target: Path, bytes: Array[Byte]): Boolean
   }
 
@@ -394,8 +397,17 @@ object ManifestTable {
       val live = snapshot(table)._2.toSet
       val dead = all -- live
       dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
+      // crash leftovers in the manifest dir: partial uploads (.put-*) and
+      // hint temps (.hint-*) — a publisher killed between temp write and
+      // link/rename orphans one; same grace as data files
+      val mdir = manifestDir(table)
+      val temps = if (!Files.isDirectory(mdir)) Nil else listed(Files.list(mdir))(_
+        .filter(p => p.getFileName.toString.startsWith("."))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .toList)
+      temps.foreach(Files.deleteIfExists(_))
       gcManifests(table, retainManifests)
-      dead.size.toLong
+      dead.size.toLong + temps.size
     }
 
   /** Drop committed manifests older than the newest `retain` versions.

@@ -337,4 +337,112 @@ class ManifestTableSpec extends SparkTestBase {
       assert(!stale, "second swap of the same (now gone) file must abort")
     } finally ManifestTable.clearCasPrimitive(table)
   }
+
+  // ----------------------------------------------- CAS fault injection
+  // The store-side crash matrix: the protocol must recover from a
+  // publisher dying at ANY point around the conditional PUT. Each fake
+  // wraps the real primitive and kills the "driver" at a chosen instant.
+
+  /** Crash AFTER the store persisted the object (ack lost). */
+  private final class CrashAfterPublish extends ManifestTable.CasPrimitive {
+    def publish(target: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
+      val ok = ManifestTable.ConditionalPutCas.publish(target, bytes)
+      if (ok) throw new RuntimeException("injected: crash after publish")
+      ok
+    }
+  }
+
+  /** Crash mid-upload: a partial temp object exists, nothing published. */
+  private final class CrashBeforePublish extends ManifestTable.CasPrimitive {
+    def publish(target: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
+      Files.write(target.getParent.resolve(s".put-partial-${java.util.UUID.randomUUID()}"),
+        bytes.take(bytes.length / 2)) // half-written upload left behind
+      throw new RuntimeException("injected: crash before publish")
+    }
+  }
+
+  /** First attempt loses the CAS to a competing writer injected at the
+    * worst moment (after this writer read its snapshot); then heals. */
+  private final class LoseOnceToCompetitor(competing: Array[Byte])
+      extends ManifestTable.CasPrimitive {
+    var injected = false
+    def publish(target: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
+      if (!injected) {
+        injected = true
+        assert(ManifestTable.ConditionalPutCas.publish(target, competing),
+          "competitor must win the free name")
+      }
+      ManifestTable.ConditionalPutCas.publish(target, bytes)
+    }
+  }
+
+  test("fault injection: crash after publish = committed; replay of the batch is a no-op") {
+    val table = tmp()
+    Files.createDirectories(Paths.get(table))
+    ManifestTable.setCasPrimitive(table, new CrashAfterPublish)
+    try {
+      val df = spark.range(10).toDF("n")
+      val thrown = intercept[RuntimeException] {
+        ManifestTable.append(df, table, None, batchId = 0L)
+      }
+      assert(thrown.getMessage.contains("injected"))
+    } finally ManifestTable.clearCasPrimitive(table)
+    // the store persisted the manifest before the crash → the append IS
+    // committed: readers see it, and the checkpoint replay must be a no-op
+    assert(ManifestTable.maxBatchId(table) === 0L, "commit survived the crash")
+    assert(ManifestTable.read(spark, table).count() === 10L)
+    val snap = ManifestTable.snapshot(table)
+    ManifestTable.append(spark.range(99).toDF("n"), table, None, batchId = 0L) // replay
+    assert(ManifestTable.snapshot(table) === snap, "replay must change nothing")
+    assert(ManifestTable.read(spark, table).count() === 10L)
+  }
+
+  test("fault injection: crash before publish = invisible; retry lands exactly one copy") {
+    val table = tmp()
+    Files.createDirectories(Paths.get(table))
+    ManifestTable.setCasPrimitive(table, new CrashBeforePublish)
+    val df = spark.range(10).toDF("n")
+    try {
+      intercept[RuntimeException] { ManifestTable.append(df, table, None, batchId = 0L) }
+    } finally ManifestTable.clearCasPrimitive(table)
+    // nothing committed: no readable snapshot, though orphan staged data
+    // files and a partial temp upload sit in the table directory
+    assert(ManifestTable.maxBatchId(table) === -1L)
+    assert(parquetFiles(table).nonEmpty, "the crashed attempt staged data files")
+    // retry (the checkpoint re-runs the batch) commits exactly one copy
+    ManifestTable.append(df, table, None, batchId = 0L)
+    assert(ManifestTable.read(spark, table).count() === 10L)
+    // vacuum reaps the crashed attempt's orphans; the committed copy stays
+    ManifestTable.vacuum(table, graceSeconds = 0L)
+    assert(ManifestTable.read(spark, table).count() === 10L)
+    val (_, committed) = ManifestTable.snapshot(table)
+    assert(parquetFiles(table).size === committed.size,
+      "vacuum must leave only manifest-referenced data files")
+    // the half-written upload temp is gone too (manifest dir holds only
+    // manifests + hint)
+    val mdir = Paths.get(table, "_graft_manifest")
+    val droppings = Files.list(mdir)
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(droppings.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".put-partial-")).isEmpty,
+        "partial uploads must be vacuumed")
+    } finally droppings.close()
+  }
+
+  test("fault injection: CAS loss to a mid-commit competitor retries onto the fresh snapshot") {
+    val table = tmp()
+    Files.createDirectories(Paths.get(table))
+    // seed a committed base version the competitor will build on
+    ManifestTable.commit(table)(files => files :+ "base.parquet")
+    val competing = "#maxBatch:-1\nbase.parquet\ncompetitor.parquet".getBytes("UTF-8")
+    ManifestTable.setCasPrimitive(table, new LoseOnceToCompetitor(competing))
+    try {
+      ManifestTable.commit(table)(files => files :+ "mine.parquet")
+    } finally ManifestTable.clearCasPrimitive(table)
+    val (v, files) = ManifestTable.snapshot(table)
+    assert(v === 3L, "base + competitor + retried commit")
+    assert(files.toSet === Set("base.parquet", "competitor.parquet", "mine.parquet"),
+      "the retried delta must sit on top of the competitor's commit, losing nothing")
+  }
 }
