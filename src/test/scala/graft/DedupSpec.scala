@@ -168,6 +168,44 @@ class DedupSpec extends SparkTestBase {
     assert(kept === (1L to 12L).toSet)
   }
 
+  test("near-dup index compaction bounds file growth; probe stays correct after folding") {
+    import spark.implicits._
+    import graft.streaming.ManifestTable
+    def tmp(): String = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    def words(prefix: String): Seq[String] = (0 until 30).map(i => s"$prefix$i")
+    val idx = tmp(); val out = tmp()
+    // 5 batches of distinct docs: every batch appends a file per touched
+    // bucket, so bucket dirs accumulate one fragment per batch
+    (0 until 5).foreach { b =>
+      val docs = (1L to 6L).map(i => (b * 10 + i, words(s"b${b}d${i}x").mkString(" ")))
+      Dedup.nearDupBatch(docs.toDF("doc_id", "text"), b.toLong, "text", "doc_id",
+        idx, out, 0.2, 64, 16)
+    }
+    def filesPerBucket(table: String): Map[String, Int] =
+      ManifestTable.snapshot(table)._2
+        .groupBy(f => f.take(f.lastIndexOf('/').max(0))).map { case (k, v) => (k, v.size) }
+    val before = filesPerBucket(s"$idx/bands")
+    assert(before.values.max > 1, "fixture must actually fragment buckets")
+    val preMax = ManifestTable.maxBatchId(s"$idx/bands")
+    assert(Dedup.compactNearDupIndex(spark, idx), "compaction swap must commit")
+    val after = filesPerBucket(s"$idx/bands")
+    assert(after.values.max === 1, s"every bucket folds to one file: $after")
+    assert(filesPerBucket(s"$idx/shingles").values.max === 1)
+    // the replay guard survives folding (swap preserves the manifest header)
+    assert(ManifestTable.maxBatchId(s"$idx/bands") === preMax)
+    // a post-compaction batch still probes pruned AND catches a planted
+    // cross-batch near-dup of a batch-0 document
+    val probe = Seq((999L, words("b0d3x").updated(10, "subst").mkString(" ")))
+    Dedup.nearDupBatch(probe.toDF("doc_id", "text"), 5L, "text", "doc_id",
+      idx, out, 0.2, 64, 16)
+    val (bSel, bTot) = ManifestTable.lastPruneStats(s"$idx/bands").get
+    assert(bSel < bTot, s"probe must stay pruned after compaction: $bSel of $bTot")
+    val kept = ManifestTable.read(spark, out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(999L), "planted near-dup must drop against the folded index")
+    assert(kept.size === 30)
+  }
+
   test("minhash+LSH on planted synthetic duplicates") {
     import spark.implicits._
     // two near-identical docs + unrelated ones
