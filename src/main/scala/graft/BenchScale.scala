@@ -157,6 +157,44 @@ object BenchScale {
       raw.agg(percentile_approx(col("bytes"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)))
     }
 
+    // ---- stage 4: planted-hot-key join — plain vs salted task spread ----
+    // Real AS traffic is Zipfian. Plant 90% of the fact rows on ONE key,
+    // join a small-but-not-broadcastable dimension both ways with
+    // broadcast off, and record wall time + the LONGEST task of each run:
+    // the plain hash join serializes the hot key through one task (max
+    // task ≈ wall), the salted join spreads it over `salts` sub-keys.
+    val hotKey = 65001L
+    val dimKeys = 50000L
+    val skewed = raw.select(
+      when(pmod(xxhash64(col("sequenceNum")), lit(10L)) < 9, lit(hotKey))
+        .otherwise(pmod(xxhash64(col("sequenceNum"), lit(7L)), lit(dimKeys))).as("k"),
+      col("bytes"))
+    val dim = spark.range(dimKeys + 1).select(col("id").as("k"),
+      concat(lit("as-name-"), col("id")).as("name"))
+    def maxTaskSec(body: => Unit): (Double, Double) = {
+      val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null) { durations.add(t.taskInfo.duration); () }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (_, wall) = try timed(body)
+      finally spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      (wall, durations.asScala.map(_.toLong).maxOption.getOrElse(0L) / 1e3)
+    }
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ((plainWall, plainMaxTask), (saltWall, saltMaxTask)) =
+      try {
+        val plain = maxTaskSec(consume(
+          skewed.join(dim, Seq("k")).groupBy("name").agg(sum("bytes").as("b"))))
+        val salted = maxTaskSec(consume(
+          graft.operators.Skew.saltedEquiJoin(skewed, dim, "k", salts = cpus.toInt)
+            .groupBy("name").agg(sum("bytes").as("b"))))
+        (plain, salted)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+
     val ingestRate = (n / ingestSec).toLong
     val queriesJson = queries.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val json =
@@ -164,7 +202,11 @@ object BenchScale {
       f""""ingest_rows_per_sec":$ingestRate,"final_compact_sec":$compactSec%.1f,""" +
       f""""online_compactions_during_ingest":${compactions.get},""" +
       f""""raw_rows":$rawRows,"rollup_flow_count":$rollupFlows,""" +
-      f""""queries":$queriesJson,"baseline_anchor_rows_per_sec":100000}"""
+      f""""queries":$queriesJson,""" +
+      f""""skew_join":{"hot_frac":0.9,"salts":${cpus.toInt},""" +
+      f""""plain_wall_sec":$plainWall%.2f,"plain_max_task_sec":$plainMaxTask%.2f,""" +
+      f""""salted_wall_sec":$saltWall%.2f,"salted_max_task_sec":$saltMaxTask%.2f},""" +
+      f""""baseline_anchor_rows_per_sec":100000}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_scale.json"), json + "\n")
     catch { case _: Throwable => () }
