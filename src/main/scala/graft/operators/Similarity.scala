@@ -341,13 +341,86 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------------------- materialized IVF index
+
+  /** Materialize the IVF index at `indexDir`: train centroids, assign every
+    * vector to its nearest cell ONCE, and write the assigned corpus as a
+    * [[graft.streaming.ManifestTable]] partitioned by cell (`cid_part=`
+    * dirs, one writer task per cell), plus the tiny centroid table. This is
+    * the serving layout the [[knnIvf]] scaladoc promises: the corpus
+    * payload moves exactly once — at build time, in the repartition by
+    * cell — and every subsequent query reads only its probed cells' files.
+    * The manifest commit makes a rebuild atomic (readers see old or new
+    * index, never a mix) and [[graft.streaming.ManifestTable.readPruned]]
+    * prunes unprobed cells at the manifest, before any footer read. */
+  def buildIvfIndex(emb: DataFrame, indexDir: String, nCentroids: Int = 16,
+      kmeansIters: Int = 2, hashSeeds: Boolean = true,
+      trainBuckets: Int = 10000): Unit = {
+    import graft.streaming.ManifestTable
+    val cents = kmeansCentroids(emb, nCentroids, kmeansIters, hashSeeds, trainBuckets)
+    ManifestTable.append(cents.select(col("cid"), col("c_emb")),
+      s"$indexDir/centroids", None, 0L)
+    val assigned = withNearestCid(emb, cents)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+      .withColumn("cid_part", col("cid"))
+      .repartition(col("cid_part"))
+    ManifestTable.append(assigned, s"$indexDir/cells", Some("cid_part"), 0L)
+  }
+
+  /** Serve top-k from the materialized index: rank cells per query against
+    * the broadcast centroid table, collect the probed cell ids (≤ queries ×
+    * nProbe longs to the driver — a probe-key list, not data), read ONLY
+    * those cells' files, and re-rank exactly within them using the
+    * embeddings stored in the index (no second corpus join). Identical
+    * results to [[knnIvfOver]] at the same build parameters. */
+  def knnIvfIndexed(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    import graft.streaming.ManifestTable
+    val cents = ManifestTable.read(spark, s"$indexDir/centroids")
+    val probes = queries
+      .join(broadcast(cents))
+      .withColumn("cos_c", round(cosine(col("embedding"), col("c_emb")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("cos_c"), asc("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .transform(graft.Storage.materializeOnce)
+    val probedCells = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0).toString).toSet
+    val cells = ManifestTable
+      .readPruned(spark, s"$indexDir/cells", "cid_part", probedCells)
+      .drop("cid_part")
+    val cands = cells
+      .select(col("vec_id").as("neighbor_id"), col("cid"), col("embedding").as("n_emb"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val scored = cands
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("n_emb")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "sim_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "sim_cosine_dup_pairs" -> ((s: SparkSession, d: String) => cosineDupPairs(s, d)),
     "sim_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
-    "sim_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)))
+    "sim_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
+    "sim_knn_ivf_indexed" -> ((s: SparkSession, d: String) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      buildIvfIndex(Tables.embeddings(s, d), idx, nCentroids = 16,
+        kmeansIters = 2, trainBuckets = 2500)
+      knnIvfIndexed(s, idx, Tables.embeddings(s, d).filter(col("vec_id") < 5),
+        k = 5, nProbe = 4)
+    }))
 
   /** DuckDB cosine mirroring the Spark fold: explicit double cast, ordered
     * element-wise products, list_sum. */
@@ -401,7 +474,31 @@ object Similarity {
        | sig AS (SELECT ed.vec_id, pd.p, CASE WHEN sum(ed.v * pd.sgn) > 0 THEN 1 ELSE 0 END AS bit
        |   FROM ed JOIN pd ON pd.d = ed.d GROUP BY 1, 2)""".stripMargin.replace('\n', ' ')
 
+  /** The indexed serving path must return exactly what the inline IVF
+    * returns at the same build parameters — one oracle covers both. */
+  private lazy val ivfOracle: String =
+    s"""${duckKmeansCtes(16, 2, trainBuckets = 2500)},
+       | cents AS (SELECT cid, c_emb FROM cents2),
+       | asg AS (SELECT vec_id AS neighbor_id, cid FROM (
+       |   SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY round(${duckCos("e.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
+       |   FROM e, cents c) WHERE rn = 1),
+       | probes AS (SELECT query_id, cid FROM (
+       |   SELECT q.vec_id AS query_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY round(${duckCos("q.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
+       |   FROM e q, cents c WHERE q.vec_id < 5) WHERE rn <= 4),
+       | cand AS (SELECT p.query_id, a.neighbor_id FROM probes p JOIN asg a ON a.cid = p.cid
+       |   WHERE a.neighbor_id <> p.query_id),
+       | scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |     round(${duckCos("eq.embedding", "ec.embedding")}, 6) AS cos_sim
+       |   FROM cand JOIN e eq ON eq.vec_id = cand.query_id JOIN e ec ON ec.vec_id = cand.neighbor_id)
+       | SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |   FROM scored)
+       | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
+
   val oracles: Map[String, String] = Map(
+    "sim_knn_ivf_indexed" -> ivfOracle,
     "sim_knn_brute" ->
       s"""SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -420,26 +517,7 @@ object Similarity {
          |     round(${duckCos("ea.embedding", "eb.embedding")}, 6) AS cos_sim
          |   FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
          | WHERE cos_sim >= 0.9 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '),
-    "sim_knn_ivf" ->
-      s"""${duckKmeansCtes(16, 2, trainBuckets = 2500)},
-         | cents AS (SELECT cid, c_emb FROM cents2),
-         | asg AS (SELECT vec_id AS neighbor_id, cid FROM (
-         |   SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-         |     ORDER BY round(${duckCos("e.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
-         |   FROM e, cents c) WHERE rn = 1),
-         | probes AS (SELECT query_id, cid FROM (
-         |   SELECT q.vec_id AS query_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
-         |     ORDER BY round(${duckCos("q.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
-         |   FROM e q, cents c WHERE q.vec_id < 5) WHERE rn <= 4),
-         | cand AS (SELECT p.query_id, a.neighbor_id FROM probes p JOIN asg a ON a.cid = p.cid
-         |   WHERE a.neighbor_id <> p.query_id),
-         | scored AS (SELECT cand.query_id, cand.neighbor_id,
-         |     round(${duckCos("eq.embedding", "ec.embedding")}, 6) AS cos_sim
-         |   FROM cand JOIN e eq ON eq.vec_id = cand.query_id JOIN e ec ON ec.vec_id = cand.neighbor_id)
-         | SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
-         |   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-         |   FROM scored)
-         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
+    "sim_knn_ivf" -> ivfOracle,
     "sim_knn_lsh" ->
       s"""${duckSigCte(8)},
          | cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id

@@ -40,6 +40,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.1, s"IVF recall $recall vs brute")
   }
 
+  test("materialized IVF index: pruned probe reads only probed cells; equals inline IVF") {
+    import graft.streaming.ManifestTable
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.buildIvfIndex(Tables.embeddings(spark, sf), idx,
+      nCentroids = 16, kmeansIters = 2, trainBuckets = 2500)
+    // nProbe=1, one query → exactly one probed cell of 16: the read MUST
+    // prune, and the result must equal the inline path at the same params
+    val q1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+    val viaIndex = Similarity.knnIvfIndexed(spark, idx, q1, k = 5, nProbe = 1)
+      .collect().map(_.toSeq).toSeq
+    val (sel, tot) = ManifestTable.lastPruneStats(s"$idx/cells").get
+    assert(tot >= 8, s"index should hold one file per non-empty cell, got $tot")
+    assert(sel < tot && sel <= 1, s"1-cell probe must read 1 file, read $sel of $tot")
+    val inline = Similarity.knnIvfOver(Tables.embeddings(spark, sf),
+        col("vec_id") === 0L, k = 5, nCentroids = 16, nProbe = 1,
+        kmeansIters = 2, trainBuckets = 2500)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex.nonEmpty && viaIndex === inline,
+      "indexed serving must reproduce the inline IVF exactly")
+    // the registry shape (5 queries, nProbe=4) matches the inline registry
+    // query — the driver checks it against the shared DuckDB oracle
+    val reg = Similarity.queries("sim_knn_ivf_indexed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val regInline = Similarity.queries("sim_knn_ivf")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(reg === regInline)
+  }
+
   test("hash-seeded k-means centroids beat prefix seeds on a planted-cluster corpus") {
     import spark.implicits._
     // Adversarial-for-prefix corpus: the 16 LOWEST vec_ids (the r2 seed
