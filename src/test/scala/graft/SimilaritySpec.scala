@@ -69,6 +69,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(reg === regInline)
   }
 
+  test("materialized LSH index: pruned probe reads only probed buckets; equals inline LSH") {
+    import graft.streaming.ManifestTable
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_spec").toString
+    Similarity.buildLshIndex(Tables.embeddings(spark, sf), idx, bits = 8)
+    // probeDist=0, one query → exactly ONE probed bucket of ≤256
+    val q1 = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+    val viaIndex = Similarity.knnLshIndexed(spark, idx, q1, k = 5, bits = 8, probeDist = 0)
+      .collect().map(_.toSeq).toSeq
+    val (sel, tot) = ManifestTable.lastPruneStats(s"$idx/buckets").get
+    assert(sel < tot && sel <= 1, s"a 0-distance probe reads one bucket: $sel of $tot")
+    // the registry shape (5 queries, probeDist=2) equals the inline path
+    val reg = Similarity.queries("sim_knn_lsh_indexed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val inline = Similarity.queries("sim_knn_lsh")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(reg.nonEmpty && reg === inline,
+      "indexed LSH serving must reproduce the inline path exactly")
+    // the 0-distance probe returns same-bucket neighbors only (sane shape;
+    // its top-k can differ from the multiprobe top-k by construction)
+    assert(viaIndex.forall(_.head == 0L))
+  }
+
   test("hash-seeded k-means centroids beat prefix seeds on a planted-cluster corpus") {
     import spark.implicits._
     // Adversarial-for-prefix corpus: the 16 LOWEST vec_ids (the r2 seed
