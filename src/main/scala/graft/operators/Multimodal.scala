@@ -15,8 +15,9 @@ import graft.Tables
   * typed result encoding, and the partitioning story — is real and tested.
   *
   * At 100 TB: payloads never shuffle (decode happens in the scan stage,
-  * feature vectors — 1000x smaller — flow on); the media table would be
-  * written partitioned by `kind` so per-modality jobs prune.
+  * feature vectors — 1000x smaller — flow on); [[writeMediaTable]] writes
+  * the serving layout partitioned by `kind`, and [[readModality]]'s
+  * per-modality scans prune to their partitions.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -90,6 +91,18 @@ object Multimodal {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord]
   }
+
+  /** Write the media table in the serving layout: partitioned by modality,
+    * so a per-modality job (audio featurization, image resize sweep) scans
+    * only its `kind=` directories — partition pruning, no payload read for
+    * other modalities. */
+  def writeMediaTable(media: DataFrame, outDir: String): Unit =
+    media.write.mode("overwrite").partitionBy("kind").parquet(outDir)
+
+  /** Read one modality from the partitioned layout; the `kind` equality
+    * lands in the scan's PartitionFilters (asserted by MultimodalSpec). */
+  def readModality(spark: SparkSession, tableDir: String, kind: String): DataFrame =
+    spark.read.parquet(tableDir).filter(col("kind") === kind)
 
   // -------------------------------------------------------------- queries
 

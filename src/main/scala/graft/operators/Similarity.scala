@@ -18,9 +18,11 @@ import graft.Tables
   *    within signature hamming distance probeDist — an equality join, never
   *    an all-pairs scan. Candidates are deduplicated on id pairs only (no
   *    vector payloads cross that shuffle); embeddings are re-attached by two
-  *    id-keyed joins for the exact cosine re-rank. At 100 TB the bucketed
-  *    corpus would be written partitioned by signature so probes become
-  *    partition-pruned reads.
+  *    id-keyed joins for the exact cosine re-rank. The 100 TB layout is
+  *    code, not a promise: [[buildLshIndex]] writes the signed corpus
+  *    partitioned by signature bucket and [[knnLshIndexed]] serves probes
+  *    as partition-pruned reads ([[buildIvfIndex]]/[[knnIvfIndexed]] for
+  *    the clustered variant).
   *
   * The hyperplane family is derived from md5 (sign of plane p, dim d = parity
   * of the first hex digit of md5("p,d")) so the DuckDB oracle can reproduce
@@ -358,8 +360,9 @@ object Similarity {
     * nearest clusters and re-rank exactly within them. Centroids are
     * hash-spread-seeded and Lloyd-refined by [[kmeansCentroids]] — fully
     * deterministic, so the DuckDB oracle replays the same fixed-iteration
-    * Lloyd and reproduces the exact partition. At 100 TB the assigned corpus is written partitioned by
-    * `cid`, making each probe a partition-pruned read. */
+    * Lloyd and reproduces the exact partition. The materialized form is
+    * [[buildIvfIndex]]/[[knnIvfIndexed]]: the assigned corpus written
+    * partitioned by `cid`, each probe a partition-pruned read. */
   def knnIvf(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
       nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2,
       trainBuckets: Int = 2500): DataFrame =

@@ -14,6 +14,24 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("modality-partitioned layout: per-kind reads prune to their partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft_media").toString
+    Multimodal.writeMediaTable(Multimodal.mediaTable(spark, sf), out)
+    val audio = Multimodal.readModality(spark, out, "audio")
+    // the kind predicate must land in PartitionFilters, not a post-scan
+    // Filter over all payloads
+    val planText = audio.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val partLine = planText.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("kind"), s"kind filter must prune partitions:\n$planText")
+    // correctness: exactly the audio rows, nothing else
+    val want = Multimodal.mediaTable(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("kind") === "audio")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val got = audio.select("media_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got === want)
+  }
+
   test("batched feature extraction: schema, determinism, normalized histogram") {
     val f1 = Multimodal.extractFeatures(Multimodal.mediaDataset(spark, sf)).collect()
     val f2 = Multimodal.extractFeatures(Multimodal.mediaDataset(spark, sf), batchSize = 7).collect()
