@@ -206,6 +206,51 @@ class DedupSpec extends SparkTestBase {
     assert(kept.size === 30)
   }
 
+  test("index compaction RACES the streaming near-dup query: drops unchanged, no loss") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.ManifestTable
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(): String = java.nio.file.Files.createTempDirectory("graft_race").toString
+    def words(prefix: String): Seq[String] = (0 until 30).map(i => s"$prefix$i")
+    def variantOf(ws: Seq[String], tag: String): Seq[String] = ws.updated(10, tag + "x")
+    def t(ws: Seq[String]): String = ws.mkString(" ")
+    // same planted fixture as the sequential streaming test: expected
+    // drops are {5 (cross-batch near-dup of 1), 6 (local near-dup of 4),
+    // 7 (exact dup of 2), 9 (local near-dup of 8)}
+    val b1 = Seq(1L -> t(words("alpha")), 2L -> t(words("beta")), 3L -> t(words("gamma")))
+    val b2 = Seq(4L -> t(words("delta")), 5L -> t(variantOf(words("alpha"), "v5")),
+      6L -> t(variantOf(words("delta"), "v6")))
+    val b3 = Seq(7L -> t(words("beta")), 8L -> t(words("eps")),
+      9L -> t(variantOf(words("eps"), "v9")))
+    val idx = tmp(); val out = tmp(); val cp = tmp()
+    val src = MemoryStream[(Long, String)]
+    val q = Dedup.startStreamingNearDup(
+      src.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, out, cp)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val compactor = new Thread(() => {
+      try while (!stop.get()) {
+        Dedup.compactNearDupIndex(spark, idx)
+        Thread.sleep(20)
+      } catch { case e: Throwable => failure.set(e) }
+    })
+    compactor.setDaemon(true)
+    compactor.start()
+    try Seq(b1, b2, b3).foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    finally { q.stop(); stop.set(true); compactor.join() }
+    assert(failure.get() === null, s"compactor must not fail: ${failure.get()}")
+    val kept = ManifestTable.read(spark, out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 8L), "drops must be exactly the planted dups")
+    // the index is intact after the race: batch header preserved, every
+    // signature row present exactly once
+    assert(ManifestTable.maxBatchId(s"$idx/bands") === 2L)
+    val bd = ManifestTable.read(spark, s"$idx/bands")
+    assert(bd.count() === bd.distinct().count(), "no duplicated index rows")
+    assert(bd.select("doc_id").distinct().count() === 9L, "all 9 docs indexed")
+  }
+
   test("minhash+LSH on planted synthetic duplicates") {
     import spark.implicits._
     // two near-identical docs + unrelated ones
