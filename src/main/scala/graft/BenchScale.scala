@@ -163,8 +163,11 @@ object BenchScale {
     // broadcast off, and record wall time + the LONGEST task of each run:
     // the plain hash join serializes the hot key through one task (max
     // task ≈ wall), the salted join spreads it over `salts` sub-keys.
-    val hotKey = 65001L
+    // the hot key must be INSIDE the dimension's key range: the point of
+    // the measurement is the matched hot key's joined rows serializing
+    // through one task, not unmatched rows discarded at the join
     val dimKeys = 50000L
+    val hotKey = 7L
     val skewed = raw.select(
       when(pmod(xxhash64(col("sequenceNum")), lit(10L)) < 9, lit(hotKey))
         .otherwise(pmod(xxhash64(col("sequenceNum"), lit(7L)), lit(dimKeys))).as("k"),
@@ -178,8 +181,20 @@ object BenchScale {
           if (t.taskInfo != null) { durations.add(t.taskInfo.duration); () }
       }
       spark.sparkContext.addSparkListener(listener)
-      val (_, wall) = try timed(body)
-      finally spark.sparkContext.removeSparkListener(listener)
+      val (_, wall) = try {
+        val r = timed(body)
+        // task-end events arrive on the async listener bus; the longest
+        // task's event is the likeliest to still be queued when the job
+        // returns — wait for the queue to quiesce before reading
+        var last = -1
+        var same = 0
+        while (same < 3) {
+          Thread.sleep(100)
+          val n = durations.size()
+          if (n == last) same += 1 else { same = 0; last = n }
+        }
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
       import scala.jdk.CollectionConverters._
       (wall, durations.asScala.map(_.toLong).maxOption.getOrElse(0L) / 1e3)
     }

@@ -117,19 +117,12 @@ object DashboardSql {
   /** SQL text of `$timeFilter` for the raw view: the user-facing bound on
     * `time_received` PLUS the equivalent bound on the raw scan column, so
     * the SQL surface gets the same parquet row-group pruning as the
-    * DataFrame path ([[FlowAdapter.rawTsBound]] — the derived-column bound
-    * alone never reaches PushedFilters). The raw column's type is read
-    * from the registered view, matching rawTsBound's dispatch. */
+    * DataFrame path. The scan-column bound renders via
+    * [[FlowAdapter.rawTsBoundSql]] — the SQL twin defined next to the
+    * Column form so the two can't diverge. */
   private def rawTimeFilter(spark: SparkSession, r: TimeRange): String = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
-    val rawBound = spark.table("flows_raw").schema.find(_.name == "__raw_ts")
-      .map(_.dataType) match {
-        case Some(LongType) =>
-          s" AND __raw_ts >= ${r.from * 1000000000L} AND __raw_ts < ${r.until * 1000000000L}"
-        case Some(TimestampType) =>
-          s" AND __raw_ts >= timestamp_seconds(${r.from}) AND __raw_ts < timestamp_seconds(${r.until})"
-        case _ => ""
-      }
+    val rawBound =
+      FlowAdapter.rawTsBoundSql(spark.table("flows_raw").schema, r.from, r.until)
     s"(time_received >= ${r.from} AND time_received < ${r.until}$rawBound)"
   }
 

@@ -80,6 +80,23 @@ object FlowAdapter {
     }
   }
 
+  /** SQL-text twin of [[rawTsBound]], kept ADJACENT so the two renderings
+    * of the same bound (Column for the DataFrame surface, text for
+    * [[DashboardSql]]'s `$timeFilter`) cannot silently diverge: same type
+    * dispatch, same seconds→nanos constant. Empty string when the schema
+    * carries no raw scan column. */
+  def rawTsBoundSql(schema: org.apache.spark.sql.types.StructType,
+      fromSec: Long, untilSec: Long): String = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    schema.find(_.name == "__raw_ts").map(_.dataType) match {
+      case Some(LongType) =>
+        s" AND __raw_ts >= ${fromSec * 1000000000L} AND __raw_ts < ${untilSec * 1000000000L}"
+      case Some(TimestampType) =>
+        s" AND __raw_ts >= timestamp_seconds($fromSec) AND __raw_ts < timestamp_seconds($untilSec)"
+      case _ => ""
+    }
+  }
+
   /** DuckDB CTE computing the identical flows relation from `events`.
     * Prefix for every flow-surface oracle query.
     */

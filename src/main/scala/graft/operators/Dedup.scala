@@ -387,28 +387,30 @@ object Dedup {
       .start()
 
   /** ONLINE compaction of the streaming near-dup signature index: fold
-    * each bucket's per-batch file fragments into `filesPerBucket` files
-    * and swap them in one manifest commit per table, stream still
-    * running. Without it an always-on ingest appends one file per probed
-    * bucket per micro-batch (~17k batches/day at a 5-second trigger), and
-    * probe cost degrades from O(bucket bytes) to O(bucket files ×
-    * parquet footer). Partition-selective like
+    * every fragmented bucket to ONE file and swap the folds in one
+    * manifest commit per table, stream still running. Without it an
+    * always-on ingest appends one file per probed bucket per micro-batch
+    * (~17k batches/day at a 5-second trigger), and probe cost degrades
+    * from O(bucket bytes) to O(bucket files × parquet footer). One file
+    * per bucket is the right target — the bucket is the probe's
+    * parallelism unit, and the repartition-by-bucket rewrite lands each
+    * bucket in exactly one task/file. Partition-selective like
     * [[graft.streaming.FlowStreams.compactRawOnline]]: only buckets
-    * holding more than `filesPerBucket` files are read or rewritten, so a
-    * merge cycle costs ∝ fresh fragmentation, not index size. The
+    * holding more than `fragmentThreshold` files are read or rewritten,
+    * so a merge cycle costs ∝ fresh fragmentation, not index size. The
     * `src_batch` column rides through untouched — the reader's
     * `src_batch < batchId` replay guard keeps working on folded files —
     * and a swap whose snapshot went stale aborts cleanly, so racing the
     * stream is safe. */
   def compactNearDupIndex(spark: SparkSession, indexDir: String,
-      filesPerBucket: Int = 1): Boolean = {
-    val bands = compactBucketed(spark, s"$indexDir/bands", filesPerBucket)
-    val shingles = compactBucketed(spark, s"$indexDir/shingles", filesPerBucket)
+      fragmentThreshold: Int = 1): Boolean = {
+    val bands = compactBucketed(spark, s"$indexDir/bands", fragmentThreshold)
+    val shingles = compactBucketed(spark, s"$indexDir/shingles", fragmentThreshold)
     bands && shingles
   }
 
   private def compactBucketed(spark: SparkSession, table: String,
-      filesPerBucket: Int): Boolean = {
+      fragmentThreshold: Int): Boolean = {
     import graft.streaming.ManifestTable
     val (_, files) = ManifestTable.snapshot(table)
     if (files.isEmpty) return true
@@ -416,16 +418,17 @@ object Dedup {
       f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
     // legacy unpartitioned files (empty dir group) are left alone: mixing
     // them into a bucket-partitioned rewrite would misfile them
-    val fragmentedGroups = byBucket.filter { case (d, fs) => d.nonEmpty && fs.size > filesPerBucket }
+    val fragmentedGroups = byBucket.filter { case (d, fs) => d.nonEmpty && fs.size > fragmentThreshold }
     val fragmented = fragmentedGroups.values.flatten.toSeq
     if (fragmented.isEmpty) return true
     fragmentedGroups.keysIterator.find(_.nonEmpty).map(_.takeWhile(_ != '=')) match {
       case None => true // unreachable: every group dir above is non-empty
       case Some(bucketCol) =>
-        // one task per bucket → filesPerBucket files per bucket dir
+        // hash-repartition on the bucket column: each bucket lands whole
+        // in one task → one file per bucket dir
         val compacted = spark.read.option("basePath", table)
           .parquet(fragmented.map(f => s"$table/$f"): _*)
-          .repartition(math.max(1, fragmentedGroups.size * filesPerBucket), col(bucketCol))
+          .repartition(math.max(1, fragmentedGroups.size), col(bucketCol))
         ManifestTable.swap(compacted, table, Some(bucketCol), fragmented)
     }
   }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
 import graft.Tables
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -199,6 +200,16 @@ object Similarity {
 
   // ------------------------------------------------ materialized LSH index
 
+  /** (vec_id, <key>, embedding) — the stored shape of both index tables,
+    * used as `emptySchema` so a probe of only-empty partitions composes as
+    * an empty frame. */
+  private def indexSchema(keyCol: String,
+      keyType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField(keyCol, keyType),
+      StructField("embedding", ArrayType(FloatType))))
+
   /** Materialize the LSH index: sign the corpus once and write it as a
     * [[graft.streaming.ManifestTable]] partitioned by signature bucket
     * (`sig_part=` dirs) — the "bucketed corpus written partitioned by
@@ -229,9 +240,12 @@ object Similarity {
       .transform(graft.Storage.materializeOnce)
     val probedBuckets = probes.select(col("probe")).distinct()
       .collect().map(_.getInt(0).toString).toSet
-    // the pruned subset feeds the candidate join AND the re-rank lookup
+    // the pruned subset feeds the candidate join AND the re-rank lookup;
+    // emptySchema: a query's whole probe set can hit empty buckets — the
+    // serving path returns empty like the inline twin instead of throwing
     val bkts = ManifestTable
-      .readPruned(spark, s"$indexDir/buckets", "sig_part", probedBuckets)
+      .readPruned(spark, s"$indexDir/buckets", "sig_part", probedBuckets,
+        Some(indexSchema("lsh_sig", IntegerType)))
       .drop("sig_part")
       .transform(graft.Storage.materializeOnce)
     // only (id, id) pairs cross the dedup shuffle; embeddings re-attach by
@@ -448,8 +462,12 @@ object Similarity {
       .transform(graft.Storage.materializeOnce)
     val probedCells = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0).toString).toSet
+    // emptySchema: every probed cell may be empty (no corpus vector was
+    // assigned there) — the serving path must return an empty frame like
+    // the inline twin, not throw
     val cells = ManifestTable
-      .readPruned(spark, s"$indexDir/cells", "cid_part", probedCells)
+      .readPruned(spark, s"$indexDir/cells", "cid_part", probedCells,
+        Some(indexSchema("cid", LongType)))
       .drop("cid_part")
     val cands = cells
       .select(col("vec_id").as("neighbor_id"), col("cid"), col("embedding").as("n_emb"))
@@ -484,13 +502,34 @@ object Similarity {
         probeDist = 2)))
 
   /** The registry's indexed entries are SERVING paths: the index builds
-    * once per corpus directory per JVM (a deterministic function of the
-    * data) and every invocation after that measures the probe — the
-    * build-once-serve-many shape the materialized layout exists for. */
+    * once per corpus per JVM (a deterministic function of the data) and
+    * every invocation after that measures the probe — the
+    * build-once-serve-many shape the materialized layout exists for. The
+    * cache key carries a size+mtime fingerprint of the embeddings input,
+    * so rewriting the corpus under the same path rebuilds instead of
+    * serving a stale snapshot; superseded index temp dirs live until JVM
+    * exit (one corpus copy each — a bench/test convenience, not a
+    * production cache). */
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def corpusStamp(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(dir, "embeddings.parquet")
+    if (!Files.exists(p)) "absent"
+    else if (Files.isRegularFile(p))
+      s"${Files.size(p)}-${Files.getLastModifiedTime(p).toMillis}"
+    else {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        val files = s.iterator().asScala.filter(Files.isRegularFile(_)).toList
+        s"${files.map(Files.size).sum}-${files.map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L)}"
+      } finally s.close()
+    }
+  }
+
   private def ivfIndexFor(s: SparkSession, d: String): String =
-    indexCache.computeIfAbsent(s"ivf:$d", _ => {
+    indexCache.computeIfAbsent(s"ivf:$d:${corpusStamp(d)}", _ => {
       val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
       buildIvfIndex(Tables.embeddings(s, d), idx, nCentroids = 16,
         kmeansIters = 2, trainBuckets = 2500)
@@ -498,7 +537,7 @@ object Similarity {
     })
 
   private def lshIndexFor(s: SparkSession, d: String): String =
-    indexCache.computeIfAbsent(s"lsh:$d", _ => {
+    indexCache.computeIfAbsent(s"lsh:$d:${corpusStamp(d)}", _ => {
       val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
       buildLshIndex(Tables.embeddings(s, d), idx, bits = 8)
       idx

@@ -92,6 +92,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaIndex.forall(_.head == 0L))
   }
 
+  test("indexed LSH: probing an empty bucket returns empty, not an error") {
+    import spark.implicits._
+    // 7-dim (odd) all-ones corpus vector: every hyperplane dot is a sum of
+    // an odd count of ±1 terms, never zero — so the negated query's
+    // signature flips EVERY bit and its probeDist=0 bucket is provably
+    // empty in a one-vector index
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_empty").toString
+    val one = Seq((1L, Array.fill(7)(1.0f))).toDF("vec_id", "embedding")
+    Similarity.buildLshIndex(one, idx, bits = 8)
+    val opposite = Seq((99L, Array.fill(7)(-1.0f))).toDF("vec_id", "embedding")
+    val res = Similarity.knnLshIndexed(spark, idx, opposite, k = 5, bits = 8, probeDist = 0)
+    assert(res.collect().isEmpty, "empty probed bucket must compose as empty, not throw")
+  }
+
   test("hash-seeded k-means centroids beat prefix seeds on a planted-cluster corpus") {
     import spark.implicits._
     // Adversarial-for-prefix corpus: the 16 LOWEST vec_ids (the r2 seed
