@@ -39,26 +39,42 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failed run must NOT masquerade as a (fast) sample: record the
+    // error, keep the name out of queries/total, and surface it in the
+    // JSON so downstream comparisons can't mistake a crash for a speedup
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).foreachPartition { (_: Iterator[org.apache.spark.sql.Row]) => () }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).foreachPartition { (_: Iterator[org.apache.spark.sql.Row]) => () }
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
+      }
     }
-    val passes: Seq[Seq[(String, Double)]] =
+    val passes: Seq[Seq[(String, Option[Double])]] =
       (1 to reps).map(_ => picked.map { case (name, fn) => name -> timeOne(name, fn) })
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = picked.map { case (name, _) =>
-      val samples = passes.map(_.find(_._1 == name).get._2)
-      (name, median(samples), samples.min, samples.max)
+    val results = picked.flatMap { case (name, _) =>
+      val samples = passes.flatMap(_.find(_._1 == name).get._2)
+      if (samples.size < reps) None // any failed pass disqualifies the number
+      else Some((name, median(samples), samples.min, samples.max))
     }
     val qs = results.map { case (k, med, _, _) => "\"" + k + f"""":$med%.3f""" }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, lo, hi) => "\"" + k + f"""":[$lo%.3f,$hi%.3f]""" }
       .mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ") + "\""
+      }.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
     // ingestion throughput vs the reference's only published number
     // (>100k flows/s, /root/reference/README.md:91-92): full wire path —
@@ -85,7 +101,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ingest failed: ${e.getMessage}"); ""
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread$ingest,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread$errJson$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

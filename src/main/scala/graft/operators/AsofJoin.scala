@@ -82,6 +82,38 @@ object AsofJoin {
         ++ dimPayload.map(c => col(s"__v.$c").as(c)): _*)
   }
 
+  /** Lossless numeric image of a time column, for bucket arithmetic.
+    * Timestamps map to MICROSECONDS — `cast(ts as long)` truncates to
+    * whole seconds, which let two versions released in the same second
+    * tie in the boundary `max_by` and seed a bucket with the stale one.
+    * None for types with no exact numeric image (e.g. strings): the
+    * caller falls back to the single-window path, whose ordering works
+    * for any orderable type. */
+  private def toNum(c: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    t match {
+      case TimestampType => Some(unix_micros(c))
+      case DateType => Some(unix_micros(c.cast(TimestampType)))
+      case _: NumericType => Some(c.cast("long"))
+      case _ => None
+    }
+  }
+
+  /** Inverse of [[toNum]] for rendering a boundary-seed instant back in
+    * the time column's type. A Date seed truncates to its day — still ≤
+    * the bucket start, and the seed's placement rides the explicit `__b`
+    * column, so ordering stays correct. */
+  private def fromNum(c: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    t match {
+      case TimestampType => timestamp_micros(c)
+      case DateType => timestamp_micros(c).cast(DateType)
+      case _ => c.cast(t)
+    }
+  }
+
   /** The tagged, bucketed union the forward-fill window runs over —
     * exposed for plan/partitioning assertions in AsofJoinSpec. Columns:
     * `__k, __t, __side, __b, __dim, __fact`. */
@@ -98,25 +130,27 @@ object AsofJoin {
     val factSide = fact.select(
       col(factKey).as("__k"), col(factTime).as("__t"),
       lit(1).as("__side"), struct(factCols.map(col): _*).as("__fact"))
-    if (timeBuckets == 1)
+    val timeNum = toNum(col("__t"), timeT)
+    if (timeBuckets == 1 || timeNum.isEmpty)
       return dimSide.unionByName(factSide, allowMissingColumns = true)
         .withColumn("__b", lit(0L))
+    val tn = timeNum.get
 
     // Bucket width from the fact time range: broadcast 1-row aggregate,
     // integer `div` (a float divide could misplace boundary rows when the
     // numeric time exceeds double's 2^53 mantissa, e.g. epoch nanos).
     val bounds = broadcast(factSide.agg(
-        min(col("__t").cast("long")).as("__tmin"),
-        max(col("__t").cast("long")).as("__tmax"))
+        min(tn).as("__tmin"), max(tn).as("__tmax"))
       .select(col("__tmin"),
         expr(s"greatest((__tmax - __tmin) div $timeBuckets + 1, 1L)").as("__w")))
 
     val factB = factSide.crossJoin(bounds)
-      .withColumn("__b", expr("(cast(__t as long) - __tmin) div __w"))
+      .withColumn("__tn", tn)
+      .withColumn("__b", expr("(__tn - __tmin) div __w"))
     // versions effective inside the fact range ride their own bucket;
     // earlier (and later) ones reach facts only via the boundary join
     val dimB = dimSide.crossJoin(bounds)
-      .withColumn("__tn", col("__t").cast("long"))
+      .withColumn("__tn", tn)
       .filter(col("__tn") >= col("__tmin") &&
         col("__tn") <= col("__tmin") + col("__w") * lit(timeBuckets.toLong))
       .withColumn("__b", expr("(__tn - __tmin) div __w"))
@@ -127,13 +161,13 @@ object AsofJoin {
     val factKB = factB.select("__k", "__b", "__tmin", "__w").distinct()
     val boundary = factKB
       .join(dim.select(col(dimKey).cast(keyT).as("__k"),
-        col(dimTime).cast(timeT).cast("long").as("__dtn"),
+        toNum(col(dimTime).cast(timeT), timeT).get.as("__dtn"),
         struct(dimPayload.map(col): _*).as("__dim")), Seq("__k"))
       .filter(col("__dtn") < col("__tmin") + col("__b") * col("__w"))
       .groupBy("__k", "__b", "__tmin", "__w")
       .agg(max_by(col("__dim"), col("__dtn")).as("__dim"))
       .select(col("__k"),
-        (col("__tmin") + col("__b") * col("__w")).cast(timeT).as("__t"),
+        fromNum(col("__tmin") + col("__b") * col("__w"), timeT).as("__t"),
         lit(-1).as("__side"), col("__dim"), col("__b"))
 
     factB.select("__k", "__t", "__side", "__fact", "__b")

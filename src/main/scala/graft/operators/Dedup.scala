@@ -367,9 +367,15 @@ object Dedup {
     * bounded by `indexBuckets` values (a few hundred longs to the
     * driver), and each probed bucket holds ~1/N of the index, so
     * per-batch read cost is O(batch's bucket fan-out × index/N) instead
-    * of O(corpus seen). The index read is filtered to `src_batch <
-    * batchId`, which keeps a crash replay deterministic even after the
-    * index append committed. */
+    * of O(corpus seen). Bucket fan-out saturates at N once a batch has
+    * ~N/bands docs — size `indexBuckets` ≫ batchDocs × bands at
+    * deployment (the BenchStreamDedup run uses 4096 against 50-doc
+    * trigger batches → ~18% of the index read per batch; the 64 default
+    * here is a TEST-scale setting, and a large backfill batch degrades
+    * gracefully to reading the whole index through the same equality
+    * join — never to all-pairs). The index read is filtered to
+    * `src_batch < batchId`, which keeps a crash replay deterministic
+    * even after the index append committed. */
   def startStreamingNearDup(stream: DataFrame, textCol: String, idCol: String,
       indexDir: String, outDir: String, checkpoint: String,
       threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16,

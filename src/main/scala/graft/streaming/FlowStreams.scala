@@ -262,8 +262,12 @@ object FlowStreams {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val dims = ManifestTable.read(batch.sparkSession, dimTable)
+        // timeBuckets = 1: a micro-batch is seconds of data — per-key
+        // time-bucket fan-out is a batch-job remedy for hot keys over
+        // long ranges, and here it would add a bounds broadcast, two
+        // cross-joins and a distinct to EVERY trigger for nothing
         val enriched = graft.operators.AsofJoin.asofJoin(
-          batch, dims, factKey, dimKey, factTime, dimTime)
+          batch, dims, factKey, dimKey, factTime, dimTime, timeBuckets = 1)
         ManifestTable.append(enriched, outTable, None, id)
       }
       .option("checkpointLocation", checkpoint)

@@ -209,16 +209,35 @@ object ManifestTable {
     * the caller supplies the table schema; without one there is nothing to
     * infer from, so it stays an error. */
   def read(spark: SparkSession, table: String,
-      emptySchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val (_, files) = snapshot(table)
+      emptySchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    readFiles(spark, table, snapshot(table)._2, emptySchema,
+      s"empty manifest table: $table (pass emptySchema to read it as an empty DataFrame)")
+
+  /** The one "read this committed file list" step both [[read]] and
+    * [[readPruned]] share. A MIXED layout (flat legacy appends + later
+    * partitioned appends in one table) is read as two groups and unioned
+    * by name — handing Spark both leaf shapes under one basePath would
+    * fail partition discovery ("conflicting directory structures"); flat
+    * files surface the partition column as null. */
+  private def readFiles(spark: SparkSession, table: String, files: Seq[String],
+      emptySchema: Option[org.apache.spark.sql.types.StructType],
+      emptyMsg: String): DataFrame = {
     if (files.isEmpty) emptySchema match {
       case Some(s) =>
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
-      case None => throw new IllegalArgumentException(
-        s"empty manifest table: $table (pass emptySchema to read it as an empty DataFrame)")
+      case None => throw new IllegalArgumentException(emptyMsg)
     }
-    else spark.read.option("basePath", table)
-      .parquet(files.map(f => s"$table/$f"): _*)
+    else {
+      val (part, flat) = files.partition(f => f.contains('/') && f.contains('='))
+      val reads = Seq(
+        if (part.nonEmpty)
+          Some(spark.read.option("basePath", table).parquet(part.map(f => s"$table/$f"): _*))
+        else None,
+        if (flat.nonEmpty)
+          Some(spark.read.parquet(flat.map(f => s"$table/$f"): _*))
+        else None).flatten
+      reads.reduceLeft((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
   }
 
   /** Last [[readPruned]] selectivity per table — (files selected, files in
@@ -244,14 +263,8 @@ object ManifestTable {
       !f.contains(s"$partitionCol=") || dirs.exists(f.startsWith))
     pruneStats.put(Paths.get(table).toAbsolutePath.normalize.toString,
       (selected.size, files.size))
-    if (selected.isEmpty) emptySchema match {
-      case Some(s) =>
-        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
-      case None => throw new IllegalArgumentException(
-        s"no files selected in manifest table: $table (pass emptySchema)")
-    }
-    else spark.read.option("basePath", table)
-      .parquet(selected.map(f => s"$table/$f"): _*)
+    readFiles(spark, table, selected, emptySchema,
+      s"no files selected in manifest table: $table (pass emptySchema)")
   }
 
   private[graft] def lastPruneStats(table: String): Option[(Int, Int)] =
