@@ -338,6 +338,27 @@ class ManifestTableSpec extends SparkTestBase {
     } finally ManifestTable.clearCasPrimitive(table)
   }
 
+  test("mixed layout: flat legacy appends + partitioned appends read as one table") {
+    import spark.implicits._
+    val table = tmp()
+    Files.createDirectories(Paths.get(table))
+    // legacy era: unpartitioned appends at the table root
+    ManifestTable.append(Seq((1L, 10L)).toDF("id", "bucket"), table, None, 0L)
+    // upgraded era: bucket-partitioned appends
+    ManifestTable.append(
+      Seq((2L, 20L), (3L, 30L)).toDF("id", "bucket").withColumn("bkt", col("bucket")),
+      table, Some("bkt"), 1L)
+    // read() must union both layouts (one basePath read would fail
+    // partition discovery); legacy rows surface the partition col as null
+    val all = ManifestTable.read(spark, table)
+    assert(all.select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(all.filter(col("bkt").isNull).select("id").as[Long].collect().toSeq === Seq(1L))
+    // a pruned probe keeps legacy files conservatively AND the probed bucket
+    val pruned = ManifestTable.readPruned(spark, table, "bkt", Set("20"))
+    assert(pruned.select("id").as[Long].collect().toSet === Set(1L, 2L),
+      "probe = matching bucket + conservative legacy files")
+  }
+
   // ----------------------------------------------- CAS fault injection
   // The store-side crash matrix: the protocol must recover from a
   // publisher dying at ANY point around the conditional PUT. Each fake
