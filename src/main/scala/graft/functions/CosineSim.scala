@@ -10,10 +10,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * double, left to right — the exact IEEE sequence the DuckDB oracle's
   * ordered list arithmetic produces. */
 object CosineKernel {
+  /** Inputs must be DENSE same-length vectors: a length mismatch throws
+    * (silently comparing the common prefix fabricates a plausible score
+    * from corrupt data — r7 review finding), and a null ELEMENT follows
+    * `ArrayData.toFloatArray` (0.0 on the unsafe path) — embeddings are
+    * declared dense; use array_compact upstream if a source can hold
+    * nulls. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val x = a.toFloatArray()
     val y = b.toFloatArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector length mismatch (${x.length} vs ${y.length})")
+    val n = x.length
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

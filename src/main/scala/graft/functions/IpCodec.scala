@@ -29,17 +29,29 @@ object IpCodec {
     sb.toString
   }
 
-  /** dotted quad → uint32. ClickHouse IPv4StringToNum. Returns -1 on malformed input. */
+  /** dotted quad → uint32. ClickHouse IPv4StringToNum. Returns -1 on
+    * malformed input. split with limit -1 keeps trailing empty tokens
+    * ("1.2.3.4." must NOT parse), and octets are validated char-by-char —
+    * `toInt` would accept "+1". */
   def ip4StringToNum(s: String): Long = {
     if (s == null) return -1L
-    val parts = s.split('.')
+    val parts = s.split("\\.", -1)
     if (parts.length != 4) return -1L
     var n = 0L
     var i = 0
     while (i < 4) {
-      val p = try parts(i).toInt catch { case _: NumberFormatException => return -1L }
-      if (p < 0 || p > 255) return -1L
-      n = (n << 8) | p
+      val p = parts(i)
+      if (p.isEmpty || p.length > 3) return -1L
+      var v = 0
+      var j = 0
+      while (j < p.length) {
+        val c = p.charAt(j)
+        if (c < '0' || c > '9') return -1L
+        v = v * 10 + (c - '0')
+        j += 1
+      }
+      if (v > 255) return -1L
+      n = (n << 8) | v
       i += 1
     }
     n
@@ -93,17 +105,35 @@ object IpCodec {
     */
   def ip6StringToNum(s: String): Array[Byte] = {
     if (s == null) return null
+    // embedded-IPv4 form ("::ffff:192.168.0.1", ClickHouse accepts it):
+    // parse the dotted tail as v4 and substitute its two hex groups
+    if (s.indexOf('.') >= 0) {
+      val lastColon = s.lastIndexOf(':')
+      if (lastColon < 0) return null
+      val v4 = ip4StringToNum(s.substring(lastColon + 1))
+      if (v4 < 0) return null
+      return ip6StringToNum(s.substring(0, lastColon + 1) +
+        java.lang.Integer.toHexString(((v4 >> 16) & 0xFFFF).toInt) + ":" +
+        java.lang.Integer.toHexString((v4 & 0xFFFF).toInt))
+    }
     val out = new Array[Byte](16)
     val dcol = s.indexOf("::")
     def parseGroups(str: String): Array[Int] = {
       if (str.isEmpty) return Array.emptyIntArray
-      val parts = str.split(':')
+      // limit -1 keeps trailing empty tokens: "::1:" and ":::" must fail,
+      // and every group must be pure hex (parseInt alone accepts "+1"/"-1")
+      val parts = str.split(":", -1)
       val gs = new Array[Int](parts.length)
       var i = 0
       while (i < parts.length) {
-        if (parts(i).isEmpty || parts(i).length > 4) return null
-        val v = try java.lang.Integer.parseInt(parts(i), 16) catch { case _: NumberFormatException => return null }
-        gs(i) = v
+        val p = parts(i)
+        if (p.isEmpty || p.length > 4) return null
+        var j = 0
+        while (j < p.length) {
+          if (Character.digit(p.charAt(j), 16) < 0) return null
+          j += 1
+        }
+        gs(i) = java.lang.Integer.parseInt(p, 16)
         i += 1
       }
       gs

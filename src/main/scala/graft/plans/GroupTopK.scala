@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundRef
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Whole-operator custom plan: top-k rows per group by a numeric ordering
@@ -48,7 +48,9 @@ final case class GroupTopKExec(grouping: Seq[Expression], order: Expression,
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(grouping))
+    if (partial) Seq(UnspecifiedDistribution)
+    else if (grouping.isEmpty) Seq(AllTuples) // global top-k: one reducer
+    else Seq(ClusteredDistribution(grouping))
 
   override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKExec =
     copy(child = newChild)
@@ -58,6 +60,14 @@ final case class GroupTopKExec(grouping: Seq[Expression], order: Expression,
     val orderExpr = order
     val childOutput = child.output
     val kk = k
+    // memory valve: the map-side operator flushes its heaps downstream
+    // once it holds this many groups (correct under the partial/final
+    // contract — the final pass re-merges), so a high-cardinality
+    // grouping degrades toward shuffle volume instead of OOM. The final
+    // operator cannot flush (it must emit exactly one k-set per group);
+    // its state is groups-per-reducer × (k+1) rows — the same bound a
+    // final hash aggregate carries.
+    val maxGroups = if (partial) GroupTopKExec.PartialFlushGroups else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(groupingExprs, childOutput)
       // the ordering expression evaluates through a GENERATED unsafe
@@ -69,13 +79,17 @@ final case class GroupTopKExec(grouping: Seq[Expression], order: Expression,
       GroupTopKExec.longKeyOf(orderExpr.dataType) match {
         case Some(toKey) =>
           // primitive path (the dashboards' sum(bytes)/count orderings):
-          // parallel long[] / row[] min-heaps, zero boxing per row
+          // parallel long[] / row[] min-heaps, zero boxing per row.
+          // A null ordering value keys as Long.MinValue — the weakest
+          // possible row — matching row_number's DESC NULLS LAST: null
+          // rows fill out a group only when fewer than k real values
+          // exist (the pre-r7 operator dropped them entirely).
           val heaps = new java.util.HashMap[UnsafeRow, GroupTopKExec.LongKeyHeap]()
-          while (iter.hasNext) {
-            val row = iter.next()
-            val or = orderProj(row)
-            if (!or.isNullAt(0)) {
-              val key = toKey(or)
+          import scala.jdk.CollectionConverters._
+          new GroupTopKExec.FlushingIterator(iter,
+            add = { row =>
+              val or = orderProj(row)
+              val key = if (or.isNullAt(0)) Long.MinValue else toKey(or)
               val g = groupProj(row)
               var heap = heaps.get(g)
               if (heap == null) {
@@ -84,26 +98,32 @@ final case class GroupTopKExec(grouping: Seq[Expression], order: Expression,
               }
               if (heap.size < kk) heap.insert(key, row.copy())
               else if (key > heap.min) heap.replaceMin(key, row.copy())
-            }
-          }
-          import scala.jdk.CollectionConverters._
-          heaps.values.asScala.iterator.flatMap(_.rowIterator)
+            },
+            groups = () => heaps.size(),
+            drain = () => {
+              val out = heaps.values.asScala.toList
+              heaps.clear()
+              out.iterator.flatMap(_.rowIterator)
+            },
+            maxGroups)
         case None =>
           // generic path: any orderable type — the order value is kept as a
           // copied one-column UnsafeRow and compared with a GENERATED
           // ordering (GenerateOrdering), matching SortExec's comparator
-          // codegen instead of the interpreted ordering
+          // codegen instead of the interpreted ordering. nullable = true:
+          // ascending null ordering puts null FIRST (weakest), the DESC
+          // NULLS LAST twin of the window formulation.
           val rowOrd = GenerateOrdering.generate(Seq(SortOrder(
-            BoundReference(0, orderExpr.dataType, nullable = false), Ascending)))
+            BoundReference(0, orderExpr.dataType, nullable = true), Ascending)))
           val cmp = new java.util.Comparator[(UnsafeRow, InternalRow)] {
             override def compare(a: (UnsafeRow, InternalRow), b: (UnsafeRow, InternalRow)): Int =
               rowOrd.compare(a._1, b._1)
           }
           val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(UnsafeRow, InternalRow)]]()
-          while (iter.hasNext) {
-            val row = iter.next()
-            val or = orderProj(row)
-            if (!or.isNullAt(0)) {
+          import scala.jdk.CollectionConverters._
+          new GroupTopKExec.FlushingIterator(iter,
+            add = { row =>
+              val or = orderProj(row)
               val key = groupProj(row)
               var heap = heaps.get(key)
               if (heap == null) {
@@ -117,10 +137,14 @@ final case class GroupTopKExec(grouping: Seq[Expression], order: Expression,
                 heap.poll()
                 heap.add((or.copy(), row.copy()))
               }
-            }
-          }
-          import scala.jdk.CollectionConverters._
-          heaps.values.asScala.iterator.flatMap(_.iterator().asScala.map(_._2))
+            },
+            groups = () => heaps.size(),
+            drain = () => {
+              val out = heaps.values.asScala.toList
+              heaps.clear()
+              out.iterator.flatMap(_.iterator().asScala.map(_._2))
+            },
+            maxGroups)
       }
     }, preservesPartitioning = true)
   }
@@ -128,6 +152,32 @@ final case class GroupTopKExec(grouping: Seq[Expression], order: Expression,
 
 object GroupTopKExec {
   import org.apache.spark.sql.types._
+
+  /** Map-side flush threshold (groups held before emitting partial heaps
+    * downstream). 2^17 groups × (k+1) rows bounds the map at a few hundred
+    * MB for dashboard-sized rows. */
+  private[plans] val PartialFlushGroups: Int = 1 << 17
+
+  /** Drives input through `add` until the group map reaches `maxGroups`
+    * (or input ends), then streams `drain()`'s rows out before resuming —
+    * the operator's memory stays bounded by maxGroups × (k+1) rows while
+    * the output remains a correct partial result (the final pass
+    * re-merges duplicate groups across flushes). */
+  private[plans] final class FlushingIterator(input: Iterator[InternalRow],
+      add: InternalRow => Unit, groups: () => Int,
+      drain: () => Iterator[InternalRow], maxGroups: Int)
+      extends Iterator[InternalRow] {
+    private var out: Iterator[InternalRow] = Iterator.empty
+    private var exhausted = false
+    private def advance(): Unit =
+      while (!out.hasNext && !exhausted) {
+        while (input.hasNext && groups() < maxGroups) add(input.next())
+        if (!input.hasNext) exhausted = true
+        out = drain()
+      }
+    override def hasNext: Boolean = { advance(); out.hasNext }
+    override def next(): InternalRow = { advance(); out.next() }
+  }
 
   /** Monotone UnsafeRow→Long key extractor (field 0 of the generated
     * order projection) for types whose ordering embeds in long comparison.

@@ -19,7 +19,12 @@ import graft.functions.{Ip4Ntoa, Ip4ToBin16, Ip6Ntoa}
   *   Aggregate(group = render(c), out = [render(c) AS addr, aggs...])
   * to
   *   Project(render(c') AS addr, aggs...)           — ≤ groups renders
-  *     Aggregate(group = c, out = [c AS addr_raw, aggs...])   — 8-byte keys
+  *     Aggregate(group = key(c), out = [key(c) AS addr_raw, aggs...]) — 8-byte keys
+  *
+  * where key(c) is c for the fully-injective Ip6 render and
+  * `c & 0xFFFFFFFF` for the v4 renders (which read only the low 32 bits —
+  * grouping on the raw long would SPLIT groups the rendered grouping
+  * merges)
   *
   * preserving the output attribute ids so parent plans are untouched. The
   * rewrite is applied only when every reference to the rendered value in the
@@ -41,6 +46,22 @@ object RenderAfterAggregate extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The grouping key that is injective WITH RESPECT TO the render.
+    * Ip4Ntoa/Ip4ToBin16 read only the low 32 bits of their input, so two
+    * longs equal mod 2^32 render identically — grouping on the raw long
+    * would split groups the rendered grouping merges (r7 review finding).
+    * Group on the masked value instead; Ip6Ntoa consumes its full 16-byte
+    * input and groups on it unchanged. */
+  private def rawKeyOf(render: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, Cast, Literal}
+    import org.apache.spark.sql.types.LongType
+    render match {
+      case _: Ip4Ntoa | _: Ip4ToBin16 =>
+        BitwiseAnd(Cast(render.children.head, LongType), Literal(0xFFFFFFFFL, LongType))
+      case _ => render.children.head
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate if agg.resolved =>
       val renders = agg.groupingExpressions.filter(g =>
@@ -58,7 +79,7 @@ object RenderAfterAggregate extends Rule[LogicalPlan] {
         // group on the render's input instead of the rendered value
         val newGrouping = agg.groupingExpressions.map { g =>
           safe.find(g.semanticEquals) match {
-            case Some(r) => r.children.head
+            case Some(r) => rawKeyOf(r)
             case None => g
           }
         }
@@ -68,7 +89,7 @@ object RenderAfterAggregate extends Rule[LogicalPlan] {
         val newAggExprs = agg.aggregateExpressions.map {
           case a @ Alias(child, name) if safe.exists(child.semanticEquals) =>
             val r = safe.find(child.semanticEquals).get
-            val rawAlias = Alias(r.children.head, s"${name}_raw")()
+            val rawAlias = Alias(rawKeyOf(r), s"${name}_raw")()
             post ::= ((rawAlias.toAttribute, r, name, a.exprId))
             rawAlias
           case ne => ne

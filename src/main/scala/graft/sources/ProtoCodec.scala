@@ -51,12 +51,13 @@ object ProtoCodec {
       throw new IllegalArgumentException("malformed varint")
     }
     def readBytes(): Array[Byte] = {
-      val len = readVarint().toInt
-      // bounds BEFORE the copy: copyOfRange silently zero-pads past the end
-      // of the buffer — a truncated payload must fail loudly, not decode
-      // into fabricated zero bytes
-      if (len < 0 || pos + len > end)
-        throw new IllegalArgumentException(s"truncated length-delimited field ($len bytes at $pos, end $end)")
+      // validate the 64-bit length BEFORE narrowing: a crafted length of
+      // 2^32+5 truncates to 5 via .toInt and mis-frames the stream
+      // silently; bounds compare in Long so pos+len cannot overflow int
+      val lenL = readVarint()
+      if (lenL < 0L || lenL > Int.MaxValue || pos.toLong + lenL > end)
+        throw new IllegalArgumentException(s"truncated length-delimited field ($lenL bytes at $pos, end $end)")
+      val len = lenL.toInt
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       out
@@ -70,11 +71,12 @@ object ProtoCodec {
       case 1 => advance(8)
       case 2 =>
         // `pos += readVarint()` would capture pos BEFORE the varint read
-        // advances it (Scala evaluates the lhs of += first) — read then add
-        val len = readVarint().toInt
-        if (len < 0 || pos + len > end)
+        // advances it (Scala evaluates the lhs of += first) — read then
+        // add. 64-bit validation before narrowing, Long bounds compare.
+        val lenL = readVarint()
+        if (lenL < 0L || lenL > Int.MaxValue || pos.toLong + lenL > end)
           throw new IllegalArgumentException("truncated skipped field")
-        pos += len
+        pos += lenL.toInt
       case 5 => advance(4)
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
     }
@@ -134,8 +136,13 @@ object ProtoCodec {
 
   // ----------------------------------------------------------------- decode
 
-  private def pad16(b: Array[Byte]): Array[Byte] =
+  private def pad16(b: Array[Byte]): Array[Byte] = {
+    // fail loudly on oversized address fields: copyOf would silently DROP
+    // the tail and fabricate a plausible 16-byte address from corrupt wire
+    if (b.length > 16)
+      throw new IllegalArgumentException(s"address field ${b.length} bytes, max 16")
     if (b.length == 16) b else java.util.Arrays.copyOf(b, 16)
+  }
 
   /** Decode one bare message. Unknown fields are skipped. Absent address
     * fields decode to null — the Go consumer sees a nil slice there and
@@ -398,12 +405,16 @@ object ProtoCodec {
   /** Decode a varint-length-delimited stream of messages (one Kafka payload
     * may carry several framed records). Throws on truncated frames. */
   def decodeDelimitedStream(buf: Array[Byte]): Seq[FlowMessage] = {
+    // null = a Kafka tombstone record: malformed input, not a crash —
+    // IllegalArgumentException so the lenient dead-letter path drops it
+    if (buf == null) throw new IllegalArgumentException("null payload")
     val r = new Reader(buf, 0, buf.length)
     val out = scala.collection.mutable.ArrayBuffer.empty[FlowMessage]
     while (r.hasRemaining) {
-      val len = r.readVarint().toInt
-      if (len < 0 || r.pos + len > buf.length)
-        throw new IllegalArgumentException(s"truncated frame ($len bytes at ${r.pos})")
+      val lenL = r.readVarint()
+      if (lenL < 0L || lenL > Int.MaxValue || r.pos.toLong + lenL > buf.length)
+        throw new IllegalArgumentException(s"truncated frame ($lenL bytes at ${r.pos})")
+      val len = lenL.toInt
       out += decode(buf, r.pos, r.pos + len)
       r.pos += len
     }

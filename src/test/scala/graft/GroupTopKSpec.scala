@@ -32,6 +32,37 @@ class GroupTopKSpec extends SparkTestBase {
     }
   }
 
+  test("null ordering values fill out short groups (DESC NULLS LAST parity)") {
+    import spark.implicits._
+    withStrategy {
+      // group 1: 2 real + 2 null order values, k=3 → window keeps 3 rows
+      // (two real + one null); group 2: all-null → still present.
+      // the pre-r7 operator dropped every null-ordered row
+      val df = Seq((1, Some(10L)), (1, Some(20L)), (1, None), (1, None),
+        (2, None), (2, None)).toDF("g", "v")
+      def key(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val got = key(GroupTopK.topK(df, Seq(col("g")), col("v"), 3).collect())
+      val want = key(df.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(desc("v"))))
+        .filter(col("rn") <= 3).select("g", "v").collect())
+      assert(got === want)
+      assert(got.contains(2), "an all-null group must not vanish")
+    }
+  }
+
+  test("global top-k (no grouping) plans and returns the overall k largest") {
+    withStrategy {
+      val fl = FlowAdapter.flows(spark, sf)
+      val got = GroupTopK.topK(fl, Seq.empty, col("bytes"), 7)
+        .select("bytes").collect().map(_.getLong(0)).sorted.toSeq
+      val want = fl.orderBy(desc("bytes")).limit(7)
+        .select("bytes").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === want)
+    }
+  }
+
   test("plans as partial + final exec around one bounded exchange, no sort") {
     withStrategy {
       val df = GroupTopK.topK(FlowAdapter.flows(spark, sf), Seq(col("proto")), col("bytes"), 3)

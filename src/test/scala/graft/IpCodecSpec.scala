@@ -49,6 +49,29 @@ class IpCodecSpec extends AnyFunSuite {
     assert(ip6StringToNum("2001:db8") === null)
     assert(ip6StringToNum("1:2:3:4:5:6:7:8:9") === null)
     assert(ip6StringToNum("zzzz::") === null)
+    // r7 review: Java split/parseInt leniency let these through
+    assert(ip6StringToNum("-1::") === null, "signed hex group")
+    assert(ip6StringToNum("+1::") === null)
+    assert(ip6StringToNum("::1:") === null, "trailing colon")
+    assert(ip6StringToNum(":::") === null)
+  }
+
+  test("ip6 aton accepts the embedded-IPv4 form (ClickHouse parity)") {
+    val b = ip6StringToNum("::ffff:192.168.0.1")
+    assert(b !== null)
+    assert(b.slice(10, 16).map(_ & 0xFF).toSeq === Seq(0xFF, 0xFF, 192, 168, 0, 1))
+    assert(b.take(10).forall(_ === 0))
+    assert(ip6StringToNum("::ffff:300.0.0.1") === null, "invalid embedded octet")
+    assert(ip6StringToNum("1.2.3.4") === null, "dotted quad alone is not v6")
+  }
+
+  test("ip4 aton rejects trailing dots and signed octets (r7 review)") {
+    assert(ip4StringToNum("1.2.3.4.") === -1L)
+    assert(ip4StringToNum("1.2.3.4....") === -1L)
+    assert(ip4StringToNum("+1.2.3.4") === -1L)
+    assert(ip4StringToNum("1.2.3.+4") === -1L)
+    assert(ip4StringToNum("1.2.3.4") === 16909060L, "plain quad still parses")
+    assert(ip4StringToNum("001.002.003.004") === 16909060L, "leading zeros allowed")
   }
 
   test("Go net.IP.String() semantics (inserter.go:131-140)") {

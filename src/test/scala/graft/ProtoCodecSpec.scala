@@ -133,6 +133,20 @@ class ProtoCodecSpec extends SparkTestBase {
     intercept[org.apache.spark.SparkException] {
       ProtoCodec.fromWire(mixed.toDF("value"), "value").collect()
     }
+
+    // r7 review regressions: a null payload (Kafka tombstone) must be a
+    // dead-letter in lenient mode, not an NPE that kills the micro-batch
+    val withNull: Seq[Array[Byte]] = goodPayloads :+ null
+    val viaLenient = ProtoCodec.fromWire(withNull.toDF("value"), "value", lenient = true).collect()
+    assert(viaLenient.length === 6)
+    // a 64-bit frame length whose LOW 32 bits are small must fail loudly,
+    // not truncate to a plausible length and mis-frame the stream
+    val out = new java.io.ByteArrayOutputStream()
+    var v = 0x100000005L // 2^32 + 5
+    while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+    out.write(Array[Byte](1, 2, 3, 4, 5)) // 5 bytes follow — the truncated lie
+    intercept[IllegalArgumentException](ProtoCodec.decodeDelimitedStream(out.toByteArray))
   }
 
   test("binary-file source streams framed payload files through the MV cascade") {

@@ -35,6 +35,25 @@ class RenderAfterAggregateSpec extends SparkTestBase {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("v4 renders group on the MASKED input: longs equal mod 2^32 stay one group") {
+    import spark.implicits._
+    try {
+      spark.experimental.extraOptimizations = Seq(RenderAfterAggregate)
+      // 4294967295 and -1 render identically ('255.255.255.255'); 5 and
+      // 2^32+5 render '0.0.0.5' — grouping on the raw long would split
+      // each pair into two rows with identical addr (r7 review finding)
+      val df = Seq(4294967295L, -1L, 5L, 4294967301L, 5L).toDF("ip")
+        .groupBy(ip4_ntoa(col("ip")).as("addr"))
+        .agg(count(lit(1)).as("n"))
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === Map("255.255.255.255" -> 2L, "0.0.0.5" -> 3L))
+      // and the rewrite actually fired (no render left in grouping keys)
+      val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+      aggs.foreach(a =>
+        assert(!a.groupingExpressions.exists(_.exists(_.isInstanceOf[Ip4Ntoa]))))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("renders nested inside aggregate functions are left untouched") {
     try {
       spark.experimental.extraOptimizations = Seq(RenderAfterAggregate)
