@@ -248,24 +248,18 @@ object FlowQueries {
     * 5-tuple within `gapSeconds` of each other merge into one session row.
     * Lag-window + prefix-sum session ids — one shuffle on the 5-tuple key. */
   def sessions(spark: SparkSession, dir: String, gapSeconds: Long = 600): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val obs = fl(spark, dir).select(
       concat_ws("|", col("src_ip"), col("dst_ip"), col("src_port"), col("dst_port"),
         col("proto")).as("key"),
       col("time_received").as("ts"), col("bytes"), col("packets"))
-    val w = Window.partitionBy("key").orderBy("ts")
-    obs
-      .withColumn("prev_ts", lag("ts", 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + gapSeconds, 1).otherwise(0))
-      .withColumn("session_id", sum("new_session").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("key", "session_id")
-      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
-        sum("bytes").as("sum_bytes"), sum("packets").as("sum_packets"),
-        count(lit(1)).as("flow_count"))
-      .withColumn("duration", col("session_end") - col("session_start"))
-      .drop("session_id")
+    // the ONE lag+prefix-sum implementation (shared with the streaming
+    // oracle, so the two surfaces cannot drift); only aliases differ here
+    graft.streaming.FlowSessions.gapSessions(obs, gapSeconds)
+      .withColumnRenamed("start", "session_start")
+      .withColumnRenamed("end", "session_end")
+      .withColumnRenamed("bytes", "sum_bytes")
+      .withColumnRenamed("packets", "sum_packets")
+      .withColumnRenamed("flows", "flow_count")
       .orderBy("key", "session_start")
   }
 

@@ -52,12 +52,24 @@ object FlowSessions {
     var cur = prior
     sorted.foreach { o =>
       cur match {
-        case Some(s) if o.ts <= s.end + gapSeconds =>
-          cur = Some(SessionState(s.start, math.max(s.end, o.ts),
+        case Some(s) if o.ts >= s.start - gapSeconds && o.ts <= s.end + gapSeconds =>
+          // within the session's gap envelope on EITHER side: a late
+          // cross-batch observation may precede the recorded start, and
+          // the start must lower with it (the r7 review caught the old
+          // merge keeping start=2000 for a merged ts=1000 — a session
+          // containing bytes from before its own start)
+          cur = Some(SessionState(math.min(s.start, o.ts), math.max(s.end, o.ts),
             s.bytes + o.bytes, s.packets + o.packets, s.flows + 1))
-        case Some(s) =>
+        case Some(s) if o.ts > s.end + gapSeconds =>
           closed ::= FlowSession(key, s.start, s.end, s.bytes, s.packets, s.flows, s.end - s.start)
           cur = Some(SessionState(o.ts, o.ts, o.bytes, o.packets, 1))
+        case Some(_) =>
+          // older than the current session's era by more than the gap:
+          // its own (already-closed) session. State for its era is gone —
+          // an inherent watermark-bounded divergence from the full-data
+          // batch oracle, emitted as a singleton rather than silently
+          // glued onto a session it doesn't belong to
+          closed ::= FlowSession(key, o.ts, o.ts, o.bytes, o.packets, 1, 0)
         case None =>
           cur = Some(SessionState(o.ts, o.ts, o.bytes, o.packets, 1))
       }
@@ -93,11 +105,14 @@ object FlowSessions {
         })
   }
 
-  /** Batch reference implementation — the oracle for the streaming path:
-    * classic gap-based sessionization via a lag window. */
-  def sessionizeBatch(df: DataFrame, gapSeconds: Long = 300): DataFrame = {
+  /** The gap-sessionization window over any pre-keyed
+    * `(key, ts, bytes, packets)` relation — the ONE copy of the
+    * lag + prefix-sum algorithm; [[sessionizeBatch]] and the registry's
+    * `flow_sessions` query ([[graft.flow.FlowQueries.sessions]]) both
+    * build on it, so the two surfaces cannot drift. Output columns:
+    * `key, start, end, bytes, packets, flows, duration`. */
+  def gapSessions(obs: DataFrame, gapSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val obs = keyed(df).toDF()
     val w = Window.partitionBy("key").orderBy("ts")
     obs
       .withColumn("prev_ts", lag("ts", 1).over(w))
@@ -111,4 +126,9 @@ object FlowSessions {
       .withColumn("duration", col("end") - col("start"))
       .drop("session_id")
   }
+
+  /** Batch reference implementation — the oracle for the streaming path:
+    * classic gap-based sessionization via a lag window. */
+  def sessionizeBatch(df: DataFrame, gapSeconds: Long = 300): DataFrame =
+    gapSessions(keyed(df).toDF(), gapSeconds)
 }

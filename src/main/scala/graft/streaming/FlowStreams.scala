@@ -86,16 +86,23 @@ object FlowStreams {
       .trigger(trigger)
       .start()
 
-  /** Start the 5-minute rollup MV: per-batch partial aggregates appended to
-    * the rollup table — zero streaming state, SummingMergeTree semantics. */
+  /** Start the 5-minute rollup MV: per-batch partial aggregates landing in
+    * the rollup table — zero streaming state, SummingMergeTree semantics.
+    * Each batch writes its own `batch=<id>` directory in OVERWRITE mode:
+    * a checkpoint replay rewrites the same directory instead of appending
+    * a second copy of partials that the read-time re-merge would silently
+    * SUM into inflated totals (blind append was the r7 review's top
+    * finding here). The manifest-committed variant
+    * ([[startRollupMVManaged]]) additionally gives readers snapshot
+    * isolation during the rewrite. */
   def startRollupMV(stream: DataFrame, outPath: String, checkpoint: String,
       trigger: Trigger = DefaultTrigger): StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         rollupPartials(batch).write
-          .mode("append")
+          .mode("overwrite")
           .partitionBy("event_date")
-          .parquet(outPath)
+          .parquet(s"$outPath/batch=$id")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -106,7 +113,9 @@ object FlowStreams {
     * ETypeMap merged ELEMENT-WISE by etype (the SummingMergeTree Nested
     * merge, `README.md:180-183`): explode → per-etype sum → re-collect. */
   def readRollup(spark: SparkSession, path: String): DataFrame =
-    mergeRollup(spark.read.parquet(path))
+    // drop the per-batch idempotency directory key (absent on pre-r7 /
+    // managed layouts, where drop is a no-op)
+    mergeRollup(spark.read.parquet(path).drop("batch"))
 
   /** The SummingMergeTree fold itself, over any partial-rows relation. */
   def mergeRollup(parts: DataFrame): DataFrame =
@@ -136,15 +145,27 @@ object FlowStreams {
     * deleted (the r2 localCheckpoint protocol lost the table if an executor
     * died mid-OPTIMIZE). For compaction concurrent with a RUNNING stream,
     * use the manifest-committed table instead ([[optimizeRollupOnline]]). */
-  def optimizeRollup(spark: SparkSession, path: String): Unit =
-    stagedOverwrite(spark, path, s"$path.optimize-staging")(readRollup(spark, path))
-
-  /** Write `df` durably to `staging`, then dynamically overwrite `path`'s
-    * partitions from the staged copy, then drop the staging dir. */
-  private def stagedOverwrite(spark: SparkSession, path: String, staging: String)
-      (df: DataFrame): Unit = {
-    df.write.mode("overwrite").partitionBy("event_date").parquet(staging)
-    overwriteFromStaging(spark, path, staging)
+  def optimizeRollup(spark: SparkSession, path: String): Unit = {
+    val staging = s"$path.optimize-staging"
+    // durable fold FIRST; only then swap the table contents. The fold
+    // lands as the reserved `batch=-1` directory so the partition layout
+    // stays uniform with the per-batch write scheme (mixing top-level
+    // batch= and event_date= dirs breaks partition discovery); pre-batch
+    // layouts' top-level event_date dirs are folded in and removed too.
+    readRollup(spark, path).write.mode("overwrite").partitionBy("event_date").parquet(staging)
+    val root = java.nio.file.Paths.get(path)
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("batch=") || n.startsWith("event_date=")
+        }
+        .foreach(p => graft.Storage.deleteTree(p))
+    } finally s.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging), root.resolve("batch=-1"))
+    spark.catalog.refreshByPath(path)
   }
 
   /** Dynamic-partition-overwrite `path` from the (already durable) staged
@@ -185,8 +206,14 @@ object FlowStreams {
     * stream, use the manifest-committed layout: [[startRawMVManaged]] +
     * [[compactRawOnline]]. */
   def compactRaw(spark: SparkSession, path: String, filesPerPartition: Int = 1): Unit = {
-    val compacted = spark.read.parquet(path)
-      .repartition(filesPerPartition, col("event_date"))
+    val raw = spark.read.parquet(path)
+    // range partitioning on (date, time) like compactRawOnline: hashing by
+    // date alone collapsed every date into ONE task regardless of
+    // filesPerPartition (r7 review) — a single-core whole-table rewrite
+    val nDates = raw.select("event_date").distinct().count().toInt.max(1)
+    val compacted = raw
+      .repartitionByRange(nDates * filesPerPartition,
+        col("event_date"), col("timeReceived"))
       .sortWithinPartitions("timeReceived")
     // the staged copy is durable parquet BEFORE anything is deleted; the
     // streaming transaction log is dropped only after the staging write
@@ -258,10 +285,16 @@ object FlowStreams {
   def startAsofEnrich(stream: DataFrame, dimTable: String, outTable: String,
       checkpoint: String, factKey: String, factTime: String,
       dimKey: String = "asn", dimTime: String = "valid_from",
+      emptyDimSchema: Option[org.apache.spark.sql.types.StructType] = None,
       trigger: Trigger = DefaultTrigger): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val dims = ManifestTable.read(batch.sparkSession, dimTable)
+        // emptyDimSchema lets the stream start BEFORE the first dimension
+        // release is published (the documented posture): early batches
+        // enrich to nulls instead of killing the query on the empty
+        // manifest (r7 review); without a schema the pre-first-release
+        // start stays an error, since null payload columns can't be typed
+        val dims = ManifestTable.read(batch.sparkSession, dimTable, emptyDimSchema)
         // timeBuckets = 1: a micro-batch is seconds of data — per-key
         // time-bucket fan-out is a batch-job remedy for hot keys over
         // long ranges, and here it would add a bounds broadcast, two
@@ -304,7 +337,7 @@ object FlowStreams {
     val unfolded = byPartition.filter(_._2.size > 1).values.flatten.toSeq
     if (unfolded.isEmpty) return true
     val folded = mergeRollup(
-      spark.read.option("basePath", table).parquet(unfolded.map(f => s"$table/$f"): _*))
+      ManifestTable.readSelected(spark, table, unfolded).drop("batch"))
     ManifestTable.swap(folded, table, Some("event_date"), unfolded)
   }
 
@@ -334,8 +367,7 @@ object FlowStreams {
     // target, serializing the hottest partition on a single core; ranges
     // give ~filesPerPartition contiguous-time files per date, which also
     // preserves the ORDER BY TimeReceived clustering ACROSS files
-    val compacted = spark.read.option("basePath", table)
-      .parquet(fragmented.map(f => s"$table/$f"): _*)
+    val compacted = ManifestTable.readSelected(spark, table, fragmented)
       .repartitionByRange(fragmentedGroups.size * filesPerPartition,
         col("event_date"), col("timeReceived"))
       .sortWithinPartitions("timeReceived")
@@ -490,7 +522,15 @@ object FlowStreams {
       val st = conn.createStatement()
       try st.executeUpdate(
         s"DELETE FROM $table WHERE ${dialect.quoteIdentifier("batch_id")} = $batchId")
-      catch { case _: java.sql.SQLException => () } // first batch: table absent
+      catch {
+        // ONLY table-absent is benign (first batch creates it below); a
+        // failed delete for any other reason — lock timeout, dropped
+        // connection — must fail the batch, or the replay guard silently
+        // degrades to duplicates (r7 review). SQLStates: Derby 42X05,
+        // Postgres 42P01, MySQL/SQLServer 42S02, SQL-standard 42* base.
+        case e: java.sql.SQLException
+            if Set("42X05", "42P01", "42S02").contains(e.getSQLState) => ()
+      }
       finally st.close()
     } finally conn.close()
     jdbcFlushProjection(batch)

@@ -240,6 +240,13 @@ object ManifestTable {
     }
   }
 
+  /** Read an explicit committed-file subset (compaction inputs) with the
+    * same mixed-layout handling as [[read]] — a single basePath read over
+    * flat + partitioned leaves fails partition discovery. */
+  private[graft] def readSelected(spark: SparkSession, table: String,
+      files: Seq[String]): DataFrame =
+    readFiles(spark, table, files, None, s"no files to read in manifest table: $table")
+
   /** Last [[readPruned]] selectivity per table — (files selected, files in
     * snapshot). Test seam: specs assert a probe read a bounded subset. */
   private[graft] val pruneStats =
@@ -344,7 +351,11 @@ object ManifestTable {
     val staged = stage(df, table, partitionCol, s"c${System.nanoTime()}")
     val dead = replaced.toSet
     val committed = tryCommit(table) { files =>
-      if (replaced.forall(files.contains)) Some(files.filterNot(dead) ++ staged)
+      // Set membership both ways: replaced.forall(files.contains) was a
+      // quadratic Seq scan held under the per-table commit lock on every
+      // CAS attempt — ~10^8 comparisons for a 10k-file swap (r7 review)
+      val live = files.toSet
+      if (dead.subsetOf(live)) Some(files.filterNot(dead) ++ staged)
       else None
     }
     if (committed.isEmpty)

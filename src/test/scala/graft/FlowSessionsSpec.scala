@@ -47,6 +47,30 @@ class FlowSessionsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("late cross-batch observation lowers the session start (r7 review)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val q = FlowSessions.sessionize(src.toDF(), gapSeconds = 300, lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("late_sessions").start()
+    val base = msgsAt(1, seed = 41, baseTime = 2000L).head
+    // batch 1: ts=2000 opens the session; batch 2: a LATE ts=1900 within
+    // both the watermark and the gap envelope must merge AND lower start
+    // (the old merge kept start=2000, a session containing bytes from
+    // before its own start); a far-future key then closes it via timeout
+    src.addData(base.copy(timeReceived = 2000L)); q.processAllAvailable()
+    src.addData(base.copy(timeReceived = 1900L)); q.processAllAvailable()
+    val pusher = msgsAt(1, seed = 42, baseTime = 100000L)
+    src.addData(pusher); q.processAllAvailable()
+    src.addData(msgsAt(1, seed = 43, baseTime = 200000L)); q.processAllAvailable()
+    q.stop()
+    val s = spark.table("late_sessions").filter(col("start") < 100000L)
+      .select("start", "end", "flows").collect()
+    assert(s.length === 1, s"expected one merged session, got ${s.toSeq}")
+    assert(s.head.getLong(0) === 1900L, "late observation must lower the start")
+    assert(s.head.getLong(1) === 2000L)
+    assert(s.head.getLong(2) === 2L)
+  }
+
   test("batch sessionization merges within gap, splits across it") {
     val base = 1704067200L
     val mk = (ts: Long) => FlowGen.flows(spark, 1, seed = 40, baseTime = ts).head()

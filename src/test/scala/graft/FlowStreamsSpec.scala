@@ -110,6 +110,26 @@ class FlowStreamsSpec extends SparkTestBase {
     assert(rereadFull.except(directFull).isEmpty && directFull.except(rereadFull).isEmpty)
   }
 
+  test("rollup MV: a replayed micro-batch does not double-count (per-batch overwrite)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val out = tmp(); val cp = tmp()
+    val q = FlowStreams.startRollupMV(src.toDF(), out, cp)
+    val b1 = genBatch(300, seed = 31, baseTime = 1704067200L)
+    src.addData(b1); q.processAllAvailable(); q.stop()
+    val once = FlowStreams.readRollup(spark, out)
+      .agg(sum("sum_bytes"), sum("flow_count")).head()
+    // simulate the crash-after-write replay: re-run the same batch id's
+    // write by hand (what a restarted checkpoint does). Blind append
+    // doubled every total here before the per-batch overwrite layout.
+    FlowStreams.rollupPartials(b1.toDS().toDF()).write
+      .mode("overwrite").partitionBy("event_date").parquet(s"$out/batch=0")
+    val replayed = FlowStreams.readRollup(spark, out)
+      .agg(sum("sum_bytes"), sum("flow_count")).head()
+    assert(replayed === once, "replay must be idempotent, not additive")
+    assert(once.getLong(1) === 300L)
+  }
+
   test("wire bytes -> decode -> raw + rollup MVs reconcile; absent addr renders 0.0.0.0") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Array[Byte]]
