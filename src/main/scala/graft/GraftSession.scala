@@ -26,6 +26,16 @@ object GraftSession {
 
   def getOrCreate(master: String = "local[*]"): SparkSession = {
     val spark = builder(master).getOrCreate()
+    // getOrCreate returns any PRE-EXISTING session, whose static configs
+    // (extensions, warehouse) our builder could not apply — queries would
+    // then plan without GroupTopKStrategy/RenderAfterAggregate. Surface
+    // it loudly instead of running with silently different semantics.
+    if (!spark.conf.get("spark.sql.extensions", "").contains("GraftExtensions"))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "GraftSession.getOrCreate reused a session built elsewhere: " +
+        "graft.plans.GraftExtensions is NOT active (custom operators fall " +
+        "back to built-in plans). Build the session via GraftSession first, " +
+        "or add the extension to your own builder.")
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
     spark

@@ -52,9 +52,16 @@ object Storage {
     * durable storage — any executor can re-read it, none can lose it.
     * The cost is a filesystem round-trip per round instead of a memory
     * write, which is why it is opt-in rather than the default. */
+  private val lastCheckpointDir = new java.util.concurrent.atomic.AtomicReference[String]()
+
   def materializeReliable(df: DataFrame, checkpointDir: String): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (!sc.getCheckpointDir.contains(checkpointDir)) sc.setCheckpointDir(checkpointDir)
+    // track the last dir WE set: SparkContext qualifies the path and
+    // appends a random UUID subdirectory, so comparing against
+    // getCheckpointDir never matches and the old guard re-set (and
+    // re-mkdir'd a fresh UUID dir) on every call (r7 review)
+    if (lastCheckpointDir.getAndSet(checkpointDir) != checkpointDir)
+      sc.setCheckpointDir(checkpointDir)
     df.checkpoint(true)
   }
 

@@ -124,7 +124,17 @@ object AsofJoin {
     val dimPayload = dim.columns.toSeq.filterNot(c => c == dimKey || c == dimTime)
     val keyT = fact.schema(factKey).dataType
     val timeT = fact.schema(factTime).dataType
-    val dimSide = dim.select(
+    // the dim key must cast to the fact key's type WITHOUT loss: a plain
+    // down-cast silently wraps/nulls under non-ANSI mode, matching wrong
+    // keys (r7 review) — equal types or a widening cast only
+    val dimKeyT = dim.schema(dimKey).dataType
+    require(dimKeyT == keyT ||
+      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(dimKeyT, keyT),
+      s"dim key type $dimKeyT does not widen to fact key type $keyT")
+    // null join keys match NOTHING (SQL join semantics, and what the
+    // boundary equi-join already does): a null-key dim version must not
+    // forward-fill null-key facts via the window's null-grouping
+    val dimSide = dim.filter(col(dimKey).isNotNull).select(
       col(dimKey).cast(keyT).as("__k"), col(dimTime).cast(timeT).as("__t"),
       lit(0).as("__side"), struct(dimPayload.map(col): _*).as("__dim"))
     val factSide = fact.select(

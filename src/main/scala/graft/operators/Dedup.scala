@@ -176,6 +176,12 @@ object Dedup {
     * the bucket keys for both the batch self-join and the streaming
     * signature index. */
   private def bandedOf(sig: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    // integer division would silently exclude trailing signature columns
+    // from banding (changing the LSH S-curve), and bands > numHashes gives
+    // zero-column band hashes that fail analysis far from the bad
+    // parameter (r7 review)
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
     val bandCols = (0 until bands).map { bIdx =>
       struct(lit(bIdx).as("band"),
@@ -277,7 +283,12 @@ object Dedup {
     var labels = pin(edges
       .groupBy(col("doc_a").as("node"))
       .agg(least(min(col("doc_b")), first(col("doc_a"))).as("label")))
-    def labelSum(df: DataFrame): Long = df.agg(sum("label")).head().getLong(0)
+    // sum() over an EMPTY labels frame is null — a clean corpus (zero
+    // near-dup pairs) must yield an empty cluster table, not an NPE
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("label")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -322,12 +333,19 @@ object Dedup {
     * batch [[exactDedup]] sweep). At scale this is one hash exchange on
     * the digest and a fixed-size state row per in-horizon document. */
   def streamingExactDedup(stream: org.apache.spark.sql.DataFrame, textCol: String,
-      tsCol: String, lateness: String = "1 hour"): org.apache.spark.sql.DataFrame =
-    stream
-      .withColumn("event_time", timestamp_seconds(col(tsCol)))
+      tsCol: String, lateness: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    val withEvent = stream.withColumn("event_time", timestamp_seconds(col(tsCol)))
+    // null-text records are DISTINCT documents, not duplicates of each
+    // other — md5(null) is null and dropDuplicates groups null keys, so
+    // keying them would keep one and discard the rest (r7 review). They
+    // bypass the dedup and pass through unchanged.
+    val deduped = withEvent.filter(col(textCol).isNotNull)
       .withColumn("text_md5", md5(col(textCol)))
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("text_md5")
+    deduped.unionByName(withEvent.filter(col(textCol).isNull)
+      .withColumn("text_md5", lit(null).cast("string")))
+  }
 
   /** STREAMING near-dup dedup — MinHash banding per micro-batch against a
     * manifest-committed signature index: the LLM-pipeline counterpart of

@@ -116,6 +116,12 @@ object Similarity {
     * exactly hamming(sig_a, sig_b) <= d. bits=8: dist 2 → 37 probes, dist 3
     * → 93 probes of 256 buckets. */
   private def probeMasks(bits: Int, dist: Int): Seq[Int] = {
+    // weight-4+ masks are not generated: accepting dist >= 4 would
+    // silently return hamming<=3 candidates, breaking the documented
+    // "exactly hamming <= probeDist" contract (r7 review). Raise bits,
+    // not dist — probe count grows O(bits^dist), bucket count 2^bits.
+    require(dist >= 0 && dist <= 3,
+      s"probeDist must be in [0, 3], got $dist (raise bits for recall instead)")
     val m0 = Seq(0)
     val m1 = if (dist >= 1) (0 until bits).map(1 << _) else Nil
     val m2 = if (dist >= 2)

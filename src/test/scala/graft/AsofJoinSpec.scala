@@ -27,6 +27,20 @@ class AsofJoinSpec extends SparkTestBase {
       (3, 500L, None)))
   }
 
+  test("null join keys match nothing: null-key facts get null enrichment") {
+    // SQL join semantics — the old window null-grouping forward-filled a
+    // null-key dim version into null-key facts (r7 review)
+    val dim = Seq((Some(1), 100L, "v0"), (None, 50L, "ghost")).toDF("k", "valid_from", "name")
+    val fact = Seq((Some(1), 200L), (None, 200L)).toDF("k", "t")
+    for (buckets <- Seq(1, 8)) {
+      val got = AsofJoin.asofJoin(fact, dim, "k", "k", "t", "valid_from", buckets)
+        .orderBy("t", "k").select("k", "name").as[(Option[Int], Option[String])]
+        .collect().toSeq.sortBy(_._1)
+      assert(got === Seq((None, None), (Some(1), Some("v0"))),
+        s"buckets=$buckets: null keys must not enrich")
+    }
+  }
+
   test("sub-second timestamp versions: the boundary seed keeps full precision") {
     // two releases 500ms apart in the SAME second: a seconds-truncating
     // boundary (cast ts to long) ties in max_by and can seed later

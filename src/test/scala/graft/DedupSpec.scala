@@ -251,6 +251,34 @@ class DedupSpec extends SparkTestBase {
     assert(bd.select("doc_id").distinct().count() === 9L, "all 9 docs indexed")
   }
 
+  test("clean corpus (zero near-dup pairs): clusters is empty, keep list is everyone") {
+    // threshold > 1 makes the verified pair set provably empty — the old
+    // labelSum hit getLong on a null sum and NPE'd (r7 review)
+    val clusters = Dedup.nearDupClusters(spark, sf, threshold = 1.01)
+    assert(clusters.count() === 0L)
+    val keep = Dedup.corpusKeep(spark, sf, threshold = 1.01)
+    assert(keep.count() === Tables.documents(spark, sf).count())
+  }
+
+  test("streaming exact dedup: null-text records pass through, not deduped against each other") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Long, String)]
+    val q = Dedup.streamingExactDedup(
+        src.toDF().toDF("doc_id", "ts", "text"), "text", "ts")
+      .writeStream.outputMode("append").format("memory").queryName("null_dedup").start()
+    val t0 = 1704067200L
+    src.addData((1L, t0, "alpha"), (2L, t0 + 1, null), (3L, t0 + 2, null),
+      (4L, t0 + 3, "alpha"))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("null_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // the md5(null)=null grouping used to keep only doc 2 of the two
+    // null-text records; the real duplicate (4) still drops
+    assert(kept === Set(1L, 2L, 3L))
+  }
+
   test("minhash+LSH on planted synthetic duplicates") {
     import spark.implicits._
     // two near-identical docs + unrelated ones
