@@ -155,8 +155,10 @@ object GroupTopKExec {
 
   /** Map-side flush threshold (groups held before emitting partial heaps
     * downstream). 2^17 groups × (k+1) rows bounds the map at a few hundred
-    * MB for dashboard-sized rows. */
-  private[plans] val PartialFlushGroups: Int = 1 << 17
+    * MB for dashboard-sized rows. A def reading a system property so specs
+    * can drive the flush path with a tiny threshold. */
+  private[plans] def PartialFlushGroups: Int =
+    Integer.getInteger("graft.topk.partialFlushGroups", 1 << 17)
 
   /** Drives input through `add` until the group map reaches `maxGroups`
     * (or input ends), then streams `drain()`'s rows out before resuming —

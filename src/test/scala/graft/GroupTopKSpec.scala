@@ -32,6 +32,31 @@ class GroupTopKSpec extends SparkTestBase {
     }
   }
 
+  test("partial flush memory valve: a tiny threshold still yields exact top-k") {
+    withStrategy {
+      // force the map-side operator to flush its heaps every 3 groups —
+      // the final pass must re-merge the multiple partial heap emissions
+      // per group into the exact answer
+      System.setProperty("graft.topk.partialFlushGroups", "3")
+      try {
+        val fl = FlowAdapter.flows(spark, sf)
+        val got = GroupTopK.topK(fl, Seq(col("proto"), col("etype")), col("bytes"), 5)
+          .select("proto", "etype", "bytes")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+          .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+        val want = fl
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("proto", "etype").orderBy(desc("bytes"))))
+          .filter(col("rn") <= 5)
+          .select("proto", "etype", "bytes")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+          .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+        assert(got === want)
+        assert(got.size > 3, "fixture must exceed the flush threshold")
+      } finally System.clearProperty("graft.topk.partialFlushGroups")
+    }
+  }
+
   test("null ordering values fill out short groups (DESC NULLS LAST parity)") {
     import spark.implicits._
     withStrategy {
