@@ -109,7 +109,9 @@ object IpCodec {
     // parse the dotted tail as v4 and substitute its two hex groups
     if (s.indexOf('.') >= 0) {
       val lastColon = s.lastIndexOf(':')
-      if (lastColon < 0) return null
+      // bare dotted quad: ClickHouse's IPv6StringToNum maps it to the
+      // ::ffff: IPv4-mapped form rather than rejecting it
+      if (lastColon < 0) return ip6StringToNum("::ffff:" + s)
       val v4 = ip4StringToNum(s.substring(lastColon + 1))
       if (v4 < 0) return null
       return ip6StringToNum(s.substring(0, lastColon + 1) +

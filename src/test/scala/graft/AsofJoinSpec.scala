@@ -182,9 +182,9 @@ class AsofJoinSpec extends SparkTestBase {
       // HashedRelationBroadcastMode build of a BroadcastHashJoin
       assert(!p.contains("HashedRelationBroadcastMode"),
         s"no relation may be broadcast as an equi-join build side:\n$p")
-      assert("BroadcastExchange".r.findAllIn(p).forall(_ => true) &&
-        "BroadcastExchange IdentityBroadcastMode".r.findAllIn(p).size ===
-          "BroadcastExchange".r.findAllIn(p).size,
+      val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+      val identityBroadcasts = "BroadcastExchange IdentityBroadcastMode".r.findAllIn(p).size
+      assert(broadcasts >= 1 && identityBroadcasts === broadcasts,
         s"every broadcast must be the 1-row bounds (IdentityBroadcastMode):\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
   }

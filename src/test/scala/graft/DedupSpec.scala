@@ -5,6 +5,12 @@ import graft.operators.Dedup
 
 class DedupSpec extends SparkTestBase {
 
+  // shared streaming-fixture helpers (one copy — the four tests using them
+  // drifted into local redefinitions; r7 test review)
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_dedup_spec").toString
+  private def words(prefix: String): Seq[String] = (0 until 30).map(i => s"$prefix$i")
+
   test("exact dedup keeps one row per distinct text") {
     val n = Tables.documents(spark, sf).select("text").distinct().count()
     assert(Dedup.exactDedup(spark, sf).count() === n)
@@ -98,8 +104,6 @@ class DedupSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.ManifestTable
     implicit val sqlCtx = spark.sqlContext
-    def tmp(): String = java.nio.file.Files.createTempDirectory("graft_neardup").toString
-    def words(prefix: String): Seq[String] = (0 until 30).map(i => s"$prefix$i")
     // one substituted word: jaccard ≈ 25/31 ≈ 0.81, so the 16×4 banding
     // catches the pair with probability 1 - (1-0.81⁴)¹⁶ ≈ 0.9998 (and the
     // draw is deterministic — xxhash64 — so the test cannot flake)
@@ -142,8 +146,6 @@ class DedupSpec extends SparkTestBase {
   test("streaming near-dup probe reads a bounded bucket subset, not the corpus index") {
     import spark.implicits._
     import graft.streaming.ManifestTable
-    def tmp(): String = java.nio.file.Files.createTempDirectory("graft_prune").toString
-    def words(prefix: String): Seq[String] = (0 until 30).map(i => s"$prefix$i")
     val idx = tmp(); val out = tmp()
     // seed batch: 12 distinct docs → band index spread over many bh buckets
     val corpus = (1L to 12L).map(i => (i, words(s"p${i}x").mkString(" ")))
@@ -171,8 +173,6 @@ class DedupSpec extends SparkTestBase {
   test("near-dup index compaction bounds file growth; probe stays correct after folding") {
     import spark.implicits._
     import graft.streaming.ManifestTable
-    def tmp(): String = java.nio.file.Files.createTempDirectory("graft_compact").toString
-    def words(prefix: String): Seq[String] = (0 until 30).map(i => s"$prefix$i")
     val idx = tmp(); val out = tmp()
     // 5 batches of distinct docs: every batch appends a file per touched
     // bucket, so bucket dirs accumulate one fragment per batch
@@ -211,8 +211,6 @@ class DedupSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.ManifestTable
     implicit val sqlCtx = spark.sqlContext
-    def tmp(): String = java.nio.file.Files.createTempDirectory("graft_race").toString
-    def words(prefix: String): Seq[String] = (0 until 30).map(i => s"$prefix$i")
     def variantOf(ws: Seq[String], tag: String): Seq[String] = ws.updated(10, tag + "x")
     def t(ws: Seq[String]): String = ws.mkString(" ")
     // same planted fixture as the sequential streaming test: expected
@@ -238,7 +236,10 @@ class DedupSpec extends SparkTestBase {
     compactor.setDaemon(true)
     compactor.start()
     try Seq(b1, b2, b3).foreach { b => src.addData(b: _*); q.processAllAvailable() }
-    finally { q.stop(); stop.set(true); compactor.join() }
+    finally { q.stop(); stop.set(true); compactor.join(60000) }
+    // bounded join: a deadlocked compactor must FAIL the test, not hang
+    // the suite until a CI-level kill
+    assert(!compactor.isAlive, "compactor thread wedged (possible lock inversion)")
     assert(failure.get() === null, s"compactor must not fail: ${failure.get()}")
     val kept = ManifestTable.read(spark, out).select("doc_id")
       .collect().map(_.getLong(0)).toSet

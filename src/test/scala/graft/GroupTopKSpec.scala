@@ -39,7 +39,10 @@ class GroupTopKSpec extends SparkTestBase {
       // per group into the exact answer
       System.setProperty("graft.topk.partialFlushGroups", "3")
       try {
-        val fl = FlowAdapter.flows(spark, sf)
+        // ONE input partition: the per-task group map provably exceeds the
+        // 3-group threshold, so the flush path runs (a multi-partition
+        // fixture could drop below threshold per task and silently skip it)
+        val fl = FlowAdapter.flows(spark, sf).repartition(1)
         val got = GroupTopK.topK(fl, Seq(col("proto"), col("etype")), col("bytes"), 5)
           .select("proto", "etype", "bytes")
           .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))

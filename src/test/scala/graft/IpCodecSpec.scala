@@ -62,7 +62,10 @@ class IpCodecSpec extends AnyFunSuite {
     assert(b.slice(10, 16).map(_ & 0xFF).toSeq === Seq(0xFF, 0xFF, 192, 168, 0, 1))
     assert(b.take(10).forall(_ === 0))
     assert(ip6StringToNum("::ffff:300.0.0.1") === null, "invalid embedded octet")
-    assert(ip6StringToNum("1.2.3.4") === null, "dotted quad alone is not v6")
+    // bare dotted quad maps to ::ffff:1.2.3.4 (ClickHouse behavior)
+    val bare = ip6StringToNum("1.2.3.4")
+    assert(bare !== null)
+    assert(bare.slice(10, 16).map(_ & 0xFF).toSeq === Seq(0xFF, 0xFF, 1, 2, 3, 4))
   }
 
   test("ip4 aton rejects trailing dots and signed octets (r7 review)") {

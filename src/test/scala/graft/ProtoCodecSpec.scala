@@ -140,12 +140,16 @@ class ProtoCodecSpec extends SparkTestBase {
     val viaLenient = ProtoCodec.fromWire(withNull.toDF("value"), "value", lenient = true).collect()
     assert(viaLenient.length === 6)
     // a 64-bit frame length whose LOW 32 bits are small must fail loudly,
-    // not truncate to a plausible length and mis-frame the stream
+    // not truncate to a plausible length and mis-frame the stream. The
+    // trailing bytes are a VALID 6-byte message (fields 1-3 varint), so a
+    // .toInt-truncating decoder would decode it cleanly and return — only
+    // the 64-bit length validation makes this throw (the first version of
+    // this guard used undecodable filler, which threw either way)
     val out = new java.io.ByteArrayOutputStream()
-    var v = 0x100000005L // 2^32 + 5
+    var v = 0x100000006L // 2^32 + 6
     while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt)
-    out.write(Array[Byte](1, 2, 3, 4, 5)) // 5 bytes follow — the truncated lie
+    out.write(Array[Byte](0x08, 0x01, 0x10, 0x02, 0x18, 0x03))
     intercept[IllegalArgumentException](ProtoCodec.decodeDelimitedStream(out.toByteArray))
   }
 
