@@ -80,24 +80,27 @@ final case class GroupTopKExec(grouping: Seq[Expression], order: Expression,
         case Some(toKey) =>
           // primitive path (the dashboards' sum(bytes)/count orderings):
           // parallel long[] / row[] min-heaps, zero boxing per row.
-          // A null ordering value keys as Long.MinValue — the weakest
-          // possible row — matching row_number's DESC NULLS LAST: null
-          // rows fill out a group only when fewer than k real values
-          // exist (the pre-r7 operator dropped them entirely).
+          // Nullness rides out-of-band (a parallel flag in the heap), below
+          // every real key — matching row_number's DESC NULLS LAST: null
+          // rows fill out a group only when fewer than k real values exist
+          // (the pre-r7 operator dropped them entirely), and a REAL
+          // Long.MinValue value still outranks a null (the r7 advisory:
+          // encoding null AS MinValue made the two indistinguishable).
           val heaps = new java.util.HashMap[UnsafeRow, GroupTopKExec.LongKeyHeap]()
           import scala.jdk.CollectionConverters._
           new GroupTopKExec.FlushingIterator(iter,
             add = { row =>
               val or = orderProj(row)
-              val key = if (or.isNullAt(0)) Long.MinValue else toKey(or)
+              val isNull = or.isNullAt(0)
+              val key = if (isNull) Long.MinValue else toKey(or)
               val g = groupProj(row)
               var heap = heaps.get(g)
               if (heap == null) {
                 heap = new GroupTopKExec.LongKeyHeap(kk)
                 heaps.put(g.copy(), heap)
               }
-              if (heap.size < kk) heap.insert(key, row.copy())
-              else if (key > heap.min) heap.replaceMin(key, row.copy())
+              if (heap.size < kk) heap.insert(key, isNull, row.copy())
+              else if (heap.beatsMin(key, isNull)) heap.replaceMin(key, isNull, row.copy())
             },
             groups = () => heaps.size(),
             drain = () => {
@@ -209,37 +212,47 @@ object GroupTopKExec {
   }
 
   /** Bounded min-heap over primitive long keys with rows carried in a
-    * parallel array — head is the weakest kept row. */
+    * parallel array — head is the weakest kept row. Nullness is a parallel
+    * flag ordered strictly below every real key (two nulls compare equal),
+    * so a genuine Long.MinValue value outranks a null row instead of tying
+    * with it (row_number DESC NULLS LAST parity, r7 advisory). */
   private[plans] final class LongKeyHeap(k: Int) {
     private val keys = new Array[Long](k)
+    private val nullAt = new Array[Boolean](k)
     private val rows = new Array[InternalRow](k)
     private var n = 0
     def size: Int = n
-    def min: Long = keys(0)
-    def insert(key: Long, row: InternalRow): Unit = {
+    /** (keyA,nullA) < (keyB,nullB): null below everything, nulls tie. */
+    private def lt(ka: Long, na: Boolean, kb: Long, nb: Boolean): Boolean =
+      if (na != nb) na else !na && ka < kb
+    /** True iff the candidate strictly beats the weakest kept row. */
+    def beatsMin(key: Long, isNull: Boolean): Boolean =
+      lt(keys(0), nullAt(0), key, isNull)
+    def insert(key: Long, isNull: Boolean, row: InternalRow): Unit = {
       var i = n
-      keys(i) = key; rows(i) = row; n += 1
+      keys(i) = key; nullAt(i) = isNull; rows(i) = row; n += 1
       while (i > 0) {
         val p = (i - 1) >> 1
-        if (keys(p) <= keys(i)) return
+        if (!lt(keys(i), nullAt(i), keys(p), nullAt(p))) return
         swap(i, p); i = p
       }
     }
-    def replaceMin(key: Long, row: InternalRow): Unit = {
-      keys(0) = key; rows(0) = row
+    def replaceMin(key: Long, isNull: Boolean, row: InternalRow): Unit = {
+      keys(0) = key; nullAt(0) = isNull; rows(0) = row
       var i = 0
       while (true) {
         val l = 2 * i + 1
         val r = l + 1
         var m = i
-        if (l < n && keys(l) < keys(m)) m = l
-        if (r < n && keys(r) < keys(m)) m = r
+        if (l < n && lt(keys(l), nullAt(l), keys(m), nullAt(m))) m = l
+        if (r < n && lt(keys(r), nullAt(r), keys(m), nullAt(m))) m = r
         if (m == i) return
         swap(i, m); i = m
       }
     }
     private def swap(a: Int, b: Int): Unit = {
       val tk = keys(a); keys(a) = keys(b); keys(b) = tk
+      val tn = nullAt(a); nullAt(a) = nullAt(b); nullAt(b) = tn
       val tr = rows(a); rows(a) = rows(b); rows(b) = tr
     }
     def rowIterator: Iterator[InternalRow] = rows.iterator.take(n)

@@ -49,6 +49,13 @@ object FlowSessions {
       gapSeconds: Long): (List[FlowSession], Option[SessionState]) = {
     val sorted = obs.sortBy(_.ts)
     var closed = List.empty[FlowSession]
+    // observations older than the live session's era by more than the gap:
+    // their own (already-closed) sessions. State for their era is gone — an
+    // inherent watermark-bounded divergence from the full-data batch
+    // oracle — but several of them within gapSeconds of one another must
+    // still merge into ONE session (r7 advisory: emitting each as a
+    // singleton diverged more than the lost-state minimum requires)
+    var stale = List.empty[FlowObs] // built in descending ts (prepend of sorted input)
     var cur = prior
     sorted.foreach { o =>
       cur match {
@@ -64,17 +71,30 @@ object FlowSessions {
           closed ::= FlowSession(key, s.start, s.end, s.bytes, s.packets, s.flows, s.end - s.start)
           cur = Some(SessionState(o.ts, o.ts, o.bytes, o.packets, 1))
         case Some(_) =>
-          // older than the current session's era by more than the gap:
-          // its own (already-closed) session. State for its era is gone —
-          // an inherent watermark-bounded divergence from the full-data
-          // batch oracle, emitted as a singleton rather than silently
-          // glued onto a session it doesn't belong to
-          closed ::= FlowSession(key, o.ts, o.ts, o.bytes, o.packets, 1, 0)
+          stale ::= o
         case None =>
           cur = Some(SessionState(o.ts, o.ts, o.bytes, o.packets, 1))
       }
     }
-    (closed.reverse, cur)
+    // the same gap merge the live path runs, applied locally to the stale
+    // observations (ascending ts): only genuinely gap-separated late data
+    // becomes separate sessions
+    var staleSessions = List.empty[FlowSession]
+    var s: Option[SessionState] = None
+    stale.reverse.foreach { o =>
+      s match {
+        case Some(st) if o.ts <= st.end + gapSeconds =>
+          s = Some(SessionState(st.start, math.max(st.end, o.ts),
+            st.bytes + o.bytes, st.packets + o.packets, st.flows + 1))
+        case other =>
+          other.foreach(st => staleSessions ::=
+            FlowSession(key, st.start, st.end, st.bytes, st.packets, st.flows, st.end - st.start))
+          s = Some(SessionState(o.ts, o.ts, o.bytes, o.packets, 1))
+      }
+    }
+    s.foreach(st => staleSessions ::=
+      FlowSession(key, st.start, st.end, st.bytes, st.packets, st.flows, st.end - st.start))
+    (staleSessions reverse_::: closed.reverse, cur)
   }
 
   /** Sessionize a STREAMING flow DataFrame. Emits a `FlowSession` row when a

@@ -113,9 +113,38 @@ object FlowStreams {
     * ETypeMap merged ELEMENT-WISE by etype (the SummingMergeTree Nested
     * merge, `README.md:180-183`): explode → per-etype sum → re-collect. */
   def readRollup(spark: SparkSession, path: String): DataFrame =
-    // drop the per-batch idempotency directory key (absent on pre-r7 /
-    // managed layouts, where drop is a no-op)
-    mergeRollup(spark.read.parquet(path).drop("batch"))
+    mergeRollup(readRollupParts(spark, path))
+
+  /** Read the rollup table's partial rows handling BOTH layouts: per-batch
+    * `batch=N/event_date=…` dirs (the idempotent writer) and legacy
+    * top-level `event_date=…` dirs (pre-batch tables). A MIXED table —
+    * legacy dirs plus batch dirs, which arises when a pre-existing table's
+    * stream restarts on this code with its old checkpoint — has leaf files
+    * at different depths; one partition-discovery pass fails with
+    * "conflicting directory structures" (r7 advisory), so the two groups
+    * are read separately and unioned by name. The per-batch idempotency
+    * key `batch` is dropped either way. */
+  private def readRollupParts(spark: SparkSession, path: String): DataFrame = {
+    val root = java.nio.file.Paths.get(path)
+    val children: List[String] =
+      if (!java.nio.file.Files.isDirectory(root)) Nil
+      else {
+        val s = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toList
+        } finally s.close()
+      }
+    val batchDirs = children.filter(_.startsWith("batch="))
+    val dateDirs = children.filter(_.startsWith("event_date="))
+    if (batchDirs.nonEmpty && dateDirs.nonEmpty) {
+      val batched = spark.read.option("basePath", path)
+        .parquet(batchDirs.map(d => s"$path/$d"): _*).drop("batch")
+      val legacy = spark.read.option("basePath", path)
+        .parquet(dateDirs.map(d => s"$path/$d"): _*)
+      batched.unionByName(legacy, allowMissingColumns = true)
+    } else spark.read.parquet(path).drop("batch")
+  }
 
   /** The SummingMergeTree fold itself, over any partial-rows relation. */
   def mergeRollup(parts: DataFrame): DataFrame =
@@ -146,26 +175,70 @@ object FlowStreams {
     * died mid-OPTIMIZE). For compaction concurrent with a RUNNING stream,
     * use the manifest-committed table instead ([[optimizeRollupOnline]]). */
   def optimizeRollup(spark: SparkSession, path: String): Unit = {
-    val staging = s"$path.optimize-staging"
-    // durable fold FIRST; only then swap the table contents. The fold
-    // lands as the reserved `batch=-1` directory so the partition layout
-    // stays uniform with the per-batch write scheme (mixing top-level
-    // batch= and event_date= dirs breaks partition discovery); pre-batch
-    // layouts' top-level event_date dirs are folded in and removed too.
-    readRollup(spark, path).write.mode("overwrite").partitionBy("event_date").parquet(staging)
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(path)
-    val s = java.nio.file.Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("batch=") || n.startsWith("event_date=")
-        }
-        .foreach(p => graft.Storage.deleteTree(p))
-    } finally s.close()
-    java.nio.file.Files.move(java.nio.file.Paths.get(staging), root.resolve("batch=-1"))
+    // complete (or discard) any crashed prior run before looking at the
+    // table — a crash at ANY point below is repaired by the next call
+    // instead of stranding the folded data in a sibling dir (r7 advisory)
+    recoverOptimize(root)
+    def dataDirs: List[String] = {
+      val s = Files.list(root)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("batch=") || n.startsWith("event_date="))
+        .toList
+      finally s.close()
+    }
+    val inputs = dataDirs
+    if (inputs.isEmpty || inputs == List("batch=-1")) {
+      // nothing to fold (empty table, or exactly the previous fold output)
+      spark.catalog.refreshByPath(path)
+      return
+    }
+    // durable fold FIRST, into a HIDDEN dir inside the table root
+    // (invisible to partition discovery); only then swap the contents. The
+    // fold lands as the reserved `batch=-1` directory so the partition
+    // layout stays uniform with the per-batch write scheme; pre-batch
+    // layouts' top-level event_date dirs are folded in and removed too.
+    val staging = root.resolve(".optimize-staging")
+    readRollup(spark, path).write.mode("overwrite")
+      .partitionBy("event_date").parquet(staging.toString)
+    // recording WHICH dirs the fold absorbed makes the swap crash-safe:
+    // recovery deletes exactly those dirs (never a dir appended after the
+    // fold) and publishes the staged copy — the marker is written LAST, so
+    // an incomplete fold is never mistaken for a completed one
+    Files.write(staging.resolve(".folded-inputs"),
+      inputs.mkString("\n").getBytes("UTF-8"))
+    recoverOptimize(root) // the completion step is the recovery step
     spark.catalog.refreshByPath(path)
+  }
+
+  /** Completion/recovery for [[optimizeRollup]]: a staging dir carrying its
+    * `.folded-inputs` marker is a COMPLETE durable fold — delete exactly
+    * the input dirs it absorbed and publish it as `batch=-1`; a staging
+    * dir without the marker is a crashed partial write — discard it. The
+    * marker stays inside the dir until after the publish move (a crash
+    * between the input deletes and the move must still look "complete" on
+    * the next call, or its data dirs would be gone AND its staged copy
+    * discarded). */
+  private def recoverOptimize(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val staging = root.resolve(".optimize-staging")
+    if (!Files.isDirectory(staging)) return
+    val marker = staging.resolve(".folded-inputs")
+    if (!Files.exists(marker)) { graft.Storage.deleteTree(staging); return }
+    val inputs = Files.readAllLines(marker).asScala.filter(_.nonEmpty)
+    inputs.foreach(d => graft.Storage.deleteTree(root.resolve(d)))
+    val target = root.resolve("batch=-1")
+    if (Files.exists(target))
+      throw new IllegalStateException(
+        s"$target exists but was not a fold input — concurrent OPTIMIZE? " +
+          "optimizeRollup is offline-only (one caller, stream stopped)")
+    Files.move(staging, target)
+    // the marker is now inside the published dir; hidden files are ignored
+    // by readers, but tidy it away (best-effort — harmless if this crashes)
+    Files.deleteIfExists(target.resolve(".folded-inputs"))
   }
 
   /** Dynamic-partition-overwrite `path` from the (already durable) staged
@@ -528,14 +601,30 @@ object FlowStreams {
         // connection — must fail the batch, or the replay guard silently
         // degrades to duplicates (r7 review). SQLStates: Derby 42X05,
         // Postgres 42P01, MySQL/SQLServer 42S02, SQL-standard 42* base.
+        // Drivers with null/vendor SQLStates (SQLite, H2 native) fall back
+        // to a metadata existence probe (r7 advisory): absent table →
+        // benign; present table → the DELETE failed for a real reason.
         case e: java.sql.SQLException
-            if Set("42X05", "42P01", "42S02").contains(e.getSQLState) => ()
+            if Set("42X05", "42P01", "42S02").contains(e.getSQLState)
+              || !jdbcTableExists(conn, table) => ()
       }
       finally st.close()
     } finally conn.close()
     jdbcFlushProjection(batch)
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").jdbc(url, table, props)
+  }
+
+  /** Metadata-based table-existence probe for drivers whose SQLStates the
+    * replay guard doesn't recognize. Tries the name as spelled plus the
+    * upper/lower foldings unquoted identifiers resolve to (Derby/H2 store
+    * UPPER, Postgres lower). */
+  private def jdbcTableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val md = conn.getMetaData
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+      val rs = md.getTables(null, null, t, null)
+      try rs.next() finally rs.close()
+    }
   }
 
   /** Exactly-once JDBC sink: [[idempotentJdbcFlush]] per micro-batch. */

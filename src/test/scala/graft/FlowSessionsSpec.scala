@@ -71,6 +71,36 @@ class FlowSessionsSpec extends SparkTestBase {
     assert(s.head.getLong(2) === 2L)
   }
 
+  test("out-of-era late observations within gap merge into one session (r7 advisory)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    // generous lateness so the out-of-era rows are admitted by the watermark
+    val q = FlowSessions.sessionize(src.toDF(), gapSeconds = 60, lateness = "3 hours")
+      .writeStream.outputMode("append").format("memory").queryName("stale_sessions").start()
+    val base = msgsAt(1, seed = 51, baseTime = 10000L).head
+    // batch 1: the live era opens at ts=10000
+    src.addData(base.copy(timeReceived = 10000L)); q.processAllAvailable()
+    // batch 2: three observations hours BEFORE the live era, 30s apart
+    // (within one gap of each other) plus one isolated at ts=500 — state
+    // for their era is gone, but the three must emit as ONE session and
+    // the isolated one as its own, not four singletons
+    src.addData(Seq(
+      base.copy(timeReceived = 500L),
+      base.copy(timeReceived = 3000L),
+      base.copy(timeReceived = 3030L),
+      base.copy(timeReceived = 3060L)))
+    q.processAllAvailable()
+    // push the watermark to close everything
+    src.addData(msgsAt(1, seed = 52, baseTime = 200000L)); q.processAllAvailable()
+    src.addData(msgsAt(1, seed = 53, baseTime = 400000L)); q.processAllAvailable()
+    q.stop()
+    val s = spark.table("stale_sessions").filter(col("start") < 10000L)
+      .orderBy("start").select("start", "end", "flows").collect()
+    assert(s.length === 2, s"expected two stale sessions, got ${s.toSeq}")
+    assert(s(0).getLong(0) === 500L && s(0).getLong(2) === 1L)
+    assert(s(1).getLong(0) === 3000L && s(1).getLong(1) === 3060L && s(1).getLong(2) === 3L)
+  }
+
   test("batch sessionization merges within gap, splits across it") {
     val base = 1704067200L
     val mk = (ts: Long) => FlowGen.flows(spark, 1, seed = 40, baseTime = ts).head()

@@ -130,6 +130,64 @@ class FlowStreamsSpec extends SparkTestBase {
     assert(once.getLong(1) === 300L)
   }
 
+  test("rollup MV: MIXED legacy + batch layout reads and optimizes (r7 advisory)") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmp()
+    val b1 = genBatch(200, seed = 61, baseTime = 1704067200L)
+    val b2 = genBatch(200, seed = 62, baseTime = 1704067200L)
+    // legacy table: partials written straight under event_date= (pre-batch
+    // layout), then the stream restarts on the per-batch writer and appends
+    // a batch=0 dir — the mixed state the advisory flagged
+    FlowStreams.rollupPartials(b1.toDS().toDF()).write
+      .mode("append").partitionBy("event_date").parquet(out)
+    FlowStreams.rollupPartials(b2.toDS().toDF()).write
+      .mode("overwrite").partitionBy("event_date").parquet(s"$out/batch=0")
+    val direct = FlowStreams.rollupPartials((b1 ++ b2).toDS().toDF())
+    val merged = FlowStreams.readRollup(spark, out)
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+    // optimize repairs the mix into the uniform batch=-1 layout
+    FlowStreams.optimizeRollup(spark, out)
+    val children = Files.list(java.nio.file.Paths.get(out)).iterator()
+    val names = { import scala.jdk.CollectionConverters._
+      children.asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("batch=") || n.startsWith("event_date=")).toList }
+    assert(names === List("batch=-1"), s"expected only batch=-1, got $names")
+    val reread = FlowStreams.readRollup(spark, out)
+    assert(reread.except(direct).isEmpty && direct.except(reread).isEmpty)
+  }
+
+  test("optimizeRollup: crash between fold and swap auto-recovers, no loss (r7 advisory)") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmp()
+    val b1 = genBatch(150, seed = 63, baseTime = 1704067200L)
+    FlowStreams.rollupPartials(b1.toDS().toDF()).write
+      .mode("overwrite").partitionBy("event_date").parquet(s"$out/batch=0")
+    val want = FlowStreams.readRollup(spark, out)
+      .agg(sum("sum_bytes"), sum("flow_count")).head()
+    val root = java.nio.file.Paths.get(out)
+    // simulate a run that crashed AFTER the durable fold + marker but
+    // BEFORE deleting inputs/publishing: stage the fold by hand
+    val staging = root.resolve(".optimize-staging")
+    FlowStreams.readRollup(spark, out).write
+      .mode("overwrite").partitionBy("event_date").parquet(staging.toString)
+    Files.write(staging.resolve(".folded-inputs"), "batch=0".getBytes("UTF-8"))
+    // next call completes the crashed run, then has nothing further to fold
+    FlowStreams.optimizeRollup(spark, out)
+    assert(!Files.exists(staging), "staging must be consumed")
+    assert(Files.isDirectory(root.resolve("batch=-1")))
+    val got = FlowStreams.readRollup(spark, out)
+      .agg(sum("sum_bytes"), sum("flow_count")).head()
+    assert(got === want, "recovered table must carry the same totals")
+    // a crashed PARTIAL fold (no marker) is discarded, table untouched
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    FlowStreams.optimizeRollup(spark, out)
+    assert(!Files.exists(staging))
+    val got2 = FlowStreams.readRollup(spark, out)
+      .agg(sum("sum_bytes"), sum("flow_count")).head()
+    assert(got2 === want)
+  }
+
   test("wire bytes -> decode -> raw + rollup MVs reconcile; absent addr renders 0.0.0.0") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Array[Byte]]

@@ -80,6 +80,23 @@ class GroupTopKSpec extends SparkTestBase {
     }
   }
 
+  test("a real Long.MinValue value outranks a null row (r7 advisory)") {
+    import spark.implicits._
+    withStrategy {
+      // k=1, null first so it seeds the heap: the old encoding keyed null
+      // AS Long.MinValue, and strict '>' then kept the null over the real
+      // MinValue row. NULLS LAST says the real value must win.
+      val df = Seq((1, None: Option[Long]), (1, Some(Long.MinValue)))
+        .toDF("g", "v").coalesce(1)
+      val got = GroupTopK.topK(df, Seq(col("g")), col("v"), 1).collect()
+      assert(got.length === 1)
+      assert(!got.head.isNullAt(1) && got.head.getLong(1) === Long.MinValue)
+      // and with k=2 both rows survive, null filling out the group
+      val both = GroupTopK.topK(df, Seq(col("g")), col("v"), 2).collect()
+      assert(both.length === 2)
+    }
+  }
+
   test("global top-k (no grouping) plans and returns the overall k largest") {
     withStrategy {
       val fl = FlowAdapter.flows(spark, sf)
