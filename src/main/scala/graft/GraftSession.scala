@@ -17,6 +17,12 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // the driver's events.parquet carries TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects; nanosAsLong reads it as epoch-nanos
+      // Long. A SESSION requirement owned here (FlowAdapter.flows asserts
+      // it, r7 advisory: conf mutation as a read-path side effect
+      // surprises a shared session)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.shuffle.partitions", "32")

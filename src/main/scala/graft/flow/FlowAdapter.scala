@@ -30,11 +30,16 @@ object FlowAdapter {
     * vectorized reader rejects; `nanosAsLong` reads it as epoch-nanos Long,
     * and integer division recovers epoch seconds — bit-identical to DuckDB's
     * `floor(epoch(ts))` (DuckDB truncates ns→µs on read, both floor the
-    * sub-second part). Set here, not only in our session factory, so the
-    * query works under any driver-created session.
+    * sub-second part). The conf is a SESSION requirement set by
+    * [[graft.GraftSession]] and asserted here — not mutated on the query
+    * path (r7 advisory: a read-path `conf.set` surprises a shared session).
     */
   def flows(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "spark.sql.legacy.parquet.nanosAsLong must be true to read the " +
+        "TIMESTAMP(NANOS) events table: build the session via " +
+        "graft.GraftSession, or add .config(\"spark.sql.legacy.parquet" +
+        ".nanosAsLong\", \"true\") to your own builder")
     val ev = Tables.events(spark, dir)
     // integer division: nanos exceed double mantissa range, so a float
     // divide could land on the wrong second at boundaries

@@ -300,6 +300,28 @@ object FlowQueries {
         count(lit(1)).as("flow_count"))
       .orderBy("proto")
 
+  /** Sketch twin of [[bytesQuantiles]] for the 100 TB path (the same
+    * exact/approx pairing as [[uniqueSrc]]/[[uniqueSrcApprox]]): the exact
+    * `percentile` aggregate holds a per-group distinct-value→count map —
+    * fine for packet sizes bounded at 1500, unbounded for high-cardinality
+    * value domains — while `approx_percentile` (Greenwald-Khanna sketch,
+    * rank error ≤ 1/accuracy) keeps per-group state at a fixed budget
+    * regardless of domain, and partial sketches merge map-side. Sketch
+    * values are actual data values, not interpolations, so they are NOT
+    * bit-comparable to the exact form or to DuckDB's t-digest — the
+    * registry records the driver's rows-only check and the spec bounds the
+    * sketch's rank error against the exact query. */
+  def bytesQuantilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    fl(spark, dir)
+      .groupBy("proto")
+      .agg(
+        expr(s"approx_percentile(bytes, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(bytes, 0.95, $accuracy)").as("p95"),
+        expr(s"approx_percentile(bytes, 0.99, $accuracy)").as("p99"),
+        count(lit(1)).as("flow_count"))
+      .orderBy("proto")
+
   /** Top-3 byte counts per protocol through the custom [[graft.plans.GroupTopK]]
     * physical operator (bounded per-group heaps, partial→final around one
     * k-bounded shuffle — no per-group sort, no full-input shuffle). Output
@@ -334,6 +356,10 @@ object FlowQueries {
     "flow_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
     "flow_unique_src" -> ((s: SparkSession, d: String) => uniqueSrc(s, d)),
     "flow_bytes_quantiles" -> (bytesQuantiles _),
+    // sketch twin: rows-only driver check (no oracle — sketch values are
+    // not bit-comparable across engines); rank error spec-bounded
+    "flow_bytes_quantiles_approx" -> ((s: SparkSession, d: String) =>
+      bytesQuantilesApprox(s, d)),
     "flow_top_bytes_per_proto" -> ((s: SparkSession, d: String) => topBytesPerProto(s, d)))
 
   private val cte = FlowAdapter.ducksql

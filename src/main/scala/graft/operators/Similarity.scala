@@ -231,6 +231,26 @@ object Similarity {
     ManifestTable.append(signed, s"$indexDir/buckets", Some("sig_part"), 0L)
   }
 
+  /** INCREMENTAL append to a materialized LSH index: sign only the new
+    * vectors (hyperplanes are deterministic — no retraining, the family
+    * never changes) and commit their bucketed files as one more manifest
+    * version. An ingest pipeline adds embeddings continuously; this is the
+    * O(new data) path the near-dup signature index already has, replacing
+    * rebuild-the-world. Serving is unchanged: [[knnLshIndexed]] reads
+    * whatever files the latest snapshot names, so an appended vector is
+    * probe-visible from the commit on, and the probed-bucket prune stays
+    * bounded (appends add files inside bucket dirs, never new read scope). */
+  def appendToLshIndex(newVecs: DataFrame, indexDir: String, bits: Int = 8): Unit = {
+    import graft.streaming.ManifestTable
+    val table = s"$indexDir/buckets"
+    val signed = withSignature(newVecs, "embedding", bits)
+      .select(col("vec_id"), col("lsh_sig"), col("embedding"))
+      .withColumn("sig_part", col("lsh_sig"))
+      .repartition(col("sig_part"))
+    ManifestTable.append(signed, table, Some("sig_part"),
+      ManifestTable.maxBatchId(table) + 1)
+  }
+
   /** Serve top-k from the materialized LSH index: sign the queries, expand
     * the multi-probe masks (hamming ≤ probeDist), collect the probed
     * bucket ids (≤ queries × masks small ints to the driver), read ONLY
@@ -448,6 +468,26 @@ object Similarity {
     ManifestTable.append(assigned, s"$indexDir/cells", Some("cid_part"), 0L)
   }
 
+  /** INCREMENTAL append to a materialized IVF index: assign only the new
+    * vectors to the EXISTING centroids (the zero-exchange broadcast argmax
+    * — centroids are a trained statistic, they do not move per append) and
+    * commit the new cell files as one more manifest version. O(new data)
+    * instead of rebuild-the-world; the centroid table is untouched, so
+    * probe ranking and the partition-pruned read scope are identical
+    * before and after. Retrain (a fresh [[buildIvfIndex]] at a new path)
+    * only when drift matters — the classic IVF posture. */
+  def appendToIvfIndex(newVecs: DataFrame, indexDir: String): Unit = {
+    import graft.streaming.ManifestTable
+    val table = s"$indexDir/cells"
+    val cents = ManifestTable.read(newVecs.sparkSession, s"$indexDir/centroids")
+    val assigned = withNearestCid(newVecs, cents)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+      .withColumn("cid_part", col("cid"))
+      .repartition(col("cid_part"))
+    ManifestTable.append(assigned, table, Some("cid_part"),
+      ManifestTable.maxBatchId(table) + 1)
+  }
+
   /** Serve top-k from the materialized index: rank cells per query against
     * the broadcast centroid table, collect the probed cell ids (≤ queries ×
     * nProbe longs to the driver — a probe-key list, not data), read ONLY
@@ -511,12 +551,27 @@ object Similarity {
     * once per corpus per JVM (a deterministic function of the data) and
     * every invocation after that measures the probe — the
     * build-once-serve-many shape the materialized layout exists for. The
-    * cache key carries a size+mtime fingerprint of the embeddings input,
+    * cache value carries a size+mtime fingerprint of the embeddings input,
     * so rewriting the corpus under the same path rebuilds instead of
-    * serving a stale snapshot; superseded index temp dirs live until JVM
-    * exit (one corpus copy each — a bench/test convenience, not a
-    * production cache). */
-  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    * serving a stale snapshot, and the SUPERSEDED index dir is deleted
+    * once its replacement is built (r7 advisory: the old temp dirs leaked
+    * one corpus copy each until JVM exit). Still a bench/test convenience,
+    * not a production cache: deletion assumes no query is mid-flight on
+    * the old path (the registry runs queries to completion, one at a
+    * time per corpus). */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]() // key → (stamp, dir)
+
+  private def cachedIndex(kind: String, d: String, stamp: String)
+      (build: String => Unit): String =
+    indexCache.compute(s"$kind:$d", (_, old) =>
+      if (old != null && old._1 == stamp) old
+      else {
+        val idx = java.nio.file.Files.createTempDirectory(s"graft_${kind}_idx").toString
+        build(idx)
+        if (old != null) graft.Storage.deleteTree(java.nio.file.Paths.get(old._2))
+        (stamp, idx)
+      })._2
 
   private def corpusStamp(dir: String): String = {
     import java.nio.file.{Files, Paths}
@@ -534,20 +589,16 @@ object Similarity {
     }
   }
 
-  private def ivfIndexFor(s: SparkSession, d: String): String =
-    indexCache.computeIfAbsent(s"ivf:$d:${corpusStamp(d)}", _ => {
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+  private[graft] def ivfIndexFor(s: SparkSession, d: String): String =
+    cachedIndex("ivf", d, corpusStamp(d)) { idx =>
       buildIvfIndex(Tables.embeddings(s, d), idx, nCentroids = 16,
         kmeansIters = 2, trainBuckets = 2500)
-      idx
-    })
+    }
 
-  private def lshIndexFor(s: SparkSession, d: String): String =
-    indexCache.computeIfAbsent(s"lsh:$d:${corpusStamp(d)}", _ => {
-      val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+  private[graft] def lshIndexFor(s: SparkSession, d: String): String =
+    cachedIndex("lsh", d, corpusStamp(d)) { idx =>
       buildLshIndex(Tables.embeddings(s, d), idx, bits = 8)
-      idx
-    })
+    }
 
   /** DuckDB cosine mirroring the Spark fold: explicit double cast, ordered
     * element-wise products, list_sum. */

@@ -24,6 +24,20 @@ class FlowQueriesSpec extends SparkTestBase {
     fl.unpersist()
   }
 
+  test("flows asserts the nanos session requirement instead of mutating conf (r7 advisory)") {
+    // a session built WITHOUT the factory but WITH the conf works — flows
+    // no longer needs to mutate anything
+    val foreign = spark.newSession()
+    foreign.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assert(FlowAdapter.flows(foreign, sf).limit(1).count() === 1)
+    // and one missing the conf fails FAST with an actionable message, not
+    // deep inside the parquet reader
+    val bare = spark.newSession()
+    bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val e = intercept[IllegalArgumentException](FlowAdapter.flows(bare, sf))
+    assert(e.getMessage.contains("nanosAsLong"))
+  }
+
   test("rollup 5m: totals reconcile with raw (SummingMergeTree invariant)") {
     val raw = FlowAdapter.flows(spark, sf)
     val rollup = FlowQueries.rollup5m(spark, sf)
@@ -81,6 +95,31 @@ class FlowQueriesSpec extends SparkTestBase {
       assert(math.abs(a - n).toDouble / n <= 0.10,
         s"bucket $bucket: approx $a vs exact $n")
     }
+  }
+
+  test("approx byte quantiles: sketch values within rank-error bound of exact") {
+    val acc = 10000
+    val fl = FlowAdapter.flows(spark, sf).select("proto", "bytes").cache()
+    val approx = FlowQueries.bytesQuantilesApprox(spark, sf, accuracy = acc).collect()
+    assert(approx.length === 2) // two protos in the adapter
+    approx.foreach { r =>
+      val proto = r.getInt(0)
+      val vals = fl.filter(col("proto") === proto)
+        .collect().map(_.getLong(1)).sorted
+      val n = vals.length.toDouble
+      assert(r.getLong(4) === vals.length.toLong) // flow_count rides along exactly
+      Seq((1, 0.50), (2, 0.95), (3, 0.99)).foreach { case (i, q) =>
+        val v = r.getLong(i)
+        // GK contract: the returned value's rank is within n/accuracy of
+        // the target rank (one extra row of slack for tie plateaus)
+        val eps = 1.0 / acc + 1.0 / n
+        assert(vals.count(_ < v) / n <= q + eps,
+          s"proto=$proto q=$q value=$v sits too high")
+        assert(vals.count(_ <= v) / n >= q - eps,
+          s"proto=$proto q=$q value=$v sits too low")
+      }
+    }
+    fl.unpersist()
   }
 
   test("entry flagship returns rows") {

@@ -92,6 +92,67 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaIndex.forall(_.head == 0L))
   }
 
+  test("incremental IVF append: new vector probe-visible without rebuild, read stays pruned") {
+    import spark.implicits._
+    import graft.streaming.ManifestTable
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.buildIvfIndex(emb, idx, nCentroids = 16, kmeansIters = 2, trainBuckets = 2500)
+    // plant a cross-batch exact near-dup of query vector 0 under a fresh id:
+    // same direction → same nearest cell, cosine 1.0 → rank 1 if visible
+    val base = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val before = Similarity.knnIvfIndexed(spark, idx,
+      emb.filter(col("vec_id") === 0L), k = 1, nProbe = 1).collect()
+    assert(before.head.getLong(1) !== 1000000L)
+    Similarity.appendToIvfIndex(Seq((1000000L, base)).toDF("vec_id", "embedding"), idx)
+    val after = Similarity.knnIvfIndexed(spark, idx,
+      emb.filter(col("vec_id") === 0L), k = 1, nProbe = 1).collect()
+    assert(after.head.getLong(1) === 1000000L,
+      "appended near-dup must be probe-visible and rank first")
+    assert(after.head.getDouble(2) === 1.0)
+    // the probe still reads a bounded subset (appends add files inside
+    // cells, never widen the read scope)
+    val (sel, tot) = ManifestTable.lastPruneStats(s"$idx/cells").get
+    assert(sel < tot, s"append must not break pruning: read $sel of $tot")
+  }
+
+  test("incremental LSH append: new vector probe-visible without rebuild") {
+    import spark.implicits._
+    import graft.streaming.ManifestTable
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_append").toString
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.buildLshIndex(emb, idx, bits = 8)
+    val base = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    Similarity.appendToLshIndex(Seq((1000000L, base)).toDF("vec_id", "embedding"), idx, bits = 8)
+    // identical vector → identical signature → found in the 0-distance probe
+    val after = Similarity.knnLshIndexed(spark, idx,
+      emb.filter(col("vec_id") === 0L), k = 1, bits = 8, probeDist = 0).collect()
+    assert(after.head.getLong(1) === 1000000L)
+    assert(after.head.getDouble(2) === 1.0)
+    val (sel, tot) = ManifestTable.lastPruneStats(s"$idx/buckets").get
+    assert(sel < tot)
+  }
+
+  test("superseded index dir is retired on corpus-change rebuild (r7 advisory)") {
+    import java.nio.file.{Files, Paths}
+    val corpus = Files.createTempDirectory("graft_corpus").toString
+    val emb = Tables.embeddings(spark, sf)
+    emb.limit(50).write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val first = Similarity.ivfIndexFor(spark, corpus)
+    assert(Files.isDirectory(Paths.get(first)))
+    // unchanged corpus: cache serves the same dir, no rebuild
+    assert(Similarity.ivfIndexFor(spark, corpus) === first)
+    // corpus rewritten (stamp changes): new index built, OLD DIR DELETED
+    emb.limit(60).write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val second = Similarity.ivfIndexFor(spark, corpus)
+    assert(second !== first)
+    assert(Files.isDirectory(Paths.get(second)))
+    assert(!Files.exists(Paths.get(first)),
+      "superseded index temp dir must be deleted after the rebuild swap")
+  }
+
   test("indexed LSH: probing an empty bucket returns empty, not an error") {
     import spark.implicits._
     // 7-dim (odd) all-ones corpus vector: every hyperplane dot is a sum of
