@@ -38,7 +38,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rename natively fails on an existing destination. The whole protocol
   * needs exactly one storage guarantee, "make this fully-formed object
   * appear at this name iff nothing is there", and everything else is
-  * ordinary immutable-file I/O.
+  * ordinary immutable-file I/O — which since r8 ALSO flows through a seam
+  * ([[FileIO]]: GET/PUT/LIST/DELETE/promote, [[PosixFileIO]] default), so
+  * an object-store build supplies two small implementations and no
+  * protocol code changes. ManifestTableSpec proves it by re-running the
+  * crash matrix on an emulation that has no rename and no hard links.
   *
   * Why this beats the r2 protocol at scale: the folded output of a
   * compaction is written as REAL parquet in the table directory before the
@@ -60,6 +64,78 @@ object ManifestTable {
     * publisher at chosen points (the protocol must recover from any). */
   trait CasPrimitive {
     def publish(target: Path, bytes: Array[Byte]): Boolean
+  }
+
+  /** Every OTHER storage operation the manifest layer performs — ordinary
+    * immutable-object I/O, deliberately restricted to what an object store
+    * offers: GET, whole-object PUT, conditional-free DELETE, LIST. Nothing
+    * here requires atomic rename, hard links, or directories as
+    * first-class objects; together with [[CasPrimitive]] this is the
+    * COMPLETE storage contract (r7: ~44 direct `java.nio.Files` calls had
+    * no seam, so "swap the SDK call and nothing else changes" was a
+    * comment — now it is this trait). The crash matrix in
+    * ManifestTableSpec runs against an emulation that implements this with
+    * no rename/link at all, proving the protocol needs only the documented
+    * primitives. Paths are used as store KEYS; the data plane (parquet
+    * file contents) is still read/written by Spark through its Hadoop
+    * filesystem for the table's scheme — this seam carries the manifest
+    * layer's own control I/O and file placement. */
+  trait FileIO {
+    def exists(path: Path): Boolean
+    def read(path: Path): Array[Byte]
+    /** Whole-object PUT, overwrite allowed. Must be atomic at the object
+      * level (stores are natively; the POSIX impl hides a tmp+rename as an
+      * implementation detail — the PROTOCOL never asks for rename). */
+    def write(path: Path, bytes: Array[Byte]): Unit
+    /** Idempotent delete. */
+    def delete(path: Path): Unit
+    /** Immediate children of `dir`; empty when absent. */
+    def list(dir: Path): Seq[Path]
+    /** Regular files anywhere under `dir`; empty when absent. */
+    def listRecursive(dir: Path): Seq[Path]
+    /** Remove everything under the prefix (POSIX: the directory tree). */
+    def deletePrefix(dir: Path): Unit
+    def lastModifiedMillis(path: Path): Long
+    /** Publish a finished staging file at its final name and drop the
+      * staged copy. NO atomicity required: a data file is invisible until
+      * a manifest commit names it, so a half-copied object is just one
+      * more orphan for [[vacuum]]. POSIX moves; object stores upload (or
+      * server-side-copy) + delete source. */
+    def promote(src: Path, target: Path): Unit
+    /** Ensure a container exists for children (POSIX mkdir -p; stores have
+      * no directories — default no-op). */
+    def mkdirs(dir: Path): Unit = ()
+  }
+
+  /** Local-filesystem [[FileIO]] (default). The tmp+ATOMIC_MOVE inside
+    * [[write]] exists so a crashed hint write can't leave a truncated
+    * object — the equivalent of the atomicity an object store's PUT gives
+    * for free; no caller depends on rename semantics. */
+  object PosixFileIO extends FileIO {
+    def exists(path: Path): Boolean = Files.exists(path)
+    def read(path: Path): Array[Byte] = Files.readAllBytes(path)
+    def write(path: Path, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(path.getParent)
+      val tmp = path.getParent.resolve(s".hint-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, bytes)
+      Files.move(tmp, path,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    def delete(path: Path): Unit = Files.deleteIfExists(path)
+    def list(dir: Path): Seq[Path] =
+      if (!Files.isDirectory(dir)) Nil
+      else listed(Files.list(dir))(_.toList)
+    def listRecursive(dir: Path): Seq[Path] =
+      if (!Files.isDirectory(dir)) Nil
+      else listed(Files.walk(dir))(_.filter(Files.isRegularFile(_)).toList)
+    def deletePrefix(dir: Path): Unit = graft.Storage.deleteTree(dir)
+    def lastModifiedMillis(path: Path): Long =
+      Files.getLastModifiedTime(path).toMillis
+    def promote(src: Path, target: Path): Unit = {
+      Files.createDirectories(target.getParent)
+      Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    override def mkdirs(dir: Path): Unit = { Files.createDirectories(dir); () }
   }
 
   /** Publish-if-absent via `link(2)` (DEFAULT): the complete bytes land in
@@ -121,6 +197,17 @@ object ManifestTable {
         case _ => ConditionalPutCas
       })
 
+  /** Ordinary-I/O selection, same shape as the CAS override: per-table for
+    * tests/mixed deployments, [[PosixFileIO]] default. */
+  private val ioOverrides = new java.util.concurrent.ConcurrentHashMap[String, FileIO]()
+  def setFileIO(table: String, io: FileIO): Unit =
+    ioOverrides.put(Paths.get(table).toAbsolutePath.normalize.toString, io)
+  def clearFileIO(table: String): Unit =
+    ioOverrides.remove(Paths.get(table).toAbsolutePath.normalize.toString)
+  private def ioFor(table: String): FileIO =
+    Option(ioOverrides.get(Paths.get(table).toAbsolutePath.normalize.toString))
+      .getOrElse(PosixFileIO)
+
   private val manifestDirName = "_graft_manifest"
   private val hintName = "_latest.hint"
 
@@ -150,35 +237,34 @@ object ManifestTable {
     * O(all manifests ever committed): an always-on table at a 5-second
     * trigger accumulates ~17k manifests/day, and without the hint every
     * commit re-lists all of them. */
-  private def readHint(dir: Path): Option[Long] = {
+  private def readHint(io: FileIO, dir: Path): Option[Long] = {
     val h = dir.resolve(hintName)
-    if (!Files.isRegularFile(h)) None
-    else try Some(new String(Files.readAllBytes(h), "UTF-8").trim.toLong)
-    catch { case _: NumberFormatException => None }
+    if (!io.exists(h)) None
+    else try Some(new String(io.read(h), "UTF-8").trim.toLong)
+    catch {
+      case _: NumberFormatException => None
+      case _: java.io.IOException => None // vanished mid-read: fall back
+    }
   }
 
-  private def writeHint(dir: Path, v: Long): Unit =
-    try {
-      val tmp = dir.resolve(s".hint-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, v.toString.getBytes("UTF-8"))
-      Files.move(tmp, dir.resolve(hintName),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    } catch { case _: java.io.IOException => () } // best-effort: readers fall back
+  private def writeHint(io: FileIO, dir: Path, v: Long): Unit =
+    try io.write(dir.resolve(hintName), v.toString.getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // best-effort: readers fall back
 
   /** O(1) latest-manifest lookup: hint + forward probe (covers commits by
     * other JVMs since the hint was written); full listing only when the
     * hint is absent or points at a vanished file. */
-  private def latestManifest(dir: Path): Option[Path] = {
-    val hinted = readHint(dir)
-      .filter(v => v > 0 && Files.exists(manifestPath(dir, v)))
+  private def latestManifest(io: FileIO, dir: Path): Option[Path] = {
+    val hinted = readHint(io, dir)
+      .filter(v => v > 0 && io.exists(manifestPath(dir, v)))
       .map { h =>
         var v = h
-        while (Files.exists(manifestPath(dir, v + 1))) v += 1
+        while (io.exists(manifestPath(dir, v + 1))) v += 1
         manifestPath(dir, v)
       }
-    hinted.orElse(listed(Files.list(dir))(_
+    hinted.orElse(io.list(dir)
       .filter(_.getFileName.toString.matches("v\\d+\\.manifest"))
-      .maxByOption(versionOf)))
+      .maxByOption(versionOf))
   }
 
   /** Latest committed (version, relative file list); (0, empty) if none.
@@ -190,12 +276,13 @@ object ManifestTable {
   def maxBatchId(table: String): Long = readLatest(table)._2
 
   private def readLatest(table: String): (Long, Long, Seq[String]) = {
+    val io = ioFor(table)
     val dir = manifestDir(table)
-    if (!Files.isDirectory(dir)) return (0L, -1L, Nil)
-    latestManifest(dir) match {
+    latestManifest(io, dir) match {
       case None => (0L, -1L, Nil)
       case Some(m) =>
-        val lines = Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+        val lines = new String(io.read(m), "UTF-8")
+          .split("\n", -1).toSeq.filter(_.nonEmpty)
         val maxBatch = lines.find(_.startsWith("#maxBatch:"))
           .map(_.stripPrefix("#maxBatch:").toLong).getOrElse(-1L)
         (versionOf(m), maxBatch, lines.filterNot(_.startsWith("#")))
@@ -297,8 +384,9 @@ object ManifestTable {
   def tryCommit(table: String, absorbBatch: Option[Long] = None)
       (delta: Seq[String] => Option[Seq[String]]): Option[Long] =
     lockFor(table).synchronized {
+      val io = ioFor(table)
       val dir = manifestDir(table)
-      Files.createDirectories(dir)
+      io.mkdirs(dir)
       var attempts = 0
       while (attempts < 100) {
         attempts += 1
@@ -312,7 +400,7 @@ object ManifestTable {
             // publish-if-absent IS the CAS — a loser retries its delta on
             // the new snapshot
             if (casFor(table).publish(target, bytes)) {
-              writeHint(dir, v + 1)
+              writeHint(io, dir, v + 1)
               return Some(v + 1)
             }
         }
@@ -359,7 +447,7 @@ object ManifestTable {
       else None
     }
     if (committed.isEmpty)
-      staged.foreach(f => Files.deleteIfExists(Paths.get(table).resolve(f)))
+      staged.foreach(f => ioFor(table).delete(Paths.get(table).resolve(f)))
     committed.nonEmpty
   }
 
@@ -369,24 +457,25 @@ object ManifestTable {
     * manifest references them. */
   private def stage(df: DataFrame, table: String, partitionCol: Option[String],
       prefix: String): Seq[String] = {
+    val io = ioFor(table)
     val scratch = Paths.get(table, s".stage-${java.util.UUID.randomUUID()}")
     val writer = df.write.mode("overwrite")
     partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(scratch.toString)
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
-    listed(Files.walk(scratch))(_
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toList).foreach { p =>
+    io.listRecursive(scratch)
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach { p =>
         val rel = scratch.relativize(p) // e.g. event_date=2024-01-01/part-….parquet
         val partDir = Option(rel.getParent).map(_.toString).getOrElse("")
         val name = s"$prefix-${java.util.UUID.randomUUID()}.parquet"
         val relOut = if (partDir.isEmpty) name else s"$partDir/$name"
-        val target = Paths.get(table, relOut)
-        Files.createDirectories(target.getParent)
-        Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+        // promotion needs no atomicity: the file stays invisible until the
+        // manifest commit that names it
+        io.promote(p, Paths.get(table, relOut))
         moved += relOut
       }
     // scratch now holds only _SUCCESS/metadata droppings
-    graft.Storage.deleteTree(scratch)
+    io.deletePrefix(scratch)
     moved.toSeq
   }
 
@@ -410,26 +499,25 @@ object ManifestTable {
   def vacuum(table: String, graceSeconds: Long = 600L,
       retainManifests: Int = 100): Long =
     lockFor(table).synchronized {
+      val io = ioFor(table)
       val root = Paths.get(table)
-      if (!Files.isDirectory(root)) return 0L
       val cutoff = System.currentTimeMillis() - graceSeconds * 1000L
-      val all = listed(Files.walk(root))(_
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      val all = io.listRecursive(root)
+        .filter(_.toString.endsWith(".parquet"))
         .filterNot(_.startsWith(manifestDir(table)))
-        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-        .map(p => root.relativize(p).toString).toSet)
+        .filter(p => io.lastModifiedMillis(p) <= cutoff)
+        .map(p => root.relativize(p).toString).toSet
       val live = snapshot(table)._2.toSet
       val dead = all -- live
-      dead.foreach(f => Files.deleteIfExists(root.resolve(f)))
+      dead.foreach(f => io.delete(root.resolve(f)))
       // crash leftovers in the manifest dir: partial uploads (.put-*) and
       // hint temps (.hint-*) — a publisher killed between temp write and
-      // link/rename orphans one; same grace as data files
+      // publish orphans one; same grace as data files
       val mdir = manifestDir(table)
-      val temps = if (!Files.isDirectory(mdir)) Nil else listed(Files.list(mdir))(_
+      val temps = io.list(mdir)
         .filter(p => p.getFileName.toString.startsWith("."))
-        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-        .toList)
-      temps.foreach(Files.deleteIfExists(_))
+        .filter(p => io.lastModifiedMillis(p) <= cutoff)
+      temps.foreach(io.delete)
       gcManifests(table, retainManifests)
       dead.size.toLong + temps.size
     }
@@ -442,16 +530,15 @@ object ManifestTable {
     * the number deleted. */
   def gcManifests(table: String, retain: Int = 100): Long =
     lockFor(table).synchronized {
+      val io = ioFor(table)
       val dir = manifestDir(table)
-      if (!Files.isDirectory(dir)) return 0L
       val keep = math.max(1, retain)
       val latest = readLatest(table)._1
       if (latest <= keep) return 0L
-      val dead = listed(Files.list(dir))(_
+      val dead = io.list(dir)
         .filter(_.getFileName.toString.matches("v\\d+\\.manifest"))
         .filter(p => versionOf(p) <= latest - keep)
-        .toList)
-      dead.foreach(Files.deleteIfExists(_))
+      dead.foreach(io.delete)
       dead.size.toLong
     }
 }

@@ -362,12 +362,16 @@ class ManifestTableSpec extends SparkTestBase {
   // ----------------------------------------------- CAS fault injection
   // The store-side crash matrix: the protocol must recover from a
   // publisher dying at ANY point around the conditional PUT. Each fake
-  // wraps the real primitive and kills the "driver" at a chosen instant.
+  // wraps a real primitive and kills the "driver" at a chosen instant;
+  // they are parameterized on the delegate so the same matrix runs
+  // against BOTH storage postures (POSIX link(2) CAS and the rename-free
+  // object-store emulation below).
 
   /** Crash AFTER the store persisted the object (ack lost). */
-  private final class CrashAfterPublish extends ManifestTable.CasPrimitive {
+  private final class CrashAfterPublish(delegate: ManifestTable.CasPrimitive)
+      extends ManifestTable.CasPrimitive {
     def publish(target: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
-      val ok = ManifestTable.ConditionalPutCas.publish(target, bytes)
+      val ok = delegate.publish(target, bytes)
       if (ok) throw new RuntimeException("injected: crash after publish")
       ok
     }
@@ -376,6 +380,9 @@ class ManifestTableSpec extends SparkTestBase {
   /** Crash mid-upload: a partial temp object exists, nothing published. */
   private final class CrashBeforePublish extends ManifestTable.CasPrimitive {
     def publish(target: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
+      // parent dirs are the key→path mapping artifact (the object-store
+      // posture never mkdirs; a real store materializes the key directly)
+      Files.createDirectories(target.getParent)
       Files.write(target.getParent.resolve(s".put-partial-${java.util.UUID.randomUUID()}"),
         bytes.take(bytes.length / 2)) // half-written upload left behind
       throw new RuntimeException("injected: crash before publish")
@@ -384,23 +391,193 @@ class ManifestTableSpec extends SparkTestBase {
 
   /** First attempt loses the CAS to a competing writer injected at the
     * worst moment (after this writer read its snapshot); then heals. */
-  private final class LoseOnceToCompetitor(competing: Array[Byte])
-      extends ManifestTable.CasPrimitive {
+  private final class LoseOnceToCompetitor(competing: Array[Byte],
+      delegate: ManifestTable.CasPrimitive) extends ManifestTable.CasPrimitive {
     var injected = false
     def publish(target: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
       if (!injected) {
         injected = true
-        assert(ManifestTable.ConditionalPutCas.publish(target, competing),
+        assert(delegate.publish(target, competing),
           "competitor must win the free name")
       }
-      ManifestTable.ConditionalPutCas.publish(target, bytes)
+      delegate.publish(target, bytes)
+    }
+  }
+
+  // ------------------------------------- object-store FileIO emulation
+  //
+  // Implements the complete storage contract (FileIO + CasPrimitive) with
+  // ONLY what an object store offers: GET, whole-object PUT (a direct
+  // write — never a rename), conditional PUT (store-side atomicity,
+  // emulated by an in-JVM mutex around exists+write), LIST, DELETE, and
+  // upload+delete-source for promotion. There is NO Files.move and NO
+  // Files.createLink anywhere in this class — the crash matrix passing on
+  // it proves the manifest protocol needs exactly the documented
+  // primitives and nothing rename-shaped. Objects land as plain local
+  // files because Spark must read the data plane through its Hadoop
+  // filesystem (parent directories are an artifact of that key→path
+  // mapping, not a protocol step).
+  private final class ObjectStoreFileIO extends ManifestTable.FileIO {
+    import java.nio.file.Path
+    private val mutex = new Object
+    def exists(path: Path): Boolean = Files.exists(path)
+    def read(path: Path): Array[Byte] = Files.readAllBytes(path)
+    def write(path: Path, bytes: Array[Byte]): Unit = mutex.synchronized {
+      Files.createDirectories(path.getParent)
+      Files.write(path, bytes) // PUT: direct write, no tmp+rename
+    }
+    def delete(path: Path): Unit = { Files.deleteIfExists(path); () }
+    def list(dir: Path): Seq[Path] =
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val s = Files.list(dir)
+        try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toList }
+        finally s.close()
+      }
+    def listRecursive(dir: Path): Seq[Path] =
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val s = Files.walk(dir)
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isRegularFile(_)).toList }
+        finally s.close()
+      }
+    def deletePrefix(dir: Path): Unit = graft.Storage.deleteTree(dir)
+    def lastModifiedMillis(path: Path): Long = Files.getLastModifiedTime(path).toMillis
+    def promote(src: Path, target: Path): Unit = {
+      // object-store upload: copy bytes to the final key, delete the
+      // staged source — NOT a rename; needs no atomicity because the file
+      // is invisible until a manifest names it
+      Files.createDirectories(target.getParent)
+      Files.write(target, Files.readAllBytes(src))
+      Files.deleteIfExists(src)
+      ()
+    }
+    /** The store's conditional PUT: atomic publish-if-absent, with the
+      * atomicity the real store provides natively (S3 If-None-Match, GCS
+      * ifGenerationMatch(0)) emulated by the mutex. */
+    val cas: ManifestTable.CasPrimitive = new ManifestTable.CasPrimitive {
+      def publish(target: Path, bytes: Array[Byte]): Boolean = mutex.synchronized {
+        if (Files.exists(target)) false
+        else {
+          Files.createDirectories(target.getParent)
+          Files.write(target, bytes)
+          true
+        }
+      }
+    }
+  }
+
+  /** Install the object-store posture on a table for the test body. */
+  private def withObjectStore[T](table: String)(f: ObjectStoreFileIO => T): T = {
+    val store = new ObjectStoreFileIO
+    ManifestTable.setFileIO(table, store)
+    ManifestTable.setCasPrimitive(table, store.cas)
+    try f(store)
+    finally { ManifestTable.clearFileIO(table); ManifestTable.clearCasPrimitive(table) }
+  }
+
+  test("object-store posture: append/read/replay/compaction-swap protocol green, rename-free") {
+    val table = tmp()
+    withObjectStore(table) { _ =>
+      val df = genBatch(60, seed = 81, baseTime = 1704067200L).toDS()
+        .toDF().transform(FlowStreams.projectRaw)
+      ManifestTable.append(df, table, Some("event_date"), batchId = 0L)
+      ManifestTable.append(df, table, Some("event_date"), batchId = 0L) // replay: no-op
+      assert(ManifestTable.read(spark, table).count() === 60)
+      ManifestTable.append(df, table, Some("event_date"), batchId = 1L)
+      assert(ManifestTable.read(spark, table).count() === 120)
+      // compactor race: winner swaps, stale loser aborts, no doubling
+      val snap = ManifestTable.snapshot(table)._2
+      assert(FlowStreams.compactRawOnline(spark, table, filesPerPartition = 1))
+      val stale = ManifestTable.swap(
+        ManifestTable.read(spark, table), table, Some("event_date"), snap)
+      assert(!stale, "stale swap must abort under the object-store posture")
+      assert(ManifestTable.read(spark, table).count() === 120)
+      // vacuum reaps the aborted swap's staged copies and compacted-away
+      // inputs; survivors are exactly the live snapshot
+      ManifestTable.vacuum(table, graceSeconds = 0)
+      assert(parquetFiles(table).size === ManifestTable.snapshot(table)._2.size)
+      assert(ManifestTable.read(spark, table).count() === 120)
+    }
+  }
+
+  test("object-store posture: crash AFTER publish = committed; replay is a no-op") {
+    val table = tmp()
+    withObjectStore(table) { store =>
+      ManifestTable.setCasPrimitive(table, new CrashAfterPublish(store.cas))
+      val df = spark.range(10).toDF("n")
+      intercept[RuntimeException] { ManifestTable.append(df, table, None, batchId = 0L) }
+      ManifestTable.setCasPrimitive(table, store.cas)
+      assert(ManifestTable.maxBatchId(table) === 0L, "commit survived the crash")
+      assert(ManifestTable.read(spark, table).count() === 10L)
+      val snap = ManifestTable.snapshot(table)
+      ManifestTable.append(spark.range(99).toDF("n"), table, None, batchId = 0L)
+      assert(ManifestTable.snapshot(table) === snap, "replay must change nothing")
+    }
+  }
+
+  test("object-store posture: crash BEFORE publish = invisible; retry lands one copy; vacuum reaps temps") {
+    val table = tmp()
+    withObjectStore(table) { store =>
+      ManifestTable.setCasPrimitive(table, new CrashBeforePublish)
+      val df = spark.range(10).toDF("n")
+      intercept[RuntimeException] { ManifestTable.append(df, table, None, batchId = 0L) }
+      ManifestTable.setCasPrimitive(table, store.cas)
+      assert(ManifestTable.maxBatchId(table) === -1L)
+      assert(parquetFiles(table).nonEmpty, "the crashed attempt staged data files")
+      ManifestTable.append(df, table, None, batchId = 0L)
+      assert(ManifestTable.read(spark, table).count() === 10L)
+      ManifestTable.vacuum(table, graceSeconds = 0L)
+      assert(ManifestTable.read(spark, table).count() === 10L)
+      assert(parquetFiles(table).size === ManifestTable.snapshot(table)._2.size)
+      val mdir = Paths.get(table, "_graft_manifest")
+      val s = Files.list(mdir)
+      try { import scala.jdk.CollectionConverters._
+        assert(s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(".put-partial-")).isEmpty, "partial uploads must be vacuumed")
+      } finally s.close()
+    }
+  }
+
+  test("object-store posture: CAS loss to a mid-commit competitor retries onto the fresh snapshot") {
+    val table = tmp()
+    withObjectStore(table) { store =>
+      ManifestTable.commit(table)(files => files :+ "base.parquet")
+      val competing = "#maxBatch:-1\nbase.parquet\ncompetitor.parquet".getBytes("UTF-8")
+      ManifestTable.setCasPrimitive(table, new LoseOnceToCompetitor(competing, store.cas))
+      ManifestTable.commit(table)(files => files :+ "mine.parquet")
+      ManifestTable.setCasPrimitive(table, store.cas)
+      val (v, files) = ManifestTable.snapshot(table)
+      assert(v === 3L, "base + competitor + retried commit")
+      assert(files.toSet === Set("base.parquet", "competitor.parquet", "mine.parquet"))
+    }
+  }
+
+  test("object-store posture: hint loss degrades to a listing; metadata GC still bounds growth") {
+    val table = tmp()
+    withObjectStore(table) { _ =>
+      (1 to 150).foreach { i =>
+        ManifestTable.commit(table)(files => files.takeRight(2) :+ s"f$i.parquet")
+      }
+      ManifestTable.vacuum(table, graceSeconds = 0, retainManifests = 20)
+      val s = Files.list(Paths.get(table, "_graft_manifest"))
+      val manifests = try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.toString.endsWith(".manifest"))
+      } finally s.close()
+      assert(manifests <= 21, s"manifest GC must bound metadata, got $manifests")
+      Files.delete(Paths.get(table, "_graft_manifest", "_latest.hint"))
+      assert(ManifestTable.snapshot(table)._1 === 150L)
+      ManifestTable.commit(table)(files => files :+ "post-hint-loss.parquet")
+      assert(ManifestTable.snapshot(table)._1 === 151L)
     }
   }
 
   test("fault injection: crash after publish = committed; replay of the batch is a no-op") {
     val table = tmp()
     Files.createDirectories(Paths.get(table))
-    ManifestTable.setCasPrimitive(table, new CrashAfterPublish)
+    ManifestTable.setCasPrimitive(table,
+      new CrashAfterPublish(ManifestTable.ConditionalPutCas))
     try {
       val df = spark.range(10).toDF("n")
       val thrown = intercept[RuntimeException] {
@@ -457,7 +634,8 @@ class ManifestTableSpec extends SparkTestBase {
     // seed a committed base version the competitor will build on
     ManifestTable.commit(table)(files => files :+ "base.parquet")
     val competing = "#maxBatch:-1\nbase.parquet\ncompetitor.parquet".getBytes("UTF-8")
-    ManifestTable.setCasPrimitive(table, new LoseOnceToCompetitor(competing))
+    ManifestTable.setCasPrimitive(table,
+      new LoseOnceToCompetitor(competing, ManifestTable.ConditionalPutCas))
     try {
       ManifestTable.commit(table)(files => files :+ "mine.parquet")
     } finally ManifestTable.clearCasPrimitive(table)
