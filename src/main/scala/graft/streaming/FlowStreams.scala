@@ -315,7 +315,11 @@ object FlowStreams {
       trigger: Trigger = DefaultTrigger): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ManifestTable.append(projectRaw(batch), table, Some("event_date"), id)
+        // statsCol: each committed file carries its (min,max) timeReceived
+        // in the manifest — time-range queries skip non-overlapping files
+        // at the manifest (readRawManagedRange), no footer reads
+        ManifestTable.append(projectRaw(batch), table, Some("event_date"), id,
+          statsCol = Some("timeReceived"))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -327,7 +331,11 @@ object FlowStreams {
       trigger: Trigger = DefaultTrigger): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ManifestTable.append(rollupPartials(batch), table, Some("event_date"), id)
+        // timeslot bounds in the manifest: dashboard range queries over the
+        // rollup skip non-overlapping partial files the same way the raw
+        // table skips on timeReceived
+        ManifestTable.append(rollupPartials(batch), table, Some("event_date"), id,
+          statsCol = Some("timeslot"))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -384,9 +392,33 @@ object FlowStreams {
   def readRawManaged(spark: SparkSession, table: String): DataFrame =
     ManifestTable.read(spark, table)
 
+  /** Time-range read of the managed raw table: manifest-level file
+    * skipping on the recorded per-file (min,max) `timeReceived` — the
+    * ClickHouse `ORDER BY TimeReceived` range-scan parity (`create.sh:62`)
+    * — then the exact residual predicate over the surviving files. A
+    * 1-hour dashboard window on a multi-day table reads only the files
+    * whose bounds overlap `[fromSec, untilSec)`; files predating the stats
+    * feature are kept conservatively. */
+  def readRawManagedRange(spark: SparkSession, table: String,
+      fromSec: Long, untilSec: Long): DataFrame =
+    ManifestTable.readRangePruned(spark, table, "timeReceived", fromSec, untilSec)
+      .filter(col("timeReceived") >= fromSec && col("timeReceived") < untilSec)
+
   /** Read-time re-merge of the managed rollup (pre-OPTIMIZE semantics). */
   def readRollupManaged(spark: SparkSession, table: String): DataFrame =
     mergeRollup(ManifestTable.read(spark, table))
+
+  /** Timeslot-range read of the managed rollup: manifest-level file
+    * skipping on recorded per-file (min,max) timeslot, residual predicate,
+    * then the SummingMergeTree re-merge over only the surviving partials —
+    * the dashboard's "last N hours" panel against an always-on rollup
+    * without touching cold files. `[fromSlot, untilSlot)` in epoch
+    * seconds, aligned like `rollupPartials`' 300 s slots. */
+  def readRollupManagedRange(spark: SparkSession, table: String,
+      fromSlot: Long, untilSlot: Long): DataFrame =
+    mergeRollup(
+      ManifestTable.readRangePruned(spark, table, "timeslot", fromSlot, untilSlot)
+        .filter(col("timeslot") >= fromSlot && col("timeslot") < untilSlot))
 
   /** ONLINE `OPTIMIZE TABLE`: fold the files of the current snapshot to one
     * row per key and swap them out in a single manifest commit. Safe with a
@@ -411,7 +443,8 @@ object FlowStreams {
     if (unfolded.isEmpty) return true
     val folded = mergeRollup(
       ManifestTable.readSelected(spark, table, unfolded).drop("batch"))
-    ManifestTable.swap(folded, table, Some("event_date"), unfolded)
+    ManifestTable.swap(folded, table, Some("event_date"), unfolded,
+      statsCol = Some("timeslot"))
   }
 
   /** ONLINE raw-table compaction: rewrite fragmented date partitions into
@@ -444,7 +477,12 @@ object FlowStreams {
       .repartitionByRange(fragmentedGroups.size * filesPerPartition,
         col("event_date"), col("timeReceived"))
       .sortWithinPartitions("timeReceived")
-    ManifestTable.swap(compacted, table, Some("event_date"), fragmented)
+    // compaction re-records timeReceived bounds for the merged files, so
+    // range skipping survives part merges (and the time-sorted rewrite
+    // makes the per-file bounds TIGHT — contiguous ranges, not the
+    // arrival-order spread of raw appends)
+    ManifestTable.swap(compacted, table, Some("event_date"), fragmented,
+      statsCol = Some("timeReceived"))
   }
 
   /** Watermarked event-time aggregation — the Spark-native alternative to

@@ -267,10 +267,44 @@ object ManifestTable {
       .maxByOption(versionOf))
   }
 
+  /** One committed file with its optional column statistics. A manifest
+    * line is either a bare relative path (legacy, and files whose stats
+    * column had no usable footer stats) or
+    * `path<TAB>statsCol<TAB>min<TAB>max` — the (min,max) of one LONG/INT
+    * column, recorded by [[stage]] from the parquet footer the writer just
+    * produced. Stats ride the manifest so range queries skip files at the
+    * MANIFEST, before any footer read — the ClickHouse
+    * `ORDER BY TimeReceived` intra-partition range-scan parity for managed
+    * tables (create.sh:62); at ~10^5 files/day of always-on ingest the
+    * difference is a string compare per file vs a footer fetch per file. */
+  final case class FileEntry(path: String, stats: Option[(String, Long, Long)]) {
+    def line: String = stats match {
+      case Some((c, mn, mx)) => s"$path\t$c\t$mn\t$mx"
+      case None => path
+    }
+  }
+
+  private def parseEntry(line: String): FileEntry =
+    line.split('\t') match {
+      case Array(p, c, mn, mx) =>
+        try FileEntry(p, Some((c, mn.toLong, mx.toLong)))
+        catch { case _: NumberFormatException => FileEntry(p, None) }
+      case _ => FileEntry(pathOf(line), None)
+    }
+
+  private def pathOf(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line else line.substring(0, i)
+  }
+
   /** Latest committed (version, relative file list); (0, empty) if none.
     * Header lines (`#…`) carry snapshot metadata and are not files. */
   def snapshot(table: String): (Long, Seq[String]) =
-    readLatest(table) match { case (v, _, files) => (v, files) }
+    readLatest(table) match { case (v, _, lines) => (v, lines.map(pathOf)) }
+
+  /** [[snapshot]] with per-file statistics preserved. */
+  def snapshotEntries(table: String): (Long, Seq[FileEntry]) =
+    readLatest(table) match { case (v, _, lines) => (v, lines.map(parseEntry)) }
 
   /** Highest batch id any committed snapshot has absorbed; -1 if none. */
   def maxBatchId(table: String): Long = readLatest(table)._2
@@ -364,6 +398,31 @@ object ManifestTable {
   private[graft] def lastPruneStats(table: String): Option[(Int, Int)] =
     Option(pruneStats.get(Paths.get(table).toAbsolutePath.normalize.toString))
 
+  /** Read only the snapshot files whose recorded `statsCol` (min,max)
+    * OVERLAPS `[lo, hi)` — manifest-level range skipping, the managed-table
+    * analog of ClickHouse's `ORDER BY TimeReceived` range scan
+    * (`create.sh:62`): a 1-hour dashboard query on a multi-day always-on
+    * table selects files by a long compare per manifest entry, paying zero
+    * footer reads for the files it skips. Files without recorded stats
+    * (legacy appends, writers that passed no statsCol, non-integral
+    * columns) are conservatively KEPT — skipping is an optimization,
+    * correctness never depends on it. File overlap ≠ row membership: the
+    * caller applies its own residual `statsCol` predicate, exactly as with
+    * partition pruning. */
+  def readRangePruned(spark: SparkSession, table: String, statsCol: String,
+      lo: Long, hi: Long,
+      emptySchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val (_, entries) = snapshotEntries(table)
+    val selected = entries.filter(e => e.stats match {
+      case Some((c, mn, mx)) if c == statsCol => mx >= lo && mn < hi
+      case _ => true
+    }).map(_.path)
+    pruneStats.put(Paths.get(table).toAbsolutePath.normalize.toString,
+      (selected.size, entries.size))
+    readFiles(spark, table, selected, emptySchema,
+      s"no files selected in manifest table: $table (pass emptySchema)")
+  }
+
   /** True if this batch is already absorbed — the replay guard that makes
     * foreachBatch appends exactly-once. Keyed on the MANIFEST-RECORDED max
     * batch id, not filenames: compaction renames data files, and Spark's
@@ -415,14 +474,16 @@ object ManifestTable {
   /** Stage `df` into the table directory and commit it as an APPEND.
     * Data files land under their partition dirs named `b<batchId>-<uuid>`;
     * a replay of an already-committed batch is a no-op (exactly-once on
-    * top of Spark's checkpointed offsets). */
+    * top of Spark's checkpointed offsets). `statsCol` (a LONG/INT column)
+    * records each file's (min,max) in the manifest entry for
+    * [[readRangePruned]] file skipping. */
   def append(df: DataFrame, table: String, partitionCol: Option[String],
-      batchId: Long): Unit = {
+      batchId: Long, statsCol: Option[String] = None): Unit = {
     if (hasBatch(table, batchId)) return
-    val staged = stage(df, table, partitionCol, s"b$batchId")
+    val staged = stage(df, table, partitionCol, s"b$batchId", statsCol)
     // commit even when the batch produced no files: the id must be
     // absorbed into the manifest header or a replay would re-run it
-    commit(table, absorbBatch = Some(batchId))(files => files ++ staged)
+    commit(table, absorbBatch = Some(batchId))(files => files ++ staged.map(_.line))
   }
 
   /** Replace `replaced` files with the staged contents of `df` in one
@@ -435,19 +496,20 @@ object ManifestTable {
     * data the winning swap already re-staged, so applying both doubles the
     * table. Appends never conflict with this check (they only add files). */
   def swap(df: DataFrame, table: String, partitionCol: Option[String],
-      replaced: Seq[String]): Boolean = {
-    val staged = stage(df, table, partitionCol, s"c${System.nanoTime()}")
-    val dead = replaced.toSet
-    val committed = tryCommit(table) { files =>
+      replaced: Seq[String], statsCol: Option[String] = None): Boolean = {
+    val staged = stage(df, table, partitionCol, s"c${System.nanoTime()}", statsCol)
+    val dead = replaced.toSet // PATHS; manifest lines may carry stats
+    val committed = tryCommit(table) { lines =>
       // Set membership both ways: replaced.forall(files.contains) was a
       // quadratic Seq scan held under the per-table commit lock on every
       // CAS attempt — ~10^8 comparisons for a 10k-file swap (r7 review)
-      val live = files.toSet
-      if (dead.subsetOf(live)) Some(files.filterNot(dead) ++ staged)
+      val livePaths = lines.map(pathOf).toSet
+      if (dead.subsetOf(livePaths))
+        Some(lines.filterNot(l => dead(pathOf(l))) ++ staged.map(_.line))
       else None
     }
     if (committed.isEmpty)
-      staged.foreach(f => ioFor(table).delete(Paths.get(table).resolve(f)))
+      staged.foreach(e => ioFor(table).delete(Paths.get(table).resolve(e.path)))
     committed.nonEmpty
   }
 
@@ -456,12 +518,12 @@ object ManifestTable {
     * relative paths. The files are durable and complete BEFORE any
     * manifest references them. */
   private def stage(df: DataFrame, table: String, partitionCol: Option[String],
-      prefix: String): Seq[String] = {
+      prefix: String, statsCol: Option[String] = None): Seq[FileEntry] = {
     val io = ioFor(table)
     val scratch = Paths.get(table, s".stage-${java.util.UUID.randomUUID()}")
     val writer = df.write.mode("overwrite")
     partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(scratch.toString)
-    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val moved = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     io.listRecursive(scratch)
       .filter(_.toString.endsWith(".parquet"))
       .foreach { p =>
@@ -469,15 +531,48 @@ object ManifestTable {
         val partDir = Option(rel.getParent).map(_.toString).getOrElse("")
         val name = s"$prefix-${java.util.UUID.randomUUID()}.parquet"
         val relOut = if (partDir.isEmpty) name else s"$partDir/$name"
+        // stats come from the footer the writer JUST produced, read while
+        // the file is still in scratch — a one-time writer-side cost that
+        // every later range query avoids paying per file
+        val stats = statsCol.flatMap(c => footerStats(p, c).map(mm => (c, mm._1, mm._2)))
         // promotion needs no atomicity: the file stays invisible until the
         // manifest commit that names it
         io.promote(p, Paths.get(table, relOut))
-        moved += relOut
+        moved += FileEntry(relOut, stats)
       }
     // scratch now holds only _SUCCESS/metadata droppings
     io.deletePrefix(scratch)
     moved.toSeq
   }
+
+  /** (min,max) of a LONG/INT column from a parquet footer, folded across
+    * row groups. None when the column is absent, non-integral, has null
+    * rows unaccounted stats, or anything fails — stats are an
+    * optimization; a file without them is read conservatively, never
+    * skipped. Data-plane access (the scratch file the writer just
+    * produced), like the Spark read/write path itself. */
+  private def footerStats(file: Path, statsCol: String): Option[(Long, Long)] =
+    try {
+      import scala.jdk.CollectionConverters._
+      import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val cols = r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == statsCol)
+          .toList
+        val bounds = cols.map(_.getStatistics).map {
+          case s: LongStatistics if s.hasNonNullValue => Some((s.getMin, s.getMax))
+          case s: IntStatistics if s.hasNonNullValue => Some((s.getMin.toLong, s.getMax.toLong))
+          case _ => None
+        }
+        if (bounds.isEmpty || bounds.contains(None)) None
+        else Some((bounds.flatten.map(_._1).min, bounds.flatten.map(_._2).max))
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Delete data files no committed snapshot references (crash leftovers,
     * compacted-away inputs).

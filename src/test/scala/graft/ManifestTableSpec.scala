@@ -338,6 +338,71 @@ class ManifestTableSpec extends SparkTestBase {
     } finally ManifestTable.clearCasPrimitive(table)
   }
 
+  test("manifest time stats: a 1-hour range on a multi-day table reads only overlapping files") {
+    val table = tmp()
+    val day = 86400L
+    val t0 = 1704067200L
+    def app(id: Long, base: Long, stats: Boolean = true): Unit =
+      ManifestTable.append(
+        genBatch(50, seed = 90 + id, baseTime = base).toDS().toDF()
+          .transform(FlowStreams.projectRaw).coalesce(1),
+        table, Some("event_date"), id,
+        statsCol = if (stats) Some("timeReceived") else None)
+    // three days of appends, day 3 fragmented by a second batch
+    app(0, t0); app(1, t0 + day); app(2, t0 + 2 * day); app(3, t0 + 2 * day + 7200)
+    val (_, entries) = ManifestTable.snapshotEntries(table)
+    assert(entries.size === 4)
+    assert(entries.forall(_.stats.exists(_._1 == "timeReceived")),
+      "every append must record footer (min,max) in its manifest entry")
+    // a 1-hour dashboard window on day 2: ONE file of four overlaps
+    val got = FlowStreams.readRawManagedRange(spark, table, t0 + day, t0 + day + 3600)
+    val oracle = ManifestTable.read(spark, table)
+      .filter(col("timeReceived") >= t0 + day && col("timeReceived") < t0 + day + 3600)
+    assert(got.count() === oracle.count() && got.count() === 50)
+    val (sel, tot) = ManifestTable.lastPruneStats(table).get
+    assert(tot === 4 && sel === 1,
+      s"manifest stats must skip non-overlapping files before any footer read: $sel of $tot")
+    // a stat-less append (legacy writer) is conservatively KEPT by every
+    // range read, and results stay exact
+    app(4, t0 + 3 * day, stats = false)
+    val got2 = FlowStreams.readRawManagedRange(spark, table, t0 + day, t0 + day + 3600)
+    assert(got2.count() === 50)
+    val (sel2, tot2) = ManifestTable.lastPruneStats(table).get
+    assert(tot2 === 5 && sel2 === 2, "stat-less file must be kept conservatively")
+    // online compaction re-records bounds: day-3's two fragments merge into
+    // one file that still carries stats, and range skipping keeps working
+    assert(FlowStreams.compactRawOnline(spark, table, filesPerPartition = 1))
+    val (_, after) = ManifestTable.snapshotEntries(table)
+    val day3 = after.filter(_.path.startsWith("event_date=2024-01-03"))
+    assert(day3.size === 1 && day3.head.stats.exists(_._1 == "timeReceived"),
+      "compaction must preserve manifest stats for merged files")
+    val got3 = FlowStreams.readRawManagedRange(spark, table,
+      t0 + 2 * day, t0 + 2 * day + 3600)
+    assert(got3.count() === 50) // first day-3 batch only (second is +2h)
+    val (sel3, tot3) = ManifestTable.lastPruneStats(table).get
+    assert(sel3 < tot3)
+  }
+
+  test("managed rollup: timeslot stats skip cold partial files; re-merge stays exact") {
+    val table = tmp()
+    val day = 86400L
+    val t0 = 1704067200L
+    (0 to 2).foreach { d =>
+      ManifestTable.append(
+        FlowStreams.rollupPartials(
+          genBatch(60, seed = 120 + d, baseTime = t0 + d * day).toDS().toDF()).coalesce(1),
+        table, Some("event_date"), d.toLong, statsCol = Some("timeslot"))
+    }
+    val got = FlowStreams.readRollupManagedRange(spark, table, t0 + day, t0 + 2 * day)
+    val oracle = FlowStreams.readRollupManaged(spark, table)
+      .filter(col("timeslot") >= t0 + day && col("timeslot") < t0 + 2 * day)
+    assert(got.count() > 0)
+    assert(got.except(oracle).isEmpty && oracle.except(got).isEmpty)
+    val (sel, tot) = ManifestTable.lastPruneStats(table).get
+    assert(tot === 3 && sel === 1,
+      s"day-2 range must read only day-2's partial file: $sel of $tot")
+  }
+
   test("mixed layout: flat legacy appends + partitioned appends read as one table") {
     import spark.implicits._
     val table = tmp()
