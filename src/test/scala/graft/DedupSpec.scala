@@ -170,6 +170,53 @@ class DedupSpec extends SparkTestBase {
     assert(kept === (1L to 12L).toSet)
   }
 
+  test("streaming near-dup runs object-store posture end-to-end: probe, drop, compact") {
+    import spark.implicits._
+    import graft.streaming.ManifestTable
+    val idx = tmp(); val out = tmp()
+    // the WHOLE component — both index tables and the output table — on
+    // the rename-free storage emulation: proves the managed-table stack a
+    // deployment inherits (appends, pruned probes, online compaction
+    // swaps) needs nothing rename-shaped
+    ObjectStoreTestIO.withObjectStore(s"$idx/bands", s"$idx/shingles", out) { _ =>
+      val corpus = (1L to 12L).map(i => (i, words(s"p${i}x").mkString(" ")))
+      Dedup.nearDupBatch(corpus.toDF("doc_id", "text"), 0L, "text", "doc_id",
+        idx, out, 0.2, 64, 16)
+      val probe = Seq((100L, words("p3x").updated(10, "subst").mkString(" ")))
+      Dedup.nearDupBatch(probe.toDF("doc_id", "text"), 1L, "text", "doc_id",
+        idx, out, 0.2, 64, 16)
+      val (bSel, bTot) = ManifestTable.lastPruneStats(s"$idx/bands").get
+      assert(bSel < bTot, s"bands probe must still prune: $bSel of $bTot")
+      // replay of an already-committed batch stays a no-op on this posture
+      val v = ManifestTable.snapshot(out)._1
+      Dedup.nearDupBatch(probe.toDF("doc_id", "text"), 1L, "text", "doc_id",
+        idx, out, 0.2, 64, 16)
+      assert(ManifestTable.snapshot(out)._1 === v)
+      // online compaction's swap commits through the conditional PUT
+      assert(Dedup.compactNearDupIndex(spark, idx))
+      val kept = ManifestTable.read(spark, out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(!kept.contains(100L), "cross-batch near-dup must drop")
+      assert(kept === (1L to 12L).toSet)
+    }
+  }
+
+  test("streaming near-dup: an EMPTY micro-batch absorbs its id without hanging") {
+    import spark.implicits._
+    import graft.streaming.ManifestTable
+    val idx = tmp(); val out = tmp()
+    val corpus = (1L to 4L).map(i => (i, words(s"p${i}x").mkString(" ")))
+    Dedup.nearDupBatch(corpus.toDF("doc_id", "text"), 0L, "text", "doc_id",
+      idx, out, 0.2, 64, 16)
+    // an empty trigger batch: the observed-metric probe collects must
+    // deliver (empty sets) rather than block, and the batch id must be
+    // absorbed so a replay is a no-op
+    Dedup.nearDupBatch(Seq.empty[(Long, String)].toDF("doc_id", "text"), 1L,
+      "text", "doc_id", idx, out, 0.2, 64, 16)
+    assert(ManifestTable.maxBatchId(out) === 1L)
+    assert(ManifestTable.read(spark, out).count() === 4)
+  }
+
   test("near-dup index compaction bounds file growth; probe stays correct after folding") {
     import spark.implicits._
     import graft.streaming.ManifestTable

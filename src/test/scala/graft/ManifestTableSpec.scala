@@ -470,77 +470,14 @@ class ManifestTableSpec extends SparkTestBase {
   }
 
   // ------------------------------------- object-store FileIO emulation
-  //
-  // Implements the complete storage contract (FileIO + CasPrimitive) with
-  // ONLY what an object store offers: GET, whole-object PUT (a direct
-  // write — never a rename), conditional PUT (store-side atomicity,
-  // emulated by an in-JVM mutex around exists+write), LIST, DELETE, and
-  // upload+delete-source for promotion. There is NO Files.move and NO
-  // Files.createLink anywhere in this class — the crash matrix passing on
-  // it proves the manifest protocol needs exactly the documented
-  // primitives and nothing rename-shaped. Objects land as plain local
-  // files because Spark must read the data plane through its Hadoop
-  // filesystem (parent directories are an artifact of that key→path
-  // mapping, not a protocol step).
-  private final class ObjectStoreFileIO extends ManifestTable.FileIO {
-    import java.nio.file.Path
-    private val mutex = new Object
-    def exists(path: Path): Boolean = Files.exists(path)
-    def read(path: Path): Array[Byte] = Files.readAllBytes(path)
-    def write(path: Path, bytes: Array[Byte]): Unit = mutex.synchronized {
-      Files.createDirectories(path.getParent)
-      Files.write(path, bytes) // PUT: direct write, no tmp+rename
-    }
-    def delete(path: Path): Unit = { Files.deleteIfExists(path); () }
-    def list(dir: Path): Seq[Path] =
-      if (!Files.isDirectory(dir)) Nil
-      else {
-        val s = Files.list(dir)
-        try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toList }
-        finally s.close()
-      }
-    def listRecursive(dir: Path): Seq[Path] =
-      if (!Files.isDirectory(dir)) Nil
-      else {
-        val s = Files.walk(dir)
-        try { import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter(Files.isRegularFile(_)).toList }
-        finally s.close()
-      }
-    def deletePrefix(dir: Path): Unit = graft.Storage.deleteTree(dir)
-    def lastModifiedMillis(path: Path): Long = Files.getLastModifiedTime(path).toMillis
-    def promote(src: Path, target: Path): Unit = {
-      // object-store upload: copy bytes to the final key, delete the
-      // staged source — NOT a rename; needs no atomicity because the file
-      // is invisible until a manifest names it
-      Files.createDirectories(target.getParent)
-      Files.write(target, Files.readAllBytes(src))
-      Files.deleteIfExists(src)
-      ()
-    }
-    /** The store's conditional PUT: atomic publish-if-absent, with the
-      * atomicity the real store provides natively (S3 If-None-Match, GCS
-      * ifGenerationMatch(0)) emulated by the mutex. */
-    val cas: ManifestTable.CasPrimitive = new ManifestTable.CasPrimitive {
-      def publish(target: Path, bytes: Array[Byte]): Boolean = mutex.synchronized {
-        if (Files.exists(target)) false
-        else {
-          Files.createDirectories(target.getParent)
-          Files.write(target, bytes)
-          true
-        }
-      }
-    }
-  }
-
-  /** Install the object-store posture on a table for the test body. */
-  private def withObjectStore[T](table: String)(f: ObjectStoreFileIO => T): T = {
-    val store = new ObjectStoreFileIO
-    ManifestTable.setFileIO(table, store)
-    ManifestTable.setCasPrimitive(table, store.cas)
-    try f(store)
-    finally { ManifestTable.clearFileIO(table); ManifestTable.clearCasPrimitive(table) }
-  }
+  // The rename-free storage emulation lives in [[ObjectStoreTestIO]]
+  // (shared with the component suites that prove whole managed-table
+  // features — ANN indexes, streaming near-dup — run object-store-posture
+  // end-to-end). The crash matrix below passing on it proves the manifest
+  // protocol needs exactly the documented primitives and nothing
+  // rename-shaped.
+  private def withObjectStore[T](table: String)(f: ObjectStoreTestIO => T): T =
+    ObjectStoreTestIO.withObjectStore(table)(f)
 
   test("object-store posture: append/read/replay/compaction-swap protocol green, rename-free") {
     val table = tmp()

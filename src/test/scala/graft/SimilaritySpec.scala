@@ -135,6 +135,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(sel < tot)
   }
 
+  test("IVF index runs object-store posture end-to-end: build, append, pruned probe") {
+    import spark.implicits._
+    import graft.streaming.ManifestTable
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_objstore").toString
+    // install the rename-free storage emulation on BOTH manifest tables the
+    // component owns: the materialized index is a managed-table feature,
+    // and it must need nothing rename-shaped from storage
+    ObjectStoreTestIO.withObjectStore(s"$idx/centroids", s"$idx/cells") { _ =>
+      val emb = Tables.embeddings(spark, sf)
+      Similarity.buildIvfIndex(emb, idx, nCentroids = 16, kmeansIters = 2,
+        trainBuckets = 2500)
+      val q = emb.filter(col("vec_id") === 0L)
+      val viaIndex = Similarity.knnIvfIndexed(spark, idx, q, k = 5, nProbe = 1)
+        .collect().map(_.toSeq).toSeq
+      val inline = Similarity.knnIvfOver(emb, col("vec_id") === 0L, k = 5,
+          nCentroids = 16, nProbe = 1, kmeansIters = 2, trainBuckets = 2500)
+        .collect().map(_.toSeq).toSeq
+      assert(viaIndex.nonEmpty && viaIndex === inline,
+        "object-store-backed serving must reproduce the inline IVF exactly")
+      val (sel, tot) = ManifestTable.lastPruneStats(s"$idx/cells").get
+      assert(sel < tot && sel <= 1, s"pruned probe must hold: $sel of $tot")
+      // incremental append commits through the same posture
+      val base = emb.filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0).toArray
+      Similarity.appendToIvfIndex(Seq((1000000L, base)).toDF("vec_id", "embedding"), idx)
+      val after = Similarity.knnIvfIndexed(spark, idx, q, k = 1, nProbe = 1).collect()
+      assert(after.head.getLong(1) === 1000000L)
+    }
+  }
+
   test("superseded index dir is retired on corpus-change rebuild (r7 advisory)") {
     import java.nio.file.{Files, Paths}
     val corpus = Files.createTempDirectory("graft_corpus").toString
