@@ -154,6 +154,50 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT SUBSTRING duplication statistics — the span-level dedup signal
+    * document-level Jaccard/MinHash cannot see (Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better" finding:
+    * corpora repeat long literal spans — boilerplate, licenses, templated
+    * pages — inside documents that are NOT near-duplicates of each other).
+    * Every w-token sliding window is hashed; a window is duplicated iff
+    * its hash occurs more than once anywhere in the corpus (other
+    * documents or elsewhere in the same one). Output per document: window
+    * count, duplicated-window count, duplicated fraction — the score a
+    * pipeline thresholds to drop or trim boilerplate-heavy documents.
+    *
+    * Scale shape: one narrow projection explodes each document into
+    * (doc_id, window-hash) rows — O(total tokens) rows, hash + id only,
+    * text never leaves the projection; one hash-aggregate counts window
+    * frequency (partial map-side combine absorbs within-partition
+    * repeats); the frequency join re-uses the same hash partitioning on
+    * `h` (exchange reuse, AQE handles hot boilerplate windows via skew
+    * split); one final per-doc aggregate. md5 window hashing keeps the
+    * DuckDB oracle bit-identical — a production build would swap in
+    * xxhash64 (8-byte shuffle keys) with no structural change. */
+  def substringDupStats(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    substringDupOver(Tables.documents(spark, dir).select("doc_id", "text"), w)
+
+  /** [[substringDupStats]] over an arbitrary `(doc_id, text)` relation
+    * (specs plant span-sharing corpora). */
+  def substringDupOver(docs: DataFrame, w: Int): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= w) // shorter docs have no w-window: excluded, like the oracle
+    val wins = d.select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("n") - w),
+          i => md5(concat_ws(" ", slice(col("t"), i + lit(1), lit(w)))))).as("h"))
+      .transform(graft.Storage.materializeOnce) // feeds the freq agg AND the join probe
+    val freq = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+    wins.join(freq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") > 1L, 1L).otherwise(0L)).as("dup_windows"))
+      .withColumn("dup_frac",
+        round(col("dup_windows").cast("double") / col("n_windows"), 6))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- MinHash/LSH
 
   /** MinHash signature columns mh_0..mh_{k-1}: min over shingles of
@@ -694,6 +738,7 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashDupPairs(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashDupPairs(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => nearDupClusters(s, d)),
+    "dedup_substring_spans" -> ((s: SparkSession, d: String) => substringDupStats(s, d)),
     "dedup_corpus_keep" -> ((s: SparkSession, d: String) => corpusKeep(s, d)),
     "dedup_split_leakage" -> ((s: SparkSession, d: String) => splitContamination(s, d)))
 
@@ -785,6 +830,24 @@ object Dedup {
         |  FROM documents)
         | WHERE doc_id = canonical_id ORDER BY doc_id""".stripMargin.replace('\n', ' '),
     "dedup_ngram_groundtruth" -> duckJaccard,
+    "dedup_substring_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |), dd AS (
+        |  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 8
+        |), wpos AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, n - 7)) AS i FROM dd
+        |), wins AS (
+        |  SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h FROM wpos
+        |), freq AS (
+        |  SELECT h, count(*) AS cnt FROM wins GROUP BY h
+        |)
+        |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+        |  round(CAST(sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS BIGINT), 6) AS dup_frac
+        |FROM wins w JOIN freq f ON f.h = w.h
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin.replace('\n', ' '),
     "dedup_ngram_capped" ->
       s"""$duckShingleCte, df AS (
          |  SELECT s, count(*) AS df FROM sh GROUP BY s

@@ -299,6 +299,36 @@ class DedupSpec extends SparkTestBase {
     assert(bd.select("doc_id").distinct().count() === 9L, "all 9 docs indexed")
   }
 
+  test("substring spans: shared literal spans flagged across dissimilar docs; unique text is 0") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ") // a 10-token literal span
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, uniq("alpha", 20)),                  // fully unique → dup_frac 0
+      (2L, boiler + " " + uniq("beta", 15)),    // span at the head
+      (3L, uniq("gamma", 15) + " " + boiler),   // same span at the tail — docs 2,3
+                                                // are NOT near-dups (jaccard ~0.2 of
+                                                // 3-grams), but share the literal span
+      (4L, uniq("delta", 6)),                   // < 8 tokens: no window, excluded
+      (5L, boiler.replace("boiler", "only") + " filler " +
+        boiler.replace("boiler", "only"))       // WITHIN-doc repetition counts too
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupOver(docs, w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!got.contains(4L), "sub-window docs are excluded")
+    assert(got(1L) === ((13L, 0L)), "unique doc: 20-8+1 windows, none duplicated")
+    // the 10-token span yields 3 fully-contained 8-windows in each carrier
+    assert(got(2L)._2 === 3L, s"head-span doc must flag 3 windows, got ${got(2L)}")
+    assert(got(3L)._2 === 3L, s"tail-span doc must flag 3 windows, got ${got(3L)}")
+    // within-doc repeat: both copies' windows are duplicated (6 of 14)
+    assert(got(5L)._1 === 14L && got(5L)._2 >= 6L, s"in-doc repeat: ${got(5L)}")
+    // and the registry query runs on the real table with sane bounds
+    val reg = Dedup.substringDupStats(spark, sf).collect()
+    assert(reg.nonEmpty)
+    assert(reg.forall { r =>
+      val (nw, dw) = (r.getLong(1), r.getLong(2)); dw >= 0 && dw <= nw })
+  }
+
   test("clean corpus (zero near-dup pairs): clusters is empty, keep list is everyone") {
     // threshold > 1 makes the verified pair set provably empty — the old
     // labelSum hit getLong on a null sum and NPE'd (r7 review)
