@@ -198,6 +198,55 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** EXACT SUBSTRING TRIM — the removal step on top of
+    * [[substringDupStats]]'s signal: every non-canonical occurrence of a
+    * duplicated w-token window is deleted from its document, keeping
+    * exactly one copy corpus-wide (the lexicographically-first
+    * (doc_id, position) occurrence). Overlapping marked windows union
+    * into one removed span. Output text is whitespace-normalized (rebuilt
+    * from tokens) — disclosed, and identical on both engines.
+    *
+    * Scale shape: canonical selection is `min(struct(doc_id, pos))` per
+    * window hash — an AGGREGATE with map-side partial combine, not a
+    * row_number window (a boilerplate window repeated 10^9 times would
+    * serialize a per-hash sort through one task; the min-struct fold
+    * doesn't care). Marked positions shuffle as (doc_id, int) pairs;
+    * token arrays stay in per-document projections. */
+  def substringDupTrim(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    substringTrimOver(Tables.documents(spark, dir).select("doc_id", "text"), w)
+
+  /** [[substringDupTrim]] over an arbitrary `(doc_id, text)` relation. */
+  def substringTrimOver(docs: DataFrame, w: Int): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .withColumn("n", size(col("t")))
+      .transform(graft.Storage.materializeOnce) // feeds window build + final rebuild
+    val wins = d.filter(col("n") >= w).select(col("doc_id"),
+      posexplode(transform(sequence(lit(1), col("n") - w + 1),
+        i => md5(concat_ws(" ", slice(col("t"), i, lit(w)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+    // one aggregate per hash: occurrence count + the canonical (first)
+    // occurrence as a min-struct fold — partial-combining, skew-immune
+    val canon = wins.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(struct(col("doc_id"), col("i"))).as("keep"))
+      .filter(col("cnt") > 1)
+    val marked = wins.join(canon, Seq("h"))
+      .filter(!(col("doc_id") === col("keep.doc_id") && col("i") === col("keep.i")))
+      .select(col("doc_id"), col("i"))
+    val removedPos = marked
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + w - 1)).as("p"))
+      .groupBy("doc_id")
+      .agg(collect_set("p").as("ps"))
+    d.join(removedPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(col("t"),
+          (x, idx) => !array_contains(coalesce(col("ps"), array()), idx + 1)))
+          .as("text_clean"),
+        col("n").cast("long").as("n_tokens"),
+        coalesce(size(col("ps")), lit(0)).cast("long").as("removed_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- MinHash/LSH
 
   /** MinHash signature columns mh_0..mh_{k-1}: min over shingles of
@@ -739,6 +788,7 @@ object Dedup {
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashDupPairs(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => nearDupClusters(s, d)),
     "dedup_substring_spans" -> ((s: SparkSession, d: String) => substringDupStats(s, d)),
+    "dedup_substring_trim" -> ((s: SparkSession, d: String) => substringDupTrim(s, d)),
     "dedup_corpus_keep" -> ((s: SparkSession, d: String) => corpusKeep(s, d)),
     "dedup_split_leakage" -> ((s: SparkSession, d: String) => splitContamination(s, d)))
 
@@ -848,6 +898,35 @@ object Dedup {
         |    / CAST(count(*) AS BIGINT), 6) AS dup_frac
         |FROM wins w JOIN freq f ON f.h = w.h
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin.replace('\n', ' '),
+    "dedup_substring_trim" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        |), dd AS (
+        |  SELECT doc_id, t, len(t) AS n FROM toks
+        |), wpos AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, n - 7)) AS i FROM dd WHERE n >= 8
+        |), wins AS (
+        |  SELECT doc_id, i, md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h FROM wpos
+        |), rk AS (
+        |  SELECT doc_id, i, row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+        |    count(*) OVER (PARTITION BY h) AS cnt FROM wins
+        |), marked AS (
+        |  SELECT doc_id, i FROM rk WHERE cnt > 1 AND rn > 1
+        |), rem AS (
+        |  SELECT doc_id, unnest(generate_series(i, i + 7)) AS p FROM marked
+        |), remd AS (
+        |  SELECT doc_id, list(DISTINCT p) AS ps FROM rem GROUP BY doc_id
+        |), jn AS (
+        |  SELECT dd.doc_id, dd.t, dd.n, coalesce(remd.ps, CAST([] AS BIGINT[])) AS ps
+        |  FROM dd LEFT JOIN remd ON remd.doc_id = dd.doc_id
+        |)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(generate_series(1, n), j -> NOT list_contains(ps, j)),
+        |    j -> t[j]), ' '), '') AS text_clean,
+        |  CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(len(ps) AS BIGINT) AS removed_tokens
+        |FROM jn ORDER BY doc_id""".stripMargin.replace('\n', ' '),
     "dedup_ngram_capped" ->
       s"""$duckShingleCte, df AS (
          |  SELECT s, count(*) AS df FROM sh GROUP BY s

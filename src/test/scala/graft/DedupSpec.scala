@@ -329,6 +329,33 @@ class DedupSpec extends SparkTestBase {
       val (nw, dw) = (r.getLong(1), r.getLong(2)); dw >= 0 && dw <= nw })
   }
 
+  test("substring trim: one canonical copy survives corpus-wide; clean docs untouched") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, uniq("alpha", 20)),                // clean: passes through (normalized)
+      (2L, boiler + " " + uniq("beta", 15)),  // canonical carrier (lowest doc_id)
+      (3L, uniq("gamma", 15) + " " + boiler)  // later carrier: span removed
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringTrimOver(docs, w = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((uniq("alpha", 20), 20L, 0L)), "clean doc must be untouched")
+    // doc 2 holds the FIRST occurrence: kept whole
+    assert(got(2L)._1 === boiler + " " + uniq("beta", 15))
+    assert(got(2L)._3 === 0L)
+    // doc 3: the 3 fully-contained duplicated windows cover tokens 16..25
+    // (positions 16,17,18 + w-1) → exactly the 10 boilerplate tokens go
+    assert(got(3L)._1 === uniq("gamma", 15), s"boilerplate must be trimmed: ${got(3L)}")
+    assert(got(3L) === ((uniq("gamma", 15), 25L, 10L)))
+    // trimming is idempotent: a second pass removes nothing
+    val again = Dedup.substringTrimOver(
+      Dedup.substringTrimOver(docs, w = 8)
+        .select(col("doc_id"), col("text_clean").as("text")), w = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again.values.forall(_ === 0L), s"second pass must be a no-op, got $again")
+  }
+
   test("clean corpus (zero near-dup pairs): clusters is empty, keep list is everyone") {
     // threshold > 1 makes the verified pair set provably empty — the old
     // labelSum hit getLong on a null sum and NPE'd (r7 review)
