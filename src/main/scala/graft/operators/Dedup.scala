@@ -184,15 +184,25 @@ object Dedup {
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .withColumn("n", size(col("t")))
       .filter(col("n") >= w) // shorter docs have no w-window: excluded, like the oracle
+    // ONE window-build, no executor-storage pinning: the raw window
+    // relation feeds exactly one aggregate — per-(h, doc) occurrence
+    // counts, partial-combined map-side — and every later shuffle (global
+    // frequency, frequency join, per-doc fold) carries that REDUCED
+    // relation. The alternatives both lose at 100 TB: materializing the
+    // window relation (localCheckpoint/cache) pins a corpus-sized copy in
+    // executor storage, and a count-over-window single-pass serializes
+    // the hottest boilerplate hash — the exact skew this operator hunts —
+    // through one task's sort. Hot h here hits aggregates (map-side
+    // combine) and a 1-row-build join side (AQE skew split), never a sort.
     val wins = d.select(col("doc_id"),
-        explode(transform(sequence(lit(0), col("n") - w),
-          i => md5(concat_ws(" ", slice(col("t"), i + lit(1), lit(w)))))).as("h"))
-      .transform(graft.Storage.materializeOnce) // feeds the freq agg AND the join probe
-    val freq = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
-    wins.join(freq, Seq("h"))
+      explode(transform(sequence(lit(0), col("n") - w),
+        i => md5(concat_ws(" ", slice(col("t"), i + lit(1), lit(w)))))).as("h"))
+    val perDoc = wins.groupBy("h", "doc_id").agg(count(lit(1)).as("k"))
+    val freq = perDoc.groupBy("h").agg(sum("k").as("cnt"))
+    perDoc.join(freq, Seq("h"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("cnt") > 1L, 1L).otherwise(0L)).as("dup_windows"))
+      .agg(sum("k").as("n_windows"),
+        sum(when(col("cnt") > 1L, col("k")).otherwise(0L)).as("dup_windows"))
       .withColumn("dup_frac",
         round(col("dup_windows").cast("double") / col("n_windows"), 6))
       .orderBy("doc_id")
@@ -217,14 +227,22 @@ object Dedup {
 
   /** [[substringDupTrim]] over an arbitrary `(doc_id, text)` relation. */
   def substringTrimOver(docs: DataFrame, w: Int): DataFrame = {
+    // no materialization anywhere: the token relation is corpus-sized (a
+    // localCheckpoint would hold a full corpus copy in executor storage),
+    // so the scan+split recomputes for the final rebuild — a column-pruned
+    // narrow projection — and the window-build subtree feeds its two
+    // h-keyed consumers through one reused exchange
     val d = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .withColumn("n", size(col("t")))
-      .transform(graft.Storage.materializeOnce) // feeds window build + final rebuild
+    // same one-shuffle shape as substringDupOver: repartition(h) shares
+    // the window-build exchange between the canonical aggregate and the
+    // marked-occurrence join
     val wins = d.filter(col("n") >= w).select(col("doc_id"),
       posexplode(transform(sequence(lit(1), col("n") - w + 1),
         i => md5(concat_ws(" ", slice(col("t"), i, lit(w)))))))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+      .repartition(col("h"))
     // one aggregate per hash: occurrence count + the canonical (first)
     // occurrence as a min-struct fold — partial-combining, skew-immune
     val canon = wins.groupBy("h")
