@@ -210,11 +210,16 @@ object Dedup {
 
   /** EXACT SUBSTRING TRIM — the removal step on top of
     * [[substringDupStats]]'s signal: every non-canonical occurrence of a
-    * duplicated w-token window is deleted from its document, keeping
-    * exactly one copy corpus-wide (the lexicographically-first
-    * (doc_id, position) occurrence). Overlapping marked windows union
-    * into one removed span. Output text is whitespace-normalized (rebuilt
-    * from tokens) — disclosed, and identical on both engines.
+    * duplicated w-token window is deleted from its document, keeping the
+    * lexicographically-first (doc_id, position) occurrence. Positions
+    * covered by a canonical occurrence are PROTECTED from removal, so at
+    * least one intact copy of every duplicated window survives even for
+    * self-overlapping periodic repeats (a doc of one token repeated: the
+    * neighboring same-hash windows overlap the canonical span; without
+    * protection their union would shred the canonical copy too — r8
+    * review). Overlapping marked windows union into one removed span.
+    * Output text is whitespace-normalized (rebuilt from tokens) —
+    * disclosed, and identical on both engines.
     *
     * Scale shape: canonical selection is `min(struct(doc_id, pos))` per
     * window hash — an AGGREGATE with map-side partial combine, not a
@@ -251,8 +256,16 @@ object Dedup {
     val marked = wins.join(canon, Seq("h"))
       .filter(!(col("doc_id") === col("keep.doc_id") && col("i") === col("keep.i")))
       .select(col("doc_id"), col("i"))
+    // token positions owned by a canonical occurrence: subtracted from the
+    // removal set, guaranteeing the kept copy survives intact
+    val canonPos = canon
+      .select(col("keep.doc_id").as("doc_id"),
+        explode(sequence(col("keep.i"), col("keep.i") + w - 1)).as("p"))
+      .distinct()
     val removedPos = marked
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + w - 1)).as("p"))
+      .distinct()
+      .join(canonPos, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
       .agg(collect_set("p").as("ps"))
     d.join(removedPos, Seq("doc_id"), "left")
@@ -930,8 +943,14 @@ object Dedup {
         |    count(*) OVER (PARTITION BY h) AS cnt FROM wins
         |), marked AS (
         |  SELECT doc_id, i FROM rk WHERE cnt > 1 AND rn > 1
-        |), rem AS (
+        |), keepd AS (
+        |  SELECT doc_id, unnest(generate_series(i, i + 7)) AS p
+        |  FROM (SELECT doc_id, i FROM rk WHERE cnt > 1 AND rn = 1)
+        |), rem0 AS (
         |  SELECT doc_id, unnest(generate_series(i, i + 7)) AS p FROM marked
+        |), rem AS (
+        |  SELECT DISTINCT doc_id, p FROM rem0
+        |  EXCEPT SELECT doc_id, p FROM keepd
         |), remd AS (
         |  SELECT doc_id, list(DISTINCT p) AS ps FROM rem GROUP BY doc_id
         |), jn AS (

@@ -242,13 +242,15 @@ object Similarity {
     * bounded (appends add files inside bucket dirs, never new read scope). */
   def appendToLshIndex(newVecs: DataFrame, indexDir: String, bits: Int = 8): Unit = {
     import graft.streaming.ManifestTable
-    val table = s"$indexDir/buckets"
     val signed = withSignature(newVecs, "embedding", bits)
       .select(col("vec_id"), col("lsh_sig"), col("embedding"))
       .withColumn("sig_part", col("lsh_sig"))
       .repartition(col("sig_part"))
-    ManifestTable.append(signed, table, Some("sig_part"),
-      ManifestTable.maxBatchId(table) + 1)
+    // appendAllocate: the batch id is allocated inside the commit CAS —
+    // two concurrent appenders both land (a maxBatchId+1 read outside the
+    // commit would make the loser a silent "replay" no-op, r8 review)
+    ManifestTable.appendAllocate(signed, s"$indexDir/buckets", Some("sig_part"))
+    ()
   }
 
   /** Serve top-k from the materialized LSH index: sign the queries, expand
@@ -478,14 +480,15 @@ object Similarity {
     * only when drift matters — the classic IVF posture. */
   def appendToIvfIndex(newVecs: DataFrame, indexDir: String): Unit = {
     import graft.streaming.ManifestTable
-    val table = s"$indexDir/cells"
     val cents = ManifestTable.read(newVecs.sparkSession, s"$indexDir/centroids")
     val assigned = withNearestCid(newVecs, cents)
       .select(col("vec_id"), col("cid"), col("embedding"))
       .withColumn("cid_part", col("cid"))
       .repartition(col("cid_part"))
-    ManifestTable.append(assigned, table, Some("cid_part"),
-      ManifestTable.maxBatchId(table) + 1)
+    // appendAllocate: id allocated atomically inside the commit CAS, so
+    // concurrent appenders can't collide into a silent replay no-op
+    ManifestTable.appendAllocate(assigned, s"$indexDir/cells", Some("cid_part"))
+    ()
   }
 
   /** Serve top-k from the materialized index: rank cells per query against

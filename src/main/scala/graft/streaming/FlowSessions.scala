@@ -94,7 +94,22 @@ object FlowSessions {
     }
     s.foreach(st => staleSessions ::=
       FlowSession(key, st.start, st.end, st.bytes, st.packets, st.flows, st.end - st.start))
-    (staleSessions reverse_::: closed.reverse, cur)
+    // staleness was judged against the live start AS IT EVOLVED: a later
+    // observation may have lowered that start to within gapSeconds of a
+    // "stale" session (r8 review). The state to merge them is present, so
+    // fold envelope-adjacent stale sessions into the live session instead
+    // of emitting them separately.
+    val (emitted, finalCur) = cur match {
+      case Some(st) =>
+        val (adjacent, separate) = staleSessions.partition(x =>
+          x.end >= st.start - gapSeconds && x.start <= st.end + gapSeconds)
+        val merged = adjacent.foldLeft(st)((acc, x) => SessionState(
+          math.min(acc.start, x.start), math.max(acc.end, x.end),
+          acc.bytes + x.bytes, acc.packets + x.packets, acc.flows + x.flows))
+        (separate, Some(merged))
+      case None => (staleSessions, None)
+    }
+    (emitted reverse_::: closed.reverse, finalCur)
   }
 
   /** Sessionize a STREAMING flow DataFrame. Emits a `FlowSession` row when a

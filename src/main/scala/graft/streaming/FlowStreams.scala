@@ -205,10 +205,15 @@ object FlowStreams {
       .partitionBy("event_date").parquet(staging.toString)
     // recording WHICH dirs the fold absorbed makes the swap crash-safe:
     // recovery deletes exactly those dirs (never a dir appended after the
-    // fold) and publishes the staged copy — the marker is written LAST, so
-    // an incomplete fold is never mistaken for a completed one
-    Files.write(staging.resolve(".folded-inputs"),
-      inputs.mkString("\n").getBytes("UTF-8"))
+    // fold) and publishes the staged copy — the marker is written LAST and
+    // ATOMICALLY (tmp + ATOMIC_MOVE: a crash mid-write must leave no
+    // marker at all, or recovery would treat a TRUNCATED input list as a
+    // completed fold and double-count the unlisted dirs), so an incomplete
+    // fold is never mistaken for a completed one
+    val markerTmp = staging.resolve(".folded-inputs.tmp")
+    Files.write(markerTmp, inputs.mkString("\n").getBytes("UTF-8"))
+    Files.move(markerTmp, staging.resolve(".folded-inputs"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     recoverOptimize(root) // the completion step is the recovery step
     spark.catalog.refreshByPath(path)
   }
@@ -656,11 +661,23 @@ object FlowStreams {
   /** Metadata-based table-existence probe for drivers whose SQLStates the
     * replay guard doesn't recognize. Tries the name as spelled plus the
     * upper/lower foldings unquoted identifiers resolve to (Derby/H2 store
-    * UPPER, Postgres lower). */
+    * UPPER, Postgres lower). A schema-qualified name ("analytics.flows")
+    * is split into (schemaPattern, tablePattern) — getTables matches the
+    * TABLE name only, so passing the dotted form whole would always probe
+    * false and silently swallow real DELETE failures (r8 review). */
   private def jdbcTableExists(conn: java.sql.Connection, table: String): Boolean = {
     val md = conn.getMetaData
-    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
-      val rs = md.getTables(null, null, t, null)
+    val (schema, bare) = table.lastIndexOf('.') match {
+      case -1 => (None, table)
+      case i => (Some(table.substring(0, i)), table.substring(i + 1))
+    }
+    def foldings(s: String) = Seq(s, s.toUpperCase, s.toLowerCase).distinct
+    val probes = for {
+      sc <- schema.fold(Seq(Option.empty[String]))(s => foldings(s).map(Some(_)))
+      t <- foldings(bare)
+    } yield (sc, t)
+    probes.exists { case (sc, t) =>
+      val rs = md.getTables(null, sc.orNull, t, null)
       try rs.next() finally rs.close()
     }
   }

@@ -419,7 +419,12 @@ object ManifestTable {
     }).map(_.path)
     pruneStats.put(Paths.get(table).toAbsolutePath.normalize.toString,
       (selected.size, entries.size))
-    readFiles(spark, table, selected, emptySchema,
+    if (selected.isEmpty && emptySchema.isEmpty && entries.nonEmpty)
+      // a range with NO overlapping file is a legitimate empty result (a
+      // quiet hour, a future window) — derive the schema from one
+      // committed file (footer-only read) instead of throwing (r8 review)
+      readFiles(spark, table, Seq(entries.head.path), None, "unreachable").limit(0)
+    else readFiles(spark, table, selected, emptySchema,
       s"no files selected in manifest table: $table (pass emptySchema)")
   }
 
@@ -442,6 +447,16 @@ object ManifestTable {
     * DUPLICATE the staged copy; the 50M scale run caught exactly that). */
   def tryCommit(table: String, absorbBatch: Option[Long] = None)
       (delta: Seq[String] => Option[Seq[String]]): Option[Long] =
+    tryCommitCore(table)((files, maxB) =>
+      delta(files).map(next => (next, math.max(maxB, absorbBatch.getOrElse(-1L)))))
+
+  /** The CAS loop itself: `delta` sees the snapshot's (files, maxBatch)
+    * and returns the next (files, maxBatch) — re-evaluated per attempt, so
+    * anything derived from the snapshot (an allocated batch id, a
+    * membership check) is decided ATOMICALLY with the commit that uses
+    * it. */
+  private def tryCommitCore(table: String)
+      (delta: (Seq[String], Long) => Option[(Seq[String], Long)]): Option[Long] =
     lockFor(table).synchronized {
       val io = ioFor(table)
       val dir = manifestDir(table)
@@ -450,10 +465,9 @@ object ManifestTable {
       while (attempts < 100) {
         attempts += 1
         val (v, maxB, files) = readLatest(table)
-        delta(files) match {
+        delta(files, maxB) match {
           case None => return None
-          case Some(next) =>
-            val newMax = math.max(maxB, absorbBatch.getOrElse(-1L))
+          case Some((next, newMax)) =>
             val bytes = (s"#maxBatch:$newMax" +: next).mkString("\n").getBytes("UTF-8")
             val target = dir.resolve(f"v${v + 1}%020d.manifest")
             // publish-if-absent IS the CAS — a loser retries its delta on
@@ -466,6 +480,25 @@ object ManifestTable {
       }
       throw new IllegalStateException(s"manifest commit contention on $table")
     }
+
+  /** Append with an ATOMICALLY allocated batch id — for writers OUTSIDE
+    * Spark's checkpointed-batch contract (incremental index appends,
+    * ad-hoc loads). [[append]]'s replay guard assumes ids come from one
+    * checkpoint lineage; deriving one as `maxBatchId+1` outside the
+    * commit would let two concurrent appenders read the same max and have
+    * the loser silently no-op as a "replay" (r8 review). Here the id is
+    * `maxBatch+1` of the snapshot each CAS attempt commits against, so
+    * every caller's files land exactly once. Returns the absorbed id. */
+  def appendAllocate(df: DataFrame, table: String, partitionCol: Option[String],
+      statsCol: Option[String] = None): Long = {
+    val staged = stage(df, table, partitionCol, s"a${System.nanoTime()}", statsCol)
+    var allocated = -1L
+    tryCommitCore(table) { (files, maxB) =>
+      allocated = maxB + 1
+      Some((files ++ staged.map(_.line), maxB + 1))
+    }
+    allocated
+  }
 
   def commit(table: String, absorbBatch: Option[Long] = None)
       (delta: Seq[String] => Seq[String]): Long =

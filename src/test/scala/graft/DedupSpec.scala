@@ -354,6 +354,16 @@ class DedupSpec extends SparkTestBase {
         .select(col("doc_id"), col("text_clean").as("text")), w = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(again.values.forall(_ === 0L), s"second pass must be a no-op, got $again")
+    // self-overlapping periodic repeat: a doc of ONE token × 20 — every
+    // window shares one hash and overlaps the canonical copy; protection
+    // must leave exactly one intact w-window (r8 review: the unprotected
+    // union shredded the canonical copy down to a single token)
+    val periodic = Seq((9L, (1 to 20).map(_ => "tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = Dedup.substringTrimOver(periodic, w = 8).collect().head
+    assert(p.getString(1) === (1 to 8).map(_ => "tok").mkString(" "),
+      s"one intact canonical window must survive, got '${p.getString(1)}'")
+    assert(p.getLong(3) === 12L)
   }
 
   test("clean corpus (zero near-dup pairs): clusters is empty, keep list is everyone") {

@@ -101,6 +101,30 @@ class FlowSessionsSpec extends SparkTestBase {
     assert(s(1).getLong(0) === 3000L && s(1).getLong(1) === 3060L && s(1).getLong(2) === 3L)
   }
 
+  test("stale observation inside the FINAL lowered envelope folds into the live session (r8 review)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val q = FlowSessions.sessionize(src.toDF(), gapSeconds = 60, lateness = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("fold_sessions").start()
+    val base = msgsAt(1, seed = 61, baseTime = 10000L).head
+    // batch 1 opens the era at ts=10000
+    src.addData(base.copy(timeReceived = 10000L)); q.processAllAvailable()
+    // batch 2 sorted = [9935, 9945]: 9935 is classified stale against the
+    // era start 10000, then 9945 merges and LOWERS the start to 9945 —
+    // bringing 9935 inside the final gap envelope. It must fold into the
+    // live session, not emit as a singleton.
+    src.addData(Seq(base.copy(timeReceived = 9935L), base.copy(timeReceived = 9945L)))
+    q.processAllAvailable()
+    src.addData(msgsAt(1, seed = 62, baseTime = 200000L)); q.processAllAvailable()
+    src.addData(msgsAt(1, seed = 63, baseTime = 400000L)); q.processAllAvailable()
+    q.stop()
+    val s = spark.table("fold_sessions").filter(col("start") < 100000L)
+      .select("start", "end", "flows").collect()
+    assert(s.length === 1, s"expected ONE folded session, got ${s.toSeq}")
+    assert(s.head.getLong(0) === 9935L && s.head.getLong(1) === 10000L)
+    assert(s.head.getLong(2) === 3L)
+  }
+
   test("batch sessionization merges within gap, splits across it") {
     val base = 1704067200L
     val mk = (ts: Long) => FlowGen.flows(spark, 1, seed = 40, baseTime = ts).head()

@@ -403,6 +403,42 @@ class ManifestTableSpec extends SparkTestBase {
       s"day-2 range must read only day-2's partial file: $sel of $tot")
   }
 
+  test("appendAllocate: concurrent appenders all land (id allocated inside the CAS)") {
+    val table = tmp()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      (1 to 8).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            ManifestTable.appendAllocate(
+              spark.range(10 * i, 10 * i + 10).toDF("n"), table, None)
+            ()
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    // a maxBatchId+1 read OUTSIDE the commit would have let colliding ids
+    // no-op as "replays", silently dropping appenders' rows (r8 review)
+    assert(ManifestTable.read(spark, table).count() === 80,
+      "every concurrent appender's rows must land exactly once")
+    assert(ManifestTable.maxBatchId(table) === 7L, "ids 0..7 allocated densely")
+  }
+
+  test("range read with zero overlapping files returns empty, not an error") {
+    val table = tmp()
+    ManifestTable.append(
+      genBatch(40, seed = 130, baseTime = 1704067200L).toDS().toDF()
+        .transform(FlowStreams.projectRaw).coalesce(1),
+      table, Some("event_date"), 0L, statsCol = Some("timeReceived"))
+    // a quiet/future window is a legitimate empty result for a dashboard
+    val empty = FlowStreams.readRawManagedRange(spark, table,
+      1704067200L + 30 * 86400L, 1704067200L + 31 * 86400L)
+    assert(empty.isEmpty)
+    assert(empty.schema.fieldNames.contains("timeReceived"))
+    val (sel, tot) = ManifestTable.lastPruneStats(table).get
+    assert(sel === 0 && tot === 1)
+  }
+
   test("mixed layout: flat legacy appends + partitioned appends read as one table") {
     import spark.implicits._
     val table = tmp()
