@@ -134,6 +134,12 @@ object ManifestTable {
     def promote(src: Path, target: Path): Unit = {
       Files.createDirectories(target.getParent)
       Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
+      // rename preserves the SOURCE mtime — but vacuum's grace must count
+      // from PROMOTION (a long parquet write would otherwise age staged
+      // parts past the cutoff before their commit, r8 review): stamp now
+      try Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () }
     }
     override def mkdirs(dir: Path): Unit = { Files.createDirectories(dir); () }
   }
@@ -317,8 +323,22 @@ object ManifestTable {
       case Some(m) =>
         val lines = new String(io.read(m), "UTF-8")
           .split("\n", -1).toSeq.filter(_.nonEmpty)
-        val maxBatch = lines.find(_.startsWith("#maxBatch:"))
-          .map(_.stripPrefix("#maxBatch:").toLong).getOrElse(-1L)
+        val maxBatch = lines.find(_.startsWith("#maxBatch:")) match {
+          case None => -1L
+          case Some(h) =>
+            // fail LOUDLY with context on a corrupt header — silently
+            // degrading to -1 would disarm the replay guard and
+            // double-append on the next checkpoint replay (r8 review:
+            // descriptive beats a bare NumberFormatException, but this
+            // must not be a silent fallback)
+            try h.stripPrefix("#maxBatch:").toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalStateException(
+                s"corrupt manifest header '$h' in $m — the table's replay " +
+                  "guard cannot be trusted; restore the manifest from the " +
+                  "previous version (vacuum retains history)")
+            }
+        }
         (versionOf(m), maxBatch, lines.filterNot(_.startsWith("#")))
     }
   }
@@ -387,8 +407,12 @@ object ManifestTable {
       : DataFrame = {
     val (_, files) = snapshot(table)
     val dirs = keep.map(v => s"$partitionCol=$v/")
+    // anchored at the path start: an unanchored contains() misclassified a
+    // probed column whose name is a SUFFIX of the real partition column
+    // ("date" vs "event_date") and silently dropped committed files
+    // (r8 review); a file not partitioned by this column is kept
     val selected = files.filter(f =>
-      !f.contains(s"$partitionCol=") || dirs.exists(f.startsWith))
+      !f.startsWith(s"$partitionCol=") || dirs.exists(f.startsWith))
     pruneStats.put(Paths.get(table).toAbsolutePath.normalize.toString,
       (selected.size, files.size))
     readFiles(spark, table, selected, emptySchema,
@@ -419,12 +443,18 @@ object ManifestTable {
     }).map(_.path)
     pruneStats.put(Paths.get(table).toAbsolutePath.normalize.toString,
       (selected.size, entries.size))
-    if (selected.isEmpty && emptySchema.isEmpty && entries.nonEmpty)
+    if (selected.isEmpty && emptySchema.isEmpty && entries.nonEmpty) {
       // a range with NO overlapping file is a legitimate empty result (a
-      // quiet hour, a future window) — derive the schema from one
-      // committed file (footer-only read) instead of throwing (r8 review)
-      readFiles(spark, table, Seq(entries.head.path), None, "unreachable").limit(0)
-    else readFiles(spark, table, selected, emptySchema,
+      // quiet hour, a future window) — derive the schema from committed
+      // files (footer-only reads) instead of throwing. One file of EACH
+      // layout group: on a mixed flat+partitioned table a single flat
+      // file would omit the partition column the non-empty result carries
+      // via unionByName (r8 review)
+      val paths = entries.map(_.path)
+      val sample = (paths.find(p => p.contains('/') && p.contains('='))
+        ++ paths.find(p => !(p.contains('/') && p.contains('=')))).toSeq
+      readFiles(spark, table, sample, None, "unreachable").limit(0)
+    } else readFiles(spark, table, selected, emptySchema,
       s"no files selected in manifest table: $table (pass emptySchema)")
   }
 
@@ -469,7 +499,7 @@ object ManifestTable {
           case None => return None
           case Some((next, newMax)) =>
             val bytes = (s"#maxBatch:$newMax" +: next).mkString("\n").getBytes("UTF-8")
-            val target = dir.resolve(f"v${v + 1}%020d.manifest")
+            val target = manifestPath(dir, v + 1)
             // publish-if-absent IS the CAS — a loser retries its delta on
             // the new snapshot
             if (casFor(table).publish(target, bytes)) {
@@ -584,13 +614,17 @@ object ManifestTable {
     * optimization; a file without them is read conservatively, never
     * skipped. Data-plane access (the scratch file the writer just
     * produced), like the Spark read/write path itself. */
+  /** One read-only Hadoop conf for all footer reads — constructing one per
+    * staged file re-parses the XML defaults O(files) times per stage
+    * (r8 review). */
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
   private def footerStats(file: Path, statsCol: String): Option[(Long, Long)] =
     try {
       import scala.jdk.CollectionConverters._
       import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(file.toUri),
-        new org.apache.hadoop.conf.Configuration())
+        new org.apache.hadoop.fs.Path(file.toUri), footerConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val cols = r.getFooter.getBlocks.asScala
@@ -613,13 +647,18 @@ object ManifestTable {
     * Online safety: files are STAGED into the table directory before
     * their manifest commit, so an unreferenced file may simply be an
     * in-flight append/swap that has not committed yet — deleting it would
-    * commit a manifest over missing data. Two guards: `graceSeconds`
-    * spares unreferenced files younger than the grace (staging → commit
-    * is seconds; crash orphans are old by the time vacuum runs), and the
-    * per-table commit lock excludes same-JVM commits during the
-    * delete-set computation (the normal driver topology). Cross-JVM
-    * writers should schedule vacuum from the owning driver only. Pass
-    * `graceSeconds = 0` only when no writer is active.
+    * commit a manifest over missing data. Guards: `graceSeconds` spares
+    * unreferenced files younger than the grace, where age counts from
+    * PROMOTION ([[FileIO.promote]] stamps a fresh mtime — a rename that
+    * preserved the parquet-write mtime let a long compaction's early
+    * parts age past the cutoff before their commit, r8 review);
+    * in-flight `.stage-*` scratch is skipped as a unit until its newest
+    * file predates the grace, then reaped whole; and the per-table commit
+    * lock excludes same-JVM commits during the delete-set computation
+    * (the normal driver topology). Cross-JVM writers should schedule
+    * vacuum from the owning driver only, and promote→commit is the only
+    * window the grace must cover. Pass `graceSeconds = 0` only when no
+    * writer is active.
     *
     * Also garbage-collects manifest metadata (see [[gcManifests]]) so an
     * always-on table's commit/read cost stays flat instead of growing
@@ -630,10 +669,38 @@ object ManifestTable {
       val io = ioFor(table)
       val root = Paths.get(table)
       val cutoff = System.currentTimeMillis() - graceSeconds * 1000L
-      val all = io.listRecursive(root)
+      // a maintenance pass over a LIVE table races writers: files vanish
+      // between listing and stat. A vanished unreferenced file is already
+      // collected — never a reason to crash the pass (r8 review).
+      def mtimeOpt(p: Path): Option[Long] =
+        try Some(io.lastModifiedMillis(p))
+        catch { case scala.util.control.NonFatal(_) => None }
+      val listing =
+        try io.listRecursive(root)
+        catch { case scala.util.control.NonFatal(_) =>
+          try io.listRecursive(root) // one retry over writer churn
+          catch { case scala.util.control.NonFatal(_) => return 0L }
+        }
+      // in-flight staging scratch (hidden .stage-* dirs) is handled as a
+      // UNIT: young dirs are a writer mid-stage — untouchable; dirs whose
+      // newest file predates the grace are crash orphans, reaped WHOLE
+      // (including _SUCCESS/.crc droppings a parquet-only sweep left
+      // behind forever, r8 review)
+      val (staged, normal) = listing.partition(p =>
+        root.relativize(p).toString.startsWith(".stage-"))
+      var reaped = 0L
+      staged.groupBy(p => root.relativize(p).getName(0).toString).foreach {
+        case (d, files) =>
+          val ages = files.flatMap(mtimeOpt(_))
+          if (ages.nonEmpty && ages.max <= cutoff) {
+            io.deletePrefix(root.resolve(d))
+            reaped += files.size
+          }
+      }
+      val all = normal
         .filter(_.toString.endsWith(".parquet"))
         .filterNot(_.startsWith(manifestDir(table)))
-        .filter(p => io.lastModifiedMillis(p) <= cutoff)
+        .filter(p => mtimeOpt(p).exists(_ <= cutoff))
         .map(p => root.relativize(p).toString).toSet
       val live = snapshot(table)._2.toSet
       val dead = all -- live
@@ -644,10 +711,10 @@ object ManifestTable {
       val mdir = manifestDir(table)
       val temps = io.list(mdir)
         .filter(p => p.getFileName.toString.startsWith("."))
-        .filter(p => io.lastModifiedMillis(p) <= cutoff)
+        .filter(p => mtimeOpt(p).exists(_ <= cutoff))
       temps.foreach(io.delete)
       gcManifests(table, retainManifests)
-      dead.size.toLong + temps.size
+      dead.size.toLong + temps.size + reaped
     }
 
   /** Drop committed manifests older than the newest `retain` versions.

@@ -403,6 +403,43 @@ class ManifestTableSpec extends SparkTestBase {
       s"day-2 range must read only day-2's partial file: $sel of $tot")
   }
 
+  test("readPruned anchors the partition column: a suffix name keeps files conservatively") {
+    import spark.implicits._
+    val table = tmp()
+    ManifestTable.append(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "bucket").withColumn("event_date", col("bucket")),
+      table, Some("event_date"), 0L)
+    // probing on "date" — a SUFFIX of the real partition column — must not
+    // misclassify "event_date=…" files as date-partitioned and drop them
+    // (r8 review: unanchored contains() did exactly that)
+    val pruned = ManifestTable.readPruned(spark, table, "date", Set("999"))
+    assert(pruned.select("id").as[Long].collect().toSet === Set(1L, 2L),
+      "files not partitioned by the probed column are kept conservatively")
+  }
+
+  test("vacuum reaps aged .stage orphans whole (droppings included), spares young ones") {
+    val table = tmp()
+    val df = genBatch(30, seed = 140, baseTime = 1704067200L).toDS()
+      .toDF().transform(FlowStreams.projectRaw)
+    ManifestTable.append(df, table, Some("event_date"), batchId = 0L)
+    // a crashed writer's scratch: parquet + _SUCCESS/.crc droppings
+    val orphan = Paths.get(table, ".stage-deadbeef")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    Files.write(orphan.resolve("_SUCCESS"), Array.emptyByteArray)
+    // young: untouchable (a writer may be mid-stage)
+    assert(ManifestTable.vacuum(table) === 0L)
+    assert(Files.isDirectory(orphan))
+    // aged: the WHOLE dir goes, not just the parquet (pre-r8 sweep left
+    // _SUCCESS droppings accumulating forever)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600 * 1000L)
+    Files.list(orphan).forEach(p => Files.setLastModifiedTime(p, old))
+    assert(ManifestTable.vacuum(table) >= 1L)
+    assert(!Files.exists(orphan), "aged stage orphan must be reaped whole")
+    assert(ManifestTable.read(spark, table).count() === 30)
+  }
+
   test("appendAllocate: concurrent appenders all land (id allocated inside the CAS)") {
     val table = tmp()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
