@@ -72,6 +72,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** REPETITION quality signals — the Gopher/MassiveText filter family
+    * the length/stopword rubric ([[qualityScore]]) doesn't cover: highly
+    * repetitive documents (keyword stuffing, templated spam, degenerate
+    * generations) are flagged by the mass of their most frequent token
+    * and adjacent 2-gram. Per document: the top token's share of all
+    * tokens and the top bigram's share of all bigrams (single final
+    * division, rounded — oracle-parity rules).
+    *
+    * Scale shape: one explode per feature into (doc_id, gram) rows, a
+    * two-level aggregate (count per (doc, gram) — partial-combined — then
+    * max per doc), and a join of the two per-doc statistics; only ids +
+    * small counts cross the shuffles, grams collapse at the first
+    * aggregate. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+    val topTok = d.select(col("doc_id"), explode(col("t")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_token_count"))
+    val topBi = d.filter(col("n") >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), col("n") - 1),
+        i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_count"))
+    d.select(col("doc_id"), col("n"))
+      .join(topTok, Seq("doc_id"), "left")
+      .join(topBi, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n").as("token_count"),
+        coalesce(col("top_token_count"), lit(0L)).as("top_token_count"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        round(coalesce(col("top_token_count"), lit(0L)).cast("double") / col("n"), 6)
+          .as("top_token_frac"),
+        when(col("n") >= 2,
+          round(coalesce(col("top_bigram_count"), lit(0L)).cast("double") / (col("n") - 1), 6))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Language identification by marker-word frequency (n-gram-heuristic
     * class of language ID; markers per language, argmax with deterministic
     * tie-break by marker order). */
@@ -210,6 +251,7 @@ object TextOps {
     "text_token_stats" -> (tokenStats _),
     "text_source_cap" -> ((s: SparkSession, d: String) => sourceCap(s, d)),
     "text_quality" -> (qualityScore _),
+    "text_repetition" -> (repetitionStats _),
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_sample" -> ((s: SparkSession, d: String) => sampleDocs(s, d)),
@@ -226,6 +268,31 @@ object TextOps {
            | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_token_count,
            | CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) / len($w) AS avg_alpha_per_token
            | FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+      "text_repetition" ->
+        s"""WITH toksr AS (
+           |  SELECT doc_id, $w AS t FROM documents
+           |), dd AS (
+           |  SELECT doc_id, t, len(t) AS n FROM toksr
+           |), tokc AS (
+           |  SELECT doc_id, max(c) AS top_token_count FROM (
+           |    SELECT doc_id, g, count(*) AS c FROM (
+           |      SELECT doc_id, unnest(t) AS g FROM dd) GROUP BY 1, 2) GROUP BY doc_id
+           |), bic AS (
+           |  SELECT doc_id, max(c) AS top_bigram_count FROM (
+           |    SELECT doc_id, g, count(*) AS c FROM (
+           |      SELECT doc_id, unnest(list_transform(generate_series(1, n - 1),
+           |        i -> t[i] || ' ' || t[i+1])) AS g FROM dd WHERE n >= 2)
+           |    GROUP BY 1, 2) GROUP BY doc_id
+           |)
+           |SELECT dd.doc_id, CAST(n AS BIGINT) AS token_count,
+           |  CAST(coalesce(tokc.top_token_count, 0) AS BIGINT) AS top_token_count,
+           |  CAST(coalesce(bic.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+           |  round(CAST(coalesce(tokc.top_token_count, 0) AS BIGINT) / CAST(n AS BIGINT), 6) AS top_token_frac,
+           |  CASE WHEN n >= 2 THEN round(CAST(coalesce(bic.top_bigram_count, 0) AS BIGINT) / CAST(n - 1 AS BIGINT), 6)
+           |       ELSE 0.0 END AS top_bigram_frac
+           |FROM dd LEFT JOIN tokc ON tokc.doc_id = dd.doc_id
+           |LEFT JOIN bic ON bic.doc_id = dd.doc_id
+           |ORDER BY dd.doc_id""".stripMargin.replace('\n', ' '),
       "text_quality" ->
         s"""SELECT doc_id,
            | CAST(len($w) AS BIGINT) AS token_count,

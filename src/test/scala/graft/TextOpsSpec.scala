@@ -11,6 +11,35 @@ class TextOpsSpec extends SparkTestBase {
     java.lang.Long.parseLong(hex, 16) % 10000
   }
 
+  test("repetition stats flag keyword stuffing; varied text scores low") {
+    val rep = TextOps.repetitionStats(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rep.nonEmpty)
+    // invariants on the real corpus: top counts bounded by totals, fracs in (0, 1]
+    rep.values.foreach { case (n, tt, tb, ttf, tbf) =>
+      assert(tt >= 1 && tt <= n)
+      assert(tb >= 1 && tb <= n - 1)
+      assert(ttf > 0 && ttf <= 1.0 && tbf > 0 && tbf <= 1.0)
+    }
+    // planted extremes through the same expressions (local relation)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val planted = Seq(
+      (1L, "spam spam spam spam spam"),                    // degenerate: all one token
+      (2L, "alpha beta gamma delta epsilon zeta"),         // fully varied
+      (3L, "buy now buy now buy now limited offer")        // stuffed bigram
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = TextOps.repetitionStats(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    assert(p(1L) === ((1.0, 1.0)), "all-one-token doc maxes both signals")
+    assert(p(2L)._1 === (1.0 / 6 * 1e6).round / 1e6.toDouble)
+    assert(p(2L)._2 === 0.2, "varied text: every bigram unique (1 of 5)")
+    assert(p(3L)._2 > 0.4, s"stuffed bigram must dominate: ${p(3L)}")
+  }
+
   test("stratified sample applies the per-language rate exactly and deterministically") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "lang").collect()
