@@ -80,35 +80,45 @@ object TextOps {
     * tokens and the top bigram's share of all bigrams (single final
     * division, rounded — oracle-parity rules).
     *
-    * Scale shape: one explode per feature into (doc_id, gram) rows, a
-    * two-level aggregate (count per (doc, gram) — partial-combined — then
-    * max per doc), and a join of the two per-doc statistics; only ids +
-    * small counts cross the shuffles, grams collapse at the first
-    * aggregate. */
+    * Scale shape: one explode per feature, immediately reduced by a
+    * partial-combined aggregate keyed on (doc_id, xxhash64(gram)) — gram
+    * STRINGS never cross an exchange, the shuffles carry ids + 8-byte
+    * gram hashes + counts (a string-keyed first aggregate would ship
+    * ~the tokenized corpus through the exchange on a mostly-distinct
+    * vocabulary, r8 review). Counting on the 64-bit hash is
+    * collision-tolerant by construction (a collision merges two gram
+    * counts; the string-keyed DuckDB oracle guards it at test scale).
+    * token_count rides the first aggregate as sum(c) — no third scan of
+    * the corpus to recover it. */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .withColumn("n", size(col("t")).cast("long"))
+    // every document yields >= 1 token row (split of empty text is [""]),
+    // so this aggregate anchors the output frame: no separate n scan
     val topTok = d.select(col("doc_id"), explode(col("t")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_token_count"))
+      .groupBy(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_token_count"), sum("c").as("token_count"))
     val topBi = d.filter(col("n") >= 2)
       .select(col("doc_id"), explode(transform(sequence(lit(1), col("n") - 1),
         i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_bigram_count"))
-    d.select(col("doc_id"), col("n"))
-      .join(topTok, Seq("doc_id"), "left")
+    topTok
       .join(topBi, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        col("n").as("token_count"),
-        coalesce(col("top_token_count"), lit(0L)).as("top_token_count"),
+        col("token_count"),
+        col("top_token_count"),
         coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
-        round(coalesce(col("top_token_count"), lit(0L)).cast("double") / col("n"), 6)
+        round(col("top_token_count").cast("double") / col("token_count"), 6)
           .as("top_token_frac"),
-        when(col("n") >= 2,
-          round(coalesce(col("top_bigram_count"), lit(0L)).cast("double") / (col("n") - 1), 6))
+        when(col("token_count") >= 2,
+          round(coalesce(col("top_bigram_count"), lit(0L)).cast("double")
+            / (col("token_count") - 1), 6))
           .otherwise(lit(0.0)).as("top_bigram_frac"))
       .orderBy("doc_id")
   }

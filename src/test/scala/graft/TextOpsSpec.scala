@@ -16,11 +16,13 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
     assert(rep.nonEmpty)
-    // invariants on the real corpus: top counts bounded by totals, fracs in (0, 1]
+    // true operator invariants (NOT fixture-coupled: a 1-token doc
+    // legitimately has zero bigrams): top counts bounded by totals
     rep.values.foreach { case (n, tt, tb, ttf, tbf) =>
       assert(tt >= 1 && tt <= n)
-      assert(tb >= 1 && tb <= n - 1)
-      assert(ttf > 0 && ttf <= 1.0 && tbf > 0 && tbf <= 1.0)
+      assert(tb >= 0 && tb <= math.max(0L, n - 1))
+      assert(ttf > 0 && ttf <= 1.0 && tbf >= 0 && tbf <= 1.0)
+      assert(n < 2 || tb >= 1, "a multi-token doc has at least one bigram")
     }
     // planted extremes through the same expressions (local relation)
     import spark.implicits._
