@@ -99,14 +99,42 @@ object FlowStreams {
       trigger: Trigger = DefaultTrigger): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        rollupPartials(batch).write
-          .mode("overwrite")
-          .partitionBy("event_date")
-          .parquet(s"$outPath/batch=$id")
+        // replay guard vs OPTIMIZE (r8 review): per-batch overwrite makes
+        // a replay idempotent only while the old batch=<id> dir still
+        // exists — a fold run between an unclean stop and the restart
+        // absorbs the dir into batch=-1, and the replayed write would
+        // re-add rows the fold already counted. optimizeRollup records
+        // the highest folded id; replays at or below it are no-ops.
+        if (id > maxFoldedBatch(outPath))
+          rollupPartials(batch).write
+            .mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(s"$outPath/batch=$id")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  private val maxFoldedName = "_graft_max_folded_batch"
+
+  /** Highest batch id any [[optimizeRollup]] fold has absorbed; -1 if
+    * none. Written atomically by [[recoverOptimize]]'s completion step. */
+  private def maxFoldedBatch(path: String): Long = {
+    val f = java.nio.file.Paths.get(path, maxFoldedName)
+    if (!java.nio.file.Files.isRegularFile(f)) -1L
+    else
+      try new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          // fail loudly: silently treating a corrupt marker as -1 would
+          // disarm the replay guard and double-count (same stance as the
+          // manifest #maxBatch header)
+          throw new IllegalStateException(
+            s"corrupt $maxFoldedName in $path — restore or remove it " +
+              "(removing re-arms replays only if no fold ran since the " +
+              "last checkpoint commit)")
+      }
+  }
 
   /** Query-time re-merge of the rollup — reading `flows_5m` before OPTIMIZE
     * (`README.md:164-183`): equal keys summed at read, and the Nested
@@ -137,6 +165,13 @@ object FlowStreams {
       }
     val batchDirs = children.filter(_.startsWith("batch="))
     val dateDirs = children.filter(_.startsWith("event_date="))
+    if (batchDirs.isEmpty && dateDirs.isEmpty)
+      // a clear error beats the opaque 'unable to infer schema' Spark
+      // throws for the legitimate read-before-first-commit case (r8
+      // review); the managed variant composes as empty via emptySchema
+      throw new IllegalArgumentException(
+        s"empty rollup table: $path (no batch=/event_date= dirs yet — the " +
+          "stream has not committed a batch, or the path is wrong)")
     if (batchDirs.nonEmpty && dateDirs.nonEmpty) {
       val batched = spark.read.option("basePath", path)
         .parquet(batchDirs.map(d => s"$path/$d"): _*).drop("batch")
@@ -241,29 +276,56 @@ object FlowStreams {
         s"$target exists but was not a fold input — concurrent OPTIMIZE? " +
           "optimizeRollup is offline-only (one caller, stream stopped)")
     Files.move(staging, target)
+    // record the highest batch id this fold absorbed, so a restarted
+    // stream's checkpoint REPLAY of an absorbed batch is a no-op instead
+    // of re-adding rows the fold already counted (r8 review); monotonic
+    // max with any earlier fold's record, written atomically
+    val foldedMax = inputs
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).filter(_ >= 0)
+      .foldLeft(maxFoldedBatch(root.toString))(math.max)
+    if (foldedMax >= 0) {
+      val tmp = root.resolve(s".$maxFoldedName.tmp")
+      Files.write(tmp, foldedMax.toString.getBytes("UTF-8"))
+      Files.move(tmp, root.resolve(maxFoldedName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     // the marker is now inside the published dir; hidden files are ignored
     // by readers, but tidy it away (best-effort — harmless if this crashes)
     Files.deleteIfExists(target.resolve(".folded-inputs"))
   }
 
   /** Dynamic-partition-overwrite `path` from the (already durable) staged
-    * copy; refresh cached listings; delete the staging dir. */
+    * copy; refresh cached listings; delete the staging dir ON SUCCESS
+    * ONLY — if the overwrite fails partway, the staged copy is the sole
+    * surviving full copy of the rewritten partitions and must be kept for
+    * recovery (r8 review: a finally-delete destroyed exactly the copy the
+    * staging protocol exists to preserve). */
   private def overwriteFromStaging(spark: SparkSession, path: String, staging: String): Unit = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      spark.read.parquet(staging).write
-        .mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(path)
+      try {
+        spark.read.parquet(staging).write
+          .mode("overwrite")
+          .partitionBy("event_date")
+          .parquet(path)
+      } catch {
+        case e: Throwable =>
+          throw new IllegalStateException(
+            s"partition overwrite of $path failed midway; the durable " +
+              s"staged copy is preserved at $staging — restore the " +
+              "affected partitions from it before resuming", e)
+      }
       // drop stale file listings for the rewritten path from the shared cache
       spark.catalog.refreshByPath(path)
+      graft.Storage.deleteTree(java.nio.file.Paths.get(staging))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      graft.Storage.deleteTree(java.nio.file.Paths.get(staging))
     }
   }
 
@@ -299,10 +361,18 @@ object FlowStreams {
     // dead file list mid-rewrite
     val staging = s"$path.compact-staging"
     compacted.write.mode("overwrite").partitionBy("event_date").parquet(staging)
-    val metaDir = new java.io.File(s"$path/_spark_metadata")
-    if (metaDir.exists()) {
-      metaDir.listFiles().foreach(_.delete())
-      metaDir.delete()
+    // Files.delete THROWS on failure — a silently-surviving transaction
+    // log would make every later read resolve the stale pre-compaction
+    // file list (r8 review: File.delete() booleans were ignored); failing
+    // here aborts BEFORE the overwrite touches the table
+    val metaDir = java.nio.file.Paths.get(path, "_spark_metadata")
+    if (java.nio.file.Files.isDirectory(metaDir)) {
+      val s = java.nio.file.Files.list(metaDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList.foreach(java.nio.file.Files.delete(_))
+      } finally s.close()
+      java.nio.file.Files.delete(metaDir)
     }
     overwriteFromStaging(spark, path, staging)
   }
@@ -442,15 +512,27 @@ object FlowStreams {
   def optimizeRollupOnline(spark: SparkSession, table: String): Boolean = {
     val (_, files) = ManifestTable.snapshot(table)
     if (files.isEmpty) return true
-    val byPartition = files.groupBy(f =>
-      f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
-    val unfolded = byPartition.filter(_._2.size > 1).values.flatten.toSeq
+    val byPartition = filesByPartition(files)
+    val unfoldedGroups = byPartition.filter(_._2.size > 1)
+    val unfolded = unfoldedGroups.values.flatten.toSeq
     if (unfolded.isEmpty) return true
-    val folded = mergeRollup(
-      ManifestTable.readSelected(spark, table, unfolded).drop("batch"))
+    // repartition by event_date BEFORE the swap: the fold's final groupBy
+    // otherwise leaves ~shuffle.partitions tasks each writing a file into
+    // every date dir it holds rows for — the folded partitions would come
+    // back multi-file and every later call would refold the whole table
+    // forever (r8 review; compactRawOnline already bounded its file count
+    // the same way)
+    val folded = mergeRollup(ManifestTable.readSelected(spark, table, unfolded))
+      .repartition(math.max(1, unfoldedGroups.size), col("event_date"))
     ManifestTable.swap(folded, table, Some("event_date"), unfolded,
       statsCol = Some("timeslot"))
   }
+
+  /** Group a manifest file list by its partition-directory prefix (one
+    * copy — the fold and the part-merge both select fragmented groups). */
+  private def filesByPartition(files: Seq[String]): Map[String, Seq[String]] =
+    files.groupBy(f =>
+      f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
 
   /** ONLINE raw-table compaction: rewrite fragmented date partitions into
     * `filesPerPartition` time-sorted files (ClickHouse's background part
@@ -468,9 +550,7 @@ object FlowStreams {
       filesPerPartition: Int = 1): Boolean = {
     val (_, files) = ManifestTable.snapshot(table)
     if (files.isEmpty) return true
-    val byPartition = files.groupBy(f =>
-      f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
-    val fragmentedGroups = byPartition.filter(_._2.size > filesPerPartition)
+    val fragmentedGroups = filesByPartition(files).filter(_._2.size > filesPerPartition)
     val fragmented = fragmentedGroups.values.flatten.toSeq
     if (fragmented.isEmpty) return true
     // range partitioning on (date, time): hash-partitioning by date alone
@@ -647,9 +727,13 @@ object FlowStreams {
         // Drivers with null/vendor SQLStates (SQLite, H2 native) fall back
         // to a metadata existence probe (r7 advisory): absent table →
         // benign; present table → the DELETE failed for a real reason.
+        // the metadata probe rides the SAME connection the DELETE used; if
+        // the connection is dead the probe throws too — that must count as
+        // NOT-benign (propagate the ORIGINAL failure), not mask it
         case e: java.sql.SQLException
             if Set("42X05", "42P01", "42S02").contains(e.getSQLState)
-              || !jdbcTableExists(conn, table) => ()
+              || (try !jdbcTableExists(conn, table)
+                  catch { case _: Exception => false }) => ()
       }
       finally st.close()
     } finally conn.close()

@@ -130,6 +130,35 @@ class FlowStreamsSpec extends SparkTestBase {
     assert(once.getLong(1) === 300L)
   }
 
+  test("rollup MV: checkpoint replay of a FOLDED batch is a no-op (r8 review)") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmp()
+    val b1 = genBatch(200, seed = 71, baseTime = 1704067200L)
+    // the stream wrote batch 0 but crashed before the checkpoint commit
+    FlowStreams.rollupPartials(b1.toDS().toDF()).write
+      .mode("overwrite").partitionBy("event_date").parquet(s"$out/batch=0")
+    val want = FlowStreams.readRollup(spark, out)
+      .agg(sum("sum_bytes"), sum("flow_count")).head()
+    // operator folds while the stream is down (contract-compliant)
+    FlowStreams.optimizeRollup(spark, out)
+    // the restarted stream REPLAYS batch 0 with the same rows — its dir
+    // was absorbed into batch=-1, so the old overwrite-idempotency can't
+    // help; the max-folded marker must make the replay a no-op
+    val src = MemoryStream[FlowMessage]
+    val q = FlowStreams.startRollupMV(src.toDF(), out, tmp())
+    src.addData(b1); q.processAllAvailable()
+    val replayed = FlowStreams.readRollup(spark, out)
+      .agg(sum("sum_bytes"), sum("flow_count")).head()
+    assert(replayed === want, "replay of a folded batch must not double-count")
+    // a genuinely NEW batch (id 1) still lands
+    val b2 = genBatch(100, seed = 72, baseTime = 1704067200L + 86400L)
+    src.addData(b2); q.processAllAvailable(); q.stop()
+    val after = FlowStreams.readRollup(spark, out)
+      .agg(sum("sum_bytes"), sum("flow_count")).head()
+    assert(after.getLong(0) === want.getLong(0) + b2.map(_.bytes).sum)
+    assert(after.getLong(1) === want.getLong(1) + 100L)
+  }
+
   test("rollup MV: MIXED legacy + batch layout reads and optimizes (r7 advisory)") {
     implicit val sqlCtx = spark.sqlContext
     val out = tmp()
