@@ -73,7 +73,7 @@ object Dedup {
   /** Exact-dup groups: digest → canonical id + duplicate count. */
   def exactSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(md5(col("text")).as("text_md5"))
+      .groupBy(textDigest.as("text_md5"))
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("dup_count"))
       .orderBy("canonical_id")
 
@@ -81,9 +81,20 @@ object Dedup {
     * The digest is computed in the scan-side projection, so only
     * (doc_id, 32-char digest, small meta) crosses the window shuffle —
     * document bodies never leave the scan stage. */
+  /** Dedup digest with the null policy the streaming path documents:
+    * null-text documents are DISTINCT documents, not duplicates of one
+    * another — a bare md5(null)=null digest would group them into one
+    * window partition and delete all but one (r8 review; the fixture has
+    * no nulls, so only a real corpus hits it). Each null doc keys to a
+    * unique sentinel instead. */
+  private def textDigest: Column =
+    coalesce(md5(col("text")), concat(lit("__null__"), col("doc_id").cast("string")))
+
+  private val duckTextDigest = "coalesce(md5(text), '__null__' || doc_id)"
+
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     val slim = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+      .select(col("doc_id"), textDigest.as("text_md5"),
         col("lang"), col("source"), col("n_chars"))
     slim
       .withColumn("canonical_id", min("doc_id").over(Window.partitionBy(col("text_md5"))))
@@ -96,17 +107,35 @@ object Dedup {
     * Quadratic only within shingle groups: the self-join keys on the 64-bit
     * shingle hash (not the shingle string), so disjoint documents never pair
     * and only 8-byte keys + ids cross the shuffle. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val d = withShingles(Tables.documents(spark, dir).select("doc_id", "text"), "text")
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame =
+    jaccardPairsFrom(explodedShingleHashes(spark, dir), threshold, maxDf = None)
+
+  /** The exploded (doc_id, n_sh, h) shingle-hash relation both Jaccard
+    * operators score over. */
+  private def explodedShingleHashes(spark: SparkSession, dir: String): DataFrame =
+    withShingles(Tables.documents(spark, dir).select("doc_id", "text"), "text")
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
-    // materialize the exploded hash relation once: it feeds both join
-    // sides, and the relation is ids + 8-byte hashes — tiny next to
-    // re-running the scan + shingle build per consumer (eager, see
-    // Storage.materializeOnce for why not a lazy checkpoint)
-    val ex = d.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
-      .transform(graft.Storage.materializeOnce)
-    ex.as("a").join(ex.as("b"),
+
+  /** ONE copy of the shingle-Jaccard scoring pipeline (the capped and
+    * uncapped operators were verbatim duplicates, r8 review), with ONE
+    * shingle build and ONE shuffle: `repartition(h)` is the shared
+    * exchange the df-count (when capped) and both self-join sides read —
+    * the same cache-free shape as [[substringDupOver]], replacing the
+    * localCheckpoint that pinned the corpus-sized exploded relation in
+    * executor storage. */
+  private def jaccardPairsFrom(ex0: DataFrame, threshold: Double,
+      maxDf: Option[Int]): DataFrame = {
+    val ex = ex0.repartition(col("h"))
+    val sides = maxDf match {
+      case Some(cap) =>
+        val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("h")
+        ex.join(rare, Seq("h"))
+      case None => ex
+    }
+    sides.as("a").join(sides.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
@@ -132,27 +161,8 @@ object Dedup {
     *-calibrated product operator. The df computation is one extra
     * hash-aggregate over shingle hashes. */
   def ngramJaccardPairsCapped(spark: SparkSession, dir: String,
-      threshold: Double = 0.2, maxDf: Int = 100): DataFrame = {
-    val d = withShingles(Tables.documents(spark, dir).select("doc_id", "text"), "text")
-      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
-    val ex = d.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
-      .transform(graft.Storage.materializeOnce) // shared by the df-count and both join sides
-    val rare = ex.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-      .select("h")
-    val exR = ex.join(rare, Seq("h"))
-    exR.as("a").join(exR.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard", col("common").cast("double")
-        / (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "common", "jaccard")
-      .orderBy("doc_a", "doc_b")
-  }
+      threshold: Double = 0.2, maxDf: Int = 100): DataFrame =
+    jaccardPairsFrom(explodedShingleHashes(spark, dir), threshold, maxDf = Some(maxDf))
 
   /** EXACT SUBSTRING duplication statistics — the span-level dedup signal
     * document-level Jaccard/MinHash cannot see (Lee et al.'s
@@ -311,7 +321,13 @@ object Dedup {
       struct(lit(bIdx).as("band"),
         xxhash64((bIdx * r until (bIdx + 1) * r).map(i => col(s"mh_$i")): _*).as("bh"))
     }
-    sig.select(col(idCol), explode(array(bandCols: _*)).as("b"))
+    // empty-shingle documents carry an ALL-NULL signature (array_min of an
+    // empty array): banding them would hash every such doc into identical
+    // buckets — k docs with no defined similarity forming a k²/2 spurious
+    // candidate clique (r8 review; minhashDupPairsOver pre-filters, but
+    // this is the chokepoint every banding caller shares)
+    sig.filter(col("mh_0").isNotNull)
+      .select(col(idCol), explode(array(bandCols: _*)).as("b"))
       .select(col(idCol), col("b.band"), col("b.bh"))
   }
 
@@ -427,6 +443,14 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // returning non-converged labels would silently keep several documents
+    // per component downstream (corpusKeep trusts the labels) — fail
+    // loudly instead; a diameter > maxIters chain is pathological and the
+    // caller should raise maxIters (with checkpointDir for long runs)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds — " +
+          "raise maxIters (and pass checkpointDir for lineage-safe long runs)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }
@@ -458,6 +482,13 @@ object Dedup {
     * the digest and a fixed-size state row per in-horizon document. */
   def streamingExactDedup(stream: org.apache.spark.sql.DataFrame, textCol: String,
       tsCol: String, lateness: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    // the output gains derived event_time/text_md5 columns; silently
+    // REPLACING caller columns of those names would corrupt downstream
+    // reads with no error (r8 review) — fail fast instead
+    require(tsCol == "event_time" || !stream.columns.contains("event_time"),
+      "input already has an event_time column the dedup would overwrite — rename it")
+    require(!stream.columns.contains("text_md5"),
+      "input already has a text_md5 column the dedup would overwrite — rename it")
     val withEvent = stream.withColumn("event_time", timestamp_seconds(col(tsCol)))
     // null-text records are DISTINCT documents, not duplicates of each
     // other — md5(null) is null and dropDuplicates groups null keys, so
@@ -751,7 +782,11 @@ object Dedup {
     () => java.security.MessageDigest.getInstance("MD5"))
 
   private val simhashUdf = udf { (tokens: Seq[String]) =>
-    if (tokens == null || tokens.isEmpty) 0L
+    // null text has NO fingerprint (null), not fingerprint 0 — a 0L
+    // constant paired every null-text doc with every other at hamming 0,
+    // pairs the all-pairs oracle (whose unnest yields no rows for null)
+    // never emits (r8 review); the join side filters nulls out
+    if (tokens == null || tokens.isEmpty) null.asInstanceOf[java.lang.Long]
     else {
       val md = md5Local.get()
       val votes = new Array[Int](64)
@@ -769,7 +804,7 @@ object Dedup {
       var fp = 0L
       var i = 0
       while (i < 64) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
-      fp
+      java.lang.Long.valueOf(fp) // boxed: the null branch must type as null
     }
   }
   // optimizer barrier (pure UDF): keeps the fingerprint from being inlined
@@ -784,8 +819,17 @@ object Dedup {
     * at least one identical chunk) — equality join, no all-pairs scan. */
   def simhashDupPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
+    // pigeonhole soundness needs the chunks to COVER all 64 bits: with
+    // 64 % chunks != 0 the high bits belong to no chunk, so pairs
+    // differing only there are silently missed (and maxDist >= 64 zeroes
+    // every chunk → all-pairs). Same fail-fast posture as bandedOf's
+    // r7 require (r8 review).
+    require(maxDist >= 0 && maxDist < 64 && 64 % chunks == 0,
+      s"maxDist ($maxDist): maxDist+1 must divide 64 (0, 1, 3, 7, 15, 31, 63)")
     val bits = 64 / chunks
-    val d = withSimhash(Tables.documents(spark, dir), "text").select("doc_id", "simhash")
+    val d = withSimhash(Tables.documents(spark, dir), "text")
+      .select("doc_id", "simhash")
+      .filter(col("simhash").isNotNull) // null text: no fingerprint, no pairs
     val bandCols = (0 until chunks).map { c =>
       struct(lit(c).as("band"),
         shiftrightunsigned(col("simhash"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("chunk"))
@@ -902,12 +946,12 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact_summary" ->
-      """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
-        | count(*) AS dup_count FROM documents GROUP BY md5(text)
+      s"""SELECT $duckTextDigest AS text_md5, min(doc_id) AS canonical_id,
+        | count(*) AS dup_count FROM documents GROUP BY $duckTextDigest
         | ORDER BY canonical_id""".stripMargin.replace('\n', ' '),
     "dedup_exact" ->
-      """SELECT doc_id, lang, source, n_chars FROM (
-        |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      s"""SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY $duckTextDigest) AS canonical_id
         |  FROM documents)
         | WHERE doc_id = canonical_id ORDER BY doc_id""".stripMargin.replace('\n', ' '),
     "dedup_ngram_groundtruth" -> duckJaccard,

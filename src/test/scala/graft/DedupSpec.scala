@@ -366,6 +366,33 @@ class DedupSpec extends SparkTestBase {
     assert(p.getLong(3) === 12L)
   }
 
+  test("null-text docs are DISTINCT in batch dedup and pair with nobody in simhash (r8 review)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulls").toString
+    Seq(
+      (1L, "same body here", "en", "web", 14L),
+      (2L, "same body here", "en", "web", 14L), // true exact dup of 1
+      (3L, null.asInstanceOf[String], "en", "web", 0L),
+      (4L, null.asInstanceOf[String], "en", "web", 0L) // NOT a dup of 3
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // exact dedup: md5(null) grouped docs 3+4 into one before the
+    // sentinel digest — both must survive; the real dup still collapses
+    val kept = Dedup.exactDedup(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L))
+    val summary = Dedup.exactSummary(spark, dir).collect()
+    assert(summary.length === 3)
+    assert(summary.map(_.getLong(2)).sum === 4L)
+    // simhash: a 0L fingerprint for null text paired 3-4 at hamming 0;
+    // null fingerprints must pair with nobody
+    val pairs = Dedup.simhashDupPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), s"only the true dup pair, got $pairs")
+    // degenerate banding parameters fail fast instead of all-pairs
+    intercept[IllegalArgumentException](Dedup.simhashDupPairs(spark, dir, maxDist = 64))
+    intercept[IllegalArgumentException](Dedup.simhashDupPairs(spark, dir, maxDist = 4))
+  }
+
   test("clean corpus (zero near-dup pairs): clusters is empty, keep list is everyone") {
     // threshold > 1 makes the verified pair set provably empty — the old
     // labelSum hit getLong on a null sum and NPE'd (r7 review)
