@@ -368,7 +368,14 @@ object Dedup {
     // codegen'd hash-aggregate over the exploded (doc_id, n, h) rows — the
     // same relation the verify stage joins. The materialization matters:
     // sig, banding and the two verify sides would otherwise each re-run the
-    // scan + shingle build (the r2 plan dump showed 8 parquet scans)
+    // scan + shingle build (the r2 plan dump showed 8 parquet scans).
+    // DISCLOSED trade: localCheckpoint holds this O(total shingles)
+    // relation in executor storage. Unlike the Jaccard/substring ops
+    // (whose consumers all key on h, so a repartition(h) shuffle serves as
+    // the shared cache-free materialization), the consumers here key THREE
+    // ways — doc_id for the signature aggregate, (band, bh) and (id, h)
+    // for verify — so no single exchange can be shared; at extreme scale
+    // prefer materializeReliable(checkpointDir) over executor blocks.
     val ex = docs
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
