@@ -89,13 +89,22 @@ object TextOps {
     * collision-tolerant by construction (a collision merges two gram
     * counts; the string-keyed DuckDB oracle guards it at test scale).
     * token_count rides the first aggregate as sum(c) — no third scan of
-    * the corpus to recover it. */
+    * the corpus's TEXT to recover it.
+    *
+    * Null-text policy (r9 advisory): a null-text document still emits a
+    * row — NULL token_count/fracs, zero top counts — matching the
+    * null-row policy established by exact dedup's sentinel digest and
+    * simhash's NULL fingerprint. The output frame is anchored on the
+    * documents relation itself (explode of a null token array yields no
+    * rows, so the aggregates alone would silently drop those docs); the
+    * anchor scan is doc_id-only after column pruning and joins on the
+    * same doc_id key the aggregates already shuffle on. */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .withColumn("n", size(col("t")).cast("long"))
-    // every document yields >= 1 token row (split of empty text is [""]),
-    // so this aggregate anchors the output frame: no separate n scan
+    // every NON-NULL document yields >= 1 token row (split of empty text
+    // is [""]), so sum(c) recovers its token count exactly
     val topTok = d.select(col("doc_id"), explode(col("t")).as("g"))
       .groupBy(col("doc_id"), xxhash64(col("g")).as("gh"))
       .agg(count(lit(1)).as("c"))
@@ -107,15 +116,16 @@ object TextOps {
       .groupBy(col("doc_id"), xxhash64(col("g")).as("gh"))
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_bigram_count"))
-    topTok
+    d.select(col("doc_id"))
+      .join(topTok, Seq("doc_id"), "left")
       .join(topBi, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("token_count"),
-        col("top_token_count"),
+        coalesce(col("top_token_count"), lit(0L)).as("top_token_count"),
         coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
-        round(col("top_token_count").cast("double") / col("token_count"), 6)
-          .as("top_token_frac"),
+        round(coalesce(col("top_token_count"), lit(0L)).cast("double")
+          / col("token_count"), 6).as("top_token_frac"),
         when(col("token_count") >= 2,
           round(coalesce(col("top_bigram_count"), lit(0L)).cast("double")
             / (col("token_count") - 1), 6))

@@ -98,15 +98,28 @@ object FlowSessions {
     // observation may have lowered that start to within gapSeconds of a
     // "stale" session (r8 review). The state to merge them is present, so
     // fold envelope-adjacent stale sessions into the live session instead
-    // of emitting them separately.
+    // of emitting them separately — to a FIXPOINT (r9 advisory): each
+    // merge lowers the envelope start, which could make a stale session
+    // already judged separate adjacent. Today that cascade is actually
+    // unreachable — consecutive stale sessions are > gapSeconds apart by
+    // construction, and a fold lowers the start exactly to the absorbed
+    // session's start — but the one-shot partition encoded that invariant
+    // silently. One pass in descending end order IS the fixpoint
+    // regardless: sessions attach only at the envelope's lower edge, and
+    // a later-ending session's merge lowers the start before any
+    // earlier-ending session is tested.
     val (emitted, finalCur) = cur match {
       case Some(st) =>
-        val (adjacent, separate) = staleSessions.partition(x =>
-          x.end >= st.start - gapSeconds && x.start <= st.end + gapSeconds)
-        val merged = adjacent.foldLeft(st)((acc, x) => SessionState(
-          math.min(acc.start, x.start), math.max(acc.end, x.end),
-          acc.bytes + x.bytes, acc.packets + x.packets, acc.flows + x.flows))
-        (separate, Some(merged))
+        var acc = st
+        var separate = List.empty[FlowSession]
+        staleSessions.sortBy(x => (-x.end, -x.start)).foreach { x =>
+          if (x.end >= acc.start - gapSeconds && x.start <= acc.end + gapSeconds)
+            acc = SessionState(
+              math.min(acc.start, x.start), math.max(acc.end, x.end),
+              acc.bytes + x.bytes, acc.packets + x.packets, acc.flows + x.flows)
+          else separate ::= x
+        }
+        (separate, Some(acc))
       case None => (staleSessions, None)
     }
     (emitted reverse_::: closed.reverse, finalCur)

@@ -269,17 +269,18 @@ object FlowStreams {
     val marker = staging.resolve(".folded-inputs")
     if (!Files.exists(marker)) { graft.Storage.deleteTree(staging); return }
     val inputs = Files.readAllLines(marker).asScala.filter(_.nonEmpty)
-    inputs.foreach(d => graft.Storage.deleteTree(root.resolve(d)))
-    val target = root.resolve("batch=-1")
-    if (Files.exists(target))
-      throw new IllegalStateException(
-        s"$target exists but was not a fold input — concurrent OPTIMIZE? " +
-          "optimizeRollup is offline-only (one caller, stream stopped)")
-    Files.move(staging, target)
-    // record the highest batch id this fold absorbed, so a restarted
-    // stream's checkpoint REPLAY of an absorbed batch is a no-op instead
-    // of re-adding rows the fold already counted (r8 review); monotonic
-    // max with any earlier fold's record, written atomically
+    // arm the replay guard FIRST, while the staging dir and its marker
+    // still exist: a crash after the input deletes / publish move but
+    // before the guard write would leave the fold published with the
+    // guard unarmed, so a restarted stream's checkpoint replay of an
+    // absorbed batch would re-add rows the fold already counted (r9
+    // advisory — the exact double-count the guard exists to prevent).
+    // Arming early is safe in the other direction: if we crash right
+    // after this write, replays of absorbed batches are skipped but
+    // their batch=N dirs are still on disk and still covered by the
+    // marker, so the next recoverOptimize completes the publish
+    // idempotently — no row is lost or double-counted in any interleave.
+    // Monotonic max with any earlier fold's record, written atomically.
     val foldedMax = inputs
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong).filter(_ >= 0)
@@ -291,6 +292,13 @@ object FlowStreams {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    inputs.foreach(d => graft.Storage.deleteTree(root.resolve(d)))
+    val target = root.resolve("batch=-1")
+    if (Files.exists(target))
+      throw new IllegalStateException(
+        s"$target exists but was not a fold input — concurrent OPTIMIZE? " +
+          "optimizeRollup is offline-only (one caller, stream stopped)")
+    Files.move(staging, target)
     // the marker is now inside the published dir; hidden files are ignored
     // by readers, but tidy it away (best-effort — harmless if this crashes)
     Files.deleteIfExists(target.resolve(".folded-inputs"))

@@ -131,15 +131,46 @@ object ManifestTable {
     def deletePrefix(dir: Path): Unit = graft.Storage.deleteTree(dir)
     def lastModifiedMillis(path: Path): Long =
       Files.getLastModifiedTime(path).toMillis
-    def promote(src: Path, target: Path): Unit = {
+    def promote(src: Path, target: Path): Unit =
+      promoteImpl(src, target, p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())))
+
+    /** Promotion with the mtime INVARIANT enforced, not hoped for: vacuum's
+      * grace counts file age from PROMOTION, so the published file must
+      * carry a fresh mtime — a rename that preserved the parquet-write
+      * mtime let a long compaction's early parts age past the cutoff
+      * before their commit (r8 review). The stamp lands on the SOURCE
+      * before the rename; if the filesystem refuses it (no settable
+      * mtime, permissions), fall back to copy+delete — a newly created
+      * file carries a fresh mtime by construction. A swallowed stamp
+      * failure here silently revived that data-loss race (r9 advisory),
+      * so the final state is VERIFIED: if the published file's mtime is
+      * still stale, promote throws and the stage fails loudly (the
+      * promoted file is at worst an invisible orphan — no manifest names
+      * it) — the operator learns grace-based reaping is unreliable on
+      * that filesystem instead of losing a table to it.
+      * (`stamp` is injectable so the fallback path is testable on a
+      * filesystem whose real stamp works.) */
+    private[graft] def promoteImpl(src: Path, target: Path,
+        stamp: Path => Unit): Unit = {
+      val begun = System.currentTimeMillis()
       Files.createDirectories(target.getParent)
-      Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
-      // rename preserves the SOURCE mtime — but vacuum's grace must count
-      // from PROMOTION (a long parquet write would otherwise age staged
-      // parts past the cutoff before their commit, r8 review): stamp now
-      try Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      catch { case _: java.io.IOException => () }
+      try {
+        stamp(src)
+        Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.io.IOException if Files.exists(src) =>
+          Files.copy(src, target, StandardCopyOption.REPLACE_EXISTING)
+          Files.delete(src)
+      }
+      val published = Files.getLastModifiedTime(target).toMillis
+      if (published < begun - 1000L)
+        throw new java.io.IOException(
+          s"promotion could not refresh the mtime of $target " +
+            s"(stamped $published, promotion began $begun): grace-based " +
+            "vacuum counts age from promotion and would race in-flight " +
+            "stages on this filesystem — fix the store or vacuum only " +
+            "with writers stopped")
     }
     override def mkdirs(dir: Path): Unit = { Files.createDirectories(dir); () }
   }

@@ -125,6 +125,35 @@ class FlowSessionsSpec extends SparkTestBase {
     assert(s.head.getLong(2) === 3L)
   }
 
+  test("stale-session fold runs to a fixpoint in descending end order (r9 advisory)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val q = FlowSessions.sessionize(src.toDF(), gapSeconds = 60, lateness = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("fixpoint_sessions").start()
+    val base = msgsAt(1, seed = 71, baseTime = 10000L).head
+    src.addData(base.copy(timeReceived = 10000L)); q.processAllAvailable()
+    // one batch, sorted pass: 9500 stale, 9700 stale, 9930 stale (vs the
+    // era start 10000), 9945 merges and lowers the start to 9945. The fold
+    // then walks stale sessions by DESCENDING end: [9930] is adjacent to
+    // the lowered envelope and folds in; [9700] and [9500] stay separate
+    // (each > gap below the envelope even after every preceding fold).
+    src.addData(Seq(
+      base.copy(timeReceived = 9500L),
+      base.copy(timeReceived = 9700L),
+      base.copy(timeReceived = 9930L),
+      base.copy(timeReceived = 9945L)))
+    q.processAllAvailable()
+    src.addData(msgsAt(1, seed = 72, baseTime = 200000L)); q.processAllAvailable()
+    src.addData(msgsAt(1, seed = 73, baseTime = 400000L)); q.processAllAvailable()
+    q.stop()
+    val s = spark.table("fixpoint_sessions").filter(col("start") < 100000L)
+      .orderBy("start").select("start", "end", "flows").collect()
+    assert(s.length === 3, s"expected three sessions, got ${s.toSeq}")
+    assert(s(0).getLong(0) === 9500L && s(0).getLong(2) === 1L)
+    assert(s(1).getLong(0) === 9700L && s(1).getLong(2) === 1L)
+    assert(s(2).getLong(0) === 9930L && s(2).getLong(1) === 10000L && s(2).getLong(2) === 3L)
+  }
+
   test("batch sessionization merges within gap, splits across it") {
     val base = 1704067200L
     val mk = (ts: Long) => FlowGen.flows(spark, 1, seed = 40, baseTime = ts).head()

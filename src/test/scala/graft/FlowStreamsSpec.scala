@@ -217,6 +217,46 @@ class FlowStreamsSpec extends SparkTestBase {
     assert(got2 === want)
   }
 
+  test("recoverOptimize: guard armed BEFORE publish — the crash window cannot double-count (r9 advisory)") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmp()
+    val b1 = genBatch(150, seed = 91, baseTime = 1704067200L)
+    FlowStreams.rollupPartials(b1.toDS().toDF()).write
+      .mode("overwrite").partitionBy("event_date").parquet(s"$out/batch=0")
+    val want = FlowStreams.readRollup(spark, out)
+      .agg(sum("sum_bytes"), sum("flow_count")).head()
+    val root = java.nio.file.Paths.get(out)
+    // crash image of recoverOptimize's only remaining intermediate state
+    // under the r9 ordering: guard ARMED, input dirs not yet deleted,
+    // staged fold + marker still on disk. (The pre-r9 ordering's image —
+    // fold published, guard unarmed — let a restarted stream double-count
+    // the absorbed batch permanently.)
+    val staging = root.resolve(".optimize-staging")
+    FlowStreams.readRollup(spark, out).write
+      .mode("overwrite").partitionBy("event_date").parquet(staging.toString)
+    Files.write(staging.resolve(".folded-inputs"), "batch=0".getBytes("UTF-8"))
+    Files.write(root.resolve("_graft_max_folded_batch"), "0".getBytes("UTF-8"))
+    // a restarted stream replays batch 0 BEFORE any recovery runs: the
+    // armed guard makes the replay a no-op; batch=0 itself is untouched
+    val src = MemoryStream[FlowMessage]
+    val q = FlowStreams.startRollupMV(src.toDF(), out, tmp())
+    src.addData(b1); q.processAllAvailable(); q.stop()
+    val midTotals = FlowStreams.readRollup(spark, out)
+      .agg(sum("sum_bytes"), sum("flow_count")).head()
+    assert(midTotals === want, "replay during the crash window must be a no-op")
+    // recovery then completes the publish idempotently
+    FlowStreams.optimizeRollup(spark, out)
+    assert(!Files.exists(staging), "staging must be consumed")
+    assert(Files.isDirectory(root.resolve("batch=-1")))
+    val got = FlowStreams.readRollup(spark, out)
+      .agg(sum("sum_bytes"), sum("flow_count")).head()
+    assert(got === want, "completed fold must carry the same totals exactly once")
+    // the guard survives recovery with the absorbed batch still covered
+    val guard = new String(Files.readAllBytes(
+      root.resolve("_graft_max_folded_batch")), "UTF-8").trim
+    assert(guard.toLong >= 0L)
+  }
+
   test("wire bytes -> decode -> raw + rollup MVs reconcile; absent addr renders 0.0.0.0") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Array[Byte]]

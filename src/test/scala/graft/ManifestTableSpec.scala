@@ -26,6 +26,41 @@ class ManifestTableSpec extends SparkTestBase {
     } finally s.close()
   }
 
+  test("promote enforces a fresh mtime: stamp failure falls back to copy, stale publish throws (r9 advisory)") {
+    import java.nio.file.attribute.FileTime
+    val dir = Paths.get(tmp())
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 10L * 86400_000L)
+    // (1) stamp REFUSED by the fs: copy+delete fallback still publishes a
+    // fresh-mtime file — the r8 vacuum-races-staging guard survives
+    val src1 = dir.resolve("a.parquet")
+    Files.write(src1, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(src1, old)
+    val begun = System.currentTimeMillis()
+    ManifestTable.PosixFileIO.promoteImpl(src1, dir.resolve("out/a.parquet"),
+      _ => throw new java.io.IOException("mtime not supported"))
+    assert(!Files.exists(src1), "source must be consumed")
+    val got = Files.getLastModifiedTime(dir.resolve("out/a.parquet")).toMillis
+    assert(got >= begun - 1000L,
+      s"fallback-promoted file must carry a promotion-time mtime, got $got")
+    // (2) stamp silently INEFFECTIVE (no exception, no effect — the
+    // failure mode a swallowed catch hid): promote must detect the stale
+    // publish and throw instead of leaving vacuum's grace counting from
+    // the parquet-write time
+    val src2 = dir.resolve("b.parquet")
+    Files.write(src2, Array[Byte](4, 5, 6))
+    Files.setLastModifiedTime(src2, old)
+    val e = intercept[java.io.IOException] {
+      ManifestTable.PosixFileIO.promoteImpl(src2, dir.resolve("out/b.parquet"), _ => ())
+    }
+    assert(e.getMessage.contains("grace-based"))
+    // (3) the normal path stamps via the real clock
+    val src3 = dir.resolve("c.parquet")
+    Files.write(src3, Array[Byte](7))
+    Files.setLastModifiedTime(src3, old)
+    ManifestTable.PosixFileIO.promote(src3, dir.resolve("out/c.parquet"))
+    assert(Files.getLastModifiedTime(dir.resolve("out/c.parquet")).toMillis >= begun - 1000L)
+  }
+
   test("rollup MV: OPTIMIZE runs online, interleaved with appends; re-merge stays exact") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp(); val cp = tmp()

@@ -30,16 +30,27 @@ class TextOpsSpec extends SparkTestBase {
     val planted = Seq(
       (1L, "spam spam spam spam spam"),                    // degenerate: all one token
       (2L, "alpha beta gamma delta epsilon zeta"),         // fully varied
-      (3L, "buy now buy now buy now limited offer")        // stuffed bigram
+      (3L, "buy now buy now buy now limited offer"),       // stuffed bigram
+      (4L, null.asInstanceOf[String])                      // null text: row kept, NULL stats
     ).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
     planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val p = TextOps.repetitionStats(spark, dir)
-      .collect().map(r => r.getLong(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    val rows = TextOps.repetitionStats(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L),
+      "null-text doc must not be dropped from the output frame (r9 advisory)")
+    val p = rows.filter(_.getLong(0) <= 3L)
+      .map(r => r.getLong(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
     assert(p(1L) === ((1.0, 1.0)), "all-one-token doc maxes both signals")
     assert(p(2L)._1 === (1.0 / 6 * 1e6).round / 1e6.toDouble)
     assert(p(2L)._2 === 0.2, "varied text: every bigram unique (1 of 5)")
     assert(p(3L)._2 > 0.4, s"stuffed bigram must dominate: ${p(3L)}")
+    // null-text row matches the oracle's shape: NULL token_count + fracs
+    // are NULL/0 exactly as DuckDB's len(NULL)-anchored frame emits them
+    val nr = rows.find(_.getLong(0) == 4L).get
+    assert(nr.isNullAt(1), "token_count is NULL for null text")
+    assert(nr.getLong(2) === 0L && nr.getLong(3) === 0L)
+    assert(nr.isNullAt(4), "top_token_frac is NULL for null text")
+    assert(nr.getDouble(5) === 0.0)
   }
 
   test("stratified sample applies the per-language rate exactly and deterministically") {
