@@ -54,6 +54,14 @@ object BenchStreamDedup {
     // instead of 100% (and the absolute read is p/N × index bytes).
     val batchDocs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_BATCH_DOCS", "50").toLong
     val indexBuckets = sys.env.getOrElse("SPARK_GRAFT_DEDUP_BUCKETS", "4096").toInt
+    // online compaction cadence (batches between folds; 0 = never), the
+    // era span for horizon-compatible folding, and the probe horizon —
+    // the r8 large-batch run left compaction OFF and measured file-count
+    // growth instead of the operator's steady state
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_DEDUP_COMPACT_EVERY", "4").toInt
+    val eraSpan = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ERA_SPAN", "0").toLong
+    val horizon = sys.env.getOrElse("SPARK_GRAFT_DEDUP_HORIZON", "0").toLong
+    val outJson = sys.env.getOrElse("SPARK_GRAFT_DEDUP_OUT", "BENCH_stream_dedup.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,15 +100,25 @@ object BenchStreamDedup {
       val batch = (planted ++ fresh).toDF("doc_id", "text")
       val s0 = System.nanoTime()
       Dedup.nearDupBatch(batch, b.toLong, "text", "doc_id", idx, out, 0.2, 64, 16,
-        indexBuckets)
+        indexBuckets, horizon)
       val sec = (System.nanoTime() - s0) / 1e9
       val (sel, tot) = ManifestTable.lastPruneStats(s"$idx/bands").get
       // periodic online compaction folds per-batch bucket fragments back
-      // to one file per bucket — the probe's file count returns to the
-      // batch's bucket fan-out instead of growing with batches since the
-      // last fold (the startStreamingNearDup compactEvery knob)
-      if (b % 4 == 0) Dedup.compactNearDupIndex(spark, idx)
-      (b, sec, sel, tot)
+      // to one file per bucket (per era when eraSpan > 0) — the probe's
+      // file count returns to the batch's bucket fan-out instead of
+      // growing with batches since the last fold (the
+      // startStreamingNearDup compactEvery knob). Timed SEPARATELY: in
+      // deployment it overlaps the stream from a maintenance thread, but
+      // its cost is part of the operator's honest steady state.
+      val c0 = System.nanoTime()
+      if (compactEvery > 0 && b % compactEvery == 0)
+        Dedup.compactNearDupIndex(spark, idx, 1, eraSpan)
+      // mirror startStreamingNearDup: with a horizon, retire index files no
+      // probe can select again — the storage side of the steady state
+      // (bands_files_total must stop growing with corpus lifetime)
+      if (horizon > 0L) Dedup.expireNearDupIndex(idx, b + 1 - horizon)
+      val cSec = (System.nanoTime() - c0) / 1e9
+      (b, sec, sel, tot, cSec)
     }
 
     // correctness of the probed drops: every batch kept ≤ batchDocs rows,
@@ -109,20 +127,21 @@ object BenchStreamDedup {
     val expectedMax = seedDocs + probeBatches * batchDocs
     val dropped = expectedMax - keptTotal
 
-    val perBatch = results.map { case (b, s, sel, tot) =>
-      f"""{"batch":$b,"sec":$s%.2f,"bands_files_read":$sel,"bands_files_total":$tot}"""
+    val perBatch = results.map { case (b, s, sel, tot, c) =>
+      f"""{"batch":$b,"sec":$s%.2f,"bands_files_read":$sel,"bands_files_total":$tot,"compact_sec":$c%.2f}"""
     }.mkString("[", ",", "]")
     val firstSec = results.head._2
     val lastSec = results.last._2
     val json =
       f"""{"metric":"stream_neardup","seed_docs":$seedDocs,"seed_sec":$seedSec%.1f,""" +
       f""""probe_batches":$probeBatches,"batch_docs":$batchDocs,"index_buckets":$indexBuckets,""" +
+      f""""compact_every":$compactEvery,"era_span":$eraSpan,"probe_horizon":$horizon,""" +
       f""""first_batch_sec":$firstSec%.2f,"last_batch_sec":$lastSec%.2f,""" +
       f""""dropped_near_dups":$dropped,"kept_total":$keptTotal,""" +
       f""""per_batch":$perBatch}"""
     println(json)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_stream_dedup.json"), json + "\n")
+      java.nio.file.Paths.get(outJson), json + "\n")
     catch { case _: Throwable => () }
     Storage.deleteTree(work)
     spark.stop()

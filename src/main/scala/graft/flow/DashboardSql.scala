@@ -150,4 +150,94 @@ object DashboardSql {
   /** Run one panel by name (after [[register]]), optionally time-bounded. */
   def run(spark: SparkSession, name: String, range: Option[TimeRange] = None): DataFrame =
     spark.sql(render(spark, name, range))
+
+  // ---------------------------------------------- managed-table twins (r9)
+
+  /** Register `flows_raw_managed` / `flows_5m_managed` views over
+    * MANIFEST-COMMITTED tables (the deployment posture the streams write:
+    * [[graft.streaming.FlowStreams.startRawMVManaged]] /
+    * `startRollupMVManaged`). The time range binds at REGISTRATION, not
+    * only in the WHERE clause: the views are built from
+    * `readRawManagedRange` / `readRollupManagedRange`, so a bounded range
+    * skips non-overlapping files AT THE MANIFEST — zero footer reads for
+    * cold history — before `$timeFilter`'s residual predicate ever runs.
+    * This is how a dashboard backend binds a panel server-side: one
+    * registration per query range, then plain SQL.
+    *
+    * The raw view maps the managed table's wire-schema columns to the
+    * panel surface (`time_received`, `src_addr` 16-byte left-packed, …);
+    * the v4/v6 address rendering in [[managedPanels]] is the reference
+    * dashboard's exact form — `IPv4NumToString(reinterpretAsUInt32(...))`
+    * on the leading 4 bytes for v4 rows, RFC 5952 text for v6
+    * (viz-ch.json:233). */
+  def registerManaged(spark: SparkSession, rawTable: String, rollupTable: String,
+      range: Option[TimeRange] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.FlowStreams
+    graft.GraftFunctions.register(spark)
+    val raw = range.fold(FlowStreams.readRawManaged(spark, rawTable))(r =>
+      FlowStreams.readRawManagedRange(spark, rawTable, r.from, r.until))
+    raw.select(
+      col("timeReceived").as("time_received"),
+      col("samplingRate").as("sampling_rate"),
+      col("bytes"), col("packets"), col("etype"), col("proto"),
+      col("srcPort").as("src_port"), col("dstPort").as("dst_port"),
+      col("srcAS").as("src_as"), col("dstAS").as("dst_as"),
+      col("srcAddr").as("src_addr"), col("dstAddr").as("dst_addr"))
+      .createOrReplaceTempView("flows_raw_managed")
+    val roll = range.fold(FlowStreams.readRollupManaged(spark, rollupTable))(r =>
+      FlowStreams.readRollupManagedRange(spark, rollupTable, r.from, r.until))
+    roll.select(col("timeslot"), col("srcAS").as("src_as"), col("dstAS").as("dst_as"),
+      col("sum_bytes"), col("sum_packets"), col("flow_count"))
+      .createOrReplaceTempView("flows_5m_managed")
+  }
+
+  /** Panel twins over the managed views — same shapes as [[panels]], with
+    * the address rendering spelled against the wire schema. `$timeFilter`
+    * stays in the text (the residual predicate; the manifest-level skip
+    * happened in [[registerManaged]]). */
+  val managedPanels: Map[String, String] = Map(
+    "m_instant_traffic_30s" ->
+      """SELECT CAST(time_received / 30 AS BIGINT) * 30 AS bucket,
+        |       sum(bytes * sampling_rate) * 8 AS sum_bits,
+        |       (sum(bytes * sampling_rate) * 8) / 30.0D AS rate_bps
+        |FROM flows_raw_managed
+        |WHERE $timeFilter
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+    "m_top_src_ip" ->
+      """SELECT IF(etype = 2048, ip4_ntoa(reinterpret_uint32(src_addr)), ip6_ntoa(src_addr)) AS addr,
+        |       count(1) AS flow_count,
+        |       sum(bytes * sampling_rate) AS sum_bytes
+        |FROM flows_raw_managed
+        |WHERE $timeFilter
+        |GROUP BY addr
+        |ORDER BY sum_bytes DESC, addr ASC
+        |LIMIT 10""".stripMargin,
+    "m_rollup_read" ->
+      """SELECT src_as, dst_as,
+        |       sum(sum_bytes) AS total_bytes,
+        |       sum(sum_packets) AS total_packets,
+        |       sum(flow_count) AS total_flows
+        |FROM flows_5m_managed
+        |WHERE $timeFilter
+        |GROUP BY src_as, dst_as
+        |ORDER BY src_as, dst_as""".stripMargin)
+
+  /** Render a managed panel with the residual `$timeFilter` bound. */
+  def renderManaged(name: String, range: Option[TimeRange] = None): String = {
+    val template = managedPanels(name)
+    val filter = range match {
+      case None => "1 = 1"
+      case Some(r) =>
+        if (template.contains("FROM flows_5m_managed")) rollupTimeFilter(r)
+        else s"(time_received >= ${r.from} AND time_received < ${r.until})"
+    }
+    template.replace("$timeFilter", filter)
+  }
+
+  /** Run one managed panel (after [[registerManaged]] with the SAME
+    * range, so the manifest skip and the residual filter agree). */
+  def runManaged(spark: SparkSession, name: String, range: Option[TimeRange] = None): DataFrame =
+    spark.sql(renderManaged(name, range))
 }

@@ -278,10 +278,19 @@ object Dedup {
       .join(canonPos, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
       .agg(collect_set("p").as("ps"))
+    // rebuild via set difference, not per-token membership: array_except
+    // builds ONE hash set over the removal positions and walks the index
+    // sequence once — O(n + |ps|) per document. The r8 form tested every
+    // token with array_contains(ps, idx), O(n·|ps|): a heavily-duplicated
+    // 10⁵-token doc (|ps| ≈ n) paid ~10¹⁰ comparisons inside one task
+    // (r9 verdict #4). Local CPU only — the plan shape is unchanged.
+    // n >= 1 guard: sequence(1, 0) would DESCEND ([1, 0]), not be empty.
+    val keptIdx = when(col("n") >= 1,
+      array_except(sequence(lit(1), col("n")), coalesce(col("ps"), array())))
+      .otherwise(array().cast("array<int>"))
     d.join(removedPos, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        concat_ws(" ", filter(col("t"),
-          (x, idx) => !array_contains(coalesce(col("ps"), array()), idx + 1)))
+        concat_ws(" ", transform(keptIdx, j => element_at(col("t"), j)))
           .as("text_clean"),
         col("n").cast("long").as("n_tokens"),
         coalesce(size(col("ps")), lit(0)).cast("long").as("removed_tokens"))
@@ -354,14 +363,16 @@ object Dedup {
     * exchange; this replaces it at identical semantics, xxhash64 collisions
     * being the only — negligible — difference). */
   def minhashDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16): DataFrame =
+      threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16,
+      checkpointDir: Option[String] = None): DataFrame =
     minhashDupPairsOver(Tables.documents(spark, dir).select("doc_id", "text"),
-      threshold, numHashes, bands)
+      threshold, numHashes, bands, checkpointDir)
 
   /** [[minhashDupPairs]] over an arbitrary (doc_id, text) relation — the
     * batch reference the streaming spec compares against. */
   def minhashDupPairsOver(docsIn: DataFrame,
-      threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16,
+      checkpointDir: Option[String] = None): DataFrame = {
     val docs = withShingles(docsIn, "text")
       .filter(size(col("sh")) > 0)
     // one shingle-string hash per shingle; signatures come from a single
@@ -369,17 +380,25 @@ object Dedup {
     // same relation the verify stage joins. The materialization matters:
     // sig, banding and the two verify sides would otherwise each re-run the
     // scan + shingle build (the r2 plan dump showed 8 parquet scans).
-    // DISCLOSED trade: localCheckpoint holds this O(total shingles)
-    // relation in executor storage. Unlike the Jaccard/substring ops
-    // (whose consumers all key on h, so a repartition(h) shuffle serves as
-    // the shared cache-free materialization), the consumers here key THREE
-    // ways — doc_id for the signature aggregate, (band, bh) and (id, h)
-    // for verify — so no single exchange can be shared; at extreme scale
-    // prefer materializeReliable(checkpointDir) over executor blocks.
+    // DISCLOSED trade: by default localCheckpoint holds this O(total
+    // shingles) relation in executor storage — one executor loss fails
+    // the corpus job. Unlike the Jaccard/substring ops (whose consumers
+    // all key on h, so a repartition(h) shuffle serves as the shared
+    // cache-free materialization), the consumers here key THREE ways —
+    // doc_id for the signature aggregate, (band, bh) and (id, h) for
+    // verify — so no single exchange can be shared. Pass `checkpointDir`
+    // to pin it to DURABLE storage instead
+    // ([[graft.Storage.materializeReliable]]): the corpus-scale posture,
+    // where losing an executor mid-run must not restart the whole pair
+    // generation; [[nearDupClusters]]/[[corpusKeep]]/[[splitContamination]]
+    // plumb their own checkpointDir down to here.
+    val pin: DataFrame => DataFrame = checkpointDir
+      .fold((df: DataFrame) => graft.Storage.materializeOnce(df))(
+        d => (df: DataFrame) => graft.Storage.materializeReliable(df, d))
     val ex = docs
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
-      .transform(graft.Storage.materializeOnce)
+      .transform(pin)
     val sigAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     val sig = ex.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val cands = minhashCandidates(sig, "doc_id", numHashes, bands)
@@ -419,7 +438,11 @@ object Dedup {
     val pin: DataFrame => DataFrame = checkpointDir
       .fold((df: DataFrame) => graft.Storage.materializeOnce(df))(
         d => (df: DataFrame) => graft.Storage.materializeReliable(df, d))
-    val pairs = minhashDupPairs(spark, dir, threshold)
+    // the same durability choice covers pair GENERATION: the shingle-hash
+    // relation underneath minhashDupPairs rides executor storage unless
+    // given a checkpointDir (r8 verdict: the CC rounds were protected but
+    // the stage below them was not)
+    val pairs = minhashDupPairs(spark, dir, threshold, checkpointDir = checkpointDir)
       .select(col("doc_a"), col("doc_b")).transform(pin)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -467,8 +490,9 @@ object Dedup {
     * component. Exact duplicates have identical shingle sets, so they land
     * in the same component — this one operator is the end-to-end dedup
     * product. */
-  def corpusKeep(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val clusters = nearDupClusters(spark, dir, threshold)
+  def corpusKeep(spark: SparkSession, dir: String, threshold: Double = 0.2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = nearDupClusters(spark, dir, threshold, checkpointDir = checkpointDir)
     Tables.documents(spark, dir).select("doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
@@ -571,22 +595,58 @@ object Dedup {
     * 5-second trigger at 50-doc batches falls behind by construction.
     * Latency-critical small-batch dedup belongs on the EXACT streaming
     * path ([[streamingExactDedup]]), with near-dup sweeps running
-    * batch-side. */
+    * batch-side.
+    *
+    * PROBE HORIZON (`probeHorizon` = H > 0): each batch probes only index
+    * batches within the last H (`src_batch >= batchId - H`), mirroring
+    * [[streamingExactDedup]]'s watermark contract — an in-horizon
+    * duplicate drops in-flight; one arriving later is kept in-stream and
+    * falls to the batch [[corpusKeep]] sweep. Without it, per-batch join
+    * input grows O(corpus lifetime): every byte moved is an id+hash, but
+    * months of ingest at minutes-scale triggers make the history term
+    * dominant. The bound is enforced at THREE levels: the manifest range
+    * prune skips files whose recorded (min,max) `src_batch` lies wholly
+    * below the horizon (zero footer reads), compaction folds within
+    * H-sized eras so folded files stay skippable, and
+    * [[expireNearDupIndex]] retires dead files so storage is O(horizon)
+    * too. H counts BATCHES — with a time trigger, H ≈ horizon time /
+    * trigger interval. */
   def startStreamingNearDup(stream: DataFrame, textCol: String, idCol: String,
       indexDir: String, outDir: String, checkpoint: String,
       threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16,
-      indexBuckets: Int = 64, compactEvery: Int = 0)
+      indexBuckets: Int = 64, compactEvery: Int = 0, probeHorizon: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         nearDupBatch(b, id, textCol, idCol, indexDir, outDir, threshold, numHashes,
-          bands, indexBuckets)
+          bands, indexBuckets, probeHorizon)
         if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
-          compactNearDupIndex(b.sparkSession, indexDir); ()
+          // era-scope the folds to the probe horizon: a fold that mixed
+          // in-horizon and beyond-horizon batches in one file would pin
+          // the whole file inside every future probe's range prune
+          compactNearDupIndex(b.sparkSession, indexDir,
+            eraSpan = probeHorizon); ()
+        }
+        if (probeHorizon > 0L) {
+          // storage-side horizon: retire index files no probe can select
+          // again (max src_batch entirely below the horizon); vacuum
+          // reclaims the bytes later. O(manifest) driver work per batch.
+          expireNearDupIndex(indexDir, id + 1 - probeHorizon); ()
         }
       }
       .start()
+
+  /** Drop index files whose entire `src_batch` range is below
+    * `beforeBatch` from both signature tables' manifests — the storage
+    * bound that keeps an always-on stream's index O(horizon), not
+    * O(corpus lifetime). Only meaningful with a probe horizon (without
+    * one, every batch is still probed). Returns files retired. */
+  def expireNearDupIndex(indexDir: String, beforeBatch: Long): Long = {
+    import graft.streaming.ManifestTable
+    ManifestTable.expireByStats(s"$indexDir/bands", "src_batch", beforeBatch) +
+      ManifestTable.expireByStats(s"$indexDir/shingles", "src_batch", beforeBatch)
+  }
 
   /** ONLINE compaction of the streaming near-dup signature index: fold
     * every fragmented bucket to ONE file and swap the folds in one
@@ -603,42 +663,67 @@ object Dedup {
     * `src_batch` column rides through untouched — the reader's
     * `src_batch < batchId` replay guard keeps working on folded files —
     * and a swap whose snapshot went stale aborts cleanly, so racing the
-    * stream is safe. */
+    * stream is safe.
+    *
+    * `eraSpan` > 0 folds within ERAS of that many batches (era =
+    * min `src_batch` / eraSpan, from the manifest stats): folded files
+    * then span at most one era, so a probe horizon's manifest range prune
+    * and [[expireNearDupIndex]] keep working after compaction — one fold
+    * spanning all history would carry a recent max `src_batch` forever
+    * and pin the whole file in every probe. With eraSpan ≤ H the steady
+    * state is ≤ (H/eraSpan + 1) files per bucket in-horizon. `eraSpan`
+    * = 0 folds whole buckets (right when every batch is probed forever). */
   def compactNearDupIndex(spark: SparkSession, indexDir: String,
-      fragmentThreshold: Int = 1): Boolean = {
-    val bands = compactBucketed(spark, s"$indexDir/bands", fragmentThreshold)
-    val shingles = compactBucketed(spark, s"$indexDir/shingles", fragmentThreshold)
+      fragmentThreshold: Int = 1, eraSpan: Long = 0L): Boolean = {
+    val bands = compactBucketed(spark, s"$indexDir/bands", fragmentThreshold, eraSpan)
+    val shingles = compactBucketed(spark, s"$indexDir/shingles", fragmentThreshold, eraSpan)
     bands && shingles
   }
 
   private def compactBucketed(spark: SparkSession, table: String,
-      fragmentThreshold: Int): Boolean = {
+      fragmentThreshold: Int, eraSpan: Long = 0L): Boolean = {
     import graft.streaming.ManifestTable
-    val (_, files) = ManifestTable.snapshot(table)
-    if (files.isEmpty) return true
-    val byBucket = files.groupBy(f =>
-      f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
+    val (_, entries) = ManifestTable.snapshotEntries(table)
+    if (entries.isEmpty) return true
+    // group key: (bucket dir, era) — files without src_batch stats (legacy
+    // appends) fold in era -1 among themselves, conservatively readable
+    // as before
+    def eraOf(e: ManifestTable.FileEntry): Long = e.stats match {
+      case Some(("src_batch", mn, _)) if eraSpan > 0L => mn / eraSpan
+      case _ => -1L
+    }
+    val byBucket = entries.groupBy(e =>
+      (e.path.lastIndexOf('/') match { case -1 => ""; case i => e.path.substring(0, i) },
+        eraOf(e)))
     // legacy unpartitioned files (empty dir group) are left alone: mixing
     // them into a bucket-partitioned rewrite would misfile them
-    val fragmentedGroups = byBucket.filter { case (d, fs) => d.nonEmpty && fs.size > fragmentThreshold }
-    val fragmented = fragmentedGroups.values.flatten.toSeq
-    if (fragmented.isEmpty) return true
-    fragmentedGroups.keysIterator.find(_.nonEmpty).map(_.takeWhile(_ != '=')) match {
+    val fragmentedGroups = byBucket.filter { case ((d, _), fs) =>
+      d.nonEmpty && fs.size > fragmentThreshold }
+    if (fragmentedGroups.isEmpty) return true
+    fragmentedGroups.keysIterator.map(_._1).find(_.nonEmpty).map(_.takeWhile(_ != '=')) match {
       case None => true // unreachable: every group dir above is non-empty
       case Some(bucketCol) =>
-        // hash-repartition on the bucket column: each bucket lands whole
-        // in one task → one file per bucket dir
-        val compacted = spark.read.option("basePath", table)
-          .parquet(fragmented.map(f => s"$table/$f"): _*)
-          .repartition(math.max(1, fragmentedGroups.size), col(bucketCol))
-        ManifestTable.swap(compacted, table, Some(bucketCol), fragmented)
+        // one swap per era keeps each fold's output files within one era,
+        // so their re-recorded footer stats stay horizon-skippable; all
+        // eras' swaps commit independently (each aborts cleanly on a
+        // stale snapshot)
+        fragmentedGroups.groupBy(_._1._2).forall { case (_, groups) =>
+          val fragmented = groups.values.flatten.map(_.path).toSeq
+          // hash-repartition on the bucket column: each bucket lands whole
+          // in one task → one file per bucket dir (per era)
+          val compacted = spark.read.option("basePath", table)
+            .parquet(fragmented.map(f => s"$table/$f"): _*)
+            .repartition(math.max(1, groups.size), col(bucketCol))
+          ManifestTable.swap(compacted, table, Some(bucketCol), fragmented,
+            statsCol = Some("src_batch"))
+        }
     }
   }
 
   private[graft] def nearDupBatch(batch: DataFrame, batchId: Long, textCol: String,
       idCol: String, indexDir: String, outDir: String,
       threshold: Double, numHashes: Int, bands: Int,
-      indexBuckets: Int = 64): Unit = {
+      indexBuckets: Int = 64, probeHorizon: Long = 0L): Unit = {
     import graft.streaming.ManifestTable
     val shTable = s"$indexDir/shingles"
     val bdTable = s"$indexDir/bands"
@@ -646,24 +731,26 @@ object Dedup {
       && ManifestTable.hasBatch(bdTable, batchId)) return
 
     val (keep, ex, banded) = nearDupKeep(batch, batchId, textCol, idCol, indexDir,
-      threshold, numHashes, bands, indexBuckets)
+      threshold, numHashes, bands, indexBuckets, probeHorizon)
 
     // index first, output last: every append is replay-guarded and the
     // prior-index read excludes this batch, so any crash point replays to
     // the same three commits. Index appends land under their bucket's
     // partition directory — the layout [[ManifestTable.readPruned]] prunes
     // on. repartition on the bucket col first: one writer task per bucket
-    // → O(buckets) files per append, not O(tasks × buckets)
+    // → O(buckets) files per append, not O(tasks × buckets). statsCol
+    // records each file's (min,max) src_batch in the manifest — the probe
+    // horizon's file-skip and [[expireNearDupIndex]] both read it.
     ManifestTable.append(
       ex.withColumn("src_batch", lit(batchId))
         .withColumn("doc_bucket", pmod(col("doc_id"), lit(indexBuckets.toLong)))
         .repartition(col("doc_bucket")),
-      shTable, Some("doc_bucket"), batchId)
+      shTable, Some("doc_bucket"), batchId, statsCol = Some("src_batch"))
     ManifestTable.append(
       banded.withColumn("src_batch", lit(batchId))
         .withColumn("bh_bucket", pmod(col("bh"), lit(indexBuckets.toLong)))
         .repartition(col("bh_bucket")),
-      bdTable, Some("bh_bucket"), batchId)
+      bdTable, Some("bh_bucket"), batchId, statsCol = Some("src_batch"))
     ManifestTable.append(keep, outDir, None, batchId)
   }
 
@@ -675,7 +762,7 @@ object Dedup {
   private[graft] def nearDupKeep(batch: DataFrame, batchId: Long, textCol: String,
       idCol: String, indexDir: String,
       threshold: Double, numHashes: Int, bands: Int,
-      indexBuckets: Int): (DataFrame, DataFrame, DataFrame) = {
+      indexBuckets: Int, probeHorizon: Long = 0L): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     import graft.streaming.ManifestTable
     val spark = batch.sparkSession
@@ -708,11 +795,19 @@ object Dedup {
       .observe(bdObs,
         collect_set(pmod(col("bh"), lit(indexBuckets.toLong))).as("bkts"))
       .transform(graft.Storage.materializeOnce) // self-join + cross-join + index append
+    // [horizonLo, batchId): the replay-determinism upper bound composed
+    // with the probe horizon's lower bound — BOTH applied at the manifest
+    // (file skip on recorded (min,max) src_batch) and as the residual row
+    // filter (files can span batches after compaction)
+    val horizonLo = if (probeHorizon > 0L) batchId - probeHorizon else Long.MinValue
+    val probeRange = Some(("src_batch", horizonLo, batchId))
+    def inWindow(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (probeHorizon > 0L) c >= horizonLo && c < batchId else c < batchId
     val bdBuckets = observedBuckets(bdObs)
     val priorBd = ManifestTable
-      .readPruned(spark, bdTable, "bh_bucket", bdBuckets, Some(bdSchema))
+      .readPruned(spark, bdTable, "bh_bucket", bdBuckets, Some(bdSchema), probeRange)
       .drop("bh_bucket")
-      .filter(col("src_batch") < batchId)
+      .filter(inWindow(col("src_batch")))
 
     val localCands = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -728,9 +823,9 @@ object Dedup {
       .transform(graft.Storage.materializeOnce) // verify join (×2 sides)
     val shBuckets = observedBuckets(shObs)
     val priorSh = ManifestTable
-      .readPruned(spark, shTable, "doc_bucket", shBuckets, Some(shSchema))
+      .readPruned(spark, shTable, "doc_bucket", shBuckets, Some(shSchema), probeRange)
       .drop("doc_bucket")
-      .filter(col("src_batch") < batchId)
+      .filter(inWindow(col("src_batch")))
 
     val aSide = ex.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("h"))
       .union(priorSh.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("h")))
@@ -769,8 +864,9 @@ object Dedup {
     * this adds two narrow md5 projections on top of the near-dup join —
     * the split labels ride the id columns, no extra shuffle. */
   def splitContamination(spark: SparkSession, dir: String, threshold: Double = 0.2,
-      valPct: Int = 5, testPct: Int = 5): DataFrame =
-    minhashDupPairs(spark, dir, threshold)
+      valPct: Int = 5, testPct: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame =
+    minhashDupPairs(spark, dir, threshold, checkpointDir = checkpointDir)
       .withColumn("split_a", TextOps.splitCol(col("doc_a"), valPct, testPct))
       .withColumn("split_b", TextOps.splitCol(col("doc_b"), valPct, testPct))
       .filter(col("split_a") =!= col("split_b"))

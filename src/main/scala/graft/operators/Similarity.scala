@@ -356,9 +356,15 @@ object Similarity {
     val best = aggregate(scored,
       struct(lit(Double.NegativeInfinity).as("cos"), lit(Long.MinValue).as("ncid")),
       (acc, x) => when(x > acc, x).otherwise(acc))
+    // __best aliased once then split: a non-cheap alias referenced twice is
+    // never inlined by CollapseProject, so the argmax fold runs once per
+    // row. assign_cos (the winning cosine) rides along for the drift
+    // telemetry ([[ivfDriftStats]]); callers that don't need it drop it.
     emb.crossJoin(broadcast(arr))
-      .withColumn("cid", -best.getField("ncid"))
-      .drop("cents_arr")
+      .withColumn("__best", best)
+      .withColumn("cid", -col("__best").getField("ncid"))
+      .withColumn("assign_cos", col("__best").getField("cos"))
+      .drop("cents_arr", "__best")
   }
 
   def kmeansCentroids(emb: DataFrame, nCentroids: Int, iters: Int,
@@ -463,11 +469,10 @@ object Similarity {
     val cents = kmeansCentroids(emb, nCentroids, kmeansIters, hashSeeds, trainBuckets)
     ManifestTable.append(cents.select(col("cid"), col("c_emb")),
       s"$indexDir/centroids", None, 0L)
-    val assigned = withNearestCid(emb, cents)
-      .select(col("vec_id"), col("cid"), col("embedding"))
-      .withColumn("cid_part", col("cid"))
-      .repartition(col("cid_part"))
+    val obs = org.apache.spark.sql.Observation()
+    val assigned = observedAssign(withNearestCid(emb, cents), obs)
     ManifestTable.append(assigned, s"$indexDir/cells", Some("cid_part"), 0L)
+    recordDrift(indexDir, 0L, obs)
   }
 
   /** INCREMENTAL append to a materialized IVF index: assign only the new
@@ -477,18 +482,83 @@ object Similarity {
     * instead of rebuild-the-world; the centroid table is untouched, so
     * probe ranking and the partition-pruned read scope are identical
     * before and after. Retrain (a fresh [[buildIvfIndex]] at a new path)
-    * only when drift matters — the classic IVF posture. */
+    * when drift matters — and since r9 that posture HAS A NUMBER: each
+    * commit records its batch's assignment-cosine distribution (count,
+    * mean, p05, p95) riding the append job as Observation metrics (no
+    * extra pass), surfaced by [[ivfDriftStats]]. A falling mean / p05
+    * against the build baseline is the retrain signal. */
   def appendToIvfIndex(newVecs: DataFrame, indexDir: String): Unit = {
     import graft.streaming.ManifestTable
     val cents = ManifestTable.read(newVecs.sparkSession, s"$indexDir/centroids")
-    val assigned = withNearestCid(newVecs, cents)
-      .select(col("vec_id"), col("cid"), col("embedding"))
-      .withColumn("cid_part", col("cid"))
-      .repartition(col("cid_part"))
+    val obs = org.apache.spark.sql.Observation()
+    val assigned = observedAssign(withNearestCid(newVecs, cents), obs)
     // appendAllocate: id allocated atomically inside the commit CAS, so
     // concurrent appenders can't collide into a silent replay no-op
-    ManifestTable.appendAllocate(assigned, s"$indexDir/cells", Some("cid_part"))
-    ()
+    val batch = ManifestTable.appendAllocate(assigned, s"$indexDir/cells", Some("cid_part"))
+    recordDrift(indexDir, batch, obs)
+  }
+
+  /** The cell layout projection with the drift metrics observed on the
+    * same plan the append writes — count/mean/p05/p95 of the winning
+    * assignment cosine deliver when the stage's write job runs. */
+  private def observedAssign(assigned: DataFrame,
+      obs: org.apache.spark.sql.Observation): DataFrame =
+    assigned
+      .select(col("vec_id"), col("cid"), col("embedding"), col("assign_cos"))
+      .withColumn("cid_part", col("cid"))
+      .repartition(col("cid_part"))
+      .observe(obs,
+        count(lit(1)).as("n"),
+        avg(col("assign_cos")).as("mean_cos"),
+        percentile_approx(col("assign_cos"), lit(0.05), lit(10000)).as("p05_cos"),
+        percentile_approx(col("assign_cos"), lit(0.95), lit(10000)).as("p95_cos"))
+      .drop("assign_cos")
+
+  /** Persist one commit's drift line under `indexDir/drift/` through the
+    * index tables' [[graft.streaming.ManifestTable.FileIO]] (object-store
+    * posture preserved). Advisory telemetry: written AFTER the commit, so
+    * a crash between the two loses one line, never index data. Empty
+    * batches record n=0 with NaN stats. */
+  private def recordDrift(indexDir: String, batch: Long,
+      obs: org.apache.spark.sql.Observation): Unit = {
+    import graft.streaming.ManifestTable
+    val m = obs.get
+    val n = m("n").asInstanceOf[Long]
+    def d(k: String): Double = m(k) match {
+      case null => Double.NaN
+      case v: java.lang.Number => v.doubleValue()
+    }
+    val line = s"$n,${d("mean_cos")},${d("p05_cos")},${d("p95_cos")}"
+    ManifestTable.io(s"$indexDir/cells").write(
+      java.nio.file.Paths.get(indexDir, "drift", s"b$batch"), line.getBytes("UTF-8"))
+  }
+
+  /** The drift history: one row per cells commit — `(batch, n, mean_cos,
+    * p05_cos, p95_cos)`, ascending batch. Batch 0 is the BUILD baseline
+    * (assignment quality of the trained corpus against its own
+    * centroids); appended batches whose mean/p05 fall materially below it
+    * are drifting away from the trained quantization — the measured
+    * retrain trigger the append-only posture needs. Driver-sized:
+    * O(commits) lines. */
+  def ivfDriftStats(spark: SparkSession, indexDir: String): DataFrame = {
+    import graft.streaming.ManifestTable
+    import spark.implicits._
+    val io = ManifestTable.io(s"$indexDir/cells")
+    val rows = io.list(java.nio.file.Paths.get(indexDir, "drift"))
+      .flatMap { p =>
+        val name = p.getFileName.toString
+        if (!name.startsWith("b")) None
+        else name.stripPrefix("b").toLongOption.flatMap { b =>
+          new String(io.read(p), "UTF-8").trim.split(",", -1) match {
+            case Array(n, mean, p05, p95) =>
+              try Some((b, n.toLong, mean.toDouble, p05.toDouble, p95.toDouble))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }
+      }
+      .sortBy(_._1)
+    rows.toDF("batch", "n", "mean_cos", "p05_cos", "p95_cos")
   }
 
   /** Serve top-k from the materialized index: rank cells per query against

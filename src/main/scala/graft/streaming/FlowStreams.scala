@@ -92,9 +92,17 @@ object FlowStreams {
     * a checkpoint replay rewrites the same directory instead of appending
     * a second copy of partials that the read-time re-merge would silently
     * SUM into inflated totals (blind append was the r7 review's top
-    * finding here). The manifest-committed variant
-    * ([[startRollupMVManaged]]) additionally gives readers snapshot
-    * isolation during the rewrite. */
+    * finding here).
+    *
+    * SCOPE (r9): this plain-directory layout is for TESTS and short-lived
+    * / offline-compacted single-writer tables — it accumulates one
+    * `batch=N` dir per micro-batch (~17k/day at the 5-second trigger)
+    * between OFFLINE [[optimizeRollup]] calls, and folding requires the
+    * stream stopped. The DEPLOYMENT posture for an always-on table is
+    * [[startRollupMVManaged]]: manifest-committed appends with snapshot
+    * isolation, ONLINE [[optimizeRollupOnline]] folding concurrent with
+    * the stream, and vacuum-bounded file counts. The plain reader
+    * ([[readRollup]]) stays for migration of existing tables. */
   def startRollupMV(stream: DataFrame, outPath: String, checkpoint: String,
       trigger: Trigger = DefaultTrigger): StreamingQuery =
     stream.writeStream

@@ -245,6 +245,11 @@ object ManifestTable {
     Option(ioOverrides.get(Paths.get(table).toAbsolutePath.normalize.toString))
       .getOrElse(PosixFileIO)
 
+  /** The [[FileIO]] bound to `table` — for sibling control-plane
+    * artifacts (e.g. the IVF drift telemetry) that must ride the same
+    * storage seam as the table they describe. */
+  private[graft] def io(table: String): FileIO = ioFor(table)
+
   private val manifestDirName = "_graft_manifest"
   private val hintName = "_latest.hint"
 
@@ -434,19 +439,41 @@ object ManifestTable {
     * append) are conservatively kept — correctness never depends on the
     * layout. */
   def readPruned(spark: SparkSession, table: String, partitionCol: String,
-      keep: Set[String], emptySchema: Option[org.apache.spark.sql.types.StructType] = None)
-      : DataFrame = {
-    val (_, files) = snapshot(table)
+      keep: Set[String], emptySchema: Option[org.apache.spark.sql.types.StructType] = None,
+      range: Option[(String, Long, Long)] = None): DataFrame = {
+    val (_, entries) = snapshotEntries(table)
     val dirs = keep.map(v => s"$partitionCol=$v/")
     // anchored at the path start: an unanchored contains() misclassified a
     // probed column whose name is a SUFFIX of the real partition column
     // ("date" vs "event_date") and silently dropped committed files
     // (r8 review); a file not partitioned by this column is kept
-    val selected = files.filter(f =>
-      !f.startsWith(s"$partitionCol=") || dirs.exists(f.startsWith))
+    // `range` = (statsCol, lo, hi) additionally drops files whose recorded
+    // (min,max) for statsCol does NOT overlap [lo, hi) — bucket pruning
+    // and range pruning compose (the streaming near-dup probe horizon
+    // skips beyond-horizon index files this way); files without stats are
+    // conservatively kept, as in [[readRangePruned]]
+    val selected = entries.filter { e =>
+      val f = e.path
+      val inBucket = !f.startsWith(s"$partitionCol=") || dirs.exists(f.startsWith)
+      val inRange = range match {
+        case Some((c, lo, hi)) => e.stats match {
+          case Some((sc, mn, mx)) if sc == c => mx >= lo && mn < hi
+          case _ => true
+        }
+        case None => true
+      }
+      inBucket && inRange
+    }.map(_.path)
     pruneStats.put(Paths.get(table).toAbsolutePath.normalize.toString,
-      (selected.size, files.size))
-    readFiles(spark, table, selected, emptySchema,
+      (selected.size, entries.size))
+    if (selected.isEmpty && emptySchema.isEmpty && entries.nonEmpty) {
+      // same empty-overlap handling as [[readRangePruned]]: derive the
+      // schema from committed files rather than throwing
+      val paths = entries.map(_.path)
+      val sample = (paths.find(p => p.contains('/') && p.contains('='))
+        ++ paths.find(p => !(p.contains('/') && p.contains('=')))).toSeq
+      readFiles(spark, table, sample, None, "unreachable").limit(0)
+    } else readFiles(spark, table, selected, emptySchema,
       s"no files selected in manifest table: $table (pass emptySchema)")
   }
 
@@ -607,6 +634,29 @@ object ManifestTable {
     committed.nonEmpty
   }
 
+  /** RETIRE committed files whose recorded `statsCol` maximum is below
+    * `beforeMax` — the storage-side horizon bound for append-forever
+    * tables (a probe that range-prunes on `statsCol` never selects them
+    * again, so they are dead weight): one manifest commit drops them from
+    * the snapshot, [[vacuum]] later reclaims the bytes. Files WITHOUT
+    * recorded stats are never expired (their content is unknowable from
+    * the manifest — conservative, like every stats path here). Returns
+    * the number of files retired. Concurrent appends/swaps are safe: the
+    * delta re-applies per CAS attempt against the fresh snapshot, and it
+    * only ever REMOVES entries it re-judged against that snapshot. */
+  def expireByStats(table: String, statsCol: String, beforeMax: Long): Long = {
+    var removed = 0L
+    tryCommit(table) { lines =>
+      val (dead, live) = lines.partition(l => parseEntry(l).stats match {
+        case Some((c, _, mx)) if c == statsCol => mx < beforeMax
+        case _ => false
+      })
+      removed = dead.size.toLong
+      if (dead.isEmpty) None else Some(live)
+    }
+    removed
+  }
+
   /** Write `df` as parquet into a scratch dir, then move the data files to
     * their final partition-aware names inside the table. Returns the
     * relative paths. The files are durable and complete BEFORE any
@@ -672,6 +722,62 @@ object ManifestTable {
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  // ------------------------------------------------- vacuum ownership lease
+
+  private val leaseRe = "vacuum-(\\d+)\\.lease".r
+
+  /** Cross-JVM vacuum OWNERSHIP, built from the primitives already here:
+    * a lease object published via the table's [[CasPrimitive]] (so it is
+    * atomic on every supported store) at a MONOTONICALLY VERSIONED name —
+    * `vacuum-<n>.lease`, payload `owner\nexpiryMillis`. Acquire = read
+    * the highest version; if held and unexpired, defer; otherwise CAS the
+    * next version (create-if-absent — two racing takeovers publish the
+    * same name, exactly one wins). Versioned names make expired-lease
+    * takeover safe WITHOUT conditional delete: deleting the old lease
+    * before re-publishing would let racer A delete the lease racer B just
+    * acquired. Release deletes the holder's own file; a crashed holder's
+    * lease simply expires (TTL) and the next caller takes over at n+1.
+    * Standard lease caveats apply and are the deployment contract: expiry
+    * compares the payload clock against the caller's clock, so TTL must
+    * dwarf plausible clock skew, and a vacuum pass must finish within the
+    * TTL (pick leaseTtlSeconds ≫ worst-case pass; the default is 30 min
+    * for a maintenance pass that normally takes seconds). */
+  private[graft] def acquireVacuumLease(table: String, ttlMillis: Long,
+      owner: String = s"${java.net.InetAddress.getLocalHost.getHostName}-${java.util.UUID.randomUUID()}")
+      : Option[Path] = {
+    val io = ioFor(table)
+    val dir = manifestDir(table)
+    io.mkdirs(dir)
+    val held = io.list(dir).flatMap(p => p.getFileName.toString match {
+      case leaseRe(n) => Some((n.toLong, p))
+      case _ => None
+    }).sortBy(_._1)
+    val now = System.currentTimeMillis()
+    val expiredTop = held.lastOption.forall { case (_, p) =>
+      // a vanished (concurrently released) lease reads as expired; a
+      // malformed payload cannot result from the atomic publish, but if
+      // one ever appears treat it as expired rather than wedging vacuum
+      // forever
+      try {
+        val expiry = new String(io.read(p), "UTF-8").split("\n", -1)
+          .lift(1).flatMap(_.trim.toLongOption).getOrElse(0L)
+        expiry <= now
+      } catch { case scala.util.control.NonFatal(_) => true }
+    }
+    if (!expiredTop) return None
+    val next = held.lastOption.map(_._1).getOrElse(0L) + 1L
+    val target = dir.resolve(s"vacuum-$next.lease")
+    val payload = s"$owner\n${now + ttlMillis}".getBytes("UTF-8")
+    if (!casFor(table).publish(target, payload)) return None // lost the takeover race
+    // the new lease supersedes every older version; tidy them (the loser
+    // of a takeover race never reaches here, so only the owner deletes)
+    held.foreach { case (_, p) => io.delete(p) }
+    Some(target)
+  }
+
+  private[graft] def releaseVacuumLease(table: String, lease: Path): Unit =
+    ioFor(table).delete(lease)
+
   /** Delete data files no committed snapshot references (crash leftovers,
     * compacted-away inputs).
     *
@@ -686,17 +792,34 @@ object ManifestTable {
     * in-flight `.stage-*` scratch is skipped as a unit until its newest
     * file predates the grace, then reaped whole; and the per-table commit
     * lock excludes same-JVM commits during the delete-set computation
-    * (the normal driver topology). Cross-JVM writers should schedule
-    * vacuum from the owning driver only, and promote→commit is the only
-    * window the grace must cover. Pass `graceSeconds = 0` only when no
-    * writer is active.
+    * (the normal driver topology). Across JVMs, ownership is now
+    * ENFORCED, not advised (r9): the pass runs only under the CAS
+    * vacuum lease ([[acquireVacuumLease]]) — a second driver's vacuum
+    * returns -1 (deferred) instead of computing a delete set under its
+    * own process-local lock; a crashed holder's lease expires after
+    * `leaseTtlSeconds` and the next caller takes over. promote→commit is
+    * the only window the grace must cover. Pass `graceSeconds = 0` only
+    * when no writer is active.
     *
     * Also garbage-collects manifest metadata (see [[gcManifests]]) so an
     * always-on table's commit/read cost stays flat instead of growing
-    * O(commits) with uptime. */
+    * O(commits) with uptime.
+    *
+    * @return files reclaimed, or -1 when DEFERRED to another process's
+    *         live lease. */
   def vacuum(table: String, graceSeconds: Long = 600L,
-      retainManifests: Int = 100): Long =
+      retainManifests: Int = 100, leaseTtlSeconds: Long = 1800L): Long =
     lockFor(table).synchronized {
+      val lease = acquireVacuumLease(table, leaseTtlSeconds * 1000L) match {
+        case None => return -1L
+        case Some(p) => p
+      }
+      try vacuumOwned(table, graceSeconds, retainManifests)
+      finally releaseVacuumLease(table, lease)
+    }
+
+  private def vacuumOwned(table: String, graceSeconds: Long,
+      retainManifests: Int): Long = {
       val io = ioFor(table)
       val root = Paths.get(table)
       val cutoff = System.currentTimeMillis() - graceSeconds * 1000L

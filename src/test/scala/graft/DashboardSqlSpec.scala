@@ -67,4 +67,69 @@ class DashboardSqlSpec extends SparkTestBase {
     val boundBuckets = DashboardSql.run(spark, "instant_traffic_30s", Some(range)).count()
     assert(boundBuckets < allBuckets, "time filter should exclude some buckets")
   }
+
+  test("managed twins: panel SQL equals the managed DataFrame twin; cold files skip at the manifest (r9)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.flow.{FlowGen, FlowMessage}
+    import graft.streaming.{FlowStreams, ManifestTable}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(): String = java.nio.file.Files.createTempDirectory("graft_dash_m").toString
+    val rawT = tmp(); val rollT = tmp()
+    val src = MemoryStream[FlowMessage]
+    val q1 = FlowStreams.startRawMVManaged(src.toDF(), rawT, tmp())
+    val q2 = FlowStreams.startRollupMVManaged(src.toDF(), rollT, tmp())
+    // two batches two days apart → committed files with disjoint recorded
+    // (min,max) timeReceived / timeslot
+    val day1 = 1704067200L
+    val b1 = FlowGen.flows(spark, 300, seed = 91, baseTime = day1).collect().toSeq
+    val b2 = FlowGen.flows(spark, 300, seed = 92, baseTime = day1 + 2 * 86400).collect().toSeq
+    src.addData(b1); q1.processAllAvailable(); q2.processAllAvailable()
+    src.addData(b2); q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val range = TimeRange(day1, day1 + 86400)
+    DashboardSql.registerManaged(spark, rawT, rollT, Some(range))
+    // the range covers only batch 1: batch-2 files must be skipped AT THE
+    // MANIFEST for both tables (no footer read, no Spark file listing)
+    val (rSel, rTot) = ManifestTable.lastPruneStats(rawT).get
+    assert(rSel < rTot, s"raw manifest skip must drop cold files: $rSel of $rTot")
+    val (sSel, sTot) = ManifestTable.lastPruneStats(rollT).get
+    assert(sSel < sTot, s"rollup manifest skip must drop cold files: $sSel of $sTot")
+    // panel SQL == DataFrame twin over the SAME managed range reads
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val trafficTwin = FlowStreams.readRawManagedRange(spark, rawT, range.from, range.until)
+      .groupBy(((col("timeReceived") / 30).cast("long") * 30).as("bucket"))
+      .agg((sum(col("bytes") * col("samplingRate")) * 8).as("sum_bits"),
+        ((sum(col("bytes") * col("samplingRate")) * 8) / 30.0d).as("rate_bps"))
+      .orderBy("bucket")
+    val trafficSql = DashboardSql.runManaged(spark, "m_instant_traffic_30s", Some(range))
+    assert(trafficSql.schema.fieldNames.toSeq === trafficTwin.schema.fieldNames.toSeq)
+    assert(rows(trafficSql).nonEmpty && rows(trafficSql) === rows(trafficTwin))
+    val topTwin = FlowStreams.readRawManagedRange(spark, rawT, range.from, range.until)
+      .select(expr(
+        "IF(etype = 2048, ip4_ntoa(reinterpret_uint32(srcAddr)), ip6_ntoa(srcAddr))").as("addr"),
+        col("bytes"), col("samplingRate"))
+      .groupBy("addr")
+      .agg(count(lit(1)).as("flow_count"),
+        sum(col("bytes") * col("samplingRate")).as("sum_bytes"))
+      .orderBy(desc("sum_bytes"), asc("addr")).limit(10)
+    val topSql = DashboardSql.runManaged(spark, "m_top_src_ip", Some(range))
+    assert(rows(topSql).nonEmpty && rows(topSql) === rows(topTwin),
+      "m_top_src_ip must equal the managed DataFrame twin")
+    val rollTwin = FlowStreams.readRollupManagedRange(spark, rollT, range.from, range.until)
+      .groupBy(col("srcAS").as("src_as"), col("dstAS").as("dst_as"))
+      .agg(sum("sum_bytes").as("total_bytes"), sum("sum_packets").as("total_packets"),
+        sum("flow_count").as("total_flows"))
+      .orderBy("src_as", "dst_as")
+    val rollSql = DashboardSql.runManaged(spark, "m_rollup_read", Some(range))
+    assert(rows(rollSql).nonEmpty && rows(rollSql) === rows(rollTwin),
+      "m_rollup_read must equal the managed DataFrame twin")
+    // unbounded registration reads everything: the range view was a strict
+    // subset (the bound is real, not a tautology)
+    DashboardSql.registerManaged(spark, rawT, rollT, None)
+    val allBuckets = DashboardSql.runManaged(spark, "m_instant_traffic_30s").count()
+    assert(trafficSql.count() < allBuckets,
+      "the bounded managed view must exclude the cold day's buckets")
+  }
 }

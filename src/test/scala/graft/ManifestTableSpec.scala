@@ -61,6 +61,41 @@ class ManifestTableSpec extends SparkTestBase {
     assert(Files.getLastModifiedTime(dir.resolve("out/c.parquet")).toMillis >= begun - 1000L)
   }
 
+  test("vacuum ownership lease: a held lease defers; a crash-expired lease is taken over (r9)") {
+    val table = tmp()
+    ManifestTable.append(Seq((1L, 2L)).toDF("a", "b"), table, None, 0L)
+    // an unreferenced data file old enough to reap
+    val root = Paths.get(table)
+    val orphan = root.resolve("orphan.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(orphan, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 3600_000L))
+    // driver B (a second JVM in deployment) holds a live lease: this
+    // driver's vacuum must DEFER — not compute a delete set under its own
+    // process-local lock — and touch nothing
+    val held = ManifestTable.acquireVacuumLease(table, ttlMillis = 60_000L,
+      owner = "driver-B").get
+    assert(ManifestTable.vacuum(table, graceSeconds = 0L) === -1L,
+      "vacuum under another process's live lease must defer")
+    assert(Files.exists(orphan), "a deferred vacuum must not delete anything")
+    // driver B crashes mid-pass: its lease is never released and ages out.
+    // Simulate with a short-TTL lease left unredeemed.
+    Files.delete(held)
+    val crashed = ManifestTable.acquireVacuumLease(table, ttlMillis = 50L,
+      owner = "driver-B-crashed").get
+    Thread.sleep(120L)
+    val reaped = ManifestTable.vacuum(table, graceSeconds = 0L)
+    assert(reaped >= 1L, s"post-expiry vacuum must take over and reap, got $reaped")
+    assert(!Files.exists(orphan), "the orphan must be reclaimed by the takeover")
+    assert(!Files.exists(crashed), "the superseded expired lease must be tidied away")
+    // the takeover published (and then released) a HIGHER lease version —
+    // no lease file survives a clean pass
+    val leases = Files.list(root.resolve("_graft_manifest")).iterator()
+    val names = { import scala.jdk.CollectionConverters._
+      leases.asScala.map(_.getFileName.toString).filter(_.endsWith(".lease")).toList }
+    assert(names.isEmpty, s"clean vacuum must release its lease, found $names")
+  }
+
   test("rollup MV: OPTIMIZE runs online, interleaved with appends; re-merge stays exact") {
     implicit val sqlCtx = spark.sqlContext
     val table = tmp(); val cp = tmp()

@@ -117,6 +117,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(sel < tot, s"append must not break pruning: read $sel of $tot")
   }
 
+  test("IVF drift telemetry: every commit records assignment quality; a drifted append degrades it (r9)") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    // a CLUSTERED build corpus (8 tight one-hot-direction clusters in 8
+    // dims) so the trained quantization is genuinely good — baseline
+    // assignment cosine ≈ 1 — and drift away from it is measurable. (On a
+    // uniform random corpus best-of-k cosine is weak for EVERY batch, so
+    // no append can look much worse than the build.)
+    val dim = 8
+    def clustered(id: Long): (Long, Array[Float]) = {
+      val c = (id % 8).toInt
+      val v = Array.fill(dim)(0.0f)
+      v(c) = 1.0f
+      v((c + 1 + (id % 3).toInt) % dim) = 0.1f * (1 + (id % 2))
+      (id, v)
+    }
+    val corpus = (0L until 160L).map(clustered)
+    Similarity.buildIvfIndex(corpus.toDF("vec_id", "embedding"), idx,
+      nCentroids = 8, kmeansIters = 2)
+    // append 1: IN-DISTRIBUTION — more vectors from the same clusters
+    Similarity.appendToIvfIndex(
+      (1000L until 1050L).map(clustered).toDF("vec_id", "embedding"), idx)
+    // append 2: DRIFTED — equal-weight diagonal vectors, far from every
+    // one-hot cluster direction (the distribution moved)
+    val drifted = (2000L until 2050L).map(id =>
+      (id, Array.fill(dim)(1.0f)))
+    Similarity.appendToIvfIndex(drifted.toDF("vec_id", "embedding"), idx)
+    val stats = Similarity.ivfDriftStats(spark, idx).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(stats.keySet === Set(0L, 1L, 2L), s"one drift line per commit: $stats")
+    assert(stats(0L)._1 === 160L && stats(1L)._1 === 50L && stats(2L)._1 === 50L)
+    // build baseline and in-distribution append: strong mean assignment
+    // (kmeans at test scale merges a couple of clusters — the mean stays
+    // high, the p05 tail carries the merge victims)
+    assert(stats(0L)._2 > 0.85 && stats(1L)._2 > 0.85, s"healthy batches: $stats")
+    // the drifted batch collapses both the mean and the TOP of the
+    // distribution (p95: even its best-assigned vectors fit no centroid)
+    // — the measured retrain signal
+    assert(stats(2L)._2 < stats(1L)._2 - 0.3,
+      s"drifted append must degrade mean_cos: $stats")
+    assert(stats(2L)._4 < stats(0L)._4 - 0.3, s"p95 must degrade vs baseline: $stats")
+  }
+
   test("incremental LSH append: new vector probe-visible without rebuild") {
     import spark.implicits._
     import graft.streaming.ManifestTable
