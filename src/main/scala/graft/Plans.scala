@@ -49,6 +49,13 @@ object Plans {
         "= probed buckets only, not the corpus); verify joins carry (id, hash) " +
         "columns only; output anti-joins the drop set — per-batch cost is " +
         "O(probed buckets × index/N), not O(corpus seen)"),
+      "dedup_stream_neardup_horizon" -> ("the horizon-bounded probe of the SAME " +
+        "micro-batch shape: the band-index scan's file list excludes files whose " +
+        "manifest-recorded (min,max) src_batch lies wholly below the horizon (here " +
+        "batch 4 probing [2,4): batch-0/1 files absent from the InMemoryFileIndex, " +
+        "zero footer reads), and the residual predicate pushes " +
+        "src_batch >= lo AND < hi into the surviving files' row groups — per-batch " +
+        "join input is O(horizon), not O(corpus lifetime)"),
       "sim_knn_ivf_indexed" -> ("the materialized-IVF serving plan: the cells scan " +
         "lists ONLY the probed cells' files (manifest prune, no footer reads " +
         "elsewhere); probes broadcast; re-rank reads embeddings from the pruned " +
@@ -72,6 +79,7 @@ object Plans {
     picks.foreach { case (name, note) =>
       val df =
         if (name == "dedup_stream_neardup_batch") streamNearDupKeep(spark)
+        else if (name == "dedup_stream_neardup_horizon") streamNearDupHorizon(spark)
         else if (name == "flow_raw_time_range_managed") managedTimeRange(spark)
         else SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n**Must show:** $note\n\n```\n")
@@ -97,6 +105,25 @@ object Plans {
         table, Some("event_date"), d.toLong, statsCol = Some("timeReceived"))
     }
     FlowStreams.readRawManagedRange(spark, table, t0 + 86400L, t0 + 86400L + 3600L)
+  }
+
+  /** Batch 4's keep frame under probeHorizon=2 over a 4-batch index:
+    * the scan's file list must exclude the beyond-horizon batches'
+    * files (skipped at the manifest via recorded (min,max) src_batch). */
+  private def streamNearDupHorizon(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("plans_neardup_hidx").toString
+    val out = Files.createTempDirectory("plans_neardup_hout").toString
+    def words(p: String): String = (0 until 30).map(i => s"$p$i").mkString(" ")
+    (0 to 3).foreach { b =>
+      val docs = (1L to 4L).map(i => (b * 10 + i, words(s"h${b}d${i}x")))
+        .toDF("doc_id", "text")
+      graft.operators.Dedup.nearDupBatch(docs, b.toLong, "text", "doc_id", idx, out,
+        0.2, 64, 16, 64, 2L)
+    }
+    val probe = Seq((900L, words("h3d1x") + " tail")).toDF("doc_id", "text")
+    graft.operators.Dedup.nearDupKeep(probe, 4L, "text", "doc_id", idx,
+      0.2, 64, 16, 64, 2L)._1
   }
 
   /** The streaming near-dup micro-batch `keep` plan: seed an index with

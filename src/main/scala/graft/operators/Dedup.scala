@@ -608,9 +608,10 @@ object Dedup {
     * prune skips files whose recorded (min,max) `src_batch` lies wholly
     * below the horizon (zero footer reads), compaction folds within
     * H-sized eras so folded files stay skippable, and
-    * [[expireNearDupIndex]] retires dead files so storage is O(horizon)
-    * too. H counts BATCHES — with a time trigger, H ≈ horizon time /
-    * trigger interval. */
+    * [[expireNearDupIndex]] retires dead files (with a lease-guarded
+    * vacuum on the compaction cadence reclaiming their bytes) so storage
+    * is O(horizon) too. H counts BATCHES — with a time trigger,
+    * H ≈ horizon time / trigger interval. */
   def startStreamingNearDup(stream: DataFrame, textCol: String, idCol: String,
       indexDir: String, outDir: String, checkpoint: String,
       threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16,
@@ -630,9 +631,18 @@ object Dedup {
         }
         if (probeHorizon > 0L) {
           // storage-side horizon: retire index files no probe can select
-          // again (max src_batch entirely below the horizon); vacuum
-          // reclaims the bytes later. O(manifest) driver work per batch.
-          expireNearDupIndex(indexDir, id + 1 - probeHorizon); ()
+          // again (max src_batch entirely below the horizon); O(manifest)
+          // driver work per batch.
+          expireNearDupIndex(indexDir, id + 1 - probeHorizon)
+          // ... and reclaim the BYTES on the compaction cadence — without
+          // this the manifest is O(horizon) but the directory still grows
+          // O(corpus lifetime) in dead files. Vacuum is lease-guarded
+          // (a concurrent holder defers us: -1, retried next cycle) and
+          // its default grace protects any in-flight staged fold.
+          if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
+            graft.streaming.ManifestTable.vacuum(s"$indexDir/bands")
+            graft.streaming.ManifestTable.vacuum(s"$indexDir/shingles"); ()
+          }
         }
       }
       .start()

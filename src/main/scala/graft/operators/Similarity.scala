@@ -469,10 +469,15 @@ object Similarity {
     val cents = kmeansCentroids(emb, nCentroids, kmeansIters, hashSeeds, trainBuckets)
     ManifestTable.append(cents.select(col("cid"), col("c_emb")),
       s"$indexDir/centroids", None, 0L)
+    // replay guard BEFORE the append: a re-run over an already-built index
+    // (the natural retry after a crash between commit and drift write) is
+    // a no-op inside append — no job runs, so Observation.get would block
+    // forever waiting for an action that never happens
+    val replay = ManifestTable.hasBatch(s"$indexDir/cells", 0L)
     val obs = org.apache.spark.sql.Observation()
     val assigned = observedAssign(withNearestCid(emb, cents), obs)
     ManifestTable.append(assigned, s"$indexDir/cells", Some("cid_part"), 0L)
-    recordDrift(indexDir, 0L, obs)
+    if (!replay) recordDrift(indexDir, 0L, obs)
   }
 
   /** INCREMENTAL append to a materialized IVF index: assign only the new
@@ -517,8 +522,12 @@ object Similarity {
   /** Persist one commit's drift line under `indexDir/drift/` through the
     * index tables' [[graft.streaming.ManifestTable.FileIO]] (object-store
     * posture preserved). Advisory telemetry: written AFTER the commit, so
-    * a crash between the two loses one line, never index data. Empty
-    * batches record n=0 with NaN stats. */
+    * a crash between the two loses one line, never index data — and for
+    * the same reason a FAILED write must not fail the call: the commit
+    * already landed, and an orchestrator retrying "the append" would
+    * double-append the vectors under a fresh batch id. A lost line is the
+    * documented failure mode; it is logged, never thrown. Empty batches
+    * record n=0 with NaN stats. */
   private def recordDrift(indexDir: String, batch: Long,
       obs: org.apache.spark.sql.Observation): Unit = {
     import graft.streaming.ManifestTable
@@ -529,8 +538,11 @@ object Similarity {
       case v: java.lang.Number => v.doubleValue()
     }
     val line = s"$n,${d("mean_cos")},${d("p05_cos")},${d("p95_cos")}"
-    ManifestTable.io(s"$indexDir/cells").write(
+    try ManifestTable.io(s"$indexDir/cells").write(
       java.nio.file.Paths.get(indexDir, "drift", s"b$batch"), line.getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"graft: drift line b$batch for $indexDir lost (${e.getMessage})")
+    }
   }
 
   /** The drift history: one row per cells commit — `(batch, n, mean_cos,

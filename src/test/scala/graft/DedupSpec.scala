@@ -225,6 +225,24 @@ class DedupSpec extends SparkTestBase {
     val remaining = ManifestTable.read(spark, s"$idx/bands")
       .agg(fmin("src_batch")).head().getLong(0)
     assert(remaining >= 2L, s"expired batches must leave the index, min src_batch=$remaining")
+    // ... and the lease-guarded vacuum (wired into startStreamingNearDup
+    // on the compaction cadence) reclaims the retired BYTES — without it
+    // the directory grows O(corpus lifetime) in dead files while the
+    // manifest stays O(horizon)
+    def diskParquet(t: String): Long = {
+      val root = java.nio.file.Paths.get(t)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    val before = diskParquet(s"$idx/bands")
+    val reclaimed = ManifestTable.vacuum(s"$idx/bands", graceSeconds = 0L)
+    assert(reclaimed >= retired / 2,
+      s"vacuum must reclaim the expired files' bytes, got $reclaimed of $retired")
+    assert(diskParquet(s"$idx/bands") < before, "dead parquet files must leave the disk")
+    assert(ManifestTable.read(spark, s"$idx/bands")
+      .agg(fmin("src_batch")).head().getLong(0) >= 2L,
+      "vacuum must not touch live in-horizon files")
   }
 
   test("era-scoped compaction keeps the horizon file-skip effective after folding (r9)") {
