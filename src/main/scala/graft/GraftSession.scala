@@ -17,11 +17,14 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // the driver's events.parquet carries TIMESTAMP(NANOS), which Spark's
-      // vectorized reader rejects; nanosAsLong reads it as epoch-nanos
-      // Long. A SESSION requirement owned here (FlowAdapter.flows asserts
-      // it, r7 advisory: conf mutation as a read-path side effect
-      // surprises a shared session)
+      // the driver's events.parquet is currently micros-NTZ (readable with
+      // no special conf); earlier generations carried TIMESTAMP(NANOS),
+      // which Spark's vectorized reader only accepts under nanosAsLong
+      // (read as epoch-nanos Long). Kept on so either generation reads;
+      // FlowAdapter.flows dispatches on the resulting ts type and fails
+      // loudly on anything else (r10 advisory). Owned HERE, not mutated on
+      // the read path (r7 advisory: conf mutation as a read-path side
+      // effect surprises a shared session)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

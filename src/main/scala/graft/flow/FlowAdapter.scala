@@ -26,27 +26,32 @@ object FlowAdapter {
 
   /** Spark-side flows view. Keep in lock-step with [[ducksql]].
     *
-    * The driver's events.parquet carries TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; `nanosAsLong` reads it as epoch-nanos Long,
-    * and integer division recovers epoch seconds — bit-identical to DuckDB's
-    * `floor(epoch(ts))` (DuckDB truncates ns→µs on read, both floor the
-    * sub-second part). The conf is a SESSION requirement set by
-    * [[graft.GraftSession]] and asserted here — not mutated on the query
-    * path (r7 advisory: a read-path `conf.set` surprises a shared session).
+    * The driver's events.parquet currently carries parquet
+    * `timestamp[us]` with `isAdjustedToUTC=false`, which Spark reads as
+    * `TimestampNTZType`; with the session timezone pinned to UTC
+    * ([[graft.GraftSession]]) `unix_timestamp` over it is bit-identical to
+    * DuckDB's `floor(epoch(ts))`. Earlier driver generations wrote
+    * TIMESTAMP(NANOS), which Spark's vectorized reader only accepts under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (epoch-nanos Long) —
+    * GraftSession still sets that conf so either generation reads, and the
+    * Long branch below keeps the nanos path working. Any OTHER `ts` type is
+    * a loud failure, not a silent semantic change (r10 advisory: the NTZ
+    * regeneration silently disabled pushdown for a round).
     */
   def flows(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "spark.sql.legacy.parquet.nanosAsLong must be true to read the " +
-        "TIMESTAMP(NANOS) events table: build the session via " +
-        "graft.GraftSession, or add .config(\"spark.sql.legacy.parquet" +
-        ".nanosAsLong\", \"true\") to your own builder")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val ev = Tables.events(spark, dir)
-    // integer division: nanos exceed double mantissa range, so a float
-    // divide could land on the wrong second at boundaries
-    val timeReceived =
-      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000000000")
-      else unix_timestamp(ev("ts"))
+    // integer division on the nanos path: nanos exceed double mantissa
+    // range, so a float divide could land on the wrong second at boundaries
+    val timeReceived = ev.schema("ts").dataType match {
+      case LongType                        => expr("ts div 1000000000")
+      case TimestampType | TimestampNTZType => unix_timestamp(ev("ts"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; supported: Long " +
+          "(TIMESTAMP(NANOS) under spark.sql.legacy.parquet.nanosAsLong), " +
+          "Timestamp, TimestampNTZ. Refusing to guess — a wrong epoch " +
+          "derivation here corrupts every downstream flow query.")
+    }
     ev.select(
       ev("event_id").as("seq"),
       timeReceived.as("time_received"),
@@ -74,16 +79,39 @@ object FlowAdapter {
     * pushes down to row-group stats while the derived predicate keeps the
     * exact semantics. */
   def rawTsBound(df: org.apache.spark.sql.DataFrame, fromSec: Long, untilSec: Long): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.find(_.name == "__raw_ts").map(_.dataType) match {
       case Some(LongType) =>
         col("__raw_ts") >= fromSec * 1000000000L && col("__raw_ts") < untilSec * 1000000000L
       case Some(TimestampType) =>
         col("__raw_ts") >= timestamp_seconds(lit(fromSec)) &&
           col("__raw_ts") < timestamp_seconds(lit(untilSec))
-      case _ => lit(true)
+      case Some(TimestampNTZType) =>
+        // NTZ-typed literals (java.time.LocalDateTime → TimestampNTZType):
+        // a TimestampType bound here would insert a cast around the column
+        // and the comparison would no longer reach the parquet scan
+        col("__raw_ts") >= lit(ntzLocal(fromSec)) &&
+          col("__raw_ts") < lit(ntzLocal(untilSec))
+      case Some(other) => throw new IllegalStateException(
+        s"__raw_ts has unsupported type $other — the scan-pushable time " +
+          "bound would be silently dropped (full scan per dashboard query " +
+          "at scale). Teach rawTsBound AND rawTsBoundSql this type.")
+      // no raw scan column in this relation (e.g. a derived view that
+      // dropped it): nothing to push, the derived bound alone is correct
+      case None => lit(true)
     }
   }
+
+  /** Epoch seconds → the UTC wall-clock `LocalDateTime` an NTZ column
+    * stores (session timezone is pinned to UTC by [[graft.GraftSession]]). */
+  private def ntzLocal(sec: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+
+  /** Explicit-seconds render for SQL literals (LocalDateTime.toString drops
+    * `:00` seconds, and we want the literal stable for tests/logs). */
+  private def ntzText(sec: Long): String =
+    ntzLocal(sec).format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
   /** SQL-text twin of [[rawTsBound]], kept ADJACENT so the two renderings
     * of the same bound (Column for the DataFrame surface, text for
@@ -92,13 +120,23 @@ object FlowAdapter {
     * carries no raw scan column. */
   def rawTsBoundSql(schema: org.apache.spark.sql.types.StructType,
       fromSec: Long, untilSec: Long): String = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     schema.find(_.name == "__raw_ts").map(_.dataType) match {
       case Some(LongType) =>
         s" AND __raw_ts >= ${fromSec * 1000000000L} AND __raw_ts < ${untilSec * 1000000000L}"
       case Some(TimestampType) =>
         s" AND __raw_ts >= timestamp_seconds($fromSec) AND __raw_ts < timestamp_seconds($untilSec)"
-      case _ => ""
+      case Some(TimestampNTZType) =>
+        // TIMESTAMP_NTZ literal keeps the comparison cast-free on the
+        // column, same as the lit(LocalDateTime) in rawTsBound
+        s" AND __raw_ts >= TIMESTAMP_NTZ '${ntzText(fromSec)}'" +
+          s" AND __raw_ts < TIMESTAMP_NTZ '${ntzText(untilSec)}'"
+      case Some(other) => throw new IllegalStateException(
+        s"__raw_ts has unsupported type $other — the scan-pushable time " +
+          "bound would be silently dropped. Teach rawTsBoundSql AND " +
+          "rawTsBound this type.")
+      // no raw scan column: nothing to push, derived bound alone is correct
+      case None => ""
     }
   }
 

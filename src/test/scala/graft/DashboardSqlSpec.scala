@@ -66,6 +66,13 @@ class DashboardSqlSpec extends SparkTestBase {
     val allBuckets = DashboardSql.run(spark, "instant_traffic_30s").count()
     val boundBuckets = DashboardSql.run(spark, "instant_traffic_30s", Some(range)).count()
     assert(boundBuckets < allBuckets, "time filter should exclude some buckets")
+    // and the SQL surface gets the same parquet pushdown as the DataFrame
+    // path: the raw-ts companion bound must reach the scan (r10: the NTZ
+    // regeneration silently dropped it for a round)
+    val rawPlan = spark.sql(DashboardSql.render(spark, "top_src_ip", Some(range)))
+      .queryExecution.sparkPlan.toString
+    assert(rawPlan.contains("GreaterThanOrEqual(ts") && rawPlan.contains("LessThan(ts"),
+      s"raw-ts bound not pushed on the SQL surface:\n${rawPlan.take(2000)}")
   }
 
   test("managed twins: panel SQL equals the managed DataFrame twin; cold files skip at the manifest (r9)") {

@@ -24,18 +24,48 @@ class FlowQueriesSpec extends SparkTestBase {
     fl.unpersist()
   }
 
-  test("flows asserts the nanos session requirement instead of mutating conf (r7 advisory)") {
-    // a session built WITHOUT the factory but WITH the conf works — flows
-    // no longer needs to mutate anything
-    val foreign = spark.newSession()
-    foreign.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    assert(FlowAdapter.flows(foreign, sf).limit(1).count() === 1)
-    // and one missing the conf fails FAST with an actionable message, not
-    // deep inside the parquet reader
+  test("flows reads micros-NTZ events with or without the nanos legacy conf (r10 advisory)") {
+    // the driver's current events.parquet is timestamp[us] NTZ — readable
+    // regardless of the legacy nanos conf, and flows() must not require it
     val bare = spark.newSession()
     bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    val e = intercept[IllegalArgumentException](FlowAdapter.flows(bare, sf))
-    assert(e.getMessage.contains("nanosAsLong"))
+    assert(FlowAdapter.flows(bare, sf).limit(1).count() === 1)
+    val legacy = spark.newSession()
+    legacy.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assert(FlowAdapter.flows(legacy, sf).limit(1).count() === 1)
+  }
+
+  test("rawTsBound fails LOUDLY on an unsupported __raw_ts type; renderings cover NTZ (r10 advisory)") {
+    import org.apache.spark.sql.types._
+    val (from, until) = (FlowQueries.T0, FlowQueries.T1)
+    // unsupported type (e.g. a future regeneration to StringType) must NOT
+    // silently degrade to a full scan — both renderings throw
+    val bad = spark.range(1).select(col("id").cast("string").as("__raw_ts"))
+    val e1 = intercept[IllegalStateException](FlowAdapter.rawTsBound(bad, from, until))
+    assert(e1.getMessage.contains("__raw_ts"))
+    val e2 = intercept[IllegalStateException](
+      FlowAdapter.rawTsBoundSql(bad.schema, from, until))
+    assert(e2.getMessage.contains("__raw_ts"))
+    // a relation without the scan column is the documented no-op
+    val none = spark.range(1).toDF("x")
+    assert(none.filter(FlowAdapter.rawTsBound(none, from, until)).count() === 1)
+    assert(FlowAdapter.rawTsBoundSql(none.schema, from, until) === "")
+    // NTZ schema: Column and SQL renderings select the same rows as the
+    // derived seconds bound, and the SQL text carries an NTZ literal (a
+    // TIMESTAMP literal would wrap the column in a cast and kill pushdown)
+    val fl = FlowAdapter.flows(spark, sf)
+    assert(fl.schema("__raw_ts").dataType === TimestampNTZType,
+      "driver testdata expected to be micros-NTZ; if this changed, extend the renderings")
+    val viaCol = fl.filter(FlowAdapter.rawTsBound(fl, from, until)).count()
+    val viaDerived = fl.filter(
+      col("time_received") >= from && col("time_received") < until).count()
+    assert(viaCol === viaDerived)
+    val sqlText = FlowAdapter.rawTsBoundSql(fl.schema, from, until)
+    assert(sqlText.contains("TIMESTAMP_NTZ '2024-01-10 00:00:00'"), sqlText)
+    fl.createOrReplaceTempView("ntz_bound_check")
+    val viaSql = spark.sql(
+      s"SELECT count(*) AS c FROM ntz_bound_check WHERE 1 = 1$sqlText").head().getLong(0)
+    assert(viaSql === viaDerived)
   }
 
   test("rollup 5m: totals reconcile with raw (SummingMergeTree invariant)") {
