@@ -44,6 +44,9 @@ object Plans {
       "text_fingerprint" -> ("ONE md5 in the projection — fp64 derives from the " +
         "content_md5 alias; the doubled regexp+digest was the r3 +57% regression"),
       "q1_agg" -> "classic partial+final agg; column pruning to the 4 touched columns",
+      "flow_ip_anon" -> ("distinct-count runs as the standard two-phase " +
+        "(key, src_ip) partial agg — keys stay NUMERIC through both " +
+        "exchanges; the /24 render appears only above the final aggregate"),
       "dedup_stream_neardup_batch" -> ("the micro-batch keep plan against a seeded " +
         "index: cross-batch candidates come from a PRUNED band-index scan (file list " +
         "= probed buckets only, not the corpus); verify joins carry (id, hash) " +

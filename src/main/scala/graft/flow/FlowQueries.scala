@@ -183,6 +183,25 @@ object FlowQueries {
       .orderBy(desc("sum_bytes"), asc("port"))
       .limit(10)
 
+  /** Privacy anonymization before retention: zero the host octet of each
+    * v4 source address (the classic /24 truncation) and aggregate per
+    * anonymized prefix. The mask is integer arithmetic on the NUMERIC
+    * address, so group keys stay 8-byte longs and rendering happens after
+    * the aggregate (same posture as [[topIp]]); `unique_src` exposes the
+    * k-anonymity effect — how many distinct hosts fold into each retained
+    * prefix. v4 rows only (the adapter's v6 rows are the same left-packed
+    * number space; a /48 mask there would be vacuous, not anonymizing). */
+  def ipAnon(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+    inRange(fl(spark, dir), range)
+      .filter(col("etype") === 2048)
+      .groupBy((col("src_ip") - col("src_ip") % 256).as("prefix_num"))
+      .agg(countDistinct(col("src_ip")).as("unique_src"),
+        count(lit(1)).as("flow_count"),
+        sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
+      .select(concat(ip4_ntoa(col("prefix_num")), lit("/24")).as("prefix"),
+        col("unique_src"), col("flow_count"), col("sum_bytes"))
+      .orderBy("prefix")
+
   /** A6: per-(SrcAS,DstAS) EType sub-map (create.sh:78-86,99-102), encoded as
     * a sorted `etype:bytes:packets:count` string so the oracle hash is
     * representation-stable. The typed ArrayType form is [[etypeMapTyped]]. */
@@ -360,7 +379,8 @@ object FlowQueries {
     // not bit-comparable across engines); rank error spec-bounded
     "flow_bytes_quantiles_approx" -> ((s: SparkSession, d: String) =>
       bytesQuantilesApprox(s, d)),
-    "flow_top_bytes_per_proto" -> ((s: SparkSession, d: String) => topBytesPerProto(s, d)))
+    "flow_top_bytes_per_proto" -> ((s: SparkSession, d: String) => topBytesPerProto(s, d)),
+    "flow_ip_anon" -> ((s: SparkSession, d: String) => ipAnon(s, d)))
 
   private val cte = FlowAdapter.ducksql
 
@@ -444,7 +464,12 @@ object FlowQueries {
       s"""${cte}SELECT proto, bytes FROM (
          |  SELECT proto, bytes, row_number() OVER (PARTITION BY proto ORDER BY bytes DESC) AS rn
          |  FROM flows)
-         | WHERE rn <= 3 ORDER BY proto, bytes DESC""".stripMargin.replace('\n', ' '))
+         | WHERE rn <= 3 ORDER BY proto, bytes DESC""".stripMargin.replace('\n', ' '),
+    "flow_ip_anon" ->
+      s"""${cte}SELECT ${duckDotted("(src_ip - src_ip % 256)")} || '/24' AS prefix,
+         | CAST(count(DISTINCT src_ip) AS BIGINT) AS unique_src, count(*) AS flow_count,
+         | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes
+         | FROM flows WHERE etype = 2048 GROUP BY 1 ORDER BY prefix""".stripMargin.replace('\n', ' '))
 
   private def duckTopIp(ipCol: String): String =
     s"""${cte}SELECT ${duckIpStr(ipCol)} AS addr, count(*) AS flow_count,

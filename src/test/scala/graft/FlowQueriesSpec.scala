@@ -68,6 +68,25 @@ class FlowQueriesSpec extends SparkTestBase {
     assert(viaSql === viaDerived)
   }
 
+  test("ip anonymization: /24 mask folds hosts, totals reconcile with the v4 slice") {
+    val fl = FlowAdapter.flows(spark, sf).filter(col("etype") === 2048).cache()
+    val anon = FlowQueries.ipAnon(spark, sf).collect()
+    // every retained prefix is host-octet-zeroed text
+    assert(anon.forall(_.getString(0).endsWith(".0/24")))
+    // nothing dropped, nothing double-counted
+    assert(anon.map(_.getLong(2)).sum === fl.count())
+    assert(anon.map(_.getLong(3)).sum ===
+      fl.agg(sum(col("bytes") * col("sampling_rate"))).head().getLong(0))
+    // prefixes PARTITION the host space: per-prefix distinct counts sum to
+    // the corpus distinct count (no host in two prefixes, none dropped).
+    // At this sf the hash-spread hosts land in distinct /24s, so folding
+    // itself is not assertable here — the mask arithmetic is oracle-checked
+    // value-for-value by the driver's flow_ip_anon compare instead.
+    val hosts = fl.select("src_ip").distinct().count()
+    assert(anon.map(_.getLong(1)).sum === hosts && anon.length <= hosts)
+    fl.unpersist()
+  }
+
   test("rollup 5m: totals reconcile with raw (SummingMergeTree invariant)") {
     val raw = FlowAdapter.flows(spark, sf)
     val rollup = FlowQueries.rollup5m(spark, sf)
