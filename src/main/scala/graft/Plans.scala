@@ -47,6 +47,9 @@ object Plans {
       "flow_ip_anon" -> ("distinct-count runs as the standard two-phase " +
         "(key, src_ip) partial agg — keys stay NUMERIC through both " +
         "exchanges; the /24 render appears only above the final aggregate"),
+      "text_pack" -> ("the packing window exchanges on SOURCE (shards pack " +
+        "in parallel) and its sort/window input carries only (source, " +
+        "doc_id, token_count) — document text never crosses the exchange"),
       "dedup_stream_neardup_batch" -> ("the micro-batch keep plan against a seeded " +
         "index: cross-batch candidates come from a PRUNED band-index scan (file list " +
         "= probed buckets only, not the corpus); verify joins carry (id, hash) " +

@@ -267,7 +267,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Fixed-window chunking with overlap: split each document into the
+    * training sequences a pretraining pipeline feeds the tokenizer —
+    * `window`-char windows starting every `stride` chars (overlap =
+    * window - stride), `k = max(1, ceil((n_chars - overlap) / stride))`
+    * chunks per doc. The chunk count is pure non-negative integer
+    * arithmetic so the identical formula runs in DuckDB. At scale this is
+    * a map-side explode — no shuffle; output size is input × (1 +
+    * overlap/stride), and the trailing chunk is naturally short. A
+    * null-n_chars doc yields no chunks on BOTH engines (explode of a null
+    * sequence / unnest of a null range): nothing to train on, no row. */
+  def chunkDocs(spark: SparkSession, dir: String,
+      window: Int = 512, stride: Int = 384): DataFrame = {
+    require(window > stride && stride > 0, "need 0 < stride < window")
+    val overlap = window - stride
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          s"sequence(0L, greatest(1L, (n_chars - $overlap + ${stride - 1}) div $stride) - 1)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        expr(s"substring(text, int(chunk_idx * $stride) + 1, $window)").as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Greedy sequence packing: assign documents, in deterministic doc_id
+    * order WITHIN EACH SOURCE SHARD, to fixed token-budget bins —
+    * `pack_id = floor(tokens_before_this_doc / budget)`. Packing is
+    * inherently sequential, so the window partitions by source: shards
+    * pack in parallel (the 100-TB posture — one sequential scan per
+    * shard, carrying only (doc_id, token_count) through the exchange,
+    * never text). A document larger than the budget still lands in
+    * exactly one bin; bins can overflow by at most one document, the
+    * standard greedy-packing trade. Output is the per-bin summary. */
+  def packDocs(spark: SparkSession, dir: String, budget: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("token_count"))
+      .withColumn("cum_before", coalesce(sum("token_count").over(win), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("doc_count"), sum("token_count").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_chunks" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
+    "text_pack" -> ((s: SparkSession, d: String) => packDocs(s, d)),
     "text_token_stats" -> (tokenStats _),
     "text_source_cap" -> ((s: SparkSession, d: String) => sourceCap(s, d)),
     "text_quality" -> (qualityScore _),
@@ -281,6 +333,28 @@ object TextOps {
   val oracles: Map[String, String] = {
     val w = "regexp_split_to_array(trim(text), '\\s+')"
     Map(
+      "text_chunks" ->
+        """WITH ch AS (
+          |  SELECT doc_id, text,
+          |    unnest(range(0, greatest(1, (n_chars - 128 + 383) // 384))) AS chunk_idx
+          |  FROM documents
+          |)
+          |SELECT doc_id, chunk_idx, chunk_idx * 384 AS chunk_start,
+          |  substr(text, CAST(chunk_idx * 384 + 1 AS INT), 512) AS chunk_text,
+          |  CAST(len(substr(text, CAST(chunk_idx * 384 + 1 AS INT), 512)) AS BIGINT) AS chunk_len
+          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin.replace('\n', ' '),
+      "text_pack" ->
+        s"""WITH tok AS (
+           |  SELECT source, doc_id, CAST(len($w) AS BIGINT) AS token_count FROM documents
+           |), cum AS (
+           |  SELECT *, coalesce(sum(token_count) OVER (
+           |    PARTITION BY source ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM tok
+           |)
+           |SELECT source, CAST(cum_before // 4096 AS BIGINT) AS pack_id, count(*) AS doc_count,
+           |  CAST(sum(token_count) AS BIGINT) AS sum_tokens,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin.replace('\n', ' '),
       "text_token_stats" ->
         s"""SELECT doc_id, n_chars, len(text) AS char_count,
            | CAST(len($w) AS BIGINT) AS token_count,

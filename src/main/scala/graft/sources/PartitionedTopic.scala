@@ -47,22 +47,42 @@ object PartitionedTopic {
     java.nio.file.Files.createDirectories(pdir)
     val bytes = msgs.iterator.flatMap(ProtoCodec.encodeDelimited).toArray
     val name = f"$baseOffset%020d.bin"
+    val target = pdir.resolve(name)
+    // a log APPENDS: rename onto an existing base offset would silently
+    // replace already-consumed records (Linux rename(2) replaces) — refuse
+    if (java.nio.file.Files.exists(target))
+      throw new IllegalStateException(
+        s"offset $baseOffset already produced to partition $partition — " +
+          "base offsets must be the previous produce's return value")
     val tmp = pdir.resolve(s".$name.tmp")
     java.nio.file.Files.write(tmp, bytes)
-    java.nio.file.Files.move(tmp, pdir.resolve(name),
+    java.nio.file.Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     baseOffset + msgs.size
   }
 
   private val payloadRe = """.*partition=(\d+)/(\d+)\.bin$""".r
 
-  /** Path + payload bytes → records with coordinates. Throws on a path that
-    * is not a partitioned payload (loud beats a silently misattributed
-    * partition id). */
-  def decodePayload(path: String, content: Array[Byte]): Seq[TopicRecord] =
+  /** Path + payload bytes → records with coordinates. Always throws on a
+    * path that is not a partitioned payload (a misattributed partition id
+    * corrupts ordering silently); `lenient` applies only to the payload
+    * BYTES — a malformed/truncated payload is dropped whole (same
+    * dead-letter posture and rationale as [[ProtoCodec.fromWire]]: past
+    * the first bad frame no boundary can be trusted, and the dropped
+    * offsets stay visible as a per-partition gap for monitoring). */
+  def decodePayload(path: String, content: Array[Byte],
+      lenient: Boolean = false): Seq[TopicRecord] =
     path match {
       case payloadRe(p, base) =>
-        ProtoCodec.decodeDelimitedStream(content).zipWithIndex.map {
+        val msgs =
+          if (lenient)
+            try ProtoCodec.decodeDelimitedStream(content)
+            catch {
+              case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+                Nil
+            }
+          else ProtoCodec.decodeDelimitedStream(content)
+        msgs.zipWithIndex.map {
           case (m, i) => TopicRecord(p.toInt, base.toLong + i, m)
         }
       case _ => throw new IllegalArgumentException(
@@ -86,27 +106,28 @@ object PartitionedTopic {
   /** Batch consumer. `assign` restricts to one partition (Kafka
     * `Consumer.assign`) and prunes at the FILE LISTING — unassigned
     * partitions are never opened. */
-  def read(spark: SparkSession, dir: String,
-      assign: Option[Int] = None): Dataset[TopicRecord] = {
+  def read(spark: SparkSession, dir: String, assign: Option[Int] = None,
+      lenient: Boolean = false): Dataset[TopicRecord] = {
     import spark.implicits._
     spark.read.format("binaryFile").schema(fileSchema)
       .option("recursiveFileLookup", "true")
       .load(topicPath(dir, assign))
       .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (p, c) => decodePayload(p, c) }
+      .flatMap { case (p, c) => decodePayload(p, c, lenient) }
   }
 
   /** Streaming consumer: new payload files are new micro-batch input; the
     * file-source checkpoint replaces Kafka's committed offsets (same
     * exactly-once story as [[ProtoCodec.binaryFileStream]]). */
   def readStream(spark: SparkSession, dir: String, assign: Option[Int] = None,
-      options: Map[String, String] = Map.empty): Dataset[TopicRecord] = {
+      options: Map[String, String] = Map.empty,
+      lenient: Boolean = false): Dataset[TopicRecord] = {
     import spark.implicits._
     spark.readStream.format("binaryFile").schema(fileSchema)
       .option("recursiveFileLookup", "true")
       .options(options)
       .load(topicPath(dir, assign))
       .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (p, c) => decodePayload(p, c) }
+      .flatMap { case (p, c) => decodePayload(p, c, lenient) }
   }
 }

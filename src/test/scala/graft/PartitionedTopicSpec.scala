@@ -32,6 +32,11 @@ class PartitionedTopicSpec extends SparkTestBase {
     p1.grouped(20).foreach { g => off1 = PartitionedTopic.producePayload(dir, 1, off1, g) }
     assert(off0 === 70 && off1 === 50)
 
+    // a log appends: re-producing an already-written base offset is refused
+    val dup = intercept[IllegalStateException](
+      PartitionedTopic.producePayload(dir, 0, 0L, p0.take(1)))
+    assert(dup.getMessage.contains("already produced"))
+
     val got = PartitionedTopic.read(spark, dir).collect()
     assert(got.length === 120)
     // per partition: offsets are exactly 0..n-1 (dense, unique, total
@@ -96,6 +101,26 @@ class PartitionedTopicSpec extends SparkTestBase {
     val written = spark.read.parquet(out)
     assert(written.count() === 80)
     assert(written.agg(sum("bytes")).head().getLong(0) === msgs.map(_.bytes).sum)
+  }
+
+  test("lenient mode drops a poisoned payload whole, leaving a visible offset gap") {
+    val dir = tmp("topic_poison")
+    val msgs = FlowGen.flows(spark, 40, seed = 26).collect().toSeq
+    PartitionedTopic.producePayload(dir, 0, 0L, msgs.take(20))
+    val next = PartitionedTopic.producePayload(dir, 0, 20L, msgs.drop(20))
+    // corrupt the SECOND payload's bytes in place (truncated frame)
+    val bad = java.nio.file.Paths.get(dir, "partition=0", f"${20L}%020d.bin")
+    java.nio.file.Files.write(bad,
+      java.nio.file.Files.readAllBytes(bad).dropRight(3))
+    // strict: the poisoned payload fails the read
+    val e = intercept[org.apache.spark.SparkException](
+      PartitionedTopic.read(spark, dir).count())
+    assert(e.getMessage != null)
+    // lenient: stream keeps flowing, poisoned payload dropped whole — the
+    // surviving offsets are exactly payload 1's, so the gap is observable
+    val kept = PartitionedTopic.read(spark, dir, lenient = true).collect()
+    assert(kept.map(_.offset).sorted.toSeq === (0L until 20L))
+    assert(next === 40L)
   }
 
   test("streaming consumer: new payloads continue offsets exactly-once across restarts") {

@@ -11,6 +11,58 @@ class TextOpsSpec extends SparkTestBase {
     java.lang.Long.parseLong(hex, 16) % 10000
   }
 
+  test("chunking: windows tile each document; overlap-trimmed concat reconstructs it") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = TextOps.chunkDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(chunks.keySet === docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val text = docs(id)
+      val sorted = cs.sortBy(_._2)
+      // dense indices, stride-aligned starts, window-bounded lengths
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length.toLong))
+      sorted.foreach { case (_, i, start, t, len) =>
+        assert(start === i * 384 && len === t.length && len <= 512)
+      }
+      // the chunk count formula, and full reconstruction: chunk 0 plus
+      // each later chunk minus its 128-char overlap re-yields the doc
+      assert(sorted.length === math.max(1L, (text.length - 128 + 383) / 384))
+      val rebuilt = sorted.head._4 + sorted.tail.map(_._4.drop(128)).mkString
+      assert(rebuilt === text, s"doc $id not covered by its chunks")
+    }
+  }
+
+  test("packing: per-source greedy bins conserve docs/tokens with disjoint ordered ranges") {
+    import org.apache.spark.sql.functions._
+    val budget = 4096L
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tc")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val packs = TextOps.packDocs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // conservation: every doc in exactly one bin, token totals match
+    assert(packs.map(_._3).sum === toks.length)
+    assert(packs.map(_._4).sum === toks.map(_._3).sum)
+    packs.groupBy(_._1).foreach { case (src, bins) =>
+      val ordered = bins.sortBy(_._2)
+      val maxDoc = toks.filter(_._1 == src).map(_._3).max
+      // doc-id ranges are disjoint and ordered with the pack ids —
+      // packing preserved the deterministic shard order
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5 && a._2 < b._2)
+        case _ =>
+      }
+      // greedy bound: a bin overflows its budget by at most one document
+      ordered.foreach { case (_, _, _, sumTok, _, _) =>
+        assert(sumTok < budget + maxDoc)
+      }
+    }
+  }
+
   test("repetition stats flag keyword stuffing; varied text scores low") {
     val rep = TextOps.repetitionStats(spark, sf)
       .collect().map(r => r.getLong(0) ->
