@@ -317,7 +317,34 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** Source-mixing weights: the temperature-reweighting step a pretraining
+    * pipeline runs to decide how much of each source to sample — weight ∝
+    * token_mass^α with α=0.5, flattening the natural source skew. Float
+    * parity with the oracle is engineered, not hoped for: the scaled root
+    * is FLOORED TO AN INTEGER per source before the cross-source total, so
+    * the only float ops are a correctly-rounded IEEE sqrt and one final
+    * division of identical integers — no summation-order sensitivity.
+    * The 1e4 scale keeps 4-digit weight precision with ~280× headroom
+    * against long overflow at 100-TB single-source token masses. The
+    * empty-partition window runs over the per-source AGGREGATE (a handful
+    * of rows), never the corpus. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast("long")).as("sum_tokens"))
+      .withColumn("raw_w",
+        floor(sqrt(col("sum_tokens").cast("double")) * 10000).cast("long"))
+      .withColumn("total_w", sum("raw_w").over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        round(col("raw_w").cast("double") / col("total_w"), 4).as("weight"),
+        expr("raw_w * 1000000 div total_w").as("docs_per_million"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_mix" -> ((s: SparkSession, d: String) => mixWeights(s, d)),
     "text_chunks" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "text_pack" -> ((s: SparkSession, d: String) => packDocs(s, d)),
     "text_token_stats" -> (tokenStats _),
@@ -333,6 +360,19 @@ object TextOps {
   val oracles: Map[String, String] = {
     val w = "regexp_split_to_array(trim(text), '\\s+')"
     Map(
+      "text_mix" ->
+        s"""WITH src AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    CAST(sum(len($w)) AS BIGINT) AS sum_tokens FROM documents GROUP BY 1
+           |), fixed AS (
+           |  SELECT *, CAST(floor(sqrt(CAST(sum_tokens AS DOUBLE)) * 10000) AS BIGINT) AS raw_w FROM src
+           |), tot AS (
+           |  SELECT *, CAST(sum(raw_w) OVER () AS BIGINT) AS total_w FROM fixed
+           |)
+           |SELECT source, n_docs, sum_tokens,
+           |  round(CAST(raw_w AS DOUBLE) / total_w, 4) AS weight,
+           |  CAST(raw_w * 1000000 // total_w AS BIGINT) AS docs_per_million
+           |FROM tot ORDER BY source""".stripMargin.replace('\n', ' '),
       "text_chunks" ->
         """WITH ch AS (
           |  SELECT doc_id, text,

@@ -11,6 +11,27 @@ class TextOpsSpec extends SparkTestBase {
     java.lang.Long.parseLong(hex, 16) % 10000
   }
 
+  test("mixing: sqrt temperature flattens source skew; weights form a distribution") {
+    import org.apache.spark.sql.functions._
+    val mix = TextOps.mixWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(mix.nonEmpty)
+    // weights ~sum to 1 (4dp rounding slack per source), shares to 1e6
+    assert(math.abs(mix.map(_._4).sum - 1.0) <= 0.0001 * mix.length)
+    val shareSum = mix.map(_._5).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - mix.length)
+    // α=0.5 flattens: every source's weight sits BETWEEN uniform and its
+    // natural token-mass share (inclusive at the uniform point)
+    val totTok = mix.map(_._3).sum.toDouble
+    val uniform = 1.0 / mix.length
+    mix.foreach { case (src, _, tok, w, _) =>
+      val natural = tok / totTok
+      val lo = math.min(natural, uniform) - 0.001
+      val hi = math.max(natural, uniform) + 0.001
+      assert(w >= lo && w <= hi, s"$src: weight $w outside [$lo, $hi]")
+    }
+  }
+
   test("chunking: windows tile each document; overlap-trimmed concat reconstructs it") {
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
