@@ -50,6 +50,10 @@ object Plans {
       "text_pack" -> ("the packing window exchanges on SOURCE (shards pack " +
         "in parallel) and its sort/window input carries only (source, " +
         "doc_id, token_count) — document text never crosses the exchange"),
+      "text_prep_pipeline" -> ("chunk -> dedup -> pack in one DAG: chunking " +
+        "and the md5 digest evaluate inside the scan stage; the three " +
+        "exchanges (dedup window on h, pack window on source, final agg) " +
+        "carry (digest, ids, length) — chunk text appears in NO exchange"),
       "dedup_stream_neardup_batch" -> ("the micro-batch keep plan against a seeded " +
         "index: cross-batch candidates come from a PRUNED band-index scan (file list " +
         "= probed buckets only, not the corpus); verify joins carry (id, hash) " +

@@ -343,7 +343,47 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** The composed training-data prep pipeline in one DAG: chunk every
+    * document into training windows, drop exact-duplicate chunks
+    * corpus-wide (first occurrence in (doc_id, chunk_idx) order wins),
+    * pack the survivors into fixed char-budget bins per source shard.
+    * Scale shape: chunking is map-side; the dedup exchange carries
+    * (digest, ids, length) — never chunk text; packing exchanges per
+    * source shard. One pipeline, three shuffles total, none carrying
+    * document bodies. */
+  def prepPipeline(spark: SparkSession, dir: String, window: Int = 512,
+      stride: Int = 384, budget: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window > stride && stride > 0, "need 0 < stride < window")
+    val overlap = window - stride
+    val ch = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"),
+        explode(expr(
+          s"sequence(0L, greatest(1L, (n_chars - $overlap + ${stride - 1}) div $stride) - 1)"))
+          .as("chunk_idx"))
+      .select(col("source"), col("doc_id"), col("chunk_idx"),
+        expr(s"substring(text, int(chunk_idx * $stride) + 1, $window)").as("chunk_text"))
+      // the digest + length are all downstream stages need: chunk text
+      // stays inside the scan stage and never crosses an exchange
+      .select(col("source"), col("doc_id"), col("chunk_idx"),
+        md5(col("chunk_text")).as("h"),
+        length(col("chunk_text")).cast("long").as("chunk_len"))
+    val keepWin = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    val kept = ch.withColumn("rn", row_number().over(keepWin))
+      .filter(col("rn") === 1).drop("rn", "h")
+    val packWin = Window.partitionBy("source").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    kept
+      .withColumn("cum_before", coalesce(sum("chunk_len").over(packWin), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("chunk_count"), sum("chunk_len").as("sum_chars"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_prep_pipeline" -> ((s: SparkSession, d: String) => prepPipeline(s, d)),
     "text_mix" -> ((s: SparkSession, d: String) => mixWeights(s, d)),
     "text_chunks" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "text_pack" -> ((s: SparkSession, d: String) => packDocs(s, d)),
@@ -360,6 +400,31 @@ object TextOps {
   val oracles: Map[String, String] = {
     val w = "regexp_split_to_array(trim(text), '\\s+')"
     Map(
+      "text_prep_pipeline" ->
+        """WITH ch0 AS (
+          |  SELECT source, doc_id, text,
+          |    unnest(range(0, greatest(1, (n_chars - 128 + 383) // 384))) AS chunk_idx
+          |  FROM documents
+          |), ch AS (
+          |  SELECT source, doc_id, chunk_idx,
+          |    md5(substr(text, CAST(chunk_idx * 384 + 1 AS INT), 512)) AS h,
+          |    CAST(len(substr(text, CAST(chunk_idx * 384 + 1 AS INT), 512)) AS BIGINT) AS chunk_len
+          |  FROM ch0
+          |), kept AS (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+          |  WHERE rn = 1
+          |), cum AS (
+          |  SELECT source, doc_id, chunk_idx, chunk_len,
+          |    coalesce(sum(chunk_len) OVER (
+          |      PARTITION BY source ORDER BY doc_id, chunk_idx
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          |  FROM kept
+          |)
+          |SELECT source, CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+          |  count(*) AS chunk_count, CAST(sum(chunk_len) AS BIGINT) AS sum_chars,
+          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin.replace('\n', ' '),
       "text_mix" ->
         s"""WITH src AS (
            |  SELECT source, count(*) AS n_docs,

@@ -11,6 +11,29 @@ class TextOpsSpec extends SparkTestBase {
     java.lang.Long.parseLong(hex, 16) % 10000
   }
 
+  test("prep pipeline: chunk -> dedup -> pack composes and conserves the survivor set") {
+    import org.apache.spark.sql.functions._
+    val packs = TextOps.prepPipeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(packs.nonEmpty)
+    // the pipeline's survivor count equals independent chunk + distinct-text
+    // accounting: one survivor per distinct chunk text
+    val chunks = TextOps.chunkDocs(spark, sf)
+    val distinctTexts = chunks.select("chunk_text").distinct().count()
+    assert(packs.map(_._3).sum === distinctTexts)
+    // survivors' char mass: sum over distinct texts of their length, each
+    // counted once (first occurrence kept — equal texts have equal length)
+    val survivorChars = chunks.select(col("chunk_text")).distinct()
+      .agg(sum(length(col("chunk_text")))).head().getLong(0)
+    assert(packs.map(_._4).sum === survivorChars)
+    // bins respect the greedy bound within each source
+    packs.groupBy(_._1).foreach { case (_, bins) =>
+      bins.foreach { case (_, _, _, sumChars, _, _) =>
+        assert(sumChars < 2048L + 512L) // budget + one max-size chunk
+      }
+    }
+  }
+
   test("mixing: sqrt temperature flattens source skew; weights form a distribution") {
     import org.apache.spark.sql.functions._
     val mix = TextOps.mixWeights(spark, sf).collect()
