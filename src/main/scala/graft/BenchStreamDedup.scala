@@ -102,6 +102,11 @@ object BenchStreamDedup {
       Dedup.nearDupBatch(batch, b.toLong, "text", "doc_id", idx, out, 0.2, 64, 16,
         indexBuckets, horizon)
       val sec = (System.nanoTime() - s0) / 1e9
+      // r11: per-phase attribution from the operator's timing seam —
+      // probe (sign→candidates incl. the manifest-pruned index reads),
+      // the two bucketed index commits, and the verify+keep output commit
+      val (probeSec, idxAppSec, outAppSec) =
+        Dedup.batchPhaseSec.getOrDefault(out, (0.0, 0.0, 0.0))
       val (sel, tot) = ManifestTable.lastPruneStats(s"$idx/bands").get
       // periodic online compaction folds per-batch bucket fragments back
       // to one file per bucket (per era when eraSpan > 0) — the probe's
@@ -113,12 +118,24 @@ object BenchStreamDedup {
       val c0 = System.nanoTime()
       if (compactEvery > 0 && b % compactEvery == 0)
         Dedup.compactNearDupIndex(spark, idx, 1, eraSpan)
+      val cSec = (System.nanoTime() - c0) / 1e9
       // mirror startStreamingNearDup: with a horizon, retire index files no
       // probe can select again — the storage side of the steady state
       // (bands_files_total must stop growing with corpus lifetime)
+      val e0 = System.nanoTime()
       if (horizon > 0L) Dedup.expireNearDupIndex(idx, b + 1 - horizon)
-      val cSec = (System.nanoTime() - c0) / 1e9
-      (b, sec, sel, tot, cSec)
+      val eSec = (System.nanoTime() - e0) / 1e9
+      // vacuum, timed on its own: in the streaming operator this runs on a
+      // daemon thread OFF the trigger path (startStreamingNearDup r11);
+      // measuring it synchronously here attributes its honest cost while
+      // proving it is NOT part of probe/append/expire
+      val v0 = System.nanoTime()
+      if (horizon > 0L && compactEvery > 0 && b % compactEvery == 0) {
+        ManifestTable.vacuum(s"$idx/bands")
+        ManifestTable.vacuum(s"$idx/shingles"); ()
+      }
+      val vSec = (System.nanoTime() - v0) / 1e9
+      (b, sec, sel, tot, cSec, probeSec, idxAppSec, outAppSec, eSec, vSec)
     }
 
     // correctness of the probed drops: every batch kept ≤ batchDocs rows,
@@ -127,8 +144,10 @@ object BenchStreamDedup {
     val expectedMax = seedDocs + probeBatches * batchDocs
     val dropped = expectedMax - keptTotal
 
-    val perBatch = results.map { case (b, s, sel, tot, c) =>
-      f"""{"batch":$b,"sec":$s%.2f,"bands_files_read":$sel,"bands_files_total":$tot,"compact_sec":$c%.2f}"""
+    val perBatch = results.map { case (b, s, sel, tot, c, p, ia, oa, e, v) =>
+      f"""{"batch":$b,"sec":$s%.2f,"probe_sec":$p%.2f,"index_append_sec":$ia%.2f,""" +
+        f""""out_append_sec":$oa%.2f,"bands_files_read":$sel,"bands_files_total":$tot,""" +
+        f""""compact_sec":$c%.2f,"expire_sec":$e%.2f,"vacuum_sec":$v%.2f}"""
     }.mkString("[", ",", "]")
     val firstSec = results.head._2
     val lastSec = results.last._2

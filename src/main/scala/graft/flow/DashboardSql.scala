@@ -205,6 +205,15 @@ object DashboardSql {
         |WHERE $timeFilter
         |GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
+    // viz-ch.json:74 — per-minute traffic with the Grafana ms-epoch key
+    "m_instant_traffic_1m" ->
+      """SELECT CAST(time_received / 60 AS BIGINT) * 60 AS bucket,
+        |       sum(bytes * sampling_rate) AS sum_bytes,
+        |       CAST(time_received / 60 AS BIGINT) * 60 * 1000 AS bucket_ms
+        |FROM flows_raw_managed
+        |WHERE $timeFilter
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
     "m_top_src_ip" ->
       """SELECT IF(etype = 2048, ip4_ntoa(reinterpret_uint32(src_addr)), ip6_ntoa(src_addr)) AS addr,
         |       count(1) AS flow_count,
@@ -213,6 +222,36 @@ object DashboardSql {
         |WHERE $timeFilter
         |GROUP BY addr
         |ORDER BY sum_bytes DESC, addr ASC
+        |LIMIT 10""".stripMargin,
+    // viz-ch.json:479 — "Top destination IPs" against the wire schema
+    "m_top_dst_ip" ->
+      """SELECT IF(etype = 2048, ip4_ntoa(reinterpret_uint32(dst_addr)), ip6_ntoa(dst_addr)) AS addr,
+        |       count(1) AS flow_count,
+        |       sum(bytes * sampling_rate) AS sum_bytes
+        |FROM flows_raw_managed
+        |WHERE $timeFilter
+        |GROUP BY addr
+        |ORDER BY sum_bytes DESC, addr ASC
+        |LIMIT 10""".stripMargin,
+    // viz-ch.json:358 — "Top source ports"
+    "m_top_src_port" ->
+      """SELECT src_port AS port,
+        |       count(1) AS flow_count,
+        |       sum(bytes * sampling_rate) AS sum_bytes
+        |FROM flows_raw_managed
+        |WHERE $timeFilter
+        |GROUP BY port
+        |ORDER BY sum_bytes DESC, port ASC
+        |LIMIT 10""".stripMargin,
+    // viz-ch.json:604 — "Top destination ports"
+    "m_top_dst_port" ->
+      """SELECT dst_port AS port,
+        |       count(1) AS flow_count,
+        |       sum(bytes * sampling_rate) AS sum_bytes
+        |FROM flows_raw_managed
+        |WHERE $timeFilter
+        |GROUP BY port
+        |ORDER BY sum_bytes DESC, port ASC
         |LIMIT 10""".stripMargin,
     "m_rollup_read" ->
       """SELECT src_as, dst_as,

@@ -98,6 +98,41 @@ object FlowQueries {
         col("bytes"), col("packets"))
       .orderBy("seq")
 
+  /** P3 served through the MANAGED read path — the deployment posture
+    * ([[graft.streaming.FlowStreams.startRawMVManaged]]) under the same
+    * oracle as [[timeFilter]]: the flows load once into a
+    * manifest-committed table whose files are range-partitioned on
+    * `time_received` and carry per-file (min,max) stats, and the query
+    * reads back through manifest-level range skipping plus the exact
+    * residual predicate. Layout MUST be result-invisible — the registry
+    * shares `flow_time_filter`'s oracle SQL verbatim, so the driver
+    * hash-compares the managed read against the plain-scan answer.
+    *
+    * At 100 TB this is the difference between a dashboard window reading
+    * its hour of files (a long-compare per manifest entry, zero footer
+    * reads for cold files) and listing+scanning the table. The per-call
+    * table build is the honest cost of a self-contained oracle query; a
+    * deployment builds once via the streaming MV and serves many. */
+  def timeFilterManaged(spark: SparkSession, dir: String,
+      range: TimeRange = TimeRange(T0, T1), tableDir: Option[String] = None): DataFrame = {
+    import graft.streaming.ManifestTable
+    // an explicit tableDir reuses an already-loaded table (the batch-0
+    // append replays as a no-op); the registry default stays self-contained
+    val table = tableDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_tf_managed").toString)
+    val cols = Seq("seq", "time_received", "src_as", "dst_as", "bytes", "packets")
+    // range-partitioned files → disjoint recorded (min,max) time_received
+    // per file, so the bounded read skips the cold ones AT THE MANIFEST
+    ManifestTable.append(
+      fl(spark, dir).select(cols.map(col): _*)
+        .repartitionByRange(8, col("time_received")),
+      table, None, batchId = 0L, statsCol = Some("time_received"))
+    ManifestTable.readRangePruned(spark, table, "time_received", range.from, range.until)
+      .filter(col("time_received") >= range.from && col("time_received") < range.until)
+      .select(cols.map(col): _*)
+      .orderBy("seq")
+  }
+
   /** A3/F5: 30-second traffic-rate buckets, bits/sec (viz.json:62). */
   def rate30s(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
     inRange(fl(spark, dir), range)
@@ -360,6 +395,9 @@ object FlowQueries {
   val queries: Map[String, Q] = Map(
     "flow_raw_projection" -> (rawProjection _),
     "flow_time_filter" -> ((s: SparkSession, d: String) => timeFilter(s, d)),
+    // the managed-layout twin shares flow_time_filter's oracle: the
+    // manifest-pruned read must be result-invisible
+    "flow_time_filter_managed" -> ((s: SparkSession, d: String) => timeFilterManaged(s, d)),
     "flow_rate_30s" -> ((s: SparkSession, d: String) => rate30s(s, d)),
     "flow_rate_1m" -> ((s: SparkSession, d: String) => rate1m(s, d)),
     "flow_rollup_5m" -> ((s: SparkSession, d: String) => rollup5m(s, d)),
@@ -390,6 +428,11 @@ object FlowQueries {
          | src_as, dst_as, etype, proto, src_port, dst_port, bytes, packets, src_ip, dst_ip
          | FROM flows ORDER BY seq""".stripMargin.replace('\n', ' '),
     "flow_time_filter" ->
+      s"""${cte}SELECT seq, time_received, src_as, dst_as, bytes, packets FROM flows
+         | WHERE time_received >= $T0 AND time_received < $T1 ORDER BY seq""".stripMargin.replace('\n', ' '),
+    // IDENTICAL oracle by construction: storage layout (manifest +
+    // range-partitioned stats files) must not change the answer
+    "flow_time_filter_managed" ->
       s"""${cte}SELECT seq, time_received, src_as, dst_as, bytes, packets FROM flows
          | WHERE time_received >= $T0 AND time_received < $T1 ORDER BY seq""".stripMargin.replace('\n', ' '),
     "flow_rate_30s" ->

@@ -609,13 +609,16 @@ object Dedup {
     * below the horizon (zero footer reads), compaction folds within
     * H-sized eras so folded files stay skippable, and
     * [[expireNearDupIndex]] retires dead files (with a lease-guarded
-    * vacuum on the compaction cadence reclaiming their bytes) so storage
-    * is O(horizon) too. H counts BATCHES — with a time trigger,
+    * vacuum reclaiming their bytes ASYNCHRONOUSLY on a daemon thread —
+    * `vacuumEvery` batches, defaulting to the compaction cadence — so
+    * directory hygiene never sits on the trigger's critical path) so
+    * storage is O(horizon) too. H counts BATCHES — with a time trigger,
     * H ≈ horizon time / trigger interval. */
   def startStreamingNearDup(stream: DataFrame, textCol: String, idCol: String,
       indexDir: String, outDir: String, checkpoint: String,
       threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16,
-      indexBuckets: Int = 64, compactEvery: Int = 0, probeHorizon: Long = 0L)
+      indexBuckets: Int = 64, compactEvery: Int = 0, probeHorizon: Long = 0L,
+      vacuumEvery: Int = 0, vacuumGraceSeconds: Long = 600L)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -634,18 +637,60 @@ object Dedup {
           // again (max src_batch entirely below the horizon); O(manifest)
           // driver work per batch.
           expireNearDupIndex(indexDir, id + 1 - probeHorizon)
-          // ... and reclaim the BYTES on the compaction cadence — without
-          // this the manifest is O(horizon) but the directory still grows
-          // O(corpus lifetime) in dead files. Vacuum is lease-guarded
-          // (a concurrent holder defers us: -1, retried next cycle) and
-          // its default grace protects any in-flight staged fold.
-          if (compactEvery > 0 && (id + 1) % compactEvery == 0) {
-            graft.streaming.ManifestTable.vacuum(s"$indexDir/bands")
-            graft.streaming.ManifestTable.vacuum(s"$indexDir/shingles"); ()
-          }
+          // ... and reclaim the BYTES — without this the manifest is
+          // O(horizon) but the directory still grows O(corpus lifetime)
+          // in dead files. Vacuum is pure directory hygiene (listing +
+          // deletes, no query reads the files it removes), so it runs OFF
+          // the batch critical path on a daemon thread (r10 carried #3:
+          // a slow object-store listing must not stall the trigger), on
+          // its own cadence (`vacuumEvery`; defaults to the compaction
+          // cadence). The lease guard makes the async run safe against a
+          // concurrent holder (defers: -1), and the pending flag keeps a
+          // slow vacuum from queueing behind itself.
+          val cadence = if (vacuumEvery > 0) vacuumEvery else compactEvery
+          if (cadence > 0 && (id + 1) % cadence == 0)
+            scheduleVacuum(indexDir, vacuumGraceSeconds)
         }
       }
       .start()
+
+  /** One daemon thread for ALL streaming near-dup vacuums in the JVM:
+    * vacuum cost is dominated by directory listing + deletes, and running
+    * it serially avoids competing listings on the same store. */
+  private lazy val vacuumExec =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-neardup-vacuum"); t.setDaemon(true); t
+    })
+  private val vacuumPending =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Submit an async lease-guarded vacuum of both signature tables unless
+    * one is already pending/running for this index (a slow cycle absorbs
+    * the intervening cadence ticks instead of queueing). */
+  private def scheduleVacuum(indexDir: String, graceSeconds: Long = 600L): Unit =
+    if (vacuumPending.putIfAbsent(indexDir, java.lang.Boolean.TRUE) == null) {
+      vacuumExec.execute { () =>
+        try {
+          graft.streaming.ManifestTable.vacuum(s"$indexDir/bands", graceSeconds)
+          graft.streaming.ManifestTable.vacuum(s"$indexDir/shingles", graceSeconds); ()
+        } catch { case scala.util.control.NonFatal(e) =>
+          // hygiene must never kill the stream's maintenance loop: dead
+          // bytes linger one cadence and the next cycle retries
+          System.err.println(s"graft: async vacuum of $indexDir failed (${e.getMessage})")
+        } finally vacuumPending.remove(indexDir)
+      }
+    }
+
+  /** Block until any in-flight async vacuum for `indexDir` completes —
+    * test/bench seam so assertions on reclaimed bytes are race-free. */
+  private[graft] def awaitVacuum(indexDir: String, timeoutMs: Long = 30000): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (vacuumPending.containsKey(indexDir)) {
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(s"vacuum of $indexDir still pending after ${timeoutMs}ms")
+      Thread.sleep(10)
+    }
+  }
 
   /** Drop index files whose entire `src_batch` range is below
     * `beforeBatch` from both signature tables' manifests — the storage
@@ -656,6 +701,58 @@ object Dedup {
     import graft.streaming.ManifestTable
     ManifestTable.expireByStats(s"$indexDir/bands", "src_batch", beforeBatch) +
       ManifestTable.expireByStats(s"$indexDir/shingles", "src_batch", beforeBatch)
+  }
+
+  /** Since-bounded HORIZON-ESCAPEE SWEEP (r10 carried #4): the horizon
+    * contract defers a duplicate whose canonical is older than H batches
+    * to a retrospective sweep — and that backstop must be as scalable as
+    * the front door, not an O(corpus) [[corpusKeep]] rerun. This probes
+    * ONLY the output window appended at batch ≥ `sinceBatch` (a
+    * manifest-level file bound, [[graft.streaming.ManifestTable
+    * .readBatchSince]] — the left side is O(window), proven by
+    * `lastPruneStats`) against the signature index RESTRICTED to batches
+    * < `sinceBatch` (the same manifest range prune the streaming probe
+    * uses, pointed at the pre-window history — which includes everything
+    * beyond the stream's horizon). Window-internal pairs that were beyond
+    * horizon of EACH OTHER in-stream fall out of the banded self-join
+    * inside the same pass. Returns the escapee ids (the swept documents
+    * whose near-dup canonical predates the window); run on the horizon
+    * cadence — e.g. every H batches with `sinceBatch` = last swept
+    * frontier — each document is swept exactly once, total sweep work is
+    * O(corpus) ACROSS ITS LIFETIME instead of per sweep. */
+  def sweepHorizonEscapees(spark: SparkSession, indexDir: String, outDir: String,
+      sinceBatch: Long, textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16,
+      indexBuckets: Int = 64): DataFrame = {
+    import graft.streaming.ManifestTable
+    val window = ManifestTable.readBatchSince(spark, outDir, sinceBatch)
+    // batchId = sinceBatch: the index probe's replay bound doubles as the
+    // history bound — only src_batch < sinceBatch files are read (file-
+    // skipped at the manifest), so the window never re-probes itself
+    val (keep, _, _) = nearDupKeep(window, sinceBatch, textCol, idCol, indexDir,
+      threshold, numHashes, bands, indexBuckets, probeHorizon = 0L)
+    window.select(col(idCol)).join(keep.select(col(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** Apply the sweep: rewrite the since-bounded output files WITHOUT the
+    * escapees in one atomic manifest swap (readers see the window before
+    * or after, never mid-purge; concurrent appends of newer batches
+    * survive untouched). Only the window's files are read or rewritten.
+    * Returns escapees removed. */
+  def purgeHorizonEscapees(spark: SparkSession, indexDir: String, outDir: String,
+      sinceBatch: Long, textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16,
+      indexBuckets: Int = 64): Long = {
+    import graft.streaming.ManifestTable
+    val files = ManifestTable.batchSinceFiles(outDir, sinceBatch)
+    if (files.isEmpty) return 0L
+    val window = ManifestTable.readSelected(spark, outDir, files)
+    val (keep, _, _) = nearDupKeep(window, sinceBatch, textCol, idCol, indexDir,
+      threshold, numHashes, bands, indexBuckets, probeHorizon = 0L)
+    val keepMat = graft.Storage.materializeOnce(keep)
+    val removed = window.count() - keepMat.count()
+    if (removed > 0L) ManifestTable.swap(keepMat, outDir, None, files)
+    removed
   }
 
   /** ONLINE compaction of the streaming near-dup signature index: fold
@@ -730,6 +827,16 @@ object Dedup {
     }
   }
 
+  /** Last [[nearDupBatch]] phase attribution keyed by outDir:
+    * `(probeSec, indexAppendSec, outAppendSec)`. Bench/test seam (same
+    * pattern as [[graft.streaming.ManifestTable.pruneStats]]): `probe` is
+    * sign→candidates (the three eager materializations incl. both
+    * manifest-pruned index reads' planning), `indexAppend` the two
+    * bucketed signature commits, `outAppend` the verify join + anti join
+    * + kept-rows commit (those run lazily inside the output write). */
+  private[graft] val batchPhaseSec =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double, Double)]()
+
   private[graft] def nearDupBatch(batch: DataFrame, batchId: Long, textCol: String,
       idCol: String, indexDir: String, outDir: String,
       threshold: Double, numHashes: Int, bands: Int,
@@ -740,8 +847,10 @@ object Dedup {
     if (ManifestTable.hasBatch(outDir, batchId) && ManifestTable.hasBatch(shTable, batchId)
       && ManifestTable.hasBatch(bdTable, batchId)) return
 
+    val t0 = System.nanoTime()
     val (keep, ex, banded) = nearDupKeep(batch, batchId, textCol, idCol, indexDir,
       threshold, numHashes, bands, indexBuckets, probeHorizon)
+    val t1 = System.nanoTime()
 
     // index first, output last: every append is replay-guarded and the
     // prior-index read excludes this batch, so any crash point replays to
@@ -761,7 +870,11 @@ object Dedup {
         .withColumn("bh_bucket", pmod(col("bh"), lit(indexBuckets.toLong)))
         .repartition(col("bh_bucket")),
       bdTable, Some("bh_bucket"), batchId, statsCol = Some("src_batch"))
+    val t2 = System.nanoTime()
     ManifestTable.append(keep, outDir, None, batchId)
+    val t3 = System.nanoTime()
+    batchPhaseSec.put(outDir,
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9))
   }
 
   /** Steps 1-3 of the micro-batch (sign → candidates → verify → keep),

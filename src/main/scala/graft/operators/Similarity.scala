@@ -573,6 +573,48 @@ object Similarity {
     rows.toDF("batch", "n", "mean_cos", "p05_cos", "p95_cos")
   }
 
+  /** Close the drift loop (r9 #5 / r10 carried): the CONSUMER of
+    * [[ivfDriftStats]] — true when the appended batches' assignment
+    * quality has fallen materially below the build baseline, i.e. the
+    * append-only posture has drifted far enough from the trained
+    * quantization that a fresh [[buildIvfIndex]] at a new path is due.
+    *
+    * Predicate: the n-weighted mean of `mean_cos` across appended batches
+    * (batch > 0, non-empty, finite) sits below the build baseline's
+    * `mean_cos` minus `tolerance`. Weighting by batch size keeps one tiny
+    * odd batch from tripping a corpus-sized signal; using the mean rather
+    * than p05 keeps the trigger on the distribution's center (the p05
+    * tail already carries cluster-merge victims at build time — see the
+    * drift spec). Missing baseline or no appended data returns false:
+    * with nothing to compare, "retrain" would be noise, and the
+    * documented failure mode of a lost drift line is telemetry loss, not
+    * behavior change.
+    *
+    * Threshold guidance: assignment cosines live in [-1, 1] and healthy
+    * appends track the baseline within a few hundredths — `tolerance` of
+    * 0.05 (default) flags genuine distribution movement while riding out
+    * sampling noise; tighten toward 0.02 for high-recall serving, loosen
+    * toward 0.15 if appends are small and bursty. Driver-sized: reads the
+    * O(commits) drift lines, no corpus scan. After a rebuild at a fresh
+    * path the new index has only its batch-0 baseline → false again. */
+  def needsRetrain(spark: SparkSession, indexDir: String,
+      tolerance: Double = 0.05): Boolean = {
+    val rows = ivfDriftStats(spark, indexDir).collect()
+    rows.find(_.getLong(0) == 0L) match {
+      case None => false
+      case Some(base) if base.getDouble(2).isNaN => false
+      case Some(base) =>
+        val appended = rows.filter(r =>
+          r.getLong(0) > 0L && r.getLong(1) > 0L && !r.getDouble(2).isNaN)
+        if (appended.isEmpty) false
+        else {
+          val n = appended.map(_.getLong(1)).sum.toDouble
+          val weighted = appended.map(r => r.getDouble(2) * r.getLong(1)).sum / n
+          weighted < base.getDouble(2) - tolerance
+        }
+    }
+  }
+
   /** Serve top-k from the materialized index: rank cells per query against
     * the broadcast centroid table, collect the probed cell ids (≤ queries ×
     * nProbe longs to the driver — a probe-key list, not data), read ONLY

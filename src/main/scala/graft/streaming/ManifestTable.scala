@@ -644,6 +644,45 @@ object ManifestTable {
     * the number of files retired. Concurrent appends/swaps are safe: the
     * delta re-applies per CAS attempt against the fresh snapshot, and it
     * only ever REMOVES entries it re-judged against that snapshot. */
+  /** Batch id encoded in an append's file name (`b<id>-<uuid>.parquet`,
+    * the [[append]] prefix); None for allocate (`a…`) / compaction (`c…`)
+    * files, which carry no batch identity. */
+  private def batchOfPath(path: String): Option[Long] = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    if (!base.startsWith("b")) None
+    else base.drop(1).takeWhile(_ != '-').toLongOption
+  }
+
+  /** Read only the snapshot files appended at batch ≥ `sinceBatch` — the
+    * manifest-level BOUND for incremental re-processing of an append-only
+    * table's recent window (an O(window) left side, never O(table)).
+    * Batch identity comes from the append file-name prefix; files without
+    * one (allocate/compaction outputs) are conservatively KEPT, same
+    * contract as every other prune here — skipping is an optimization,
+    * correctness never depends on it. Selectivity lands in
+    * [[lastPruneStats]] so callers can prove the bound. */
+  def readBatchSince(spark: SparkSession, table: String, sinceBatch: Long,
+      emptySchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val (_, entries) = snapshotEntries(table)
+    val selected = entries.map(_.path)
+      .filter(p => batchOfPath(p).forall(_ >= sinceBatch))
+    pruneStats.put(Paths.get(table).toAbsolutePath.normalize.toString,
+      (selected.size, entries.size))
+    if (selected.isEmpty && emptySchema.isEmpty && entries.nonEmpty) {
+      val paths = entries.map(_.path)
+      val sample = (paths.find(p => p.contains('/') && p.contains('='))
+        ++ paths.find(p => !(p.contains('/') && p.contains('=')))).toSeq
+      readFiles(spark, table, sample, None, "unreachable").limit(0)
+    } else readFiles(spark, table, selected, emptySchema,
+      s"no files selected in manifest table: $table (pass emptySchema)")
+  }
+
+  /** The since-bounded file list itself (paths with batch ≥ `sinceBatch`)
+    * — for callers that rewrite the window via [[swap]]. */
+  private[graft] def batchSinceFiles(table: String, sinceBatch: Long): Seq[String] =
+    snapshotEntries(table)._2.map(_.path)
+      .filter(p => batchOfPath(p).forall(_ >= sinceBatch))
+
   def expireByStats(table: String, statsCol: String, beforeMax: Long): Long = {
     var removed = 0L
     tryCommit(table) { lines =>

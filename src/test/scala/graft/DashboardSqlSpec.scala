@@ -124,6 +124,45 @@ class DashboardSqlSpec extends SparkTestBase {
     val topSql = DashboardSql.runManaged(spark, "m_top_src_ip", Some(range))
     assert(rows(topSql).nonEmpty && rows(topSql) === rows(topTwin),
       "m_top_src_ip must equal the managed DataFrame twin")
+    // r11: the remaining four panels (viz-ch.json:74,358,479,604) bind the
+    // managed path too — every reference dashboard panel now has a
+    // manifest-range twin
+    assert(DashboardSql.managedPanels.keySet === Set(
+      "m_instant_traffic_30s", "m_instant_traffic_1m", "m_top_src_ip",
+      "m_top_dst_ip", "m_top_src_port", "m_top_dst_port", "m_rollup_read"),
+      "all seven reference panels must have managed twins")
+    val traffic1mTwin = FlowStreams.readRawManagedRange(spark, rawT, range.from, range.until)
+      .groupBy(((col("timeReceived") / 60).cast("long") * 60).as("bucket"))
+      .agg(sum(col("bytes") * col("samplingRate")).as("sum_bytes"))
+      .withColumn("bucket_ms", col("bucket") * 1000)
+      .orderBy("bucket")
+    val traffic1mSql = DashboardSql.runManaged(spark, "m_instant_traffic_1m", Some(range))
+    assert(traffic1mSql.schema.fieldNames.toSeq === traffic1mTwin.schema.fieldNames.toSeq)
+    assert(rows(traffic1mSql).nonEmpty && rows(traffic1mSql) === rows(traffic1mTwin),
+      "m_instant_traffic_1m must equal the managed DataFrame twin")
+    val topDstTwin = FlowStreams.readRawManagedRange(spark, rawT, range.from, range.until)
+      .select(expr(
+        "IF(etype = 2048, ip4_ntoa(reinterpret_uint32(dstAddr)), ip6_ntoa(dstAddr))").as("addr"),
+        col("bytes"), col("samplingRate"))
+      .groupBy("addr")
+      .agg(count(lit(1)).as("flow_count"),
+        sum(col("bytes") * col("samplingRate")).as("sum_bytes"))
+      .orderBy(desc("sum_bytes"), asc("addr")).limit(10)
+    val topDstSql = DashboardSql.runManaged(spark, "m_top_dst_ip", Some(range))
+    assert(rows(topDstSql).nonEmpty && rows(topDstSql) === rows(topDstTwin),
+      "m_top_dst_ip must equal the managed DataFrame twin")
+    def portTwin(c: String) = FlowStreams.readRawManagedRange(spark, rawT, range.from, range.until)
+      .groupBy(col(c).as("port"))
+      .agg(count(lit(1)).as("flow_count"),
+        sum(col("bytes") * col("samplingRate")).as("sum_bytes"))
+      .orderBy(desc("sum_bytes"), asc("port")).limit(10)
+    for ((panel, wireCol) <- Seq("m_top_src_port" -> "srcPort", "m_top_dst_port" -> "dstPort")) {
+      val twin = portTwin(wireCol)
+      val viaSql = DashboardSql.runManaged(spark, panel, Some(range))
+      assert(viaSql.schema.fieldNames.toSeq === twin.schema.fieldNames.toSeq)
+      assert(rows(viaSql).nonEmpty && rows(viaSql) === rows(twin),
+        s"$panel must equal the managed DataFrame twin")
+    }
     val rollTwin = FlowStreams.readRollupManagedRange(spark, rollT, range.from, range.until)
       .groupBy(col("srcAS").as("src_as"), col("dstAS").as("dst_as"))
       .agg(sum("sum_bytes").as("total_bytes"), sum("sum_packets").as("total_packets"),

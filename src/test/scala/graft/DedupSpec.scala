@@ -170,6 +170,51 @@ class DedupSpec extends SparkTestBase {
     assert(kept === (1L to 12L).toSet)
   }
 
+  test("streaming near-dup: async off-trigger vacuum reclaims expired bytes (r11)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.ManifestTable
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmp(); val out = tmp(); val cp = tmp()
+    def t(ws: Seq[String]): String = ws.mkString(" ")
+    val src = MemoryStream[(Long, String)]
+    // horizon 1 + vacuum every batch, grace 0: each processed batch
+    // expires the prior one's index files and schedules their byte
+    // reclamation on the daemon thread — never on the trigger path
+    val q = Dedup.startStreamingNearDup(
+      src.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, out, cp,
+      compactEvery = 0, probeHorizon = 1L, vacuumEvery = 1,
+      vacuumGraceSeconds = 0L)
+    (0 until 3).foreach { b =>
+      src.addData((1 to 3).map(i => ((b * 10 + i).toLong, t(words(s"av${b}d${i}x")))): _*)
+      q.processAllAvailable()
+      // grace 0 is a TEST setting: serialize hygiene against the next
+      // batch's staging (deployment keeps the default grace, which
+      // protects in-flight staged files from a concurrent vacuum)
+      Dedup.awaitVacuum(idx)
+    }
+    q.stop()
+    // manifest: only the in-horizon batch survives expiry
+    val minBatch = ManifestTable.read(spark, s"$idx/bands")
+      .agg(org.apache.spark.sql.functions.min("src_batch")).head().getLong(0)
+    assert(minBatch >= 2L, s"expiry must retire beyond-horizon batches, min=$minBatch")
+    // disk: the async vacuum reclaimed the retired files' bytes — on-disk
+    // parquet count equals the manifest's live file count
+    def diskParquet(tbl: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(tbl))
+      try s.filter(p => p.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    for (tbl <- Seq(s"$idx/bands", s"$idx/shingles")) {
+      val live = ManifestTable.snapshotEntries(tbl)._2.size
+      assert(diskParquet(tbl) === live.toLong,
+        s"$tbl: async vacuum must leave exactly the live manifest files on disk")
+    }
+    // the kept output is untouched by hygiene: all 9 distinct docs survive
+    val kept = ManifestTable.read(spark, out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size === 9)
+  }
+
   test("probe horizon: beyond-horizon dup kept in-stream + caught by batch sweep; files skip and expire (r9)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{min => fmin}
@@ -217,6 +262,25 @@ class DedupSpec extends SparkTestBase {
     val sweep = Dedup.corpusKeep(spark, sweepDir).collect().map(_.getLong(0)).toSet
     assert(!sweep.contains(100L), "batch sweep must catch the beyond-horizon dup")
     assert(sweep.contains(3L), "the canonical (lowest-id) copy survives the sweep")
+    // r11: the SINCE-BOUNDED incremental sweep makes that backstop
+    // O(window), not O(corpus): only the batch-3 output window is read
+    // (manifest file bound, prune-stats-proven) and probed against the
+    // index restricted to pre-window batches — which includes the
+    // beyond-horizon history the stream never probed
+    val esc = Dedup.sweepHorizonEscapees(spark, idx, out, sinceBatch = 3L)
+      .collect().map(_.getLong(0)).toSet
+    assert(esc === Set(100L), s"bounded sweep must catch exactly the escapee: $esc")
+    val (wSel, wTot) = ManifestTable.lastPruneStats(out).get
+    assert(wSel < wTot,
+      s"sweep left side must be bounded to the since-window: $wSel of $wTot")
+    // apply: the escapee leaves the table in one atomic swap of only the
+    // window's files; everything else survives
+    val removed = Dedup.purgeHorizonEscapees(spark, idx, out, sinceBatch = 3L)
+    assert(removed === 1L, s"purge must remove the one escapee, removed=$removed")
+    val afterPurge = ManifestTable.read(spark, out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!afterPurge.contains(100L) && afterPurge === kept - 100L,
+      "purge must drop exactly the escapee and keep everything else")
     // storage-side horizon: files wholly below beforeBatch leave the
     // manifest; the remaining index still reads (and min src_batch proves
     // only in-horizon batches remain)
@@ -226,9 +290,9 @@ class DedupSpec extends SparkTestBase {
       .agg(fmin("src_batch")).head().getLong(0)
     assert(remaining >= 2L, s"expired batches must leave the index, min src_batch=$remaining")
     // ... and the lease-guarded vacuum (wired into startStreamingNearDup
-    // on the compaction cadence) reclaims the retired BYTES — without it
-    // the directory grows O(corpus lifetime) in dead files while the
-    // manifest stays O(horizon)
+    // as an async daemon-thread step on its own cadence since r11)
+    // reclaims the retired BYTES — without it the directory grows
+    // O(corpus lifetime) in dead files while the manifest stays O(horizon)
     def diskParquet(t: String): Long = {
       val root = java.nio.file.Paths.get(t)
       val s = java.nio.file.Files.walk(root)

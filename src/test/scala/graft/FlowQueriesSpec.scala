@@ -99,6 +99,30 @@ class FlowQueriesSpec extends SparkTestBase {
     assert(rollup.filter(col("timeslot") % 300 =!= 0).count() === 0)
   }
 
+  test("managed time filter: layout-invisible result, cold files skip at the manifest (r11)") {
+    import graft.streaming.ManifestTable
+    val table = java.nio.file.Files.createTempDirectory("graft_tf_managed_spec").toString
+    val plain = FlowQueries.timeFilter(spark, sf).collect().map(_.toSeq).toSeq
+    val managed = FlowQueries.timeFilterManaged(spark, sf, tableDir = Some(table))
+      .collect().map(_.toSeq).toSeq
+    assert(managed.nonEmpty, "registry range must select rows at this sf")
+    assert(managed === plain,
+      "the manifest-pruned managed read must equal the plain scan exactly")
+    // the registry range covers an interior subset of the 8
+    // range-partitioned files: at least one cold file must be skipped AT
+    // THE MANIFEST (long-compare on recorded stats, no footer read)
+    val (sel, tot) = ManifestTable.lastPruneStats(table).get
+    assert(tot >= 4, s"expected several range-partitioned files, saw $tot")
+    assert(sel >= 1 && sel < tot, s"manifest skip must drop cold files: $sel of $tot")
+    // a second call against the same table replays the batch-0 append as a
+    // no-op and serves the same answer (build-once-serve-many)
+    val again = FlowQueries.timeFilterManaged(spark, sf, tableDir = Some(table))
+      .collect().map(_.toSeq).toSeq
+    assert(again === plain)
+    assert(ManifestTable.lastPruneStats(table).get._2 === tot,
+      "the replayed append must not add files")
+  }
+
   test("re-agg over rollup equals direct agg over raw (A2 parity)") {
     val direct = FlowAdapter.flows(spark, sf)
       .groupBy("src_as", "dst_as")

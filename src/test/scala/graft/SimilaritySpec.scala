@@ -139,6 +139,9 @@ class SimilaritySpec extends SparkTestBase {
     // append 1: IN-DISTRIBUTION — more vectors from the same clusters
     Similarity.appendToIvfIndex(
       (1000L until 1050L).map(clustered).toDF("vec_id", "embedding"), idx)
+    // r11: an in-distribution append does NOT trip the retrain predicate
+    assert(!Similarity.needsRetrain(spark, idx),
+      "healthy append must not flag a retrain")
     // append 2: DRIFTED — equal-weight diagonal vectors, far from every
     // one-hot cluster direction (the distribution moved)
     val drifted = (2000L until 2050L).map(id =>
@@ -159,6 +162,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(stats(2L)._2 < stats(1L)._2 - 0.3,
       s"drifted append must degrade mean_cos: $stats")
     assert(stats(2L)._4 < stats(0L)._4 - 0.3, s"p95 must degrade vs baseline: $stats")
+    // r11: the drift loop CLOSES — the telemetry has a consumer. The
+    // drifted append flips the retrain predicate at the default tolerance…
+    assert(Similarity.needsRetrain(spark, idx),
+      s"drifted append must flip needsRetrain: $stats")
+    // …a huge tolerance rides it out (threshold is a real knob, not a
+    // constant-true) …
+    assert(!Similarity.needsRetrain(spark, idx, tolerance = 0.9))
+    // …and a rebuild at a fresh path resets the signal: only the new
+    // batch-0 baseline exists, nothing has drifted from it
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_ivf_retrained").toString
+    val all = corpus ++ (1000L until 1050L).map(clustered) ++ drifted
+    Similarity.buildIvfIndex(all.toDF("vec_id", "embedding"), idx2,
+      nCentroids = 8, kmeansIters = 2)
+    assert(!Similarity.needsRetrain(spark, idx2),
+      "a rebuilt index has no appended drift to flag")
   }
 
   test("incremental LSH append: new vector probe-visible without rebuild") {
