@@ -601,7 +601,9 @@ object Dedup {
     * batches within the last H (`src_batch >= batchId - H`), mirroring
     * [[streamingExactDedup]]'s watermark contract — an in-horizon
     * duplicate drops in-flight; one arriving later is kept in-stream and
-    * falls to the batch [[corpusKeep]] sweep. Without it, per-batch join
+    * falls to the retrospective sweep ([[sweepHorizonEscapees]] /
+    * [[purgeHorizonEscapees]], O(window) per sweep on the horizon
+    * cadence; [[corpusKeep]] remains the full-corpus batch form). Without it, per-batch join
     * input grows O(corpus lifetime): every byte moved is an id+hash, but
     * months of ingest at minutes-scale triggers make the history term
     * dominant. The bound is enforced at THREE levels: the manifest range
