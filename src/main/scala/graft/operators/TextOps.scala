@@ -382,7 +382,56 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** VOCABULARY / OUT-OF-VOCABULARY quality signals — the CCNet-style
+    * "does this document look like the corpus" family, formulated
+    * LOG-FREE so both engines compute bit-identical answers (a unigram
+    * log-prob score would hinge on `log` being correctly rounded, which
+    * IEEE does not require of either engine; integer counts + one final
+    * division do not). Per document: the fraction of token OCCURRENCES
+    * outside the corpus's top-`vocabSize` vocabulary (`oov_rate`) and the
+    * fraction whose corpus frequency is ≤ `rareMax` (`rare_rate`,
+    * hapax-ish). High OOV/rare flags OCR garbage and off-corpus noise;
+    * near-zero flags templated boilerplate. Null-text docs emit NULL-stat
+    * rows (the [[repetitionStats]] anchor policy).
+    *
+    * Scale shape: the global unigram count is the canonical wordcount —
+    * the pre-shuffle partial aggregate collapses each partition to its
+    * distinct tokens, so the exchange carries ~vocabulary, not ~corpus;
+    * the counts relation (vocabulary-sized) materializes once and feeds
+    * both consumers; top-V selection is TakeOrderedAndProject over it
+    * (count desc, token asc — a total order, no global sort); the
+    * per-document membership join keys BOTH sides on xxhash64(token), so
+    * the corpus-sized probe ships (doc_id, 8-byte hash) pairs — token
+    * text never crosses that exchange — and the vocab side (vocabSize
+    * rows) broadcasts. Collision tolerance as in [[repetitionStats]]:
+    * a 64-bit collision merges two tokens' counts; the string-keyed
+    * oracle guards it at test scale. */
+  def vocabOovStats(spark: SparkSession, dir: String, vocabSize: Int = 1000,
+      rareMax: Long = 1L): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .transform(graft.Storage.materializeOnce)
+    val vocab = counts.orderBy(desc("c"), asc("tok")).limit(vocabSize)
+      .select(xxhash64(col("tok")).as("th"), lit(1).as("in_vocab"))
+    val per = tok.select(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .join(counts.select(xxhash64(col("tok")).as("th"), col("c")), Seq("th"))
+      .join(broadcast(vocab), Seq("th"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("token_count"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"),
+        sum(when(col("c") <= rareMax, 1L).otherwise(0L)).as("rare_tokens"))
+    d.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("token_count"), col("oov_tokens"), col("rare_tokens"),
+        round(col("oov_tokens").cast("double") / col("token_count"), 6).as("oov_rate"),
+        round(col("rare_tokens").cast("double") / col("token_count"), 6).as("rare_rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_vocab_oov" -> ((s: SparkSession, d: String) => vocabOovStats(s, d)),
     "text_prep_pipeline" -> ((s: SparkSession, d: String) => prepPipeline(s, d)),
     "text_mix" -> ((s: SparkSession, d: String) => mixWeights(s, d)),
     "text_chunks" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
@@ -400,6 +449,28 @@ object TextOps {
   val oracles: Map[String, String] = {
     val w = "regexp_split_to_array(trim(text), '\\s+')"
     Map(
+      "text_vocab_oov" ->
+        s"""WITH tokv AS (
+           |  SELECT doc_id, unnest($w) AS tok FROM documents WHERE text IS NOT NULL
+           |), cnt AS (
+           |  SELECT tok, count(*) AS c FROM tokv GROUP BY tok
+           |), vocab AS (
+           |  SELECT tok FROM cnt ORDER BY c DESC, tok ASC LIMIT 1000
+           |), per AS (
+           |  SELECT t.doc_id, count(*) AS token_count,
+           |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
+           |    sum(CASE WHEN c.c <= 1 THEN 1 ELSE 0 END) AS rare_tokens
+           |  FROM tokv t JOIN cnt c ON c.tok = t.tok
+           |  LEFT JOIN vocab v ON v.tok = t.tok
+           |  GROUP BY t.doc_id
+           |)
+           |SELECT d.doc_id, CAST(per.token_count AS BIGINT) AS token_count,
+           |  CAST(per.oov_tokens AS BIGINT) AS oov_tokens,
+           |  CAST(per.rare_tokens AS BIGINT) AS rare_tokens,
+           |  round(CAST(per.oov_tokens AS BIGINT) / CAST(per.token_count AS BIGINT), 6) AS oov_rate,
+           |  round(CAST(per.rare_tokens AS BIGINT) / CAST(per.token_count AS BIGINT), 6) AS rare_rate
+           |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin.replace('\n', ' '),
       "text_prep_pipeline" ->
         """WITH ch0 AS (
           |  SELECT source, doc_id, text,

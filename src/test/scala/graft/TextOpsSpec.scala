@@ -149,6 +149,50 @@ class TextOpsSpec extends SparkTestBase {
     assert(nr.getDouble(5) === 0.0)
   }
 
+  test("vocab/OOV stats reconcile with token stats; degenerate knobs bound the rates (r11)") {
+    val s = TextOps.vocabOovStats(spark, sf).collect()
+    assert(s.nonEmpty)
+    val tc = TextOps.tokenStats(spark, sf).collect()
+      .filter(!_.isNullAt(3)).map(r => r.getLong(0) -> r.getLong(3)).toMap
+    s.filter(!_.isNullAt(1)).foreach { r =>
+      assert(r.getLong(1) === tc(r.getLong(0)),
+        s"doc ${r.getLong(0)}: token_count must equal tokenStats'")
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // the signal is real: with a deliberately tiny vocabulary some
+    // occurrences fall outside it (this sf's corpus has < 1000 distinct
+    // tokens, so the default vocab covers everything)
+    val tiny = TextOps.vocabOovStats(spark, sf, vocabSize = 10).collect()
+    assert(tiny.exists(r => !r.isNullAt(2) && r.getLong(2) > 0L), "expected some OOV mass")
+    // planted mini-corpus pins the exact semantics (the sf corpus has no
+    // hapax tokens — every generated token repeats): vocab of size 1 is
+    // {common} by (count desc, token asc); "rareword" is the one hapax
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_vocab").toString
+    Seq((1L, "common common common rareword", "en", "t", 29L),
+        (2L, "common common other other", "en", "t", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val planted = TextOps.vocabOovStats(spark, dir2, vocabSize = 1, rareMax = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // doc 1: 4 tokens, OOV = {rareword}=1, rare = {rareword}=1
+    assert(planted(1L) === ((4L, 1L, 1L, 0.25, 0.25)), s"doc1: ${planted(1L)}")
+    // doc 2: 4 tokens, OOV = {other,other}=2 (repeats count occurrences),
+    // rare = 0 ("other" appears twice > rareMax)
+    assert(planted(2L) === ((4L, 2L, 0L, 0.5, 0.0)), s"doc2: ${planted(2L)}")
+    // a vocabulary covering every distinct token → zero OOV everywhere
+    val allIn = TextOps.vocabOovStats(spark, sf, vocabSize = 1000000).collect()
+    assert(allIn.forall(r => r.isNullAt(2) || r.getLong(2) === 0L))
+    // rareMax 0 → nothing is rare; rareMax unbounded → every token is
+    val none = TextOps.vocabOovStats(spark, sf, rareMax = 0L).collect()
+    assert(none.forall(r => r.isNullAt(3) || r.getLong(3) === 0L))
+    val all = TextOps.vocabOovStats(spark, sf, rareMax = Long.MaxValue).collect()
+    assert(all.forall(r => r.isNullAt(3) || r.getLong(3) === r.getLong(1)))
+  }
+
   test("stratified sample applies the per-language rate exactly and deterministically") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "lang").collect()
