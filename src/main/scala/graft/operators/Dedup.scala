@@ -998,6 +998,46 @@ object Dedup {
       .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
       .orderBy("doc_a", "doc_b")
 
+  /** EVAL-SET DECONTAMINATION — the exact-overlap complement of
+    * [[splitContamination]]'s near-dup detector: flag TRAIN documents
+    * sharing any verbatim token n-gram with a val/test document (the
+    * GPT-3-style "13-gram" decontamination sweep, here on the engine's
+    * 3-token shingles so the whole family shares one shingle build). A
+    * near-dup check misses a train doc that QUOTES one eval question
+    * among otherwise-unique text; exact n-gram containment is the
+    * standard benchmark-leak guard. Output per contaminated train doc:
+    * distinct shingle count, how many of them appear in the eval split,
+    * how many distinct eval docs are hit, and the contaminated fraction
+    * (integer counts, one final division — oracle-parity rules).
+    *
+    * Scale shape: one shingle build per side off the shared UDF, then a
+    * hash-equality join keyed on xxhash64(shingle) — ids + 8-byte hashes
+    * cross the exchanges, never shingle strings or text; the eval side
+    * is the split's ~10% and shrinks further to its distinct shingles
+    * map-side. Collision tolerance as elsewhere: a 64-bit collision
+    * overcounts one shingle; the string-keyed oracle guards it. */
+  def decontaminate(spark: SparkSession, dir: String,
+      valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("split", TextOps.splitCol(col("doc_id"), valPct, testPct))
+    val sh = withShingles(d, "text").filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("split"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("split"), xxhash64(col("s")).as("h"))
+    val train = sh.filter(col("split") === "train").select("doc_id", "h")
+    val eval_ = sh.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val nSh = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val matched = train.join(eval_, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("h")).as("matched_shingles"),
+        count_distinct(col("eval_id")).as("eval_docs"))
+    nSh.join(matched, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("matched_shingles"), col("eval_docs"),
+        round(col("matched_shingles").cast("double") / col("n_shingles"), 6)
+          .as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: per-token 64 bits from the first
@@ -1093,7 +1133,8 @@ object Dedup {
     "dedup_substring_spans" -> ((s: SparkSession, d: String) => substringDupStats(s, d)),
     "dedup_substring_trim" -> ((s: SparkSession, d: String) => substringDupTrim(s, d)),
     "dedup_corpus_keep" -> ((s: SparkSession, d: String) => corpusKeep(s, d)),
-    "dedup_split_leakage" -> ((s: SparkSession, d: String) => splitContamination(s, d)))
+    "dedup_split_leakage" -> ((s: SparkSession, d: String) => splitContamination(s, d)),
+    "dedup_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)))
 
   private val duckShingleCte =
     """WITH toks AS (
@@ -1267,5 +1308,22 @@ object Dedup {
          |  SELECT p.doc_a, ${TextOps.duckSplitOf("p.doc_a", 5, 5)} AS split_a,
          |         p.doc_b, ${TextOps.duckSplitOf("p.doc_b", 5, 5)} AS split_b, p.jaccard
          |  FROM ($duckJaccard) p)
-         | WHERE split_a <> split_b ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' '))
+         | WHERE split_a <> split_b ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' '),
+    // string-keyed twin of the hash-keyed Spark joins, same shingle CTE
+    // as the Jaccard family
+    "dedup_decontaminate" ->
+      s"""$duckShingleCte,
+         | labeled AS (SELECT doc_id, ${TextOps.duckSplitOf("doc_id", 5, 5)} AS split, s FROM sh),
+         | tr AS (SELECT doc_id, s FROM labeled WHERE split = 'train'),
+         | ev AS (SELECT doc_id AS eval_id, s FROM labeled WHERE split <> 'train'),
+         | nsh AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+         | m AS (SELECT tr.doc_id, count(DISTINCT tr.s) AS matched_shingles,
+         |         count(DISTINCT ev.eval_id) AS eval_docs
+         |       FROM tr JOIN ev ON ev.s = tr.s GROUP BY tr.doc_id)
+         |SELECT nsh.doc_id, CAST(nsh.n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(m.matched_shingles AS BIGINT) AS matched_shingles,
+         |  CAST(m.eval_docs AS BIGINT) AS eval_docs,
+         |  round(CAST(m.matched_shingles AS BIGINT) / CAST(nsh.n_shingles AS BIGINT), 6) AS contam_frac
+         |FROM nsh JOIN m ON m.doc_id = nsh.doc_id
+         |ORDER BY nsh.doc_id""".stripMargin.replace('\n', ' '))
 }

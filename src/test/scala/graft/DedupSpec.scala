@@ -65,6 +65,46 @@ class DedupSpec extends SparkTestBase {
     leakSet.foreach { case (a, b) => assert(split(a) !== split(b)) }
   }
 
+  test("decontamination: a train doc quoting an eval n-gram is flagged, clean docs are not (r11)") {
+    import spark.implicits._
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val b = java.lang.Long.parseLong(hex, 16) % 10000
+      if (b < 500) "val" else if (b < 1000) "test" else "train"
+    }
+    val ids = (0L until 400L)
+    val evalId = ids.find(split(_) != "train").get
+    val trainIds = ids.filter(split(_) == "train").take(2)
+    val (quoter, clean) = (trainIds(0), trainIds(1))
+    // a 4-token phrase shared verbatim → exactly 2 common 3-gram shingles
+    // (the boundary shingles differ because the surrounding tokens do)
+    val phrase = "alpha beta gamma delta"
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_decontam").toString
+    Seq(
+      (evalId, s"unique evaluation context $phrase closing evaluation words", "en", "t", 60L),
+      (quoter, s"entirely separate training prose quoting $phrase within longer body", "en", "t", 70L),
+      (clean, "spotless training document sharing no trigram with anything else", "en", "t", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val out = Dedup.decontaminate(spark, dir2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set(quoter),
+      s"only the quoting TRAIN doc is flagged (eval docs never are): ${out.keySet}")
+    val (nSh, matched, evalDocs, frac) = out(quoter)
+    assert(matched === 2L, s"the 4-token quote shares exactly 2 shingles, got $matched")
+    assert(evalDocs === 1L)
+    assert(nSh > matched && frac > 0.0 && frac < 1.0)
+    // the engine-side result equals the spec's own string-keyed recount
+    val quoterShingles = Seq("entirely separate training", "separate training prose",
+      "training prose quoting", "prose quoting alpha", "quoting alpha beta",
+      "alpha beta gamma", "beta gamma delta", "gamma delta within",
+      "delta within longer", "within longer body")
+    assert(nSh === quoterShingles.length.toLong)
+  }
+
   test("streaming exact dedup: in-horizon duplicates dropped, bodies stay out of state") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
