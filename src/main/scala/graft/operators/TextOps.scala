@@ -430,7 +430,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // PII patterns restricted to constructs with identical semantics in the
+  // Java and RE2 regex dialects (char classes, bounded quantifiers, \b):
+  // email-shaped, dotted-quad-shaped, and NNN[-.]NNN(N)[-.]NNNN phone-shaped
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ip4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+
+  /** PII SCRUBBING before retention — the documents-side twin of the flow
+    * surface's /24 anonymization ([[graft.flow.FlowQueries.ipAnon]]): count
+    * and redact email-, IPv4- and phone-shaped spans, emitting per document
+    * the category counts and the md5 of the fully scrubbed text (the
+    * fingerprint proves the redaction byte-identical across engines without
+    * shipping text through the comparator). Patterns apply in sequence on
+    * the progressively scrubbed text — email first (its domain may embed a
+    * dotted quad), then IP, then phone — so no span double-counts.
+    *
+    * Scale: a narrow per-row projection (three regex passes inside the scan
+    * stage), no shuffle, trivially codegen-friendly; the final `orderBy`
+    * exists for the oracle compare, as everywhere in the registry. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val email = size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long")
+    val s1 = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val ip = size(regexp_extract_all(s1, lit(Ip4Re), lit(0))).cast("long")
+    val s2 = regexp_replace(s1, Ip4Re, "<IP>")
+    val phone = size(regexp_extract_all(s2, lit(PhoneRe), lit(0))).cast("long")
+    val s3 = regexp_replace(s2, PhoneRe, "<PHONE>")
+    d.select(col("doc_id"),
+      email.as("email_count"), ip.as("ip_count"), phone.as("phone_count"),
+      (email + ip + phone).as("pii_total"),
+      md5(s3).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_pii_scrub" -> (piiScrub _),
     "text_vocab_oov" -> ((s: SparkSession, d: String) => vocabOovStats(s, d)),
     "text_prep_pipeline" -> ((s: SparkSession, d: String) => prepPipeline(s, d)),
     "text_mix" -> ((s: SparkSession, d: String) => mixWeights(s, d)),
@@ -449,6 +484,27 @@ object TextOps {
   val oracles: Map[String, String] = {
     val w = "regexp_split_to_array(trim(text), '\\s+')"
     Map(
+      "text_pii_scrub" ->
+        s"""WITH a AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS email_count,
+           |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t1
+           |  FROM documents
+           |), b AS (
+           |  SELECT doc_id, email_count,
+           |    CAST(len(regexp_extract_all(t1, '$Ip4Re')) AS BIGINT) AS ip_count,
+           |    regexp_replace(t1, '$Ip4Re', '<IP>', 'g') AS t2
+           |  FROM a
+           |), cph AS (
+           |  SELECT doc_id, email_count, ip_count,
+           |    CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS phone_count,
+           |    regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g') AS t3
+           |  FROM b
+           |)
+           |SELECT doc_id, email_count, ip_count, phone_count,
+           |  email_count + ip_count + phone_count AS pii_total,
+           |  md5(t3) AS scrubbed_md5
+           |FROM cph ORDER BY doc_id""".stripMargin.replace('\n', ' '),
       "text_vocab_oov" ->
         s"""WITH tokv AS (
            |  SELECT doc_id, unnest($w) AS tok FROM documents WHERE text IS NOT NULL

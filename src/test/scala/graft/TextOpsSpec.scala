@@ -193,6 +193,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(all.forall(r => r.isNullAt(3) || r.getLong(3) === r.getLong(1)))
   }
 
+  test("pii scrub: planted emails/IPs/phones counted and redacted; clean text untouched (r11)") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    Seq(
+      (1L, "contact alice.smith@example.com or bob@mail.co today", "en", "t", 52L),
+      (2L, "server at 192.168.1.100 and 10.0.0.1 responded", "en", "t", 46L),
+      (3L, "call 555-123-4567 or 555.9876.4321 now", "en", "t", 38L),
+      (4L, "no identifiers here at all", "en", "t", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val out = TextOps.piiScrub(spark, dir2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) === ((2L, 0L, 0L, 2L, md5hex("contact <EMAIL> or <EMAIL> today"))))
+    assert(out(2L) === ((0L, 2L, 0L, 2L, md5hex("server at <IP> and <IP> responded"))))
+    assert(out(3L) === ((0L, 0L, 2L, 2L, md5hex("call <PHONE> or <PHONE> now"))))
+    // a clean document is bit-untouched: its fingerprint is the original's
+    assert(out(4L) === ((0L, 0L, 0L, 0L, md5hex("no identifiers here at all"))))
+  }
+
   test("stratified sample applies the per-language rate exactly and deterministically") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "lang").collect()
