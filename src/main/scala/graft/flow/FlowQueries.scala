@@ -149,6 +149,25 @@ object FlowQueries {
       .withColumn("bucket_ms", col("bucket") * 1000)
       .orderBy("bucket")
 
+  /** Rate-of-change over the per-minute series — the Grafana
+    * delta/derivative panel family on top of [[rate1m]]'s buckets: each
+    * minute's sampled-byte total alongside the previous minute's and their
+    * difference. The unpartitioned `lag` window runs over the ALREADY
+    * AGGREGATED series — cardinality = minutes in range, not flows — so
+    * the single-task final sort is a driver-sized pass on top of the
+    * partial-combined aggregate, never a global sort of the fact table.
+    * All-integer arithmetic → exact oracle parity. */
+  def rateDelta(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bucket")
+    inRange(fl(spark, dir), range)
+      .groupBy(((col("time_received") / 60).cast("long") * 60).as("bucket"))
+      .agg(sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
+      .withColumn("prev_bytes", lag(col("sum_bytes"), 1).over(w))
+      .withColumn("delta_bytes", col("sum_bytes") - col("prev_bytes"))
+      .orderBy("bucket")
+  }
+
   /** A1/S10/F2: the flows_5m rollup — 5-minute timeslots keyed
     * (Date, Timeslot, SrcAS, DstAS, EType) with sums + count (create.sh:92-110). */
   def rollup5m(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
@@ -400,6 +419,7 @@ object FlowQueries {
     "flow_time_filter_managed" -> ((s: SparkSession, d: String) => timeFilterManaged(s, d)),
     "flow_rate_30s" -> ((s: SparkSession, d: String) => rate30s(s, d)),
     "flow_rate_1m" -> ((s: SparkSession, d: String) => rate1m(s, d)),
+    "flow_rate_delta" -> ((s: SparkSession, d: String) => rateDelta(s, d)),
     "flow_rollup_5m" -> ((s: SparkSession, d: String) => rollup5m(s, d)),
     "flow_rollup_reagg" -> ((s, d) => rollupReagg(s, d)),
     "flow_top_src_ip" -> ((s: SparkSession, d: String) => topSrcIp(s, d)),
@@ -445,6 +465,12 @@ object FlowQueries {
          | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes,
          | (time_received // 60) * 60 * 1000 AS bucket_ms
          | FROM flows GROUP BY 1 ORDER BY bucket""".stripMargin.replace('\n', ' '),
+    "flow_rate_delta" ->
+      s"""${cte}, m AS (SELECT (time_received // 60) * 60 AS bucket,
+         | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes FROM flows GROUP BY 1)
+         | SELECT bucket, sum_bytes, lag(sum_bytes) OVER (ORDER BY bucket) AS prev_bytes,
+         | sum_bytes - lag(sum_bytes) OVER (ORDER BY bucket) AS delta_bytes
+         | FROM m ORDER BY bucket""".stripMargin.replace('\n', ' '),
     "flow_rollup_5m" ->
       s"""${cte}SELECT $duckDate AS event_date, (time_received // 300) * 300 AS timeslot,
          | src_as, dst_as, etype, CAST(sum(bytes) AS BIGINT) AS sum_bytes, CAST(sum(packets) AS BIGINT) AS sum_packets,

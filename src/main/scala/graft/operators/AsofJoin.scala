@@ -91,9 +91,16 @@ object AsofJoin {
     * for any orderable type. */
   private def toNum(c: org.apache.spark.sql.Column,
       t: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
     t match {
       case TimestampType => Some(unix_micros(c))
+      // NTZ reads its wall-clock in the session timezone (pinned UTC by
+      // GraftSession) — a monotone, exact micros image. Without this case
+      // an NTZ time column (the driver's current events.ts encoding) would
+      // silently fall to the single-window path: correct, but the exact
+      // "environment drift quietly degrades the plan" failure mode of the
+      // r10 rawTsBound bug.
+      case TimestampNTZType => Some(unix_micros(c.cast(TimestampType)))
       case DateType => Some(unix_micros(c.cast(TimestampType)))
       case _: NumericType => Some(c.cast("long"))
       case _ => None
@@ -106,9 +113,10 @@ object AsofJoin {
     * column, so ordering stays correct. */
   private def fromNum(c: org.apache.spark.sql.Column,
       t: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.types.{DateType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     t match {
       case TimestampType => timestamp_micros(c)
+      case TimestampNTZType => timestamp_micros(c).cast(TimestampNTZType)
       case DateType => timestamp_micros(c).cast(DateType)
       case _ => c.cast(t)
     }

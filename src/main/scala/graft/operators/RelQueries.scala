@@ -119,6 +119,24 @@ object RelQueries {
       .orderBy("n_name")
   }
 
+  /** Grouping-sets aggregate: ROLLUP(l_returnflag, l_linestatus) computes
+    * the detail, per-flag subtotal, and grand-total rows in ONE pass —
+    * Catalyst expands the grouping sets into a single Expand +
+    * partial-combined HashAggregate (3× the agg input rows, ONE shuffle),
+    * not three scans of the fact table. `gid` (Spark `grouping_id` =
+    * DuckDB `GROUPING`, same bit order: first column is the MSB)
+    * disambiguates subtotal rows from genuine NULL group keys. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"),
+        count(lit(1)).as("line_count"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("price_cents"), col("line_count"))
+      .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
   val queries: Map[String, Q] = Map(
     "rel_enrich_join" -> (enrichJoin _),
     "rel_revenue_by_priority" -> (revenueByPriority _),
@@ -127,7 +145,8 @@ object RelQueries {
     "rel_window_top3" -> (top3OrdersPerCustomer _),
     "rel_distinct_parts" -> (distinctParts _),
     "rel_top_orders" -> (topOrders _),
-    "rel_revenue_per_nation" -> (revenuePerNation _))
+    "rel_revenue_per_nation" -> (revenuePerNation _),
+    "rel_rollup_agg" -> (rollupAgg _))
 
   val oracles: Map[String, String] = Map(
     "rel_enrich_join" ->
@@ -176,5 +195,12 @@ object RelQueries {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         | WHERE r_name = 'AMERICA'
-        | GROUP BY n_name ORDER BY n_name""".stripMargin.replace('\n', ' '))
+        | GROUP BY n_name ORDER BY n_name""".stripMargin.replace('\n', ' '),
+    "rel_rollup_agg" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        | l_returnflag, l_linestatus,
+        | CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        | count(*) AS line_count
+        | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        | ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace('\n', ' '))
 }

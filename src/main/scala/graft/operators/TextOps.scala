@@ -464,7 +464,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level top-K bigrams — the "what is actually in my data"
+    * inspection op, and the builder of the gram blocklists the
+    * decontamination / repetition filters consume. One explode →
+    * partial-combined count keyed on the gram STRING: unlike the
+    * per-document [[repetitionStats]] (where the hash suffices), the
+    * output IS the string, so it must cross the exchange — but map-side
+    * combine means each input partition ships its distinct-gram set once,
+    * not the exploded corpus. The final top-K is `orderBy.limit` →
+    * TakeOrderedAndProject (per-partition heaps, no global sort), with a
+    * deterministic (count desc, bigram asc) tie-break. */
+  def ngramTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= 2)
+      .select(explode(transform(sequence(lit(1), col("n") - 1),
+        i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc("bigram"))
+      .limit(k)
+
+  /** Deterministic global shuffle + shard manifest — the writer side of
+    * "shuffle the corpus and emit N training shards". Each document's
+    * shard and within-shard sort key derive from the md5 hash bucket +
+    * doc_id (the same order/partition-independent draw as [[sampleDocs]]),
+    * which decorrelates ingest/source/time order WITHOUT a global sort:
+    * the write path is one hash `repartition(shards)` where each writer
+    * sorts only its own shard (`sortWithinPartitions`), never a total
+    * order over the corpus. The composite key (bucket · 2⁴⁰ + doc_id) is
+    * collision-free for any doc_id < 2⁴⁰ and orders hash-major, so two
+    * runs on differently-partitioned input produce byte-identical shards.
+    * This query emits the shard MANIFEST a writer would publish: per-shard
+    * document count, character mass, and key span. */
+  def shardManifest(spark: SparkSession, dir: String, shards: Int = 16): DataFrame = {
+    val bucket = hashBucket(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        (bucket % shards).as("shard_id"),
+        (bucket * lit(1L << 40) + col("doc_id")).as("k"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("doc_count"), sum("n_chars").as("char_count"),
+        min("k").as("min_key"), max("k").as("max_key"))
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_ngram_topk" -> ((s: SparkSession, d: String) => ngramTopK(s, d)),
+    "text_shard_manifest" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
     "text_pii_scrub" -> (piiScrub _),
     "text_vocab_oov" -> ((s: SparkSession, d: String) => vocabOovStats(s, d)),
     "text_prep_pipeline" -> ((s: SparkSession, d: String) => prepPipeline(s, d)),
@@ -484,6 +533,21 @@ object TextOps {
   val oracles: Map[String, String] = {
     val w = "regexp_split_to_array(trim(text), '\\s+')"
     Map(
+      "text_ngram_topk" ->
+        s"""WITH t AS (SELECT $w AS w FROM documents WHERE text IS NOT NULL),
+           | b AS (SELECT w[i] || ' ' || w[i+1] AS bigram
+           |   FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+           |   WHERE len(w) >= 2)
+           | SELECT bigram, count(*) AS n_occurrences FROM b GROUP BY bigram
+           | ORDER BY n_occurrences DESC, bigram LIMIT 20""".stripMargin.replace('\n', ' '),
+      "text_shard_manifest" ->
+        s"""WITH s AS (SELECT doc_id, n_chars,
+           |   ($duckHashBucket % 16) AS shard_id,
+           |   $duckHashBucket * ${1L << 40} + doc_id AS k FROM documents)
+           | SELECT shard_id, count(*) AS doc_count,
+           | CAST(sum(n_chars) AS BIGINT) AS char_count,
+           | min(k) AS min_key, max(k) AS max_key
+           | FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin.replace('\n', ' '),
       "text_pii_scrub" ->
         s"""WITH a AS (
            |  SELECT doc_id,

@@ -64,6 +64,32 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got === legacy)
   }
 
+  test("TimestampNTZ time columns take the bucketed path with sub-second precision (r11)") {
+    // the driver's events.ts is now micros-NTZ; without an NTZ case in
+    // toNum the join would silently fall to the single-window path — the
+    // same environment-drift degradation class as the r10 rawTsBound bug
+    import java.time.LocalDateTime
+    val base = LocalDateTime.of(2024, 3, 1, 0, 0, 10)
+    val dim = Seq(
+      (1, base.plusNanos(200000000L), "old"),
+      (1, base.plusNanos(700000000L), "new")).toDF("k", "valid_from", "name")
+    val fact = (0 until 400).map(i => (1, base.plusSeconds(10L + i))).toDF("k", "t")
+    assert(fact.schema("t").dataType === org.apache.spark.sql.types.TimestampNTZType)
+    // bucketing actually engages: the no-numeric-image fallback pins __b=0
+    val buckets = AsofJoin.taggedUnion(fact, dim, "k", "k", "t", "valid_from", 8)
+      .select("__b").distinct().count()
+    assert(buckets > 1, "NTZ time must bucket, not fall back to one window")
+    // same-second releases stay ordered (micros image, not seconds)
+    val names = AsofJoin.asofJoin(fact, dim, "k", "k", "t", "valid_from", timeBuckets = 8)
+      .select("name").distinct().as[String].collect().toSeq
+    assert(names === Seq("new"))
+    val legacy = AsofJoin.asofJoin(fact, dim, "k", "k", "t", "valid_from", timeBuckets = 1)
+      .orderBy("t").select("t", "name").collect().toSeq
+    val got = AsofJoin.asofJoin(fact, dim, "k", "k", "t", "valid_from", timeBuckets = 8)
+      .orderBy("t").select("t", "name").collect().toSeq
+    assert(got === legacy)
+  }
+
   test("string-typed time columns fall back to the single-window path, still correct") {
     // ISO-8601 strings order lexicographically = chronologically; they
     // have no exact numeric image, so bucketing must quietly step aside

@@ -13,6 +13,31 @@ class RelQueriesSpec extends SparkTestBase {
     assert(bhj.size === 2, s"expected 2 broadcast joins, plan:\n${plan.toString.take(1500)}")
   }
 
+  test("rollup computes subtotals in one Expand pass; totals reconcile (r11)") {
+    val df = RelQueries.rollupAgg(spark, sf)
+    // ONE Expand + aggregate — not three scans of the fact table
+    val expands = df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.size === 1, "rollup must plan as a single Expand")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1, "rollup must scan the fact table once")
+    val rows = df.collect().map(r =>
+      (r.getInt(0), Option(r.getString(1)), Option(r.getString(2)), r.getLong(3), r.getLong(4)))
+    val detail = rows.filter(_._1 == 0)
+    val subtotal = rows.filter(_._1 == 1)
+    val grand = rows.filter(_._1 == 3)
+    assert(grand.length === 1)
+    assert(grand.head._4 === detail.map(_._4).sum)
+    assert(grand.head._5 === detail.map(_._5).sum)
+    subtotal.foreach { case (_, flag, _, cents, cnt) =>
+      assert(cents === detail.filter(_._2 == flag).map(_._4).sum)
+      assert(cnt === detail.filter(_._2 == flag).map(_._5).sum)
+    }
+  }
+
   test("semi and anti joins plan as such (no row explosion)") {
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
     val semi = RelQueries.ordersWithHeavyLines(spark, sf).queryExecution.sparkPlan

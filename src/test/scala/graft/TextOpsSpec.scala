@@ -11,6 +11,52 @@ class TextOpsSpec extends SparkTestBase {
     java.lang.Long.parseLong(hex, 16) % 10000
   }
 
+  test("ngram top-k: counts match an independent driver-side recount; order deterministic (r11)") {
+    import org.apache.spark.sql.functions._
+    val top = TextOps.ngramTopK(spark, sf, k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.length === 20)
+    // non-increasing counts with (count desc, bigram asc) tie-break
+    top.sliding(2).foreach { case Array((g1, c1), (g2, c2)) =>
+      assert(c1 > c2 || (c1 == c2 && g1 < g2), s"order violated at $g1/$g2")
+    }
+    // brute-force recount of the winners on the driver (sf0.001 is small)
+    val texts = Tables.documents(spark, sf).select("text")
+      .na.drop().collect().map(_.getString(0))
+    val brute = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val w = t.trim.split("\\s+")
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val g = p.mkString(" "); brute(g) = brute.getOrElse(g, 0L) + 1L
+      }
+    }
+    top.foreach { case (g, c) => assert(brute(g) === c, s"count mismatch for '$g'") }
+    // nothing outside the top-20 beats the 20th
+    val floor20 = top.last._2
+    val better = brute.count { case (_, c) => c > floor20 }
+    assert(better <= 19)
+  }
+
+  test("shard manifest: totals reconcile, shards bounded, layout-independent (r11)") {
+    import org.apache.spark.sql.functions._
+    val m = TextOps.shardManifest(spark, sf, shards = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sf)
+    assert(m.map(_._1).forall(s => s >= 0 && s < 16))
+    assert(m.map(_._2).sum === docs.count())
+    assert(m.map(_._3).sum === docs.agg(sum("n_chars")).head().getLong(0))
+    m.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+    // key spans are hash-major per shard: each shard's doc assignment is a
+    // pure function of doc_id, so a second evaluation is bit-identical
+    val again = TextOps.shardManifest(spark, sf, shards = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(m.toSeq === again.toSeq)
+    // spot-check shard assignment against the driver-side md5 bucket rule
+    val someIds = docs.select("doc_id").limit(20).collect().map(_.getLong(0))
+    val byShard = m.map(r => r._1 -> r).toMap
+    someIds.foreach { id => assert(byShard.contains(this.bucket(id) % 16)) }
+  }
+
   test("prep pipeline: chunk -> dedup -> pack composes and conserves the survivor set") {
     import org.apache.spark.sql.functions._
     val packs = TextOps.prepPipeline(spark, sf).collect()
