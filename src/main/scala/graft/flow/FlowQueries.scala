@@ -168,6 +168,26 @@ object FlowQueries {
       .orderBy("bucket")
   }
 
+  /** Fan-out (port-scan) screening — the classic NetFlow security query
+    * over the raw table: per source address and day, how many distinct
+    * destination ports and hosts it touched, keeping sources whose
+    * fan-out reaches the threshold. Scale shape: the multi-distinct
+    * aggregate plans as Expand + two-phase partial aggregates keyed
+    * (bucket, src_ip, dst_port/dst_ip) then (bucket, src_ip) — map-side
+    * combine collapses repeats before either exchange, and nothing wider
+    * than the grouping keys ever crosses a shuffle. The optional range
+    * rides the same scan-pushable bound as every dashboard query. */
+  def portScan(spark: SparkSession, dir: String, minPorts: Long = 5,
+      range: Option[TimeRange] = None): DataFrame =
+    inRange(fl(spark, dir), range)
+      .groupBy(((col("time_received") / 86400).cast("long") * 86400).as("bucket"),
+        col("src_ip"))
+      .agg(countDistinct(col("dst_port")).as("n_dst_ports"),
+        countDistinct(col("dst_ip")).as("n_dst_hosts"),
+        count(lit(1)).as("flow_count"))
+      .filter(col("n_dst_ports") >= minPorts)
+      .orderBy("bucket", "src_ip")
+
   /** A1/S10/F2: the flows_5m rollup — 5-minute timeslots keyed
     * (Date, Timeslot, SrcAS, DstAS, EType) with sums + count (create.sh:92-110). */
   def rollup5m(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
@@ -438,7 +458,8 @@ object FlowQueries {
     "flow_bytes_quantiles_approx" -> ((s: SparkSession, d: String) =>
       bytesQuantilesApprox(s, d)),
     "flow_top_bytes_per_proto" -> ((s: SparkSession, d: String) => topBytesPerProto(s, d)),
-    "flow_ip_anon" -> ((s: SparkSession, d: String) => ipAnon(s, d)))
+    "flow_ip_anon" -> ((s: SparkSession, d: String) => ipAnon(s, d)),
+    "flow_port_scan" -> ((s: SparkSession, d: String) => portScan(s, d)))
 
   private val cte = FlowAdapter.ducksql
 
@@ -471,6 +492,13 @@ object FlowQueries {
          | SELECT bucket, sum_bytes, lag(sum_bytes) OVER (ORDER BY bucket) AS prev_bytes,
          | sum_bytes - lag(sum_bytes) OVER (ORDER BY bucket) AS delta_bytes
          | FROM m ORDER BY bucket""".stripMargin.replace('\n', ' '),
+    "flow_port_scan" ->
+      s"""${cte}SELECT (time_received // 86400) * 86400 AS bucket, src_ip,
+         | count(DISTINCT dst_port) AS n_dst_ports,
+         | count(DISTINCT dst_ip) AS n_dst_hosts,
+         | count(*) AS flow_count
+         | FROM flows GROUP BY 1, 2 HAVING count(DISTINCT dst_port) >= 5
+         | ORDER BY bucket, src_ip""".stripMargin.replace('\n', ' '),
     "flow_rollup_5m" ->
       s"""${cte}SELECT $duckDate AS event_date, (time_received // 300) * 300 AS timeslot,
          | src_as, dst_as, etype, CAST(sum(bytes) AS BIGINT) AS sum_bytes, CAST(sum(packets) AS BIGINT) AS sum_packets,

@@ -413,6 +413,37 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Edit-distance-verified near-dup pairs — the character-level signal
+    * the bag-of-shingles family can't see: two documents can share most
+    * shingles yet differ by scattered in-place edits, and a retention
+    * policy may only want to collapse pairs that are ALSO a few keystrokes
+    * apart. Candidates come from the same MinHash/LSH + exact-Jaccard
+    * verify as [[minhashDupPairs]] (no all-pairs stage is ever
+    * introduced); each surviving pair is then scored with exact
+    * Levenshtein over a bounded `prefixLen`-char prefix and kept when
+    * `edit_dist <= maxDist`.
+    *
+    * Scale shape: the Levenshtein stage touches only verified near-dup
+    * PAIRS (corpus-sublinear by construction), and the text joined in is
+    * capped at `prefixLen` chars per side — the O(prefixLen²) DP per pair
+    * is a constant, and no unbounded document body crosses the pair
+    * shuffle. Both engines implement classic character-level edit
+    * distance, so the integer score is exact oracle parity. */
+  def editVerifiedPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.2, maxDist: Int = 3, prefixLen: Int = 200,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = minhashDupPairs(spark, dir, threshold, checkpointDir = checkpointDir)
+    val pref = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("p"))
+    pairs
+      .join(pref.select(col("doc_id").as("doc_a"), col("p").as("p_a")), Seq("doc_a"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("p").as("p_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("p_a"), col("p_b")).as("edit_dist"), col("jaccard"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ------------------------------------------------------------- clustering
 
   /** Connected components over the near-dup pair graph: every document in a
@@ -1134,7 +1165,8 @@ object Dedup {
     "dedup_substring_trim" -> ((s: SparkSession, d: String) => substringDupTrim(s, d)),
     "dedup_corpus_keep" -> ((s: SparkSession, d: String) => corpusKeep(s, d)),
     "dedup_split_leakage" -> ((s: SparkSession, d: String) => splitContamination(s, d)),
-    "dedup_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)))
+    "dedup_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
+    "dedup_edit_pairs" -> ((s: SparkSession, d: String) => editVerifiedPairs(s, d)))
 
   private val duckShingleCte =
     """WITH toks AS (
@@ -1224,6 +1256,17 @@ object Dedup {
         |  FROM documents)
         | WHERE doc_id = canonical_id ORDER BY doc_id""".stripMargin.replace('\n', ' '),
     "dedup_ngram_groundtruth" -> duckJaccard,
+    // exact-Jaccard pair set (same contract the dedup_minhash_lsh oracle
+    // establishes for the LSH path) + the identical prefix-Levenshtein gate
+    "dedup_edit_pairs" ->
+      s"""SELECT p.doc_a, p.doc_b,
+         | CAST(levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200)) AS INT) AS edit_dist,
+         | p.jaccard
+         | FROM ($duckJaccard) p
+         | JOIN documents da ON da.doc_id = p.doc_a
+         | JOIN documents db ON db.doc_id = p.doc_b
+         | WHERE levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200)) <= 3
+         | ORDER BY p.doc_a, p.doc_b""".stripMargin.replace('\n', ' '),
     "dedup_substring_spans" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents

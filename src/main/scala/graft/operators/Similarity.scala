@@ -659,9 +659,76 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the vector
+    * compression step an ANN serving tier applies before writing index
+    * shards (4× smaller than float32, SIMD-friendly integer dot
+    * products). Per vector: `scale = max|v| / 127`,
+    * `codes = trunc(v / scale)` in [-127, 127]. The audit projection
+    * emits only integer-exact columns (dims, saturated-dim count,
+    * integer code checksum) plus the scale floored to micros — every
+    * per-element double op is identical IEEE arithmetic on both engines
+    * and no float SUM ever crosses an engine boundary, so the oracle is
+    * bit-deterministic. Map-only: one narrow projection, no shuffle; a
+    * shard writer would emit the codes themselves alongside. */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding")
+    val mx = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = mx / lit(127.0)
+    // degenerate all-zero vector: scale 0 would divide to NaN; int8Codes
+    // quantizes it to all-zero codes instead (both engines, same CASE)
+    val codes = int8Codes(v)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(v).cast("long").as("n_dims"),
+        floor(scale * lit(1000000.0)).cast("long").as("scale_micro"),
+        size(filter(codes, c => abs(c) === 127)).cast("long").as("n_saturated"),
+        aggregate(codes, lit(0L), (a, c) => a + c).as("code_sum"))
+      .orderBy("vec_id")
+  }
+
+  /** Int8-code columns shared by [[vecQuantize]]'s audit and the
+    * quantized serving path ([[knnInt8]]): `codes = trunc(v / scale)`,
+    * `scale = max|v| / 127`, all-zero for degenerate vectors. Long-typed
+    * so downstream integer dot products can't overflow (127² · dims ≪
+    * 2⁶³). */
+  private def int8Codes(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = mx / lit(127.0)
+    when(mx.isNull || mx === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => (x.cast("double") / scale).cast("long")))
+  }
+
+  /** Quantized serving path — brute-force top-k by INTEGER dot product
+    * over the int8 codes ([[vecQuantize]]'s compressed representation):
+    * what an ANN tier actually scores once its shards store int8. The
+    * score `Σ qcᵢ·ccᵢ` is an exact 64-bit integer, so ranking needs no
+    * float rounding rules and the oracle is bit-deterministic. Per-vector
+    * max-scaling makes the score a max-norm-normalized similarity —
+    * rank-close to cosine on this corpus (spec cross-checks overlap with
+    * the float path). Same shape as [[knnBrute]]: broadcast query side,
+    * one codegen'd projection over the corpus, windowed top-k. */
+  def knnInt8(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val coded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), int8Codes(col("embedding")).as("codes"))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"))
+    val c = coded.select(col("vec_id").as("neighbor_id"), col("codes").as("cc"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot_q", aggregate(
+        zip_with(col("qc"), col("cc"), (a, b) => a * b), lit(0L), (s, x) => s + x))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("dot_q"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot_q"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "sim_vec_quantize" -> (vecQuantize _),
+    "sim_knn_int8" -> ((s: SparkSession, d: String) => knnInt8(s, d)),
     "sim_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "sim_cosine_dup_pairs" -> ((s: SparkSession, d: String) => cosineDupPairs(s, d)),
     "sim_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
@@ -803,6 +870,46 @@ object Similarity {
        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
 
   val oracles: Map[String, String] = Map(
+    "sim_vec_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, v, mx,
+        |    CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(v, x -> 0)
+        |      ELSE list_transform(v, x -> CAST(trunc(CAST(x AS DOUBLE) / (mx / 127.0)) AS INT))
+        |    END AS codes
+        |  FROM e
+        |)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+        |  CAST(floor((mx / 127.0) * 1000000.0) AS BIGINT) AS scale_micro,
+        |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_saturated,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum
+        |FROM q ORDER BY vec_id""".stripMargin.replace('\n', ' '),
+    "sim_knn_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |), qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v, x -> CAST(trunc(CAST(x AS DOUBLE) / (mx / 127.0)) AS BIGINT))
+        |    END AS codes
+        |  FROM e
+        |), s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.codes)),
+        |      i -> q.codes[i] * c.codes[i])) AS BIGINT) AS dot_q
+        |  FROM qz q JOIN qz c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |)
+        |SELECT query_id, neighbor_id, dot_q, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot_q DESC, neighbor_id ASC) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
     "sim_knn_ivf_indexed" -> ivfOracle,
     "sim_knn_brute" ->
       s"""SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (

@@ -725,4 +725,37 @@ class DedupSpec extends SparkTestBase {
     val recall = if (truth.isEmpty) 1.0 else truth.count(pairs.contains).toDouble / truth.size
     assert(recall >= 0.6, s"simhash recall $recall over ${truth.size} planted pairs")
   }
+
+  test("edit-verified pairs: subset of LSH pairs, gate drops distant prefixes, distances exact (r11)") {
+    val lsh = Dedup.minhashDupPairs(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edit = Dedup.editVerifiedPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(edit.nonEmpty, "corpus has planted near-identical docs")
+    assert(edit.forall { case (a, b, _) => lsh.contains((a, b)) },
+      "edit pairs must come from the LSH candidate set, no all-pairs leak")
+    assert(edit.forall(_._3 <= 3))
+    // distances match a driver-side DP recompute on the same prefixes
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .na.drop().collect().map(r => r.getLong(0) -> r.getString(1).take(200)).toMap
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(t.length + 1)(identity)
+      for (i <- 1 to s.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to t.length) {
+          val cur = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (s(i - 1) == t(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(t.length)
+    }
+    edit.take(10).foreach { case (a, b, dist) =>
+      assert(lev(texts(a), texts(b)) === dist, s"distance mismatch for ($a,$b)")
+    }
+    // the gate does real work when the corpus has distant-prefix near-dups
+    val ungated = Dedup.editVerifiedPairs(spark, sf, maxDist = Int.MaxValue).count()
+    assert(ungated >= edit.length)
+  }
 }

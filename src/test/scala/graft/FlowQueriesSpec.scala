@@ -248,4 +248,24 @@ class FlowQueriesSpec extends SparkTestBase {
     val ranged = FlowQueries.topSrcIp(spark, sf, Some(r)).agg(sum("flow_count")).head().getLong(0)
     assert(ranged <= full)
   }
+
+  test("port scan: every flagged source recounts exactly; threshold gates (r11)") {
+    val flagged = FlowQueries.portScan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(flagged.forall(_._3 >= 5), "threshold must gate the output")
+    // brute-force recount for a few flagged (bucket, src_ip) groups
+    val fl = FlowAdapter.flows(spark, sf)
+      .select(((col("time_received") / 86400).cast("long") * 86400).as("b"),
+        col("src_ip"), col("dst_port"), col("dst_ip"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    flagged.take(5).foreach { case (b, src, nPorts, nHosts, nFlows) =>
+      val g = fl.filter(x => x._1 == b && x._2 == src)
+      assert(g.map(_._3).distinct.length.toLong === nPorts)
+      assert(g.map(_._4).distinct.length.toLong === nHosts)
+      assert(g.length.toLong === nFlows)
+    }
+    // a high threshold returns strictly fewer (or equal) sources
+    val strict = FlowQueries.portScan(spark, sf, minPorts = 8).count()
+    assert(strict <= flagged.length)
+  }
 }

@@ -338,4 +338,62 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"ANN recall $recall vs brute")
     assert(ann.size <= 25)
   }
+
+  test("int8 quantization: checksum matches a driver recompute; error bounded by one scale step (r11)") {
+    val q = Similarity.vecQuantize(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .limit(25).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(q.nonEmpty && vecs.nonEmpty)
+    vecs.foreach { case (id, v) =>
+      val (nDims, scaleMicro, nSat, codeSum) = q(id)
+      assert(nDims === v.length.toLong)
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      val scale = mx / 127.0
+      assert(scaleMicro === math.floor(scale * 1000000.0).toLong)
+      val codes = v.map(x => (x.toDouble / scale).toLong) // JVM toLong truncates like the engines
+      assert(codeSum === codes.sum)
+      assert(nSat === codes.count(c => math.abs(c) == 127).toLong)
+      // every code reconstructs within one quantization step
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x.toDouble - c * scale) <= scale + 1e-12)
+      }
+      assert(codes.forall(c => math.abs(c) <= 127))
+    }
+    // map-only plan: no exchange anywhere below the final sort
+    val plan = Similarity.vecQuantize(spark, sf).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, "quantization must not shuffle (final orderBy only)")
+  }
+
+  test("int8 knn: integer scores match a driver recompute; neighborhoods overlap the float path (r11)") {
+    val got = Similarity.knnInt8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    // exact recompute: quantize + integer dot + rank, all on the driver
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def codes(v: Array[Float]): Array[Long] = {
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      if (mx == 0) Array.fill(v.length)(0L)
+      else { val s = mx / 127.0; v.map(x => (x.toDouble / s).toLong) }
+    }
+    val coded = vecs.map { case (id, v) => id -> codes(v) }
+    for (qid <- 0L until 5L) {
+      val qc = coded(qid)
+      val scored = coded.filter(_._1 != qid).map { case (cid, cc) =>
+        (cid, qc.zip(cc).map { case (a, b) => a * b }.sum)
+      }.toSeq.sortBy { case (cid, d) => (-d, cid) }.take(5)
+      val mine = got.filter(_._1 == qid).sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(mine === scored, s"query $qid rank list diverges from recompute")
+    }
+    // the quantized neighborhood stays close to the float cosine one
+    val floatTop = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = got.map(r => (r._1, r._2)).count(floatTop.contains).toDouble / got.length
+    assert(overlap >= 0.4, s"int8 vs float overlap $overlap")
+  }
 }
