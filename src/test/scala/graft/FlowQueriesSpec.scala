@@ -267,5 +267,17 @@ class FlowQueriesSpec extends SparkTestBase {
     // a high threshold returns strictly fewer (or equal) sources
     val strict = FlowQueries.portScan(spark, sf, minPorts = 8).count()
     assert(strict <= flagged.length)
+    // plan shape: the multi-distinct aggregate expands once and partials
+    // map-side — repeated (bucket, src, port) rows collapse before the
+    // exchange, so the shuffle carries keys, never raw flow rows
+    val plan = FlowQueries.portScan(spark, sf).queryExecution.sparkPlan
+    val expands = plan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.size === 1, "multi-distinct must plan as a single Expand")
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, "expected partial+final aggregates")
   }
 }

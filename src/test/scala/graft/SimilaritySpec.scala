@@ -362,7 +362,7 @@ class SimilaritySpec extends SparkTestBase {
       assert(codes.forall(c => math.abs(c) <= 127))
     }
     // map-only plan: no exchange anywhere below the final sort
-    val plan = Similarity.vecQuantize(spark, sf).queryExecution.executedPlan
+    val plan = Similarity.vecQuantize(spark, sf).queryExecution.sparkPlan
     val exchanges = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }

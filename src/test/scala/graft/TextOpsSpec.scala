@@ -35,6 +35,18 @@ class TextOpsSpec extends SparkTestBase {
     val floor20 = top.last._2
     val better = brute.count { case (_, c) => c > floor20 }
     assert(better <= 19)
+    // plan shape: map-side partial count before the exchange (the
+    // exploded corpus never crosses a shuffle), and the global top-K is
+    // TakeOrderedAndProject, not a full sort
+    val plan = TextOps.ngramTopK(spark, sf).queryExecution.sparkPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, "expected partial+final aggregate around one exchange")
+    val topk = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(topk.nonEmpty, "global top-K must plan as TakeOrderedAndProject")
   }
 
   test("shard manifest: totals reconcile, shards bounded, layout-independent (r11)") {
