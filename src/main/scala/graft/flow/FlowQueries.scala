@@ -188,6 +188,32 @@ object FlowQueries {
       .filter(col("n_dst_ports") >= minPorts)
       .orderBy("bucket", "src_ip")
 
+  /** Heavy hitters per proto via the custom mergeable SpaceSaving
+    * aggregate ([[graft.functions.HeavyHitters]]): top-k source addresses
+    * with deterministic per-item bounds `est - err ≤ true ≤ est` in
+    * BOUNDED memory — `capacity` counters per group regardless of address
+    * cardinality, the sketch (not the item stream) crossing the exchange.
+    * The exact top-N queries ([[topSrcIp]]) need a full (ip, etype)
+    * aggregate before the TakeOrdered; this is the fixed-memory form for
+    * unbounded domains.
+    *
+    * Regimes, honestly: at the driver's verify SF the per-proto address
+    * cardinality (75) is under `capacity`, so no eviction happens, err is
+    * 0 everywhere and the summary is EXACT — the DuckDB oracle pins that
+    * regime value-for-value (a plain windowed top-10). The eviction
+    * regime (cardinality > capacity, e.g. sf0.1's 750/proto) is covered
+    * by HeavyHittersSpec's guarantee checks, since approximate output is
+    * engine-specific by nature. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      capacity: Int = 256, k: Int = 10): DataFrame =
+    fl(spark, dir)
+      .groupBy("proto")
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("src_ip"), capacity, k).as("hh"))
+      .select(col("proto"), posexplode(col("hh")))
+      .select(col("proto"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.item").as("src_ip"), col("col.est").as("est"), col("col.err").as("err"))
+      .orderBy("proto", "rank")
+
   /** A1/S10/F2: the flows_5m rollup — 5-minute timeslots keyed
     * (Date, Timeslot, SrcAS, DstAS, EType) with sums + count (create.sh:92-110). */
   def rollup5m(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
@@ -459,7 +485,8 @@ object FlowQueries {
       bytesQuantilesApprox(s, d)),
     "flow_top_bytes_per_proto" -> ((s: SparkSession, d: String) => topBytesPerProto(s, d)),
     "flow_ip_anon" -> ((s: SparkSession, d: String) => ipAnon(s, d)),
-    "flow_port_scan" -> ((s: SparkSession, d: String) => portScan(s, d)))
+    "flow_port_scan" -> ((s: SparkSession, d: String) => portScan(s, d)),
+    "flow_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)))
 
   private val cte = FlowAdapter.ducksql
 
@@ -499,6 +526,15 @@ object FlowQueries {
          | count(*) AS flow_count
          | FROM flows GROUP BY 1, 2 HAVING count(DISTINCT dst_port) >= 5
          | ORDER BY bucket, src_ip""".stripMargin.replace('\n', ' '),
+    // exact-regime oracle: per-proto cardinality < capacity at this SF, so
+    // the sketch reduces to exact counts with err = 0 (see heavyHitters doc)
+    "flow_heavy_hitters" ->
+      s"""${cte}SELECT proto, CAST(rank AS INT) AS rank, src_ip, est, CAST(0 AS BIGINT) AS err FROM (
+         |  SELECT proto, src_ip, CAST(count(*) AS BIGINT) AS est,
+         |    row_number() OVER (PARTITION BY proto
+         |      ORDER BY count(*) DESC, src_ip ASC) AS rank
+         |  FROM flows GROUP BY proto, src_ip)
+         | WHERE rank <= 10 ORDER BY proto, rank""".stripMargin.replace('\n', ' '),
     "flow_rollup_5m" ->
       s"""${cte}SELECT $duckDate AS event_date, (time_received // 300) * 300 AS timeslot,
          | src_as, dst_as, etype, CAST(sum(bytes) AS BIGINT) AS sum_bytes, CAST(sum(packets) AS BIGINT) AS sum_packets,
