@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product-analytics surface over the driver's `events` table (event_id,
+  * ts, user_id, event_type, value, props) — the cohort / funnel /
+  * semi-structured-extraction operator families an analytics engine is
+  * expected to cover beyond the flow dashboards. All aggregates are
+  * integer-only (counts and flags), so oracle parity is exact; epoch
+  * seconds derive from the micros-NTZ `ts` exactly as
+  * [[graft.flow.FlowAdapter]] established (session timezone pinned UTC).
+  *
+  * Scale shapes:
+  *  - retention: the (user, week) distinct is the only corpus-sized
+  *    shuffle; the lag window then runs per-user on the already-reduced
+  *    relation (≤ weeks rows per user).
+  *  - funnel: one hash aggregate keyed user_id with conditional-min
+  *    stage timestamps — no joins, no explode; the per-user row is fixed
+  *    width regardless of event count.
+  *  - props extraction: map-side JSON path evaluation (codegen'd
+  *    `get_json_object`), then an ordinary partial-combined aggregate.
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val WeekSec = 604800L
+
+  /** Week-over-week cohort retention: per week, how many users were
+    * active, how many were also active the PREVIOUS week (retained), and
+    * how many had never been active before (new). */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select((expr("unix_timestamp(ts) div 604800") * WeekSec).as("week"), col("user_id"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id")
+    uw
+      .withColumn("prev_week", lag("week", 1).over(byUser.orderBy("week")))
+      .withColumn("first_week", min("week").over(byUser))
+      .groupBy("week")
+      .agg(
+        count(lit(1)).as("active_users"),
+        sum(when(col("prev_week") === col("week") - WeekSec, 1).otherwise(0)).as("retained_users"),
+        sum(when(col("first_week") === col("week"), 1).otherwise(0)).as("new_users"))
+      .orderBy("week")
+  }
+
+  /** Ordered conversion funnel view → click → signup → purchase: a user
+    * counts at a stage only if their FIRST occurrence of each stage
+    * event is at-or-after the first occurrence of the previous stage —
+    * the classic time-ordered funnel, via conditional-min timestamps
+    * (micros precision carries through the NTZ comparison). One row. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    val s1 = col("t_view").isNotNull
+    val s2 = s1 && col("t_click") >= col("t_view")
+    val s3 = s2 && col("t_signup") >= col("t_click")
+    val s4 = s3 && col("t_purchase") >= col("t_signup")
+    m.agg(
+      sum(when(s1, 1).otherwise(0)).as("view_users"),
+      sum(when(s2, 1).otherwise(0)).as("click_users"),
+      sum(when(s3, 1).otherwise(0)).as("signup_users"),
+      sum(when(s4, 1).otherwise(0)).as("purchase_users"))
+  }
+
+  /** Semi-structured extraction: pull the integer `$.k` out of the JSON
+    * `props` payload (codegen'd `get_json_object`, no UDF) and aggregate
+    * it per event type — the "typed metadata out of a JSON blob" step
+    * every event pipeline runs before analytics. */
+  def propsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"))
+      .orderBy("event_type")
+
+  val queries: Map[String, Q] = Map(
+    "events_retention" -> (retention _),
+    "events_funnel" -> (funnel _),
+    "events_props_stats" -> (propsStats _))
+
+  val oracles: Map[String, String] = Map(
+    "events_retention" ->
+      s"""WITH uw AS (SELECT DISTINCT
+         |   (CAST(floor(epoch(ts)) AS BIGINT) // $WeekSec) * $WeekSec AS week, user_id
+         |  FROM events),
+         | f AS (SELECT week, user_id,
+         |   lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+         |   min(week) OVER (PARTITION BY user_id) AS first_week FROM uw)
+         | SELECT week, count(*) AS active_users,
+         |  CAST(sum(CASE WHEN prev_week = week - $WeekSec THEN 1 ELSE 0 END) AS BIGINT) AS retained_users,
+         |  CAST(sum(CASE WHEN first_week = week THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+         | FROM f GROUP BY week ORDER BY week""".stripMargin.replace('\n', ' '),
+    "events_funnel" ->
+      """WITH m AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        | FROM events GROUP BY user_id)
+        | SELECT
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS view_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT) AS click_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view AND t_signup >= t_click THEN 1 ELSE 0 END) AS BIGINT) AS signup_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view AND t_signup >= t_click AND t_purchase >= t_signup THEN 1 ELSE 0 END) AS BIGINT) AS purchase_users
+        | FROM m""".stripMargin.replace('\n', ' '),
+    "events_props_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        | CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace('\n', ' '))
+}
