@@ -50,5 +50,22 @@ object GraftFunctions {
     spark.udf.register("ip4_aton", ip4AtonUdf)
     spark.udf.register("ip6_aton", ip6AtonUdf)
     spark.udf.register("ip_string", ipStringUdf)
+    // the custom SpaceSaving aggregate, SQL form:
+    // heavy_hitters(item, capacity, k) — capacity/k must be int literals
+    // (they size executor-side state; a column-valued capacity would make
+    // the sketch unplannable)
+    reg.createOrReplaceTempFunction("heavy_hitters", es => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.IntegerType
+      require(es.length == 3, "usage: heavy_hitters(item, capacity, k)")
+      def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+          name: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"heavy_hitters: $name must be an INT literal, got $other")
+      }
+      graft.functions.HeavyHitters(es.head,
+        intLit(es(1), "capacity"), intLit(es(2), "k"))
+    }, "built-in")
   }
 }

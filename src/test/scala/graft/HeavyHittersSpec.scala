@@ -71,6 +71,25 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(rt.capacity === a.capacity && rt.items.toMap === a.items.toMap)
   }
 
+  test("SQL surface: heavy_hitters(item, capacity, k) equals the Column API; non-literal knobs fail loudly") {
+    GraftFunctions.register(spark)
+    val xs = stream(40)
+    xs.toDF("v").createOrReplaceTempView("hh_sql_input")
+    val viaSql = spark.sql(
+      "SELECT explode(heavy_hitters(v, 64, 10)) AS e FROM hh_sql_input")
+      .select("e.item", "e.est", "e.err")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaCol = xs.toDF("v")
+      .agg(HeavyHitters.heavyHitters(col("v"), 64, 10).as("hh"))
+      .select(explode(col("hh"))).select("col.item", "col.est", "col.err")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql === viaCol)
+    val err = intercept[Exception](
+      spark.sql("SELECT heavy_hitters(v, v, 10) FROM hh_sql_input").collect())
+    assert(err.getMessage.contains("INT literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("INT literal")))
+  }
+
   test("flow_heavy_hitters registry query: exact regime at this SF matches the windowed top-10") {
     val sk = graft.flow.FlowQueries.heavyHitters(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
