@@ -226,6 +226,21 @@ object FlowQueries {
         count(lit(1)).as("flow_count"))
       .orderBy("event_date", "timeslot", "src_as", "dst_as", "etype")
 
+  /** Unpivot/melt of the 5-minute rollup: the wide metric columns
+    * (sum_bytes, sum_packets, flow_count) become (metric, value) rows —
+    * the long form a metrics store or a generic charting layer consumes.
+    * `Dataset.unpivot` plans as a single Expand (3× the rollup rows, one
+    * pass, no shuffle beyond the rollup's own aggregate) — never a
+    * 3-way self-union re-scanning the fact table. */
+  def rollupUnpivot(spark: SparkSession, dir: String,
+      range: Option[TimeRange] = None): DataFrame =
+    rollup5m(spark, dir, range)
+      .unpivot(
+        Array(col("event_date"), col("timeslot"), col("src_as"), col("dst_as"), col("etype")),
+        Array(col("sum_bytes"), col("sum_packets"), col("flow_count")),
+        "metric", "value")
+      .orderBy("event_date", "timeslot", "src_as", "dst_as", "etype", "metric")
+
   /** A2: read-time re-merge over the rollup — SummingMergeTree "query before
     * OPTIMIZE" semantics (README.md:164-183). An optional range bounds the
     * rollup BUCKET key (`timeslot`) — what a dashboard can express against
@@ -486,7 +501,8 @@ object FlowQueries {
     "flow_top_bytes_per_proto" -> ((s: SparkSession, d: String) => topBytesPerProto(s, d)),
     "flow_ip_anon" -> ((s: SparkSession, d: String) => ipAnon(s, d)),
     "flow_port_scan" -> ((s: SparkSession, d: String) => portScan(s, d)),
-    "flow_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)))
+    "flow_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
+    "flow_rollup_unpivot" -> ((s: SparkSession, d: String) => rollupUnpivot(s, d)))
 
   private val cte = FlowAdapter.ducksql
 
@@ -535,6 +551,16 @@ object FlowQueries {
          |      ORDER BY count(*) DESC, src_ip ASC) AS rank
          |  FROM flows GROUP BY proto, src_ip)
          | WHERE rank <= 10 ORDER BY proto, rank""".stripMargin.replace('\n', ' '),
+    "flow_rollup_unpivot" ->
+      s"""${cte}, r AS (SELECT $duckDate AS event_date, (time_received // 300) * 300 AS timeslot,
+         |  src_as, dst_as, etype, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+         |  CAST(sum(packets) AS BIGINT) AS sum_packets, count(*) AS flow_count
+         |  FROM flows GROUP BY 1, 2, 3, 4, 5)
+         | SELECT * FROM (
+         |  SELECT event_date, timeslot, src_as, dst_as, etype, 'sum_bytes' AS metric, sum_bytes AS value FROM r
+         |  UNION ALL SELECT event_date, timeslot, src_as, dst_as, etype, 'sum_packets', sum_packets FROM r
+         |  UNION ALL SELECT event_date, timeslot, src_as, dst_as, etype, 'flow_count', flow_count FROM r)
+         | ORDER BY event_date, timeslot, src_as, dst_as, etype, metric""".stripMargin.replace('\n', ' '),
     "flow_rollup_5m" ->
       s"""${cte}SELECT $duckDate AS event_date, (time_received // 300) * 300 AS timeslot,
          | src_as, dst_as, etype, CAST(sum(bytes) AS BIGINT) AS sum_bytes, CAST(sum(packets) AS BIGINT) AS sum_packets,

@@ -85,12 +85,34 @@ object EventOps {
         sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"))
       .orderBy("event_type")
 
+  /** Pivot: weekly activity matrix — one row per week, one count column
+    * per event type (explicit value list, so the plan is a single
+    * conditional aggregate with NO values-discovery pre-pass; an open
+    * pivot would first scan for distinct types). */
+  def typePivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select((expr("unix_timestamp(ts) div 604800") * WeekSec).as("week"), col("event_type"))
+      .groupBy("week")
+      .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("week")
+
   val queries: Map[String, Q] = Map(
+    "events_type_pivot" -> (typePivot _),
     "events_retention" -> (retention _),
     "events_funnel" -> (funnel _),
     "events_props_stats" -> (propsStats _))
 
   val oracles: Map[String, String] = Map(
+    "events_type_pivot" ->
+      s"""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // $WeekSec) * $WeekSec AS week,
+         | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+         | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+         | FROM events GROUP BY 1 ORDER BY week""".stripMargin.replace('\n', ' '),
     "events_retention" ->
       s"""WITH uw AS (SELECT DISTINCT
          |   (CAST(floor(epoch(ts)) AS BIGINT) // $WeekSec) * $WeekSec AS week, user_id

@@ -137,7 +137,28 @@ object RelQueries {
       .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
         asc_nulls_first("l_linestatus"))
 
+  /** Set operations (INTERSECT / EXCEPT — the §2.5 set-op roadmap rows):
+    * customers holding BOTH an urgent and a low-priority order, and those
+    * holding urgent only. Catalyst plans both as distinct-semantics
+    * left-semi / left-anti hash joins over the deduplicated sides — no
+    * sort, no full materialization of either branch. */
+  def urgentAndLowCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      .intersect(o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  def urgentOnlyCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      .except(o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_intersect" -> (urgentAndLowCustomers _),
+    "rel_except" -> (urgentOnlyCustomers _),
     "rel_enrich_join" -> (enrichJoin _),
     "rel_revenue_by_priority" -> (revenueByPriority _),
     "rel_semi_join" -> (ordersWithHeavyLines _),
@@ -149,6 +170,16 @@ object RelQueries {
     "rel_rollup_agg" -> (rollupAgg _))
 
   val oracles: Map[String, String] = Map(
+    "rel_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        | ORDER BY o_custkey""".stripMargin.replace('\n', ' '),
+    "rel_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        | ORDER BY o_custkey""".stripMargin.replace('\n', ' '),
     "rel_enrich_join" ->
       """SELECT r_name, n_name, count(*) AS customer_count,
         | CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents

@@ -51,6 +51,27 @@ class EventOpsSpec extends SparkTestBase {
     assert((v, c, s, p) === ((rv, rc, rs, rp)))
   }
 
+  test("pivot: weekly type matrix reconciles with raw counts; single aggregate pass") {
+    val p = EventOps.typePivot(spark, sf)
+    val rows = p.collect()
+    assert(rows.nonEmpty)
+    // row sums = total events per week; grand total = corpus size
+    val total = rows.map(r => (1 to 5).map(r.getLong(_)).sum).sum
+    assert(total === Tables.events(spark, sf).count())
+    // explicit value list -> one aggregate pass over one scan, no
+    // values-discovery job
+    val scans = p.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1, "pivot with explicit values must scan once")
+    // spot-check one cell against a direct filter count
+    val w0 = rows.head.getLong(0)
+    val direct = Tables.events(spark, sf)
+      .filter(expr(s"unix_timestamp(ts) div 604800 * 604800 = $w0") &&
+        col("event_type") === "click").count()
+    assert(rows.head.getLong(2) === direct)
+  }
+
   test("props extraction: every event parses, per-type counts reconcile") {
     val g = EventOps.propsStats(spark, sf).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))

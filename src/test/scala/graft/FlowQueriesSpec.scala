@@ -249,6 +249,27 @@ class FlowQueriesSpec extends SparkTestBase {
     assert(ranged <= full)
   }
 
+  test("rollup unpivot: one Expand, 3x rows, per-metric totals reconcile (r11)") {
+    val wide = FlowQueries.rollup5m(spark, sf)
+    val long = FlowQueries.rollupUnpivot(spark, sf)
+    assert(long.count() === wide.count() * 3)
+    val byMetric = long.groupBy("metric").agg(sum("value").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = wide.agg(sum("sum_bytes"), sum("sum_packets"), sum("flow_count")).head()
+    assert(byMetric("sum_bytes") === w.getLong(0))
+    assert(byMetric("sum_packets") === w.getLong(1))
+    assert(byMetric("flow_count") === w.getLong(2))
+    // melt is a single Expand over the rollup — not a 3-way self-union
+    // (which would show 3 scans)
+    val plan = long.queryExecution.sparkPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }.size === 1)
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size === 1, "unpivot must not re-scan the fact table per metric")
+  }
+
   test("port scan: every flagged source recounts exactly; threshold gates (r11)") {
     val flagged = FlowQueries.portScan(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -38,6 +38,24 @@ class RelQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("intersect/except partition the urgent set and plan as semi/anti joins (r11)") {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val both = RelQueries.urgentAndLowCustomers(spark, sf).collect().map(_.getLong(0)).toSet
+    val only = RelQueries.urgentOnlyCustomers(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(both.nonEmpty && only.nonEmpty)
+    assert((both & only).isEmpty, "intersect and except must be disjoint")
+    val urgent = graft.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert((both ++ only) === urgent, "the two set-ops must partition the urgent customers")
+    val it = RelQueries.urgentAndLowCustomers(spark, sf).queryExecution.sparkPlan
+      .collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType }
+    assert(it.contains(LeftSemi), "INTERSECT must plan as a left-semi join")
+    val et = RelQueries.urgentOnlyCustomers(spark, sf).queryExecution.sparkPlan
+      .collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType }
+    assert(et.contains(LeftAnti), "EXCEPT must plan as a left-anti join")
+  }
+
   test("semi and anti joins plan as such (no row explosion)") {
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
     val semi = RelQueries.ordersWithHeavyLines(spark, sf).queryExecution.sparkPlan
