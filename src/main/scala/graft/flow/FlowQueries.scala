@@ -226,6 +226,28 @@ object FlowQueries {
         count(lit(1)).as("flow_count"))
       .orderBy("event_date", "timeslot", "src_as", "dst_as", "etype")
 
+  /** Ingestion-completeness audit: gaps in the per-minute series — every
+    * maximal run of minutes with NO flows, as (gap_start, gap_end,
+    * missing_minutes). The monitoring query an operator runs against a
+    * pipeline that should never go quiet. Same window-cardinality
+    * argument as [[rateDelta]]: the lag runs over the DISTINCT minute
+    * relation (≤ minutes in range), reduced by a partial-combined
+    * distinct before the single-task window — never the fact table. */
+  def rateGaps(spark: SparkSession, dir: String,
+      range: Option[TimeRange] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    inRange(fl(spark, dir), range)
+      .select(((col("time_received") / 60).cast("long") * 60).as("minute"))
+      .distinct()
+      .withColumn("prev_minute", lag("minute", 1).over(Window.orderBy("minute")))
+      .filter(col("prev_minute").isNotNull && col("minute") - col("prev_minute") > 60)
+      .select(
+        (col("prev_minute") + 60).as("gap_start"),
+        (col("minute") - 60).as("gap_end"),
+        (expr("(minute - prev_minute) div 60") - 1).as("missing_minutes"))
+      .orderBy("gap_start")
+  }
+
   /** Unpivot/melt of the 5-minute rollup: the wide metric columns
     * (sum_bytes, sum_packets, flow_count) become (metric, value) rows —
     * the long form a metrics store or a generic charting layer consumes.
@@ -502,7 +524,8 @@ object FlowQueries {
     "flow_ip_anon" -> ((s: SparkSession, d: String) => ipAnon(s, d)),
     "flow_port_scan" -> ((s: SparkSession, d: String) => portScan(s, d)),
     "flow_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
-    "flow_rollup_unpivot" -> ((s: SparkSession, d: String) => rollupUnpivot(s, d)))
+    "flow_rollup_unpivot" -> ((s: SparkSession, d: String) => rollupUnpivot(s, d)),
+    "flow_rate_gaps" -> ((s: SparkSession, d: String) => rateGaps(s, d)))
 
   private val cte = FlowAdapter.ducksql
 
@@ -551,6 +574,13 @@ object FlowQueries {
          |      ORDER BY count(*) DESC, src_ip ASC) AS rank
          |  FROM flows GROUP BY proto, src_ip)
          | WHERE rank <= 10 ORDER BY proto, rank""".stripMargin.replace('\n', ' '),
+    "flow_rate_gaps" ->
+      s"""${cte}, m AS (SELECT DISTINCT (time_received // 60) * 60 AS minute FROM flows),
+         | g AS (SELECT minute, lag(minute) OVER (ORDER BY minute) AS prev_minute FROM m)
+         | SELECT prev_minute + 60 AS gap_start, minute - 60 AS gap_end,
+         |  (minute - prev_minute) // 60 - 1 AS missing_minutes
+         | FROM g WHERE prev_minute IS NOT NULL AND minute - prev_minute > 60
+         | ORDER BY gap_start""".stripMargin.replace('\n', ' '),
     "flow_rollup_unpivot" ->
       s"""${cte}, r AS (SELECT $duckDate AS event_date, (time_received // 300) * 300 AS timeslot,
          |  src_as, dst_as, etype, CAST(sum(bytes) AS BIGINT) AS sum_bytes,

@@ -270,6 +270,25 @@ class FlowQueriesSpec extends SparkTestBase {
     }.size === 1, "unpivot must not re-scan the fact table per metric")
   }
 
+  test("rate gaps: gaps + present minutes tile the span exactly; no flow inside any gap (r11)") {
+    val gaps = FlowQueries.rateGaps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val minutes = FlowAdapter.flows(spark, sf)
+      .select(((col("time_received") / 60).cast("long") * 60).as("m"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(gaps.nonEmpty, "sparse test corpus must have quiet minutes")
+    gaps.foreach { case (start, end, missing) =>
+      assert(start % 60 == 0 && end % 60 == 0 && start <= end)
+      assert(missing === (end - start) / 60 + 1)
+      // a gap contains no active minute
+      assert(!minutes.exists(m => m >= start && m <= end), s"flow inside gap [$start,$end]")
+    }
+    // conservation: active minutes + missing minutes tile the span
+    val span = (minutes.last - minutes.head) / 60 + 1
+    assert(minutes.length + gaps.map(_._3).sum === span,
+      "gaps and active minutes must partition the series span")
+  }
+
   test("port scan: every flagged source recounts exactly; threshold gates (r11)") {
     val flagged = FlowQueries.portScan(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
