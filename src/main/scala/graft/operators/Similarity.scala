@@ -724,9 +724,40 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** kNN label agreement — the embedding-quality / label-noise screen a
+    * training pipeline runs before trusting either: for each query
+    * vector, the majority label among its k cosine neighbors (ties →
+    * smallest label) against its own label, reported as a confusion
+    * matrix. High off-diagonal mass means mislabeled rows or an
+    * embedding space that doesn't separate the classes. Same
+    * broadcast-query brute shape as [[knnBrute]]; the vote and argmax are
+    * two small aggregates over the k·nQueries scored rows. */
+  def knnLabelAgreement(spark: SparkSession, dir: String,
+      nQueries: Int = 100, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("true_label"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      col("label").as("n_label"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+    scored.groupBy("query_id", "true_label", "n_label").agg(count(lit(1)).as("votes"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("votes"), asc("n_label"))))
+      .filter(col("r") === 1)
+      .groupBy(col("true_label"), col("n_label").as("predicted_label"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy("true_label", "predicted_label")
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "sim_knn_label_agreement" -> ((s: SparkSession, d: String) => knnLabelAgreement(s, d)),
     "sim_vec_quantize" -> (vecQuantize _),
     "sim_knn_int8" -> ((s: SparkSession, d: String) => knnInt8(s, d)),
     "sim_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
@@ -870,6 +901,24 @@ object Similarity {
        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_label_agreement" ->
+      s"""WITH s AS (
+         |  SELECT q.vec_id AS query_id, q.label AS true_label, c.label AS n_label,
+         |    round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${duckCos("q.embedding", "c.embedding")}, 6) DESC, c.vec_id ASC) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 100 AND c.vec_id <> q.vec_id
+         |), v AS (
+         |  SELECT query_id, true_label, n_label, count(*) AS votes
+         |  FROM s WHERE rank <= 5 GROUP BY 1, 2, 3
+         |), p AS (
+         |  SELECT query_id, true_label, n_label AS predicted_label,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label ASC) AS r
+         |  FROM v
+         |)
+         |SELECT true_label, predicted_label, count(*) AS n_queries
+         |FROM p WHERE r = 1 GROUP BY 1, 2
+         |ORDER BY true_label, predicted_label""".stripMargin.replace('\n', ' '),
     "sim_vec_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, embedding AS v,

@@ -369,6 +369,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(exchanges.size <= 1, "quantization must not shuffle (final orderBy only)")
   }
 
+  test("knn label agreement: confusion counts conserve queries; majority replay matches (r11)") {
+    val conf = Similarity.knnLabelAgreement(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(conf.nonEmpty)
+    // every query lands in exactly one confusion cell
+    assert(conf.map(_._3).sum ===
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 100).count())
+    // replay the majority vote from the brute kNN for a few queries
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val knn = Similarity.knnBrute(spark, sf, nQueries = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cells = conf.map(c => (c._1, c._2)).toSet
+    knn.groupBy(_._1).foreach { case (qid, rs) =>
+      val votes = rs.map(r => labels(r._2)).groupBy(identity).map { case (l, v) => l -> v.size }
+      val predicted = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head._1
+      assert(cells.contains((labels(qid), predicted)),
+        s"query $qid: replayed cell (${labels(qid)}, $predicted) missing")
+    }
+  }
+
   test("int8 knn: integer scores match a driver recompute; neighborhoods overlap the float path (r11)") {
     val got = Similarity.knnInt8(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
