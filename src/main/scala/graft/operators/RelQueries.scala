@@ -137,6 +137,28 @@ object RelQueries {
       .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
         asc_nulls_first("l_linestatus"))
 
+  /** TPC-H Q3 shape — shipping priority: unshipped-revenue top-10 for one
+    * market segment, with date predicates on BOTH fact scans
+    * (`o_orderdate < D ∧ l_shipdate > D` reach the parquet scans as
+    * pushed filters on the micros-NTZ columns), a broadcast customer
+    * filter, one fact⋈fact shuffle join, and TakeOrderedAndProject for
+    * the top-10. The canonical "filtered star join + top-N" dashboard
+    * shape at any scale. */
+  def shippingPriority(spark: SparkSession, dir: String,
+      segment: String = "BUILDING", cutoff: String = "1998-01-01 00:00:00"): DataFrame = {
+    val cut = expr(s"TIMESTAMP_NTZ '$cutoff'")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === segment).select("c_custkey")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(cents(l("l_extendedprice") * (lit(1.0) - l("l_discount")))).as("revenue_cents"))
+      .orderBy(desc("revenue_cents"), asc("l_orderkey"))
+      .limit(10)
+  }
+
   /** Set operations (INTERSECT / EXCEPT — the §2.5 set-op roadmap rows):
     * customers holding BOTH an urgent and a low-priority order, and those
     * holding urgent only. Catalyst plans both as distinct-semantics
@@ -159,6 +181,7 @@ object RelQueries {
   val queries: Map[String, Q] = Map(
     "rel_intersect" -> (urgentAndLowCustomers _),
     "rel_except" -> (urgentOnlyCustomers _),
+    "rel_shipping_priority" -> ((s: SparkSession, d: String) => shippingPriority(s, d)),
     "rel_enrich_join" -> (enrichJoin _),
     "rel_revenue_by_priority" -> (revenueByPriority _),
     "rel_semi_join" -> (ordersWithHeavyLines _),
@@ -170,6 +193,16 @@ object RelQueries {
     "rel_rollup_agg" -> (rollupAgg _))
 
   val oracles: Map[String, String] = Map(
+    "rel_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        | GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        | ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10""".stripMargin.replace('\n', ' '),
     "rel_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         | INTERSECT

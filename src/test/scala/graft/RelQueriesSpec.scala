@@ -38,6 +38,28 @@ class RelQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("shipping priority: NTZ date predicates push to both fact scans; top-10 via TakeOrdered (r11)") {
+    val df = RelQueries.shippingPriority(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    val pushed = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }
+    // the NTZ comparisons must reach the parquet scans (the r10 lesson:
+    // a type mismatch silently degrades these to full scans)
+    assert(pushed.exists(_.contains("LessThan(o_orderdate")),
+      s"order-date bound not pushed: $pushed")
+    assert(pushed.exists(_.contains("GreaterThan(l_shipdate")),
+      s"ship-date bound not pushed: $pushed")
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "top-10 must plan as TakeOrderedAndProject, not a global sort")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getLong(3))
+    assert(revs.toSeq === revs.sortBy(-_).toSeq)
+  }
+
   test("intersect/except partition the urgent set and plan as semi/anti joins (r11)") {
     import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
     val both = RelQueries.urgentAndLowCustomers(spark, sf).collect().map(_.getLong(0)).toSet
