@@ -98,13 +98,44 @@ object EventOps {
       .na.fill(0L)
       .orderBy("week")
 
+  /** DAU / trailing-7-day WAU / stickiness — the engagement panel. The
+    * (user, day) distinct is the one corpus-sized reduction; the WAU side
+    * then explodes each active (user, day) into the 7 calendar days it
+    * contributes to (bounded ×7 amplification of the REDUCED relation,
+    * not the event stream) and distinct-counts per day. Stickiness is a
+    * single division of two exact longs, rounded once — oracle-stable. */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val daySec = 86400L
+    val ud = Tables.events(spark, dir)
+      .select((expr("unix_timestamp(ts) div 86400") * daySec).as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6 * daySec, lit(daySec))).as("day"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness", round(col("dau").cast("double") / col("wau"), 6))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_dau_wau" -> (dauWau _),
     "events_type_pivot" -> (typePivot _),
     "events_retention" -> (retention _),
     "events_funnel" -> (funnel _),
     "events_props_stats" -> (propsStats _))
 
   val oracles: Map[String, String] = Map(
+    "events_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT
+        |   (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day, user_id FROM events),
+        | dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        | w AS (SELECT user_id, unnest(generate_series(day, day + 518400, 86400)) AS day FROM ud),
+        | wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY day)
+        | SELECT d.day, d.dau, w2.wau,
+        |  round(CAST(d.dau AS DOUBLE) / w2.wau, 6) AS stickiness
+        | FROM dau d JOIN wau w2 ON d.day = w2.day ORDER BY d.day""".stripMargin.replace('\n', ' '),
     "events_type_pivot" ->
       s"""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // $WeekSec) * $WeekSec AS week,
          | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,

@@ -51,6 +51,26 @@ class EventOpsSpec extends SparkTestBase {
     assert((v, c, s, p) === ((rv, rc, rs, rp)))
   }
 
+  test("dau/wau: identities hold and a brute 7-day recount matches") {
+    val r = EventOps.dauWau(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.nonEmpty)
+    r.foreach { case (_, dau, wau, st) =>
+      assert(dau <= wau, "a daily active is weekly active by definition")
+      assert(st > 0.0 && st <= 1.0)
+    }
+    // brute recount: WAU(day) = distinct users over the trailing 7 days
+    val ud = Tables.events(spark, sf)
+      .select(expr("unix_timestamp(ts) div 86400 * 86400").as("day"), col("user_id"))
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+    r.take(10).foreach { case (day, dau, wau, _) =>
+      val brute = ud.filter { case (d, _) => d >= day - 6 * 86400L && d <= day }
+        .map(_._2).distinct.length.toLong
+      assert(wau === brute, s"day $day: wau $wau != brute $brute")
+      assert(dau === ud.count(_._1 == day).toLong)
+    }
+  }
+
   test("pivot: weekly type matrix reconciles with raw counts; single aggregate pass") {
     val p = EventOps.typePivot(spark, sf)
     val rows = p.collect()
