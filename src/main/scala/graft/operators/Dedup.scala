@@ -413,6 +413,23 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-source duplication report — the data-quality dashboard row a
+    * corpus curator reads before deciding which sources need dedup at
+    * all: documents, distinct texts (same null-sentinel digest as
+    * [[exactDedup]], so a NULL text never collapses with another), the
+    * implied duplicate count and rate. Digest-only shuffle keyed
+    * (source, digest); one partial-combined distinct aggregate. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), textDigest.as("d"), col("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col("d")).as("distinct_texts"),
+        sum("n_chars").as("chars"))
+      .withColumn("dup_docs", col("docs") - col("distinct_texts"))
+      .withColumn("dup_rate", round(col("dup_docs").cast("double") / col("docs"), 6))
+      .orderBy("source")
+
   /** Edit-distance-verified near-dup pairs — the character-level signal
     * the bag-of-shingles family can't see: two documents can share most
     * shingles yet differ by scattered in-place edits, and a retention
@@ -1166,7 +1183,8 @@ object Dedup {
     "dedup_corpus_keep" -> ((s: SparkSession, d: String) => corpusKeep(s, d)),
     "dedup_split_leakage" -> ((s: SparkSession, d: String) => splitContamination(s, d)),
     "dedup_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
-    "dedup_edit_pairs" -> ((s: SparkSession, d: String) => editVerifiedPairs(s, d)))
+    "dedup_edit_pairs" -> ((s: SparkSession, d: String) => editVerifiedPairs(s, d)),
+    "dedup_rate_by_source" -> (dupRateBySource _))
 
   private val duckShingleCte =
     """WITH toks AS (
@@ -1256,6 +1274,13 @@ object Dedup {
         |  FROM documents)
         | WHERE doc_id = canonical_id ORDER BY doc_id""".stripMargin.replace('\n', ' '),
     "dedup_ngram_groundtruth" -> duckJaccard,
+    "dedup_rate_by_source" ->
+      s"""SELECT source, count(*) AS docs,
+         | count(DISTINCT $duckTextDigest) AS distinct_texts,
+         | CAST(sum(n_chars) AS BIGINT) AS chars,
+         | count(*) - count(DISTINCT $duckTextDigest) AS dup_docs,
+         | round(CAST(count(*) - count(DISTINCT $duckTextDigest) AS DOUBLE) / count(*), 6) AS dup_rate
+         | FROM documents GROUP BY source ORDER BY source""".stripMargin.replace('\n', ' '),
     // exact-Jaccard pair set (same contract the dedup_minhash_lsh oracle
     // establishes for the LSH path) + the identical prefix-Levenshtein gate
     "dedup_edit_pairs" ->

@@ -726,6 +726,23 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.6, s"simhash recall $recall over ${truth.size} planted pairs")
   }
 
+  test("dup rate by source: totals reconcile with exact dedup; null texts never collapse (r11)") {
+    val rep = Dedup.dupRateBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rep.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+    assert(rep.map(_._2).sum === docs.count())
+    rep.foreach { case (_, d, distinct, _, dupDocs, rate) =>
+      assert(distinct <= d && dupDocs === d - distinct)
+      assert(rate >= 0.0 && rate < 1.0)
+    }
+    // corpus-wide survivor count from the per-source report can't be less
+    // than exactDedup's corpus-wide survivors (equal texts across sources
+    // dedup corpus-wide but count once per source here)
+    val survivors = Dedup.exactDedup(spark, sf).count()
+    assert(rep.map(_._3).sum >= survivors)
+  }
+
   test("edit-verified pairs: subset of LSH pairs, gate drops distant prefixes, distances exact (r11)") {
     val lsh = Dedup.minhashDupPairs(spark, sf).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
