@@ -40,7 +40,17 @@ object Bench {
     // dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run while iterating
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // SERVING forms for queries whose registry entry carries oracle-only
+    // plumbing: flow_heavy_hitters' registry form embeds the exact-regime
+    // guard (countDistinct + raise_error) that protects the sf0.01 DuckDB
+    // gate — at bench SF (sf0.1, 750 distinct/proto > capacity) that guard
+    // correctly FIRES, so the bench measures the production (unguarded)
+    // sketch instead: the eviction regime is precisely what the sketch is
+    // for, and what a panel would run
+    val servingOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("flow_heavy_hitters" -> ((s, d) => graft.flow.FlowQueries.heavyHitters(s, d)))
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .map { case (name, fn) => name -> servingOverrides.getOrElse(name, fn) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // a failed run must NOT masquerade as a (fast) sample: record the
     // error, keep the name out of queries/total, and surface it in the

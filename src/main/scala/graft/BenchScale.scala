@@ -210,10 +210,81 @@ object BenchScale {
         (plain, salted)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
 
+    // ---- stage 5: round-11 operator families at scale (r11 verdict #1) --
+    // Synthetic corpora written in the TESTDATA LAYOUT, so the REGISTRY
+    // functions run UNCHANGED at ~100× the driver SF: events.parquet
+    // drives both the flow adapter (heavy hitters, port scan) and the
+    // event-analytics family; documents/embeddings drive text + ANN.
+    // Sizes follow the data's natural shape: the 50M-row fact table is
+    // events; text documents are ~10× fewer (they are ~10× wider) and
+    // embeddings ~25× fewer (64 floats each) — each still ~100×-1000× the
+    // sf0.1 table the per-round bench measures.
+    val famDir = work.resolve("fam").toString
+    val nUsers = math.max(1000L, n / 100L)
+    val nDocs = math.max(100000L, n / 10L)
+    val nVecs = math.max(100000L, n / 25L)
+    val (_, famGenSec) = timed {
+      val t0 = 1704067200L
+      spark.range(0L, n, 1L, genFiles).select(
+          col("id").as("event_id"),
+          timestamp_seconds(lit(t0) + pmod(xxhash64(col("id")), lit(30L * 86400L)))
+            .cast("timestamp_ntz").as("ts"),
+          pmod(xxhash64(col("id"), lit(1)), lit(nUsers)).as("user_id"),
+          element_at(
+            array(lit("view"), lit("view"), lit("view"), lit("click"), lit("click"),
+              lit("signup"), lit("purchase"), lit("error")),
+            (pmod(xxhash64(col("id"), lit(2)), lit(8)) + 1).cast("int")).as("event_type"),
+          (pmod(xxhash64(col("id"), lit(3)), lit(100000L)).cast("double") / 1000.0 - 50.0)
+            .as("value"),
+          concat(lit("{\"k\":"), pmod(xxhash64(col("id"), lit(4)), lit(1000L)), lit("}"))
+            .as("props"))
+        .write.mode("overwrite").parquet(s"$famDir/events.parquet")
+      spark.range(0L, nDocs, 1L, genFiles).select(
+          col("id").as("doc_id"),
+          // 25 tokens from a 5000-word vocabulary + planted PII in 1%
+          when(pmod(col("id"), lit(100L)) === 0L,
+            concat(
+              concat_ws(" ", transform(sequence(lit(0), lit(24)),
+                j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(5000L))))),
+              lit(" mail me at user"), col("id"), lit("@example.com or call 555-014-2398")))
+            .otherwise(
+              concat_ws(" ", transform(sequence(lit(0), lit(24)),
+                j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(5000L))))))
+            .as("text"),
+          element_at(array(lit("en"), lit("de"), lit("fr")),
+            (pmod(xxhash64(col("id"), lit(5)), lit(3)) + 1).cast("int")).as("lang"),
+          element_at(array(lit("web"), lit("wiki"), lit("code"), lit("forum")),
+            (pmod(xxhash64(col("id"), lit(6)), lit(4)) + 1).cast("int")).as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$famDir/documents.parquet")
+      spark.range(0L, nVecs, 1L, genFiles).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            j => (pmod(xxhash64(col("id"), j, lit(9)), lit(2001L)).cast("double") / 1000.0 - 1.0)
+              .cast("float")).as("embedding"),
+          pmod(xxhash64(col("id"), lit(10)), lit(10L)).cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$famDir/embeddings.parquet")
+    }
+    // the SERVING (unguarded) heavy-hitters form: 500k distinct sources
+    // per proto is the EVICTION regime — the whole point of the sketch at
+    // this scale (the exact-regime guard is oracle plumbing for sf0.01)
+    bench("scale_flow_heavy_hitters") {
+      graft.flow.FlowQueries.heavyHitters(spark, famDir)
+    }
+    bench("scale_flow_port_scan") { graft.flow.FlowQueries.portScan(spark, famDir) }
+    bench("scale_events_dau_wau") { graft.operators.EventOps.dauWau(spark, famDir) }
+    bench("scale_events_retention") { graft.operators.EventOps.retention(spark, famDir) }
+    bench("scale_events_funnel") { graft.operators.EventOps.funnel(spark, famDir) }
+    bench("scale_text_pii_scrub") { graft.operators.TextOps.piiScrub(spark, famDir) }
+    bench("scale_text_ngram_topk") { graft.operators.TextOps.ngramTopK(spark, famDir) }
+    bench("scale_sim_knn_int8") { graft.operators.Similarity.knnInt8(spark, famDir) }
+
     val ingestRate = (n / ingestSec).toLong
     val queriesJson = queries.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val json =
       f"""{"metric":"scale_total","rows":$n,"gen_sec":$genSec%.1f,"ingest_sec":$ingestSec%.1f,""" +
+      f""""fam_rows":{"events":$n,"documents":$nDocs,"embeddings":$nVecs},""" +
+      f""""fam_gen_sec":$famGenSec%.1f,""" +
       f""""ingest_rows_per_sec":$ingestRate,"final_compact_sec":$compactSec%.1f,""" +
       f""""online_compactions_during_ingest":${compactions.get},""" +
       f""""raw_rows":$rawRows,"rollup_flow_count":$rollupFlows,""" +

@@ -80,7 +80,22 @@ object Plans {
         "the raw window relation feeds a single partial-combined (h, doc) " +
         "aggregate; frequency agg, frequency join and per-doc fold all move the " +
         "REDUCED relation; no corpus-sized cache, no count-over-window sort of a " +
-        "hot boilerplate hash"))
+        "hot boilerplate hash"),
+      "rel_shipping_priority" -> ("Q3-shaped star join: BOTH date predicates reach " +
+        "their parquet scans (PushedFilters on o_orderdate / l_shipdate), the " +
+        "customer segment filter broadcasts, orders⋈lineitem is the single " +
+        "fact-side shuffle join, TakeOrderedAndProject for the top-10 (no global " +
+        "sort)"),
+      "flow_heavy_hitters_sketch" -> ("the SpaceSaving TypedImperativeAggregate " +
+        "plans as ObjectHashAggregate partial+final around ONE exchange — only " +
+        "the serialized sketch (<= capacity entries) crosses it, never the item " +
+        "stream; posexplode projects ABOVE the final aggregate"),
+      "rel_rollup_agg" -> ("ROLLUP grouping sets compile to ONE Expand feeding a " +
+        "single partial+final aggregate over the fact scan — not a per-level " +
+        "union of re-scans; scan prunes to the 3 touched columns"),
+      "events_dau_wau" -> ("ONE corpus-sized distinct (day, user) aggregate; DAU " +
+        "and the x7-Expand WAU both derive from that REDUCED relation — the " +
+        "events fact table is scanned once and never re-enters a shuffle"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
@@ -91,6 +106,10 @@ object Plans {
         if (name == "dedup_stream_neardup_batch") streamNearDupKeep(spark)
         else if (name == "dedup_stream_neardup_horizon") streamNearDupHorizon(spark)
         else if (name == "flow_raw_time_range_managed") managedTimeRange(spark)
+        // the SERVING form (no exact-regime guard): the guard's
+        // countDistinct Expand is oracle plumbing, not the operator
+        else if (name == "flow_heavy_hitters_sketch")
+          graft.flow.FlowQueries.heavyHitters(spark, dir)
         else SparkEntry.queries(name)(spark, dir)
       sb.append(s"\n## $name\n\n**Must show:** $note\n\n```\n")
       sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)

@@ -203,16 +203,43 @@ object FlowQueries {
     * regime value-for-value (a plain windowed top-10). The eviction
     * regime (cardinality > capacity, e.g. sf0.1's 750/proto) is covered
     * by HeavyHittersSpec's guarantee checks, since approximate output is
-    * engine-specific by nature. */
+    * engine-specific by nature.
+    *
+    * `requireExactRegime = true` (what the ORACLE registration passes)
+    * enforces that coupling loudly instead of by comment: the same
+    * aggregate also counts distinct items per group, and the sketch
+    * column raises a runtime error if any group's cardinality exceeds
+    * `capacity` — so regenerating the driver dataset at a scale that
+    * enters the eviction regime fails the gate with a clear message
+    * rather than silently diffing approximate output against an exact
+    * oracle. The default (false) path pays neither the countDistinct
+    * nor the check. */
   def heavyHitters(spark: SparkSession, dir: String,
-      capacity: Int = 256, k: Int = 10): DataFrame =
-    fl(spark, dir)
-      .groupBy("proto")
-      .agg(graft.functions.HeavyHitters.heavyHitters(col("src_ip"), capacity, k).as("hh"))
+      capacity: Int = 256, k: Int = 10,
+      requireExactRegime: Boolean = false): DataFrame = {
+    val hh = graft.functions.HeavyHitters.heavyHitters(col("src_ip"), capacity, k)
+    val agged =
+      if (!requireExactRegime)
+        fl(spark, dir).groupBy("proto").agg(hh.as("hh"))
+      else
+        fl(spark, dir).groupBy("proto")
+          .agg(hh.as("hh_raw"), countDistinct(col("src_ip")).as("n_distinct"))
+          // embedded in the consumed column so pruning can't drop the check
+          .select(col("proto"),
+            when(col("n_distinct") <= capacity, col("hh_raw"))
+              .otherwise(raise_error(concat(
+                lit("flow_heavy_hitters exact-regime violated: distinct src_ip ("),
+                col("n_distinct"),
+                lit(s") > capacity ($capacity) for proto "), col("proto"),
+                lit(" — the sketch is approximate here; the DuckDB oracle is only valid" +
+                  " in the no-eviction regime. Raise capacity or drop the oracle."))))
+              .as("hh"))
+    agged
       .select(col("proto"), posexplode(col("hh")))
       .select(col("proto"), (col("pos") + 1).cast("int").as("rank"),
         col("col.item").as("src_ip"), col("col.est").as("est"), col("col.err").as("err"))
       .orderBy("proto", "rank")
+  }
 
   /** A1/S10/F2: the flows_5m rollup — 5-minute timeslots keyed
     * (Date, Timeslot, SrcAS, DstAS, EType) with sums + count (create.sh:92-110). */
@@ -523,7 +550,8 @@ object FlowQueries {
     "flow_top_bytes_per_proto" -> ((s: SparkSession, d: String) => topBytesPerProto(s, d)),
     "flow_ip_anon" -> ((s: SparkSession, d: String) => ipAnon(s, d)),
     "flow_port_scan" -> ((s: SparkSession, d: String) => portScan(s, d)),
-    "flow_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
+    "flow_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      heavyHitters(s, d, requireExactRegime = true)),
     "flow_rollup_unpivot" -> ((s: SparkSession, d: String) => rollupUnpivot(s, d)),
     "flow_rate_gaps" -> ((s: SparkSession, d: String) => rateGaps(s, d)))
 

@@ -446,8 +446,14 @@ object Dedup {
     * is a constant, and no unbounded document body crosses the pair
     * shuffle. Both engines implement classic character-level edit
     * distance, so the integer score is exact oracle parity. */
+  /** Shared constants for [[editVerifiedPairs]] and its oracle SQL — a
+    * single source of truth so a changed Scala default cannot silently
+    * desynchronize the DuckDB gate (both interpolate these values). */
+  val EditPrefixLen: Int = 200
+  val EditMaxDist: Int = 3
+
   def editVerifiedPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.2, maxDist: Int = 3, prefixLen: Int = 200,
+      threshold: Double = 0.2, maxDist: Int = EditMaxDist, prefixLen: Int = EditPrefixLen,
       checkpointDir: Option[String] = None): DataFrame = {
     val pairs = minhashDupPairs(spark, dir, threshold, checkpointDir = checkpointDir)
     val pref = Tables.documents(spark, dir)
@@ -650,8 +656,13 @@ object Dedup {
     * [[streamingExactDedup]]'s watermark contract — an in-horizon
     * duplicate drops in-flight; one arriving later is kept in-stream and
     * falls to the retrospective sweep ([[sweepHorizonEscapees]] /
-    * [[purgeHorizonEscapees]], O(window) per sweep on the horizon
-    * cadence; [[corpusKeep]] remains the full-corpus batch form). Without it, per-batch join
+    * [[purgeHorizonEscapees]], O(window) per sweep — SELF-DRIVEN when
+    * `sweepEvery` > 0: every `sweepEvery` batches the stream schedules the
+    * purge of `[frontier, now)` on the async maintenance thread and
+    * persists the frontier on completion, so a restart resumes where the
+    * last COMPLETED sweep ended and index expiry lags the frontier by H
+    * (retention ~2H: every dup pair within H batches is caught in-stream
+    * or by the sweep); [[corpusKeep]] remains the full-corpus batch form). Without it, per-batch join
     * input grows O(corpus lifetime): every byte moved is an id+hash, but
     * months of ingest at minutes-scale triggers make the history term
     * dominant. The bound is enforced at THREE levels: the manifest range
@@ -668,8 +679,11 @@ object Dedup {
       indexDir: String, outDir: String, checkpoint: String,
       threshold: Double = 0.2, numHashes: Int = 64, bands: Int = 16,
       indexBuckets: Int = 64, compactEvery: Int = 0, probeHorizon: Long = 0L,
-      vacuumEvery: Int = 0, vacuumGraceSeconds: Long = 600L)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      vacuumEvery: Int = 0, vacuumGraceSeconds: Long = 600L,
+      sweepEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(sweepEvery == 0 || probeHorizon > 0L,
+      "sweepEvery is the horizon-escapee cadence — it needs probeHorizon > 0")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
@@ -682,11 +696,25 @@ object Dedup {
           compactNearDupIndex(b.sparkSession, indexDir,
             eraSpan = probeHorizon); ()
         }
+        if (sweepEvery > 0 && (id + 1) % sweepEvery == 0)
+          // retrospective self-purge (r11 carried #2): adjudicate the
+          // output window [frontier, id] against the pre-window index on
+          // the sweep cadence — async on the maintenance thread, off the
+          // trigger's critical path, frontier persisted on completion
+          scheduleEscapeeSweep(b.sparkSession, indexDir, outDir, upTo = id + 1,
+            textCol, idCol, threshold, numHashes, bands, indexBuckets)
         if (probeHorizon > 0L) {
           // storage-side horizon: retire index files no probe can select
           // again (max src_batch entirely below the horizon); O(manifest)
-          // driver work per batch.
-          expireNearDupIndex(indexDir, id + 1 - probeHorizon)
+          // driver work per batch. With the sweep cadence on, retention is
+          // bounded by the SWEEP FRONTIER instead of the live horizon:
+          // the sweep of window [frontier, now) probes index
+          // [frontier - H, frontier), so those files must survive until
+          // the frontier passes them — total retention ~2H in batches,
+          // still O(horizon), never O(corpus).
+          val expiryHi =
+            if (sweepEvery > 0) math.min(id + 1, sweepFrontier(outDir)) else id + 1
+          expireNearDupIndex(indexDir, expiryHi - probeHorizon)
           // ... and reclaim the BYTES — without this the manifest is
           // O(horizon) but the directory still grows O(corpus lifetime)
           // in dead files. Vacuum is pure directory hygiene (listing +
@@ -703,6 +731,84 @@ object Dedup {
         }
       }
       .start()
+  }
+
+  // ------------------------------------- horizon-escapee sweep cadence
+
+  /** Persisted SWEEP FRONTIER: every output batch below it has been
+    * adjudicated by a COMPLETED escapee sweep. One atomic whole-object
+    * write under the output table via the manifest's [[graft.streaming
+    * .ManifestTable.FileIO]] seam (same object-store mapping, same test
+    * IO), persisted only after the purge commits — so a restarted stream
+    * resumes sweeping where the last finished sweep ended and never
+    * re-purges an already-swept window. A crash BETWEEN purge and
+    * frontier write re-runs one sweep whose window has no escapees left
+    * (removed = 0, no swap) — idempotent, never wrong. */
+  private def frontierPath(outDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(outDir, "_sweep", "frontier")
+
+  private[graft] def sweepFrontier(outDir: String): Long = {
+    val io = graft.streaming.ManifestTable.io(outDir)
+    val p = frontierPath(outDir)
+    if (io.exists(p)) new String(io.read(p), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  private def persistSweepFrontier(outDir: String, frontier: Long): Unit = {
+    val io = graft.streaming.ManifestTable.io(outDir)
+    io.mkdirs(frontierPath(outDir).getParent)
+    io.write(frontierPath(outDir),
+      frontier.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** One daemon thread for all escapee sweeps in the JVM — sweeps run
+    * Spark jobs (O(window) each), so like the vacuum they stay OFF the
+    * trigger's critical path; the pending flag collapses cadence ticks
+    * that arrive while a sweep is still running. */
+  private lazy val sweepExec =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-neardup-sweep"); t.setDaemon(true); t
+    })
+  private val sweepPending =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Schedule the since-bounded escapee purge of `[frontier, upTo)` and
+    * advance the frontier on success. The captured window may include
+    * batches appended after `upTo` by the still-running stream — sweeping
+    * a document early is harmless (its adjudication depends only on its
+    * past) and the overlap re-sweep after the next frontier advance finds
+    * nothing (idempotent). */
+  private[graft] def scheduleEscapeeSweep(spark: SparkSession, indexDir: String,
+      outDir: String, upTo: Long, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int, bands: Int, indexBuckets: Int): Unit =
+    if (sweepPending.putIfAbsent(outDir, java.lang.Boolean.TRUE) == null) {
+      sweepExec.execute { () =>
+        try {
+          val since = sweepFrontier(outDir)
+          if (upTo > since) {
+            purgeHorizonEscapees(spark, indexDir, outDir, since, textCol, idCol,
+              threshold, numHashes, bands, indexBuckets)
+            persistSweepFrontier(outDir, upTo)
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          // maintenance must never kill the stream: the window stays
+          // unswept and the next cadence tick retries from the same
+          // frontier
+          System.err.println(s"graft: async escapee sweep of $outDir failed (${e.getMessage})")
+        } finally sweepPending.remove(outDir)
+      }
+    }
+
+  /** Block until any in-flight async sweep for `outDir` completes —
+    * test seam, same contract as [[awaitVacuum]]. */
+  private[graft] def awaitSweep(outDir: String, timeoutMs: Long = 60000): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (sweepPending.containsKey(outDir)) {
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(s"sweep of $outDir still pending after ${timeoutMs}ms")
+      Thread.sleep(10)
+    }
+  }
 
   /** One daemon thread for ALL streaming near-dup vacuums in the JVM:
     * vacuum cost is dominated by directory listing + deletes, and running
@@ -796,12 +902,29 @@ object Dedup {
     import graft.streaming.ManifestTable
     val files = ManifestTable.batchSinceFiles(outDir, sinceBatch)
     if (files.isEmpty) return 0L
+    // both counts ride jobs that run anyway, as Observation metrics:
+    // window_rows fires with the shingle-extraction scan inside
+    // nearDupKeep (the observed node is the window read itself), keep_rows
+    // with the keep materialization — no standalone count() job re-scans
+    // the window. Safe because `keep`'s plan references the observed
+    // window exactly once (anti-join left); every other path is
+    // lineage-truncated by materializeOnce.
+    val windowObs = org.apache.spark.sql.Observation()
+    val keepObs = org.apache.spark.sql.Observation()
     val window = ManifestTable.readSelected(spark, outDir, files)
+      .observe(windowObs, count(lit(1)).as("window_rows"))
     val (keep, _, _) = nearDupKeep(window, sinceBatch, textCol, idCol, indexDir,
       threshold, numHashes, bands, indexBuckets, probeHorizon = 0L)
-    val keepMat = graft.Storage.materializeOnce(keep)
-    val removed = window.count() - keepMat.count()
-    if (removed > 0L) ManifestTable.swap(keepMat, outDir, None, files)
+    val keepMat = graft.Storage.materializeOnce(
+      keep.observe(keepObs, count(lit(1)).as("keep_rows")))
+    val removed = windowObs.get("window_rows").asInstanceOf[Long] -
+      keepObs.get("keep_rows").asInstanceOf[Long]
+    // the fold inherits the window's MAX batch identity: the window is
+    // fully adjudicated, so the next sweep (sinceBatch > that max) must
+    // skip it at the manifest — a c-prefixed (identity-less) fold would be
+    // conservatively re-read by every future sweep, creeping to O(corpus)
+    val foldBatch = files.flatMap(ManifestTable.batchOfPath).maxOption.getOrElse(sinceBatch)
+    if (removed > 0L) ManifestTable.swapAsBatch(keepMat, outDir, None, files, foldBatch)
     removed
   }
 
@@ -1285,12 +1408,12 @@ object Dedup {
     // establishes for the LSH path) + the identical prefix-Levenshtein gate
     "dedup_edit_pairs" ->
       s"""SELECT p.doc_a, p.doc_b,
-         | CAST(levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200)) AS INT) AS edit_dist,
+         | CAST(levenshtein(substr(da.text, 1, $EditPrefixLen), substr(db.text, 1, $EditPrefixLen)) AS INT) AS edit_dist,
          | p.jaccard
          | FROM ($duckJaccard) p
          | JOIN documents da ON da.doc_id = p.doc_a
          | JOIN documents db ON db.doc_id = p.doc_b
-         | WHERE levenshtein(substr(da.text, 1, 200), substr(db.text, 1, 200)) <= 3
+         | WHERE levenshtein(substr(da.text, 1, $EditPrefixLen), substr(db.text, 1, $EditPrefixLen)) <= $EditMaxDist
          | ORDER BY p.doc_a, p.doc_b""".stripMargin.replace('\n', ' '),
     "dedup_substring_spans" ->
       """WITH toks AS (

@@ -672,8 +672,7 @@ object Similarity {
     * shard writer would emit the codes themselves alongside. */
   def vecQuantize(spark: SparkSession, dir: String): DataFrame = {
     val v = col("embedding")
-    val mx = array_max(transform(v, x => abs(x.cast("double"))))
-    val scale = mx / lit(127.0)
+    val scale = int8Scale(v)
     // degenerate all-zero vector: scale 0 would divide to NaN; int8Codes
     // quantizes it to all-zero codes instead (both engines, same CASE)
     val codes = int8Codes(v)
@@ -691,9 +690,15 @@ object Similarity {
     * `scale = max|v| / 127`, all-zero for degenerate vectors. Long-typed
     * so downstream integer dot products can't overflow (127² · dims ≪
     * 2⁶³). */
+  /** `scale = max|v| / 127` — the one definition [[vecQuantize]]'s audit
+    * column and [[int8Codes]] both derive from (Catalyst's subexpression
+    * elimination shares the underlying array_max at runtime). */
+  private def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
+
   private def int8Codes(v: Column): Column = {
     val mx = array_max(transform(v, x => abs(x.cast("double"))))
-    val scale = mx / lit(127.0)
+    val scale = int8Scale(v)
     when(mx.isNull || mx === 0.0, transform(v, _ => lit(0L)))
       .otherwise(transform(v, x => (x.cast("double") / scale).cast("long")))
   }

@@ -81,14 +81,41 @@ object FlowScanAlarm {
                 state.update(st)
                 Iterator.empty[ScanAlarm]
               } else {
-                // deterministic within-batch order: (ts, port) — ties on
-                // the same second cannot reorder the crossing across runs
+                // Bounded replay of the (ts, port)-sorted crossing WITHOUT
+                // materializing the batch: only the `need` earliest
+                // first-occurrences of NEW distinct ports can decide the
+                // crossing, so keep a size-capped map port -> min (ts).
+                // Evicting the max (ts, port) entry from a full map is
+                // safe: at eviction `need` entries precede it and entries
+                // only shrink, so a reinsertion obs must be below the
+                // current max — i.e. below every value the port ever held —
+                // making the kept value the true running minimum. Memory is
+                // O(minPorts) per key per batch, never O(batch).
+                val need = minPorts - st.ports.size
+                val firstSeen = scala.collection.mutable.Map.empty[Int, Long]
+                it.foreach { o =>
+                  if (!st.ports.contains(o.port)) {
+                    firstSeen.get(o.port) match {
+                      case Some(ts0) => if (o.ts < ts0) firstSeen.update(o.port, o.ts)
+                      case None if firstSeen.size < need => firstSeen.update(o.port, o.ts)
+                      case None =>
+                        // full: admit only if strictly below the max (ts, port)
+                        var mp = -1; var mt = Long.MinValue
+                        firstSeen.foreach { case (p, t) =>
+                          if (t > mt || (t == mt && p > mp)) { mp = p; mt = t }
+                        }
+                        if (o.ts < mt || (o.ts == mt && o.port < mp)) {
+                          firstSeen.remove(mp); firstSeen.update(o.port, o.ts)
+                        }
+                    }
+                  }
+                }
                 var ports = st.ports
                 var firedAt = -1L
-                it.toSeq.sortBy(o => (o.ts, o.port)).foreach { o =>
+                firstSeen.toSeq.sortBy { case (p, t) => (t, p) }.foreach { case (p, t) =>
                   if (firedAt < 0) {
-                    ports += o.port
-                    if (ports.size >= minPorts) firedAt = o.ts
+                    ports += p
+                    if (ports.size >= minPorts) firedAt = t
                   }
                 }
                 if (firedAt >= 0) {

@@ -206,6 +206,65 @@ object FlowStreams {
           .as("etype_map"),
         sum("b").as("sum_bytes"), sum("p").as("sum_packets"), sum("c").as("flow_count"))
 
+  // ------------------------------------------------ top-talkers sketch MV
+
+  /** Continuous TOP-TALKERS MV — the streaming twin of the batch
+    * [[graft.flow.FlowQueries.heavyHitters]] screen (the viz-ch top-N
+    * panels' unbounded-domain form): per micro-batch, ONE mergeable
+    * SpaceSaving sketch per (event_date, proto) over the source address
+    * ([[graft.functions.HeavyHittersSketch]]), stored as a binary column
+    * exactly like the SummingMergeTree stores partial sums. State never
+    * grows with address cardinality: each partial is ≤ `capacity` entries,
+    * the batch's shuffle carries one blob per partition per group, and the
+    * stream itself holds ZERO Spark state (same per-batch-partials posture
+    * as [[rollupPartials]]). Read-time [[readTopTalkers]] folds the blobs
+    * and finalizes — the mergeable-summaries bounds survive the
+    * cross-batch merge tree, so the MV agrees with a batch sketch over
+    * the union (exactly so below eviction). */
+  def topTalkersPartials(df: DataFrame, capacity: Int = 256): DataFrame =
+    projectRaw(df)
+      .groupBy(col("event_date"), col("proto"))
+      .agg(graft.functions.HeavyHitters.heavyHittersSketch(
+          graft.GraftFunctions.reinterpret_uint32(col("srcAddr")), capacity).as("hh_sketch"),
+        count(lit(1)).as("flow_count"))
+
+  /** Start the top-talkers MV: same idempotent `batch=<id>` overwrite
+    * layout as [[startRollupMV]] (a checkpoint replay rewrites its own
+    * directory; read-time merge is insensitive to partial multiplicity
+    * only if each batch appears ONCE). */
+  def startTopTalkersMV(stream: DataFrame, outPath: String, checkpoint: String,
+      capacity: Int = 256, trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        topTalkersPartials(batch, capacity).write
+          .mode("overwrite")
+          .partitionBy("event_date")
+          .parquet(s"$outPath/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Read-time finalize of the top-talkers MV: fold every batch's sketch
+    * per (event_date, proto) ([[graft.functions.HeavyHittersMerge]]) and
+    * explode the top-k with the per-item bounds. One exchange over blobs
+    * (≤ capacity entries each), never the address stream. */
+  def readTopTalkers(spark: SparkSession, path: String, capacity: Int = 256,
+      k: Int = 10): DataFrame =
+    spark.read.parquet(path).drop("batch")
+      .groupBy("event_date", "proto")
+      .agg(graft.functions.HeavyHitters
+        .heavyHittersMerge(col("hh_sketch"), capacity, k).as("hh"),
+        sum("flow_count").as("flow_count"))
+      .select(col("event_date"), col("proto"), col("flow_count"), posexplode(col("hh")))
+      .select(col("event_date"), col("proto"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.item").as("src_ip"), col("col.est").as("est"), col("col.err").as("err"),
+        // the group's total n — the denominator of the n/capacity
+        // presence guarantee, carried so a panel can show est/n shares
+        col("flow_count").as("total_flows"))
+      .orderBy("event_date", "proto", "rank")
+
   /** `OPTIMIZE TABLE flows_5m` equivalent (`README.md:168-172`): fold the
     * table to one row per key. Dynamic partition overwrite rewrites only the
     * partitions present in the folded result — at scale this is run per

@@ -617,8 +617,24 @@ object ManifestTable {
     * data the winning swap already re-staged, so applying both doubles the
     * table. Appends never conflict with this check (they only add files). */
   def swap(df: DataFrame, table: String, partitionCol: Option[String],
-      replaced: Seq[String], statsCol: Option[String] = None): Boolean = {
-    val staged = stage(df, table, partitionCol, s"c${System.nanoTime()}", statsCol)
+      replaced: Seq[String], statsCol: Option[String] = None): Boolean =
+    swapPrefixed(df, table, partitionCol, replaced, s"c${System.nanoTime()}", statsCol)
+
+  /** [[swap]] whose staged files carry an APPEND-STYLE batch identity
+    * (`b<batchId>-` prefix): batch-bounded readers ([[readBatchSince]] /
+    * [[batchSinceFiles]]) then treat the fold as belonging to `batchId`
+    * instead of conservatively re-reading it in every future window. Used
+    * by the escapee-sweep purge, whose fold of window `[since, upTo)` is
+    * fully adjudicated — tagging it with the window's max batch keeps the
+    * NEXT sweep's left side O(its own window), never O(everything ever
+    * swept). */
+  def swapAsBatch(df: DataFrame, table: String, partitionCol: Option[String],
+      replaced: Seq[String], batchId: Long, statsCol: Option[String] = None): Boolean =
+    swapPrefixed(df, table, partitionCol, replaced, s"b$batchId", statsCol)
+
+  private def swapPrefixed(df: DataFrame, table: String, partitionCol: Option[String],
+      replaced: Seq[String], prefix: String, statsCol: Option[String]): Boolean = {
+    val staged = stage(df, table, partitionCol, prefix, statsCol)
     val dead = replaced.toSet // PATHS; manifest lines may carry stats
     val committed = tryCommit(table) { lines =>
       // Set membership both ways: replaced.forall(files.contains) was a
@@ -647,7 +663,7 @@ object ManifestTable {
   /** Batch id encoded in an append's file name (`b<id>-<uuid>.parquet`,
     * the [[append]] prefix); None for allocate (`a…`) / compaction (`c…`)
     * files, which carry no batch identity. */
-  private def batchOfPath(path: String): Option[Long] = {
+  private[graft] def batchOfPath(path: String): Option[Long] = {
     val base = path.substring(path.lastIndexOf('/') + 1)
     if (!base.startsWith("b")) None
     else base.drop(1).takeWhile(_ != '-').toLongOption
@@ -679,9 +695,13 @@ object ManifestTable {
 
   /** The since-bounded file list itself (paths with batch ≥ `sinceBatch`)
     * — for callers that rewrite the window via [[swap]]. */
-  private[graft] def batchSinceFiles(table: String, sinceBatch: Long): Seq[String] =
-    snapshotEntries(table)._2.map(_.path)
-      .filter(p => batchOfPath(p).forall(_ >= sinceBatch))
+  private[graft] def batchSinceFiles(table: String, sinceBatch: Long): Seq[String] = {
+    val entries = snapshotEntries(table)._2.map(_.path)
+    val selected = entries.filter(p => batchOfPath(p).forall(_ >= sinceBatch))
+    pruneStats.put(Paths.get(table).toAbsolutePath.normalize.toString,
+      (selected.size, entries.size))
+    selected
+  }
 
   def expireByStats(table: String, statsCol: String, beforeMax: Long): Long = {
     var removed = 0L

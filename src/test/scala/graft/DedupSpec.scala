@@ -349,6 +349,63 @@ class DedupSpec extends SparkTestBase {
       "vacuum must not touch live in-horizon files")
   }
 
+  test("sweep cadence: the STREAM alone purges a beyond-horizon escapee; frontier persists across restart (r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{min => fmin}
+    import graft.streaming.ManifestTable
+    implicit val sqlCtx = spark.sqlContext
+    def t(ws: Seq[String]): String = ws.mkString(" ")
+    val idx = tmp(); val out = tmp(); val cp = tmp()
+    val H = 2L
+    val src = MemoryStream[(Long, String)]
+    val q = Dedup.startStreamingNearDup(
+      src.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, out, cp,
+      probeHorizon = H, sweepEvery = 4)
+    // batch 0: the old corpus; batches 1-2 push it beyond the horizon
+    src.addData((1L to 6L).map(i => (i, t(words(s"p${i}x")))): _*); q.processAllAvailable()
+    (1 to 2).foreach { b =>
+      src.addData((1L to 3L).map(i => (b * 10 + i, t(words(s"hb${b}d${i}x")))): _*)
+      q.processAllAvailable()
+    }
+    // batch 3: doc 100 near-dups batch-0 doc 3 — beyond horizon, so the
+    // in-stream probe keeps it; batch 3 also completes the sweepEvery=4
+    // cadence, so the stream schedules its own retrospective sweep
+    src.addData((100L, t(words("p3x").updated(10, "subst")))); q.processAllAvailable()
+    Dedup.awaitSweep(out)
+    val kept = ManifestTable.read(spark, out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(100L), "the STREAM's own sweep must purge the escapee")
+    assert(kept.contains(3L), "the canonical survives the sweep")
+    assert(Dedup.sweepFrontier(out) === 4L, "completed sweep must persist its frontier")
+    q.stop()
+
+    // restart on the same checkpoint + SAME source: the persisted frontier
+    // bounds both the next sweep's window and the index expiry
+    val q2 = Dedup.startStreamingNearDup(
+      src.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, out, cp,
+      probeHorizon = H, sweepEvery = 1)
+    src.addData((200L, t(words("fresh200")))); q2.processAllAvailable()
+    Dedup.awaitSweep(out)
+    q2.stop()
+    assert(Dedup.sweepFrontier(out) === 5L, "restarted stream advances, never rewinds")
+    // the restart-triggered sweep read ONLY the post-frontier window: the
+    // purged fold carries the old window's batch identity, so the manifest
+    // excludes it — no double-sweep of already-adjudicated batches
+    val (wSel, wTot) = ManifestTable.lastPruneStats(out).get
+    assert(wSel === 1 && wTot >= 2,
+      s"restart sweep must read only batch-4's file, read $wSel of $wTot")
+    // expiry under the sweep cadence is frontier-bounded (retention ~2H):
+    // at batch 4 the frontier was 4, so index batches < 4 - H = 2 retired
+    val minSrc = ManifestTable.read(spark, s"$idx/bands")
+      .agg(fmin("src_batch")).head().getLong(0)
+    assert(minSrc >= 2L && minSrc < 4L,
+      s"frontier-bounded expiry must keep [frontier-H, ...) for the sweep, min=$minSrc")
+    val after = ManifestTable.read(spark, out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after === kept + 200L, "restart must not re-purge or lose anything")
+  }
+
   test("era-scoped compaction keeps the horizon file-skip effective after folding (r9)") {
     import spark.implicits._
     import graft.streaming.ManifestTable

@@ -64,6 +64,33 @@ class FlowScanAlarmSpec extends SparkTestBase {
     assert(got.head.fired_at === 1704067212L)
   }
 
+  test("bounded-buffer crossing: reverse-arrival flood resolves the same fired_at as the sorted replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val q = FlowScanAlarm.alarms(src.toDF(), windowSeconds = 3600, minPorts = 5,
+        lateness = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("alarms_flood").start()
+    val base = msgsAt(1, seed = 64, baseTime = 1704067200L).head
+    // batch 1: two distinct ports carried in state -> need = 3 next batch
+    src.addData(withPorts(base, Seq(900, 901), 1704067200L)); q.processAllAvailable()
+    // batch 2: 100 distinct NEW ports, port i at t0+i, fed in REVERSE ts
+    // order (worst case for the size-capped earliest-per-port map: every
+    // observation evicts the current max), plus late duplicates of the
+    // early ports and repeats of the already-counted state ports
+    val t0 = 1704067300L
+    val flood = (100 to 1 by -1).map(i => base.copy(dstPort = i, timeReceived = t0 + i)) ++
+      Seq(base.copy(dstPort = 1, timeReceived = t0 + 500),
+        base.copy(dstPort = 900, timeReceived = t0 + 1),
+        base.copy(dstPort = 901, timeReceived = t0 + 2))
+    src.addData(flood); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("alarms_flood").as[FlowScanAlarm.ScanAlarm].collect()
+    assert(got.length === 1, s"one alarm, got ${got.toSeq}")
+    // sorted replay: new-port first occurrences at t0+1, t0+2, t0+3 —
+    // the 3rd new distinct port (5th overall) completes at t0+3
+    assert(got.head.fired_at === t0 + 3, s"got ${got.head}")
+  }
+
   test("windows are independent: the same source re-alarms in a later window; state GCs on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[FlowMessage]

@@ -123,6 +123,66 @@ class PartitionedTopicSpec extends SparkTestBase {
     assert(next === 40L)
   }
 
+  test("two consumer groups over one topic: independent offsets, each sees every record exactly once (r12)") {
+    // the reference runs TWO independent groups on the `flows` topic —
+    // the Go inserter (inserter.go:34) and the ClickHouse Kafka engine
+    // (create.sh:32). In Kafka, group independence = separate committed
+    // offsets; here each group's file-source checkpoint IS its offset
+    // store, so two streams with separate checkpoints must (a) both see
+    // every record exactly once, (b) commit progress independently — one
+    // group down does not stall or skip the other — and (c) resume from
+    // their OWN position, not the other group's.
+    val dir = tmp("topic_groups")
+    val cpA = tmp("topic_groups_cpA"); val outA = tmp("topic_groups_outA")
+    val cpB = tmp("topic_groups_cpB"); val outB = tmp("topic_groups_outB")
+    val msgs = FlowGen.flows(spark, 120, seed = 27).collect().toSeq
+    var off0 = PartitionedTopic.producePayload(dir, 0, 0L, msgs.slice(0, 30))
+    var off1 = PartitionedTopic.producePayload(dir, 1, 0L, msgs.slice(30, 60))
+
+    def start(cp: String, out: String) = PartitionedTopic.readStream(spark, dir)
+      .select(col("partition"), col("offset"), col("msg.bytes").as("bytes"))
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append").option("checkpointLocation", cp).start()
+
+    // both groups consume the first produces CONCURRENTLY
+    val qA1 = start(cpA, outA); val qB1 = start(cpB, outB)
+    qA1.processAllAvailable(); qB1.processAllAvailable()
+    // group B goes down (the reference's "one consumer restarts" case);
+    // group A keeps consuming the next produces alone
+    qB1.stop()
+    off0 = PartitionedTopic.producePayload(dir, 0, off0, msgs.slice(60, 90))
+    qA1.processAllAvailable(); qA1.stop()
+    // group B comes back and catches up from ITS checkpoint — including a
+    // produce that lands while A is down too
+    off1 = PartitionedTopic.producePayload(dir, 1, off1, msgs.slice(90, 120))
+    val qB2 = start(cpB, outB); qB2.processAllAvailable(); qB2.stop()
+    // group A's final catch-up
+    val qA2 = start(cpA, outA); qA2.processAllAvailable(); qA2.stop()
+
+    // every group saw every (partition, offset) exactly once — no record
+    // lost to the other group (groups are NOT a work-sharing pool) and no
+    // record duplicated across its own restart
+    val wantBytes = msgs.map(_.bytes).sum
+    Seq("A" -> outA, "B" -> outB).foreach { case (g, out) =>
+      val sunk = spark.read.parquet(out).collect()
+      assert(sunk.length === 120, s"group $g: lost or duplicated records")
+      Seq(0 -> off0, 1 -> off1).foreach { case (p, hi) =>
+        val offs = sunk.filter(_.getInt(0) == p).map(_.getLong(1)).sorted.toSeq
+        assert(offs === (0L until hi), s"group $g partition $p: offset set broken")
+      }
+      assert(sunk.map(_.getLong(2)).sum === wantBytes, s"group $g: payload bytes differ")
+    }
+    // and the offset stores really are independent: the checkpoints hold
+    // different committed positions mid-history (B missed a batch window
+    // A saw, so their source logs differ in length)
+    def commits(cp: String): Long =
+      java.nio.file.Files.list(java.nio.file.Paths.get(cp, "commits"))
+        .filter(p => !p.getFileName.toString.startsWith(".")).count()
+    assert(commits(cpA) > 0 && commits(cpB) > 0)
+    assert(commits(cpA) != commits(cpB),
+      "independent groups advanced through different batch histories")
+  }
+
   test("streaming consumer: new payloads continue offsets exactly-once across restarts") {
     val dir = tmp("topic_stream")
     val cp = tmp("topic_stream_cp")
