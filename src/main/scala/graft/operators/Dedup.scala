@@ -110,10 +110,17 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame =
     jaccardPairsFrom(explodedShingleHashes(spark, dir), threshold, maxDf = None)
 
+  /** [[ngramJaccardPairs]] over an arbitrary `(doc_id, text)` relation. */
+  def ngramJaccardPairsOver(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsFrom(explodedShingleHashesOver(docs), threshold, maxDf = None)
+
   /** The exploded (doc_id, n_sh, h) shingle-hash relation both Jaccard
     * operators score over. */
   private def explodedShingleHashes(spark: SparkSession, dir: String): DataFrame =
-    withShingles(Tables.documents(spark, dir).select("doc_id", "text"), "text")
+    explodedShingleHashesOver(Tables.documents(spark, dir).select("doc_id", "text"))
+
+  private def explodedShingleHashesOver(docs: DataFrame): DataFrame =
+    withShingles(docs, "text")
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
@@ -126,7 +133,20 @@ object Dedup {
     * localCheckpoint that pinned the corpus-sized exploded relation in
     * executor storage. */
   private def jaccardPairsFrom(ex0: DataFrame, threshold: Double,
-      maxDf: Option[Int]): DataFrame = {
+      maxDf: Option[Int]): DataFrame =
+    coShinglePairCounts(ex0, maxDf)
+      .withColumn("jaccard", col("common").cast("double")
+        / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** The shared co-shingle pair relation both similarity heads score over:
+    * `(doc_a, doc_b, n_a, n_b, common)` for every document pair sharing at
+    * least one (df-admitted) shingle hash. ONE shingle build, ONE shuffle
+    * (`repartition(h)` is the exchange the df-count and both self-join
+    * sides read). */
+  private def coShinglePairCounts(ex0: DataFrame, maxDf: Option[Int]): DataFrame = {
     val ex = ex0.repartition(col("h"))
     val sides = maxDf match {
       case Some(cap) =>
@@ -141,11 +161,6 @@ object Dedup {
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard", col("common").cast("double")
-        / (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "common", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Skew-safe n-gram Jaccard: identical to [[ngramJaccardPairs]] except
@@ -163,6 +178,38 @@ object Dedup {
   def ngramJaccardPairsCapped(spark: SparkSession, dir: String,
       threshold: Double = 0.2, maxDf: Int = 100): DataFrame =
     jaccardPairsFrom(explodedShingleHashes(spark, dir), threshold, maxDf = Some(maxDf))
+
+  /** ASYMMETRIC containment pairs — C(A→B) = |A∩B| / |A| over the same
+    * distinct-shingle sets the Jaccard operators use. Jaccard is blind to
+    * the length-skewed duplication a training corpus is full of: a short
+    * document pasted whole into a long one scores
+    * J = |A|/|B| (tiny for |B| ≫ |A|) but C(A→B) = 1.0. Thresholding
+    * `greatest(C(A→B), C(B→A))` therefore catches quote-expansions,
+    * boilerplate-wrapped reposts, and doc-in-doc aggregation that every
+    * symmetric score misses — the standard reason dedup pipelines track
+    * containment next to Jaccard (Broder's resemblance/containment pair).
+    *
+    * Same scale shape as [[ngramJaccardPairsCapped]]: pairs come from the
+    * shared [[coShinglePairCounts]] relation (hash-keyed shuffles, bodies
+    * never leave the scan, df-cap available for web-scale hot shingles);
+    * the two containments are two divisions on the already-reduced pair
+    * row. Deterministic: each containment is ONE final division of two
+    * integers, bit-identical on both engines. */
+  def containmentPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, maxDf: Option[Int] = None): DataFrame =
+    containmentPairsOver(
+      Tables.documents(spark, dir).select("doc_id", "text"), threshold, maxDf)
+
+  /** [[containmentPairs]] over an arbitrary `(doc_id, text)` relation
+    * (specs plant doc-in-doc corpora). */
+  def containmentPairsOver(docs: DataFrame,
+      threshold: Double = 0.5, maxDf: Option[Int] = None): DataFrame =
+    coShinglePairCounts(explodedShingleHashesOver(docs), maxDf)
+      .withColumn("containment_a", col("common").cast("double") / col("n_a"))
+      .withColumn("containment_b", col("common").cast("double") / col("n_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select("doc_a", "doc_b", "common", "containment_a", "containment_b")
+      .orderBy("doc_a", "doc_b")
 
   /** EXACT SUBSTRING duplication statistics — the span-level dedup signal
     * document-level Jaccard/MinHash cannot see (Lee et al.'s
@@ -1307,6 +1354,7 @@ object Dedup {
     "dedup_split_leakage" -> ((s: SparkSession, d: String) => splitContamination(s, d)),
     "dedup_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "dedup_edit_pairs" -> ((s: SparkSession, d: String) => editVerifiedPairs(s, d)),
+    "dedup_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "dedup_rate_by_source" -> (dupRateBySource _))
 
   private val duckShingleCte =
@@ -1397,6 +1445,22 @@ object Dedup {
         |  FROM documents)
         | WHERE doc_id = canonical_id ORDER BY doc_id""".stripMargin.replace('\n', ' '),
     "dedup_ngram_groundtruth" -> duckJaccard,
+    // containment: same shingle CTE, asymmetric |A∩B|/|A| and |A∩B|/|B|
+    // (each a single integer division — DuckDB's int `/` is double, like
+    // Spark's post-cast division), gated on the max of the two
+    "dedup_containment" ->
+      s"""$duckShingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS common,
+         |  CAST(count(*) AS BIGINT) / any_value(sa.n_sh) AS containment_a,
+         |  CAST(count(*) AS BIGINT) / any_value(sb.n_sh) AS containment_b
+         |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |JOIN sizes sa ON sa.doc_id = a.doc_id
+         |JOIN sizes sb ON sb.doc_id = b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING greatest(CAST(count(*) AS BIGINT) / any_value(sa.n_sh),
+         |  CAST(count(*) AS BIGINT) / any_value(sb.n_sh)) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' '),
     "dedup_rate_by_source" ->
       s"""SELECT source, count(*) AS docs,
          | count(DISTINCT $duckTextDigest) AS distinct_texts,

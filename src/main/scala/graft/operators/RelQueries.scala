@@ -159,6 +159,39 @@ object RelQueries {
       .limit(10)
   }
 
+  /** TPC-H Q2 shape — min-cost supplier: for every part of one brand, the
+    * supplier behind the CHEAPEST line sold for it (ties → lowest
+    * suppkey). The correlated-subquery pattern (`WHERE cost = (SELECT
+    * min(cost) ... WHERE same part)`) realized as a JOIN-AGAINST-AGGREGATE:
+    * aggregate once per part, join the fact rows back on (part, cost).
+    *
+    * Scale shape: the brand filter broadcasts into the fact scan FIRST
+    * (the part side is a filtered dimension at any SF), so both the
+    * aggregate and the join-back run over the reduced fact; the aggregate
+    * and the join-back key on the SAME l_partkey hash partitioning (one
+    * exchange feeds both sides — no re-shuffle for the self-join); the
+    * supplier name lookup broadcasts. Never a window over the unfiltered
+    * fact, never a cartesian. */
+  def minCostSupplier(spark: SparkSession, dir: String,
+      brand: String = "Brand#13"): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select("p_partkey", "p_name")
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"),
+      cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("cost_cents"))
+    val lip = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("l_suppkey"), col("cost_cents"))
+    val minc = lip.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min("cost_cents").as("min_cost_cents"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    lip.join(minc, col("p_partkey") === col("m_partkey")
+        && col("cost_cents") === col("min_cost_cents"))
+      .groupBy(col("p_partkey"), col("p_name"), col("min_cost_cents"))
+      .agg(min("l_suppkey").as("s_suppkey"))
+      .join(broadcast(s), "s_suppkey")
+      .select("p_partkey", "p_name", "min_cost_cents", "s_suppkey", "s_name")
+      .orderBy("p_partkey")
+  }
+
   /** Set operations (INTERSECT / EXCEPT — the §2.5 set-op roadmap rows):
     * customers holding BOTH an urgent and a low-priority order, and those
     * holding urgent only. Catalyst plans both as distinct-semantics
@@ -190,6 +223,7 @@ object RelQueries {
     "rel_distinct_parts" -> (distinctParts _),
     "rel_top_orders" -> (topOrders _),
     "rel_revenue_per_nation" -> (revenuePerNation _),
+    "rel_min_cost_supplier" -> ((s: SparkSession, d: String) => minCostSupplier(s, d)),
     "rel_rollup_agg" -> (rollupAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -260,6 +294,25 @@ object RelQueries {
         | JOIN region ON n_regionkey = r_regionkey
         | WHERE r_name = 'AMERICA'
         | GROUP BY n_name ORDER BY n_name""".stripMargin.replace('\n', ' '),
+    "rel_min_cost_supplier" ->
+      """WITH lip AS (
+        |  SELECT p_partkey, p_name, l_suppkey,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS cost_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'
+        |), mins AS (
+        |  SELECT p_partkey, any_value(p_name) AS p_name,
+        |    min(cost_cents) AS min_cost_cents
+        |  FROM lip GROUP BY 1
+        |), win AS (
+        |  SELECT m.p_partkey, m.p_name, m.min_cost_cents,
+        |    min(l.l_suppkey) AS s_suppkey
+        |  FROM mins m JOIN lip l
+        |    ON l.p_partkey = m.p_partkey AND l.cost_cents = m.min_cost_cents
+        |  GROUP BY m.p_partkey, m.p_name, m.min_cost_cents)
+        |SELECT w.p_partkey, w.p_name, w.min_cost_cents, w.s_suppkey, s.s_name
+        |FROM win w JOIN supplier s ON s.s_suppkey = w.s_suppkey
+        |ORDER BY w.p_partkey""".stripMargin.replace('\n', ' '),
     "rel_rollup_agg" ->
       """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
         | l_returnflag, l_linestatus,

@@ -265,6 +265,54 @@ object FlowStreams {
         col("flow_count").as("total_flows"))
       .orderBy("event_date", "proto", "rank")
 
+  // ------------------------------------------------ unique-sources HLL MV
+
+  /** Continuous UNIQUE-SOURCES MV — the streaming twin of
+    * [[graft.flow.FlowQueries.uniqueSrc]]'s hourly panel, built the way
+    * ClickHouse's AggregatingMergeTree stores `uniqState` and finalizes
+    * with `uniqMerge`: per micro-batch, one Datasketches HLL sketch per
+    * hourly bucket over the source address (Spark's built-in
+    * `hll_sketch_agg` — partials merge map-side, the shuffle carries one
+    * fixed-size sketch per partition per bucket, never the address
+    * stream), stored as a binary column. HLL union is register-wise max —
+    * associative, commutative, idempotent — so ANY micro-batch split of
+    * the stream folds to byte-identical sketches at read time. Stream
+    * state is ZERO (per-batch partials, same posture as
+    * [[rollupPartials]] / [[topTalkersPartials]]). */
+  def uniqueSrcPartials(df: DataFrame, lgConfigK: Int = 12): DataFrame =
+    df.groupBy(((col("timeReceived") / 3600).cast("long") * 3600).as("bucket"))
+      .agg(hll_sketch_agg(
+          graft.GraftFunctions.reinterpret_uint32(col("srcAddr")), lgConfigK)
+          .as("hll_sketch"),
+        count(lit(1)).as("flow_count"))
+
+  /** Start the unique-sources MV: same idempotent `batch=<id>` overwrite
+    * layout as [[startTopTalkersMV]]. */
+  def startUniqueSrcMV(stream: DataFrame, outPath: String, checkpoint: String,
+      lgConfigK: Int = 12, trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        uniqueSrcPartials(batch, lgConfigK).write
+          .mode("overwrite")
+          .parquet(s"$outPath/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Read-time finalize: union every batch's sketch per bucket
+    * (`hll_union_agg`) and estimate — the `uniqMerge` read. One exchange
+    * over fixed-size sketch blobs. `unique_src_approx` carries HLL's
+    * standard error (~1.6% at lgConfigK=12); the panel's flow_count sum
+    * stays exact. */
+  def readUniqueSrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("batch")
+      .groupBy("bucket")
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll_sketch"), false))
+          .as("unique_src_approx"),
+        sum("flow_count").as("flow_count"))
+      .orderBy("bucket")
+
   /** `OPTIMIZE TABLE flows_5m` equivalent (`README.md:168-172`): fold the
     * table to one row per key. Dynamic partition overwrite rewrites only the
     * partitions present in the folded result — at scale this is run per

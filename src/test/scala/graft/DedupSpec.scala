@@ -11,6 +11,35 @@ class DedupSpec extends SparkTestBase {
     java.nio.file.Files.createTempDirectory("graft_dedup_spec").toString
   private def words(prefix: String): Seq[String] = (0 until 30).map(i => s"$prefix$i")
 
+  test("containment catches doc-in-doc duplication that Jaccard misses (r12)") {
+    import spark.implicits._
+    // A is pasted whole into B behind 100 words of boilerplate: J(A,B) =
+    // |A|/|B| ≈ 0.22 (below even the 0.5 gate halved), but C(A→B) = 1.0.
+    // C and D share nothing; E is a verbatim copy of A (both containments 1).
+    val a = (0 until 30).map(i => s"core$i")
+    val b = (0 until 100).map(i => s"boiler$i") ++ a
+    val docs = Seq(
+      (1L, a.mkString(" ")), (2L, b.mkString(" ")),
+      (3L, (0 until 40).map(i => s"other$i").mkString(" ")),
+      (4L, (0 until 40).map(i => s"unrelated$i").mkString(" ")),
+      (5L, a.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsOver(docs, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4))).toSeq
+    // (1,2): A fully inside B — asymmetric (containment_a 1.0, b small);
+    // (1,5)/(2,5): the copy pairs; nothing pairs C or D
+    val byPair = got.map { case (x, y, ca, cb) => (x, y) -> (ca, cb) }.toMap
+    assert(byPair.keySet === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    assert(byPair((1L, 2L))._1 === 1.0 && byPair((1L, 2L))._2 < 0.25,
+      s"doc-in-doc must be caught by the A-side containment alone: $byPair")
+    assert(byPair((1L, 5L)) === ((1.0, 1.0)))
+    // ... and the equal-threshold Jaccard screen does NOT see the (1,2)
+    // doc-in-doc pair — the exact blindness containment exists to cure
+    val jac = Dedup.ngramJaccardPairsOver(docs, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && jac.contains((1L, 5L)),
+      s"Jaccard at the same 0.9 bar should miss doc-in-doc, got $jac")
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val n = Tables.documents(spark, sf).select("text").distinct().count()
     assert(Dedup.exactDedup(spark, sf).count() === n)

@@ -37,6 +37,41 @@ class FlowStreamsSpec extends SparkTestBase {
     assert(oneDay.count() === 300)
   }
 
+  test("unique-sources HLL MV: cross-batch union equals the batch sketch; estimate tracks exact (r12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val out = tmp(); val cp = tmp()
+    val batches = (0 until 3).map(b =>
+      genBatch(600, seed = 80 + b, baseTime = 1704067200L + b * 1200))
+    val q = FlowStreams.startUniqueSrcMV(src.toDF(), out, cp)
+    batches.foreach { b => src.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = FlowStreams.readUniqueSrc(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.map(_._3).sum === 1800L, "flow_count side stays exact")
+    // HLL union is register-wise max: ANY micro-batch split folds to the
+    // SAME estimate as one sketch over the union
+    val all = spark.createDataFrame(batches.flatten)
+    val batchEst = FlowStreams.uniqueSrcPartials(all)
+      .select(col("bucket"), hll_sketch_estimate(col("hll_sketch")).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.map(_._1).toSet === batchEst.keySet)
+    got.foreach { case (bucket, est, _) =>
+      assert(est === batchEst(bucket), s"bucket $bucket: MV fold diverged from batch sketch")
+    }
+    // ... and within HLL's error envelope of the exact distinct count
+    val exact = all
+      .groupBy(((col("timeReceived") / 3600).cast("long") * 3600).as("bucket"))
+      .agg(countDistinct(graft.GraftFunctions.reinterpret_uint32(col("srcAddr"))).as("ex"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (bucket, est, _) =>
+      val ex = exact(bucket).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05,
+        s"bucket $bucket: estimate $est vs exact $ex beyond 5%")
+    }
+  }
+
   test("raw compaction: fewer files, identical data, time-sorted within files") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[FlowMessage]

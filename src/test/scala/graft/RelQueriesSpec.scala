@@ -13,6 +13,41 @@ class RelQueriesSpec extends SparkTestBase {
     assert(bhj.size === 2, s"expected 2 broadcast joins, plan:\n${plan.toString.take(1500)}")
   }
 
+  test("min-cost supplier: join-against-aggregate shape + winner really is the per-part minimum (r12)") {
+    val df = RelQueries.minCostSupplier(spark, sf)
+    // plan: the brand filter and the supplier lookup broadcast; the
+    // aggregate side joins back WITHOUT a window over the unfiltered fact
+    val plan = df.queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"part + supplier sides must broadcast:\n${plan.toString.take(1500)}")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "correlated-min shape must not window the fact table")
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    // semantic re-check straight from the tables: for each reported part,
+    // the reported min is the true min and the suppkey the lowest holder
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_brand") === "Brand#13"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPart = li.groupBy(_._1)
+    assert(rows.length === byPart.size, "one winner row per brand part with sales")
+    rows.foreach { case (pk, _, minc, sk, sname) =>
+      val lines = byPart(pk)
+      assert(minc === lines.map(_._3).min, s"part $pk: not the true min")
+      assert(sk === lines.filter(_._3 == minc).map(_._2).min,
+        s"part $pk: tie must break to the lowest suppkey")
+      assert(sname === f"Supplier#$sk%09d")
+    }
+  }
+
   test("rollup computes subtotals in one Expand pass; totals reconcile (r11)") {
     val df = RelQueries.rollupAgg(spark, sf)
     // ONE Expand + aggregate — not three scans of the fact table
