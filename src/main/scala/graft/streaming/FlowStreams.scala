@@ -265,6 +265,56 @@ object FlowStreams {
         col("flow_count").as("total_flows"))
       .orderBy("event_date", "proto", "rank")
 
+  // --------------------------------------------- bytes-quantiles KLL MV
+
+  /** Continuous BYTE-SIZE DISTRIBUTION MV — the streaming twin of
+    * [[graft.flow.FlowQueries.bytesQuantiles]]'s per-protocol panel, the
+    * AggregatingMergeTree `quantileState` pattern: per micro-batch, one
+    * mergeable KLL sketch per (event_date, proto) over the flow's byte
+    * count ([[graft.functions.QuantileSketchAgg]]), stored as a binary
+    * column. Each partial is O(k log n/k) bytes (~KBs at k=200) no matter
+    * how many flows the batch carried; stream state is ZERO. KLL's rank
+    * error survives arbitrary merge trees, so read-time
+    * [[readBytesQuantiles]] is as accurate as one sketch over the union. */
+  def bytesQuantilesPartials(df: DataFrame, k: Int = 200): DataFrame =
+    projectRaw(df)
+      .groupBy(col("event_date"), col("proto"))
+      .agg(graft.functions.QuantileSketch
+          .quantileSketch(col("bytes").cast("double"), k).as("q_sketch"),
+        count(lit(1)).as("flow_count"))
+
+  /** Start the bytes-quantiles MV: same idempotent `batch=<id>` overwrite
+    * layout as [[startTopTalkersMV]]. */
+  def startBytesQuantilesMV(stream: DataFrame, outPath: String, checkpoint: String,
+      k: Int = 200, trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        bytesQuantilesPartials(batch, k).write
+          .mode("overwrite")
+          .partitionBy("event_date")
+          .parquet(s"$outPath/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Read-time finalize — `quantileMerge` the per-batch sketches and
+    * unpack the requested probs as columns (p50/p90/p99 by default). One
+    * exchange over fixed-size blobs, never the byte-count stream. */
+  def readBytesQuantiles(spark: SparkSession, path: String, k: Int = 200,
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val folded = spark.read.parquet(path).drop("batch")
+      .groupBy("event_date", "proto")
+      .agg(graft.functions.QuantileSketch
+          .quantileMerge(col("q_sketch"), k, probs).as("qs"),
+        sum("flow_count").as("flow_count"))
+    val qCols = probs.zipWithIndex.map { case (p, i) =>
+      element_at(col("qs"), i + 1).as(s"p${(p * 100).round}")
+    }
+    folded.select(col("event_date") +: col("proto") +: qCols :+ col("flow_count"): _*)
+      .orderBy("event_date", "proto")
+  }
+
   // ------------------------------------------------ unique-sources HLL MV
 
   /** Continuous UNIQUE-SOURCES MV — the streaming twin of
