@@ -469,6 +469,33 @@ object FlowQueries {
         count(lit(1)).as("flow_count"))
       .orderBy("bucket")
 
+  /** Day-over-day UNIQUE-SOURCE OVERLAP via mergeable theta sketches
+    * ([[graft.functions.ThetaSketch]]) — the retention-style question
+    * ("how many of yesterday's talkers came back today?") that plain
+    * HLL/count-distinct cannot answer without re-scanning both days: one
+    * sketch per day (bounded blobs, merged map-side), then a consecutive-day
+    * self-join whose INTERSECTION is a scalar op over two blobs. At scale
+    * the join carries one ≤64 KB blob per day, never the address stream.
+    * `strict = true` enforces the exact regime (per-day distinct < 2^lgK,
+    * here ~134 at sf0.01 / ~1340 at sf0.1 vs 4096) loudly, so the exact
+    * DuckDB oracle can't silently face approximate output. */
+  def uniqueSrcOverlap(spark: SparkSession, dir: String, lgK: Int = 12,
+      strict: Boolean = true): DataFrame = {
+    import graft.functions.ThetaSketch
+    val daily = fl(spark, dir)
+      .groupBy(((col("time_received") / 86400).cast("long") * 86400).as("day"))
+      .agg(ThetaSketch.thetaSketch(col("src_ip"), lgK).as("sk"))
+    val next = daily.select((col("day") - 86400).as("day"),
+      col("sk").as("sk_next"))
+    daily.join(next, "day")
+      .select(col("day"), (col("day") + 86400).as("next_day"),
+        ThetaSketch.thetaEstimate(col("sk"), strict).as("unique_day"),
+        ThetaSketch.thetaEstimate(col("sk_next"), strict).as("unique_next"),
+        ThetaSketch.thetaIntersectCount(col("sk"), col("sk_next"), strict)
+          .as("overlap"))
+      .orderBy("day")
+  }
+
   /** Exact byte-size quantiles per protocol (viz-style distribution panel).
     * Interpolated continuous quantiles over integers; rounded to 4 decimals
     * so the engines' different (lo + (hi-lo)*f vs lo*(1-f) + hi*f)
@@ -504,6 +531,30 @@ object FlowQueries {
         expr(s"approx_percentile(bytes, 0.99, $accuracy)").as("p99"),
         count(lit(1)).as("flow_count"))
       .orderBy("proto")
+
+  /** Byte-size quantiles through the mergeable KLL sketch pair
+    * ([[graft.functions.QuantileSketch]]) in its batch merge-tree shape:
+    * per-(proto, day) partial sketches (what the streaming MV stores per
+    * micro-batch), folded to per-proto quantiles at read time. Only
+    * fixed-size blobs cross the second exchange. Rows-only driver check —
+    * sketch output is rank-error-bounded, not bit-comparable across
+    * engines; QuantileSketchSpec pins the exact regime and error bounds. */
+  def bytesQuantilesKll(spark: SparkSession, dir: String, k: Int = 200,
+      probs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    import graft.functions.QuantileSketch
+    val partials = fl(spark, dir)
+      .groupBy(col("proto"),
+        ((col("time_received") / 86400).cast("long") * 86400).as("day"))
+      .agg(QuantileSketch.quantileSketch(col("bytes").cast("double"), k).as("s"),
+        count(lit(1)).as("c"))
+    val folded = partials.groupBy("proto")
+      .agg(QuantileSketch.quantileMerge(col("s"), k, probs).as("qs"),
+        sum("c").as("flow_count"))
+    val qCols = probs.zipWithIndex.map { case (p, i) =>
+      element_at(col("qs"), i + 1).as(s"p${(p * 100).round}")
+    }
+    folded.select(col("proto") +: qCols :+ col("flow_count"): _*).orderBy("proto")
+  }
 
   /** Top-3 byte counts per protocol through the custom [[graft.plans.GroupTopK]]
     * physical operator (bounded per-group heaps, partial→final around one
@@ -547,6 +598,11 @@ object FlowQueries {
     // not bit-comparable across engines); rank error spec-bounded
     "flow_bytes_quantiles_approx" -> ((s: SparkSession, d: String) =>
       bytesQuantilesApprox(s, d)),
+    // mergeable-KLL twin (the streaming MV's batch shape): rows-only too
+    "flow_bytes_quantiles_kll" -> ((s: SparkSession, d: String) =>
+      bytesQuantilesKll(s, d)),
+    "flow_unique_src_overlap" -> ((s: SparkSession, d: String) =>
+      uniqueSrcOverlap(s, d)),
     "flow_top_bytes_per_proto" -> ((s: SparkSession, d: String) => topBytesPerProto(s, d)),
     "flow_ip_anon" -> ((s: SparkSession, d: String) => ipAnon(s, d)),
     "flow_port_scan" -> ((s: SparkSession, d: String) => portScan(s, d)),
@@ -668,6 +724,17 @@ object FlowQueries {
          |  CAST(sum(bytes) AS BIGINT) AS sum_bytes, CAST(sum(packets) AS BIGINT) AS sum_packets,
          |  count(*) AS flow_count, max(ts) - min(ts) AS duration
          |FROM sess GROUP BY key, sid ORDER BY key, session_start""".stripMargin.replace('\n', ' '),
+    // exact-regime theta sketches (strict-guarded): estimates and the
+    // intersection reduce to exact distinct counts at the verify SF
+    "flow_unique_src_overlap" ->
+      s"""${cte}, d AS (SELECT DISTINCT (time_received // 86400) * 86400 AS day, src_ip FROM flows),
+         | u AS (SELECT day, CAST(count(*) AS BIGINT) AS uniq FROM d GROUP BY 1),
+         | o AS (SELECT a.day AS day, CAST(count(*) AS BIGINT) AS overlap FROM d a
+         |   JOIN d b ON b.day = a.day + 86400 AND b.src_ip = a.src_ip GROUP BY 1)
+         | SELECT u.day AS day, u.day + 86400 AS next_day, u.uniq AS unique_day,
+         |   u2.uniq AS unique_next, coalesce(o.overlap, 0) AS overlap
+         | FROM u JOIN u u2 ON u2.day = u.day + 86400 LEFT JOIN o ON o.day = u.day
+         | ORDER BY day""".stripMargin.replace('\n', ' '),
     "flow_unique_src" ->
       s"""${cte}SELECT (time_received // 3600) * 3600 AS bucket,
          | CAST(count(DISTINCT src_ip) AS BIGINT) AS unique_src, count(*) AS flow_count

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.flow.FlowQueries
+import graft.functions.ThetaSketch
+
+/** Theta sketch distinct counting with set ops: exact below 2^lgK
+  * (value-for-value, across a real merge tree), loud strict-mode guard in
+  * estimation mode, bounded error beyond, and the day-over-day overlap
+  * query vs an exact self-join reference. */
+class ThetaSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact regime: estimate and intersection reproduce exact distinct counts across partials") {
+    val rnd = new scala.util.Random(3)
+    // two groups with a known overlap, values scattered over 16 partials
+    val a = (0 until 900).map(i => ("a", i.toLong))
+    val b = (600 until 1400).map(i => ("b", i.toLong))
+    val df = (a ++ b).toDF("g", "v").repartition(16)
+    val sks = df.groupBy("g").agg(ThetaSketch.thetaSketch(col("v"), 12).as("sk"))
+    val est = sks.select(col("g"), ThetaSketch.thetaEstimate(col("sk"), strict = true).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") === 900L)
+    assert(est("b") === 800L)
+    val wide = sks.groupBy().pivot("g").agg(first("sk"))
+    val ov = wide.select(ThetaSketch.thetaIntersectCount(col("a"), col("b"), strict = true))
+      .head().getLong(0)
+    assert(ov === 300L, "intersection of exact sketches must be the exact overlap")
+  }
+
+  test("strict mode throws loudly in estimation regime instead of silently approximating") {
+    // lgK=4 (nominal 16) + 1000 distinct forces estimation mode cheaply
+    val sk = (0 until 1000).map(_.toLong).toDF("v")
+      .agg(ThetaSketch.thetaSketch(col("v"), 4).as("sk"))
+    val e = intercept[Exception](
+      sk.select(ThetaSketch.thetaEstimate(col("sk"), strict = true)).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("estimation mode")), msgs(e).mkString(" | "))
+    // non-strict path returns a bounded estimate on the same sketch
+    val est = sk.select(ThetaSketch.thetaEstimate(col("sk"), strict = false))
+      .head().getLong(0)
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.5, s"estimate $est wildly off")
+  }
+
+  test("flow_unique_src_overlap matches an exact distinct self-join at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = FlowQueries.uniqueSrcOverlap(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val d = graft.flow.FlowAdapter.flows(spark, dir)
+      .select(((col("time_received") / 86400).cast("long") * 86400).as("day"), col("src_ip"))
+      .distinct()
+    val u = d.groupBy("day").agg(count(lit(1)).as("uniq"))
+    val o = d.as("x").join(d.as("y"),
+        col("y.day") === col("x.day") + 86400 && col("y.src_ip") === col("x.src_ip"))
+      .groupBy(col("x.day").as("day")).agg(count(lit(1)).as("overlap"))
+    val wantRows = u
+      .join(u.withColumnRenamed("uniq", "uniq2").withColumn("day", col("day") - 86400), "day")
+      .join(o, Seq("day"), "left")
+      .na.fill(0, Seq("overlap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq === wantRows.toSeq)
+  }
+}
