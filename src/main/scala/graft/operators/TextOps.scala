@@ -487,6 +487,113 @@ object TextOps {
       .orderBy(desc("n_occurrences"), asc("bigram"))
       .limit(k)
 
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1), the
+    * rubric form pre-training filters actually ship: word-count bounds,
+    * mean-word-length bounds, minimum stopword diversity, and a
+    * duplicate-token cap — each rule an INTEGER comparison (mean word
+    * length via cross-multiplication `3·wc <= chars <= 10·wc`, duplicate
+    * fraction via `2·dups < wc`), so the oracle never faces a float.
+    * Narrow per-document projection: no shuffle, scales embarrassingly;
+    * the downstream filter is `keep = 1`. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val wc = size(w).cast("long")
+    val nonspace = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val dups = (size(w) - size(array_distinct(w))).cast("long")
+    val stopKinds = StopWords.map(s => array_contains(w, s).cast("int"))
+      .reduce(_ + _).cast("long")
+    val rWc = (wc >= 20 && wc <= 500).cast("int")
+    val rMwl = (nonspace >= wc * 3 && nonspace <= wc * 10).cast("int")
+    val rStop = (stopKinds >= 2).cast("int")
+    val rDup = (dups * 2 < wc).cast("int")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), wc.as("word_count"), nonspace.as("nonspace_chars"),
+        dups.as("dup_tokens"), stopKinds.as("stop_kinds"),
+        rWc.as("r_word_count"), rMwl.as("r_mean_word_len"),
+        rStop.as("r_stopwords"), rDup.as("r_dup_frac"),
+        (rWc * rMwl * rStop * rDup).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Word-order-INVARIANT exact dedup: canonicalize each document to its
+    * sorted bag of words and keep the lowest doc_id per bag — catches
+    * shuffled/reordered copies that byte-level `dedup_exact` misses.
+    * Same digest-groupBy shape as exact dedup: only the md5 of the sorted
+    * bag (not the text) crosses the exchange, null texts get a per-doc
+    * sentinel so they can never collide into one group. */
+  def bowDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = coalesce(
+      md5(concat_ws(" ", array_sort(toks(col("text"))))),
+      concat(lit("__null__"), col("doc_id")))
+    val byKey = Window.partitionBy(col("bow_key"))
+    Tables.documents(spark, dir)
+      .withColumn("bow_key", key)
+      .withColumn("canonical_id", min("doc_id").over(byKey))
+      .withColumn("dup_count", count(lit(1)).over(byKey))
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id", "lang", "source", "n_chars", "dup_count")
+      .orderBy("doc_id")
+  }
+
+  /** Per-document top-5 terms by tf·idf. Ranking uses the N-free monotone
+    * equivalent `tf / df` evaluated as one IEEE division of two small
+    * integers — correctly rounded and therefore IDENTICAL across engines,
+    * unlike a log-based idf whose libm last-ulp can flip a rank — with a
+    * lexicographic tie-break; the OUTPUT is integers only (rank, tf, df).
+    * Shuffles carry (doc_id, term) then term aggregates; the per-document
+    * window is bounded by document vocabulary and plans as
+    * WindowGroupLimit under the rank filter. */
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val score = col("tf").cast("double") / col("df")
+    val win = Window.partitionBy("doc_id").orderBy(score.desc, col("term").asc)
+    tf.join(dfc, "term")
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Corpus-level top-20 collocations by PMI over adjacent word pairs
+    * (min support 5). PMI's `log(N·c_xy / (c_x·c_y))` is monotone in
+    * `c_xy / (c_x·c_y)`, so the ranking uses that single IEEE division
+    * (integer operands — deterministic across engines, see [[tfidfTopK]])
+    * and the output is integers only. One explode for pairs + one for
+    * unigrams, both map-side combined on the token string; the final
+    * top-k is TakeOrderedAndProject. */
+  def pmiTopK(spark: SparkSession, dir: String, k: Int = 20,
+      minCount: Long = 5L): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    val uni = t.select(explode(col("t")).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("c"))
+    val bi = t.filter(col("n") >= 2)
+      .select(explode(transform(sequence(lit(1), col("n") - 1),
+        i => struct(element_at(col("t"), i).as("x"),
+          element_at(col("t"), (i + 1).cast("int")).as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val ux = uni.select(col("x"), col("c").as("c_x"))
+    val uy = uni.select(col("x").as("y"), col("c").as("c_y"))
+    bi.join(ux, "x").join(uy, "y")
+      .select("x", "y", "c_xy", "c_x", "c_y")
+      .orderBy((col("c_xy").cast("double") / (col("c_x") * col("c_y"))).desc,
+        col("x").asc, col("y").asc)
+      .limit(k)
+  }
+
   /** Deterministic global shuffle + shard manifest — the writer side of
     * "shuffle the corpus and emit N training shards". Each document's
     * shard and within-shard sort key derive from the md5 hash bucket +
@@ -512,6 +619,10 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "text_gopher_quality" -> (gopherQuality _),
+    "text_bow_dedup" -> (bowDedup _),
+    "text_tfidf_topk" -> ((s: SparkSession, d: String) => tfidfTopK(s, d)),
+    "text_pmi_topk" -> ((s: SparkSession, d: String) => pmiTopK(s, d)),
     "text_ngram_topk" -> ((s: SparkSession, d: String) => ngramTopK(s, d)),
     "text_shard_manifest" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
     "text_pii_scrub" -> (piiScrub _),
@@ -532,7 +643,56 @@ object TextOps {
 
   val oracles: Map[String, String] = {
     val w = "regexp_split_to_array(trim(text), '\\s+')"
+    val stopSum = StopWords
+      .map(s => s"CAST(list_contains(w, '$s') AS INT)").mkString(" + ")
     Map(
+      "text_gopher_quality" ->
+        s"""WITH b AS (SELECT doc_id, $w AS w,
+           |   CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace_chars
+           |   FROM documents),
+           | c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS word_count, nonspace_chars,
+           |   CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS dup_tokens,
+           |   CAST($stopSum AS BIGINT) AS stop_kinds FROM b),
+           | r AS (SELECT *,
+           |   CAST(word_count >= 20 AND word_count <= 500 AS INT) AS r_word_count,
+           |   CAST(nonspace_chars >= word_count * 3 AND nonspace_chars <= word_count * 10 AS INT) AS r_mean_word_len,
+           |   CAST(stop_kinds >= 2 AS INT) AS r_stopwords,
+           |   CAST(dup_tokens * 2 < word_count AS INT) AS r_dup_frac FROM c)
+           | SELECT doc_id, word_count, nonspace_chars, dup_tokens, stop_kinds,
+           |   r_word_count, r_mean_word_len, r_stopwords, r_dup_frac,
+           |   r_word_count * r_mean_word_len * r_stopwords * r_dup_frac AS keep
+           | FROM r ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+      "text_bow_dedup" ->
+        s"""SELECT doc_id, lang, source, n_chars, dup_count FROM (
+           |  SELECT *, min(doc_id) OVER (PARTITION BY k) AS canonical_id,
+           |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS dup_count
+           |  FROM (SELECT *, coalesce(md5(array_to_string(list_sort($w), ' ')),
+           |    '__null__' || doc_id) AS k FROM documents))
+           | WHERE doc_id = canonical_id ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+      "text_tfidf_topk" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($w) AS term FROM documents
+           |   WHERE text IS NOT NULL),
+           | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+           |   WHERE term <> '' GROUP BY 1, 2),
+           | dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           | j AS (SELECT doc_id, term, tf, df, row_number() OVER (
+           |     PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df DESC, term ASC) AS rn
+           |   FROM tf JOIN dfc USING (term))
+           | SELECT doc_id, CAST(rn AS INT) AS rank, term, tf, df FROM j
+           | WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin.replace('\n', ' '),
+      "text_pmi_topk" ->
+        s"""WITH t AS (SELECT $w AS w FROM documents WHERE text IS NOT NULL),
+           | uni AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM
+           |   (SELECT unnest(w) AS x FROM t) GROUP BY 1),
+           | pairs AS (SELECT w[i] AS x, w[i+1] AS y
+           |   FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+           |   WHERE len(w) >= 2),
+           | bi AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM pairs
+           |   GROUP BY 1, 2 HAVING count(*) >= 5)
+           | SELECT b.x, b.y, b.c_xy, ux.c AS c_x, uy.c AS c_y
+           | FROM bi b JOIN uni ux ON ux.x = b.x JOIN uni uy ON uy.x = b.y
+           | ORDER BY CAST(b.c_xy AS DOUBLE) / (ux.c * uy.c) DESC, b.x, b.y
+           | LIMIT 20""".stripMargin.replace('\n', ' '),
       "text_ngram_topk" ->
         s"""WITH t AS (SELECT $w AS w FROM documents WHERE text IS NOT NULL),
            | b AS (SELECT w[i] || ' ' || w[i+1] AS bigram

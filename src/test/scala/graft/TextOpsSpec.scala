@@ -297,4 +297,76 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(again === got)
   }
+
+  test("gopher quality rules fire on planted violations; clean doc keeps (r12)") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    val clean = (Seq("the") ++ (1 to 30).map(i => s"word$i") ++ Seq("of", "and")).mkString(" ")
+    Seq(
+      (1L, clean, "en", "t", clean.length.toLong), // passes all rules
+      (2L, "the of and tiny", "en", "t", 15L), // word-count rule fails
+      (3L, (1 to 25).map(_ => "supercalifragilistic").mkString(" ") + " the of",
+        "en", "t", 500L), // mean word len > 10 AND >50% dups
+      (4L, (1 to 30).map(i => s"w$i").mkString(" "), "en", "t", 120L)) // no stopwords
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val out = TextOps.gopherQuality(spark, dir2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8),
+        r.getInt(9)))).toMap
+    assert(out(1L) === ((1, 1, 1, 1, 1)))
+    assert(out(2L)._1 === 0); assert(out(2L)._5 === 0)
+    assert(out(3L)._2 === 0); assert(out(3L)._4 === 0)
+    assert(out(4L)._3 === 0); assert(out(4L)._5 === 0)
+  }
+
+  test("bow dedup collapses reordered copies to the lowest doc_id (r12)") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bow").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "t", 16L),
+      (2L, "gamma alpha beta", "en", "t", 16L), // reordered copy of 1
+      (3L, "alpha beta beta", "en", "t", 15L), // different multiset
+      (4L, "alpha beta gamma", "en", "t", 16L)) // byte-identical copy of 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val out = TextOps.bowDedup(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    assert(out.toSet === Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("tfidf top-k ranks rare-document terms above ubiquitous ones (r12)") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    Seq(
+      (1L, "shared shared rare1 rare1 rare1", "en", "t", 31L),
+      (2L, "shared shared shared unique2", "en", "t", 28L),
+      (3L, "shared other3", "en", "t", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val out = TextOps.tfidfTopK(spark, dir2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // doc 1: rare1 tf=3 df=1 (score 3) beats shared tf=2 df=3 (score 2/3)
+    assert(out.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq === Seq("rare1", "shared"))
+    // doc 2: unique2 tf=1 df=1 (score 1) beats shared tf=3 df=3 (score 1)?
+    // equal scores -> lexicographic tie-break: "shared" < "unique2"
+    assert(out.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq === Seq("shared", "unique2"))
+  }
+
+  test("pmi top-k surfaces the planted collocation above chance pairs (r12)") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pmi").toString
+    // "strong pair" always adjacent (8x); filler words common but unpaired
+    val rows = (0 until 8).map { i =>
+      (i.toLong, s"filler$i strong pair filler${i % 3} strong pair filler${(i + 1) % 3}",
+        "en", "t", 60L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val out = TextOps.pmiTopK(spark, dir2, k = 5, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    assert(out.head._1 === "strong" && out.head._2 === "pair",
+      s"expected (strong, pair) on top, got ${out.head}")
+    assert(out.head._3 === 16L)
+  }
 }
