@@ -119,7 +119,77 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Next-event TRANSITION MATRIX (the Markov-chain view of user
+    * journeys): for each user's time-ordered stream, count
+    * (event_type → next event_type) pairs and the distinct users making
+    * each transition. The lead window runs per user (bounded by that
+    * user's event count — the natural partitioning at any scale);
+    * deterministic tie-break on (ts, event_id) so equal-timestamp events
+    * order identically on both engines. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Time-to-convert: first signup → first purchase AT-OR-AFTER that
+    * signup, per user, distribution summarized in whole seconds
+    * (integer sums; one final rounded division for the mean). Two hash
+    * aggregates keyed user_id around one equi-join of already-reduced
+    * relations — the event stream itself is never joined. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sg = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t_signup"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(sg, "user_id")
+      .filter(col("ts") >= col("t_signup"))
+      .groupBy("user_id")
+      .agg((expr("unix_timestamp(min(ts))") - expr("unix_timestamp(first(t_signup))"))
+        .as("delta_sec"))
+    conv.agg(
+      count(lit(1)).as("n_converted"),
+      min("delta_sec").as("min_sec"),
+      max("delta_sec").as("max_sec"),
+      sum("delta_sec").as("sum_sec"),
+      round(sum("delta_sec").cast("double") / count(lit(1)), 6).as("avg_sec"))
+  }
+
+  /** 30-minute-gap sessionization over the event stream — the events twin
+    * of `flow_sessions` (same lag → new-session flag → running-sum id
+    * composition), with per-session event/type counts. Both windows and
+    * the final aggregate share the user_id partitioning, so the plan is
+    * one exchange + two window passes + one partial-combined aggregate. */
+  def gapSessions(spark: SparkSession, dir: String, gapSec: Long = 1800L): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("secs"))
+      .withColumn("prev_secs", lag("secs", 1).over(
+        Window.partitionBy("user_id").orderBy(col("secs"), col("event_id"))))
+      .withColumn("ns",
+        when(col("prev_secs").isNull || col("secs") > col("prev_secs") + gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum("ns").over(
+        Window.partitionBy("user_id").orderBy(col("secs"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min("secs").as("session_start"), max("secs").as("session_end"),
+        (max("secs") - min("secs")).as("duration_sec"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id", "session_seq")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_transitions" -> (transitions _),
+    "events_time_to_convert" -> (timeToConvert _),
+    "events_gap_sessions" -> ((s: SparkSession, d: String) => gapSessions(s, d)),
     "events_dau_wau" -> (dauWau _),
     "events_type_pivot" -> (typePivot _),
     "events_retention" -> (retention _),
@@ -127,6 +197,43 @@ object EventOps {
     "events_props_stats" -> (propsStats _))
 
   val oracles: Map[String, String] = Map(
+    "events_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        | SELECT event_type AS from_type, to_type, count(*) AS n_transitions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        | FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+        | ORDER BY from_type, to_type""".stripMargin.replace('\n', ' '),
+    "events_time_to_convert" ->
+      """WITH sg AS (SELECT user_id, min(ts) AS t_signup FROM events
+        |   WHERE event_type = 'signup' GROUP BY 1),
+        | conv AS (SELECT e.user_id,
+        |   CAST(floor(epoch(min(e.ts))) AS BIGINT)
+        |     - CAST(floor(epoch(min(sg.t_signup))) AS BIGINT) AS delta_sec
+        |  FROM events e JOIN sg ON sg.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= sg.t_signup GROUP BY 1)
+        | SELECT count(*) AS n_converted,
+        |  CAST(min(delta_sec) AS BIGINT) AS min_sec,
+        |  CAST(max(delta_sec) AS BIGINT) AS max_sec,
+        |  CAST(sum(delta_sec) AS BIGINT) AS sum_sec,
+        |  round(CAST(sum(delta_sec) AS DOUBLE) / count(*), 6) AS avg_sec
+        | FROM conv""".stripMargin.replace('\n', ' '),
+    "events_gap_sessions" ->
+      """WITH b AS (SELECT user_id, event_id, event_type,
+        |   CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events),
+        | l AS (SELECT *, lag(secs) OVER
+        |   (PARTITION BY user_id ORDER BY secs, event_id) AS prev_secs FROM b),
+        | m AS (SELECT *, CASE WHEN prev_secs IS NULL OR secs > prev_secs + 1800
+        |   THEN 1 ELSE 0 END AS ns FROM l),
+        | s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY secs, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_seq FROM m)
+        | SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  min(secs) AS session_start, max(secs) AS session_end,
+        |  max(secs) - min(secs) AS duration_sec, count(*) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        | FROM s GROUP BY user_id, session_seq
+        | ORDER BY user_id, session_seq""".stripMargin.replace('\n', ' '),
     "events_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT
         |   (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day, user_id FROM events),

@@ -92,6 +92,68 @@ class EventOpsSpec extends SparkTestBase {
     assert(rows.head.getLong(2) === direct)
   }
 
+  test("transitions: totals reconcile (sum = events - users-with-events) and a planted chain counts (r12)") {
+    val t = EventOps.transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(t.nonEmpty)
+    t.foreach { case (_, _, n, u) => assert(u <= n && u >= 1) }
+    // every user with k events contributes exactly k-1 transitions
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(t.map(_._3).sum === nEvents - nUsers)
+    // deterministic output order
+    assert(t.map(x => (x._1, x._2)).toSeq === t.map(x => (x._1, x._2)).sorted.toSeq)
+  }
+
+  test("time-to-convert: planted signup->purchase deltas summarize exactly (r12)") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ttc").toString
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    def at(s: Long) = base.plusSeconds(s)
+    Seq(
+      // user 1: signup at 0, purchase at 100 -> delta 100
+      (1L, at(0), 1L, "signup", 0.0, "{}"),
+      (2L, at(100), 1L, "purchase", 1.0, "{}"),
+      // user 2: purchase BEFORE signup (ignored), then one at +500
+      (3L, at(50), 2L, "purchase", 1.0, "{}"),
+      (4L, at(200), 2L, "signup", 0.0, "{}"),
+      (5L, at(700), 2L, "purchase", 1.0, "{}"),
+      // user 3: signup, never purchases
+      (6L, at(0), 3L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir2/events.parquet")
+    val r = EventOps.timeToConvert(spark, dir2).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      === ((2L, 100L, 500L, 600L, 300.0)))
+  }
+
+  test("gap sessions: planted gaps split sessions; totals conserve events (r12)") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_gaps").toString
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    def at(s: Long) = base.plusSeconds(s)
+    Seq(
+      // user 1: events at 0, 60, 120 (one session), then 120+1801.. new session
+      (1L, at(0), 1L, "view", 0.0, "{}"),
+      (2L, at(60), 1L, "click", 0.0, "{}"),
+      (3L, at(120), 1L, "view", 0.0, "{}"),
+      (4L, at(1921), 1L, "purchase", 0.0, "{}"), // 120+1801 -> new session
+      (5L, at(1950), 1L, "view", 0.0, "{}"),
+      // user 2: single event
+      (6L, at(500), 2L, "error", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir2/events.parquet")
+    val out = EventOps.gapSessions(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val epoch0 = base.toEpochSecond(java.time.ZoneOffset.UTC)
+    assert(out.toSeq === Seq(
+      (1L, 1L, epoch0, epoch0 + 120, 120L, 3L, 2L),
+      (1L, 2L, epoch0 + 1921, epoch0 + 1950, 29L, 2L, 2L),
+      (2L, 1L, epoch0 + 500, epoch0 + 500, 0L, 1L, 1L)))
+  }
+
   test("props extraction: every event parses, per-type counts reconcile") {
     val g = EventOps.propsStats(spark, sf).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
