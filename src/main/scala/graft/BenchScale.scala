@@ -278,6 +278,23 @@ object BenchScale {
     bench("scale_text_pii_scrub") { graft.operators.TextOps.piiScrub(spark, famDir) }
     bench("scale_text_ngram_topk") { graft.operators.TextOps.ngramTopK(spark, famDir) }
     bench("scale_sim_knn_int8") { graft.operators.Similarity.knnInt8(spark, famDir) }
+    // ---- round-12 additions: sketch set-ops, KLL quantiles, text/event
+    // families (strict=false on theta: ~500k distinct/day IS the
+    // estimation regime — the sketch's reason to exist at this scale)
+    bench("scale_flow_unique_src_overlap") {
+      graft.flow.FlowQueries.uniqueSrcOverlap(spark, famDir, strict = false)
+    }
+    bench("scale_flow_bytes_quantiles_kll") {
+      graft.flow.FlowQueries.bytesQuantilesKll(spark, famDir)
+    }
+    bench("scale_text_gopher_quality") { graft.operators.TextOps.gopherQuality(spark, famDir) }
+    bench("scale_text_tfidf_topk") { graft.operators.TextOps.tfidfTopK(spark, famDir) }
+    bench("scale_text_pmi_topk") { graft.operators.TextOps.pmiTopK(spark, famDir) }
+    bench("scale_text_bow_dedup") { graft.operators.TextOps.bowDedup(spark, famDir) }
+    bench("scale_dedup_containment") { graft.operators.Dedup.containmentPairs(spark, famDir) }
+    bench("scale_events_transitions") { graft.operators.EventOps.transitions(spark, famDir) }
+    bench("scale_events_gap_sessions") { graft.operators.EventOps.gapSessions(spark, famDir) }
+    bench("scale_events_time_to_convert") { graft.operators.EventOps.timeToConvert(spark, famDir) }
 
     val ingestRate = (n / ingestSec).toLong
     val queriesJson = queries.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")

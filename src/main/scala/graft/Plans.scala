@@ -95,7 +95,29 @@ object Plans {
         "union of re-scans; scan prunes to the 3 touched columns"),
       "events_dau_wau" -> ("ONE corpus-sized distinct (day, user) aggregate; DAU " +
         "and the x7-Expand WAU both derive from that REDUCED relation — the " +
-        "events fact table is scanned once and never re-enters a shuffle"))
+        "events fact table is scanned once and never re-enters a shuffle"),
+      "flow_unique_src_overlap" -> ("ONE fact scan; per-day theta sketches via " +
+        "partial+final ObjectHashAggregate (only serialized blobs cross the " +
+        "exchange); consecutive-day pairing is a lead WINDOW over the " +
+        "one-row-per-day relation — no self-join, no second scan; intersection " +
+        "is a scalar over two blobs"),
+      "flow_bytes_quantiles_kll" -> ("two ObjectHashAggregate levels — (proto, day) " +
+        "KLL partials then per-proto merge — each partial+final; between them only " +
+        "fixed-size sketch blobs cross the one exchange, never byte counts"),
+      "text_tfidf_topk" -> ("ONE corpus scan+explode; df is a count WINDOW over " +
+        "the reduced tf relation (no self-join recompute) and the rank<=k filter " +
+        "plans as partial+final WindowGroupLimit — bounded per-document state, " +
+        "no full sort per doc"),
+      "text_pmi_topk" -> ("ONE corpus scan+explode into a partial-combined pair " +
+        "aggregate; PMI marginals are two sum WINDOWS over the vocab²-sized " +
+        "bigram relation; final top-k is TakeOrderedAndProject (per-partition " +
+        "heaps, no global sort)"),
+      "events_gap_sessions" -> ("lag, running-sum session id, and the final " +
+        "aggregate ALL share the user_id exchange — one shuffle for three " +
+        "window/agg passes"),
+      "events_transitions" -> ("per-user lead window then a partial+final hash " +
+        "aggregate on (from, to); the distinct-users count is the only Expand, " +
+        "over the already-windowed relation"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -482,13 +482,19 @@ object FlowQueries {
   def uniqueSrcOverlap(spark: SparkSession, dir: String, lgK: Int = 12,
       strict: Boolean = true): DataFrame = {
     import graft.functions.ThetaSketch
+    import org.apache.spark.sql.expressions.Window
     val daily = fl(spark, dir)
       .groupBy(((col("time_received") / 86400).cast("long") * 86400).as("day"))
       .agg(ThetaSketch.thetaSketch(col("src_ip"), lgK).as("sk"))
-    val next = daily.select((col("day") - 86400).as("day"),
-      col("sk").as("sk_next"))
-    daily.join(next, "day")
-      .select(col("day"), (col("day") + 86400).as("next_day"),
+    // consecutive-day pairing as a lead WINDOW over the one-row-per-day
+    // sketch relation (NOT a self-join): the fact table is scanned once,
+    // and the global window runs over ~365 rows/year of ≤64 KB blobs
+    val byDay = Window.orderBy("day")
+    daily
+      .withColumn("next_day", lead("day", 1).over(byDay))
+      .withColumn("sk_next", lead("sk", 1).over(byDay))
+      .filter(col("next_day") === col("day") + 86400)
+      .select(col("day"), col("next_day"),
         ThetaSketch.thetaEstimate(col("sk"), strict).as("unique_day"),
         ThetaSketch.thetaEstimate(col("sk_next"), strict).as("unique_next"),
         ThetaSketch.thetaIntersectCount(col("sk"), col("sk_next"), strict)

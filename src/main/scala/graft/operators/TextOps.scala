@@ -553,10 +553,12 @@ object TextOps {
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(col("term") =!= "")
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a count WINDOW over the tf relation (one row per doc
+    // containing the term) — single corpus scan, no self-join recompute;
+    // all three exchanges move the REDUCED (doc, term, tf) relation
     val score = col("tf").cast("double") / col("df")
     val win = Window.partitionBy("doc_id").orderBy(score.desc, col("term").asc)
-    tf.join(dfc, "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
@@ -564,30 +566,31 @@ object TextOps {
   }
 
   /** Corpus-level top-20 collocations by PMI over adjacent word pairs
-    * (min support 5). PMI's `log(N·c_xy / (c_x·c_y))` is monotone in
+    * (min support 5), with the bigram-distribution MARGINALS as the
+    * normalizer (`c_x = Σ_y c_xy`, `c_y = Σ_x c_xy` — the textbook PMI
+    * table form): PMI's `log(N·c_xy / (c_x·c_y))` is monotone in
     * `c_xy / (c_x·c_y)`, so the ranking uses that single IEEE division
     * (integer operands — deterministic across engines, see [[tfidfTopK]])
-    * and the output is integers only. One explode for pairs + one for
-    * unigrams, both map-side combined on the token string; the final
-    * top-k is TakeOrderedAndProject. */
+    * and the output is integers only. ONE corpus scan + explode into one
+    * map-side-combined pair aggregate; the marginals are two sum WINDOWS
+    * over the reduced bigram relation (vocab², not corpus, sized); the
+    * final top-k is TakeOrderedAndProject. */
   def pmiTopK(spark: SparkSession, dir: String, k: Int = 20,
       minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(toks(col("text")).as("t"))
       .withColumn("n", size(col("t")))
-    val uni = t.select(explode(col("t")).as("x"))
-      .groupBy("x").agg(count(lit(1)).as("c"))
-    val bi = t.filter(col("n") >= 2)
+    t.filter(col("n") >= 2)
       .select(explode(transform(sequence(lit(1), col("n") - 1),
         i => struct(element_at(col("t"), i).as("x"),
           element_at(col("t"), (i + 1).cast("int")).as("y")))).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .withColumn("c_x", sum("c_xy").over(Window.partitionBy("x")))
+      .withColumn("c_y", sum("c_xy").over(Window.partitionBy("y")))
       .filter(col("c_xy") >= minCount)
-    val ux = uni.select(col("x"), col("c").as("c_x"))
-    val uy = uni.select(col("x").as("y"), col("c").as("c_y"))
-    bi.join(ux, "x").join(uy, "y")
       .select("x", "y", "c_xy", "c_x", "c_y")
       .orderBy((col("c_xy").cast("double") / (col("c_x") * col("c_y"))).desc,
         col("x").asc, col("y").asc)
@@ -682,16 +685,15 @@ object TextOps {
            | WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin.replace('\n', ' '),
       "text_pmi_topk" ->
         s"""WITH t AS (SELECT $w AS w FROM documents WHERE text IS NOT NULL),
-           | uni AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM
-           |   (SELECT unnest(w) AS x FROM t) GROUP BY 1),
            | pairs AS (SELECT w[i] AS x, w[i+1] AS y
            |   FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
            |   WHERE len(w) >= 2),
            | bi AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM pairs
-           |   GROUP BY 1, 2 HAVING count(*) >= 5)
-           | SELECT b.x, b.y, b.c_xy, ux.c AS c_x, uy.c AS c_y
-           | FROM bi b JOIN uni ux ON ux.x = b.x JOIN uni uy ON uy.x = b.y
-           | ORDER BY CAST(b.c_xy AS DOUBLE) / (ux.c * uy.c) DESC, b.x, b.y
+           |   GROUP BY 1, 2),
+           | m AS (SELECT *, CAST(sum(c_xy) OVER (PARTITION BY x) AS BIGINT) AS c_x,
+           |   CAST(sum(c_xy) OVER (PARTITION BY y) AS BIGINT) AS c_y FROM bi)
+           | SELECT x, y, c_xy, c_x, c_y FROM m WHERE c_xy >= 5
+           | ORDER BY CAST(c_xy AS DOUBLE) / (c_x * c_y) DESC, x, y
            | LIMIT 20""".stripMargin.replace('\n', ' '),
       "text_ngram_topk" ->
         s"""WITH t AS (SELECT $w AS w FROM documents WHERE text IS NOT NULL),

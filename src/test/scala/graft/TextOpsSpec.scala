@@ -355,18 +355,15 @@ class TextOpsSpec extends SparkTestBase {
   test("pmi top-k surfaces the planted collocation above chance pairs (r12)") {
     import spark.implicits._
     val dir2 = java.nio.file.Files.createTempDirectory("graft_pmi").toString
-    // "strong pair" always adjacent (8x); filler words common but unpaired
+    // "strong pair" always adjacent (16x); every other adjacency is
+    // document-unique, so min support 5 leaves exactly the collocation
     val rows = (0 until 8).map { i =>
-      (i.toLong, s"filler$i strong pair filler${i % 3} strong pair filler${(i + 1) % 3}",
-        "en", "t", 60L)
+      (i.toLong, s"filler$i strong pair mid$i strong pair end$i", "en", "t", 60L)
     }
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir2/documents.parquet")
     val out = TextOps.pmiTopK(spark, dir2, k = 5, minCount = 5).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    assert(out.nonEmpty)
-    assert(out.head._1 === "strong" && out.head._2 === "pair",
-      s"expected (strong, pair) on top, got ${out.head}")
-    assert(out.head._3 === 16L)
+    assert(out.toSeq === Seq(("strong", "pair", 16L, 16L, 16L)))
   }
 }
