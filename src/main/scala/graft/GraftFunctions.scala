@@ -67,5 +67,64 @@ object GraftFunctions {
       graft.functions.HeavyHitters(es.head,
         intLit(es(1), "capacity"), intLit(es(2), "k"))
     }, "built-in")
+    // the mergeable sketch family, SQL forms. Size/accuracy knobs must be
+    // literals for the same plannability reason as heavy_hitters.
+    registerSketchFamily(reg)
+  }
+
+  private def registerSketchFamily(
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType}
+    def intLit(e: Expression, fn: String, name: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be an INT literal, got $other")
+    }
+    def boolLit(e: Expression, fn: String, name: String): Boolean = e match {
+      case Literal(v: Boolean, BooleanType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a BOOLEAN literal, got $other")
+    }
+    def dblLit(e: Expression, fn: String, name: String): Double = e match {
+      case Literal(v: Double, DoubleType) => v
+      case Literal(v: Int, IntegerType) => v.toDouble
+      // SQL fractional literals (0.5) parse as exact decimals
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a numeric literal, got $other")
+    }
+    // quantile_sketch(x, k) -> binary KLL partial
+    reg.createOrReplaceTempFunction("quantile_sketch", es => {
+      require(es.length == 2, "usage: quantile_sketch(x, k)")
+      graft.functions.QuantileSketchAgg(es.head, intLit(es(1), "quantile_sketch", "k"))
+        .toAggregateExpression()
+    }, "built-in")
+    // quantile_merge(sketch, k, p1[, p2, ...]) -> array<double>
+    reg.createOrReplaceTempFunction("quantile_merge", es => {
+      require(es.length >= 3, "usage: quantile_merge(sketch, k, p1[, p2, ...])")
+      graft.functions.QuantileSketchMerge(es.head,
+        intLit(es(1), "quantile_merge", "k"),
+        es.drop(2).map(dblLit(_, "quantile_merge", "prob")))
+        .toAggregateExpression()
+    }, "built-in")
+    // theta_sketch(x, lgK) -> binary compact theta sketch
+    reg.createOrReplaceTempFunction("theta_sketch", es => {
+      require(es.length == 2, "usage: theta_sketch(x, lgK)")
+      graft.functions.ThetaSketchAgg(es.head, intLit(es(1), "theta_sketch", "lgK"))
+        .toAggregateExpression()
+    }, "built-in")
+    // theta_estimate(sketch, strict) -> bigint
+    reg.createOrReplaceTempFunction("theta_estimate", es => {
+      require(es.length == 2, "usage: theta_estimate(sketch, strict)")
+      graft.functions.ThetaSketchEstimate(es.head,
+        boolLit(es(1), "theta_estimate", "strict"))
+    }, "built-in")
+    // theta_intersect_count(a, b, strict) -> bigint
+    reg.createOrReplaceTempFunction("theta_intersect_count", es => {
+      require(es.length == 3, "usage: theta_intersect_count(a, b, strict)")
+      graft.functions.ThetaIntersectCount(es.head, es(1),
+        boolLit(es(2), "theta_intersect_count", "strict"))
+    }, "built-in")
   }
 }

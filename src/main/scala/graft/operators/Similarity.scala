@@ -204,6 +204,24 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup-style SEMANTIC corpus dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): drop every vector whose embedding is near-duplicate
+    * (cos >= threshold) of a LOWER-id vector, keeping one representative
+    * per semantic cluster — the embedding-space twin of
+    * `dedup_corpus_keep`. Candidates come from the same hamming-bounded
+    * LSH probe as [[cosineDupPairs]] (never all-pairs); the drop set is a
+    * distinct over pair ids only, and the final filter is a left-anti
+    * join of the corpus against that id set. */
+  def semanticKeep(spark: SparkSession, dir: String, threshold: Double = 0.9,
+      bits: Int = 12, probeDist: Int = 3): DataFrame = {
+    val drop = cosineDupPairs(spark, dir, threshold, bits, probeDist)
+      .select(col("id_b").as("vec_id")).distinct()
+    Tables.embeddings(spark, dir)
+      .join(drop, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------ materialized LSH index
 
   /** (vec_id, <key>, embedding) — the stored shape of both index tables,
@@ -767,6 +785,7 @@ object Similarity {
     "sim_knn_int8" -> ((s: SparkSession, d: String) => knnInt8(s, d)),
     "sim_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "sim_cosine_dup_pairs" -> ((s: SparkSession, d: String) => cosineDupPairs(s, d)),
+    "sim_semantic_keep" -> ((s: SparkSession, d: String) => semanticKeep(s, d)),
     "sim_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "sim_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "sim_knn_ivf_indexed" -> ((s: SparkSession, d: String) =>
@@ -983,6 +1002,20 @@ object Similarity {
          |     round(${duckCos("ea.embedding", "eb.embedding")}, 6) AS cos_sim
          |   FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
          | WHERE cos_sim >= 0.9 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '),
+    // same candidate semantics as the pairs oracle; keep = corpus minus
+    // the distinct higher-id side of every over-threshold pair
+    "sim_semantic_keep" ->
+      s"""${duckSigCte(12)},
+         | cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |   FROM sig a JOIN sig b ON a.p = b.p AND a.vec_id < b.vec_id
+         |   GROUP BY 1, 2 HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3),
+         | dropped AS (SELECT DISTINCT id_b FROM (
+         |   SELECT cand.id_b,
+         |     round(${duckCos("ea.embedding", "eb.embedding")}, 6) AS cos_sim
+         |   FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
+         |   WHERE cos_sim >= 0.9)
+         | SELECT vec_id, label FROM embeddings
+         | WHERE vec_id NOT IN (SELECT id_b FROM dropped) ORDER BY vec_id""".stripMargin.replace('\n', ' '),
     "sim_knn_ivf" -> ivfOracle,
     "sim_knn_lsh" -> lshOracle,
     "sim_knn_lsh_indexed" -> lshOracle)

@@ -78,6 +78,26 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("coarser rank error")), msgs(e).mkString(" | "))
   }
 
+  test("SQL surface: quantile_sketch/quantile_merge equal the Column API; non-literal k fails loudly") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(120)(rnd.nextInt(10000).toDouble).toDF("v")
+    df.createOrReplaceTempView("qs_sql_input")
+    val viaSql = spark.sql(
+      """SELECT quantile_merge(s, 200, 0.5, 0.9) AS qs FROM (
+        |  SELECT quantile_sketch(v, 200) AS s FROM qs_sql_input)""".stripMargin)
+      .head().getSeq[Double](0)
+    val viaCol = df.agg(QuantileSketch.quantileSketch(col("v"), 200).as("s"))
+      .agg(QuantileSketch.quantileMerge(col("s"), 200, Seq(0.5, 0.9)).as("qs"))
+      .head().getSeq[Double](0)
+    assert(viaSql === viaCol)
+    val err = intercept[Exception](
+      spark.sql("SELECT quantile_sketch(v, v) FROM qs_sql_input").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("INT literal")), msgs(err).mkString(" | "))
+  }
+
   test("streaming bytes-quantiles MV: cross-batch fold equals the batch reference (exact regime)") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[FlowMessage]

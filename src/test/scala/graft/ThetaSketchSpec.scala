@@ -43,6 +43,39 @@ class ThetaSketchSpec extends SparkTestBase {
     assert(math.abs(est - 1000.0) / 1000.0 < 0.5, s"estimate $est wildly off")
   }
 
+  test("SQL surface: theta family equals the Column API; non-literal strict fails loudly") {
+    GraftFunctions.register(spark)
+    val df = (0 until 500).map(i => (if (i % 2 == 0) "a" else "b", (i / 3).toLong))
+      .toDF("g", "v")
+    df.createOrReplaceTempView("th_sql_input")
+    val viaSql = spark.sql(
+      """SELECT g, theta_estimate(s, true) AS e FROM (
+        |  SELECT g, theta_sketch(v, 12) AS s FROM th_sql_input GROUP BY g)
+        | ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaCol = df.groupBy("g")
+      .agg(ThetaSketch.thetaSketch(col("v"), 12).as("s"))
+      .select(col("g"), ThetaSketch.thetaEstimate(col("s"), strict = true).as("e"))
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql === viaCol)
+    val ixSql = spark.sql(
+      """SELECT theta_intersect_count(a.s, b.s, true) FROM
+        |  (SELECT theta_sketch(v, 12) AS s FROM th_sql_input WHERE g = 'a') a,
+        |  (SELECT theta_sketch(v, 12) AS s FROM th_sql_input WHERE g = 'b') b""".stripMargin)
+      .head().getLong(0)
+    // evens: v in {0,..,166}; odds: v in {0,..,166} — overlap is the
+    // intersection of the two floor-div images
+    val evens = (0 until 500 by 2).map(_ / 3).toSet
+    val odds = (1 until 500 by 2).map(_ / 3).toSet
+    assert(ixSql === (evens & odds).size.toLong)
+    val err = intercept[Exception](
+      spark.sql("SELECT theta_estimate(theta_sketch(v, 12), v > 0) FROM th_sql_input").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("BOOLEAN literal")), msgs(err).mkString(" | "))
+  }
+
   test("flow_unique_src_overlap matches an exact distinct self-join at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = FlowQueries.uniqueSrcOverlap(spark, dir)
