@@ -114,6 +114,12 @@ object GraftFunctions {
       graft.functions.ThetaSketchAgg(es.head, intLit(es(1), "theta_sketch", "lgK"))
         .toAggregateExpression()
     }, "built-in")
+    // theta_union(sketch, lgK) -> binary (read-time MV fold)
+    reg.createOrReplaceTempFunction("theta_union", es => {
+      require(es.length == 2, "usage: theta_union(sketch, lgK)")
+      graft.functions.ThetaSketchUnion(es.head, intLit(es(1), "theta_union", "lgK"))
+        .toAggregateExpression()
+    }, "built-in")
     // theta_estimate(sketch, strict) -> bigint
     reg.createOrReplaceTempFunction("theta_estimate", es => {
       require(es.length == 2, "usage: theta_estimate(sketch, strict)")

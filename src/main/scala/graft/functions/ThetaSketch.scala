@@ -90,6 +90,52 @@ case class ThetaSketchAgg(child: Expression, lgK: Int,
     copy(inputAggBufferOffset = newOffset)
 }
 
+/** `theta_union(sketch, lgK)` — fold SERIALIZED [[ThetaSketchAgg]] blobs
+  * into one sketch (the read-time merge of an AggregatingMergeTree-style
+  * MV). NULL inputs are skipped; the result is a compact sketch blob for
+  * [[ThetaSketchEstimate]] / [[ThetaIntersectCount]] to finalize. */
+case class ThetaSketchUnion(child: Expression, lgK: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] {
+
+  require(lgK >= 4 && lgK <= 26, s"need 4 <= lgK <= 26, got $lgK")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta_union needs a BINARY sketch column, got ${child.dataType}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_union"
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.union(Sketch.wrap(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult); buffer
+  }
+  override def eval(buffer: Union): Any = buffer.getResult.toByteArray
+  override def serialize(buffer: Union): Array[Byte] = buffer.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Sketch.wrap(Memory.wrap(bytes)))
+    u
+  }
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaSketchUnion = copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchUnion =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchUnion =
+    copy(inputAggBufferOffset = newOffset)
+}
+
 private object ThetaSketchOps {
   def wrap(bytes: Array[Byte]): Sketch = Sketch.wrap(Memory.wrap(bytes))
 
@@ -163,6 +209,11 @@ object ThetaSketch {
   def thetaSketch(value: Column, lgK: Int = 12): Column =
     ColumnBridge.column(
       ThetaSketchAgg(ColumnBridge.expression(value), lgK).toAggregateExpression())
+
+  /** Fold serialized sketch blobs into one (read-time MV merge). */
+  def thetaUnion(sketch: Column, lgK: Int = 12): Column =
+    ColumnBridge.column(
+      ThetaSketchUnion(ColumnBridge.expression(sketch), lgK).toAggregateExpression())
 
   /** Finalize one sketch to a BIGINT distinct estimate. */
   def thetaEstimate(sketch: Column, strict: Boolean = false): Column =

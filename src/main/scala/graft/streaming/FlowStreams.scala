@@ -363,6 +363,63 @@ object FlowStreams {
         sum("flow_count").as("flow_count"))
       .orderBy("bucket")
 
+  // -------------------------------------------- unique-sources THETA MV
+
+  /** Continuous unique-sources MV in THETA form — same per-batch-partials
+    * posture as [[uniqueSrcPartials]], but the stored sketch supports SET
+    * OPERATIONS at read time: [[readUniqueSrcOverlap]] intersects
+    * consecutive days' folded sketches to answer "how many of yesterday's
+    * talkers came back today?" — the question HLL registers cannot
+    * answer. Daily granularity (the overlap panel's unit); only
+    * fixed-size blobs cross any exchange; stream state is ZERO. */
+  def uniqueSrcThetaPartials(df: DataFrame, lgK: Int = 12): DataFrame =
+    df.groupBy(((col("timeReceived") / 86400).cast("long") * 86400).as("day"))
+      .agg(graft.functions.ThetaSketch.thetaSketch(
+          graft.GraftFunctions.reinterpret_uint32(col("srcAddr")), lgK)
+          .as("theta_sketch"),
+        count(lit(1)).as("flow_count"))
+
+  /** Start the theta MV: same idempotent `batch=<id>` overwrite layout as
+    * [[startTopTalkersMV]]. */
+  def startUniqueSrcThetaMV(stream: DataFrame, outPath: String, checkpoint: String,
+      lgK: Int = 12, trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        uniqueSrcThetaPartials(batch, lgK).write
+          .mode("overwrite")
+          .parquet(s"$outPath/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Read-time finalize with a SET OP: fold each day's per-batch sketches
+    * (`theta_union`), then pair consecutive days with a lead window over
+    * the one-row-per-day relation and intersect — same shape as
+    * [[graft.flow.FlowQueries.uniqueSrcOverlap]] but served from the MV
+    * without touching the raw stream. `strict = false` by default: an MV
+    * at scale lives in the estimation regime. */
+  def readUniqueSrcOverlap(spark: SparkSession, path: String, lgK: Int = 12,
+      strict: Boolean = false): DataFrame = {
+    import graft.functions.ThetaSketch
+    import org.apache.spark.sql.expressions.Window
+    val daily = spark.read.parquet(path).drop("batch")
+      .groupBy("day")
+      .agg(ThetaSketch.thetaUnion(col("theta_sketch"), lgK).as("sk"),
+        sum("flow_count").as("flow_count"))
+    val byDay = Window.orderBy("day")
+    daily
+      .withColumn("next_day", lead("day", 1).over(byDay))
+      .withColumn("sk_next", lead("sk", 1).over(byDay))
+      .filter(col("next_day") === col("day") + 86400)
+      .select(col("day"), col("next_day"),
+        ThetaSketch.thetaEstimate(col("sk"), strict).as("unique_day"),
+        ThetaSketch.thetaEstimate(col("sk_next"), strict).as("unique_next"),
+        ThetaSketch.thetaIntersectCount(col("sk"), col("sk_next"), strict)
+          .as("overlap"))
+      .orderBy("day")
+  }
+
   /** `OPTIMIZE TABLE flows_5m` equivalent (`README.md:168-172`): fold the
     * table to one row per key. Dynamic partition overwrite rewrites only the
     * partitions present in the folded result — at scale this is run per

@@ -69,11 +69,50 @@ class ThetaSketchSpec extends SparkTestBase {
     val evens = (0 until 500 by 2).map(_ / 3).toSet
     val odds = (1 until 500 by 2).map(_ / 3).toSet
     assert(ixSql === (evens & odds).size.toLong)
+    // theta_union folds blobs: union of the two group sketches counts the
+    // distinct union of both value sets
+    val unSql = spark.sql(
+      """SELECT theta_estimate(theta_union(s, 12), true) FROM (
+        |  SELECT theta_sketch(v, 12) AS s FROM th_sql_input GROUP BY g)""".stripMargin)
+      .head().getLong(0)
+    assert(unSql === (0 until 500).map(_ / 3).distinct.size.toLong)
     val err = intercept[Exception](
       spark.sql("SELECT theta_estimate(theta_sketch(v, 12), v > 0) FROM th_sql_input").collect())
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(err).exists(_.contains("BOOLEAN literal")), msgs(err).mkString(" | "))
+  }
+
+  test("streaming theta MV: cross-batch fold answers day-over-day overlap exactly (exact regime)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.flow.{FlowGen, FlowMessage}
+    import graft.streaming.FlowStreams
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val out = java.nio.file.Files.createTempDirectory("graft_theta_mv").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_theta_cp").toString
+    // 3 micro-batches spanning 2 days (86400s apart windows)
+    val batches = (0 until 3).map(b =>
+      FlowGen.flows(spark, 60, seed = 40 + b, baseTime = 1704067200L + b * 43200L,
+        ratePerSec = 1).collect().toSeq)
+    val q = FlowStreams.startUniqueSrcThetaMV(src.toDF(), out, cp)
+    batches.foreach { b => src.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = FlowStreams.readUniqueSrcOverlap(spark, out, strict = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty, "expected at least one consecutive-day pair")
+    // exact reference from the raw batches
+    val all = spark.createDataFrame(batches.flatten)
+    val d = all.select(((col("timeReceived") / 86400).cast("long") * 86400).as("day"),
+        graft.GraftFunctions.reinterpret_uint32(col("srcAddr")).as("ip"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = d.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (day, nextDay, uDay, uNext, overlap) =>
+      assert(nextDay === day + 86400)
+      assert(uDay === byDay(day).size.toLong)
+      assert(uNext === byDay(nextDay).size.toLong)
+      assert(overlap === (byDay(day) & byDay(nextDay)).size.toLong)
+    }
   }
 
   test("flow_unique_src_overlap matches an exact distinct self-join at sf0.001") {
