@@ -168,6 +168,27 @@ object FlowQueries {
       .orderBy("bucket")
   }
 
+  /** Trailing 5-minute MOVING AVERAGE over the per-minute series — the
+    * Grafana smoothing panel. The RANGE frame `[-240s, now]` runs over
+    * the already-aggregated minute relation (same cardinality argument
+    * as [[rateDelta]]); sums stay integer, the average is ONE final
+    * division rounded once. The frame is RANGE (value-based), so missing
+    * minutes correctly shrink the window instead of reaching further
+    * back — gap semantics a ROWS frame would get wrong. */
+  def movingAvg(spark: SparkSession, dir: String, windowSec: Long = 300L,
+      range: Option[TimeRange] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bucket").rangeBetween(-(windowSec - 60), Window.currentRow)
+    inRange(fl(spark, dir), range)
+      .groupBy(((col("time_received") / 60).cast("long") * 60).as("bucket"))
+      .agg(sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
+      .withColumn("mov_sum_bytes", sum("sum_bytes").over(w))
+      .withColumn("mov_minutes", count(lit(1)).over(w))
+      .withColumn("mov_avg_bytes",
+        round(col("mov_sum_bytes").cast("double") / col("mov_minutes"), 6))
+      .orderBy("bucket")
+  }
+
   /** Fan-out (port-scan) screening — the classic NetFlow security query
     * over the raw table: per source address and day, how many distinct
     * destination ports and hosts it touched, keeping sources whose
@@ -587,6 +608,7 @@ object FlowQueries {
     "flow_rate_30s" -> ((s: SparkSession, d: String) => rate30s(s, d)),
     "flow_rate_1m" -> ((s: SparkSession, d: String) => rate1m(s, d)),
     "flow_rate_delta" -> ((s: SparkSession, d: String) => rateDelta(s, d)),
+    "flow_moving_avg" -> ((s: SparkSession, d: String) => movingAvg(s, d)),
     "flow_rollup_5m" -> ((s: SparkSession, d: String) => rollup5m(s, d)),
     "flow_rollup_reagg" -> ((s, d) => rollupReagg(s, d)),
     "flow_top_src_ip" -> ((s: SparkSession, d: String) => topSrcIp(s, d)),
@@ -648,6 +670,15 @@ object FlowQueries {
          | SELECT bucket, sum_bytes, lag(sum_bytes) OVER (ORDER BY bucket) AS prev_bytes,
          | sum_bytes - lag(sum_bytes) OVER (ORDER BY bucket) AS delta_bytes
          | FROM m ORDER BY bucket""".stripMargin.replace('\n', ' '),
+    "flow_moving_avg" ->
+      s"""${cte}, m AS (SELECT (time_received // 60) * 60 AS bucket,
+         | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes FROM flows GROUP BY 1)
+         | SELECT bucket, sum_bytes,
+         |  CAST(sum(sum_bytes) OVER w AS BIGINT) AS mov_sum_bytes,
+         |  CAST(count(*) OVER w AS BIGINT) AS mov_minutes,
+         |  round(CAST(sum(sum_bytes) OVER w AS DOUBLE) / count(*) OVER w, 6) AS mov_avg_bytes
+         | FROM m WINDOW w AS (ORDER BY bucket RANGE BETWEEN 240 PRECEDING AND CURRENT ROW)
+         | ORDER BY bucket""".stripMargin.replace('\n', ' '),
     "flow_port_scan" ->
       s"""${cte}SELECT (time_received // 86400) * 86400 AS bucket, src_ip,
          | count(DISTINCT dst_port) AS n_dst_ports,

@@ -211,7 +211,40 @@ object RelQueries {
       .orderBy("o_custkey")
   }
 
+  /** BUCKETIZED INTERVAL JOIN — the scale-safe form of a range join: how
+    * many lineitems (of any order) shipped inside each order's first week
+    * `[o_orderdate, o_orderdate + 7d)`. A naive range join is a
+    * cross-join + filter (quadratic at scale); here both sides bucket to
+    * the 7-day grid — each interval covers at most TWO buckets, so the
+    * fan-out is a constant ×2 of the orders side — and the join is an
+    * EQUI-join on the bucket with the exact range predicate applied to
+    * the co-bucketed candidates only. A matching lineitem's bucket is
+    * unique, so no pair is produced twice and no dedup pass is needed;
+    * zero-match orders are restored by one left join against the
+    * order-keyed counts. */
+  def intervalJoin(spark: SparkSession, dir: String, spanDays: Int = 7): DataFrame = {
+    val day = 86400L
+    val span = spanDays * day
+    val oo = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), expr("unix_timestamp(o_orderdate)").as("o_sec"))
+    val ll = Tables.lineitem(spark, dir)
+      .select(expr("unix_timestamp(l_shipdate)").as("s_sec"))
+      .withColumn("bucket", (col("s_sec") / span).cast("long"))
+    val fan = oo.withColumn("bucket",
+      explode(array_distinct(array(
+        (col("o_sec") / span).cast("long"),
+        ((col("o_sec") + span - 1) / span).cast("long")))))
+    val counts = fan.join(ll, "bucket")
+      .filter(col("s_sec") >= col("o_sec") && col("s_sec") < col("o_sec") + span)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+    oo.join(counts, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_sec"),
+        coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_interval_join" -> ((s: SparkSession, d: String) => intervalJoin(s, d)),
     "rel_intersect" -> (urgentAndLowCustomers _),
     "rel_except" -> (urgentOnlyCustomers _),
     "rel_shipping_priority" -> ((s: SparkSession, d: String) => shippingPriority(s, d)),
@@ -227,6 +260,15 @@ object RelQueries {
     "rel_rollup_agg" -> (rollupAgg _))
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the NAIVE range join — the bucketized plan must be
+    // result-identical to the quadratic reference
+    "rel_interval_join" ->
+      """SELECT o.o_orderkey, CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_sec,
+        | CAST(count(l.l_shipdate) AS BIGINT) AS n_shipped
+        | FROM orders o LEFT JOIN lineitem l
+        |   ON l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        | GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin.replace('\n', ' '),
     "rel_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

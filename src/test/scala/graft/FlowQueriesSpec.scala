@@ -320,4 +320,17 @@ class FlowQueriesSpec extends SparkTestBase {
     }
     assert(aggs.size >= 2, "expected partial+final aggregates")
   }
+
+  test("moving average: trailing 5-min RANGE frame recounts exactly; gaps shrink the window (r12)") {
+    val rows = FlowQueries.movingAvg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val byBucket = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (b, _, movSum, movN, movAvg) =>
+      val inFrame = byBucket.keys.filter(k => k >= b - 240 && k <= b).toSeq
+      assert(movN === inFrame.size.toLong, s"bucket $b frame size")
+      assert(movSum === inFrame.map(byBucket).sum, s"bucket $b frame sum")
+      assert(math.abs(movAvg - math.rint(movSum.toDouble / movN * 1e6) / 1e6) < 1e-9)
+    }
+  }
 }

@@ -122,4 +122,28 @@ class RelQueriesSpec extends SparkTestBase {
       .collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType }
     assert(anti.contains(LeftAnti))
   }
+
+  test("interval join: bucketized plan equals the naive range join; equi-join on the bucket (r12)") {
+    import org.apache.spark.sql.functions._
+    val got = RelQueries.intervalJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // naive quadratic reference on the small SF
+    val o = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), expr("unix_timestamp(o_orderdate)").as("os"))
+    val l = graft.Tables.lineitem(spark, sf)
+      .select(expr("unix_timestamp(l_shipdate)").as("ls"))
+    val want = o.crossJoin(l)
+      .filter(col("ls") >= col("os") && col("ls") < col("os") + 7 * 86400L)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (k, n) => assert(n === want.getOrElse(k, 0L), s"order $k") }
+    assert(got.length === o.count())
+    // the join itself must be an EQUI join on the bucket, not a cartesian
+    val plan = RelQueries.intervalJoin(spark, sf).queryExecution.sparkPlan
+    val cartesian = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(cartesian.isEmpty, "bucketized interval join must not plan a cartesian product")
+  }
 }
