@@ -128,11 +128,77 @@ object OpsMetrics {
   def opsAvgByQuantile(spark: SparkSession, dir: String): DataFrame =
     avgByQuantile(summarySamples(spark, dir)).orderBy("metric", "quantile")
 
+  /** `histogram_quantile(φ, bucket)` — the PromQL histogram finalizer:
+    * per instance, cumulative `le`-bucket counts over the byte sizes
+    * (the shape a Prometheus client exports), then linear interpolation
+    * inside the first bucket whose cumulative count reaches `φ·total`,
+    * with the standard edge rules (the +Inf bucket clamps to the highest
+    * finite `le`; the first bucket interpolates from 0). Both cascades
+    * (p50, p95) are CASE chains whose arithmetic — integer counts, one
+    * `φ·total` product, one subtraction pair, one division — is written
+    * in the SAME expression shape in the oracle, so every branch is
+    * bit-deterministic across engines. One hash aggregate; bucket count
+    * is a constant (4 finite les), so the row is fixed-width however
+    * many flows an instance saw. */
+  def histogramQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val flows = FlowAdapter.flows(spark, dir)
+    val les = Seq(500L, 1000L, 2000L, 4000L)
+    val hist = flows
+      .groupBy(col("src_as").cast("string").as("instance"))
+      .agg(count(lit(1)).as("total"),
+        les.map(le => sum(when(col("bytes") <= le, 1L).otherwise(0L)).as(s"le_$le")): _*)
+    def hq(phi: Double): Column = {
+      val target = lit(phi) * col("total")
+      val bounds = (0L +: les).sliding(2).toSeq // (lower, upper) per bucket
+      val cases = bounds.foldRight(lit(les.last.toDouble)) { (b, els) =>
+        val (lo, hi) = (b.head, b.last)
+        val cumLo = if (lo == 0L) lit(0L) else col(s"le_$lo")
+        val cumHi = col(s"le_$hi")
+        when(cumHi >= target,
+          lit(lo.toDouble) + (lit((hi - lo).toDouble) * ((target - cumLo) / (cumHi - cumLo))))
+          .otherwise(els)
+      }
+      round(cases, 6)
+    }
+    hist.select(col("instance") +: col("total") +:
+        les.map(le => col(s"le_$le")) :+
+        hq(0.5).as("p50") :+ hq(0.95).as("p95"): _*)
+      .orderBy("instance")
+  }
+
   val queries: Map[String, Q] = Map(
     "ops_rate_sum" -> (opsRateSum _),
+    "ops_histogram_quantile" -> (histogramQuantile _),
     "ops_avg_by_quantile" -> (opsAvgByQuantile _))
 
+  /** The histogram_quantile CASE cascade in DuckDB SQL, generated from
+    * the SAME les/bounds so the two renderings cannot drift (the
+    * EventOps WeekSec interpolation rule). */
+  private def duckHq(phi: String): String = {
+    val les = Seq(500L, 1000L, 2000L, 4000L)
+    val target = s"(CAST($phi AS DOUBLE) * total)"
+    val cases = (0L +: les).sliding(2).map { b =>
+      val (lo, hi) = (b.head, b.last)
+      val cumLo = if (lo == 0L) "0" else s"le_$lo"
+      s"WHEN le_$hi >= $target THEN CAST($lo AS DOUBLE) + " +
+        s"(CAST(${hi - lo} AS DOUBLE) * (($target - $cumLo) / (le_$hi - $cumLo)))"
+    }.mkString(" ")
+    s"round(CASE $cases ELSE CAST(${les.last} AS DOUBLE) END, 6)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "ops_histogram_quantile" ->
+      s"""${FlowAdapter.ducksql.trim},
+         | hist AS (
+         |   SELECT CAST(src_as AS VARCHAR) AS instance, count(*) AS total,
+         |     CAST(sum(CASE WHEN bytes <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS le_500,
+         |     CAST(sum(CASE WHEN bytes <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS le_1000,
+         |     CAST(sum(CASE WHEN bytes <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS le_2000,
+         |     CAST(sum(CASE WHEN bytes <= 4000 THEN 1 ELSE 0 END) AS BIGINT) AS le_4000
+         |   FROM flows GROUP BY 1)
+         | SELECT instance, total, le_500, le_1000, le_2000, le_4000,
+         |   ${duckHq("0.5")} AS p50, ${duckHq("0.95")} AS p95
+         | FROM hist ORDER BY instance""".stripMargin.replace('\n', ' '),
     "ops_rate_sum" ->
       s"""${FlowAdapter.ducksql.trim},
          | per_slot AS (

@@ -41,4 +41,29 @@ class OpsMetricsSpec extends SparkTestBase {
       .filter(col("ts") === 30L).select("rate_sum").collect().map(_.getDouble(0))
     assert(out.toSeq === Seq(3.0)) // (60 + 120) / 60
   }
+
+  test("histogram_quantile: interpolation + edge rules replay driver-side (r12)") {
+    val rows = OpsMetrics.histogramQuantile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    val les = Seq(500L, 1000L, 2000L, 4000L)
+    def replay(phi: Double, total: Long, cums: Seq[Long]): Double = {
+      val target = phi * total
+      val bounds = (0L +: les).zip(les).zip(0L +: cums).zip(cums)
+      bounds.collectFirst {
+        case (((lo, hi), cumLo), cumHi) if cumHi >= target =>
+          lo.toDouble + ((hi - lo).toDouble * ((target - cumLo) / (cumHi - cumLo)))
+      }.map(v => math.rint(v * 1e6) / 1e6).getOrElse(les.last.toDouble)
+    }
+    rows.foreach { case (inst, total, l5, l10, l20, l40, p50, p95) =>
+      val cums = Seq(l5, l10, l20, l40)
+      assert(math.abs(p50 - replay(0.5, total, cums)) < 1e-6, s"$inst p50")
+      assert(math.abs(p95 - replay(0.95, total, cums)) < 1e-6, s"$inst p95")
+      // cumulative les are monotone and bounded by total
+      assert(cums === cums.sorted && l40 <= total)
+      // the quantile lives inside the bucket bounds
+      assert(p50 >= 0.0 && p50 <= les.last && p95 >= p50)
+    }
+  }
 }
