@@ -189,6 +189,40 @@ object FlowQueries {
       .orderBy("bucket")
   }
 
+  /** ITERATIVE GRAPH ANALYTICS on the traffic graph: 3 PageRank sweeps
+    * over the distinct (src_ip → dst_ip) edge set in INTEGER FIXED-POINT
+    * micro-units — every per-edge contribution is `(r·85) div (100·deg)`
+    * and the damping base is `150000 div N`, all integer division and
+    * integer sums, so the result is bit-deterministic under ANY
+    * partitioning or summation order (the classic reason float PageRank
+    * can't be oracle-checked). Dangling mass is dropped on both engines
+    * alike. Scale shape: each sweep is one join of the edge relation
+    * against the rank relation (both keyed by node, shuffles carry
+    * (node, long) pairs) + one partial-combined sum; the driver-side
+    * loop is `iters` (3) plan stackings, not data movement; the final
+    * top-20 is TakeOrderedAndProject. */
+  def ipPageRank(spark: SparkSession, dir: String, iters: Int = 3,
+      topK: Int = 20): DataFrame = {
+    val f = fl(spark, dir)
+    val edges = f.select(col("src_ip").as("u"), col("dst_ip").as("v")).distinct()
+    val nodes = f.select(col("src_ip").as("node"))
+      .union(f.select(col("dst_ip").as("node"))).distinct()
+    val n = nodes.count() // driver scalar: the graph's node count
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val base = 150000L / n
+    var ranks = nodes.withColumn("r", lit(1000000L / n))
+    for (_ <- 0 until iters) {
+      val contribs = edges.join(deg, "u")
+        .join(ranks.select(col("node").as("u"), col("r")), "u")
+        .select(col("v").as("node"), expr("(r * 85) div (d * 100)").as("c"))
+      val sums = contribs.groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"), (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+    }
+    ranks.orderBy(desc("r"), asc("node")).limit(topK)
+      .select(col("node"), col("r").as("rank_micro"))
+  }
+
   /** Fan-out (port-scan) screening — the classic NetFlow security query
     * over the raw table: per source address and day, how many distinct
     * destination ports and hosts it touched, keeping sources whose
@@ -609,6 +643,7 @@ object FlowQueries {
     "flow_rate_1m" -> ((s: SparkSession, d: String) => rate1m(s, d)),
     "flow_rate_delta" -> ((s: SparkSession, d: String) => rateDelta(s, d)),
     "flow_moving_avg" -> ((s: SparkSession, d: String) => movingAvg(s, d)),
+    "flow_ip_pagerank" -> ((s: SparkSession, d: String) => ipPageRank(s, d)),
     "flow_rollup_5m" -> ((s: SparkSession, d: String) => rollup5m(s, d)),
     "flow_rollup_reagg" -> ((s, d) => rollupReagg(s, d)),
     "flow_top_src_ip" -> ((s: SparkSession, d: String) => topSrcIp(s, d)),
@@ -670,6 +705,7 @@ object FlowQueries {
          | SELECT bucket, sum_bytes, lag(sum_bytes) OVER (ORDER BY bucket) AS prev_bytes,
          | sum_bytes - lag(sum_bytes) OVER (ORDER BY bucket) AS delta_bytes
          | FROM m ORDER BY bucket""".stripMargin.replace('\n', ' '),
+    "flow_ip_pagerank" -> duckPageRank(),
     "flow_moving_avg" ->
       s"""${cte}, m AS (SELECT (time_received // 60) * 60 AS bucket,
          | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes FROM flows GROUP BY 1)
@@ -791,6 +827,27 @@ object FlowQueries {
          | CAST(count(DISTINCT src_ip) AS BIGINT) AS unique_src, count(*) AS flow_count,
          | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes
          | FROM flows WHERE etype = 2048 GROUP BY 1 ORDER BY prefix""".stripMargin.replace('\n', ' '))
+
+  /** Unrolled fixed-point PageRank in DuckDB, generated from the same
+    * iteration count / damping constants as [[ipPageRank]] so the two
+    * renderings cannot drift. */
+  private def duckPageRank(iters: Int = 3, topK: Int = 20): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s""", c$i AS (SELECT e.v AS node, SUM((r${i - 1}.r * 85) // (deg.d * 100)) AS s
+         |   FROM edges e JOIN deg ON deg.u = e.u JOIN r${i - 1} ON r${i - 1}.node = e.u GROUP BY 1),
+         | r$i AS (SELECT nodes.node, (SELECT base FROM consts) + coalesce(c$i.s, 0) AS r
+         |   FROM nodes LEFT JOIN c$i ON c$i.node = nodes.node)""".stripMargin
+    }.mkString
+    s"""${cte}, edges AS (SELECT DISTINCT src_ip AS u, dst_ip AS v FROM flows),
+       | nodes AS (SELECT DISTINCT node FROM
+       |   (SELECT src_ip AS node FROM flows UNION SELECT dst_ip FROM flows)),
+       | deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+       | consts AS (SELECT 1000000 // count(*) AS r0v, 150000 // count(*) AS base FROM nodes),
+       | r0 AS (SELECT node, (SELECT r0v FROM consts) AS r FROM nodes)
+       | $iterCtes
+       | SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r$iters
+       | ORDER BY r DESC, node ASC LIMIT $topK""".stripMargin.replace('\n', ' ')
+  }
 
   private def duckTopIp(ipCol: String): String =
     s"""${cte}SELECT ${duckIpStr(ipCol)} AS addr, count(*) AS flow_count,

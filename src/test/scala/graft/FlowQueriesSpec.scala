@@ -321,6 +321,31 @@ class FlowQueriesSpec extends SparkTestBase {
     assert(aggs.size >= 2, "expected partial+final aggregates")
   }
 
+  test("ip pagerank: integer fixed-point sweeps replay driver-side; partition-invariant (r12)") {
+    val topFromQuery = FlowQueries.ipPageRank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(topFromQuery.length === 20)
+    // independent driver replay of the integer iteration
+    val f = graft.flow.FlowAdapter.flows(spark, sf)
+      .select("src_ip", "dst_ip").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (f.map(_._1) ++ f.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val deg = f.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val base = 150000L / n
+    var r = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 0 until 3) {
+      val contribs = f.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        (r(u) * 85L) / (deg(u) * 100L)
+      }.sum).toMap
+      r = nodes.map(v => v -> (base + contribs.getOrElse(v, 0L))).toMap
+    }
+    val want = r.toSeq.sortBy { case (node, rank) => (-rank, node) }.take(20)
+    assert(topFromQuery.toSeq === want)
+    // rank mass can only shrink (dangling drop + floor division)
+    assert(r.values.sum <= 1000000L)
+  }
+
   test("moving average: trailing 5-min RANGE frame recounts exactly; gaps shrink the window (r12)") {
     val rows = FlowQueries.movingAvg(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
