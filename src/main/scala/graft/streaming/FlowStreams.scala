@@ -363,6 +363,50 @@ object FlowStreams {
         sum("flow_count").as("flow_count"))
       .orderBy("bucket")
 
+  // ------------------------------------------- bidirectional stitching
+
+  /** STREAM-STREAM self-join: stitch each flow with its reverse-direction
+    * twin (the classic NetFlow "bidirectional session" reconstruction —
+    * request and response arrive as two unidirectional records, often in
+    * different micro-batches). Canonical orientation: the record whose
+    * `srcAddr` is lexicographically below its `dstAddr` is the FORWARD
+    * leg; the reverse leg swaps its endpoints to the same canonical
+    * 5-tuple and must land within `±maxLagSec` of the forward timestamp.
+    * BOTH sides carry a watermark and the join condition bounds both
+    * event-time columns, so Spark GCs join state at the watermark — state
+    * is O(traffic in the lag window), never unbounded. Inner join: a leg
+    * with no twin inside the lag window simply never emits (append mode).
+    * Multiple forward legs inside one window each stitch to every
+    * in-window reverse leg — the NetFlow record granularity, documented
+    * rather than deduplicated. */
+  def stitchBidirectional(stream: DataFrame, maxLagSec: Long = 60L): DataFrame = {
+    val base = stream.select(col("srcAddr"), col("dstAddr"), col("srcPort"),
+      col("dstPort"), col("proto"), col("bytes"),
+      timestamp_seconds(col("timeReceived")).as("ts"))
+    val fwd = base
+      .filter(col("srcAddr") < col("dstAddr"))
+      .select(col("srcAddr").as("a"), col("dstAddr").as("b"),
+        col("srcPort").as("pa"), col("dstPort").as("pb"),
+        col("proto").as("proto"),
+        col("bytes").as("fwd_bytes"), col("ts").as("fwd_ts"))
+      .withWatermark("fwd_ts", s"$maxLagSec seconds")
+    val rev = base
+      .filter(col("srcAddr") > col("dstAddr"))
+      .select(col("dstAddr").as("a2"), col("srcAddr").as("b2"),
+        col("dstPort").as("pa2"), col("srcPort").as("pb2"),
+        col("proto").as("proto2"),
+        col("bytes").as("rev_bytes"), col("ts").as("rev_ts"))
+      .withWatermark("rev_ts", s"$maxLagSec seconds")
+    fwd.join(rev,
+      col("a") === col("a2") && col("b") === col("b2") &&
+        col("pa") === col("pa2") && col("pb") === col("pb2") &&
+        col("proto") === col("proto2") &&
+        col("rev_ts") >= col("fwd_ts") - expr(s"INTERVAL $maxLagSec SECONDS") &&
+        col("rev_ts") <= col("fwd_ts") + expr(s"INTERVAL $maxLagSec SECONDS"))
+      .select(col("a"), col("b"), col("pa"), col("pb"), col("proto"),
+        col("fwd_ts"), col("rev_ts"), col("fwd_bytes"), col("rev_bytes"))
+  }
+
   // -------------------------------------------- unique-sources THETA MV
 
   /** Continuous unique-sources MV in THETA form — same per-batch-partials

@@ -459,4 +459,40 @@ class FlowStreamsSpec extends SparkTestBase {
     q.stop()
     assert(seen.get() === 200)
   }
+
+  test("stream-stream stitching: cross-batch twins join on the canonical 5-tuple; out-of-lag legs never emit (r12)") {
+    implicit val sqlCtx = spark.sqlContext
+    def addr(last: Int): Array[Byte] = {
+      val b = new Array[Byte](16); b(15) = last.toByte; b
+    }
+    def msg(src: Array[Byte], dst: Array[Byte], sp: Int, dp: Int, t: Long,
+        nBytes: Long): FlowMessage =
+      FlowMessage(0, t, 0L, 1L, addr(9), t, t, nBytes, 1L, src, dst,
+        2048, 6, sp, dp, 65000, 65001)
+    val t0 = 1704067200L
+    val a = addr(1); val b = addr(2); val c = addr(3); val d = addr(4)
+    val src = MemoryStream[FlowMessage]
+    val q = FlowStreams.stitchBidirectional(src.toDF(), maxLagSec = 60)
+      .writeStream.format("memory").queryName("stitch_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp())
+      .start()
+    // batch 1: forward legs A->B and C->D
+    src.addData(msg(a, b, 1000, 80, t0, 100L), msg(c, d, 2000, 443, t0, 300L))
+    q.processAllAvailable()
+    // batch 2: B->A reverse inside the lag (stitches), D->C reverse 300s
+    // late (outside the lag — must never emit)
+    src.addData(msg(b, a, 80, 1000, t0 + 30, 200L),
+      msg(d, c, 443, 2000, t0 + 300, 400L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("stitch_out")
+      .select(col("pa"), col("pb"), col("proto"), col("fwd_bytes"), col("rev_bytes"),
+        expr("unix_timestamp(fwd_ts)").as("ft"), expr("unix_timestamp(rev_ts)").as("rt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(rows.toSeq === Seq((1000, 80, 6, 100L, 200L, t0, t0 + 30)),
+      s"expected exactly the in-lag stitch, got ${rows.toSeq}")
+  }
 }
