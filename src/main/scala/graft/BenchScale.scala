@@ -295,6 +295,12 @@ object BenchScale {
     bench("scale_events_transitions") { graft.operators.EventOps.transitions(spark, famDir) }
     bench("scale_events_gap_sessions") { graft.operators.EventOps.gapSessions(spark, famDir) }
     bench("scale_events_time_to_convert") { graft.operators.EventOps.timeToConvert(spark, famDir) }
+    bench("scale_flow_moving_avg") { graft.flow.FlowQueries.movingAvg(spark, famDir) }
+    bench("scale_ops_histogram_quantile") {
+      graft.operators.OpsMetrics.histogramQuantile(spark, famDir)
+    }
+    // ~500k-node / multi-million-edge traffic graph: 3 integer sweeps
+    bench("scale_flow_ip_pagerank") { graft.flow.FlowQueries.ipPageRank(spark, famDir) }
 
     val ingestRate = (n / ingestSec).toLong
     val queriesJson = queries.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")

@@ -117,7 +117,17 @@ object Plans {
         "window/agg passes"),
       "events_transitions" -> ("per-user lead window then a partial+final hash " +
         "aggregate on (from, to); the distinct-users count is the only Expand, " +
-        "over the already-windowed relation"))
+        "over the already-windowed relation"),
+      "rel_interval_join" -> ("the range join is an EQUI-join (hash, on the " +
+        "7-day bucket) with the exact range predicate as a post-join filter — " +
+        "NO CartesianProduct / BroadcastNestedLoopJoin anywhere; orders fan out " +
+        "x2 max via one Generate"),
+      "flow_ip_pagerank" -> ("three stacked sweep joins, each shuffling only " +
+        "(node, long) pairs, each followed by a partial+final sum; final top-20 " +
+        "is TakeOrderedAndProject — no global sort, no float anywhere"),
+      "ops_histogram_quantile" -> ("ONE fixed-width hash aggregate (partial+" +
+        "final) builds every le bucket; the quantile cascade is pure projection " +
+        "— no second pass over the fact table"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

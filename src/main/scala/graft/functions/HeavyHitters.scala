@@ -318,9 +318,65 @@ case class HeavyHittersMerge(child: Expression, capacity: Int, k: Int,
     copy(inputAggBufferOffset = newOffset)
 }
 
+/** `heavy_hitters_fold(sketch, capacity)` — fold serialized
+  * [[HeavyHittersSketch]] blobs back into ONE blob without finalizing:
+  * the MV-compaction aggregate (N per-micro-batch partials per group →
+  * one partial), same mixed-capacity refusal as [[HeavyHittersMerge]].
+  * Mergeable-summaries bounds survive the fold; below eviction the fold
+  * is exact, so a compacted MV reads identically. */
+case class HeavyHittersFold(child: Expression, capacity: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingState] {
+
+  require(capacity >= 1, s"need capacity >= 1, got $capacity")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"heavy_hitters_fold needs a BINARY sketch column, got ${child.dataType}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "heavy_hitters_fold"
+
+  override def createAggregationBuffer(): SpaceSavingState = new SpaceSavingState(capacity)
+  override def update(buffer: SpaceSavingState, input: InternalRow): SpaceSavingState = {
+    val v = child.eval(input)
+    if (v != null) {
+      val other = SpaceSavingState.deserialize(v.asInstanceOf[Array[Byte]])
+      if (other.capacity != capacity)
+        throw new IllegalArgumentException(
+          s"heavy_hitters_fold(capacity=$capacity) fed a capacity-${other.capacity} " +
+            "sketch — mixed capacities have no sound error bound")
+      buffer.merge(other)
+    }
+    buffer
+  }
+  override def merge(buffer: SpaceSavingState, other: SpaceSavingState): SpaceSavingState = {
+    buffer.merge(other); buffer
+  }
+  override def eval(buffer: SpaceSavingState): Any = buffer.serialize()
+  override def serialize(buffer: SpaceSavingState): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): SpaceSavingState =
+    SpaceSavingState.deserialize(bytes)
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HeavyHittersFold = copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHittersFold =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHittersFold =
+    copy(inputAggBufferOffset = newOffset)
+}
+
 object HeavyHitters {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** MV-compaction fold: `heavyHittersFold(sketchCol, capacity)` → binary. */
+  def heavyHittersFold(sketch: Column, capacity: Int): Column =
+    ColumnBridge.column(
+      HeavyHittersFold(ColumnBridge.expression(sketch), capacity)
+        .toAggregateExpression())
 
   /** Column-API entry point: `heavyHitters(col, capacity, k)`. */
   def heavyHitters(item: Column, capacity: Int, k: Int): Column =

@@ -129,9 +129,65 @@ case class QuantileSketchMerge(child: Expression, k: Int, probs: Seq[Double],
     copy(inputAggBufferOffset = newOffset)
 }
 
+/** `quantile_fold(sketch, k)` — fold serialized [[QuantileSketchAgg]]
+  * blobs back into ONE blob without evaluating quantiles: the
+  * MV-compaction aggregate. Same mixed-k refusal as
+  * [[QuantileSketchMerge]]. KLL's rank-error bound survives the fold
+  * (merge trees don't compound it); below the first compaction the fold
+  * is exact, so a compacted MV reads identically in that regime. */
+case class QuantileSketchFold(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  require(k >= 8, s"need k >= 8, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"quantile_fold needs a BINARY sketch column, got ${child.dataType}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "quantile_fold"
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+  override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      val other = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      if (other.getK != k)
+        throw new IllegalArgumentException(
+          s"quantile_fold(k=$k) fed a k=${other.getK} sketch — merging would " +
+            "silently degrade to the coarser rank error")
+      buffer.merge(other)
+    }
+    buffer
+  }
+  override def merge(buffer: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buffer.merge(other); buffer
+  }
+  override def eval(buffer: KllDoublesSketch): Any = buffer.toByteArray
+  override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileSketchFold = copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchFold =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchFold =
+    copy(inputAggBufferOffset = newOffset)
+}
+
 object QuantileSketch {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** MV-compaction fold: `quantileFold(sketchCol, k)` → binary. */
+  def quantileFold(sketch: Column, k: Int): Column =
+    ColumnBridge.column(
+      QuantileSketchFold(ColumnBridge.expression(sketch), k).toAggregateExpression())
 
   /** Mergeable partial: `quantileSketch(col, k)` → binary. */
   def quantileSketch(value: Column, k: Int = 200): Column =

@@ -236,10 +236,13 @@ object FlowStreams {
       capacity: Int = 256, trigger: Trigger = DefaultTrigger): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        topTalkersPartials(batch, capacity).write
-          .mode("overwrite")
-          .partitionBy("event_date")
-          .parquet(s"$outPath/batch=$id")
+        // replay guard (same as startRollupMV): a checkpoint replay of a
+        // batch an OPTIMIZE fold already absorbed must be a no-op
+        if (id > maxFoldedBatch(outPath))
+          topTalkersPartials(batch, capacity).write
+            .mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(s"$outPath/batch=$id")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -289,10 +292,13 @@ object FlowStreams {
       k: Int = 200, trigger: Trigger = DefaultTrigger): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        bytesQuantilesPartials(batch, k).write
-          .mode("overwrite")
-          .partitionBy("event_date")
-          .parquet(s"$outPath/batch=$id")
+        // replay guard (same as startRollupMV): a checkpoint replay of a
+        // batch an OPTIMIZE fold already absorbed must be a no-op
+        if (id > maxFoldedBatch(outPath))
+          bytesQuantilesPartials(batch, k).write
+            .mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(s"$outPath/batch=$id")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -342,9 +348,12 @@ object FlowStreams {
       lgConfigK: Int = 12, trigger: Trigger = DefaultTrigger): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        uniqueSrcPartials(batch, lgConfigK).write
-          .mode("overwrite")
-          .parquet(s"$outPath/batch=$id")
+        // replay guard (same as startRollupMV): a checkpoint replay of a
+        // batch an OPTIMIZE fold already absorbed must be a no-op
+        if (id > maxFoldedBatch(outPath))
+          uniqueSrcPartials(batch, lgConfigK).write
+            .mode("overwrite")
+            .parquet(s"$outPath/batch=$id")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -429,9 +438,12 @@ object FlowStreams {
       lgK: Int = 12, trigger: Trigger = DefaultTrigger): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        uniqueSrcThetaPartials(batch, lgK).write
-          .mode("overwrite")
-          .parquet(s"$outPath/batch=$id")
+        // replay guard (same as startRollupMV): a checkpoint replay of a
+        // batch an OPTIMIZE fold already absorbed must be a no-op
+        if (id > maxFoldedBatch(outPath))
+          uniqueSrcThetaPartials(batch, lgK).write
+            .mode("overwrite")
+            .parquet(s"$outPath/batch=$id")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -475,7 +487,58 @@ object FlowStreams {
     * deleted (the r2 localCheckpoint protocol lost the table if an executor
     * died mid-OPTIMIZE). For compaction concurrent with a RUNNING stream,
     * use the manifest-committed table instead ([[optimizeRollupOnline]]). */
-  def optimizeRollup(spark: SparkSession, path: String): Unit = {
+  def optimizeRollup(spark: SparkSession, path: String): Unit =
+    optimizeFold(spark, path, readRollup(spark, path), Some("event_date"))
+
+  /** MV compaction for the SKETCH MVs — the AggregatingMergeTree "merge
+    * parts" step: fold every `batch=N` directory's per-group partials
+    * into ONE partial per group (blob-merge aggregates, counts summed)
+    * under the same crash-safe staging/marker/replay-guard protocol as
+    * [[optimizeRollup]]. The folded table reads identically at the
+    * guarantee level in every regime, and EXACTLY below
+    * eviction/compaction (HLL is exact-identical in all regimes —
+    * register-wise max is idempotent). One wrapper per MV because each
+    * fold must reproduce its PARTIALS schema. */
+  def optimizeTopTalkersMV(spark: SparkSession, path: String,
+      capacity: Int = 256): Unit =
+    optimizeFold(spark, path,
+      spark.read.parquet(path).drop("batch")
+        .groupBy("event_date", "proto")
+        .agg(graft.functions.HeavyHitters
+            .heavyHittersFold(col("hh_sketch"), capacity).as("hh_sketch"),
+          sum("flow_count").as("flow_count")),
+      Some("event_date"))
+
+  def optimizeUniqueSrcMV(spark: SparkSession, path: String): Unit =
+    optimizeFold(spark, path,
+      spark.read.parquet(path).drop("batch")
+        .groupBy("bucket")
+        .agg(hll_union_agg(col("hll_sketch"), false).as("hll_sketch"),
+          sum("flow_count").as("flow_count")),
+      None)
+
+  def optimizeUniqueSrcThetaMV(spark: SparkSession, path: String,
+      lgK: Int = 12): Unit =
+    optimizeFold(spark, path,
+      spark.read.parquet(path).drop("batch")
+        .groupBy("day")
+        .agg(graft.functions.ThetaSketch
+            .thetaUnion(col("theta_sketch"), lgK).as("theta_sketch"),
+          sum("flow_count").as("flow_count")),
+      None)
+
+  def optimizeBytesQuantilesMV(spark: SparkSession, path: String,
+      k: Int = 200): Unit =
+    optimizeFold(spark, path,
+      spark.read.parquet(path).drop("batch")
+        .groupBy("event_date", "proto")
+        .agg(graft.functions.QuantileSketch
+            .quantileFold(col("q_sketch"), k).as("q_sketch"),
+          sum("flow_count").as("flow_count")),
+      Some("event_date"))
+
+  private def optimizeFold(spark: SparkSession, path: String,
+      folded: => DataFrame, partitionCol: Option[String]): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(path)
@@ -502,8 +565,9 @@ object FlowStreams {
     // layout stays uniform with the per-batch write scheme; pre-batch
     // layouts' top-level event_date dirs are folded in and removed too.
     val staging = root.resolve(".optimize-staging")
-    readRollup(spark, path).write.mode("overwrite")
-      .partitionBy("event_date").parquet(staging.toString)
+    val writer = folded.write.mode("overwrite")
+    partitionCol.fold(writer)(c => writer.partitionBy(c))
+      .parquet(staging.toString)
     // recording WHICH dirs the fold absorbed makes the swap crash-safe:
     // recovery deletes exactly those dirs (never a dir appended after the
     // fold) and publishes the staged copy — the marker is written LAST and

@@ -98,6 +98,29 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(msgs(err).exists(_.contains("INT literal")), msgs(err).mkString(" | "))
   }
 
+  test("bytes-quantiles MV compaction: exact-regime fold reads identically (r12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val out = tmp(); val cp = tmp()
+    val batches = (0 until 3).map(b =>
+      FlowGen.flows(spark, 50, seed = 60 + b, baseTime = 1704067200L + b * 600,
+        ratePerSec = 10).collect().toSeq)
+    val q = FlowStreams.startBytesQuantilesMV(src.toDF(), out, cp)
+    batches.foreach { b => src.addData(b); q.processAllAvailable() }
+    q.stop()
+    def readAll() = FlowStreams.readBytesQuantiles(spark, out).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    val before = readAll()
+    FlowStreams.optimizeBytesQuantilesMV(spark, out)
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs === Seq("batch=-1"))
+    // sub-k regime: the folded sketch retains every value, so the read is
+    // value-identical, not merely within rank error
+    assert(readAll() === before)
+  }
+
   test("streaming bytes-quantiles MV: cross-batch fold equals the batch reference (exact regime)") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[FlowMessage]

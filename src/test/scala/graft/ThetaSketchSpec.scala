@@ -115,6 +115,49 @@ class ThetaSketchSpec extends SparkTestBase {
     }
   }
 
+  test("theta MV compaction: fold is read-invisible, replay-guarded, restartable (r12)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.flow.{FlowGen, FlowMessage}
+    import graft.streaming.FlowStreams
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val out = java.nio.file.Files.createTempDirectory("graft_theta_opt").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_theta_optcp").toString
+    val batches = (0 until 3).map(b =>
+      FlowGen.flows(spark, 60, seed = 70 + b, baseTime = 1704067200L + b * 43200L,
+        ratePerSec = 1).collect().toSeq)
+    val q1 = FlowStreams.startUniqueSrcThetaMV(src.toDF(), out, cp)
+    src.addData(batches(0)); q1.processAllAvailable()
+    src.addData(batches(1)); q1.processAllAvailable()
+    q1.stop()
+    def readAll() = FlowStreams.readUniqueSrcOverlap(spark, out, strict = true).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val before = readAll()
+    FlowStreams.optimizeUniqueSrcThetaMV(spark, out)
+    // exactly the fold output on disk
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs === Seq("batch=-1"), s"expected only the fold dir, got $dirs")
+    assert(readAll() === before, "compaction must be read-invisible")
+    // restart from the same checkpoint: replays of absorbed batches are
+    // no-ops (guard), the NEW batch lands normally
+    val q2 = FlowStreams.startUniqueSrcThetaMV(src.toDF(), out, cp)
+    src.addData(batches(2)); q2.processAllAvailable()
+    q2.stop()
+    val after = readAll()
+    // reference: one sketch pass over all three raw batches
+    val all = spark.createDataFrame(batches.flatten)
+    val d = all.select(((col("timeReceived") / 86400).cast("long") * 86400).as("day"),
+        graft.GraftFunctions.reinterpret_uint32(col("srcAddr")).as("ip"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = d.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = byDay.keys.toSeq.sorted.sliding(2).collect {
+      case Seq(a, b) if b == a + 86400 =>
+        (a, byDay(a).size.toLong, byDay(b).size.toLong, (byDay(a) & byDay(b)).size.toLong)
+    }.toSeq
+    assert(after === want, "post-restart read must equal the batch-at-once reference")
+  }
+
   test("flow_unique_src_overlap matches an exact distinct self-join at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = FlowQueries.uniqueSrcOverlap(spark, dir)
