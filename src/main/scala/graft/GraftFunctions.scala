@@ -94,6 +94,31 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"$fn: $name must be a numeric literal, got $other")
     }
+    // heavy_hitters_sketch(item, capacity) -> binary SpaceSaving partial
+    reg.createOrReplaceTempFunction("heavy_hitters_sketch", es => {
+      require(es.length == 2, "usage: heavy_hitters_sketch(item, capacity)")
+      graft.functions.HeavyHittersSketch(es.head,
+        intLit(es(1), "heavy_hitters_sketch", "capacity")).toAggregateExpression()
+    }, "built-in")
+    // heavy_hitters_merge(sketch, capacity, k) -> array<struct<item,est,err>>
+    reg.createOrReplaceTempFunction("heavy_hitters_merge", es => {
+      require(es.length == 3, "usage: heavy_hitters_merge(sketch, capacity, k)")
+      graft.functions.HeavyHittersMerge(es.head,
+        intLit(es(1), "heavy_hitters_merge", "capacity"),
+        intLit(es(2), "heavy_hitters_merge", "k")).toAggregateExpression()
+    }, "built-in")
+    // heavy_hitters_fold(sketch, capacity) -> binary (MV compaction)
+    reg.createOrReplaceTempFunction("heavy_hitters_fold", es => {
+      require(es.length == 2, "usage: heavy_hitters_fold(sketch, capacity)")
+      graft.functions.HeavyHittersFold(es.head,
+        intLit(es(1), "heavy_hitters_fold", "capacity")).toAggregateExpression()
+    }, "built-in")
+    // quantile_fold(sketch, k) -> binary (MV compaction)
+    reg.createOrReplaceTempFunction("quantile_fold", es => {
+      require(es.length == 2, "usage: quantile_fold(sketch, k)")
+      graft.functions.QuantileSketchFold(es.head,
+        intLit(es(1), "quantile_fold", "k")).toAggregateExpression()
+    }, "built-in")
     // quantile_sketch(x, k) -> binary KLL partial
     reg.createOrReplaceTempFunction("quantile_sketch", es => {
       require(es.length == 2, "usage: quantile_sketch(x, k)")

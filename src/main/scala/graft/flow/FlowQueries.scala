@@ -189,6 +189,25 @@ object FlowQueries {
       .orderBy("bucket")
   }
 
+  /** Seasonal traffic baseline — the anomaly dashboard's "today vs the
+    * same time of day historically" panel: per minute-of-day, total and
+    * per-day-average sampled bytes across the whole corpus, alongside
+    * each calendar day's count of active minutes. Two integer aggregates
+    * (minute grain, then minute-of-day grain) — the second runs over the
+    * minutes relation (1440 × days rows at most), so the fact table is
+    * scanned once; the average is ONE final rounded division. */
+  def seasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val perMinute = fl(spark, dir)
+      .groupBy(((col("time_received") / 60).cast("long") * 60).as("minute"))
+      .agg(sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
+    perMinute
+      .groupBy((col("minute") % 86400).as("minute_of_day"))
+      .agg(sum("sum_bytes").as("total_bytes"),
+        count(lit(1)).as("n_days"),
+        round(sum("sum_bytes").cast("double") / count(lit(1)), 6).as("avg_bytes"))
+      .orderBy("minute_of_day")
+  }
+
   /** ITERATIVE GRAPH ANALYTICS on the traffic graph: 3 PageRank sweeps
     * over the distinct (src_ip → dst_ip) edge set in INTEGER FIXED-POINT
     * micro-units — every per-edge contribution is `(r·85) div (100·deg)`
@@ -644,6 +663,7 @@ object FlowQueries {
     "flow_rate_delta" -> ((s: SparkSession, d: String) => rateDelta(s, d)),
     "flow_moving_avg" -> ((s: SparkSession, d: String) => movingAvg(s, d)),
     "flow_ip_pagerank" -> ((s: SparkSession, d: String) => ipPageRank(s, d)),
+    "flow_seasonal_baseline" -> (seasonalBaseline _),
     "flow_rollup_5m" -> ((s: SparkSession, d: String) => rollup5m(s, d)),
     "flow_rollup_reagg" -> ((s, d) => rollupReagg(s, d)),
     "flow_top_src_ip" -> ((s: SparkSession, d: String) => topSrcIp(s, d)),
@@ -706,6 +726,14 @@ object FlowQueries {
          | sum_bytes - lag(sum_bytes) OVER (ORDER BY bucket) AS delta_bytes
          | FROM m ORDER BY bucket""".stripMargin.replace('\n', ' '),
     "flow_ip_pagerank" -> duckPageRank(),
+    "flow_seasonal_baseline" ->
+      s"""${cte}, m AS (SELECT (time_received // 60) * 60 AS minute,
+         | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes FROM flows GROUP BY 1)
+         | SELECT minute % 86400 AS minute_of_day,
+         |  CAST(sum(sum_bytes) AS BIGINT) AS total_bytes,
+         |  count(*) AS n_days,
+         |  round(CAST(sum(sum_bytes) AS DOUBLE) / count(*), 6) AS avg_bytes
+         | FROM m GROUP BY 1 ORDER BY minute_of_day""".stripMargin.replace('\n', ' '),
     "flow_moving_avg" ->
       s"""${cte}, m AS (SELECT (time_received // 60) * 60 AS bucket,
          | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes FROM flows GROUP BY 1)

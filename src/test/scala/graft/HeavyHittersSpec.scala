@@ -90,6 +90,27 @@ class HeavyHittersSpec extends SparkTestBase {
       Option(err.getCause).exists(_.getMessage.contains("INT literal")))
   }
 
+  test("SQL surface: sketch -> fold -> merge pipeline equals the direct aggregate (r12)") {
+    GraftFunctions.register(spark)
+    val xs = stream(40)
+    xs.zipWithIndex.map { case (v, i) => (v, i % 4) }.toDF("v", "part")
+      .createOrReplaceTempView("hh_fold_input")
+    // per-part partials folded to one blob, then finalized — the MV
+    // compaction path, all through the SQL registry
+    val viaSql = spark.sql(
+      """SELECT explode(heavy_hitters_merge(f, 64, 10)) AS e FROM (
+        |  SELECT heavy_hitters_fold(s, 64) AS f FROM (
+        |    SELECT heavy_hitters_sketch(v, 64) AS s FROM hh_fold_input GROUP BY part))""".stripMargin)
+      .select("e.item", "e.est", "e.err")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = xs.toDF("v")
+      .agg(HeavyHitters.heavyHitters(col("v"), 64, 10).as("hh"))
+      .select(explode(col("hh"))).select("col.item", "col.est", "col.err")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // no-eviction regime (40 values, 64 counters): fold path is exact
+    assert(viaSql === direct)
+  }
+
   test("lazy min-heap state is operation-for-operation identical to the naive scan reference") {
     // the old O(capacity)-scan-per-eviction implementation, kept here as
     // the differential oracle for the heap-based rewrite
