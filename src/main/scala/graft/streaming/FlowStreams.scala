@@ -254,7 +254,16 @@ object FlowStreams {
     * (≤ capacity entries each), never the address stream. */
   def readTopTalkers(spark: SparkSession, path: String, capacity: Int = 256,
       k: Int = 10): DataFrame =
-    spark.read.parquet(path).drop("batch")
+    finalizeTopTalkers(plainPartials(spark, path), capacity, k)
+
+  /** Managed-table twin of [[readTopTalkers]]. */
+  def readTopTalkersManaged(spark: SparkSession, table: String,
+      capacity: Int = 256, k: Int = 10): DataFrame =
+    finalizeTopTalkers(ManifestTable.read(spark, table), capacity, k)
+
+  private def finalizeTopTalkers(partials: DataFrame, capacity: Int,
+      k: Int): DataFrame =
+    partials
       .groupBy("event_date", "proto")
       .agg(graft.functions.HeavyHitters
         .heavyHittersMerge(col("hh_sketch"), capacity, k).as("hh"),
@@ -308,8 +317,17 @@ object FlowStreams {
     * unpack the requested probs as columns (p50/p90/p99 by default). One
     * exchange over fixed-size blobs, never the byte-count stream. */
   def readBytesQuantiles(spark: SparkSession, path: String, k: Int = 200,
-      probs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
-    val folded = spark.read.parquet(path).drop("batch")
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    finalizeBytesQuantiles(plainPartials(spark, path), k, probs)
+
+  /** Managed-table twin of [[readBytesQuantiles]]. */
+  def readBytesQuantilesManaged(spark: SparkSession, table: String, k: Int = 200,
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    finalizeBytesQuantiles(ManifestTable.read(spark, table), k, probs)
+
+  private def finalizeBytesQuantiles(partials: DataFrame, k: Int,
+      probs: Seq[Double]): DataFrame = {
+    val folded = partials
       .groupBy("event_date", "proto")
       .agg(graft.functions.QuantileSketch
           .quantileMerge(col("q_sketch"), k, probs).as("qs"),
@@ -365,7 +383,14 @@ object FlowStreams {
     * standard error (~1.6% at lgConfigK=12); the panel's flow_count sum
     * stays exact. */
   def readUniqueSrc(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("batch")
+    finalizeUniqueSrc(plainPartials(spark, path))
+
+  /** Managed-table twin of [[readUniqueSrc]]. */
+  def readUniqueSrcManaged(spark: SparkSession, table: String): DataFrame =
+    finalizeUniqueSrc(ManifestTable.read(spark, table))
+
+  private def finalizeUniqueSrc(partials: DataFrame): DataFrame =
+    partials
       .groupBy("bucket")
       .agg(hll_sketch_estimate(hll_union_agg(col("hll_sketch"), false))
           .as("unique_src_approx"),
@@ -456,10 +481,19 @@ object FlowStreams {
     * without touching the raw stream. `strict = false` by default: an MV
     * at scale lives in the estimation regime. */
   def readUniqueSrcOverlap(spark: SparkSession, path: String, lgK: Int = 12,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false): DataFrame =
+    finalizeUniqueSrcOverlap(plainPartials(spark, path), lgK, strict)
+
+  /** Managed-table twin of [[readUniqueSrcOverlap]]. */
+  def readUniqueSrcOverlapManaged(spark: SparkSession, table: String,
+      lgK: Int = 12, strict: Boolean = false): DataFrame =
+    finalizeUniqueSrcOverlap(ManifestTable.read(spark, table), lgK, strict)
+
+  private def finalizeUniqueSrcOverlap(partials: DataFrame, lgK: Int,
+      strict: Boolean): DataFrame = {
     import graft.functions.ThetaSketch
     import org.apache.spark.sql.expressions.Window
-    val daily = spark.read.parquet(path).drop("batch")
+    val daily = partials
       .groupBy("day")
       .agg(ThetaSketch.thetaUnion(col("theta_sketch"), lgK).as("sk"),
         sum("flow_count").as("flow_count"))
@@ -499,43 +533,153 @@ object FlowStreams {
     * eviction/compaction (HLL is exact-identical in all regimes —
     * register-wise max is idempotent). One wrapper per MV because each
     * fold must reproduce its PARTIALS schema. */
+  // partials → partials fold frames, shared by the offline compactor,
+  // the ONLINE (manifest-swap) compactor, and nothing else — readers
+  // finalize, they don't need the fold
+  private def foldTopTalkers(partials: DataFrame, capacity: Int): DataFrame =
+    partials.groupBy("event_date", "proto")
+      .agg(graft.functions.HeavyHitters
+          .heavyHittersFold(col("hh_sketch"), capacity).as("hh_sketch"),
+        sum("flow_count").as("flow_count"))
+
+  private def foldUniqueSrc(partials: DataFrame): DataFrame =
+    partials.groupBy("bucket")
+      .agg(hll_union_agg(col("hll_sketch"), false).as("hll_sketch"),
+        sum("flow_count").as("flow_count"))
+
+  private def foldUniqueSrcTheta(partials: DataFrame, lgK: Int): DataFrame =
+    partials.groupBy("day")
+      .agg(graft.functions.ThetaSketch
+          .thetaUnion(col("theta_sketch"), lgK).as("theta_sketch"),
+        sum("flow_count").as("flow_count"))
+
+  private def foldBytesQuantiles(partials: DataFrame, k: Int): DataFrame =
+    partials.groupBy("event_date", "proto")
+      .agg(graft.functions.QuantileSketch
+          .quantileFold(col("q_sketch"), k).as("q_sketch"),
+        sum("flow_count").as("flow_count"))
+
+  private def plainPartials(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("batch")
+
   def optimizeTopTalkersMV(spark: SparkSession, path: String,
       capacity: Int = 256): Unit =
     optimizeFold(spark, path,
-      spark.read.parquet(path).drop("batch")
-        .groupBy("event_date", "proto")
-        .agg(graft.functions.HeavyHitters
-            .heavyHittersFold(col("hh_sketch"), capacity).as("hh_sketch"),
-          sum("flow_count").as("flow_count")),
-      Some("event_date"))
+      foldTopTalkers(plainPartials(spark, path), capacity), Some("event_date"))
 
   def optimizeUniqueSrcMV(spark: SparkSession, path: String): Unit =
-    optimizeFold(spark, path,
-      spark.read.parquet(path).drop("batch")
-        .groupBy("bucket")
-        .agg(hll_union_agg(col("hll_sketch"), false).as("hll_sketch"),
-          sum("flow_count").as("flow_count")),
-      None)
+    optimizeFold(spark, path, foldUniqueSrc(plainPartials(spark, path)), None)
 
   def optimizeUniqueSrcThetaMV(spark: SparkSession, path: String,
       lgK: Int = 12): Unit =
     optimizeFold(spark, path,
-      spark.read.parquet(path).drop("batch")
-        .groupBy("day")
-        .agg(graft.functions.ThetaSketch
-            .thetaUnion(col("theta_sketch"), lgK).as("theta_sketch"),
-          sum("flow_count").as("flow_count")),
-      None)
+      foldUniqueSrcTheta(plainPartials(spark, path), lgK), None)
 
   def optimizeBytesQuantilesMV(spark: SparkSession, path: String,
       k: Int = 200): Unit =
     optimizeFold(spark, path,
-      spark.read.parquet(path).drop("batch")
-        .groupBy("event_date", "proto")
-        .agg(graft.functions.QuantileSketch
-            .quantileFold(col("q_sketch"), k).as("q_sketch"),
-          sum("flow_count").as("flow_count")),
-      Some("event_date"))
+      foldBytesQuantiles(plainPartials(spark, path), k), Some("event_date"))
+
+  // ---------------------------- managed (always-on) sketch MV posture
+
+  /** MANAGED deployment posture for the sketch MVs — the same
+    * manifest-committed, snapshot-isolated, online-compactable shape
+    * [[startRollupMVManaged]] gives the rollup: each micro-batch's
+    * partials land as a manifest commit (exactly-once by batch id), the
+    * table is readable at every instant, and
+    * [[optimizeTopTalkersMVOnline]]-family folds run CONCURRENT with the
+    * stream via partition-selective manifest swaps. The HLL/theta tables
+    * record per-file (min,max) of their time key, so range reads prune at
+    * the manifest like every other managed table. */
+  def startTopTalkersMVManaged(stream: DataFrame, table: String, checkpoint: String,
+      capacity: Int = 256, trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ManifestTable.append(topTalkersPartials(batch, capacity), table,
+          Some("event_date"), id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  def startUniqueSrcMVManaged(stream: DataFrame, table: String, checkpoint: String,
+      lgConfigK: Int = 12, trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ManifestTable.append(uniqueSrcPartials(batch, lgConfigK), table,
+          None, id, statsCol = Some("bucket"))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  def startUniqueSrcThetaMVManaged(stream: DataFrame, table: String, checkpoint: String,
+      lgK: Int = 12, trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ManifestTable.append(uniqueSrcThetaPartials(batch, lgK), table,
+          None, id, statsCol = Some("day"))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  def startBytesQuantilesMVManaged(stream: DataFrame, table: String, checkpoint: String,
+      k: Int = 200, trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ManifestTable.append(bytesQuantilesPartials(batch, k), table,
+          Some("event_date"), id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** ONLINE compaction of a managed sketch MV: fold the fragmented
+    * partition groups of the current snapshot and swap them in one
+    * manifest commit — concurrent appends survive, readers see one
+    * committed snapshot at every instant, and a lost swap race aborts
+    * cleanly (returns false), exactly like [[optimizeRollupOnline]]. For
+    * the event_date-partitioned MVs the group keys never span partitions,
+    * so the per-partition fold is exact; the unpartitioned HLL/theta
+    * tables fold as one group (their relation is bucket/day-sized). */
+  def optimizeTopTalkersMVOnline(spark: SparkSession, table: String,
+      capacity: Int = 256): Boolean =
+    optimizeSketchOnline(spark, table,
+      foldTopTalkers(_, capacity), Some("event_date"), None)
+
+  def optimizeUniqueSrcMVOnline(spark: SparkSession, table: String): Boolean =
+    optimizeSketchOnline(spark, table, foldUniqueSrc, None, Some("bucket"))
+
+  def optimizeUniqueSrcThetaMVOnline(spark: SparkSession, table: String,
+      lgK: Int = 12): Boolean =
+    optimizeSketchOnline(spark, table,
+      foldUniqueSrcTheta(_, lgK), None, Some("day"))
+
+  def optimizeBytesQuantilesMVOnline(spark: SparkSession, table: String,
+      k: Int = 200): Boolean =
+    optimizeSketchOnline(spark, table,
+      foldBytesQuantiles(_, k), Some("event_date"), None)
+
+  private def optimizeSketchOnline(spark: SparkSession, table: String,
+      fold: DataFrame => DataFrame, partitionCol: Option[String],
+      statsCol: Option[String]): Boolean = {
+    val (_, files) = ManifestTable.snapshot(table)
+    if (files.isEmpty) return true
+    val byPartition = filesByPartition(files)
+    val unfoldedGroups = byPartition.filter(_._2.size > 1)
+    val unfolded = unfoldedGroups.values.flatten.toSeq
+    if (unfolded.isEmpty) return true
+    // bound output files to one per folded partition group (same r8
+    // lesson as optimizeRollupOnline: an unbounded-file fold refolds
+    // the whole table forever)
+    val folded0 = fold(ManifestTable.readSelected(spark, table, unfolded))
+    val folded = partitionCol match {
+      case Some(c) => folded0.repartition(math.max(1, unfoldedGroups.size), col(c))
+      case None => folded0.coalesce(1)
+    }
+    ManifestTable.swap(folded, table, partitionCol, unfolded, statsCol = statsCol)
+  }
 
   private def optimizeFold(spark: SparkSession, path: String,
       folded: => DataFrame, partitionCol: Option[String]): Unit = {

@@ -158,6 +158,42 @@ class ThetaSketchSpec extends SparkTestBase {
     assert(after === want, "post-restart read must equal the batch-at-once reference")
   }
 
+  test("managed theta MV: online fold concurrent with the stream; reads stay exact (r12)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.flow.{FlowGen, FlowMessage}
+    import graft.streaming.{FlowStreams, ManifestTable}
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val table = java.nio.file.Files.createTempDirectory("graft_theta_man").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_theta_mancp").toString
+    val batches = (0 until 3).map(b =>
+      FlowGen.flows(spark, 60, seed = 80 + b, baseTime = 1704067200L + b * 43200L,
+        ratePerSec = 1).collect().toSeq)
+    val q = FlowStreams.startUniqueSrcThetaMVManaged(src.toDF(), table, cp)
+    src.addData(batches(0)); q.processAllAvailable()
+    src.addData(batches(1)); q.processAllAvailable()
+    // ONLINE fold while the stream is live
+    assert(FlowStreams.optimizeUniqueSrcThetaMVOnline(spark, table))
+    val (_, afterFold) = ManifestTable.snapshot(table)
+    assert(afterFold.size === 1, s"fold must leave one file, got ${afterFold.size}")
+    src.addData(batches(2)); q.processAllAvailable()
+    q.stop()
+    val got = FlowStreams.readUniqueSrcOverlapManaged(spark, table, strict = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val all = spark.createDataFrame(batches.flatten)
+    val d = all.select(((col("timeReceived") / 86400).cast("long") * 86400).as("day"),
+        graft.GraftFunctions.reinterpret_uint32(col("srcAddr")).as("ip"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = d.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = byDay.keys.toSeq.sorted.sliding(2).collect {
+      case Seq(a, b) if b == a + 86400 =>
+        (a, byDay(a).size.toLong, byDay(b).size.toLong, (byDay(a) & byDay(b)).size.toLong)
+    }.toSeq
+    assert(got === want,
+      "managed read across fold + post-fold appends must equal the batch reference")
+  }
+
   test("flow_unique_src_overlap matches an exact distinct self-join at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = FlowQueries.uniqueSrcOverlap(spark, dir)
