@@ -291,7 +291,12 @@ object BenchScale {
     bench("scale_text_tfidf_topk") { graft.operators.TextOps.tfidfTopK(spark, famDir) }
     bench("scale_text_pmi_topk") { graft.operators.TextOps.pmiTopK(spark, famDir) }
     bench("scale_text_bow_dedup") { graft.operators.TextOps.bowDedup(spark, famDir) }
-    bench("scale_dedup_containment") { graft.operators.Dedup.containmentPairs(spark, famDir) }
+    // PRODUCTION posture (df cap): the uncapped groundtruth form is
+    // quadratic on the 1%-PII hot shingles here (3243 s measured) —
+    // exactly the regime the cap exists for
+    bench("scale_dedup_containment") {
+      graft.operators.Dedup.containmentPairs(spark, famDir, maxDf = Some(100))
+    }
     bench("scale_events_transitions") { graft.operators.EventOps.transitions(spark, famDir) }
     bench("scale_events_gap_sessions") { graft.operators.EventOps.gapSessions(spark, famDir) }
     bench("scale_events_time_to_convert") { graft.operators.EventOps.timeToConvert(spark, famDir) }

@@ -1354,7 +1354,13 @@ object Dedup {
     "dedup_split_leakage" -> ((s: SparkSession, d: String) => splitContamination(s, d)),
     "dedup_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "dedup_edit_pairs" -> ((s: SparkSession, d: String) => editVerifiedPairs(s, d)),
+    // groundtruth (uncapped) + the PRODUCTION df-capped posture — the
+    // 50M-row scale run proved why: one 50k-df hot shingle contributes
+    // 1.25B join rows uncapped (3243 s at 5M docs); capped, pair
+    // generation is bounded per shingle while denominators stay exact
     "dedup_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
+    "dedup_containment_capped" -> ((s: SparkSession, d: String) =>
+      containmentPairs(s, d, maxDf = Some(100))),
     "dedup_rate_by_source" -> (dupRateBySource _))
 
   private val duckShingleCte =
@@ -1455,6 +1461,25 @@ object Dedup {
          |  CAST(count(*) AS BIGINT) / any_value(sa.n_sh) AS containment_a,
          |  CAST(count(*) AS BIGINT) / any_value(sb.n_sh) AS containment_b
          |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |JOIN sizes sa ON sa.doc_id = a.doc_id
+         |JOIN sizes sb ON sb.doc_id = b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING greatest(CAST(count(*) AS BIGINT) / any_value(sa.n_sh),
+         |  CAST(count(*) AS BIGINT) / any_value(sb.n_sh)) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' '),
+    // same as dedup_containment but pairs come only from shingles with
+    // df <= 100; denominators (n_sh) still count every shingle
+    "dedup_containment_capped" ->
+      s"""$duckShingleCte, cdf AS (
+         |  SELECT s, count(*) AS df FROM sh GROUP BY s
+         |), shr AS (
+         |  SELECT sh.doc_id, sh.s FROM sh JOIN cdf ON cdf.s = sh.s WHERE cdf.df <= 100
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS common,
+         |  CAST(count(*) AS BIGINT) / any_value(sa.n_sh) AS containment_a,
+         |  CAST(count(*) AS BIGINT) / any_value(sb.n_sh) AS containment_b
+         |FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
          |JOIN sizes sa ON sa.doc_id = a.doc_id
          |JOIN sizes sb ON sb.doc_id = b.doc_id
          |GROUP BY a.doc_id, b.doc_id
