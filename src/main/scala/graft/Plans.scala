@@ -127,7 +127,11 @@ object Plans {
         "is TakeOrderedAndProject — no global sort, no float anywhere"),
       "ops_histogram_quantile" -> ("ONE fixed-width hash aggregate (partial+" +
         "final) builds every le bucket; the quantile cascade is pure projection " +
-        "— no second pass over the fact table"))
+        "— no second pass over the fact table"),
+      "text_ngram_topk" -> ("two-phase hash-candidate top-k: the corpus-sized " +
+        "exchange aggregates 8-byte xxhash64 keys (never gram strings); phase 2 " +
+        "re-scans through a BroadcastHashJoin on the ~4k-row candidate set and " +
+        "groups only candidate strings"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

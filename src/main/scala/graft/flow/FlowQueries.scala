@@ -223,11 +223,18 @@ object FlowQueries {
   def ipPageRank(spark: SparkSession, dir: String, iters: Int = 3,
       topK: Int = 20): DataFrame = {
     val f = fl(spark, dir)
-    val edges = f.select(col("src_ip").as("u"), col("dst_ip").as("v")).distinct()
-    val nodes = f.select(col("src_ip").as("node"))
-      .union(f.select(col("dst_ip").as("node"))).distinct()
+    // edges/nodes/degrees materialize ONCE — every sweep reuses the
+    // reduced graph relations instead of re-deriving them from the fact
+    // table (the un-materialized plan re-scanned flows per sweep per
+    // side); same Storage seam as the LSH signature reuse
+    val edges = graft.Storage.materializeOnce(
+      f.select(col("src_ip").as("u"), col("dst_ip").as("v")).distinct())
+    val nodes = graft.Storage.materializeOnce(
+      f.select(col("src_ip").as("node"))
+        .union(f.select(col("dst_ip").as("node"))).distinct())
     val n = nodes.count() // driver scalar: the graph's node count
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val deg = graft.Storage.materializeOnce(
+      edges.groupBy("u").agg(count(lit(1)).as("d")))
     val base = 150000L / n
     var ranks = nodes.withColumn("r", lit(1000000L / n))
     for (_ <- 0 until iters) {
