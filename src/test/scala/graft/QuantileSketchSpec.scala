@@ -121,6 +121,36 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(readAll() === before)
   }
 
+  test("managed bytes-quantiles MV: online fold mid-stream; exact-regime reads unchanged (r12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val table = tmp(); val cp = tmp()
+    val batches = (0 until 3).map(b =>
+      FlowGen.flows(spark, 50, seed = 30 + b, baseTime = 1704067200L + b * 600,
+        ratePerSec = 10).collect().toSeq)
+    val q = FlowStreams.startBytesQuantilesMVManaged(src.toDF(), table, cp)
+    src.addData(batches(0)); q.processAllAvailable()
+    src.addData(batches(1)); q.processAllAvailable()
+    assert(FlowStreams.optimizeBytesQuantilesMVOnline(spark, table))
+    src.addData(batches(2)); q.processAllAvailable()
+    q.stop()
+    val got = FlowStreams.readBytesQuantilesManaged(spark, table).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).sortBy(x => (x._1, x._2)).toSeq
+    // batch-at-once reference over all three raw batches (sub-k: exact)
+    val all = spark.createDataFrame(batches.flatten)
+    val want = FlowStreams.bytesQuantilesPartials(all)
+      .groupBy("event_date", "proto")
+      .agg(QuantileSketch.quantileMerge(col("q_sketch"), 200, Seq(0.5, 0.9, 0.99)).as("qs"),
+        sum("flow_count").as("fc"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getSeq[Double](2)(0),
+        r.getSeq[Double](2)(1), r.getSeq[Double](2)(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got === want,
+      "managed read across the online fold must equal the batch sketch (exact regime)")
+  }
+
   test("streaming bytes-quantiles MV: cross-batch fold equals the batch reference (exact regime)") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[FlowMessage]
