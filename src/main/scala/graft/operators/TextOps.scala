@@ -474,40 +474,27 @@ object TextOps {
     * not the exploded corpus. The final top-K is `orderBy.limit` →
     * TakeOrderedAndProject (per-partition heaps, no global sort), with a
     * deterministic (count desc, bigram asc) tie-break. */
-  def ngramTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    // TWO-PHASE hash-candidate top-k (the 50M-row bench measured the
-    // single-phase string shuffle at 102 s — grams are wide and nearly
-    // distinct, so map-side combine can't shrink the exchange):
-    //   1. count by 64-bit gram hash — the corpus-sized exchange carries
-    //      8-byte keys; take a 4x candidate margin by count.
-    //   2. re-scan ONLY candidate grams (broadcast hash set), group the
-    //      strings exactly, take the true top-k.
-    // Counts in phase 2 are exact string counts; the candidate set is
-    // complete unless two of the ~|vocab|^2 distinct grams collide in
-    // 64-bit space AND the collision spans the top-k boundary — odds
-    // ~n^2/2^64, immaterial against the shuffle-width win.
-    def bigrams(c: Column): Column = {
-      val t = toks(c)
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", slice(t, i, lit(2))))
-    }
-    val docs = Tables.documents(spark, dir)
-      .filter(col("text").isNotNull && size(toks(col("text"))) >= 2)
-    val candidates = docs
-      .select(explode(bigrams(col("text"))).as("bigram"))
-      .groupBy(xxhash64(col("bigram")).as("h"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(desc("c"), asc("h"))
-      .limit(math.max(4 * k, 64))
-      .select("h")
-    docs
-      .select(explode(bigrams(col("text"))).as("bigram"))
-      .join(broadcast(candidates), xxhash64(col("bigram")) === col("h"))
+  // MEASURED, then reverted (r12): a two-phase hash-candidate variant
+  // (count 8-byte gram hashes, then re-scan only broadcast candidates)
+  // was built to shrink the corpus exchange — and the 50M-row bench
+  // showed it SLOWER (143.8 s vs 102.3 s single-phase at 5M docs): at
+  // short gram widths the cost is the explode + aggregate CPU, not the
+  // exchange width, so doubling the explode loses more than the
+  // string-free shuffle wins. Single-phase is the measured winner here;
+  // a corpus with long grams / heavier duplication tails shifts the
+  // balance back and the two-phase shape is one commit back in history.
+  def ngramTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= 2)
+      .select(explode(transform(sequence(lit(1), col("n") - 1),
+        i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(desc("n_occurrences"), asc("bigram"))
       .limit(k)
-  }
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in")
 
