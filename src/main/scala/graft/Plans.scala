@@ -118,10 +118,11 @@ object Plans {
       "events_transitions" -> ("per-user lead window then a partial+final hash " +
         "aggregate on (from, to); the distinct-users count is the only Expand, " +
         "over the already-windowed relation"),
-      "rel_interval_join" -> ("the range join is an EQUI-join (hash, on the " +
-        "7-day bucket) with the exact range predicate as a post-join filter — " +
-        "NO CartesianProduct / BroadcastNestedLoopJoin anywhere; orders fan out " +
-        "x2 max via one Generate"),
+      "rel_interval_join" -> ("prefix-sum range COUNT: no pair materialization " +
+        "at all — per-day ship counts + a calendar-sized cumulative window, " +
+        "BROADCAST into two equi-joins against orders (the pairwise form " +
+        "benched 58.9 s at sf0.1 because the week predicate genuinely matches " +
+        "~250M pairs that the count then throws away)"),
       "flow_ip_pagerank" -> ("three stacked sweep joins, each shuffling only " +
         "(node, long) pairs, each followed by a partial+final sum; final top-20 " +
         "is TakeOrderedAndProject — no global sort, no float anywhere"),

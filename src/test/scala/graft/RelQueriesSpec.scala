@@ -138,6 +138,11 @@ class RelQueriesSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got.foreach { case (k, n) => assert(n === want.getOrElse(k, 0L), s"order $k") }
     assert(got.length === o.count())
+    // the prefix-sum serving form (the registered one) is result-identical
+    val prefix = RelQueries.intervalJoinPrefix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(prefix.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq,
+      "prefix-sum and pairwise interval joins must agree")
     // the join itself must be an EQUI join on the bucket, not a cartesian
     val plan = RelQueries.intervalJoin(spark, sf).queryExecution.sparkPlan
     val cartesian = plan.collect {
