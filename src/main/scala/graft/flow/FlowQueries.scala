@@ -175,7 +175,11 @@ object FlowQueries {
     * division rounded once. The frame is RANGE (value-based), so missing
     * minutes correctly shrink the window instead of reaching further
     * back — gap semantics a ROWS frame would get wrong. */
-  def movingAvg(spark: SparkSession, dir: String, windowSec: Long = 300L,
+  /** Shared with the oracle rendering so the two cannot drift (the
+    * EditPrefixLen rule). */
+  val MovingAvgWindowSec: Long = 300L
+
+  def movingAvg(spark: SparkSession, dir: String, windowSec: Long = MovingAvgWindowSec,
       range: Option[TimeRange] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("bucket").rangeBetween(-(windowSec - 60), Window.currentRow)
@@ -233,6 +237,10 @@ object FlowQueries {
       f.select(col("src_ip").as("node"))
         .union(f.select(col("dst_ip").as("node"))).distinct())
     val n = nodes.count() // driver scalar: the graph's node count
+    // empty graph: return the empty (node, rank_micro) frame instead of
+    // letting the fixed-point constants divide by zero at plan build
+    if (n == 0)
+      return nodes.select(col("node"), lit(0L).as("rank_micro"))
     val deg = graft.Storage.materializeOnce(
       edges.groupBy("u").agg(count(lit(1)).as("d")))
     val base = 150000L / n
@@ -748,7 +756,7 @@ object FlowQueries {
          |  CAST(sum(sum_bytes) OVER w AS BIGINT) AS mov_sum_bytes,
          |  CAST(count(*) OVER w AS BIGINT) AS mov_minutes,
          |  round(CAST(sum(sum_bytes) OVER w AS DOUBLE) / count(*) OVER w, 6) AS mov_avg_bytes
-         | FROM m WINDOW w AS (ORDER BY bucket RANGE BETWEEN 240 PRECEDING AND CURRENT ROW)
+         | FROM m WINDOW w AS (ORDER BY bucket RANGE BETWEEN ${MovingAvgWindowSec - 60} PRECEDING AND CURRENT ROW)
          | ORDER BY bucket""".stripMargin.replace('\n', ' '),
     "flow_port_scan" ->
       s"""${cte}SELECT (time_received // 86400) * 86400 AS bucket, src_ip,

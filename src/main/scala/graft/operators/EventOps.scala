@@ -27,6 +27,8 @@ object EventOps {
   type Q = (SparkSession, String) => DataFrame
 
   private val WeekSec = 604800L
+  /** Session gap, shared with the oracle rendering (anti-drift rule). */
+  val SessionGapSec: Long = 1800L
 
   /** Week-over-week cohort retention: per week, how many users were
     * active, how many were also active the PREVIOUS week (retained), and
@@ -166,7 +168,7 @@ object EventOps {
     * composition), with per-session event/type counts. Both windows and
     * the final aggregate share the user_id partitioning, so the plan is
     * one exchange + two window passes + one partial-combined aggregate. */
-  def gapSessions(spark: SparkSession, dir: String, gapSec: Long = 1800L): DataFrame = {
+  def gapSessions(spark: SparkSession, dir: String, gapSec: Long = SessionGapSec): DataFrame = {
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_timestamp(ts)").as("secs"))
@@ -220,11 +222,11 @@ object EventOps {
         |  round(CAST(sum(delta_sec) AS DOUBLE) / count(*), 6) AS avg_sec
         | FROM conv""".stripMargin.replace('\n', ' '),
     "events_gap_sessions" ->
-      """WITH b AS (SELECT user_id, event_id, event_type,
+      s"""WITH b AS (SELECT user_id, event_id, event_type,
         |   CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events),
         | l AS (SELECT *, lag(secs) OVER
         |   (PARTITION BY user_id ORDER BY secs, event_id) AS prev_secs FROM b),
-        | m AS (SELECT *, CASE WHEN prev_secs IS NULL OR secs > prev_secs + 1800
+        | m AS (SELECT *, CASE WHEN prev_secs IS NULL OR secs > prev_secs + $SessionGapSec
         |   THEN 1 ELSE 0 END AS ns FROM l),
         | s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY secs, event_id
         |   ROWS UNBOUNDED PRECEDING) AS session_seq FROM m)

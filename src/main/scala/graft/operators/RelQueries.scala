@@ -222,7 +222,10 @@ object RelQueries {
     * unique, so no pair is produced twice and no dedup pass is needed;
     * zero-match orders are restored by one left join against the
     * order-keyed counts. */
-  def intervalJoin(spark: SparkSession, dir: String, spanDays: Int = 7): DataFrame = {
+  /** Interval span, shared with the oracle rendering (anti-drift rule). */
+  val IntervalSpanDays: Int = 7
+
+  def intervalJoin(spark: SparkSession, dir: String, spanDays: Int = IntervalSpanDays): DataFrame = {
     val day = 86400L
     val span = spanDays * day
     val oo = Tables.orders(spark, dir)
@@ -257,7 +260,7 @@ object RelQueries {
     * GUARDED: any non-midnight timestamp raises instead of silently
     * shifting a boundary (the pairwise [[intervalJoin]] stays for
     * arbitrary-precision inputs). */
-  def intervalJoinPrefix(spark: SparkSession, dir: String, spanDays: Int = 7): DataFrame = {
+  def intervalJoinPrefix(spark: SparkSession, dir: String, spanDays: Int = IntervalSpanDays): DataFrame = {
     val day = 86400L
     def dayOf(sec: Column, what: String): Column =
       when(sec % day === 0, (sec / day).cast("long"))
@@ -310,11 +313,11 @@ object RelQueries {
     // the oracle is the NAIVE range join — the bucketized plan must be
     // result-identical to the quadratic reference
     "rel_interval_join" ->
-      """SELECT o.o_orderkey, CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_sec,
+      s"""SELECT o.o_orderkey, CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_sec,
         | CAST(count(l.l_shipdate) AS BIGINT) AS n_shipped
         | FROM orders o LEFT JOIN lineitem l
         |   ON l.l_shipdate >= o.o_orderdate
-        |  AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |  AND l.l_shipdate < o.o_orderdate + INTERVAL $IntervalSpanDays DAY
         | GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin.replace('\n', ' '),
     "rel_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

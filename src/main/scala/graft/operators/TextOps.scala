@@ -534,9 +534,12 @@ object TextOps {
     * sentinel so they can never collide into one group. */
   def bowDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val key = coalesce(
-      md5(concat_ws(" ", array_sort(toks(col("text"))))),
-      concat(lit("__null__"), col("doc_id")))
+    // branch BEFORE hashing: concat_ws never returns NULL (it skips null
+    // args), so a coalesce on md5's output would silently key every
+    // null-text doc as md5("") — the r12 review's finding; the oracle's
+    // DuckDB md5(NULL) IS NULL, so the engines would diverge
+    val key = when(col("text").isNull, concat(lit("__null__"), col("doc_id")))
+      .otherwise(md5(concat_ws(" ", array_sort(toks(col("text"))))))
     val byKey = Window.partitionBy(col("bow_key"))
     Tables.documents(spark, dir)
       .withColumn("bow_key", key)

@@ -326,12 +326,16 @@ class TextOpsSpec extends SparkTestBase {
       (1L, "alpha beta gamma", "en", "t", 16L),
       (2L, "gamma alpha beta", "en", "t", 16L), // reordered copy of 1
       (3L, "alpha beta beta", "en", "t", 15L), // different multiset
-      (4L, "alpha beta gamma", "en", "t", 16L)) // byte-identical copy of 1
+      (4L, "alpha beta gamma", "en", "t", 16L), // byte-identical copy of 1
+      // null texts must get per-doc sentinels (r12 review: concat_ws
+      // never returns NULL, so a post-hash coalesce silently merged them)
+      (5L, null, "en", "t", 0L),
+      (6L, null, "en", "t", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir2/documents.parquet")
     val out = TextOps.bowDedup(spark, dir2).collect()
       .map(r => (r.getLong(0), r.getLong(4)))
-    assert(out.toSet === Set((1L, 3L), (3L, 1L)))
+    assert(out.toSet === Set((1L, 3L), (3L, 1L), (5L, 1L), (6L, 1L)))
   }
 
   test("tfidf top-k ranks rare-document terms above ubiquitous ones (r12)") {
