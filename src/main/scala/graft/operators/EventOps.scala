@@ -188,7 +188,27 @@ object EventOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Typed numeric aggregates over the DOUBLE `value` column, made
+    * oracle-exact the RelQueries-cents way: each row's value floors to
+    * integer MICROS first (one double multiply + floor — bit-identical
+    * per row on both engines), then every aggregate is an integer sum /
+    * min / max, order-independent by construction; the mean is ONE final
+    * rounded division. */
+  def valueStats(spark: SparkSession, dir: String): DataFrame = {
+    val micros = floor(col("value") * 1000000).cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), micros.as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("v").as("sum_micros"),
+        min("v").as("min_micros"),
+        max("v").as("max_micros"),
+        round(sum("v").cast("double") / count(lit(1)), 6).as("avg_micros"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_value_stats" -> (valueStats _),
     "events_transitions" -> (transitions _),
     "events_time_to_convert" -> (timeToConvert _),
     "events_gap_sessions" -> ((s: SparkSession, d: String) => gapSessions(s, d)),
@@ -199,6 +219,15 @@ object EventOps {
     "events_props_stats" -> (propsStats _))
 
   val oracles: Map[String, String] = Map(
+    "events_value_stats" ->
+      """WITH m AS (SELECT event_type,
+        |   CAST(floor(value * 1000000) AS BIGINT) AS v FROM events)
+        | SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(v) AS BIGINT) AS sum_micros,
+        |  CAST(min(v) AS BIGINT) AS min_micros,
+        |  CAST(max(v) AS BIGINT) AS max_micros,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS avg_micros
+        | FROM m GROUP BY 1 ORDER BY event_type""".stripMargin.replace('\n', ' '),
     "events_transitions" ->
       """WITH s AS (SELECT user_id, event_type,
         |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
