@@ -292,7 +292,28 @@ object RelQueries {
       .orderBy("o_orderkey")
   }
 
+  /** NTILE quartile bucketing of customers by account balance — the
+    * exact small-dimension form of quantile segmentation (per-quartile
+    * counts and integer-cents bounds). The tie-break on (cents, custkey)
+    * makes the bucket assignment a function of the data alone, so the
+    * oracle matches row-for-row. NTILE needs a TOTAL order by
+    * definition — fine for dimension-sized relations (customers); a
+    * fact-sized distribution panel uses the sketch path
+    * (`flow_bytes_quantiles*`) instead of a global sort. */
+  def customerQuartiles(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    val w = Window.orderBy(col("cents").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("cents"))
+      .withColumn("quartile", ntile(n).over(w))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("customer_count"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"),
+        sum("cents").as("sum_cents"))
+      .orderBy("quartile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_customer_quartiles" -> ((s: SparkSession, d: String) => customerQuartiles(s, d)),
     // prefix-sum serving form; the pairwise twin stays for sub-day inputs
     "rel_interval_join" -> ((s: SparkSession, d: String) => intervalJoinPrefix(s, d)),
     "rel_intersect" -> (urgentAndLowCustomers _),
@@ -310,6 +331,15 @@ object RelQueries {
     "rel_rollup_agg" -> (rollupAgg _))
 
   val oracles: Map[String, String] = Map(
+    "rel_customer_quartiles" ->
+      """WITH c AS (SELECT c_custkey,
+        |   CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        | q AS (SELECT *, ntile(4) OVER (ORDER BY cents ASC, c_custkey ASC) AS quartile FROM c)
+        | SELECT CAST(quartile AS INT) AS quartile, count(*) AS customer_count,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        | FROM q GROUP BY 1 ORDER BY quartile""".stripMargin.replace('\n', ' '),
     // the oracle is the NAIVE range join — the bucketized plan must be
     // result-identical to the quadratic reference
     "rel_interval_join" ->
