@@ -278,6 +278,23 @@ object BenchScale {
     bench("scale_text_pii_scrub") { graft.operators.TextOps.piiScrub(spark, famDir) }
     bench("scale_text_ngram_topk") { graft.operators.TextOps.ngramTopK(spark, famDir) }
     bench("scale_sim_knn_int8") { graft.operators.Similarity.knnInt8(spark, famDir) }
+    // ANN SERVING tier (r13, verdict #7): materialize the IVF index once
+    // (its own timed row — the build cost amortizes over every query
+    // after it), then serve a 100-query probe batch from the pruned cell
+    // layout. THIS is the per-batch number a 2M-vector deployment pays;
+    // the brute/int8 rows above are eval-tier ground-truth baselines.
+    val ivfDir = work.resolve("ivf_index").toString
+    val (_, ivfBuildSec) = timed {
+      graft.operators.Similarity.buildIvfIndex(
+        graft.Tables.embeddings(spark, famDir), ivfDir,
+        nCentroids = 64, kmeansIters = 2, trainBuckets = 10000)
+    }
+    queries("scale_sim_ivf_index_build") = ivfBuildSec
+    bench("scale_sim_knn_ivf_indexed") {
+      graft.operators.Similarity.knnIvfIndexed(spark, ivfDir,
+        graft.Tables.embeddings(spark, famDir).filter(col("vec_id") < 100),
+        k = 5, nProbe = 8)
+    }
     // ---- round-12 additions: sketch set-ops, KLL quantiles, text/event
     // families (strict=false on theta: ~500k distinct/day IS the
     // estimation regime — the sketch's reason to exist at this scale)
@@ -295,7 +312,7 @@ object BenchScale {
     // quadratic on the 1%-PII hot shingles here (3243 s measured) —
     // exactly the regime the cap exists for
     bench("scale_dedup_containment") {
-      graft.operators.Dedup.containmentPairs(spark, famDir, maxDf = Some(100))
+      graft.operators.Dedup.containmentPairs(spark, famDir) // df-capped default (r13)
     }
     bench("scale_events_transitions") { graft.operators.EventOps.transitions(spark, famDir) }
     bench("scale_events_gap_sessions") { graft.operators.EventOps.gapSessions(spark, famDir) }
@@ -306,6 +323,12 @@ object BenchScale {
     }
     // ~500k-node / multi-million-edge traffic graph: 3 integer sweeps
     bench("scale_flow_ip_pagerank") { graft.flow.FlowQueries.ipPageRank(spark, famDir) }
+    // convergence-style depth (r13): 20 sweeps with the per-sweep
+    // lineage cut — proves the iterative posture holds when iters is no
+    // longer a small constant (plan depth stays O(1) per sweep)
+    bench("scale_flow_ip_pagerank_20") {
+      graft.flow.FlowQueries.ipPageRank(spark, famDir, iters = 20)
+    }
 
     val ingestRate = (n / ingestSec).toLong
     val queriesJson = queries.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")

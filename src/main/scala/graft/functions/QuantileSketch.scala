@@ -38,7 +38,7 @@ case class QuantileSketchAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch] {
 
-  require(k >= 8, s"need k >= 8 (datasketches lower bound), got $k")
+  require(k >= 8 && k <= 65535, s"need 8 <= k <= 65535 (datasketches KLL bounds), got $k")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
@@ -83,7 +83,7 @@ case class QuantileSketchMerge(child: Expression, k: Int, probs: Seq[Double],
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch] {
 
-  require(k >= 8, s"need k >= 8, got $k")
+  require(k >= 8 && k <= 65535, s"need 8 <= k <= 65535 (datasketches KLL bounds), got $k")
   require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
     s"probs must all lie in [0,1], got $probs")
 
@@ -139,7 +139,7 @@ case class QuantileSketchFold(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch] {
 
-  require(k >= 8, s"need k >= 8, got $k")
+  require(k >= 8 && k <= 65535, s"need 8 <= k <= 65535 (datasketches KLL bounds), got $k")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess

@@ -108,9 +108,15 @@ object EventOps {
     * single division of two exact longs, rounded once — oracle-stable. */
   def dauWau(spark: SparkSession, dir: String): DataFrame = {
     val daySec = 86400L
-    val ud = Tables.events(spark, dir)
-      .select((expr("unix_timestamp(ts) div 86400") * daySec).as("day"), col("user_id"))
-      .distinct()
+    // the corpus-sized distinct runs ONCE: without the materialization the
+    // DAU and WAU branches each re-scan the fact table and re-shuffle the
+    // (day, user) distinct (the join's day filter breaks exchange reuse —
+    // measured as 2 FileSourceScans in the physical plan, r13); both heads
+    // now derive from the one reduced relation (PLANS.md "scanned once")
+    val ud = graft.Storage.materializeOnce(
+      Tables.events(spark, dir)
+        .select((expr("unix_timestamp(ts) div 86400") * daySec).as("day"), col("user_id"))
+        .distinct())
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = ud
       .select(col("user_id"),

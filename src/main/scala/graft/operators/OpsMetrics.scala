@@ -36,6 +36,12 @@ object OpsMetrics {
 
   private val series = Seq(col("metric"), col("instance"))
 
+  /** Histogram bucket upper bounds (`le` labels) shared by BOTH
+    * renderings of histogram_quantile — the Spark CASE cascade AND the
+    * DuckDB oracle (CTE columns + cascade). Single definition so the two
+    * engines cannot drift (same anti-drift rule as EventOps.WeekSec). */
+  private[graft] val HistLes = Seq(500L, 1000L, 2000L, 4000L)
+
   /** Deterministic counter-sample fixture from the flow relation:
     * cumulative flow and byte counters per src_as "instance", scraped at
     * 30-s boundaries — the shape FlowMetrics would expose over a day. */
@@ -142,7 +148,7 @@ object OpsMetrics {
     * many flows an instance saw. */
   def histogramQuantile(spark: SparkSession, dir: String): DataFrame = {
     val flows = FlowAdapter.flows(spark, dir)
-    val les = Seq(500L, 1000L, 2000L, 4000L)
+    val les = HistLes
     val hist = flows
       .groupBy(col("src_as").cast("string").as("instance"))
       .agg(count(lit(1)).as("total"),
@@ -175,7 +181,7 @@ object OpsMetrics {
     * the SAME les/bounds so the two renderings cannot drift (the
     * EventOps WeekSec interpolation rule). */
   private def duckHq(phi: String): String = {
-    val les = Seq(500L, 1000L, 2000L, 4000L)
+    val les = HistLes
     val target = s"(CAST($phi AS DOUBLE) * total)"
     val cases = (0L +: les).sliding(2).map { b =>
       val (lo, hi) = (b.head, b.last)
@@ -191,12 +197,9 @@ object OpsMetrics {
       s"""${FlowAdapter.ducksql.trim},
          | hist AS (
          |   SELECT CAST(src_as AS VARCHAR) AS instance, count(*) AS total,
-         |     CAST(sum(CASE WHEN bytes <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS le_500,
-         |     CAST(sum(CASE WHEN bytes <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS le_1000,
-         |     CAST(sum(CASE WHEN bytes <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS le_2000,
-         |     CAST(sum(CASE WHEN bytes <= 4000 THEN 1 ELSE 0 END) AS BIGINT) AS le_4000
+         |     ${HistLes.map(le => s"CAST(sum(CASE WHEN bytes <= $le THEN 1 ELSE 0 END) AS BIGINT) AS le_$le").mkString(", ")}
          |   FROM flows GROUP BY 1)
-         | SELECT instance, total, le_500, le_1000, le_2000, le_4000,
+         | SELECT instance, total, ${HistLes.map(le => s"le_$le").mkString(", ")},
          |   ${duckHq("0.5")} AS p50, ${duckHq("0.95")} AS p95
          | FROM hist ORDER BY instance""".stripMargin.replace('\n', ' '),
     "ops_rate_sum" ->

@@ -66,6 +66,21 @@ object ProtoCodec {
       if (pos + n > end) throw new IllegalArgumentException("truncated fixed-width field")
       pos += n
     }
+    /** Little-endian fixed32 (wire type 5). */
+    def readFixed32(): Int = {
+      if (pos + 4 > end) throw new IllegalArgumentException("truncated fixed32")
+      val v = (buf(pos) & 0xFF) | ((buf(pos + 1) & 0xFF) << 8) |
+        ((buf(pos + 2) & 0xFF) << 16) | ((buf(pos + 3) & 0xFF) << 24)
+      pos += 4; v
+    }
+    /** Little-endian fixed64 (wire type 1). */
+    def readFixed64(): Long = {
+      if (pos + 8 > end) throw new IllegalArgumentException("truncated fixed64")
+      var v = 0L
+      var i = 7
+      while (i >= 0) { v = (v << 8) | (buf(pos + i) & 0xFFL); i -= 1 }
+      pos += 8; v
+    }
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 1 => advance(8)

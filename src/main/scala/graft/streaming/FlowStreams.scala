@@ -412,7 +412,10 @@ object FlowStreams {
     * with no twin inside the lag window simply never emits (append mode).
     * Multiple forward legs inside one window each stitch to every
     * in-window reverse leg — the NetFlow record granularity, documented
-    * rather than deduplicated. */
+    * rather than deduplicated. Self-addressed flows (`srcAddr ==
+    * dstAddr`, i.e. loopback/hairpin records) are EXCLUDED by the
+    * canonical-orientation filters — neither the `<` forward filter nor
+    * the `>` reverse filter admits them, so they can never stitch. */
   def stitchBidirectional(stream: DataFrame, maxLagSec: Long = 60L): DataFrame = {
     val base = stream.select(col("srcAddr"), col("dstAddr"), col("srcPort"),
       col("dstPort"), col("proto"), col("bytes"),

@@ -346,6 +346,36 @@ class FlowQueriesSpec extends SparkTestBase {
     assert(r.values.sum <= 1000000L)
   }
 
+  test("ip pagerank: checkpoint cadence keeps plan depth O(1) per sweep and never changes values (r13)") {
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    // per-sweep cuts (the default): a 20-sweep plan is the SAME size as a
+    // 3-sweep plan — everything before the last sweep is a materialized
+    // LogicalRDD, so analysis/codegen cost does not grow with iters
+    val p3 = planNodes(FlowQueries.ipPageRank(spark, sf, iters = 3))
+    val p20 = planNodes(FlowQueries.ipPageRank(spark, sf, iters = 20))
+    assert(p20 === p3,
+      s"checkpointed 20-sweep plan ($p20 nodes) must not outgrow the 3-sweep plan ($p3)")
+    // without cuts the plan stacks one join chain per sweep — the exact
+    // growth the cadence exists to prevent (cadence > iters = no cuts)
+    val pUncut = planNodes(FlowQueries.ipPageRank(spark, sf, iters = 6, checkpointEvery = 100))
+    assert(pUncut > p20, "uncut sweeps must stack plan nodes (else this spec tests nothing)")
+    // checkpoint-invariance: the fixed-point arithmetic is deterministic,
+    // so cutting lineage can never change a rank
+    val cut = FlowQueries.ipPageRank(spark, sf, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val uncut = FlowQueries.ipPageRank(spark, sf, iters = 3, checkpointEvery = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cut === uncut)
+    // reliable-checkpoint mode (durable blocks, cluster posture): same values
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString
+    try {
+      val reliable = FlowQueries.ipPageRank(spark, sf, iters = 3,
+        checkpointDir = Some(dir)).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(reliable === uncut)
+    } finally graft.Storage.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("moving average: trailing 5-min RANGE frame recounts exactly; gaps shrink the window (r12)") {
     val rows = FlowQueries.movingAvg(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

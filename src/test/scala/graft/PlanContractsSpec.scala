@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** PLAN-REGRESSION LOCK (r13, verdict #8): the PLANS.md "Must show"
+  * contracts, swept as ONE suite over the registry — so a Spark upgrade
+  * or an innocent-looking query edit cannot silently degrade a plan the
+  * 50M-row bench already validated. Contracts already pinned by the
+  * per-operator suites (pushdown NTZ cases, Expand counts, GroupTopK,
+  * salted-join spread, enrich broadcast) keep their focused specs; this
+  * suite adds the remaining headliners from the registry surface the
+  * driver actually runs.
+  *
+  * Exchange/scan assertions read the EXECUTED plan (post
+  * EnsureRequirements — `sparkPlan` has no exchanges yet) with AQE off
+  * for the one planning call, so the asserted shape is the static one
+  * PLANS.md documents. Suites run sequentially in the forked test JVM,
+  * so the temporary conf flip cannot race another suite. */
+class PlanContractsSpec extends SparkTestBase {
+
+  private def physical(df: => DataFrame): SparkPlan = {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+  private def plan(name: String): SparkPlan = physical(q(name))
+
+  /** Hash-partitioned exchanges only — the data-movement shuffles the
+    * contracts bound. (The trailing orderBy's range exchange is
+    * presentation, present in every registry query.) */
+  private def hashShuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+  private def scans(p: SparkPlan) = p.collect { case s: FileSourceScanExec => s }
+  private def pushed(p: SparkPlan): String =
+    scans(p).map(_.metadata.getOrElse("PushedFilters", "")).mkString(";")
+  private def noTextInExchanges(p: SparkPlan): Unit =
+    p.collect { case e: ShuffleExchangeExec => e }.foreach(e => e.output.foreach(a =>
+      assert(a.name != "text" && a.name != "chunk_text",
+        s"corpus text column '${a.name}' crossed an exchange")))
+
+  // ---- dashboard surface -------------------------------------------------
+
+  test("flow_time_filter: time-range predicate reaches the parquet scan") {
+    assert(pushed(plan("flow_time_filter")).contains("GreaterThanOrEqual"))
+  }
+
+  test("flow_top_src_ip: numeric grouping, render above aggregate, TakeOrderedAndProject") {
+    val p = plan("flow_top_src_ip")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size === 1,
+      "top-N must be TakeOrderedAndProject, not a global sort")
+    assert(p.collect { case s: SortExec => s }.isEmpty, "no sort anywhere in a top-N plan")
+    // the IPv4/v6 conditional render must NOT appear below the aggregate:
+    // every aggregate groups on numeric columns only
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.nonEmpty)
+    aggs.foreach(a => a.groupingExpressions.foreach(g =>
+      assert(g.dataType != StringType, s"aggregate groups on rendered string: ${g.sql}")))
+  }
+
+  test("flow_proto_dist: partial+final aggregate, scan pruned to touched columns") {
+    val p = plan("flow_proto_dist")
+    assert(p.collect { case a: HashAggregateExec => a }.size >= 2, "partial+final")
+    val sc = scans(p)
+    assert(sc.nonEmpty)
+    assert(sc.head.schema.fieldNames.length <= 4,
+      s"scan must prune, reads ${sc.head.schema.fieldNames.mkString(",")}")
+  }
+
+  test("flow_unique_src: distinct keys stay numeric through every exchange") {
+    val p = plan("flow_unique_src")
+    val exs = hashShuffles(p)
+    assert(exs.size === 2, "two-phase distinct: (bucket, src_ip) then bucket")
+    exs.foreach(e => e.output.foreach(a =>
+      assert(a.dataType != StringType, s"exchange carries rendered string ${a.name}")))
+  }
+
+  test("flow_sessions: single window shuffle on the 5-tuple key") {
+    val p = plan("flow_sessions")
+    assert(hashShuffles(p).size === 1,
+      "lag, session id and the session windows must share ONE key exchange")
+  }
+
+  test("ops_histogram_quantile: one fixed-width aggregate pass, quantile cascade is projection") {
+    val p = plan("ops_histogram_quantile")
+    assert(scans(p).size === 1, "no second pass over the fact table")
+    assert(p.collect { case a: HashAggregateExec => a }.size >= 2)
+  }
+
+  test("ops_rate_sum: counter fold and rate windows share series exchanges; one fact scan") {
+    val p = plan("ops_rate_sum")
+    assert(scans(p).size === 1, "counter samples must not re-scan per metric")
+    assert(p.collect { case w: WindowExec => w }.size === 3,
+      "cumulative fold, reset-aware delta, sliding increase — three windows")
+    assert(hashShuffles(p).size === 3,
+      "sample build + series windows + final (metric, ts) agg — three exchanges")
+  }
+
+  // ---- sketches ----------------------------------------------------------
+
+  test("flow_heavy_hitters (serving form): ObjectHashAggregate partial+final, one sketch exchange") {
+    val p = physical(graft.flow.FlowQueries.heavyHitters(spark, sf))
+    assert(p.collect { case a: ObjectHashAggregateExec => a }.size === 2)
+    assert(hashShuffles(p).size === 1, "only the sketch blob crosses one exchange")
+  }
+
+  test("flow_heavy_hitters (oracle form): the exact-regime guard rides the same shape") {
+    val p = plan("flow_heavy_hitters")
+    // countDistinct adds the distinct-rewrite level: 4 ObjectHashAggregates
+    assert(p.collect { case a: ObjectHashAggregateExec => a }.size >= 2)
+    assert(hashShuffles(p).size <= 2)
+  }
+
+  test("flow_unique_src_overlap: one scan, blob exchanges, window pairing (no self-join)") {
+    val p = plan("flow_unique_src_overlap")
+    assert(scans(p).size === 1, "consecutive-day pairing must not re-scan")
+    assert(p.collect { case a: ObjectHashAggregateExec => a }.size >= 2)
+    assert(p.collect { case w: WindowExec => w }.size === 1)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty
+      && p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      "day-over-day overlap must be a lead window, not a self-join")
+  }
+
+  test("flow_bytes_quantiles_kll: two ObjectHashAggregate levels, blobs-only between") {
+    val p = plan("flow_bytes_quantiles_kll")
+    assert(p.collect { case a: ObjectHashAggregateExec => a }.size >= 4,
+      "(proto, day) partials then per-proto merge, each partial+final")
+  }
+
+  // ---- text / training pipeline -----------------------------------------
+
+  test("text_fingerprint: exactly ONE md5 evaluation in the optimized plan") {
+    val s = q("text_fingerprint").queryExecution.optimizedPlan.toString
+    val n = "md5\\(".r.findAllIn(s).size
+    assert(n === 1, s"expected one md5 call, plan shows $n (the r3 doubled-digest regression)")
+  }
+
+  test("text_tfidf_topk: rank filter plans as WindowGroupLimit, one corpus scan") {
+    val p = plan("text_tfidf_topk")
+    assert(p.collect { case w: WindowGroupLimitExec => w }.size >= 2,
+      "rank<=k must plan as partial+final WindowGroupLimit")
+    assert(scans(p).size === 1, "df must derive from the reduced tf relation, not a re-scan")
+  }
+
+  test("text_pmi_topk: one scan+explode, top-k is TakeOrderedAndProject") {
+    val p = plan("text_pmi_topk")
+    assert(scans(p).size === 1)
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size === 1)
+  }
+
+  test("text_ngram_topk: ONE Generate, top-k is TakeOrderedAndProject (the measured 50M winner)") {
+    val p = plan("text_ngram_topk")
+    assert(p.collect { case g: GenerateExec => g }.size === 1)
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size === 1)
+  }
+
+  test("text_pack: packing window exchange carries (source, ids, counts) — never document text") {
+    val p = plan("text_pack")
+    assert(hashShuffles(p).size === 1, "pack window + final agg share the source exchange")
+    noTextInExchanges(p)
+  }
+
+  test("text_prep_pipeline: chunk/dedup/pack DAG — two key exchanges, text in NO exchange") {
+    val p = plan("text_prep_pipeline")
+    assert(hashShuffles(p).size === 2,
+      "dedup window on h + pack window on source (the final agg is co-partitioned)")
+    noTextInExchanges(p)
+  }
+
+  test("dedup_minhash_lsh: shuffles carry only ids/hashes/signatures — never text") {
+    noTextInExchanges(plan("dedup_minhash_lsh"))
+  }
+
+  // ---- events ------------------------------------------------------------
+
+  test("events_dau_wau: fact scanned once; DAU and WAU derive from the materialized distinct") {
+    val p = plan("events_dau_wau")
+    assert(scans(p).isEmpty,
+      "both heads must read the ONE materialized (day, user) distinct, not re-scan the fact table")
+    assert(p.collect { case g: GenerateExec => g }.size === 1, "the x7 day fan-out")
+  }
+
+  test("events_gap_sessions: lag, session id and aggregate share one user exchange") {
+    val p = plan("events_gap_sessions")
+    assert(hashShuffles(p).size === 1,
+      "three window/agg passes must share the single user_id exchange")
+  }
+
+  test("events_transitions: per-user lead window then partial+final (from,to) aggregate") {
+    val p = plan("events_transitions")
+    assert(p.collect { case w: WindowExec => w }.size === 1)
+    assert(p.collect { case e: ExpandExec => e }.size <= 1,
+      "distinct-users is the only Expand, over the windowed relation")
+  }
+
+  // ---- relational / graph ------------------------------------------------
+
+  test("rel_shipping_priority: both date predicates pushed, broadcast dim, top-10 TakeOrdered") {
+    val p = plan("rel_shipping_priority")
+    val pf = pushed(p)
+    assert(pf.contains("o_orderdate") && pf.contains("l_shipdate"),
+      s"date predicates must reach the scans: $pf")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "customer segment side must broadcast")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size === 1)
+  }
+
+  test("rel_interval_join: prefix-sum range count — no cartesian; BNLJ only for scalar bounds") {
+    val p = plan("rel_interval_join")
+    assert(p.collect { case j: CartesianProductExec => j }.isEmpty)
+    // the one legitimate nested-loop cross: the broadcast 1-row (lo, hi)
+    // bounds aggregate (a scalar, not a relation — grouping keys empty)
+    p.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      val scalarAgg = j.collect {
+        case a: HashAggregateExec if a.groupingExpressions.isEmpty => a
+      }
+      assert(scalarAgg.nonEmpty,
+        "BroadcastNestedLoopJoin against something that is not a scalar bounds aggregate")
+    }
+  }
+
+  test("flow_ip_pagerank: sweep shuffles carry only long columns; top-20 TakeOrdered; no global sort") {
+    // checkpointEvery > iters exposes the full stacked-sweep plan the
+    // contract describes (the default per-sweep cut hides earlier sweeps
+    // behind materialized RDD scans — itself asserted in FlowQueriesSpec)
+    val p = physical(graft.flow.FlowQueries.ipPageRank(spark, sf, checkpointEvery = 100))
+    val exs = hashShuffles(p)
+    assert(exs.nonEmpty)
+    exs.foreach { e =>
+      assert(e.output.size <= 3,
+        s"sweep exchange wider than the graph triple: ${e.output.map(_.name)}")
+      e.output.foreach(a => assert(a.dataType == LongType,
+        s"non-long column ${a.name} in a sweep exchange — no float anywhere"))
+    }
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size === 1)
+    assert(p.collect { case s: SortExec if s.global => s }.isEmpty,
+      "no global sort (SMJ-local sorts are fine)")
+  }
+}
