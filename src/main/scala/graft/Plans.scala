@@ -93,9 +93,10 @@ object Plans {
       "rel_rollup_agg" -> ("ROLLUP grouping sets compile to ONE Expand feeding a " +
         "single partial+final aggregate over the fact scan — not a per-level " +
         "union of re-scans; scan prunes to the 3 touched columns"),
-      "events_dau_wau" -> ("ONE corpus-sized distinct (day, user) aggregate; DAU " +
-        "and the x7-Expand WAU both derive from that REDUCED relation — the " +
-        "events fact table is scanned once and never re-enters a shuffle"),
+      "events_dau_wau" -> ("the corpus-sized (day, user) distinct materializes ONCE " +
+        "(no FileScan in the final plan — both heads read the checkpointed relation); " +
+        "DAU is a count over it, WAU fans it out x7 via ONE Generate — the events " +
+        "fact table is scanned exactly once, at materialization"),
       "flow_unique_src_overlap" -> ("ONE fact scan; per-day theta sketches via " +
         "partial+final ObjectHashAggregate (only serialized blobs cross the " +
         "exchange); consecutive-day pairing is a lead WINDOW over the " +
@@ -123,9 +124,11 @@ object Plans {
         "BROADCAST into two equi-joins against orders (the pairwise form " +
         "benched 58.9 s at sf0.1 because the week predicate genuinely matches " +
         "~250M pairs that the count then throws away)"),
-      "flow_ip_pagerank" -> ("three stacked sweep joins, each shuffling only " +
-        "(node, long) pairs, each followed by a partial+final sum; final top-20 " +
-        "is TakeOrderedAndProject — no global sort, no float anywhere"),
+      "flow_ip_pagerank" -> ("ONE sweep join in the final plan (every earlier sweep " +
+        "is a materialized rank relation behind the per-sweep lineage cut — plan " +
+        "depth O(1) per sweep, r13); exchanges ship only long columns, partial+final " +
+        "sum per sweep; final top-20 is TakeOrderedAndProject — no global sort, no " +
+        "float anywhere"),
       "ops_histogram_quantile" -> ("ONE fixed-width hash aggregate (partial+" +
         "final) builds every le bucket; the quantile cascade is pure projection " +
         "— no second pass over the fact table"),

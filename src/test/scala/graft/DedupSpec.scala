@@ -435,6 +435,29 @@ class DedupSpec extends SparkTestBase {
     assert(after === kept + 200L, "restart must not re-purge or lose anything")
   }
 
+  test("persistent sweep failure trips the horizon-expiry fallback seam (r13 advice)") {
+    // a stuck frontier silently disables frontier-bounded index expiry, so
+    // the expiry path consults this counter: after MaxSweepFailures
+    // consecutive failures it falls back to live-horizon expiry, and one
+    // success re-arms frontier-bounded retention
+    val out = tmp()
+    assert(Dedup.consecutiveSweepFailures(out) === 0)
+    (1 to Dedup.MaxSweepFailures - 1).foreach(i =>
+      assert(Dedup.recordSweepFailure(out) === i))
+    assert(Dedup.consecutiveSweepFailures(out) < Dedup.MaxSweepFailures,
+      "below the threshold the frontier is still trusted")
+    assert(Dedup.recordSweepFailure(out) === Dedup.MaxSweepFailures)
+    assert(Dedup.consecutiveSweepFailures(out) >= Dedup.MaxSweepFailures,
+      "at the threshold expiry must stop trusting the stuck frontier")
+    // counters are per output table — another stream is unaffected
+    val other = tmp()
+    assert(Dedup.consecutiveSweepFailures(other) === 0)
+    // a completed sweep resets the count (resetSweepFailures is what the
+    // success path calls) and frontier-bounded expiry resumes
+    Dedup.resetSweepFailures(out)
+    assert(Dedup.consecutiveSweepFailures(out) === 0)
+  }
+
   test("era-scoped compaction keeps the horizon file-skip effective after folding (r9)") {
     import spark.implicits._
     import graft.streaming.ManifestTable
