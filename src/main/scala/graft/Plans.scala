@@ -135,7 +135,23 @@ object Plans {
       "text_ngram_topk" -> ("ONE explode into a partial-combined string count; " +
         "final top-k is TakeOrderedAndProject — the measured winner at 50M rows " +
         "(a two-phase hash-candidate variant benched 40% slower: explode CPU, " +
-        "not exchange width, dominates at this gram width)"))
+        "not exchange width, dominates at this gram width)"),
+      "flow_lpm_enrich" -> ("LPM as candidate expansion: ONE Generate (x|lens|=5) " +
+        "masks each flow at the static widths, the route dim joins as a " +
+        "BroadcastHashJoin on (len, network) — NO range join, no nested loop; " +
+        "the only exchange is the per-flow deepest-match aggregate on seq"),
+      "flow_anomaly_zscore" -> ("fact table scanned ONCE into the map-combined " +
+        "minute aggregate; the per-proto moments aggregate over the REDUCED " +
+        "minute relation and come back via BroadcastHashJoin — the z projection " +
+        "is pure integer/one-sqrt arithmetic above it"),
+      "rel_bloom_semi" -> ("bloom might_contain sits in the Filter DIRECTLY above " +
+        "the lineitem scan — rows are pruned BEFORE the semi-join exchange " +
+        "(the runtime-filter shape, made explicit); the exact LeftSemi join " +
+        "then removes false positives"),
+      "rel_table_profile" -> ("ONE FileSourceScan of lineitem: the multi-distinct " +
+        "profile compiles to a single Expand feeding partial+final aggregates, " +
+        "and the long-form pivot is a stack Generate over the one-row stats " +
+        "relation — no union of re-scans"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -1,6 +1,6 @@
 package graft.flow
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -156,10 +156,124 @@ object FlowEnrich {
         col("dst_as"), col("dst_as_name"), col("dst_country"), col("bytes"))
       .orderBy("seq")
 
+  // ------------------------------------------------- longest-prefix match
+
+  /** Prefix lengths the LPM dimension carries. A real route/geo table has
+    * lengths /8../32; the dimension generator below emits one prefix per
+    * nation across these five widths (the ladder is tight — /8../16 — so
+    * the synthetic corpus actually lands on the finer widths and the
+    * deepest-match rule is exercised in the registry data, not only in
+    * specs). The set is STATIC — candidate expansion cost is |PrefixLens|
+    * per fact row, fixed at plan time. */
+  val PrefixLens: Seq[Int] = Seq(8, 10, 12, 14, 16)
+
+  /** 2^(32-len) divisor for masking a uint32 to a /len network — a
+    * when-chain over the static length set, so the masking arithmetic
+    * stays whole-stage-codegen'd integer math (Spark's `shiftleft` needs a
+    * literal shift count; the length here is a column). */
+  private def lenDivisor(plen: Column): Column =
+    PrefixLens.tail.foldLeft(when(plen === PrefixLens.head, lit(1L << (32 - PrefixLens.head)))) {
+      (acc, l) => acc.when(plen === l, lit(1L << (32 - l)))
+    }
+
+  /** CIDR/route dimension (prefix_len, prefix_ip, origin) for the LPM
+    * join — the "map IPs to announced prefixes / origin networks" half of
+    * the reference's enrichment roadmap (`README.md:44-51` names ASN and
+    * customer mapping; a routing-table LPM is how production does it).
+    * Registry fixture: derived deterministically from `nation` — nations
+    * group into 5 families (`n_nationkey div 5`), each family owning one
+    * /8 whose finer /12../24 prefixes NEST inside it, so longest-match
+    * semantics are actually exercised (a fact IP inside a family's /8 may
+    * match several widths; the deepest wins). Pure integer arithmetic —
+    * the DuckDB oracle rebuilds the identical table. */
+  def prefixDims(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("n_nationkey")
+    // the family's /8 network base, then a per-nation offset inside it
+    val base8 =
+      expr("((((n_nationkey div 5) * 2654435761) % 4294967296) div 16777216) * 16777216")
+    Tables.nation(spark, dir)
+      .select((lit(8) + (k % 5).cast("int") * 2).as("prefix_len"),
+        (base8 + (k * 99999989L) % 16777216L).as("raw"),
+        col("n_name").as("origin"))
+      .withColumn("__d", lenDivisor(col("prefix_len")))
+      .select(col("prefix_len"), (expr("raw div __d") * col("__d")).as("prefix_ip"),
+        col("origin"))
+  }
+
+  /** Longest-prefix-match of `src_ip` against the prefix dimension —
+    * Spark-first LPM: EXPLODE each fact row into one candidate per static
+    * prefix width (masked network at that width), equi-join the candidates
+    * against the BROADCAST dimension on (len, network), then keep the
+    * deepest match per flow with one hash aggregate.
+    *
+    * Scale shape: the expansion factor is the fixed |PrefixLens| (5), the
+    * dimension join is a BroadcastHashJoin (a full IPv4 table is ~1M
+    * routes ≈ tens of MB — always broadcastable), and the only shuffle
+    * keys (seq) — no range join, no per-row binary search, no UDF. The
+    * classic alternative (sort the routing table, range-join) shuffles
+    * the fact table by IP; this shape never moves the fact rows except
+    * for the final per-flow reduction, and when the caller aggregates
+    * afterwards (see [[flowLpmSummary]]) that reduction IS the query's
+    * own group-by. Left join + max(struct) keeps unmatched flows with a
+    * NULL best (the "default route"). */
+  def lpmJoin(flows: DataFrame, pfx: DataFrame): DataFrame = {
+    val cands = flows
+      .select(col("seq"), col("src_ip"), col("bytes"), col("sampling_rate"))
+      .withColumn("prefix_len", explode(array(PrefixLens.map(lit): _*)))
+      .withColumn("__d", lenDivisor(col("prefix_len")))
+      .withColumn("network", expr("src_ip div __d") * col("__d"))
+      .drop("__d")
+    val dim = broadcast(pfx.select(col("prefix_len"),
+      col("prefix_ip").as("network"), col("origin")))
+    cands.join(dim, Seq("prefix_len", "network"), "left")
+      // deepest match wins; (prefix_len, network, origin) lexicographic max
+      // is deterministic even if two dimension rows collide on one width
+      .groupBy("seq", "src_ip", "bytes", "sampling_rate")
+      .agg(max(when(col("origin").isNotNull,
+        struct(col("prefix_len"), col("network"), col("origin")))).as("best"))
+  }
+
+  /** flow_lpm_enrich: every flow annotated with its longest matching
+    * prefix (rendered `a.b.c.d/len`) and origin network; unmatched flows
+    * carry the default-route rendering. */
+  def flowLpmEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import graft.GraftFunctions.ip4_ntoa
+    lpmJoin(FlowAdapter.flows(spark, dir), prefixDims(spark, dir))
+      .select(col("seq"), col("src_ip"),
+        coalesce(col("best.prefix_len"), lit(0)).as("prefix_len"),
+        when(col("best").isNotNull,
+          concat(ip4_ntoa(col("best.network")), lit("/"),
+            col("best.prefix_len").cast("string")))
+          .otherwise(lit("0.0.0.0/0")).as("prefix"),
+        coalesce(col("best.origin"), lit("--")).as("origin"),
+        col("bytes"))
+      .orderBy("seq")
+  }
+
+  /** flow_lpm_summary: sampled traffic per matched prefix — the
+    * "top announced prefixes by volume" dashboard cut over the LPM
+    * surface. Second aggregate runs over the per-flow reduction. */
+  def flowLpmSummary(spark: SparkSession, dir: String): DataFrame = {
+    import graft.GraftFunctions.ip4_ntoa
+    lpmJoin(FlowAdapter.flows(spark, dir), prefixDims(spark, dir))
+      .select(
+        when(col("best").isNotNull,
+          concat(ip4_ntoa(col("best.network")), lit("/"),
+            col("best.prefix_len").cast("string")))
+          .otherwise(lit("0.0.0.0/0")).as("prefix"),
+        coalesce(col("best.origin"), lit("--")).as("origin"),
+        (col("bytes") * col("sampling_rate")).as("sampled_bytes"))
+      .groupBy("prefix", "origin")
+      .agg(sum("sampled_bytes").as("sum_bytes"), count(lit(1)).as("flow_count"))
+      .orderBy(desc("sum_bytes"), asc("prefix"), asc("origin"))
+  }
+
   val queries: Map[String, Q] = Map(
     "flow_enrich" -> (flowEnrich _),
     "flow_enrich_salted" -> (flowEnrichSalted _),
-    "flow_enrich_geo" -> (flowEnrichGeo _))
+    "flow_enrich_geo" -> (flowEnrichGeo _),
+    "flow_lpm_enrich" -> (flowLpmEnrich _),
+    "flow_lpm_summary" -> (flowLpmSummary _))
 
   private val dimsCte =
     """dims AS (
@@ -178,9 +292,55 @@ object FlowEnrich {
        |LEFT JOIN dims d ON d.asn = f.dst_as
        |ORDER BY seq""".stripMargin.replace('\n', ' ')
 
+  /** DuckDB rebuild of [[prefixDims]] + the per-flow longest match —
+    * masking via integer shifts (exact on BIGINT), deepest match picked
+    * by the same (len, network, origin) ordering as the Spark
+    * max(struct). */
+  private val lpmCte = {
+    val d = "(1::BIGINT << (32 - prefix_len))"
+    val dp = "(1::BIGINT << (32 - p.prefix_len))"
+    s"""pfx AS (
+       |  SELECT CAST(8 + (n_nationkey % 5) * 2 AS INT) AS prefix_len,
+       |    ((((n_nationkey // 5) * 2654435761) % 4294967296) // 16777216) * 16777216
+       |      + (n_nationkey::BIGINT * 99999989) % 16777216 AS raw,
+       |    n_name AS origin
+       |  FROM nation
+       |), pfx2 AS (
+       |  SELECT prefix_len, (raw // $d) * $d AS prefix_ip, origin FROM pfx
+       |), best AS (
+       |  SELECT f.seq, p.prefix_len, p.prefix_ip, p.origin
+       |  FROM flows f JOIN pfx2 p
+       |    ON (f.src_ip // $dp) * $dp = p.prefix_ip
+       |  QUALIFY row_number() OVER (PARTITION BY f.seq
+       |    ORDER BY p.prefix_len DESC, p.prefix_ip DESC, p.origin DESC) = 1
+       |)""".stripMargin
+  }
+
+  private def lpmDotted(n: String): String =
+    s"printf('%d.%d.%d.%d', ($n // 16777216) % 256, ($n // 65536) % 256, ($n // 256) % 256, $n % 256)"
+
+  private val lpmPrefixExpr =
+    s"CASE WHEN b.seq IS NOT NULL THEN ${lpmDotted("b.prefix_ip")} || '/' || b.prefix_len::VARCHAR ELSE '0.0.0.0/0' END"
+
   val oracles: Map[String, String] = Map(
     "flow_enrich_salted" -> enrichSql, // salting must be result-invisible
     "flow_enrich" -> enrichSql,
+    "flow_lpm_enrich" ->
+      s"""${FlowAdapter.ducksql.trim}, $lpmCte
+         |SELECT f.seq, f.src_ip, coalesce(b.prefix_len, 0) AS prefix_len,
+         |  $lpmPrefixExpr AS prefix,
+         |  coalesce(b.origin, '--') AS origin, f.bytes
+         |FROM flows f LEFT JOIN best b USING (seq)
+         |ORDER BY seq""".stripMargin.replace('\n', ' '),
+    "flow_lpm_summary" ->
+      s"""${FlowAdapter.ducksql.trim}, $lpmCte, bf AS (
+         |  SELECT $lpmPrefixExpr AS prefix, coalesce(b.origin, '--') AS origin,
+         |    f.bytes * f.sampling_rate AS sampled_bytes
+         |  FROM flows f LEFT JOIN best b USING (seq))
+         |SELECT prefix, origin, CAST(sum(sampled_bytes) AS BIGINT) AS sum_bytes,
+         |  count(*) AS flow_count
+         |FROM bf GROUP BY 1, 2
+         |ORDER BY sum_bytes DESC, prefix, origin""".stripMargin.replace('\n', ' '),
     "flow_enrich_geo" ->
       s"""${FlowAdapter.ducksql.trim}, $dimsCte
          |SELECT coalesce(s.country, '--') AS src_country,

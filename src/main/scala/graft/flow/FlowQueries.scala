@@ -212,6 +212,43 @@ object FlowQueries {
       .orderBy("minute_of_day")
   }
 
+  /** Traffic-anomaly detection — the DDoS/volumetric-spike panel the
+    * reference's domain exists for: per (proto, minute) sampled-traffic
+    * series z-scored against the protocol's own distribution, spikes
+    * flagged at |z| ≥ 3.
+    *
+    * Oracle-exact float discipline: the series value is integer
+    * KILOBYTES per minute (`sum div 1000`), the per-proto moments
+    * (n, Σx, Σx²) are integer sums, and the z-score is ONE division of an
+    * integer numerator `x·n − Σx` by the square root of an integer
+    * discriminant `n·Σx² − (Σx)²` — sqrt is IEEE correctly-rounded on
+    * both engines, so the rounded z is bit-identical. The anomaly FLAG
+    * never touches floats at all: `(x·n − Σx)² ≥ 9·(n·Σx² − (Σx)²)` is a
+    * pure integer comparison. KB units keep every product inside Long
+    * (headroom ~10^16 at the 50M-row scale run; a true 100 TB deployment
+    * flips the moments to DoubleType and keeps the identical plan).
+    *
+    * Scale shape: one map-combined aggregate reduces the fact table to
+    * the minute grain; the per-proto moments aggregate over THAT reduced
+    * relation (thousands of rows), comes back via broadcast join — the
+    * fact table is scanned once and nothing wide shuffles. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val perMin = fl(spark, dir)
+      .groupBy(col("proto"), (((col("time_received") / 60).cast("long")) * 60).as("minute"))
+      .agg(expr("sum(bytes * sampling_rate) div 1000").as("kb"))
+    val stats = perMin.groupBy("proto").agg(
+      count(lit(1)).as("n"), sum("kb").as("sx"),
+      sum(col("kb") * col("kb")).as("sx2"))
+    val znum = col("kb") * col("n") - col("sx")
+    val zden2 = col("n") * col("sx2") - col("sx") * col("sx")
+    perMin.join(broadcast(stats), "proto")
+      .select(col("proto"), col("minute"), col("kb"),
+        when(zden2 === 0, lit(0.0))
+          .otherwise(round(znum.cast("double") / sqrt(zden2.cast("double")), 6)).as("z"),
+        (zden2 > 0 && znum * znum >= lit(9L) * zden2).as("is_anomaly"))
+      .orderBy("proto", "minute")
+  }
+
   /** ITERATIVE GRAPH ANALYTICS on the traffic graph: 3 PageRank sweeps
     * over the distinct (src_ip → dst_ip) edge set in INTEGER FIXED-POINT
     * micro-units — every per-edge contribution is `(r·85) div (100·deg)`
@@ -703,6 +740,7 @@ object FlowQueries {
     "flow_moving_avg" -> ((s: SparkSession, d: String) => movingAvg(s, d)),
     "flow_ip_pagerank" -> ((s: SparkSession, d: String) => ipPageRank(s, d)),
     "flow_seasonal_baseline" -> (seasonalBaseline _),
+    "flow_anomaly_zscore" -> (anomalyZscore _),
     "flow_rollup_5m" -> ((s: SparkSession, d: String) => rollup5m(s, d)),
     "flow_rollup_reagg" -> ((s, d) => rollupReagg(s, d)),
     "flow_top_src_ip" -> ((s: SparkSession, d: String) => topSrcIp(s, d)),
@@ -765,6 +803,19 @@ object FlowQueries {
          | sum_bytes - lag(sum_bytes) OVER (ORDER BY bucket) AS delta_bytes
          | FROM m ORDER BY bucket""".stripMargin.replace('\n', ' '),
     "flow_ip_pagerank" -> duckPageRank(),
+    "flow_anomaly_zscore" ->
+      s"""${cte}, m AS (SELECT proto, (time_received // 60) * 60 AS minute,
+         |  CAST(sum(bytes * sampling_rate) // 1000 AS BIGINT) AS kb FROM flows GROUP BY 1, 2),
+         | s AS (SELECT proto, CAST(count(*) AS BIGINT) AS n, CAST(sum(kb) AS BIGINT) AS sx,
+         |  CAST(sum(kb * kb) AS BIGINT) AS sx2 FROM m GROUP BY 1)
+         | SELECT m.proto, m.minute, m.kb,
+         |  CASE WHEN n * sx2 - sx * sx = 0 THEN 0.0
+         |   ELSE round(CAST(m.kb * n - sx AS DOUBLE) / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)), 6)
+         |  END AS z,
+         |  (n * sx2 - sx * sx > 0 AND
+         |   (m.kb * n - sx) * (m.kb * n - sx) >= 9 * (n * sx2 - sx * sx)) AS is_anomaly
+         | FROM m JOIN s ON m.proto = s.proto
+         | ORDER BY m.proto, minute""".stripMargin.replace('\n', ' '),
     "flow_seasonal_baseline" ->
       s"""${cte}, m AS (SELECT (time_received // 60) * 60 AS minute,
          | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes FROM flows GROUP BY 1)

@@ -146,6 +146,32 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** LAST-TOUCH ATTRIBUTION: each purchase credited to the most recent
+    * preceding non-purchase event of the same user — the marketing
+    * analytics primitive behind "which interaction closed the sale".
+    * One running window per user (`last(..., ignoreNulls)` over the
+    * strictly-preceding frame, deterministic (ts, event_id) order)
+    * followed by one small aggregate; purchases with no prior touch
+    * land in the 'none' bucket. Purchase value is summed in integer
+    * micros ([[valueStats]]' discipline) so the attribution revenue is
+    * order-independent. Scale shape: the window partitions by user —
+    * state per task is one string, the exchange is the same
+    * user-keyed shuffle every journey query already pays. */
+  def lastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val before = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        floor(col("value") * 1000000).cast("long").as("v"))
+      .withColumn("touch", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(before))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("last_touch"))
+      .agg(count(lit(1)).as("n_conversions"), sum("v").as("sum_value_micros"))
+      .orderBy("last_touch")
+  }
+
   /** Time-to-convert: first signup → first purchase AT-OR-AFTER that
     * signup, per user, distribution summarized in whole seconds
     * (integer sums; one final rounded division for the mean). Two hash
@@ -216,6 +242,7 @@ object EventOps {
   val queries: Map[String, Q] = Map(
     "events_value_stats" -> (valueStats _),
     "events_transitions" -> (transitions _),
+    "events_attribution" -> (lastTouch _),
     "events_time_to_convert" -> (timeToConvert _),
     "events_gap_sessions" -> ((s: SparkSession, d: String) => gapSessions(s, d)),
     "events_dau_wau" -> (dauWau _),
@@ -234,6 +261,17 @@ object EventOps {
         |  CAST(max(v) AS BIGINT) AS max_micros,
         |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS avg_micros
         | FROM m GROUP BY 1 ORDER BY event_type""".stripMargin.replace('\n', ' '),
+    "events_attribution" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |   CAST(floor(value * 1000000) AS BIGINT) AS v,
+        |   last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        | SELECT coalesce(touch, 'none') AS last_touch, count(*) AS n_conversions,
+        |  CAST(sum(v) AS BIGINT) AS sum_value_micros
+        | FROM t WHERE event_type = 'purchase' GROUP BY 1
+        | ORDER BY last_touch""".stripMargin.replace('\n', ' '),
     "events_transitions" ->
       """WITH s AS (SELECT user_id, event_type,
         |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type

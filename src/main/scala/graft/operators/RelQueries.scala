@@ -312,7 +312,97 @@ object RelQueries {
       .orderBy("quartile")
   }
 
+  /** Runtime-filter (Bloom) pre-pruned fact⋈dim semi join — the
+    * scan-side technique Spark's own `InjectRuntimeFilter` applies when
+    * statistics justify it, exposed here as an EXPLICIT operator so the
+    * pruning is guaranteed rather than left to the optimizer's
+    * cost-model mood: revenue per return flag over lineitems whose
+    * order is URGENT.
+    *
+    * Mechanics: one small job aggregates the filtered dimension's join
+    * keys into a `BloomFilterAggregate` sketch (xxhash64-keyed, exactly
+    * the pairing Spark's runtime-filter rewrite uses); the serialized
+    * filter travels to the fact scan as a LITERAL inside a
+    * `BloomFilterMightContain` predicate — evaluated per row DURING the
+    * scan, before the shuffle, so at 100 TB the exchange carries only
+    * rows whose key might match (FP rate `fpp`, here ≲3%). The exact
+    * LEFT SEMI join then removes the false positives, which is why the
+    * oracle is the plain semi join: the Bloom stage must be
+    * result-invisible. The driver-side filter build is bounded —
+    * `numBits/8` bytes (~256 KiB here) regardless of fact size; the
+    * same bound holds against a 100 TB fact table because the filter
+    * only ever encodes the DIMENSION side. */
+  def bloomSemiJoin(spark: SparkSession, dir: String,
+      numItems: Long = 100000L, numBits: Long = 2097152L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.types.BinaryType
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloomAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(expression(col("o_orderkey")))),
+      Literal(numItems), Literal(numBits)).toAggregateExpression()
+    // bounded driver collect: the serialized filter (numBits/8 bytes), the
+    // same seam InjectRuntimeFilter hides inside a scalar subquery
+    val bloomBytes = urgent.select(column(bloomAgg).as("bf")).head.getAs[Array[Byte]]("bf")
+    val mightContain = column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Literal.create(bloomBytes, BinaryType),
+        new XxHash64(Seq(expression(col("l_orderkey"))))))
+    Tables.lineitem(spark, dir)
+      .filter(mightContain)                       // scan-side prune (may FP)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi") // exact
+      .groupBy(col("l_returnflag"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"),
+        count(lit(1)).as("line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** One-scan data-quality profile of a table — the pipeline-health
+    * primitive every 100 TB ingest runs before training: per column,
+    * row count, non-null count, exact distinct count, and min/max
+    * (rendered as strings so one relation profiles heterogeneous
+    * columns). Restricted to integer/string columns so the string
+    * rendering is engine-portable.
+    *
+    * Scale shape: a single wide aggregate — Catalyst plans the multiple
+    * DISTINCT aggregates as one Expand (×|columns| rows) feeding a
+    * two-phase hash aggregate; the fact table is still scanned ONCE and
+    * the exchange carries (column-tag, value) pairs, not full rows. The
+    * approximate twin at unbounded cardinality is `approx_count_distinct`
+    * (HLL, no Expand) — exact is the right default while the distinct
+    * sets fit the exchange, and the profile's consumers (schema drift
+    * alarms) want exact counts. */
+  /** Columns [[tableProfile]] profiles — int/string only, so the string
+    * min/max rendering is engine-portable (shared with the oracle SQL;
+    * EditPrefixLen anti-drift rule: ONE definition for both renderings). */
+  private val ProfileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_returnflag", "l_linestatus")
+
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = ProfileCols
+    val li = Tables.lineitem(spark, dir)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"), countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    // pivot the single stats row to long form with ONE generator — no
+    // union of re-aggregated branches, the fact scan happens exactly once
+    val stackArgs = cols.map(c =>
+      s"'$c', n_rows, ${c}__nn, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nonnull, n_distinct, min_value, max_value)")
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_bloom_semi" -> ((s: SparkSession, d: String) => bloomSemiJoin(s, d)),
+    "rel_table_profile" -> (tableProfile _),
     "rel_customer_quartiles" -> ((s: SparkSession, d: String) => customerQuartiles(s, d)),
     // prefix-sum serving form; the pairwise twin stays for sub-day inputs
     "rel_interval_join" -> ((s: SparkSession, d: String) => intervalJoinPrefix(s, d)),
@@ -331,6 +421,21 @@ object RelQueries {
     "rel_rollup_agg" -> (rollupAgg _))
 
   val oracles: Map[String, String] = Map(
+    // the Bloom stage must be result-invisible: the oracle is the PLAIN
+    // urgent-orders semi join — any surviving false positive fails the hash
+    "rel_bloom_semi" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS line_count
+        | FROM lineitem WHERE EXISTS (SELECT 1 FROM orders
+        |   WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace('\n', ' '),
+    "rel_table_profile" ->
+      ProfileCols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows, count($c) AS n_nonnull,
+           | count(DISTINCT $c) AS n_distinct, min($c)::VARCHAR AS min_value,
+           | max($c)::VARCHAR AS max_value FROM lineitem""".stripMargin.replace('\n', ' '))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name"),
     "rel_customer_quartiles" ->
       """WITH c AS (SELECT c_custkey,
         |   CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer),

@@ -244,6 +244,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Full-width 24-bit document hash (no bucket fold) — enough
+    * granularity that weighted priorities rarely tie; see [[hashBucket]]
+    * for the determinism rationale. */
+  private def hash24(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long")
+
+  private def duckHash24Of(idExpr: String): String = {
+    val digits = (1 to 6).map { i =>
+      val w = math.pow(16, 6 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5($idExpr::VARCHAR), $i, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"($digits)"
+  }
+
+  /** Deterministic WEIGHTED sample: top-k documents by
+    * `weight × hash24(doc_id)` with weight = n_chars — longer documents
+    * proportionally likelier to surface, every document's fate a pure
+    * function of its id (stable across runs, partitionings, and engines;
+    * the property the float Efraimidis–Spirakis `u^(1/w)` key family
+    * cannot give cross-engine, since `ln`/`pow` are not required to be
+    * correctly rounded and a 1-ulp disagreement at the k-th boundary
+    * would flip the selection). Integer priority, total (priority,
+    * doc_id) order → TakeOrderedAndProject: per-partition top-k heaps,
+    * the exchange carries k rows per partition, no global sort — the
+    * same serving shape at 100 TB. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("n_chars") * hash24(col("doc_id"))).as("priority"))
+      .orderBy(desc("priority"), asc("doc_id"))
+      .limit(k)
+
   /** Per-source document cap — the "downsample dominant domains"
     * primitive: keep at most `cap` documents per source, chosen by the
     * deterministic hash order (so the survivors are a stable random-like
@@ -653,6 +685,7 @@ object TextOps {
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_sample" -> ((s: SparkSession, d: String) => sampleDocs(s, d)),
+    "text_weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "text_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "text_split_counts" -> ((s: SparkSession, d: String) => splitCounts(s, d)))
 
@@ -893,6 +926,10 @@ object TextOps {
       "text_sample" ->
         s"""SELECT doc_id, lang, source, n_chars FROM documents
            | WHERE $duckHashBucket < 1000 ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+      "text_weighted_sample" ->
+        s"""SELECT doc_id, source, n_chars,
+           | n_chars * ${duckHash24Of("doc_id")} AS priority
+           | FROM documents ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin.replace('\n', ' '),
       "text_stratified_sample" ->
         s"""SELECT doc_id, lang, source, n_chars FROM documents
            | WHERE $duckHashBucket < (CASE WHEN lang = 'en' THEN 500 ELSE 3000 END)

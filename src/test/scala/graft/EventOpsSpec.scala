@@ -165,4 +165,32 @@ class EventOpsSpec extends SparkTestBase {
     }
     assert(g.map(_._2).sum === Tables.events(spark, sf).count())
   }
+
+  test("last-touch attribution: per-user replay agrees; conversions conserved (r13)") {
+    val got = EventOps.lastTouch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // driver replay: sort each user's stream by (ts, event_id), attribute
+    // each purchase to the latest preceding non-purchase type
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type",
+        "CAST(floor(value * 1000000) AS BIGINT) AS v", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getAs[java.time.LocalDateTime](4)))
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    ev.groupBy(_._1).values.foreach { es =>
+      var touch: String = null
+      es.sortBy(e => (e._5, e._2)).foreach { case (_, _, t, v, _) =>
+        if (t == "purchase") {
+          val key = if (touch == null) "none" else touch
+          val (n, s) = acc.getOrElse(key, (0L, 0L))
+          acc(key) = (n + 1, s + v)
+        } else touch = t
+      }
+    }
+    val want = acc.toSeq.map { case (k, (n, s)) => (k, n, s) }.sortBy(_._1)
+    assert(got === want)
+    // invariant: total attributed conversions == total purchases
+    assert(got.map(_._2).sum ===
+      Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
+  }
 }

@@ -115,4 +115,48 @@ class FlowEnrichSpec extends SparkTestBase {
     assert(rows.filter(col("src_as_name") === "--").count() === 0) // 65000..02 all match
     assert(rows.count() > 0)
   }
+
+  test("lpm: deepest nested prefix wins; unmatched flows take the default route (r13)") {
+    import spark.implicits._
+    // hand-built prefix table with nested /8 ⊃ /12 ⊃ /16 and a disjoint /8
+    val pfx = Seq(
+      (8, 0x0A000000L, "net-a8"),    // 10.0.0.0/8
+      (12, 0x0A100000L, "net-a12"),  // 10.16.0.0/12
+      (16, 0x0A140000L, "net-a16"),  // 10.20.0.0/16
+      (8, 0xC0000000L, "net-c8"))    // 192.0.0.0/8
+      .toDF("prefix_len", "prefix_ip", "origin")
+    val flows = Seq(
+      (1L, 0x0A141E05L), // 10.20.30.5  -> /16 (deepest of all three)
+      (2L, 0x0A110105L), // 10.17.1.5   -> /12 (inside /12, outside /16)
+      (3L, 0x0A990105L), // 10.153.1.5  -> /8
+      (4L, 0xC0A80001L), // 192.168.0.1 -> disjoint /8
+      (5L, 0x7F000001L)) // 127.0.0.1   -> no match
+      .toDF("seq", "src_ip")
+      .withColumn("bytes", lit(100L)).withColumn("sampling_rate", lit(1L))
+    val got = FlowEnrich.lpmJoin(flows, pfx)
+      .select($"seq", coalesce($"best.origin", lit("--")).as("origin"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "net-a16", 2L -> "net-a12", 3L -> "net-a8",
+      4L -> "net-c8", 5L -> "--"))
+  }
+
+  test("lpm surface: dimension broadcast, no cartesian, summary reconciles with per-flow (r13)") {
+    val plan = FlowEnrich.flowLpmSummary(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "prefix dim must broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "LPM must stay an equi-join on (len, network)")
+    val perFlow = FlowEnrich.flowLpmEnrich(spark, sf)
+    val summary = FlowEnrich.flowLpmSummary(spark, sf)
+    // every flow appears exactly once in the per-flow surface...
+    assert(perFlow.count() === graft.flow.FlowAdapter.flows(spark, sf).count())
+    // ...and the summary partitions it
+    val sumFlows = summary.agg(sum("flow_count")).head.getLong(0)
+    assert(sumFlows === perFlow.count())
+    // matched origins agree between the two cuts
+    val a = perFlow.groupBy("origin").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = summary.groupBy("origin").agg(sum("flow_count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
 }

@@ -388,4 +388,34 @@ class FlowQueriesSpec extends SparkTestBase {
       assert(math.abs(movAvg - math.rint(movSum.toDouble / movN * 1e6) / 1e6) < 1e-9)
     }
   }
+
+  test("anomaly z-score: integer flag agrees with the float z; moments replay exactly (r13)") {
+    val rows = FlowQueries.anomalyZscore(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // replay the per-proto moments driver-side
+    val byProto = rows.groupBy(_._1)
+    byProto.foreach { case (proto, series) =>
+      val n = series.length.toLong
+      val sx = series.map(_._3).sum
+      val sx2 = series.map(s => s._3 * s._3).sum
+      series.foreach { case (_, minute, kb, z, flag) =>
+        val znum = kb * n - sx
+        val zden2 = n * sx2 - sx * sx
+        val wantZ = if (zden2 == 0) 0.0
+          else math.rint(znum.toDouble / math.sqrt(zden2.toDouble) * 1e6) / 1e6
+        assert(math.abs(z - wantZ) < 1e-9, s"proto $proto minute $minute z")
+        assert(flag === (zden2 > 0 && znum * znum >= 9 * zden2),
+          s"proto $proto minute $minute flag must equal the integer rule")
+        // the flag and the float z agree (strict inequality both ways;
+        // the boundary |z| == 3 exactly is measure-zero for real traffic)
+        if (flag) assert(math.abs(z) >= 2.999999)
+      }
+    }
+    // full minute coverage: every (proto, minute) with traffic appears once
+    val minutes = FlowAdapter.flows(spark, sf)
+      .select(col("proto"), (((col("time_received") / 60).cast("long")) * 60).as("m"))
+      .distinct().count()
+    assert(rows.length.toLong === minutes)
+  }
 }

@@ -151,4 +151,56 @@ class RelQueriesSpec extends SparkTestBase {
     }
     assert(cartesian.isEmpty, "bucketized interval join must not plan a cartesian product")
   }
+
+  test("bloom semi join: scan-side prefilter present, prunes, and is result-invisible (r13)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    // the Bloom-pruned aggregate equals the plain exact semi join
+    val got = RelQueries.bloomSemiJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = li.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")).as("rc"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq, "bloom prefilter must be result-invisible")
+    // the prefilter is IN the plan, on the fact scan side
+    val plan = RelQueries.bloomSemiJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom predicate must survive into the physical plan")
+    // and it actually prunes: the filter passes a superset of true matches
+    // but (at this fpp) strictly fewer rows than the full table
+    val trueMatches = li.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(trueMatches < li.count(), "fixture sanity: predicate must be selective")
+  }
+
+  test("table profile: stats match driver recount; single scan of the fact table (r13)") {
+    import org.apache.spark.sql.functions._
+    val prof = RelQueries.tableProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    assert(prof.keySet === Set("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_returnflag", "l_linestatus"))
+    prof.values.foreach { case (rows, nn, nd, _, _) =>
+      assert(rows === n); assert(nn <= rows); assert(nd <= nn)
+    }
+    val (_, _, ndFlag, minFlag, maxFlag) = prof("l_returnflag")
+    assert(ndFlag === li.select("l_returnflag").distinct().count())
+    assert(minFlag === li.agg(min("l_returnflag")).head.getString(0))
+    assert(maxFlag === li.agg(max("l_returnflag")).head.getString(0))
+    // ONE scan: the stack pivot runs off a single aggregate, not a union
+    // of re-aggregated branches (AQE off so the tree is traversable)
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans =
+      try RelQueries.tableProfile(spark, sf).queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert(scans.length === 1, s"profile must scan lineitem once, saw ${scans.length}")
+  }
 }

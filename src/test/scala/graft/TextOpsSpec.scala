@@ -370,4 +370,29 @@ class TextOpsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(out.toSeq === Seq(("strong", "pair", 16L, 16L, 16L)))
   }
+
+  test("weighted sample: matches a driver-side priority replay; heavier docs overrepresented (r13)") {
+    val k = 50
+    val got = TextOps.weightedSample(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // replay: priority = n_chars * full 24-bit md5 hash, top-k by (priority desc, doc_id)
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def h24(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = docs.map { case (id, nc) => (id, nc * h24(id)) }
+      .sortBy { case (id, p) => (-p, id) }.take(k)
+    assert(got.toSeq === want.toSeq)
+    // size bias: the sampled mean length should exceed the corpus mean
+    val sampleIds = got.map(_._1).toSet
+    val byId = docs.toMap
+    val sampleMean = sampleIds.toSeq.map(byId).sum.toDouble / sampleIds.size
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      f"weighted draw must skew long: sample $sampleMean%.1f vs corpus $corpusMean%.1f")
+  }
 }
