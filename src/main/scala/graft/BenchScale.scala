@@ -264,6 +264,13 @@ object BenchScale {
               .cast("float")).as("embedding"),
           pmod(xxhash64(col("id"), lit(10)), lit(10L)).cast("int").as("label"))
         .write.mode("overwrite").parquet(s"$famDir/embeddings.parquet")
+      // nation mirrors the TESTDATA shape (25 rows) so the LPM route
+      // dimension derives at scale exactly as in the registry
+      spark.range(0L, 25L, 1L, 1).select(
+          col("id").as("n_nationkey"),
+          concat(lit("NATION_"), col("id")).as("n_name"),
+          pmod(col("id"), lit(5L)).as("n_regionkey"))
+        .write.mode("overwrite").parquet(s"$famDir/nation.parquet")
     }
     // the SERVING (unguarded) heavy-hitters form: 500k distinct sources
     // per proto is the EVICTION regime — the whole point of the sketch at
@@ -323,6 +330,14 @@ object BenchScale {
     }
     // ~500k-node / multi-million-edge traffic graph: 3 integer sweeps
     bench("scale_flow_ip_pagerank") { graft.flow.FlowQueries.ipPageRank(spark, famDir) }
+    // r13 additions: LPM route enrichment (explode×5 + broadcast dim +
+    // per-flow reduction), anomaly z-score (fact scanned once, moments over
+    // the minute relation), last-touch attribution (one user-keyed window),
+    // weighted sampling (TakeOrdered top-k, no global sort)
+    bench("scale_flow_lpm_summary") { graft.flow.FlowEnrich.flowLpmSummary(spark, famDir) }
+    bench("scale_flow_anomaly_zscore") { graft.flow.FlowQueries.anomalyZscore(spark, famDir) }
+    bench("scale_events_attribution") { graft.operators.EventOps.lastTouch(spark, famDir) }
+    bench("scale_text_weighted_sample") { graft.operators.TextOps.weightedSample(spark, famDir) }
     // convergence-style depth (r13): 20 sweeps with the per-sweep
     // lineage cut — proves the iterative posture holds when iters is no
     // longer a small constant (plan depth stays O(1) per sweep)

@@ -139,7 +139,10 @@ object Plans {
       "flow_lpm_enrich" -> ("LPM as candidate expansion: ONE Generate (x|lens|=5) " +
         "masks each flow at the static widths, the route dim joins as a " +
         "BroadcastHashJoin on (len, network) — NO range join, no nested loop; " +
-        "the only exchange is the per-flow deepest-match aggregate on seq"),
+        "the only exchange is the per-flow deepest-match reduction on seq, a " +
+        "partial+final HASH aggregate over the packed (len<<32|network) long " +
+        "(struct max would sort-aggregate); origin recovers via a second " +
+        "broadcast probe of the same dim"),
       "flow_anomaly_zscore" -> ("fact table scanned ONCE into the map-combined " +
         "minute aggregate; the per-proto moments aggregate over the REDUCED " +
         "minute relation and come back via BroadcastHashJoin — the z projection " +

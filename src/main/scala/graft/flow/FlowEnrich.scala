@@ -217,20 +217,35 @@ object FlowEnrich {
     * own group-by. Left join + max(struct) keeps unmatched flows with a
     * NULL best (the "default route"). */
   def lpmJoin(flows: DataFrame, pfx: DataFrame): DataFrame = {
+    // dedupe on (len, network) with the max-origin rule so the decode join
+    // below is 1:1 even if two dimension rows collide on one width
+    val dim = pfx.select(col("prefix_len"), col("prefix_ip").as("network"), col("origin"))
+      .groupBy("prefix_len", "network").agg(max("origin").as("origin"))
     val cands = flows
       .select(col("seq"), col("src_ip"), col("bytes"), col("sampling_rate"))
       .withColumn("prefix_len", explode(array(PrefixLens.map(lit): _*)))
       .withColumn("__d", lenDivisor(col("prefix_len")))
       .withColumn("network", expr("src_ip div __d") * col("__d"))
       .drop("__d")
-    val dim = broadcast(pfx.select(col("prefix_len"),
-      col("prefix_ip").as("network"), col("origin")))
-    cands.join(dim, Seq("prefix_len", "network"), "left")
-      // deepest match wins; (prefix_len, network, origin) lexicographic max
-      // is deterministic even if two dimension rows collide on one width
+    // the deepest-match reduction runs on ONE packed long
+    // (len·2^32 + network) so it plans as a partial+final HashAggregate —
+    // a struct-valued max would force SortAggregate (a per-partition sort
+    // of the whole candidate stream at 100 TB); origin is recovered
+    // afterwards by a second broadcast probe of the same tiny dimension
+    val matched = cands.join(broadcast(dim), Seq("prefix_len", "network"), "left")
+      .select(col("seq"), col("src_ip"), col("bytes"), col("sampling_rate"),
+        when(col("origin").isNotNull,
+          col("prefix_len").cast("long") * 4294967296L + col("network")).as("pk"))
       .groupBy("seq", "src_ip", "bytes", "sampling_rate")
-      .agg(max(when(col("origin").isNotNull,
-        struct(col("prefix_len"), col("network"), col("origin")))).as("best"))
+      .agg(max("pk").as("pk"))
+      .withColumn("bplen", expr("pk div 4294967296").cast("int"))
+      .withColumn("bnet", col("pk") % 4294967296L)
+    matched.join(broadcast(dim.select(col("prefix_len").as("bplen"),
+        col("network").as("bnet"), col("origin"))), Seq("bplen", "bnet"), "left")
+      .select(col("seq"), col("src_ip"), col("bytes"), col("sampling_rate"),
+        when(col("pk").isNotNull,
+          struct(col("bplen").as("prefix_len"), col("bnet").as("network"),
+            col("origin"))).as("best"))
   }
 
   /** flow_lpm_enrich: every flow annotated with its longest matching

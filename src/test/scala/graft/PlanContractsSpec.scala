@@ -246,4 +246,58 @@ class PlanContractsSpec extends SparkTestBase {
     assert(p.collect { case s: SortExec if s.global => s }.isEmpty,
       "no global sort (SMJ-local sorts are fine)")
   }
+
+  test("flow_lpm_enrich: route dim broadcasts, candidates equi-join, no range/nested-loop join") {
+    val p = plan("flow_lpm_enrich")
+    assert(p.collect { case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+      .nonEmpty, "prefix dimension must join as BroadcastHashJoin")
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "LPM must never plan a cartesian / nested-loop join")
+    // exactly one Generate: the static candidate expansion
+    assert(p.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.size === 1)
+    // the deepest-match reduction (the seq-keyed aggregate over the
+    // candidate stream) is a HASH aggregate over the packed-long key — a
+    // struct max would fall back to SortAggregate (per-partition sort of
+    // the candidate stream). The dimension's own 25-row dedup may
+    // sort-aggregate freely; only the fact-sized reduction is bound.
+    def groupsOnSeq(es: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]) =
+      es.exists(_.name == "seq")
+    assert(p.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if groupsOnSeq(h.groupingExpressions) => h
+    }.nonEmpty, "deepest-match reduction must be a HashAggregate")
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+        if groupsOnSeq(s.groupingExpressions) => s
+    }.isEmpty, "deepest-match must hash-aggregate, not sort-aggregate")
+  }
+
+  test("flow_anomaly_zscore: one fact scan; moments come back via broadcast join") {
+    val p = plan("flow_anomaly_zscore")
+    assert(scans(p).size === 1, "fact table must be scanned exactly once")
+    assert(p.collect { case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+      .nonEmpty, "per-proto moments must broadcast back onto the minute relation")
+  }
+
+  test("rel_bloom_semi: might_contain prunes the fact scan BELOW the semi-join exchange") {
+    val p = physical(graft.operators.RelQueries.bloomSemiJoin(spark, sf))
+    val semi = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semi.nonEmpty, "exact LeftSemi join must remain in the plan")
+    // the bloom predicate must sit on the fact side UNDER the semi join
+    val underSemi = semi.head.left.toString + semi.head.right.toString
+    assert(underSemi.contains("might_contain"),
+      "bloom prefilter must prune before the join, not after")
+  }
+
+  test("rel_table_profile: single lineitem scan; one Expand; stack pivot adds no re-scan") {
+    val p = plan("rel_table_profile")
+    assert(scans(p).size === 1, "profile must scan the table exactly once")
+    assert(p.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }.size === 1,
+      "multi-distinct must compile to ONE Expand")
+  }
 }
