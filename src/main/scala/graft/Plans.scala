@@ -151,10 +151,12 @@ object Plans {
         "the lineitem scan — rows are pruned BEFORE the semi-join exchange " +
         "(the runtime-filter shape, made explicit); the exact LeftSemi join " +
         "then removes false positives"),
-      "rel_table_profile" -> ("ONE FileSourceScan of lineitem: the multi-distinct " +
-        "profile compiles to a single Expand feeding partial+final aggregates, " +
-        "and the long-form pivot is a stack Generate over the one-row stats " +
-        "relation — no union of re-scans"))
+      "rel_table_profile" -> ("TWO column-pruned scans, one per branch: the " +
+        "multi-distinct branch is a single Expand feeding HASH aggregates " +
+        "(all-long buffers); min/max(string) folds keylessly in its own branch " +
+        "(no sort) and cross-joins back as a broadcast 1-row relation — the " +
+        "one-pass form sort-aggregated the whole Expand relation and benched " +
+        "9.3 s vs 2.2-4.3 s at sf0.1 (r13)"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

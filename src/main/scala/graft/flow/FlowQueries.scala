@@ -212,6 +212,21 @@ object FlowQueries {
       .orderBy("minute_of_day")
   }
 
+  /** Day-of-week × hour traffic heatmap — the capacity-planning panel
+    * ("when is this link busy"): sampled bytes and flow counts on a
+    * 7×24 grid, weekday derived by pure epoch-day arithmetic
+    * (`(day+3) % 7`, 0 = Monday — timezone-free on both engines, no
+    * locale-dependent date functions). One map-combined aggregate to a
+    * ≤168-row result, any scale. */
+  def dowHeatmap(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir)
+      .groupBy(
+        (expr("(time_received div 86400 + 3) % 7")).cast("int").as("dow"),
+        (expr("(time_received % 86400) div 3600")).cast("int").as("hour"))
+      .agg(sum(col("bytes") * col("sampling_rate")).as("sum_bytes"),
+        count(lit(1)).as("flow_count"))
+      .orderBy("dow", "hour")
+
   /** Traffic-anomaly detection — the DDoS/volumetric-spike panel the
     * reference's domain exists for: per (proto, minute) sampled-traffic
     * series z-scored against the protocol's own distribution, spikes
@@ -232,10 +247,18 @@ object FlowQueries {
     * the minute grain; the per-proto moments aggregate over THAT reduced
     * relation (thousands of rows), comes back via broadcast join — the
     * fact table is scanned once and nothing wide shuffles. */
-  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
-    val perMin = fl(spark, dir)
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame =
+    zscoreOverMinutes(fl(spark, dir)
       .groupBy(col("proto"), (((col("time_received") / 60).cast("long")) * 60).as("minute"))
-      .agg(expr("sum(bytes * sampling_rate) div 1000").as("kb"))
+      .agg(sum(col("bytes") * col("sampling_rate")).as("sampled_bytes")))
+
+  /** The z-scoring core over ANY exact (proto, minute, sampled_bytes)
+    * relation — shared by the batch query above and the streaming MV's
+    * read path ([[graft.streaming.FlowStreams.readAnomalySeries]]), so
+    * MV-fold-then-score is definitionally the batch semantics. */
+  private[graft] def zscoreOverMinutes(perMin0: DataFrame): DataFrame = {
+    val perMin = perMin0.select(col("proto"), col("minute"),
+      expr("sampled_bytes div 1000").as("kb"))
     val stats = perMin.groupBy("proto").agg(
       count(lit(1)).as("n"), sum("kb").as("sx"),
       sum(col("kb") * col("kb")).as("sx2"))
@@ -741,6 +764,7 @@ object FlowQueries {
     "flow_ip_pagerank" -> ((s: SparkSession, d: String) => ipPageRank(s, d)),
     "flow_seasonal_baseline" -> (seasonalBaseline _),
     "flow_anomaly_zscore" -> (anomalyZscore _),
+    "flow_dow_heatmap" -> (dowHeatmap _),
     "flow_rollup_5m" -> ((s: SparkSession, d: String) => rollup5m(s, d)),
     "flow_rollup_reagg" -> ((s, d) => rollupReagg(s, d)),
     "flow_top_src_ip" -> ((s: SparkSession, d: String) => topSrcIp(s, d)),
@@ -803,6 +827,12 @@ object FlowQueries {
          | sum_bytes - lag(sum_bytes) OVER (ORDER BY bucket) AS delta_bytes
          | FROM m ORDER BY bucket""".stripMargin.replace('\n', ' '),
     "flow_ip_pagerank" -> duckPageRank(),
+    "flow_dow_heatmap" ->
+      s"""${cte}SELECT CAST((time_received // 86400 + 3) % 7 AS INT) AS dow,
+         | CAST((time_received % 86400) // 3600 AS INT) AS hour,
+         | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes,
+         | count(*) AS flow_count
+         | FROM flows GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin.replace('\n', ' '),
     "flow_anomaly_zscore" ->
       s"""${cte}, m AS (SELECT proto, (time_received // 60) * 60 AS minute,
          |  CAST(sum(bytes * sampling_rate) // 1000 AS BIGINT) AS kb FROM flows GROUP BY 1, 2),

@@ -368,14 +368,20 @@ object RelQueries {
     * columns). Restricted to integer/string columns so the string
     * rendering is engine-portable.
     *
-    * Scale shape: a single wide aggregate — Catalyst plans the multiple
-    * DISTINCT aggregates as one Expand (×|columns| rows) feeding a
-    * two-phase hash aggregate; the fact table is still scanned ONCE and
-    * the exchange carries (column-tag, value) pairs, not full rows. The
-    * approximate twin at unbounded cardinality is `approx_count_distinct`
-    * (HLL, no Expand) — exact is the right default while the distinct
-    * sets fit the exchange, and the profile's consumers (schema drift
-    * alarms) want exact counts. */
+    * Scale shape — two branches, both hash-friendly, cross-joined on
+    * their 1-row results (MEASURED at sf0.1, r13): the distinct branch
+    * plans the multiple DISTINCT aggregates as one Expand (×|columns|
+    * rows) feeding two-phase HASH aggregates (all-long buffers); min/max
+    * run as a separate keyless fold over a second column-pruned scan —
+    * no sort, empty grouping needs no ordering. The one-pass form that
+    * put min/max(STRING) into the same aggregate dragged the whole
+    * Expand relation through SortAggregate (a sort of |columns|×rows;
+    * string buffers are not hash-aggregable) and benched 9.3 s vs
+    * 2.2–4.3 s for this shape — the second scan is the cheap side of
+    * that trade at any scale. The approximate twin at unbounded
+    * cardinality is `approx_count_distinct` (HLL, no Expand) — exact is
+    * the right default while the distinct sets fit the exchange, and the
+    * profile's consumers (schema drift alarms) want exact counts. */
   /** Columns [[tableProfile]] profiles — int/string only, so the string
     * min/max rendering is engine-portable (shared with the oracle SQL;
     * EditPrefixLen anti-drift rule: ONE definition for both renderings). */
@@ -385,14 +391,17 @@ object RelQueries {
   def tableProfile(spark: SparkSession, dir: String): DataFrame = {
     val cols = ProfileCols
     val li = Tables.lineitem(spark, dir)
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}__nn"), countDistinct(col(c)).as(s"${c}__nd"),
-        min(col(c)).cast("string").as(s"${c}__min"),
+    val dAggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"), countDistinct(col(c)).as(s"${c}__nd"))
+    }
+    val mAggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
-    val one = li.agg(aggs.head, aggs.tail: _*)
+    val one = li.agg(dAggs.head, dAggs.tail: _*)
+      .crossJoin(broadcast(li.agg(mAggs.head, mAggs.tail: _*)))
     // pivot the single stats row to long form with ONE generator — no
-    // union of re-aggregated branches, the fact scan happens exactly once
+    // union of re-aggregated branches
     val stackArgs = cols.map(c =>
       s"'$c', n_rows, ${c}__nn, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
     one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
@@ -400,9 +409,48 @@ object RelQueries {
       .orderBy("column_name")
   }
 
+  /** Pearson correlation between numeric fact columns in ONE scan — the
+    * feature-screening primitive (is quantity priced? does discount track
+    * volume?) computed to be bit-identical across engines: the six
+    * moments (n, Σx, Σy, Σx², Σy², Σxy) are EXACT integer sums over
+    * integer-valued projections (quantity is integral; price floors to
+    * whole dollars, discount to milli-units), and the correlation
+    * combines them in IEEE double arithmetic with a fixed expression
+    * tree — every engine computing `(n·Σxy − ΣxΣy)/√(n·Σx²−(Σx)²)/√(…)`
+    * from the SAME exact longs lands on the same float, unlike a
+    * streaming `corr()` whose per-partition partial means merge in a
+    * data-order-dependent way. One map-combined aggregate, no shuffle of
+    * the fact table beyond the 1-row partials. */
+  def numericCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("q"),
+      floor(col("l_extendedprice")).cast("long").as("p"),
+      floor(col("l_discount") * 1000).cast("long").as("d"))
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("p") * col("p")).as("spp"),
+      sum(col("d") * col("d")).as("sdd"), sum(col("q") * col("p")).as("sqp"),
+      sum(col("q") * col("d")).as("sqd"))
+    def corr(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+        sxy: Column): Column = {
+      val nd = n.cast("double")
+      val num = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+      val dx = sqrt(nd * sxx.cast("double") - sx.cast("double") * sx.cast("double"))
+      val dy = sqrt(nd * syy.cast("double") - sy.cast("double") * sy.cast("double"))
+      round(num / (dx * dy), 6)
+    }
+    m.select(col("n"),
+      corr(col("n"), col("sq"), col("sp"), col("sqq"), col("spp"), col("sqp"))
+        .as("corr_qty_price"),
+      corr(col("n"), col("sq"), col("sd"), col("sqq"), col("sdd"), col("sqd"))
+        .as("corr_qty_discount"))
+  }
+
   val queries: Map[String, Q] = Map(
     "rel_bloom_semi" -> ((s: SparkSession, d: String) => bloomSemiJoin(s, d)),
     "rel_table_profile" -> (tableProfile _),
+    "rel_numeric_corr" -> (numericCorr _),
     "rel_customer_quartiles" -> ((s: SparkSession, d: String) => customerQuartiles(s, d)),
     // prefix-sum serving form; the pairwise twin stays for sub-day inputs
     "rel_interval_join" -> ((s: SparkSession, d: String) => intervalJoinPrefix(s, d)),
@@ -430,6 +478,26 @@ object RelQueries {
         | FROM lineitem WHERE EXISTS (SELECT 1 FROM orders
         |   WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
         | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace('\n', ' '),
+    "rel_numeric_corr" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |   CAST(floor(l_extendedprice) AS BIGINT) AS p,
+        |   CAST(floor(l_discount * 1000) AS BIGINT) AS d FROM lineitem),
+        | m AS (SELECT count(*) AS n,
+        |   CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+        |   CAST(sum(d) AS BIGINT) AS sd,
+        |   CAST(sum(q * q) AS BIGINT) AS sqq, CAST(sum(p * p) AS BIGINT) AS spp,
+        |   CAST(sum(d * d) AS BIGINT) AS sdd, CAST(sum(q * p) AS BIGINT) AS sqp,
+        |   CAST(sum(q * d) AS BIGINT) AS sqd FROM li)
+        | SELECT n,
+        |  round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |   / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |    * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6)
+        |   AS corr_qty_price,
+        |  round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+        |   / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |    * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+        |   AS corr_qty_discount
+        | FROM m""".stripMargin.replace('\n', ' '),
     "rel_table_profile" ->
       ProfileCols.map(c =>
         s"""SELECT '$c' AS column_name, count(*) AS n_rows, count($c) AS n_nonnull,

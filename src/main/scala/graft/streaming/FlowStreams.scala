@@ -339,6 +339,73 @@ object FlowStreams {
       .orderBy("event_date", "proto")
   }
 
+  // ------------------------------------------------- traffic-anomaly MV
+
+  /** Continuous TRAFFIC-ANOMALY MV — the streaming twin of
+    * [[graft.flow.FlowQueries.anomalyZscore]]'s DDoS/volumetric-spike
+    * panel. Per micro-batch: exact integer partial sums per
+    * (event_date, proto, minute) — a map-combined batch aggregate at full
+    * parallelism, stream state ZERO (the [[rollupPartials]] posture).
+    * Detection happens at READ time: [[readAnomalySeries]] folds the
+    * partials to the exact minute series (integer sums fold exactly under
+    * any batch split — the SummingMergeTree invariant) and applies the
+    * SHARED z-scoring core, so the MV path is definitionally the batch
+    * semantics, late data included (a late flow's partial folds into its
+    * minute on the next read, ClickHouse late-merge style).
+    *
+    * Why not a stateful per-record detector: the volumetric alarm is keyed
+    * by protocol — a `flatMapGroupsWithState` keyed that coarsely funnels
+    * the whole decoded stream through |protos| tasks, while this shape
+    * keeps the heavy reduction embarrassingly parallel and the scored
+    * relation is minutes × protos (tiny at any corpus size). The alert
+    * scheduler polls [[readAnomalyAlarms]] — the one-row-per-spike cut —
+    * on its own cadence, the reference's dashboard-pull model
+    * (`viz-ch.json` panels poll; the pipeline itself never pushes). For
+    * push-style per-window alerting with bounded keyed state, the pattern
+    * is [[FlowScanAlarm]]. */
+  def anomalyPartials(df: DataFrame): DataFrame =
+    projectRaw(df)
+      .groupBy(col("event_date"), col("proto"),
+        ((col("timeReceived") / 60).cast("long") * 60).as("minute"))
+      .agg(sum(col("bytes") * col("samplingRate")).as("sampled_bytes"),
+        count(lit(1)).as("flow_count"))
+
+  /** Start the anomaly MV: same idempotent `batch=<id>` overwrite layout
+    * as [[startTopTalkersMV]]. */
+  def startAnomalyMV(stream: DataFrame, outPath: String, checkpoint: String,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (id > maxFoldedBatch(outPath))
+          anomalyPartials(batch).write
+            .mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(s"$outPath/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Read-time scoring: fold the partial minute sums exactly, then apply
+    * the batch z-score core. Full series (every minute, scored). */
+  def readAnomalySeries(spark: SparkSession, path: String): DataFrame =
+    scoreAnomalies(plainPartials(spark, path))
+
+  /** The alarm cut — only the |z| ≥ 3 minutes, newest first. */
+  def readAnomalyAlarms(spark: SparkSession, path: String): DataFrame =
+    readAnomalySeries(spark, path)
+      .filter(col("is_anomaly"))
+      .orderBy(desc("minute"), asc("proto"))
+
+  /** Managed-table twins ([[ManifestTable]] snapshot reads). */
+  def readAnomalySeriesManaged(spark: SparkSession, table: String): DataFrame =
+    scoreAnomalies(ManifestTable.read(spark, table))
+
+  private def scoreAnomalies(partials: DataFrame): DataFrame =
+    graft.flow.FlowQueries.zscoreOverMinutes(
+      partials.groupBy("proto", "minute")
+        .agg(sum("sampled_bytes").as("sampled_bytes")))
+
   // ------------------------------------------------ unique-sources HLL MV
 
   /** Continuous UNIQUE-SOURCES MV — the streaming twin of

@@ -389,6 +389,21 @@ class FlowQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("dow heatmap: grid totals reconcile with the corpus; weekday arithmetic anchors (r13)") {
+    val rows = FlowQueries.dowHeatmap(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+    assert(rows.nonEmpty)
+    rows.foreach { case ((d, h), _) => assert(d >= 0 && d <= 6 && h >= 0 && h <= 23) }
+    val f = FlowAdapter.flows(spark, sf)
+    assert(rows.map(_._2._2).sum === f.count(), "every flow lands in exactly one cell")
+    assert(rows.map(_._2._1).sum ===
+      f.agg(sum(col("bytes") * col("sampling_rate"))).head.getLong(0))
+    // anchor: 1970-01-01 (epoch day 0) was a Thursday -> (0+3)%7 = 3
+    val thu = f.filter(expr("(time_received div 86400 + 3) % 7 = 3"))
+      .filter(expr("(time_received % 86400) div 3600 = 0")).count()
+    assert(rows.toMap.get((3, 0)).map(_._2).getOrElse(0L) === thu)
+  }
+
   test("anomaly z-score: integer flag agrees with the float z; moments replay exactly (r13)") {
     val rows = FlowQueries.anomalyZscore(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))

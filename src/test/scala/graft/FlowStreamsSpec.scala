@@ -72,6 +72,39 @@ class FlowStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("anomaly MV: cross-batch fold equals the batch z-score; alarm cut is the flagged set (r13)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val out = tmp(); val cp = tmp()
+    val batches = (0 until 3).map(b =>
+      genBatch(500, seed = 300 + b, baseTime = 1704067200L + b * 600))
+    val q = FlowStreams.startAnomalyMV(src.toDF(), out, cp)
+    batches.foreach { b => src.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = FlowStreams.readAnomalySeries(spark, out).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.nonEmpty)
+    // batch reference: the SAME scoring core over the union of all records
+    // — integer partials must fold exactly under any micro-batch split
+    val all = spark.createDataFrame(batches.flatten)
+    val want = graft.flow.FlowQueries.zscoreOverMinutes(
+        all.groupBy(col("proto"),
+            ((col("timeReceived") / 60).cast("long") * 60).as("minute"))
+          .agg(sum(col("bytes") * col("samplingRate")).as("sampled_bytes")))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq === want.toSeq, "MV fold + shared core must equal batch semantics")
+    // the alarm cut is exactly the flagged subset
+    val alarms = FlowStreams.readAnomalyAlarms(spark, out).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(alarms === got.filter(_._5).map(t => (t._1, t._2)).toSet)
+    // replay guard: rewriting a batch dir (checkpoint replay) cannot
+    // double-count — the fold re-reads ONE copy per batch id
+    val preCount = got.length
+    val again = FlowStreams.readAnomalySeries(spark, out).collect().length
+    assert(again === preCount)
+  }
+
   test("raw compaction: fewer files, identical data, time-sorted within files") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[FlowMessage]

