@@ -338,6 +338,7 @@ object BenchScale {
     bench("scale_flow_anomaly_zscore") { graft.flow.FlowQueries.anomalyZscore(spark, famDir) }
     bench("scale_events_attribution") { graft.operators.EventOps.lastTouch(spark, famDir) }
     bench("scale_text_weighted_sample") { graft.operators.TextOps.weightedSample(spark, famDir) }
+    bench("scale_sim_diversity_int8") { graft.operators.Similarity.simDiversity(spark, famDir) }
     // convergence-style depth (r13): 20 sweeps with the per-sweep
     // lineage cut — proves the iterative posture holds when iters is no
     // longer a small constant (plan depth stays O(1) per sweep)

@@ -151,6 +151,10 @@ object Plans {
         "the lineitem scan — rows are pruned BEFORE the semi-join exchange " +
         "(the runtime-filter shape, made explicit); the exact LeftSemi join " +
         "then removes false positives"),
+      "sim_diversity_int8" -> ("NO join anywhere — the O(n²) pair relation " +
+        "never exists: one posexplode (xdims) into a map-combined " +
+        "(label, dim) integer-moment aggregate, then a per-label fold over " +
+        "the |labels|·dims relation; vectors never cross an exchange"),
       "rel_table_profile" -> ("TWO column-pruned scans, one per branch: the " +
         "multi-distinct branch is a single Expand feeding HASH aggregates " +
         "(all-long buffers); min/max(string) folds keylessly in its own branch " +

@@ -721,6 +721,39 @@ object Similarity {
       .otherwise(transform(v, x => (x.cast("double") / scale).cast("long")))
   }
 
+  /** CORPUS DIVERSITY per label over the int8-quantized embeddings — the
+    * "how spread out is this slice of the corpus" signal dataset curation
+    * uses to balance mixtures — WITHOUT a pairwise join: the mean
+    * pairwise squared distance collapses to per-dimension moments,
+    * `MPSD = 2/(n(n−1)) · Σ_d [ n·Σq_d² − (Σq_d)² ]`, so the O(n²) pair
+    * relation never exists. On the int8 codes every moment is an EXACT
+    * integer (|q| ≤ 127 keeps Σ_d[n·Σq² − (Σq)²] inside Long up to ~3M
+    * vectors per label; beyond that flip the moments to DoubleType, same
+    * plan) and the single final division is cross-engine deterministic.
+    *
+    * Scale shape: one posexplode (×dims) into a map-combined
+    * (label, dim) aggregate — the exchange carries |labels|·dims integer
+    * triples, never vectors; the per-label fold runs over that reduced
+    * relation. The float-embedding twin of this identity is not
+    * oracle-able (float sums are order-dependent); int8 codes are the
+    * representation the serving tier stores anyway ([[knnInt8]]). */
+  def simDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val coded = Tables.embeddings(spark, dir)
+      .select(col("label"), int8Codes(col("embedding")).as("codes"))
+    val perDim = coded
+      .select(col("label"), posexplode(col("codes")).as(Seq("dim", "q")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("s"), sum(col("q") * col("q")).as("s2"))
+    perDim.groupBy("label")
+      .agg(max("n").as("n_vecs"),
+        sum(col("n") * col("s2") - col("s") * col("s")).as("ssd"))
+      .select(col("label"), col("n_vecs"), col("ssd"),
+        when(col("n_vecs") < 2, lit(0.0))
+          .otherwise(round(lit(2.0) * col("ssd") /
+            (col("n_vecs") * (col("n_vecs") - 1)).cast("double"), 6)).as("diversity"))
+      .orderBy("label")
+  }
+
   /** Quantized serving path — brute-force top-k by INTEGER dot product
     * over the int8 codes ([[vecQuantize]]'s compressed representation):
     * what an ANN tier actually scores once its shards store int8. The
@@ -782,6 +815,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "sim_knn_label_agreement" -> ((s: SparkSession, d: String) => knnLabelAgreement(s, d)),
     "sim_vec_quantize" -> (vecQuantize _),
+    "sim_diversity_int8" -> (simDiversity _),
     "sim_knn_int8" -> ((s: SparkSession, d: String) => knnInt8(s, d)),
     "sim_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "sim_cosine_dup_pairs" -> ((s: SparkSession, d: String) => cosineDupPairs(s, d)),
@@ -961,6 +995,35 @@ object Similarity {
         |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_saturated,
         |  CAST(list_sum(codes) AS BIGINT) AS code_sum
         |FROM q ORDER BY vec_id""".stripMargin.replace('\n', ' '),
+    "sim_diversity_int8" ->
+      """WITH e AS (
+        |  SELECT label, embedding AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT label,
+        |    CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(v, x -> 0)
+        |      ELSE list_transform(v, x -> CAST(trunc(CAST(x AS DOUBLE) / (mx / 127.0)) AS INT))
+        |    END AS codes
+        |  FROM e
+        |), d AS (
+        |  SELECT label, i, codes[i] AS qv
+        |  FROM q, UNNEST(range(1, len(codes) + 1)) AS t(i)
+        |), pd AS (
+        |  SELECT label, i, count(*) AS n,
+        |    CAST(sum(qv) AS BIGINT) AS s, CAST(sum(qv * qv) AS BIGINT) AS s2
+        |  FROM d GROUP BY 1, 2
+        |), a AS (
+        |  SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        |    CAST(sum(n * s2 - s * s) AS BIGINT) AS ssd
+        |  FROM pd GROUP BY 1
+        |)
+        |SELECT label, n_vecs, ssd,
+        |  CASE WHEN n_vecs < 2 THEN 0.0
+        |    ELSE round(2.0 * ssd / CAST(n_vecs * (n_vecs - 1) AS DOUBLE), 6)
+        |  END AS diversity
+        |FROM a ORDER BY label""".stripMargin.replace('\n', ' '),
     "sim_knn_int8" ->
       """WITH e AS (
         |  SELECT vec_id, embedding AS v,

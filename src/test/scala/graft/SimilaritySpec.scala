@@ -417,4 +417,38 @@ class SimilaritySpec extends SparkTestBase {
     val overlap = got.map(r => (r._1, r._2)).count(floatTop.contains).toDouble / got.length
     assert(overlap >= 0.4, s"int8 vs float overlap $overlap")
   }
+
+  test("diversity: moments identity equals the brute pairwise mean; no pair relation in the plan (r13)") {
+    val got = Similarity.simDiversity(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // driver-side brute force: quantize with the same trunc(v / (max|v|/127))
+    // rule, then literally average all pairwise squared distances
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    def codes(v: Array[Float]): Array[Long] = {
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      if (mx == 0.0) Array.fill(v.length)(0L)
+      else v.map(x => (x.toDouble / (mx / 127.0)).toLong)
+    }
+    vecs.groupBy(_._1).foreach { case (label, vs) =>
+      val cs = vs.map(v => codes(v._2))
+      val n = cs.length
+      var ssdPairs = 0L
+      for (i <- cs.indices; j <- (i + 1) until n)
+        ssdPairs += cs(i).zip(cs(j)).map { case (a, b) => (a - b) * (a - b) }.sum
+      val (_, gn, gssd, gdiv) = got.find(_._1 == label).get
+      assert(gn === n.toLong)
+      // Σ over unordered pairs of d² equals the moments ssd (identity:
+      // Σ_d[n·Σq² − (Σq)²] = Σ_{i<j} d²(i,j)... summed over dims)
+      assert(gssd === ssdPairs, s"label $label moments vs pairwise")
+      val want = if (n < 2) 0.0
+        else math.rint(2.0 * ssdPairs / (n.toLong * (n - 1)).toDouble * 1e6) / 1e6
+      assert(math.abs(gdiv - want) < 1e-9, s"label $label diversity")
+    }
+    // and the plan contains NO join at all — the pair relation never exists
+    val plan = Similarity.simDiversity(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "diversity must not build a pair relation")
+  }
 }
