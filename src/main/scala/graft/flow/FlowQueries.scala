@@ -272,6 +272,157 @@ object FlowQueries {
       .orderBy("proto", "minute")
   }
 
+  /** ROBUST twin of [[anomalyZscore]]: per-(proto, minute) traffic flagged
+    * against the protocol's MEDIAN and MAD (median absolute deviation)
+    * instead of mean/stddev — the estimator an anomaly panel actually
+    * wants once the series itself contains the spikes being hunted (a
+    * volumetric attack inflates the mean and stddev enough to mask
+    * itself; the median and MAD have a 50% breakdown point).
+    *
+    * Oracle-exact discipline: "median" is the LOWER median — the element
+    * at rank `(n+1) div 2` under the total order (kb, minute) — a row
+    * PICK, never an interpolation, so there is no float averaging to
+    * drift (DuckDB's `median()` interpolates on even counts; both sides
+    * here use the identical row_number formulation instead). The flag is
+    * the pure integer comparison `|kb − med| · 10⁴ ≥ MAD · 44478`
+    * (3 · 1.4826 consistency-scaled MAD, ×10⁴); the reported robust z is
+    * ONE fixed expression tree `(kb − med) / (1.4826 · MAD)` of
+    * correctly-rounded IEEE ops, rounded to 6 places on both engines.
+    *
+    * Scale shape: the fact table reduces to the (proto, minute) grain in
+    * one map-combined aggregate (the SAME subtree as the z-score query,
+    * deduplicated by exchange reuse); every window after that is
+    * PARTITIONED BY proto over the reduced minutes relation — thousands
+    * of rows per proto, never a global sort, never the fact table. The
+    * two medians come back as broadcast ≤|protos|-row relations. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame =
+    madOverMinutes(fl(spark, dir)
+      .groupBy(col("proto"), (((col("time_received") / 60).cast("long")) * 60).as("minute"))
+      .agg(sum(col("bytes") * col("sampling_rate")).as("sampled_bytes")))
+
+  /** The MAD-scoring core over ANY exact (proto, minute, sampled_bytes)
+    * relation — shared by the batch query above and the streaming MV's
+    * robust read path ([[graft.streaming.FlowStreams.readAnomalyMadSeries]]),
+    * the same twin structure as [[zscoreOverMinutes]]. */
+  private[graft] def madOverMinutes(perMin0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perMin = perMin0.select(col("proto"), col("minute"),
+      expr("sampled_bytes div 1000").as("kb"))
+    val byProto = Window.partitionBy("proto")
+    def lowerMedian(rel: DataFrame, value: String, out: String): DataFrame =
+      rel
+        .withColumn("rn", row_number().over(byProto.orderBy(col(value).asc, col("minute").asc)))
+        .withColumn("n", count(lit(1)).over(byProto))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("proto"), col(value).as(out))
+    val med = lowerMedian(perMin, "kb", "med_kb")
+    val dev = perMin.join(broadcast(med), "proto")
+      .withColumn("dev", abs(col("kb") - col("med_kb")))
+    val mad = lowerMedian(dev, "dev", "mad_kb")
+    dev.join(broadcast(mad), "proto")
+      .select(col("proto"), col("minute"), col("kb"), col("med_kb"), col("mad_kb"),
+        when(col("mad_kb") === 0, lit(0.0))
+          .otherwise(round((col("kb") - col("med_kb")).cast("double")
+            / (lit(1.4826) * col("mad_kb").cast("double")), 6)).as("robust_z"),
+        (col("mad_kb") > 0 &&
+          abs(col("kb") - col("med_kb")) * 10000 >= col("mad_kb") * 44478).as("is_anomaly"))
+      .orderBy("proto", "minute")
+  }
+
+  /** Per-minute SOURCE-CONCENTRATION panel — the "is this burst one
+    * talker or a botnet" discriminator that complements the volumetric
+    * z-score/MAD flags: a normalized Herfindahl–Hirschman index over the
+    * per-source flow counts of each minute, plus the top talker's share.
+    * A routed DDoS from a single source drives HHI toward 1; a
+    * wide botnet burst leaves it near 1/n_src — the classic entropy-style
+    * signal, but computed on EXACT integers (Shannon entropy's Σp·log p
+    * is a multi-order float sum and libm call, not oracle-able;
+    * `HHI = Σnᵢ²/N²` carries the same ordering information with none of
+    * that).
+    *
+    * Exactness: per-(minute, src) counts and their squares are integer
+    * sums (N ≤ 2³¹ flows/minute keeps N² inside Long); HHI and top-share
+    * are each ONE rounded division.
+    *
+    * Scale shape: two hash aggregates — fact → (minute, src) counts
+    * (map-combined), then → minute grain; both exchanges carry integer
+    * keys/counts only and the second input is already reduced. Nothing
+    * joins, nothing sorts the fact relation. */
+  def srcConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = fl(spark, dir)
+      .groupBy((((col("time_received") / 60).cast("long")) * 60).as("minute"),
+        col("src_ip"))
+      .agg(count(lit(1)).as("n"))
+    perSrc.groupBy("minute")
+      .agg(sum("n").as("n_flows"),
+        count(lit(1)).as("n_src"),
+        sum(col("n") * col("n")).as("sum_sq"),
+        max("n").as("max_n"))
+      .select(col("minute"), col("n_flows"), col("n_src"),
+        round(col("sum_sq").cast("double") /
+          (col("n_flows") * col("n_flows")).cast("double"), 6).as("hhi"),
+        round(col("max_n").cast("double") / col("n_flows").cast("double"), 6)
+          .as("top_share"))
+      .orderBy("minute")
+  }
+
+  /** Short-horizon FORECAST over the per-(proto, minute) series — the
+    * "expected vs actual" band a capacity/anomaly dashboard draws: an
+    * 8-lag exponentially-weighted moving average in INTEGER fixed-point.
+    * The classic recursive EWMA `s_t = α·x_t + (1−α)·s_{t−1}` folds the
+    * entire history into a float recursion — order-dependent and not
+    * oracle-able; truncating at 8 lags with weights 2⁷..2⁰ (denominator
+    * 255) keeps >99.6% of the α=½ mass and makes the forecast ONE
+    * integer dot product and ONE integer division:
+    * `forecast = (Σᵢ₌₁₈ kb_{t−i}·2^{8−i}) div 255`. Rows without a full
+    * 8-lag history are excluded (no partial-window semantics to
+    * re-derive cross-engine). Residual `kb − forecast` is the band.
+    *
+    * Scale shape: the fact table reduces to the minute grain in one
+    * map-combined aggregate; the lag window runs PARTITIONED BY proto
+    * over that reduced relation (thousands of rows per proto) — never a
+    * global sort, never the fact table. */
+  def ewmaForecast(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perMin = fl(spark, dir)
+      .groupBy(col("proto"), (((col("time_received") / 60).cast("long")) * 60).as("minute"))
+      .agg(sum(col("bytes") * col("sampling_rate")).as("sampled_bytes"))
+      .select(col("proto"), col("minute"), expr("sampled_bytes div 1000").as("kb"))
+    val w = Window.partitionBy("proto").orderBy("minute")
+    val lags = (1 to 8).map(i => lag(col("kb"), i).over(w).as(s"l$i"))
+    val dotted = perMin.select(col("proto") +: col("minute") +: col("kb") +: lags: _*)
+    val num = (1 to 8).map(i => col(s"l$i") * lit(1L << (8 - i))).reduce(_ + _)
+    dotted
+      .filter((1 to 8).map(i => col(s"l$i").isNotNull).reduce(_ && _))
+      .withColumn("num", num) // Column./ is DOUBLE division — keep it integral
+      .select(col("proto"), col("minute"), col("kb"),
+        expr("num div 255").as("forecast_kb"),
+        (col("kb") - expr("num div 255")).as("residual_kb"))
+      .orderBy("proto", "minute")
+  }
+
+  /** OUT-DEGREE DISTRIBUTION of the traffic graph — the scanner/botnet
+    * population summary next to [[ipPageRank]]'s per-node ranking: how
+    * many sources talk to 1 destination, 2–3, 4–7, … (power-of-two
+    * buckets via the bit length of the exact distinct-destination count —
+    * pure integer string-length arithmetic, no log2/libm). The
+    * heavy-tail shape is the baseline a port-scan alarm's fan-out
+    * threshold is calibrated against.
+    *
+    * Scale shape: distinct (src, dst) pairs in one partial-distinct
+    * aggregate, per-src counts over that reduced edge set, then a ≤64-row
+    * bucket rollup — integer keys end to end, no joins. */
+  def ipDegreeDist(spark: SparkSession, dir: String): DataFrame =
+    fl(spark, dir)
+      .groupBy("src_ip")
+      .agg(count_distinct(col("dst_ip")).as("deg"))
+      .groupBy(length(bin(col("deg"))).cast("int").as("deg_bits"))
+      .agg(count(lit(1)).as("n_src"),
+        min("deg").as("min_deg"),
+        max("deg").as("max_deg"),
+        sum("deg").as("sum_deg"))
+      .orderBy("deg_bits")
+
   /** ITERATIVE GRAPH ANALYTICS on the traffic graph: 3 PageRank sweeps
     * over the distinct (src_ip → dst_ip) edge set in INTEGER FIXED-POINT
     * micro-units — every per-edge contribution is `(r·85) div (100·deg)`
@@ -764,6 +915,10 @@ object FlowQueries {
     "flow_ip_pagerank" -> ((s: SparkSession, d: String) => ipPageRank(s, d)),
     "flow_seasonal_baseline" -> (seasonalBaseline _),
     "flow_anomaly_zscore" -> (anomalyZscore _),
+    "flow_anomaly_mad" -> (anomalyMad _),
+    "flow_src_hhi" -> (srcConcentration _),
+    "flow_ewma_forecast" -> (ewmaForecast _),
+    "flow_ip_degree_dist" -> (ipDegreeDist _),
     "flow_dow_heatmap" -> (dowHeatmap _),
     "flow_rollup_5m" -> ((s: SparkSession, d: String) => rollup5m(s, d)),
     "flow_rollup_reagg" -> ((s, d) => rollupReagg(s, d)),
@@ -846,6 +1001,57 @@ object FlowQueries {
          |   (m.kb * n - sx) * (m.kb * n - sx) >= 9 * (n * sx2 - sx * sx)) AS is_anomaly
          | FROM m JOIN s ON m.proto = s.proto
          | ORDER BY m.proto, minute""".stripMargin.replace('\n', ' '),
+    // lower-median row PICK on both engines (rank (n+1)//2 under the
+    // identical total order) — never median()'s even-count interpolation
+    "flow_anomaly_mad" ->
+      s"""${cte}, m AS (SELECT proto, (time_received // 60) * 60 AS minute,
+         |  CAST(sum(bytes * sampling_rate) // 1000 AS BIGINT) AS kb FROM flows GROUP BY 1, 2),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY proto ORDER BY kb, minute) AS rn,
+         |  count(*) OVER (PARTITION BY proto) AS n FROM m),
+         | med AS (SELECT proto, kb AS med_kb FROM r WHERE rn = (n + 1) // 2),
+         | d AS (SELECT m.proto, m.minute, m.kb, med.med_kb,
+         |  abs(m.kb - med.med_kb) AS dev FROM m JOIN med ON m.proto = med.proto),
+         | r2 AS (SELECT *, row_number() OVER (PARTITION BY proto ORDER BY dev, minute) AS rn,
+         |  count(*) OVER (PARTITION BY proto) AS n FROM d),
+         | mad AS (SELECT proto, dev AS mad_kb FROM r2 WHERE rn = (n + 1) // 2)
+         | SELECT d.proto, d.minute, d.kb, d.med_kb, mad.mad_kb,
+         |  CASE WHEN mad.mad_kb = 0 THEN 0.0
+         |   ELSE round((d.kb - d.med_kb) / (1.4826 * mad.mad_kb), 6) END AS robust_z,
+         |  (mad.mad_kb > 0 AND
+         |   abs(d.kb - d.med_kb) * 10000 >= mad.mad_kb * 44478) AS is_anomaly
+         | FROM d JOIN mad ON d.proto = mad.proto
+         | ORDER BY d.proto, minute""".stripMargin.replace('\n', ' '),
+    // HHI / top-share: exact integer counts, ONE rounded division each
+    "flow_src_hhi" ->
+      s"""${cte}, s AS (SELECT (time_received // 60) * 60 AS minute, src_ip,
+         |  count(*) AS n FROM flows GROUP BY 1, 2)
+         | SELECT minute, CAST(sum(n) AS BIGINT) AS n_flows, count(*) AS n_src,
+         |  round(CAST(sum(n * n) AS DOUBLE) / CAST(sum(n) * sum(n) AS DOUBLE), 6) AS hhi,
+         |  round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS top_share
+         | FROM s GROUP BY 1 ORDER BY minute""".stripMargin.replace('\n', ' '),
+    // 8-lag integer EWMA: same row-lag window, same 2^(8-i)/255 weights
+    "flow_ewma_forecast" ->
+      s"""${cte}, m AS (SELECT proto, (time_received // 60) * 60 AS minute,
+         |  CAST(sum(bytes * sampling_rate) // 1000 AS BIGINT) AS kb FROM flows GROUP BY 1, 2),
+         | l AS (SELECT proto, minute, kb,
+         |  ${(1 to 8).map(i => s"lag(kb, $i) OVER w AS l$i").mkString(", ")}
+         |  FROM m WINDOW w AS (PARTITION BY proto ORDER BY minute))
+         | SELECT proto, minute, kb,
+         |  CAST((${(1 to 8).map(i => s"l$i * ${1L << (8 - i)}").mkString(" + ")}) // 255
+         |    AS BIGINT) AS forecast_kb,
+         |  CAST(kb - (${(1 to 8).map(i => s"l$i * ${1L << (8 - i)}").mkString(" + ")}) // 255
+         |    AS BIGINT) AS residual_kb
+         | FROM l WHERE ${(1 to 8).map(i => s"l$i IS NOT NULL").mkString(" AND ")}
+         | ORDER BY proto, minute""".stripMargin.replace('\n', ' '),
+    // power-of-two degree buckets via bin() string length — unpadded on
+    // both engines, no log2/libm
+    "flow_ip_degree_dist" ->
+      s"""${cte}, d AS (SELECT src_ip, count(DISTINCT dst_ip) AS deg
+         |  FROM flows GROUP BY 1)
+         | SELECT CAST(length(bin(deg)) AS INT) AS deg_bits, count(*) AS n_src,
+         |  CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg,
+         |  CAST(sum(deg) AS BIGINT) AS sum_deg
+         | FROM d GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' '),
     "flow_seasonal_baseline" ->
       s"""${cte}, m AS (SELECT (time_received // 60) * 60 AS minute,
          | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes FROM flows GROUP BY 1)

@@ -1,0 +1,153 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Per-dimension integer moments of a vector column in ONE pass — the
+  * aggregate form of the pairwise-moments identity
+  * `MPSD = 2/(n(n−1)) · Σ_d [ n·Σq_d² − (Σq_d)² ]` that
+  * [[graft.operators.Similarity.simDiversity]] uses: instead of
+  * posexploding every vector into dims rows (corpus×dims generated rows
+  * through a (label, dim)-keyed exchange), each task folds its rows into
+  * one fixed-size (n, Σq[], Σq²[]) buffer and only |groups| serialized
+  * buffers cross the exchange. Measured at 2 M × 64-dim vectors the
+  * explode plan burned its time generating and hash-aggregating 128 M
+  * rows; this is the same arithmetic with the row blow-up deleted.
+  *
+  * Exactness contract (unchanged from the explode form): inputs are int8
+  * codes (|q| ≤ 127), so every moment is an exact Long and
+  * `ssd = Σ_d [n·Σq² − (Σq)²]` stays inside Long up to ~3 M vectors per
+  * group at 64 dims; beyond that widen to the double-moments twin. All
+  * input vectors in a group must share one dimensionality — a mismatch
+  * throws rather than silently mis-summing.
+  */
+final class VecMomentsState {
+  var n: Long = 0L
+  var s: Array[Long] = null
+  var s2: Array[Long] = null
+
+  def update(codes: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    val d = codes.numElements()
+    if (s == null) { s = new Array[Long](d); s2 = new Array[Long](d) }
+    else require(s.length == d,
+      s"vec_moments: dimensionality mismatch (${s.length} vs $d)")
+    var i = 0
+    while (i < d) {
+      val q = codes.getLong(i)
+      s(i) += q
+      s2(i) += q * q
+      i += 1
+    }
+    n += 1
+  }
+
+  def merge(other: VecMomentsState): Unit = {
+    if (other.s != null) {
+      if (s == null) { s = other.s.clone(); s2 = other.s2.clone(); n = other.n }
+      else {
+        require(s.length == other.s.length,
+          s"vec_moments: dimensionality mismatch (${s.length} vs ${other.s.length})")
+        var i = 0
+        while (i < s.length) { s(i) += other.s(i); s2(i) += other.s2(i); i += 1 }
+        n += other.n
+      }
+    }
+  }
+
+  /** `Σ_d [n·Σq² − (Σq)²]` — exact under the int8 contract above. */
+  def ssd: Long = {
+    if (s == null) return 0L
+    var acc = 0L
+    var i = 0
+    while (i < s.length) { acc += n * s2(i) - s(i) * s(i); i += 1 }
+    acc
+  }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(n)
+    val d = if (s == null) 0 else s.length
+    out.writeInt(d)
+    var i = 0
+    while (i < d) { out.writeLong(s(i)); out.writeLong(s2(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object VecMomentsState {
+  def deserialize(bytes: Array[Byte]): VecMomentsState = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val st = new VecMomentsState
+    st.n = in.readLong()
+    val d = in.readInt()
+    if (d > 0) {
+      st.s = new Array[Long](d); st.s2 = new Array[Long](d)
+      var i = 0
+      while (i < d) { st.s(i) = in.readLong(); st.s2(i) = in.readLong(); i += 1 }
+    }
+    st
+  }
+}
+
+/** `vec_moments(codes)` over `array<bigint>` →
+  * `struct<n_vecs:bigint, ssd:bigint>` — partial buffers are one
+  * (8 + 4 + 16·dims)-byte blob per partition per group however many rows
+  * fold in. Null vectors are skipped (same as the explode form, where a
+  * null array generates no rows). */
+case class VecMomentsAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecMomentsState] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_moments needs array<bigint> codes, got $other")
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_vecs", LongType, nullable = false),
+    StructField("ssd", LongType, nullable = false)))
+  override def prettyName: String = "vec_moments"
+
+  override def createAggregationBuffer(): VecMomentsState = new VecMomentsState
+
+  override def update(buffer: VecMomentsState, input: InternalRow): VecMomentsState = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    buffer
+  }
+
+  override def merge(buffer: VecMomentsState, other: VecMomentsState): VecMomentsState = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: VecMomentsState): Any = InternalRow(buffer.n, buffer.ssd)
+
+  override def serialize(buffer: VecMomentsState): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): VecMomentsState =
+    VecMomentsState.deserialize(bytes)
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VecMomentsAgg = copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecMomentsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecMomentsAgg =
+    copy(inputAggBufferOffset = newOffset)
+}
+
+object VecMoments {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** `vecMoments(codes)` → `struct<n_vecs, ssd>`. */
+  def vecMoments(codes: Column): Column =
+    ColumnBridge.column(
+      VecMomentsAgg(ColumnBridge.expression(codes)).toAggregateExpression())
+}

@@ -488,6 +488,74 @@ object Dedup {
       .withColumn("dup_rate", round(col("dup_docs").cast("double") / col("docs"), 6))
       .orderBy("source")
 
+  /** Cross-source duplication matrix — the corpus-licensing / provenance
+    * report a curator runs before mixing sources: for every unordered
+    * source pair, how many DISTINCT texts appear in both, and how many
+    * documents on each side carry one of those shared texts (Common
+    * Crawl snapshots, mirrored wikis, and scraped aggregators overlap
+    * heavily; double-counting their shared mass skews any mixing-weight
+    * computation that assumes sources are disjoint).
+    *
+    * Scale shape: one hash aggregate reduces the corpus to the
+    * (digest, source, docs) relation — text never leaves the scan, only
+    * digests shuffle; the digest-keyed self-join (its two sides are the
+    * SAME aggregate subtree, deduplicated by exchange reuse) fans out at
+    * most C(|sources|, 2) rows per digest — bounded by the source-set
+    * size, never by corpus df. Null texts keep the per-doc sentinel
+    * digest ([[textDigest]]) and thus never cross-match. */
+  def crossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Tables.documents(spark, dir)
+      .select(col("source"), textDigest.as("d"))
+      .groupBy(col("d"), col("source"))
+      .agg(count(lit(1)).as("docs"))
+    val a = ds.select(col("d"), col("source").as("source_a"), col("docs").as("docs_a"))
+    val b = ds.select(col("d"), col("source").as("source_b"), col("docs").as("docs_b"))
+    a.join(b, Seq("d")).filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_texts"),
+        sum("docs_a").as("docs_a"),
+        sum("docs_b").as("docs_b"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DEDUP QUALITY EVALUATION: precision/recall/F1 of the MinHash+LSH
+    * pair set against the exact n-gram-Jaccard ground truth — the
+    * [[graft.operators.Similarity.annRecall]] twin for the dedup family:
+    * the number every banding/row-count parameter choice is tuned
+    * against before the exact scan is traded away. F1 uses the harmonic
+    * identity `2·tp/(n_truth + n_approx)` so it is ONE division, like
+    * precision and recall.
+    *
+    * Scale posture: the ground-truth side is quadratic in hot-shingle df
+    * BY NATURE (that is what makes it ground truth — see the banner on
+    * [[ngramJaccardPairs]]); at corpus scale this eval runs over a
+    * document SAMPLE, exactly like [[annRecall]]'s sampled query set.
+    * The comparison itself is a full-outer join of two id-pair relations
+    * + one fold to a single row — trivially bounded. */
+  def lshEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_t"))
+    val approx = minhashDupPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_a"))
+    truth.join(approx, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("in_a"), lit(0L))).as("n_approx"),
+        sum(when(col("in_t").isNotNull && col("in_a").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("in_t").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("in_a").isNull, 1L).otherwise(0L)).as("fn"))
+      .select(col("n_truth"), col("n_approx"), col("tp"), col("fp"), col("fn"),
+        when(col("n_approx") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / col("n_approx").cast("double"), 6))
+          .as("precision"),
+        when(col("n_truth") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / col("n_truth").cast("double"), 6))
+          .as("recall"),
+        when(col("n_truth") + col("n_approx") === 0, lit(0.0))
+          .otherwise(round((lit(2L) * col("tp")).cast("double")
+            / (col("n_truth") + col("n_approx")).cast("double"), 6)).as("f1"))
+  }
+
   /** Edit-distance-verified near-dup pairs — the character-level signal
     * the bag-of-shingles family can't see: two documents can share most
     * shingles yet differ by scattered in-place edits, and a retention
@@ -1410,7 +1478,9 @@ object Dedup {
     "dedup_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "dedup_containment_groundtruth" -> ((s: SparkSession, d: String) =>
       containmentPairs(s, d, maxDf = None)),
-    "dedup_rate_by_source" -> (dupRateBySource _))
+    "dedup_rate_by_source" -> (dupRateBySource _),
+    "dedup_cross_source" -> (crossSourceDup _),
+    "dedup_lsh_eval" -> (lshEval _))
 
   private val duckShingleCte =
     """WITH toks AS (
@@ -1544,6 +1614,28 @@ object Dedup {
          | count(*) - count(DISTINCT $duckTextDigest) AS dup_docs,
          | round(CAST(count(*) - count(DISTINCT $duckTextDigest) AS DOUBLE) / count(*), 6) AS dup_rate
          | FROM documents GROUP BY source ORDER BY source""".stripMargin.replace('\n', ' '),
+    "dedup_cross_source" ->
+      s"""WITH ds AS (SELECT $duckTextDigest AS d, source, count(*) AS docs
+         |  FROM documents GROUP BY 1, 2)
+         | SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS shared_texts,
+         |  CAST(sum(a.docs) AS BIGINT) AS docs_a,
+         |  CAST(sum(b.docs) AS BIGINT) AS docs_b
+         | FROM ds a JOIN ds b ON a.d = b.d AND a.source < b.source
+         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace('\n', ' '),
+    // the minhash_lsh oracle contract (LSH pair set == exact-Jaccard set
+    // at these parameters on this corpus) pins the eval's expected
+    // readout to exact-perfect — any Spark-side precision/recall
+    // regression in either pipeline hash-mismatches this row
+    "dedup_lsh_eval" ->
+      s"""WITH q AS (SELECT doc_a, doc_b FROM ($duckJaccard) j),
+         | c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+         | SELECT c.n AS n_truth, c.n AS n_approx, c.n AS tp,
+         |  CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn,
+         |  CASE WHEN c.n = 0 THEN 0.0 ELSE 1.0 END AS "precision",
+         |  CASE WHEN c.n = 0 THEN 0.0 ELSE 1.0 END AS recall,
+         |  CASE WHEN c.n = 0 THEN 0.0 ELSE 1.0 END AS f1
+         | FROM c""".stripMargin.replace('\n', ' '),
     // exact-Jaccard pair set (same contract the dedup_minhash_lsh oracle
     // establishes for the LSH path) + the identical prefix-Levenshtein gate
     "dedup_edit_pairs" ->

@@ -172,6 +172,146 @@ object EventOps {
       .orderBy("last_touch")
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic CRM / growth-analytics operator: per purchasing user, days
+    * since last purchase (anchored at the corpus's last purchase day, so
+    * the result is data-derived and deterministic), purchase count, and
+    * integer-micro revenue; each dimension scored into quintiles
+    * (1 = best: most recent / most frequent / highest spend) and the
+    * 5×5×5 segments summarized. Tie-breaks include user_id so NTILE
+    * assignment is a total order on both engines.
+    *
+    * Scale posture ([[graft.operators.RelQueries.customerQuartiles]]
+    * precedent): the NTILE windows are unpartitioned — exact quantile
+    * scoring is a global rank by definition — but they run over the
+    * PER-USER relation (one corpus-sized hash aggregate reduces events
+    * to it), dimension-sized next to the event stream. A fact-sized
+    * population would swap in the KLL sketch path for the cut points. */
+  def rfm(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        max(expr("unix_timestamp(ts) div 86400")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("value") * 1000000).cast("long")).as("monetary_micros"))
+    // anchor = the corpus's last purchase day, taken as a window max over
+    // the per-user relation itself — a scalar p.agg() subtree prunes to
+    // fewer columns and defeats exchange reuse, silently re-scanning the
+    // fact table (caught by the plan-contract suite); the unpartitioned
+    // window rides the same single-partition posture the NTILE scoring
+    // below already documents
+    val scored = p
+      .withColumn("anchor_day", max("last_day").over(Window.partitionBy()))
+      .withColumn("recency_days", col("anchor_day") - col("last_day"))
+    scored
+      .withColumn("r_score",
+        ntile(n).over(Window.orderBy(col("recency_days").asc, col("user_id").asc)))
+      .withColumn("f_score",
+        ntile(n).over(Window.orderBy(col("frequency").desc, col("user_id").asc)))
+      .withColumn("m_score",
+        ntile(n).over(Window.orderBy(col("monetary_micros").desc, col("user_id").asc)))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        sum("monetary_micros").as("sum_monetary_micros"),
+        min("recency_days").as("min_recency_days"),
+        max("recency_days").as("max_recency_days"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** COHORT LTV curves — the revenue-retention view growth analytics
+    * reads next to [[retention]]'s activity view: users grouped by
+    * signup week (epoch-week of their FIRST signup event), each cohort's
+    * purchase revenue laid out by whole weeks since that signup, with
+    * the running cumulative — the curve whose asymptote is the cohort's
+    * lifetime value. Pre-signup purchases are excluded (the cohort
+    * clock starts at signup; a negative offset has no cohort meaning).
+    * Revenue in integer micros, cumulative as an exact integer running
+    * window — nothing floats.
+    *
+    * Scale shape: two filtered hash aggregates (signup day per user;
+    * purchases projected to (user, day, micros)), one shuffle join on
+    * user_id (both sides user-keyed; AQE broadcasts the signup side if a
+    * filter makes it small), then the cumulative window runs PARTITIONED
+    * BY cohort over the (cohort, week)-grain relation — hundreds of
+    * rows, never the event stream. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(expr("unix_timestamp(ts) div 86400")).as("d0"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"),
+        floor(col("value") * 1000000).cast("long").as("v"))
+    val weekly = purchases.join(signup, "user_id")
+      .filter(col("day") >= col("d0"))
+      .select(expr("d0 div 7").as("cohort_week"),
+        expr("(day - d0) div 7").as("week_offset"),
+        col("user_id"), col("v"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_buyers"),
+        sum("v").as("revenue_micros"))
+    weekly
+      .withColumn("cum_revenue_micros",
+        sum("revenue_micros").over(
+          Window.partitionBy("cohort_week").orderBy("week_offset")))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Two-variant EXPERIMENT READOUT (A/B test) — the conversion-rate
+    * comparison with its two-proportion z statistic. The variant split
+    * is `user_id % 2`: deterministic, engine-identical, and exactly the
+    * hash-bucket assignment an experimentation system would persist.
+    * Conversion = the user has ≥1 HIGH-VALUE purchase (`value ≥
+    * minValue`, default 150) — thresholded because on this generator
+    * every user purchases eventually, and a metric everyone converts on
+    * (p̄ = 1) reads out as all-degenerate.
+    *
+    * Oracle-exact float discipline: counts are exact integers; the two
+    * rates are ONE rounded division each; the z statistic is ONE fixed
+    * expression tree `(p₁−p₂)/√(p̄(1−p̄)(1/n₁+1/n₂))` of correctly-rounded
+    * IEEE ops over those integers (sqrt and ÷ are correctly rounded on
+    * both engines — the [[graft.flow.FlowQueries.anomalyZscore]]
+    * precedent), rounded to 6 places; the significance flag compares the
+    * UNROUNDED z² against 1.96² inside the same tree, so both engines
+    * flag identically.
+    *
+    * Scale shape: one per-user hash aggregate (map-combined) over a
+    * projected (user_id, is-purchase) stream, then a single global fold
+    * to ONE row — conditional sums, no join, no window. */
+  def abTest(spark: SparkSession, dir: String, minValue: Double = 150.0): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase" && col("value") >= minValue, 1L)
+          .otherwise(0L).as("p"))
+      .groupBy("user_id")
+      .agg(max("p").as("converted"))
+      .select((col("user_id") % 2).as("variant"), col("converted"))
+    val g = per.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+    val p1 = col("conv_a").cast("double") / col("n_a").cast("double")
+    val p2 = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    val zRaw = (p1 - p2) / se
+    val degenerate = col("n_a") === 0 || col("n_b") === 0 ||
+      col("conv_a") + col("conv_b") === 0 ||
+      col("conv_a") + col("conv_b") === col("n_a") + col("n_b")
+    g.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(p1, 6).as("rate_a"), round(p2, 6).as("rate_b"),
+      when(degenerate, lit(0.0)).otherwise(round(zRaw, 6)).as("z"),
+      // the flag must live INSIDE a conditional: a bare `!degenerate &&
+      // zRaw² ≥ …` still evaluates zRaw's division, and under ANSI mode a
+      // degenerate group (se = 0) then throws DIVIDE_BY_ZERO
+      when(degenerate, lit(false))
+        .otherwise(zRaw * zRaw >= lit(3.8416)).as("significant"))
+  }
+
   /** Time-to-convert: first signup → first purchase AT-OR-AFTER that
     * signup, per user, distribution summarized in whole seconds
     * (integer sums; one final rounded division for the mean). Two hash
@@ -243,6 +383,9 @@ object EventOps {
     "events_value_stats" -> (valueStats _),
     "events_transitions" -> (transitions _),
     "events_attribution" -> (lastTouch _),
+    "events_rfm" -> ((s: SparkSession, d: String) => rfm(s, d)),
+    "events_cohort_ltv" -> (cohortLtv _),
+    "events_ab_test" -> ((s: SparkSession, d: String) => abTest(s, d)),
     "events_time_to_convert" -> (timeToConvert _),
     "events_gap_sessions" -> ((s: SparkSession, d: String) => gapSessions(s, d)),
     "events_dau_wau" -> (dauWau _),
@@ -280,6 +423,80 @@ object EventOps {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         | FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
         | ORDER BY from_type, to_type""".stripMargin.replace('\n', ' '),
+    "events_rfm" ->
+      """WITH p AS (SELECT user_id,
+        |   max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day,
+        |   count(*) AS frequency,
+        |   CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS monetary_micros
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | s AS (SELECT *, (SELECT max(last_day) FROM p) - last_day AS recency_days FROM p),
+        | t AS (SELECT *,
+        |   CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS INT) AS r_score,
+        |   CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS INT) AS f_score,
+        |   CAST(ntile(5) OVER (ORDER BY monetary_micros DESC, user_id ASC) AS INT) AS m_score
+        |  FROM s)
+        | SELECT r_score, f_score, m_score, count(*) AS n_users,
+        |  CAST(sum(monetary_micros) AS BIGINT) AS sum_monetary_micros,
+        |  CAST(min(recency_days) AS BIGINT) AS min_recency_days,
+        |  CAST(max(recency_days) AS BIGINT) AS max_recency_days
+        | FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace('\n', ' '),
+    "events_cohort_ltv" ->
+      """WITH sg AS (SELECT user_id,
+        |   min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        | p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(floor(value * 1000000) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        | b AS (SELECT sg.d0 // 7 AS cohort_week, (p.day - sg.d0) // 7 AS week_offset,
+        |   p.user_id, p.v
+        |  FROM p JOIN sg ON p.user_id = sg.user_id WHERE p.day >= sg.d0),
+        | w AS (SELECT cohort_week, week_offset,
+        |   CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+        |   CAST(sum(v) AS BIGINT) AS revenue_micros
+        |  FROM b GROUP BY 1, 2)
+        | SELECT cohort_week, week_offset, n_buyers, revenue_micros,
+        |  CAST(sum(revenue_micros) OVER (
+        |    PARTITION BY cohort_week ORDER BY week_offset) AS BIGINT)
+        |   AS cum_revenue_micros
+        | FROM w ORDER BY 1, 2""".stripMargin.replace('\n', ' '),
+    // the z is the IDENTICAL expression tree over exact integers on both
+    // engines; the flag compares unrounded z² inside that tree
+    "events_ab_test" ->
+      """WITH per AS (SELECT user_id,
+        |   max(CASE WHEN event_type = 'purchase' AND value >= 150
+        |     THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1),
+        | v AS (SELECT user_id % 2 AS variant, converted FROM per),
+        | g AS (SELECT
+        |   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |   CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM v)
+        | SELECT n_a, conv_a, n_b, conv_b,
+        |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+        |    OR conv_a + conv_b = n_a + n_b THEN 0.0
+        |   ELSE round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |     - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) END AS z,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+        |    OR conv_a + conv_b = n_a + n_b THEN FALSE
+        |   ELSE ((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |     - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+        |   * ((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |     - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+        |   >= 3.8416 END AS significant
+        | FROM g""".stripMargin.replace('\n', ' '),
     "events_time_to_convert" ->
       """WITH sg AS (SELECT user_id, min(ts) AS t_signup FROM events
         |   WHERE event_type = 'signup' GROUP BY 1),

@@ -468,6 +468,32 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN QUALITY EVALUATION: recall@k of the IVF serving path against the
+    * brute-force ground truth — the metric every approximate-index
+    * deployment reports before trading the exact scan away (probe count
+    * and centroid count are tuned against exactly this number). Per
+    * query: how many of the true top-k the index returned, and the
+    * resulting recall fraction (ONE final division).
+    *
+    * Scale shape: both rank lists are top-k relations (nQueries·k rows);
+    * the comparison is a left-semi join + two tiny aggregates. The
+    * expensive parts are the two kNN paths themselves, each already
+    * bounded (brute is the eval-tier baseline run over the SAME small
+    * query set; IVF probes its cells). At 100 TB the brute side runs
+    * once per index build over a sampled query set — exactly this shape. */
+  def annRecall(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val truth = knnBrute(spark, dir, nQueries, k).select("query_id", "neighbor_id")
+    val approx = knnIvf(spark, dir, nQueries, k).select("query_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("k_eff"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k_eff"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("k_eff"), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   // ------------------------------------------------- materialized IVF index
 
   /** Materialize the IVF index at `indexDir`: train centroids, assign every
@@ -731,28 +757,50 @@ object Similarity {
     * vectors per label; beyond that flip the moments to DoubleType, same
     * plan) and the single final division is cross-engine deterministic.
     *
-    * Scale shape: one posexplode (×dims) into a map-combined
-    * (label, dim) aggregate — the exchange carries |labels|·dims integer
-    * triples, never vectors; the per-label fold runs over that reduced
-    * relation. The float-embedding twin of this identity is not
-    * oracle-able (float sums are order-dependent); int8 codes are the
-    * representation the serving tier stores anyway ([[knnInt8]]). */
-  def simDiversity(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: ONE pass — [[graft.functions.VecMomentsAgg]] folds each
+    * task's vectors into a fixed-size (n, Σq[], Σq²[]) buffer map-side, so
+    * the exchange carries |labels| serialized moment blobs, never vectors
+    * and never the corpus×dims exploded rows (the r13 50 M-scale bench
+    * caught the original posexplode form generating and hash-aggregating
+    * 128 M (label, dim, q) rows — 78.6 s at 2 M×64-dim; the one-pass
+    * aggregate is the identical arithmetic with the row blow-up deleted,
+    * kept as [[simDiversityExplode]] for the equality spec). The
+    * float-embedding twin of this identity is not oracle-able (float sums
+    * are order-dependent); int8 codes are the representation the serving
+    * tier stores anyway ([[knnInt8]]). */
+  def simDiversity(spark: SparkSession, dir: String): DataFrame =
+    diversityFinalize(Tables.embeddings(spark, dir)
+      .select(col("label"), int8Codes(col("embedding")).as("codes"))
+      .groupBy("label")
+      .agg(graft.functions.VecMoments.vecMoments(col("codes")).as("m"))
+      .select(col("label"), col("m.n_vecs").as("n_vecs"), col("m.ssd").as("ssd")))
+
+  /** The original posexplode formulation — same exact arithmetic, kept as
+    * the independent cross-check twin the equality spec replays (and the
+    * shape to fall back to if a group ever exceeds the Long-moment bound:
+    * per-dim triples re-widen gracefully to double there). */
+  private[graft] def simDiversityExplode(spark: SparkSession, dir: String): DataFrame = {
     val coded = Tables.embeddings(spark, dir)
       .select(col("label"), int8Codes(col("embedding")).as("codes"))
     val perDim = coded
       .select(col("label"), posexplode(col("codes")).as(Seq("dim", "q")))
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n"), sum("q").as("s"), sum(col("q") * col("q")).as("s2"))
-    perDim.groupBy("label")
+    diversityFinalize(perDim.groupBy("label")
       .agg(max("n").as("n_vecs"),
-        sum(col("n") * col("s2") - col("s") * col("s")).as("ssd"))
+        sum(col("n") * col("s2") - col("s") * col("s")).as("ssd")))
+  }
+
+  /** Shared finalizer: the ONE division of the pairwise-moments identity,
+    * identical on both formulations so the equality spec compares
+    * bit-for-bit. */
+  private def diversityFinalize(moments: DataFrame): DataFrame =
+    moments
       .select(col("label"), col("n_vecs"), col("ssd"),
         when(col("n_vecs") < 2, lit(0.0))
           .otherwise(round(lit(2.0) * col("ssd") /
             (col("n_vecs") * (col("n_vecs") - 1)).cast("double"), 6)).as("diversity"))
       .orderBy("label")
-  }
 
   /** Quantized serving path — brute-force top-k by INTEGER dot product
     * over the int8 codes ([[vecQuantize]]'s compressed representation):
@@ -822,6 +870,7 @@ object Similarity {
     "sim_semantic_keep" -> ((s: SparkSession, d: String) => semanticKeep(s, d)),
     "sim_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "sim_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
+    "sim_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "sim_knn_ivf_indexed" -> ((s: SparkSession, d: String) =>
       knnIvfIndexed(s, ivfIndexFor(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 5, nProbe = 4)),
@@ -937,7 +986,10 @@ object Similarity {
 
   /** The indexed serving path must return exactly what the inline IVF
     * returns at the same build parameters — one oracle covers both. */
-  private lazy val ivfOracle: String =
+  /** Shared CTE prefix (kmeans → probes → exact-scored candidates) for the
+    * IVF oracles — single source of truth so the recall oracle can never
+    * drift from the ranking oracle's candidate semantics. */
+  private lazy val ivfScoredCtes: String =
     s"""${duckKmeansCtes(16, 2, trainBuckets = 2500)},
        | cents AS (SELECT cid, c_emb FROM cents2),
        | asg AS (SELECT vec_id AS neighbor_id, cid FROM (
@@ -952,11 +1004,34 @@ object Similarity {
        |   WHERE a.neighbor_id <> p.query_id),
        | scored AS (SELECT cand.query_id, cand.neighbor_id,
        |     round(${duckCos("eq.embedding", "ec.embedding")}, 6) AS cos_sim
-       |   FROM cand JOIN e eq ON eq.vec_id = cand.query_id JOIN e ec ON ec.vec_id = cand.neighbor_id)
+       |   FROM cand JOIN e eq ON eq.vec_id = cand.query_id JOIN e ec ON ec.vec_id = cand.neighbor_id)""".stripMargin
+
+  private lazy val ivfOracle: String =
+    s"""$ivfScoredCtes
        | SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
        |   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
        |   FROM scored)
        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
+
+  /** recall@k: the IVF rank list (same CTEs as [[ivfOracle]]) joined
+    * against the brute-force truth list. */
+  private lazy val annRecallOracle: String =
+    s"""$ivfScoredCtes,
+       | ivf AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |   FROM scored) WHERE rank <= 5),
+       | truth AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |     row_number() OVER (PARTITION BY q.vec_id
+       |       ORDER BY round(${duckCos("q.embedding", "c.embedding")}, 6) DESC, c.vec_id ASC) AS rank
+       |   FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rank <= 5)
+       | SELECT t.query_id, count(*) AS k_eff,
+       |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS recall
+       | FROM truth t LEFT JOIN ivf i
+       |   ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+       | GROUP BY 1 ORDER BY t.query_id""".stripMargin.replace('\n', ' ')
 
   val oracles: Map[String, String] = Map(
     "sim_knn_label_agreement" ->
@@ -1080,6 +1155,7 @@ object Similarity {
          | SELECT vec_id, label FROM embeddings
          | WHERE vec_id NOT IN (SELECT id_b FROM dropped) ORDER BY vec_id""".stripMargin.replace('\n', ' '),
     "sim_knn_ivf" -> ivfOracle,
+    "sim_ann_recall" -> annRecallOracle,
     "sim_knn_lsh" -> lshOracle,
     "sim_knn_lsh_indexed" -> lshOracle)
 

@@ -397,6 +397,16 @@ object FlowStreams {
       .filter(col("is_anomaly"))
       .orderBy(desc("minute"), asc("proto"))
 
+  /** ROBUST read path over the SAME MV partials: fold exactly, then apply
+    * the batch median/MAD core ([[graft.flow.FlowQueries.anomalyMad]]) —
+    * one MV serves both estimators, because detection lives entirely at
+    * read time (the zero-state partials posture pays off exactly here:
+    * adding an estimator costs a read path, never a second stream). */
+  def readAnomalyMadSeries(spark: SparkSession, path: String): DataFrame =
+    graft.flow.FlowQueries.madOverMinutes(
+      plainPartials(spark, path).groupBy("proto", "minute")
+        .agg(sum("sampled_bytes").as("sampled_bytes")))
+
   /** Managed-table twins ([[ManifestTable]] snapshot reads). */
   def readAnomalySeriesManaged(spark: SparkSession, table: String): DataFrame =
     scoreAnomalies(ManifestTable.read(spark, table))

@@ -884,4 +884,53 @@ class DedupSpec extends SparkTestBase {
     val ungated = Dedup.editVerifiedPairs(spark, sf, maxDist = Int.MaxValue).count()
     assert(ungated >= edit.length)
   }
+
+  test("cross-source duplication: pair counts replay driver-side; null texts never cross-match (r13)") {
+    val got = Dedup.crossSourceDup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.foreach { case (a, b, shared, da, db) =>
+      assert(a < b, "pairs must be canonically ordered")
+      assert(shared > 0 && da >= shared && db >= shared,
+        "each side has at least one doc per shared text")
+    }
+    // driver replay over (source, text)
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    val bySource = docs.filter(_._3.isDefined)
+      .groupBy(_._2).map { case (s, ds) =>
+        s -> ds.groupBy(_._3.get).map { case (t, xs) => t -> xs.size.toLong }
+      }
+    val sources = bySource.keys.toSeq.sorted
+    val want = (for {
+      i <- sources.indices; j <- i + 1 until sources.size
+      a = sources(i); b = sources(j)
+      shared = bySource(a).keySet.intersect(bySource(b).keySet)
+      if shared.nonEmpty
+    } yield (a, b, shared.size.toLong,
+        shared.toSeq.map(bySource(a)).sum, shared.toSeq.map(bySource(b)).sum)).toSeq
+    assert(got.toSeq.sortBy(x => (x._1, x._2)) === want.sortBy(x => (x._1, x._2)))
+  }
+
+  test("lsh eval: tp/fp/fn reconcile with the two pair sets; P/R/F1 are the one-division forms (r13)") {
+    val r = Dedup.lshEval(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nT, nA, tp, fp, fn) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    // identities that hold for ANY two pair sets
+    assert(tp + fn === nT, "truth splits into hits + misses")
+    assert(tp + fp === nA, "approx splits into hits + false alarms")
+    // replay against the two pipelines directly
+    val truth = Dedup.ngramJaccardPairs(spark, sf).select("doc_a", "doc_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val approx = Dedup.minhashDupPairs(spark, sf).select("doc_a", "doc_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nT === truth.size.toLong && nA === approx.size.toLong)
+    assert(tp === truth.intersect(approx).size.toLong)
+    assert(truth.nonEmpty, "corpus must contain near-dup pairs for the eval to exercise")
+    def one(n: Long, d: Long) = if (d == 0) 0.0 else math.rint(n.toDouble / d * 1e6) / 1e6
+    assert(math.abs(row.getDouble(5) - one(tp, nA)) < 1e-9, "precision")
+    assert(math.abs(row.getDouble(6) - one(tp, nT)) < 1e-9, "recall")
+    assert(math.abs(row.getDouble(7) - one(2 * tp, nT + nA)) < 1e-9, "harmonic F1")
+  }
 }

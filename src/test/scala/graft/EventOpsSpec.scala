@@ -193,4 +193,99 @@ class EventOpsSpec extends SparkTestBase {
     assert(got.map(_._2).sum ===
       Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
   }
+
+  test("rfm: segments conserve users and revenue; NTILE replay agrees per dimension (r13)") {
+    val segs = EventOps.rfm(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(segs.nonEmpty)
+    segs.foreach { case (rs, fs, ms, n, _, lo, hi) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(n > 0 && lo >= 0 && hi >= lo)
+    }
+    // driver replay of the per-user base relation
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "unix_timestamp(ts) div 86400 AS day",
+        "CAST(floor(value * 1000000) AS BIGINT) AS v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perUser = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.map(_._2).max, es.size.toLong, es.map(_._3).sum)
+    }.toSeq
+    val anchor = perUser.map(_._2).max
+    // users and revenue conserve across segments
+    assert(segs.map(_._4).sum === perUser.size.toLong)
+    assert(segs.map(_._5).sum === perUser.map(_._4).sum)
+    // standard SQL NTILE: with n = users, the first (n mod 5) buckets get
+    // ceil(n/5) members under the (key, user_id) total order
+    def ntile5(order: Seq[Long]): Map[Long, Int] = {
+      val n = order.size; val q = n / 5; val r = n % 5
+      order.zipWithIndex.map { case (u, i) =>
+        val bucket =
+          if (i < r * (q + 1)) i / (q + 1) + 1
+          else r + (i - r * (q + 1)) / q + 1
+        u -> bucket
+      }.toMap
+    }
+    val rT = ntile5(perUser.sortBy(u => (anchor - u._2, u._1)).map(_._1))
+    val fT = ntile5(perUser.sortBy(u => (-u._3, u._1)).map(_._1))
+    val mT = ntile5(perUser.sortBy(u => (-u._4, u._1)).map(_._1))
+    val wantSegs = perUser.groupBy(u => (rT(u._1), fT(u._1), mT(u._1)))
+      .map { case ((a, b, c), us) => (a, b, c, us.size.toLong) }.toSeq.sorted
+    assert(segs.map(s => (s._1, s._2, s._3, s._4)).toSeq.sorted === wantSegs)
+  }
+
+  test("cohort LTV: weekly revenue replays driver-side; cumulative is an exact running sum (r13)") {
+    val rows = EventOps.cohortLtv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // driver replay
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_timestamp(ts) div 86400 AS day",
+        "CAST(floor(value * 1000000) AS BIGINT) AS v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val d0 = ev.filter(_._2 == "signup").groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
+    val base = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, day, v) =>
+        d0.get(u).filter(day >= _).map(s => ((s / 7, (day - s) / 7), (u, v)))
+      }
+    val want = base.groupBy(_._1).map { case ((cw, wo), xs) =>
+      (cw, wo, xs.map(_._2._1).distinct.size.toLong, xs.map(_._2._2).sum)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSeq === want)
+    // the cumulative column is the exact per-cohort running sum
+    rows.groupBy(_._1).foreach { case (cw, rs) =>
+      val ordered = rs.sortBy(_._2)
+      val running = ordered.map(_._4).scanLeft(0L)(_ + _).drop(1)
+      assert(ordered.map(_._5).toSeq === running.toSeq, s"cohort $cw cumulative")
+    }
+    // pre-signup purchases are excluded: every offset is non-negative
+    assert(rows.forall(_._2 >= 0))
+  }
+
+  test("ab test: counts, rates, z and flag replay driver-side from exact integers (r13)") {
+    val r = EventOps.abTest(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (na, ca, nb, cb) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // driver replay of the per-user conversion relation
+    val per = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "value").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+      .groupBy(_._1).toSeq.map { case (u, xs) =>
+        (u % 2, if (xs.exists(e => e._2 == "purchase" && e._3 >= 150.0)) 1L else 0L)
+      }
+    assert(na === per.count(_._1 == 0).toLong && nb === per.count(_._1 == 1).toLong)
+    assert(ca === per.filter(_._1 == 0).map(_._2).sum)
+    assert(cb === per.filter(_._1 == 1).map(_._2).sum)
+    assert(ca > 0 && ca < na && cb > 0 && cb < nb,
+      "corpus must be non-degenerate for the z to be meaningful")
+    val (p1, p2) = (ca.toDouble / na, cb.toDouble / nb)
+    val pp = (ca + cb).toDouble / (na + nb)
+    val z = (p1 - p2) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(row.getDouble(4) - math.rint(p1 * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(row.getDouble(5) - math.rint(p2 * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(row.getDouble(6) - math.rint(z * 1e6) / 1e6) < 1e-9, "z statistic")
+    assert(row.getBoolean(7) === (z * z >= 3.8416), "significance flag")
+  }
 }

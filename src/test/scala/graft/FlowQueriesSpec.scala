@@ -326,7 +326,7 @@ class FlowQueriesSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(topFromQuery.length === 20)
     // independent driver replay of the integer iteration
-    val f = graft.flow.FlowAdapter.flows(spark, sf)
+    val f = FlowAdapter.flows(spark, sf)
       .select("src_ip", "dst_ip").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val nodes = (f.map(_._1) ++ f.map(_._2)).distinct.sorted
@@ -432,5 +432,99 @@ class FlowQueriesSpec extends SparkTestBase {
       .select(col("proto"), (((col("time_received") / 60).cast("long")) * 60).as("m"))
       .distinct().count()
     assert(rows.length.toLong === minutes)
+  }
+
+  test("anomaly MAD: lower medians replay driver-side; integer flag matches; z-score twin aligned (r13)") {
+    val rows = FlowQueries.anomalyMad(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    def lowerMedian(xs: Seq[(Long, Long)]): Long = { // (value, minute) tie-broken
+      val sorted = xs.sortBy(identity).map(_._1)
+      sorted(((sorted.size + 1) / 2) - 1)
+    }
+    rows.groupBy(_._1).foreach { case (proto, series) =>
+      val med = lowerMedian(series.map(s => (s._3, s._2)).toSeq)
+      val mad = lowerMedian(series.map(s => (math.abs(s._3 - med), s._2)).toSeq)
+      series.foreach { case (_, minute, kb, gotMed, gotMad, z, flag) =>
+        assert(gotMed === med, s"proto $proto median")
+        assert(gotMad === mad, s"proto $proto MAD")
+        val wantZ = if (mad == 0) 0.0
+          else math.rint((kb - med).toDouble / (1.4826 * mad.toDouble) * 1e6) / 1e6
+        assert(math.abs(z - wantZ) < 1e-9, s"proto $proto minute $minute robust z")
+        assert(flag === (mad > 0 && math.abs(kb - med) * 10000 >= mad * 44478),
+          s"proto $proto minute $minute flag must equal the integer rule")
+      }
+    }
+    // same grain as the z-score twin: identical (proto, minute) key set
+    val zKeys = FlowQueries.anomalyZscore(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet === zKeys)
+  }
+
+  test("src concentration: HHI and top-share replay driver-side; bounds hold (r13)") {
+    val rows = FlowQueries.srcConcentration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // driver replay over (minute, src) flow counts
+    val raw = FlowAdapter.flows(spark, sf)
+      .selectExpr("(cast(time_received / 60 as long)) * 60 AS minute", "src_ip")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byMin = raw.groupBy(_._1).map { case (m, xs) =>
+      m -> xs.groupBy(_._2).map(_._2.size.toLong).toSeq
+    }
+    rows.foreach { case (minute, nFlows, nSrc, hhi, topShare) =>
+      val ns = byMin(minute)
+      assert(nFlows === ns.sum && nSrc === ns.size.toLong)
+      val wantHhi = math.rint(ns.map(n => n * n).sum.toDouble
+        / (ns.sum * ns.sum).toDouble * 1e6) / 1e6
+      val wantTop = math.rint(ns.max.toDouble / ns.sum.toDouble * 1e6) / 1e6
+      assert(math.abs(hhi - wantHhi) < 1e-9, s"minute $minute hhi")
+      assert(math.abs(topShare - wantTop) < 1e-9, s"minute $minute top_share")
+      // 1/n_src <= hhi <= 1 and top_share >= 1/n_src (equality iff uniform)
+      assert(hhi >= 1.0 / nSrc - 1e-6 && hhi <= 1.0 + 1e-9)
+      assert(topShare >= 1.0 / nSrc - 1e-6)
+    }
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+  }
+
+  test("ewma forecast: 8-lag integer dot product replays; only full-history rows emitted (r13)") {
+    val rows = FlowQueries.ewmaForecast(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // driver replay of the per-(proto, minute) kb series and the lag dot
+    val perMin = FlowAdapter.flows(spark, sf)
+      .groupBy(col("proto"), ((col("time_received") / 60).cast("long") * 60).as("minute"))
+      .agg(expr("sum(bytes * sampling_rate) div 1000").as("kb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val want = perMin.groupBy(_._1).flatMap { case (proto, xs) =>
+      val series = xs.sortBy(_._2)
+      series.indices.drop(8).map { i =>
+        val num = (1 to 8).map(l => series(i - l)._3 * (1L << (8 - l))).sum
+        (proto, series(i)._2, series(i)._3, num / 255, series(i)._3 - num / 255)
+      }
+    }.toSeq.sortBy(x => (x._1, x._2))
+    assert(rows.toSeq.sortBy(x => (x._1, x._2)) === want,
+      "forecast must equal the driver-side 8-lag weighted dot product")
+  }
+
+  test("ip degree distribution: buckets replay driver-side and conserve the source population (r13)") {
+    val rows = FlowQueries.ipDegreeDist(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val edges = FlowAdapter.flows(spark, sf)
+      .select("src_ip", "dst_ip").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degs = edges.groupBy(_._1).map(_._2.size.toLong).toSeq
+    def bits(n: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val want = degs.groupBy(bits).map { case (b, ds) =>
+      (b, ds.size.toLong, ds.min, ds.max, ds.sum)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === want)
+    // conservation + bucket sanity: every deg in [2^(bits-1), 2^bits)
+    assert(rows.map(_._2).sum === degs.size.toLong)
+    rows.foreach { case (b, _, lo, hi, _) =>
+      assert(lo >= (1L << (b - 1)) && hi < (1L << b), s"bucket $b bounds")
+    }
   }
 }

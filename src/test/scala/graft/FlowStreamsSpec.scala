@@ -103,6 +103,20 @@ class FlowStreamsSpec extends SparkTestBase {
     val preCount = got.length
     val again = FlowStreams.readAnomalySeries(spark, out).collect().length
     assert(again === preCount)
+    // the SAME partials serve the robust estimator: MAD read path equals
+    // the batch median/MAD core over the unioned records, bit-for-bit
+    val gotMad = FlowStreams.readAnomalyMadSeries(spark, out).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getBoolean(6)))
+    val wantMad = graft.flow.FlowQueries.madOverMinutes(
+        all.groupBy(col("proto"),
+            ((col("timeReceived") / 60).cast("long") * 60).as("minute"))
+          .agg(sum(col("bytes") * col("samplingRate")).as("sampled_bytes")))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getBoolean(6)))
+    assert(gotMad.toSeq === wantMad.toSeq,
+      "one MV, two estimators: the MAD fold must equal batch semantics too")
   }
 
   test("raw compaction: fewer files, identical data, time-sorted within files") {

@@ -294,6 +294,183 @@ class PlanContractsSpec extends SparkTestBase {
       "bloom prefilter must prune before the join, not after")
   }
 
+  // ---- r13 full-sweep additions (verdict #8): the remaining batch
+  // PLANS.md "Must show" contracts. Streaming/managed-layout contracts
+  // (stream_neardup batch/horizon, flow_raw_time_range_managed,
+  // sim_knn_ivf_indexed manifest pruning) stay in their focused suites —
+  // they need seeded indexes/streams this registry-shaped suite can't build.
+
+  test("flow_rollup_5m: partial+final hash aggregate around ONE exchange") {
+    val p = plan("flow_rollup_5m")
+    assert(hashShuffles(p).size === 1, "one rollup-key exchange")
+    assert(p.collect { case a: HashAggregateExec => a }.size >= 2, "partial+final")
+  }
+
+  test("flow_top_bytes_per_proto: GroupTopK partial+final, no sort below the top-k") {
+    val p = plan("flow_top_bytes_per_proto")
+    val topks = p.collect { case g: graft.plans.GroupTopKExec => g }
+    assert(topks.size === 2, "per-group top-k must plan as partial+final GroupTopKExec")
+    // no sort UNDER the top-k (the trailing presentation orderBy above it,
+    // over <= |protos|·k rows, is fine)
+    topks.foreach(g => assert(g.collect { case s: SortExec => s }.isEmpty,
+      "GroupTopK exists to avoid sorting the fact relation"))
+  }
+
+  test("text_source_cap: GroupTopK partial+final — a hot source ships <= cap rows per partition") {
+    val p = plan("text_source_cap")
+    assert(p.collect { case g: graft.plans.GroupTopKExec => g }.size === 2)
+  }
+
+  test("sim_cosine_dup_pairs: embeddings never cross an exchange; pair dedup aggregates ids only") {
+    val p = plan("sim_cosine_dup_pairs")
+    hashShuffles(p).foreach(e => e.output.foreach(a =>
+      assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"embedding array '${a.name}' crossed a shuffle — must re-attach by id join")))
+  }
+
+  test("sim_knn_ivf: assignment is a zero-exchange argmax; the corpus array never shuffles") {
+    val p = plan("sim_knn_ivf")
+    hashShuffles(p).foreach(e => e.output.foreach(a =>
+      assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"embedding array '${a.name}' crossed a shuffle — assignment must stay map-side")))
+  }
+
+  test("flow_enrich: two left-outer broadcast joins, zero fact-side shuffle") {
+    val p = plan("flow_enrich")
+    // src + dst dimension attach (the dim-BUILD subtree may add its own
+    // small broadcast join; the bound is that nothing joins any other way)
+    val outer = p.collect { case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT OUTER" => j }
+    assert(outer.size === 2, s"src+dst AS joins must be left-outer broadcasts, got ${outer.size}")
+    assert(p.collect {
+      case j: SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, "no shuffle-based join anywhere in the enrichment plan")
+    assert(hashShuffles(p).isEmpty, "the fact side must never shuffle for enrichment")
+  }
+
+  test("flow_enrich_asof: the fill window hashes on (key, time-bucket) so hot keys fan out") {
+    val p = plan("flow_enrich_asof")
+    val kb = hashShuffles(p).filter { e =>
+      val names = e.outputPartitioning.asInstanceOf[HashPartitioning]
+        .expressions.flatMap(_.references.map(_.name)).toSet
+      names.exists(_.contains("__k")) && names.exists(_.contains("__b"))
+    }
+    assert(kb.nonEmpty,
+      "as-of fill must partition on (__k, __b) — key AND bucket, never key alone")
+  }
+
+  test("q1_agg: classic partial+final aggregate; scan pruned to the 4 touched columns") {
+    val p = plan("q1_agg")
+    assert(p.collect { case a: HashAggregateExec => a }.size >= 2)
+    val sc = scans(p)
+    assert(sc.nonEmpty)
+    assert(sc.head.schema.fieldNames.toSet ===
+      Set("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"),
+      s"scan reads ${sc.head.schema.fieldNames.mkString(",")}")
+  }
+
+  test("flow_ip_anon: keys stay numeric through both distinct exchanges; render above the aggregate") {
+    val p = plan("flow_ip_anon")
+    hashShuffles(p).foreach(e => e.output.foreach(a =>
+      assert(a.dataType != StringType,
+        s"rendered string '${a.name}' below the final aggregate")))
+  }
+
+  test("dedup_substring_spans: ONE window-build Generate; everything after moves the reduced relation") {
+    val p = plan("dedup_substring_spans")
+    assert(p.collect { case g: GenerateExec => g }.size === 1,
+      "exactly one Generate — the window build; a second means a corpus re-explode")
+    noTextInExchanges(p)
+  }
+
+  test("rel_rollup_agg: grouping sets compile to ONE Expand over ONE pruned scan") {
+    val p = plan("rel_rollup_agg")
+    assert(p.collect { case e: ExpandExec => e }.size === 1,
+      "ROLLUP must be one Expand, not a per-level union of re-scans")
+    assert(scans(p).size === 1)
+    assert(scans(p).head.schema.fieldNames.length <= 3,
+      s"scan must prune to the 3 touched columns, reads ${scans(p).head.schema.fieldNames.mkString(",")}")
+  }
+
+  test("flow_anomaly_mad: one fact scan; both medians broadcast back onto the minute relation") {
+    val p = plan("flow_anomaly_mad")
+    assert(scans(p).size === 1,
+      "fact table scanned once — the three perMin uses must share one aggregate subtree")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      "median and MAD are broadcast ≤|protos|-row relations")
+    // every median window is proto-partitioned — never a global sort
+    p.collect { case w: WindowExec => w }.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, "median windows must partition by proto"))
+  }
+
+  test("events_rfm: events scanned once; NTILE windows run over the reduced per-user relation") {
+    val p = plan("events_rfm")
+    assert(scans(p).size === 1,
+      "per-user base and its anchor must share one scan (exchange reuse)")
+    assert(p.collect { case a: HashAggregateExec => a }.nonEmpty)
+  }
+
+  test("dedup_cross_source: digests-only exchanges; the self-join shares one aggregate subtree") {
+    val p = plan("dedup_cross_source")
+    noTextInExchanges(p)
+    assert(scans(p).size <= 2, "both self-join sides are the same reduced relation")
+  }
+
+  test("sim_ann_recall: rank lists compare by id — no embedding array crosses a shuffle") {
+    val p = plan("sim_ann_recall")
+    hashShuffles(p).foreach(e => e.output.foreach(a =>
+      assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"embedding array '${a.name}' crossed a shuffle")))
+  }
+
+  test("flow_src_hhi: two reduction exchanges, no join, scan pruned to (ts, src)") {
+    val p = plan("flow_src_hhi")
+    assert(hashShuffles(p).size === 2,
+      "fact → (minute, src) counts → minute grain: exactly two hash exchanges")
+    assert(p.collect { case j: BroadcastHashJoinExec => j
+                       case j: SortMergeJoinExec => j }.isEmpty, "no joins")
+    assert(scans(p).size === 1)
+    assert(scans(p).head.schema.fieldNames.length <= 3,
+      s"scan must prune to the time + src columns, reads ${scans(p).head.schema.fieldNames.mkString(",")}")
+  }
+
+  test("flow_ewma_forecast: lag window partitioned by proto over the reduced minute relation") {
+    val p = plan("flow_ewma_forecast")
+    assert(scans(p).size === 1)
+    p.collect { case w: WindowExec => w }.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, "lag window must partition by proto — never a global sort"))
+    assert(p.collect { case a: HashAggregateExec => a }.size >= 2,
+      "minute-grain reduction is a partial+final hash aggregate")
+  }
+
+  test("flow_ip_degree_dist: distinct-edge + per-src + bucket reductions, no join") {
+    val p = plan("flow_ip_degree_dist")
+    assert(p.collect { case j: BroadcastHashJoinExec => j
+                       case j: SortMergeJoinExec => j }.isEmpty, "no joins")
+    assert(scans(p).size === 1)
+    assert(hashShuffles(p).size <= 3, "edge-distinct, per-src, bucket: at most three exchanges")
+  }
+
+  test("events_cohort_ltv: cumulative window partitioned by cohort; no cartesian") {
+    val p = plan("events_cohort_ltv")
+    p.collect { case w: WindowExec => w }.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, "running LTV must partition by cohort_week"))
+    assert(p.collect { case c: CartesianProductExec => c
+                       case c: BroadcastNestedLoopJoinExec => c }.isEmpty)
+  }
+
+  test("events_ab_test: two aggregate stages fold to one row; no join, no window") {
+    val p = plan("events_ab_test")
+    assert(p.collect { case j: BroadcastHashJoinExec => j
+                       case j: SortMergeJoinExec => j }.isEmpty, "conditional sums, not a join")
+    assert(p.collect { case w: WindowExec => w }.isEmpty)
+    assert(scans(p).size === 1)
+  }
+
+  test("dedup_lsh_eval: both pair pipelines ship digests only — text never crosses an exchange") {
+    noTextInExchanges(plan("dedup_lsh_eval"))
+  }
+
   test("rel_table_profile: two hash-friendly branches; Expand path never sort-aggregates") {
     val p = plan("rel_table_profile")
     // one column-pruned scan per branch (distincts / min-max), no more

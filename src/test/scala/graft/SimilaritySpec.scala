@@ -451,4 +451,35 @@ class SimilaritySpec extends SparkTestBase {
     val plan = Similarity.simDiversity(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "diversity must not build a pair relation")
   }
+
+  test("ann recall: hits equal the brute∩ivf intersection per query; recall is one division (r13)") {
+    val got = Similarity.annRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val ivf = Similarity.knnIvf(spark, sf, nQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    got.foreach { case (q, kEff, hits, recall) =>
+      val truth = brute.getOrElse(q, Array.empty).map(_._2).toSet
+      val approx = ivf.getOrElse(q, Array.empty).map(_._2).toSet
+      assert(kEff === truth.size.toLong)
+      assert(hits === truth.intersect(approx).size.toLong, s"query $q hits")
+      assert(math.abs(recall - math.rint(hits.toDouble / kEff * 1e6) / 1e6) < 1e-9)
+      assert(hits <= kEff)
+    }
+  }
+
+  test("diversity: one-pass vec_moments plan equals the posexplode twin bit-for-bit; no Generate (r13)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(Similarity.simDiversity(spark, sf)) ===
+      rows(Similarity.simDiversityExplode(spark, sf)))
+    val plan = Similarity.simDiversity(spark, sf).queryExecution.executedPlan
+    assert(plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, "production diversity must not explode the corpus into dims rows")
+    assert(plan.toString.contains("vec_moments"),
+      "production diversity must plan the one-pass moments aggregate")
+  }
 }
