@@ -366,6 +366,36 @@ object FlowQueries {
       .orderBy("minute")
   }
 
+  /** AS→AS TRAFFIC MATRIX — the peering/transit view an operator reads
+    * before a capacity or peering decision: sampling-corrected bytes and
+    * flow counts for every (src_as, dst_as) cell, plus each cell's share
+    * of total traffic. The reference's schema carries SrcAS/DstAS
+    * exactly for this rollup (`pb-ext/flow.pb.go:140-143`; Grafana's
+    * per-AS panels).
+    *
+    * Scale shape: ONE fact scan into a map-combined hash aggregate — the
+    * shuffle carries ≤ |AS|² cell rows, never flows. The cell relation is
+    * pinned once (materializeOnce — it is tiny at any corpus size), so
+    * the share's 1-row total aggregate reads the pinned cells instead of
+    * re-scanning the fact table (column pruning strips `count` from a
+    * naive total branch, defeating exchange reuse — measured as a second
+    * full scan). Share is ONE division of two exact integer sums,
+    * attached via a broadcast 1-row cross join. Total order: bytes desc,
+    * then the cell key. */
+  def trafficMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = fl(spark, dir)
+      .groupBy("src_as", "dst_as")
+      .agg(sum(col("bytes") * col("sampling_rate")).as("sampled_bytes"),
+        count(lit(1)).as("n_flows"))
+      .transform(graft.Storage.materializeOnce)
+    val total = cells.agg(sum("sampled_bytes").as("total_bytes"))
+    cells.crossJoin(broadcast(total))
+      .select(col("src_as"), col("dst_as"), col("n_flows"), col("sampled_bytes"),
+        round(col("sampled_bytes").cast("double") / col("total_bytes").cast("double"), 6)
+          .as("share"))
+      .orderBy(desc("sampled_bytes"), col("src_as"), col("dst_as"))
+  }
+
   /** Short-horizon FORECAST over the per-(proto, minute) series — the
     * "expected vs actual" band a capacity/anomaly dashboard draws: an
     * 8-lag exponentially-weighted moving average in INTEGER fixed-point.
@@ -917,6 +947,7 @@ object FlowQueries {
     "flow_anomaly_zscore" -> (anomalyZscore _),
     "flow_anomaly_mad" -> (anomalyMad _),
     "flow_src_hhi" -> (srcConcentration _),
+    "flow_traffic_matrix" -> (trafficMatrix _),
     "flow_ewma_forecast" -> (ewmaForecast _),
     "flow_ip_degree_dist" -> (ipDegreeDist _),
     "flow_dow_heatmap" -> (dowHeatmap _),
@@ -1029,6 +1060,15 @@ object FlowQueries {
          |  round(CAST(sum(n * n) AS DOUBLE) / CAST(sum(n) * sum(n) AS DOUBLE), 6) AS hhi,
          |  round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS top_share
          | FROM s GROUP BY 1 ORDER BY minute""".stripMargin.replace('\n', ' '),
+    // cell aggregate + total-over-cells share, ONE division per cell
+    "flow_traffic_matrix" ->
+      s"""${cte}, m AS (SELECT src_as, dst_as,
+         |  CAST(sum(bytes * sampling_rate) AS BIGINT) AS sampled_bytes,
+         |  count(*) AS n_flows FROM flows GROUP BY 1, 2)
+         | SELECT src_as, dst_as, n_flows, sampled_bytes,
+         |  round(CAST(sampled_bytes AS DOUBLE)
+         |    / (SELECT CAST(sum(sampled_bytes) AS DOUBLE) FROM m), 6) AS share
+         | FROM m ORDER BY sampled_bytes DESC, src_as, dst_as""".stripMargin.replace('\n', ' '),
     // 8-lag integer EWMA: same row-lag window, same 2^(8-i)/255 weights
     "flow_ewma_forecast" ->
       s"""${cte}, m AS (SELECT proto, (time_received // 60) * 60 AS minute,

@@ -182,6 +182,51 @@ object Dedup {
       threshold: Double = 0.2, maxDf: Int = 100): DataFrame =
     jaccardPairsFrom(explodedShingleHashes(spark, dir), threshold, maxDf = Some(maxDf))
 
+  /** DEDUP THRESHOLD TUNING CURVE: for each Jaccard threshold decile
+    * (0, 10, …, 100 integer percent), how many co-shingle pairs score at
+    * or above it, and how many documents have at least one partner at or
+    * above it (≈ docs a dedup pass at that threshold would touch). This
+    * is the report a pipeline owner reads BEFORE picking the dedup
+    * threshold — the elbow where "docs touched" stops falling is the
+    * operating point.
+    *
+    * Exactness: similarity is integer percent `⌊100·|A∩B| / |A∪B|⌋` —
+    * integer division of exact counts, no float ordering anywhere.
+    *
+    * Scale shape: pairs come from the SAME df-capped
+    * [[coShinglePairCounts]] relation as the capped Jaccard operator (one
+    * shingle build, hash-only shuffles, hot shingles excluded from pair
+    * generation); both histogram branches aggregate that reduced pair
+    * relation down to ≤ 11 buckets, and the cumulative step is an 11×11
+    * broadcast non-equi join over the constant threshold spine — O(1)
+    * rows regardless of corpus size. */
+  def thresholdCurve(spark: SparkSession, dir: String, maxDf: Int = 100): DataFrame =
+    thresholdCurveOver(spark,
+      Tables.documents(spark, dir).select("doc_id", "text"), maxDf)
+
+  /** [[thresholdCurve]] over an arbitrary `(doc_id, text)` relation. */
+  def thresholdCurveOver(spark: SparkSession, docs: DataFrame, maxDf: Int): DataFrame = {
+    val pairs = coShinglePairCounts(explodedShingleHashesOver(docs), Some(maxDf))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(common * 100) div (n_a + n_b - common)").as("pct"))
+    val pairBuckets = pairs
+      .groupBy((expr("pct div 10") * 10).cast("int").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val docBuckets = pairs.select(col("doc_a").as("doc"), col("pct"))
+      .unionAll(pairs.select(col("doc_b").as("doc"), col("pct")))
+      .groupBy("doc").agg(max("pct").as("m"))
+      .groupBy((expr("m div 10") * 10).cast("int").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val spine = spark.range(0, 101, 10).select(col("id").cast("int").as("threshold"))
+    def cumAtOrAbove(buckets: DataFrame, out: String): DataFrame =
+      spine.join(broadcast(buckets), buckets("b") >= spine("threshold"), "left")
+        .groupBy("threshold")
+        .agg(coalesce(sum("c"), lit(0L)).as(out))
+    cumAtOrAbove(pairBuckets, "n_pairs")
+      .join(cumAtOrAbove(docBuckets, "n_docs"), "threshold")
+      .orderBy("threshold")
+  }
+
   /** ASYMMETRIC containment pairs — C(A→B) = |A∩B| / |A| over the same
     * distinct-shingle sets the Jaccard operators use. Jaccard is blind to
     * the length-skewed duplication a training corpus is full of: a short
@@ -1459,6 +1504,7 @@ object Dedup {
     // dedup_minhash_lsh
     "dedup_ngram_groundtruth" -> ((s: SparkSession, d: String) => ngramJaccardPairs(s, d)),
     "dedup_ngram_capped" -> ((s: SparkSession, d: String) => ngramJaccardPairsCapped(s, d)),
+    "dedup_threshold_curve" -> ((s: SparkSession, d: String) => thresholdCurve(s, d)),
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => minhashDupPairs(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => simhashDupPairs(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => nearDupClusters(s, d)),
@@ -1715,6 +1761,30 @@ object Dedup {
          |GROUP BY a.doc_id, b.doc_id
          |HAVING CAST(count(*) AS BIGINT) / (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin.replace('\n', ' '),
+    // same df-capped pair CTE as dedup_ngram_capped, integer-percent
+    // similarity, correlated cumulative sums over the constant spine
+    "dedup_threshold_curve" ->
+      s"""$duckShingleCte, df AS (
+         |  SELECT s, count(*) AS df FROM sh GROUP BY s
+         |), shr AS (
+         |  SELECT sh.doc_id, sh.s FROM sh JOIN df ON df.s = sh.s WHERE df.df <= 100
+         |), p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    (CAST(count(*) AS BIGINT) * 100)
+         |      // (any_value(sa.n_sh) + any_value(sb.n_sh) - count(*)) AS pct
+         |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN sizes sa ON sa.doc_id = a.doc_id
+         |  JOIN sizes sb ON sb.doc_id = b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), pb AS (SELECT (pct // 10) * 10 AS b, count(*) AS c FROM p GROUP BY 1
+         |), docs AS (SELECT doc, max(pct) AS m FROM (
+         |    SELECT doc_a AS doc, pct FROM p UNION ALL SELECT doc_b, pct FROM p) GROUP BY 1
+         |), db AS (SELECT (m // 10) * 10 AS b, count(*) AS c FROM docs GROUP BY 1
+         |), spine AS (SELECT CAST(range AS INT) AS threshold FROM range(0, 101, 10))
+         |SELECT threshold,
+         |  CAST(coalesce((SELECT sum(c) FROM pb WHERE pb.b >= spine.threshold), 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce((SELECT sum(c) FROM db WHERE db.b >= spine.threshold), 0) AS BIGINT) AS n_docs
+         |FROM spine ORDER BY threshold""".stripMargin.replace('\n', ' '),
     // MinHash+LSH is verified against exact Jaccard, so its output is a
     // subset of the ground truth with S-curve recall; on this corpus the
     // banding (16 bands x 4 rows) has ~certain recall at j >= 0.2 candidates

@@ -379,7 +379,28 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** USER-ACTIVITY POWER-LAW HISTOGRAM: events-per-user folded into
+    * power-of-two buckets (bucket = bit length of the count, via
+    * `length(bin(n))` — no log2/libm, same device as
+    * `flow_ip_degree_dist`). The population summary behind engagement
+    * segmentation and bot thresholds: a healthy product shows a smooth
+    * heavy tail; a spike in a high bucket is scripted traffic. Scale
+    * shape: per-user counts are one map-combined aggregate; the histogram
+    * is a second aggregate over the per-user relation — ≤ 64 output rows
+    * at any corpus size. */
+  def userActivityDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(length(bin(col("n_events"))).cast("int").as("n_bits"))
+      .agg(count(lit(1)).as("n_users"),
+        min("n_events").as("min_events"),
+        max("n_events").as("max_events"),
+        sum("n_events").as("sum_events"))
+      .orderBy("n_bits")
+
   val queries: Map[String, Q] = Map(
+    "events_user_activity_dist" -> (userActivityDist _),
     "events_value_stats" -> (valueStats _),
     "events_transitions" -> (transitions _),
     "events_attribution" -> (lastTouch _),
@@ -395,6 +416,13 @@ object EventOps {
     "events_props_stats" -> (propsStats _))
 
   val oracles: Map[String, String] = Map(
+    "events_user_activity_dist" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT CAST(length(bin(n_events)) AS INT) AS n_bits, count(*) AS n_users,
+        |  CAST(min(n_events) AS BIGINT) AS min_events,
+        |  CAST(max(n_events) AS BIGINT) AS max_events,
+        |  CAST(sum(n_events) AS BIGINT) AS sum_events
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' '),
     "events_value_stats" ->
       """WITH m AS (SELECT event_type,
         |   CAST(floor(value * 1000000) AS BIGINT) AS v FROM events)

@@ -129,11 +129,45 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** EXACT MEDIA DEDUP summary — the dedup family extended to opaque
+    * binary columns: per modality, how many payloads, how many distinct,
+    * how many rows an exact dedup pass would drop, and the largest copy
+    * group. Grouping is by md5 DIGEST of the payload, so the exchange
+    * carries 16-byte digests + ids — a raw-payload groupBy would ship
+    * every image/audio/video blob through the shuffle (the whole reason
+    * content-addressed dedup exists). The DuckDB oracle groups by the
+    * payload itself — digest grouping must be count-identical (md5
+    * collisions being the only, negligible, difference). */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("kind"), col("media_id"), md5(col("payload")).as("digest"))
+      .groupBy("kind", "digest")
+      .agg(count(lit(1)).as("copies"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum("copies").as("n_payloads"),
+        sum(col("copies") - 1).as("dup_rows"),
+        max("copies").as("max_copies"))
+      .orderBy("kind")
+
   val queries: Map[String, Q] = Map(
     "multimodal_meta" -> (mediaMeta _),
-    "multimodal_features" -> (mediaFeatures _))
+    "multimodal_features" -> (mediaFeatures _),
+    "multimodal_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
+    // payload-grouped twin of the digest-grouped Spark plan: identical
+    // counts unless md5 collides (never on a real corpus)
+    "multimodal_dedup" ->
+      """WITH m AS (SELECT
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  encode(text) AS payload FROM documents
+        |), g AS (SELECT kind, payload, count(*) AS copies FROM m GROUP BY 1, 2)
+        |SELECT kind, count(*) AS n_distinct,
+        |  CAST(sum(copies) AS BIGINT) AS n_payloads,
+        |  CAST(sum(copies - 1) AS BIGINT) AS dup_rows,
+        |  CAST(max(copies) AS BIGINT) AS max_copies
+        |FROM g GROUP BY 1 ORDER BY kind""".stripMargin.replace('\n', ' '),
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -447,7 +447,91 @@ object RelQueries {
         .as("corr_qty_discount"))
   }
 
+  /** TOP SUPPLIER (TPC-H Q15 shape): supplier(s) with the maximum revenue
+    * over one ship-quarter — the classic "having = max over a derived
+    * view" pattern, realized WITHOUT a correlated subquery or a global
+    * window: the per-supplier revenue relation is aggregated once, its
+    * 1-row max is broadcast back, and the winners fall out of a
+    * broadcast equality join (ties all surface, ordered by key).
+    *
+    * Scale shape: the quarter predicate pushes into the lineitem scan
+    * (row-group pruning); the revenue aggregate's exchange is shared by
+    * the max branch (identical single-sum subtree → exchange reuse — the
+    * plan contract pins ONE lineitem scan); both the max and the supplier
+    * name lookup are broadcasts. */
+  def topSupplier(spark: SparkSession, dir: String,
+      qStart: String = "1996-01-01 00:00:00", qEnd: String = "1996-04-01 00:00:00"): DataFrame = {
+    // the explicit null-key filter matters for the PLAN, not the data:
+    // the supplier join pushes isnotnull(l_suppkey) into the probe branch
+    // only, which de-canonicalizes the two revenue subtrees and defeats
+    // exchange reuse (measured: a second full lineitem scan). Stating it
+    // once here keeps both branches identical; the oracle carries the
+    // same predicate.
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= expr(s"TIMESTAMP_NTZ '$qStart'") &&
+        col("l_shipdate") < expr(s"TIMESTAMP_NTZ '$qEnd'") &&
+        col("l_suppkey").isNotNull)
+    val rev = li.groupBy("l_suppkey")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+    val mx = rev.agg(max("revenue_cents").as("mx"))
+    val sup = Tables.supplier(spark, dir)
+    rev.join(broadcast(mx), rev("revenue_cents") === mx("mx"))
+      .join(broadcast(sup), rev("l_suppkey") === sup("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  /** MARKET SHARE (TPC-H Q8 shape): per order-year, the fraction of total
+    * revenue delivered by suppliers of one nation. The classic BI rollup
+    * exercising the full star: lineitem⋈orders shuffle once on the order
+    * key; supplier and nation are broadcast (no fact shuffle on those
+    * keys). Both the nation slice and the total come from ONE conditional
+    * aggregate over the joined relation — a single fact pass, not two
+    * branches — and the share is ONE division of two exact integer cent
+    * sums. At SFs where supplier outgrows the broadcast threshold AQE
+    * falls back to a shuffle join on `l_suppkey` with no semantic change. */
+  def marketShare(spark: SparkSession, dir: String,
+      nationName: String = "NATION_3"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val rev = cents(li("l_extendedprice") * (lit(1.0) - li("l_discount")))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(year(o("o_orderdate")).as("o_year"))
+      .agg(sum(rev).as("total_cents"),
+        sum(when(nat("n_name") === nationName, rev).otherwise(0L)).as("nation_cents"))
+      .select(col("o_year"), col("total_cents"), col("nation_cents"),
+        round(col("nation_cents").cast("double") / col("total_cents").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** PROMO REVENUE SHARE (TPC-H Q14 shape): per ship-month, the revenue
+    * fraction from PROMO-type parts. One lineitem scan ⋈ broadcast part;
+    * the promo slice and the total are one conditional aggregate; share is
+    * ONE division of exact integer cents. Month key is `year·100 + month`
+    * — pure integer, no locale/format functions. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val rev = cents(li("l_extendedprice") * (lit(1.0) - li("l_discount")))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy((year(li("l_shipdate")) * 100 + month(li("l_shipdate"))).as("ship_month"))
+      .agg(sum(rev).as("total_cents"),
+        sum(when(p("p_type") === "PROMO", rev).otherwise(0L)).as("promo_cents"))
+      .select(col("ship_month"), col("total_cents"), col("promo_cents"),
+        round(col("promo_cents").cast("double") / col("total_cents").cast("double"), 6)
+          .as("promo_share"))
+      .orderBy("ship_month")
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_top_supplier" -> ((s: SparkSession, d: String) => topSupplier(s, d)),
+    "rel_market_share" -> ((s: SparkSession, d: String) => marketShare(s, d)),
+    "rel_promo_share" -> (promoShare _),
     "rel_bloom_semi" -> ((s: SparkSession, d: String) => bloomSemiJoin(s, d)),
     "rel_table_profile" -> (tableProfile _),
     "rel_numeric_corr" -> (numericCorr _),
@@ -469,6 +553,40 @@ object RelQueries {
     "rel_rollup_agg" -> (rollupAgg _))
 
   val oracles: Map[String, String] = Map(
+    "rel_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |    AND l_suppkey IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, revenue_cents
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue_cents = (SELECT max(revenue_cents) FROM r)
+        |ORDER BY s_suppkey""".stripMargin.replace('\n', ' '),
+    "rel_market_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, n_name,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT o_year, CAST(sum(c) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN n_name = 'NATION_3' THEN c ELSE 0 END) AS BIGINT) AS nation_cents,
+        |  round(CAST(sum(CASE WHEN n_name = 'NATION_3' THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE), 6) AS mkt_share
+        |FROM j GROUP BY 1 ORDER BY o_year""".stripMargin.replace('\n', ' '),
+    "rel_promo_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ship_month, p_type,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT ship_month, CAST(sum(c) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN c ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE), 6) AS promo_share
+        |FROM j GROUP BY 1 ORDER BY ship_month""".stripMargin.replace('\n', ' '),
     // the Bloom stage must be result-invisible: the oracle is the PLAIN
     // urgent-orders semi join — any surviving false positive fails the hash
     "rel_bloom_semi" ->

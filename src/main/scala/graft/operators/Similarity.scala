@@ -179,7 +179,18 @@ object Similarity {
     * bits further (the probe count grows polynomially, bucket count
     * exponentially). */
   def cosineDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.9,
-      bits: Int = 12, probeDist: Int = 3): DataFrame = {
+      bits: Int = 12, probeDist: Int = 3): DataFrame =
+    scoredCandidatePairs(spark, dir, bits, probeDist)
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+
+  /** The shared hamming-bounded candidate relation `(id_a, id_b, cos_sim)`
+    * both [[cosineDupPairs]] (threshold filter) and [[cosineHist]]
+    * (bucketed counts) read — one signature build, one probe join, exact
+    * cosine only on candidates. */
+  private def scoredCandidatePairs(spark: SparkSession, dir: String,
+      bits: Int, probeDist: Int): DataFrame = {
     // ids+signatures materialized once: both probe sides and the candidate
     // join read it; 12 bytes per vector (eager — Storage.materializeOnce)
     val ids = withSignature(Tables.embeddings(spark, dir), "embedding", bits)
@@ -199,10 +210,32 @@ object Similarity {
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
       .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
-      .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
-      .orderBy("id_a", "id_b")
   }
+
+  /** PAIRWISE-SIMILARITY HISTOGRAM over the hamming-bounded candidate
+    * pairs — the distribution a SemDeDup deployment reads to PICK its
+    * cosine threshold (where does the near-dup mode separate from the
+    * background?). Buckets are cosine deciles (`floor(cos·10)`,
+    * −10..10); counts are exact. The candidate semantics are identical
+    * to [[cosineDupPairs]] — this is that operator's tuning view, not a
+    * corpus-wide all-pairs histogram (which would be O(n²) and is exactly
+    * what the LSH probe exists to avoid; background-pair mass BELOW the
+    * probe's hamming radius is structurally under-sampled, disclosed).
+    *
+    * Determinism: cosine is the fixed ordered fold of [[cosine]] rounded
+    * to 6 places on both engines, so bucket edges cut identically;
+    * min/max of identical doubles are identical.
+    *
+    * Scale shape: one signature build + probe join bounds candidates; the
+    * histogram itself is a map-combined aggregate to ≤ 21 rows. */
+  def cosineHist(spark: SparkSession, dir: String,
+      bits: Int = 12, probeDist: Int = 3): DataFrame =
+    scoredCandidatePairs(spark, dir, bits, probeDist)
+      .groupBy(floor(col("cos_sim") * 10).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min("cos_sim").as("min_cos"),
+        max("cos_sim").as("max_cos"))
+      .orderBy("bucket")
 
   /** SemDeDup-style SEMANTIC corpus dedup (Abbas et al. 2023, arXiv
     * 2303.09540): drop every vector whose embedding is near-duplicate
@@ -868,6 +901,7 @@ object Similarity {
     "sim_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "sim_cosine_dup_pairs" -> ((s: SparkSession, d: String) => cosineDupPairs(s, d)),
     "sim_semantic_keep" -> ((s: SparkSession, d: String) => semanticKeep(s, d)),
+    "sim_cos_hist" -> ((s: SparkSession, d: String) => cosineHist(s, d)),
     "sim_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "sim_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "sim_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
@@ -1140,6 +1174,18 @@ object Similarity {
          |     round(${duckCos("ea.embedding", "eb.embedding")}, 6) AS cos_sim
          |   FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
          | WHERE cos_sim >= 0.9 ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '),
+    // same candidate CTEs as the pairs oracle, bucketed instead of
+    // thresholded — the tuning view shares the operator's semantics
+    "sim_cos_hist" ->
+      s"""${duckSigCte(12)},
+         | cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |   FROM sig a JOIN sig b ON a.p = b.p AND a.vec_id < b.vec_id
+         |   GROUP BY 1, 2 HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3),
+         | scored AS (SELECT round(${duckCos("ea.embedding", "eb.embedding")}, 6) AS cos_sim
+         |   FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b)
+         | SELECT CAST(floor(cos_sim * 10) AS INT) AS bucket, count(*) AS n_pairs,
+         |   min(cos_sim) AS min_cos, max(cos_sim) AS max_cos
+         | FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin.replace('\n', ' '),
     // same candidate semantics as the pairs oracle; keep = corpus minus
     // the distinct higher-id side of every over-threshold pair
     "sim_semantic_keep" ->

@@ -665,7 +665,63 @@ object TextOps {
       .orderBy("shard_id")
   }
 
+  /** TERM-FREQUENCY SPECTRUM (the Zipf audit): how many distinct terms
+    * occur with corpus frequency in [2^(b−1), 2^b), plus each band's
+    * occurrence mass. The standard corpus-health diagnostic — a natural
+    * corpus shows a smooth heavy-tailed spectrum (hapax band largest,
+    * mass concentrated in a few hot terms); template/boilerplate
+    * contamination bulges the middle bands. Reading the slope from the
+    * SPECTRUM avoids the global rank that a literal rank-frequency plot
+    * needs — ranking a billion-term vocabulary is a global sort, while
+    * the spectrum is two map-combined hash aggregates (term counts →
+    * ≤ 64 bucket rows) with only (term, count) crossing the exchange.
+    * Buckets via `length(bin(cnt))` — no log2/libm, same device as
+    * `flow_ip_degree_dist`. */
+  def freqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(toks(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .groupBy(length(bin(col("cnt"))).cast("int").as("freq_bits"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum("cnt").as("n_occurrences"),
+        min("cnt").as("min_count"),
+        max("cnt").as("max_count"))
+      .orderBy("freq_bits")
+
+  /** EXACT per-language LENGTH PERCENTILES (p50/p90/p99 of `n_chars`) by
+    * RANK PICK: each percentile is the row at rank `⌈n·p/100⌉` under the
+    * total order (n_chars, doc_id) — a PICK, never an interpolation, so
+    * the value is bit-identical on any engine (the same device as
+    * `flow_anomaly_mad`'s median). The length profile a chunk/pack
+    * budget and a truncation policy are calibrated against, per
+    * language.
+    *
+    * Scale shape: the rank window partitions BY LANGUAGE and sorts only
+    * (int, long) pairs — text never leaves the scan; the final fold is
+    * one conditional aggregate to |langs| rows. A corpus whose single
+    * language exceeds one task's sort budget would shard the window key
+    * (lang, n_chars bucket) — not needed at any realistic language
+    * skew since the sorted payload is 12 bytes/doc. */
+  def lenPctiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("r", row_number().over(byLen))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .groupBy("lang")
+      .agg(max("n").as("n_docs"),
+        max(when(col("r") === expr("(n * 50 + 99) div 100"), col("n_chars"))).as("p50_chars"),
+        max(when(col("r") === expr("(n * 90 + 99) div 100"), col("n_chars"))).as("p90_chars"),
+        max(when(col("r") === expr("(n * 99 + 99) div 100"), col("n_chars"))).as("p99_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_freq_spectrum" -> (freqSpectrum _),
+    "text_len_pctiles" -> (lenPctiles _),
     "text_gopher_quality" -> (gopherQuality _),
     "text_bow_dedup" -> (bowDedup _),
     "text_tfidf_topk" -> ((s: SparkSession, d: String) => tfidfTopK(s, d)),
@@ -694,6 +750,26 @@ object TextOps {
     val stopSum = StopWords
       .map(s => s"CAST(list_contains(w, '$s') AS INT)").mkString(" + ")
     Map(
+      "text_freq_spectrum" ->
+        s"""WITH tok AS (SELECT unnest($w) AS term FROM documents
+           |   WHERE text IS NOT NULL),
+           | tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok
+           |   WHERE term <> '' GROUP BY 1)
+           |SELECT CAST(length(bin(cnt)) AS INT) AS freq_bits, count(*) AS n_terms,
+           |  CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+           |  CAST(min(cnt) AS BIGINT) AS min_count,
+           |  CAST(max(cnt) AS BIGINT) AS max_count
+           |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin.replace('\n', ' '),
+      "text_len_pctiles" ->
+        """WITH d AS (SELECT lang, doc_id, n_chars,
+          |   row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS r,
+          |   count(*) OVER (PARTITION BY lang) AS n
+          | FROM documents)
+          |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+          |  CAST(max(CASE WHEN r = (n * 50 + 99) // 100 THEN n_chars END) AS BIGINT) AS p50_chars,
+          |  CAST(max(CASE WHEN r = (n * 90 + 99) // 100 THEN n_chars END) AS BIGINT) AS p90_chars,
+          |  CAST(max(CASE WHEN r = (n * 99 + 99) // 100 THEN n_chars END) AS BIGINT) AS p99_chars
+          |FROM d GROUP BY lang ORDER BY lang""".stripMargin.replace('\n', ' '),
       "text_gopher_quality" ->
         s"""WITH b AS (SELECT doc_id, $w AS w,
            |   CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace_chars

@@ -206,6 +206,37 @@ object FlowStreams {
           .as("etype_map"),
         sum("b").as("sum_bytes"), sum("p").as("sum_packets"), sum("c").as("flow_count"))
 
+  /** AS→AS TRAFFIC MATRIX answered FROM the rollup MV — the batch
+    * [[graft.flow.FlowQueries.trafficMatrix]] panel served by the
+    * always-on rollup with ZERO new streams: the rollup's (srcAS, dstAS)
+    * keys already carry everything the matrix needs, so this is a pure
+    * read-time reduction over the partial rows (fold-insensitive: equal
+    * keys sum whether or not OPTIMIZE has run). Bytes are the rollup's
+    * raw byte sums — the MV contract (`create.sh:50-67` sums Bytes);
+    * the share is ONE division via the same pinned-cells + broadcast
+    * 1-row total shape as the batch query. Cost per refresh: an
+    * aggregate over the rollup relation (timeslot-grain, already
+    * reduced), not the raw stream. */
+  def readTrafficMatrix(spark: SparkSession, path: String): DataFrame =
+    trafficMatrixOf(readRollupParts(spark, path))
+
+  /** [[readTrafficMatrix]] over a managed rollup table. */
+  def readTrafficMatrixManaged(spark: SparkSession, table: String): DataFrame =
+    trafficMatrixOf(ManifestTable.read(spark, table))
+
+  private def trafficMatrixOf(parts: DataFrame): DataFrame = {
+    val cells = parts
+      .groupBy(col("srcAS").as("src_as"), col("dstAS").as("dst_as"))
+      .agg(sum("sum_bytes").as("sum_bytes"), sum("flow_count").as("n_flows"))
+      .transform(graft.Storage.materializeOnce)
+    val total = cells.agg(sum("sum_bytes").as("total_bytes"))
+    cells.crossJoin(broadcast(total))
+      .select(col("src_as"), col("dst_as"), col("n_flows"), col("sum_bytes"),
+        round(col("sum_bytes").cast("double") / col("total_bytes").cast("double"), 6)
+          .as("share"))
+      .orderBy(desc("sum_bytes"), col("src_as"), col("dst_as"))
+  }
+
   // ------------------------------------------------ top-talkers sketch MV
 
   /** Continuous TOP-TALKERS MV — the streaming twin of the batch

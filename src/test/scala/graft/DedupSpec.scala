@@ -933,4 +933,35 @@ class DedupSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(6) - one(tp, nT)) < 1e-9, "recall")
     assert(math.abs(row.getDouble(7) - one(2 * tp, nT + nA)) < 1e-9, "harmonic F1")
   }
+
+  test("threshold curve: cumulative counts replay from the pair relation; monotone; planted dup at 100 (r13)") {
+    import spark.implicits._
+    val rows = Dedup.thresholdCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === (0 to 100 by 10).toSeq, "full spine, no missing buckets")
+    // monotone non-increasing in the threshold, both series
+    rows.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1)
+    case _ => ()
+    }
+    // replay: integer-percent sims of every capped co-shingle pair
+    val pairs = Dedup.ngramJaccardPairsCapped(spark, sf, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (r.getLong(2) * 100) / (math.round(r.getLong(2) / r.getDouble(3)))))
+    // jaccard = common/union -> union = round(common/jaccard); integer pct = common*100 div union
+    rows.foreach { case (t, np, nd) =>
+      assert(np === pairs.count(_._3 >= t).toLong, s"pairs >= $t")
+      val docs = (pairs.filter(_._3 >= t).map(_._1) ++ pairs.filter(_._3 >= t).map(_._2)).distinct
+      assert(nd === docs.length.toLong, s"docs >= $t")
+    }
+    // planted exact duplicates surface in the top bucket
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val curve = Dedup.thresholdCurveOver(spark, planted, maxDf = 100).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(curve(100) === ((1L, 2L)),
+      "the planted identical pair lands in the 100-percent bucket")
+  }
 }

@@ -288,4 +288,22 @@ class EventOpsSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(6) - math.rint(z * 1e6) / 1e6) < 1e-9, "z statistic")
     assert(row.getBoolean(7) === (z * z >= 3.8416), "significance flag")
   }
+
+  test("user activity distribution: buckets replay driver-side and conserve users + events (r13)") {
+    val rows = EventOps.userActivityDist(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val perUser = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(_.getLong(1))
+    def bits(n: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val want = perUser.groupBy(bits).map { case (b, xs) =>
+      (b, xs.length.toLong, xs.min, xs.max, xs.sum)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === want)
+    assert(rows.map(_._2).sum === perUser.length.toLong, "every user lands in one bucket")
+    assert(rows.map(_._5).sum === perUser.sum, "events conserved")
+    rows.foreach { case (b, _, lo, hi, _) =>
+      assert(lo >= (1L << (b - 1)) && hi < (1L << b), s"bucket $b bounds")
+    }
+  }
 }

@@ -527,4 +527,26 @@ class FlowQueriesSpec extends SparkTestBase {
       assert(lo >= (1L << (b - 1)) && hi < (1L << b), s"bucket $b bounds")
     }
   }
+
+  test("traffic matrix: cells conserve the corpus; shares sum to 1 and replay driver-side (r13)") {
+    val rows = FlowQueries.trafficMatrix(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val fl = FlowAdapter.flows(spark, sf)
+      .select("src_as", "dst_as", "bytes", "sampling_rate").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2) * r.getLong(3)))
+    // conservation: flow counts and sampled bytes fold to the corpus totals
+    assert(rows.map(_._3).sum === fl.length.toLong)
+    assert(rows.map(_._4).sum === fl.map(_._2).sum)
+    // per-cell replay + share = cell/total to the rounding the query applies
+    val total = fl.map(_._2).sum.toDouble
+    val want = fl.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    rows.foreach { case (s, d, _, sb, share) =>
+      assert(sb === want((s, d)))
+      assert(math.abs(share - sb / total) < 1e-6, s"cell ($s,$d) share")
+    }
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1")
+    // total order: bytes desc then cell key
+    assert(rows.map(r => (-r._4, r._1, r._2)).toSeq === rows.map(r => (-r._4, r._1, r._2)).toSeq.sorted)
+  }
 }

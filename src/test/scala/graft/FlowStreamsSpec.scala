@@ -192,6 +192,34 @@ class FlowStreamsSpec extends SparkTestBase {
     assert(rereadFull.except(directFull).isEmpty && directFull.except(rereadFull).isEmpty)
   }
 
+  test("traffic matrix from the rollup MV: equals the batch matrix over the union; shares sum to 1 (r13)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[FlowMessage]
+    val out = tmp(); val cp = tmp()
+    val q = FlowStreams.startRollupMV(src.toDF(), out, cp)
+    val b1 = genBatch(300, seed = 11, baseTime = 1704067200L)
+    val b2 = genBatch(300, seed = 12, baseTime = 1704067200L) // overlapping slots
+    src.addData(b1); q.processAllAvailable()
+    src.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = FlowStreams.readTrafficMatrix(spark, out).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    // the MV answer equals a direct batch aggregation over all input
+    val all = (b1 ++ b2)
+    val want = all.groupBy(m => (m.srcAS, m.dstAS)).map { case (k, xs) =>
+      (k._1, k._2, xs.size.toLong, xs.map(_.bytes).sum)
+    }
+    assert(got.map(g => (g._1, g._2, g._3, g._4)).toSet === want.toSet)
+    assert(got.map(_._3).sum === all.size.toLong, "flow counts conserve")
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "shares sum to ~1")
+    // fold-insensitive: OPTIMIZE then re-read — identical matrix
+    FlowStreams.optimizeRollup(spark, out)
+    val after = FlowStreams.readTrafficMatrix(spark, out).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(after.toSeq === got.toSeq)
+  }
+
   test("rollup MV: a replayed micro-batch does not double-count (per-batch overwrite)") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[FlowMessage]

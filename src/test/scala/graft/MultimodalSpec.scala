@@ -55,4 +55,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.length === 5)
     assert(frames.forall(_.length === 100))
   }
+
+  test("media dedup: identities hold, replay matches a payload groupBy, digests-only exchange (r13)") {
+    val rows = Multimodal.mediaDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet === Set("image", "audio", "video"))
+    rows.foreach { case (_, nd, np, dup, mx) =>
+      assert(np - nd === dup, "drop count = payloads - distinct")
+      assert(mx >= 1L && mx <= np)
+      assert(nd <= np)
+    }
+    // replay: group by the payload bytes themselves
+    val media = Multimodal.mediaTable(spark, sf)
+      .select("kind", "payload").collect()
+      .map(r => (r.getString(0), Option(r.getAs[Array[Byte]]("payload")).map(_.toSeq)))
+    val want = media.groupBy(_._1).map { case (k, xs) =>
+      val groups = xs.groupBy(_._2).map(_._2.size.toLong)
+      (k, groups.size.toLong, xs.size.toLong, xs.size.toLong - groups.size, groups.max)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === want)
+    // the exchange must carry digests, never payload blobs
+    val p = Multimodal.mediaDedup(spark, sf).queryExecution.executedPlan
+    p.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      .foreach(e => e.output.foreach(a =>
+        assert(a.name != "payload", "payload blob crossed an exchange")))
+  }
 }

@@ -459,6 +459,93 @@ class PlanContractsSpec extends SparkTestBase {
                        case c: BroadcastNestedLoopJoinExec => c }.isEmpty)
   }
 
+  test("flow_traffic_matrix: serving plan reads the pinned cells — no fact re-scan; broadcast 1-row share") {
+    val p = plan("flow_traffic_matrix")
+    assert(scans(p).isEmpty,
+      "both the output and the total branch must read the pinned cell relation — " +
+        "a FileSourceScan here means the total re-scanned the fact table")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty, "no sort-merge join")
+    assert(hashShuffles(p).isEmpty, "the cell relation is already aggregated and pinned")
+  }
+
+  test("rel_market_share: dims broadcast, ONE conditional aggregate pass, no second fact branch") {
+    val p = plan("rel_market_share")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      "supplier and nation must broadcast — never shuffle the fact on their keys")
+    assert(scans(p).count(_.toString.contains("lineitem")) === 1,
+      "slice + total come from one conditional aggregate — one lineitem scan")
+  }
+
+  test("rel_promo_share: part broadcasts; single lineitem scan; partial+final aggregate") {
+    val p = plan("rel_promo_share")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size === 1)
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(scans(p).size === 2, "lineitem + part, once each")
+    assert(p.collect { case a: HashAggregateExec => a }.size >= 2)
+  }
+
+  test("events_user_activity_dist: no joins; scan prunes to user_id alone") {
+    val p = plan("events_user_activity_dist")
+    assert(p.collect { case j: BroadcastHashJoinExec => j
+                       case j: SortMergeJoinExec => j }.isEmpty, "no joins")
+    assert(scans(p).size === 1)
+    assert(scans(p).head.schema.fieldNames.toSeq === Seq("user_id"),
+      s"histogram needs only user_id, reads ${scans(p).head.schema.fieldNames.mkString(",")}")
+  }
+
+  test("dedup_threshold_curve: text never crosses an exchange; spine join is broadcast over O(1) buckets") {
+    val p = plan("dedup_threshold_curve")
+    noTextInExchanges(p)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty, "no cartesian")
+    // the non-equi spine joins are BNLJ over <= 11-row broadcast bucket
+    // relations — bounded; anything larger in a BNLJ build is a regression
+    p.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      assert(j.buildSide.toString.contains("Right") || j.buildSide.toString.contains("Left"))
+    }
+  }
+
+  test("sim_cos_hist: embedding arrays never cross a shuffle; histogram is a bounded aggregate") {
+    val p = plan("sim_cos_hist")
+    hashShuffles(p).foreach(e => e.output.foreach(a =>
+      assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"embedding array '${a.name}' crossed a shuffle")))
+    assert(p.collect { case a: HashAggregateExec => a }.nonEmpty)
+  }
+
+  test("multimodal_dedup: payload blobs never cross an exchange — digests only") {
+    val p = plan("multimodal_dedup")
+    p.collect { case e: ShuffleExchangeExec => e }.foreach(e => e.output.foreach(a =>
+      assert(a.name != "payload", "payload blob crossed an exchange")))
+  }
+
+  test("text_freq_spectrum: no global sort below the bucket fold; text never crosses an exchange") {
+    val p = plan("text_freq_spectrum")
+    noTextInExchanges(p)
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "the spectrum needs no rank window — that would be a vocabulary-wide global sort")
+    assert(p.collect { case j: BroadcastHashJoinExec => j
+                       case j: SortMergeJoinExec => j }.isEmpty, "no joins")
+  }
+
+  test("text_len_pctiles: rank window partitions by language and sorts only narrow columns") {
+    val p = plan("text_len_pctiles")
+    noTextInExchanges(p)
+    p.collect { case w: WindowExec => w }.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, "rank/count windows must partition by lang"))
+    assert(scans(p).size === 1)
+    assert(scans(p).head.schema.fieldNames.toSet === Set("doc_id", "lang", "n_chars"),
+      s"scan must prune to the three key columns, reads ${scans(p).head.schema.fieldNames.mkString(",")}")
+  }
+
+  test("rel_top_supplier: quarter predicate pushed; ONE lineitem scan feeds revenue and max; broadcasts only") {
+    val p = plan("rel_top_supplier")
+    assert(pushed(p).contains("GreaterThanOrEqual"),
+      "ship-quarter bounds must reach the parquet scan")
+    assert(scans(p).count(_.toString.contains("lineitem")) === 1,
+      "the max branch must reuse the revenue aggregate's exchange, not re-scan")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty, "max + name lookup broadcast")
+  }
+
   test("events_ab_test: two aggregate stages fold to one row; no join, no window") {
     val p = plan("events_ab_test")
     assert(p.collect { case j: BroadcastHashJoinExec => j

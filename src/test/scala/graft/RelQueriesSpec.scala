@@ -221,4 +221,66 @@ class RelQueriesSpec extends SparkTestBase {
       finally spark.conf.set("spark.sql.adaptive.enabled", old)
     assert(scans.length === 2, s"profile is two branch scans, saw ${scans.length}")
   }
+
+  test("top supplier: winners are exactly the argmax set of the quarter revenue relation (r13)") {
+    import org.apache.spark.sql.functions._
+    val got = RelQueries.topSupplier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // replay the per-supplier quarter revenue driver-side
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long")
+    val rev = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+      .groupBy("l_suppkey").agg(sum(cents).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mx = rev.map(_._2).max
+    assert(got.map(_._1).toSet === rev.filter(_._2 == mx).map(_._1).toSet,
+      "winner set = argmax suppliers (ties all surface)")
+    got.foreach { case (_, name, c) => assert(c === mx); assert(name.nonEmpty) }
+  }
+
+  test("market share: slice <= total, grand total equals plain revenue, slice replays driver-side (r13)") {
+    import org.apache.spark.sql.functions._
+    val rows = RelQueries.marketShare(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, total, nat, share) =>
+      assert(nat >= 0L && nat <= total)
+      assert(math.abs(share - nat.toDouble / total) < 1e-6)
+    }
+    // grand total across years == the unconditional revenue sum
+    val li = Tables.lineitem(spark, sf); val o = Tables.orders(spark, sf)
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long")
+    val all = li.join(o, col("l_orderkey") === col("o_orderkey")).agg(sum(cents)).head.getLong(0)
+    assert(rows.map(_._2).sum === all)
+    // nation slice replays via a filtered aggregate (supplier keys of NATION_3)
+    val n3 = Tables.supplier(spark, sf).join(Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3").select("s_suppkey")
+    val sliced = li.join(n3, li("l_suppkey") === n3("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("y")).agg(sum(cents).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    rows.foreach { case (y, _, nat, _) => assert(nat === sliced.getOrElse(y, 0L), s"year $y") }
+  }
+
+  test("promo share: conditional slice replays; month totals conserve lineitem revenue (r13)") {
+    import org.apache.spark.sql.functions._
+    val rows = RelQueries.promoShare(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, total, promo, share) =>
+      assert(promo >= 0L && promo <= total)
+      assert(math.abs(share - promo.toDouble / total) < 1e-6)
+    }
+    val li = Tables.lineitem(spark, sf)
+    val cents = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long")
+    assert(rows.map(_._2).sum === li.agg(sum(cents)).head.getLong(0),
+      "every lineitem joins exactly one part — totals conserve")
+    val promoKeys = Tables.part(spark, sf).filter(col("p_type") === "PROMO").select("p_partkey")
+    val promoSum = li.join(promoKeys, li("l_partkey") === promoKeys("p_partkey"))
+      .agg(sum(cents)).head.getLong(0)
+    assert(rows.map(_._3).sum === promoSum)
+  }
 }

@@ -482,4 +482,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.toString.contains("vec_moments"),
       "production diversity must plan the one-pass moments aggregate")
   }
+
+  test("cosine histogram: buckets partition the candidate pairs of cosineDupPairs; bounds hold (r13)") {
+    val hist = Similarity.cosineHist(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(hist.nonEmpty)
+    // the full candidate set = cosineDupPairs at threshold -1 (cos >= -1
+    // admits every scored candidate) — same signature/probe parameters
+    val cand = Similarity.cosineDupPairs(spark, sf, threshold = -1.0).collect()
+      .map(_.getDouble(2))
+    assert(hist.map(_._2).sum === cand.length.toLong,
+      "histogram partitions the candidate pair set exactly")
+    hist.foreach { case (b, n, lo, hi) =>
+      assert(n >= 1L)
+      assert(lo <= hi)
+      assert(math.floor(lo * 10).toInt === b && math.floor(hi * 10).toInt === b,
+        s"bucket $b min/max must floor back into the bucket")
+    }
+    // driver-side recount per bucket
+    val want = cand.groupBy(c => math.floor(c * 10).toInt)
+      .map { case (b, xs) => (b, xs.length.toLong, xs.min, xs.max) }
+      .toSeq.sortBy(_._1)
+    assert(hist.toSeq === want)
+  }
 }

@@ -395,4 +395,39 @@ class TextOpsSpec extends SparkTestBase {
     assert(sampleMean > corpusMean,
       f"weighted draw must skew long: sample $sampleMean%.1f vs corpus $corpusMean%.1f")
   }
+
+  test("frequency spectrum: bands replay driver-side and conserve vocabulary + occurrence mass (r13)") {
+    val rows = TextOps.freqSpectrum(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val counts = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => Option(r.getString(0)).toSeq)
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    def bits(n: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val want = counts.groupBy(bits).map { case (b, xs) =>
+      (b, xs.length.toLong, xs.sum, xs.min, xs.max)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === want)
+    assert(rows.map(_._2).sum === counts.length.toLong, "every term in one band")
+    assert(rows.map(_._3).sum === counts.sum, "occurrence mass conserved")
+  }
+
+  test("length percentiles: rank picks replay driver-side per language (r13)") {
+    val rows = TextOps.lenPctiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).map { case (lang, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2)).map(_._3)
+      val n = sorted.length.toLong
+      def pick(p: Int) = sorted(((n * p + 99) / 100).toInt - 1)
+      (lang, n, pick(50), pick(90), pick(99))
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === want)
+    rows.foreach { case (_, _, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99, "percentiles are monotone")
+    }
+  }
 }
