@@ -151,16 +151,45 @@ object Plans {
         "the lineitem scan — rows are pruned BEFORE the semi-join exchange " +
         "(the runtime-filter shape, made explicit); the exact LeftSemi join " +
         "then removes false positives"),
-      "sim_diversity_int8" -> ("NO join anywhere — the O(n²) pair relation " +
-        "never exists: one posexplode (xdims) into a map-combined " +
-        "(label, dim) integer-moment aggregate, then a per-label fold over " +
-        "the |labels|·dims relation; vectors never cross an exchange"),
+      "sim_diversity_int8" -> ("NO join and NO Generate anywhere — the O(n²) " +
+        "pair relation never exists and neither does the corpus×dims explode: " +
+        "ONE vec_moments TypedImperativeAggregate folds each task into a " +
+        "(n, Σq[], Σq²[]) buffer, the exchange carries |labels| blobs, and " +
+        "the finalize is a per-label projection (the posexplode twin is " +
+        "retained as simDiversityExplode for the bit-equality spec)"),
       "rel_table_profile" -> ("TWO column-pruned scans, one per branch: the " +
         "multi-distinct branch is a single Expand feeding HASH aggregates " +
         "(all-long buffers); min/max(string) folds keylessly in its own branch " +
         "(no sort) and cross-joins back as a broadcast 1-row relation — the " +
         "one-pass form sort-aggregated the whole Expand relation and benched " +
-        "9.3 s vs 2.2-4.3 s at sf0.1 (r13)"))
+        "9.3 s vs 2.2-4.3 s at sf0.1 (r13)"),
+      "flow_traffic_matrix" -> ("cells aggregate once and are PINNED " +
+        "(materializeOnce) — the serving plan shows NO FileSourceScan: the " +
+        "share total reads the pinned cells via a broadcast 1-row cross join " +
+        "(the naive total branch had its count pruned, de-canonicalizing the " +
+        "exchange and re-scanning the fact table)"),
+      "rel_top_supplier" -> ("quarter bounds in PushedFilters; ONE lineitem " +
+        "scan — the 1-row max branch REUSES the revenue aggregate's exchange " +
+        "(requires the null-key filter stated in both branches; the join-" +
+        "pushed isnotnull otherwise splits the subtrees); winners + names " +
+        "attach via broadcast joins"),
+      "rel_market_share" -> ("supplier and nation BROADCAST; the nation slice " +
+        "and the total are ONE conditional aggregate over the joined " +
+        "relation — a single lineitem scan, share is one division"),
+      "dedup_threshold_curve" -> ("pairs from the df-capped co-shingle " +
+        "relation (hash-only shuffles, text in no exchange); both histogram " +
+        "branches reduce to <= 11 bucket rows; the cumulative step is a " +
+        "broadcast non-equi join over the constant 11-row threshold spine"),
+      "sim_cos_hist" -> ("same signature/probe candidate join as " +
+        "sim_cosine_dup_pairs (never all-pairs); exact cosine only on " +
+        "candidates; the histogram is a map-combined aggregate to <= 21 rows"),
+      "text_freq_spectrum" -> ("two map-combined hash aggregates (term " +
+        "counts -> <= 64 bit-length bands) — NO rank window (a literal " +
+        "rank-frequency plot would global-sort the vocabulary); only " +
+        "(term, count) crosses the exchange"),
+      "text_len_pctiles" -> ("rank + count windows partition BY LANG and " +
+        "sort only (n_chars, doc_id) pairs — text never leaves the scan; " +
+        "the percentile picks are one conditional aggregate to |langs| rows"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
