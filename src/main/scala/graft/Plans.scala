@@ -189,7 +189,45 @@ object Plans {
         "(term, count) crosses the exchange"),
       "text_len_pctiles" -> ("rank + count windows partition BY LANG and " +
         "sort only (n_chars, doc_id) pairs — text never leaves the scan; " +
-        "the percentile picks are one conditional aggregate to |langs| rows"))
+        "the percentile picks are one conditional aggregate to |langs| rows"),
+      "flow_bidir_ratio" -> ("NO join anywhere: the canonical (lo, hi) pair " +
+        "relation comes from ONE partial+final hash aggregate with " +
+        "conditional fwd/rev sums — never a self-join of the fact table " +
+        "against its reversed projection; top pairs are TakeOrderedAndProject"),
+      "rel_customer_distribution" -> ("the per-customer order count folds " +
+        "BELOW the single left-outer join (partial+final around one " +
+        "o_custkey exchange), so the join moves (custkey, cnt) pairs — " +
+        "raw order rows never reach it; the zero bucket is the outer miss"),
+      "rel_small_qty_revenue" -> ("the per-part (sum, cnt) aggregate " +
+        "BROADCASTS back onto lineitem (BroadcastHashJoin) — the fact " +
+        "table is never shuffled; the threshold predicate is exact-integer " +
+        "arithmetic above the join, final keyless aggregate to one row"),
+      "sim_label_centroids" -> ("NO Generate: the vec_sums " +
+        "ObjectHashAggregate folds each task to a per-label (n, sums[]) " +
+        "blob — |labels| blobs cross the one exchange, never corpus x dims " +
+        "rows; the norm math sits above the final aggregate"),
+      "sim_centroid_outliers" -> ("the |labels|-row moments relation " +
+        "BROADCASTS back onto the corpus (BroadcastHashJoin, no corpus " +
+        "shuffle); distances are exact-integer zip_with/aggregate " +
+        "projections; top-k is TakeOrderedAndProject, never a global sort"),
+      "text_stopword_df" -> ("array_distinct applies INSIDE the projection " +
+        "below the explode, so the exchange carries each (doc, term) pair " +
+        "once; the corpus total attaches as a broadcast 1-row relation; " +
+        "top-k is TakeOrderedAndProject"),
+      "rel_nation_traffic" -> ("ONE fact-sized shuffle (lineitem<->orders " +
+        "on the order key); customer, supplier, and BOTH nation " +
+        "role-playing slices are BroadcastHashJoins — no fact exchange on " +
+        "any dimension key; final partial+final aggregate to <= " +
+        "|nations|^2 x years rows"),
+      "rel_order_priority" -> ("date window in the orders scan's " +
+        "PushedFilters; LeftSemi join with the lateness predicate in the " +
+        "join CONDITION (probe stops at the first matching line); " +
+        "lineitem scan reads only (l_orderkey, l_shipdate)"),
+      "sim_centroid_pairs" -> ("ONE corpus scan into the vec_sums " +
+        "ObjectHashAggregate (|labels| blobs); the triangular pair join " +
+        "is a BroadcastNestedLoopJoin over that reduced relation — the " +
+        "only acceptable NLJ shape, because both sides are |labels| rows; " +
+        "no shuffled join anywhere"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

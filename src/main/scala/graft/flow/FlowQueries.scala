@@ -227,6 +227,54 @@ object FlowQueries {
         count(lit(1)).as("flow_count"))
       .orderBy("dow", "hour")
 
+  /** BIDIRECTIONAL TRAFFIC ASYMMETRY — the "is this link one-way"
+    * diagnostic (batch twin of the streaming
+    * [[graft.streaming.FlowStreams]] bidirectional stitcher): flows
+    * collapse onto a canonical (lo, hi) address pair with conditional
+    * forward/reverse sums, so the pair relation is built by ONE
+    * map-combined aggregate — no self-join of the fact table against its
+    * reversed projection (that join shuffles the corpus twice and its
+    * row count is unbounded on chatty pairs). Self-addressed flows
+    * (src = dst) count as forward, stated rather than dropped. Share is
+    * one division of exact integer byte sums; top pairs via
+    * TakeOrderedAndProject (no global sort). */
+  def bidirRatio(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val fwd = col("src_ip") <= col("dst_ip")
+    fl(spark, dir)
+      .groupBy(least(col("src_ip"), col("dst_ip")).as("ip_lo"),
+        greatest(col("src_ip"), col("dst_ip")).as("ip_hi"))
+      .agg(
+        sum(when(fwd, col("bytes") * col("sampling_rate")).otherwise(0L)).as("fwd_bytes"),
+        sum(when(!fwd, col("bytes") * col("sampling_rate")).otherwise(0L)).as("rev_bytes"),
+        sum(when(fwd, 1L).otherwise(0L)).as("fwd_flows"),
+        sum(when(!fwd, 1L).otherwise(0L)).as("rev_flows"))
+      .select(col("ip_lo"), col("ip_hi"), col("fwd_bytes"), col("rev_bytes"),
+        col("fwd_flows"), col("rev_flows"),
+        when(col("fwd_bytes") + col("rev_bytes") === 0, lit(0.0))
+          .otherwise(round(col("fwd_bytes").cast("double") /
+            (col("fwd_bytes") + col("rev_bytes")).cast("double"), 6)).as("fwd_share"))
+      .orderBy(desc("fwd_bytes"), desc("rev_bytes"), col("ip_lo"), col("ip_hi"))
+      .limit(k)
+  }
+
+  /** PACKET-SIZE DISTRIBUTION per protocol — the MTU/telemetry-sanity
+    * panel: flows bucket by the power-of-two band of their average packet
+    * size (bytes/packets, integer division). The band exponent is
+    * `length(bin(x)) − 1` — pure integer/string arithmetic, identical on
+    * both engines (a float `floor(log2 x)` can land on the wrong side of
+    * an exact power of two). One map-combined aggregate to ≤ |protos|·11
+    * rows at any scale. */
+  def pktSizeDist(spark: SparkSession, dir: String): DataFrame = {
+    // functions.shiftleft only takes a literal bit count — SQL's does not
+    val band = expr("CASE WHEN bytes div packets <= 0 THEN 0L ELSE " +
+      "shiftleft(1L, length(bin(bytes div packets)) - 1) END")
+    fl(spark, dir)
+      .groupBy(col("proto"), band.as("pkt_band"))
+      .agg(count(lit(1)).as("flow_count"),
+        sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
+      .orderBy("proto", "pkt_band")
+  }
+
   /** Traffic-anomaly detection — the DDoS/volumetric-spike panel the
     * reference's domain exists for: per (proto, minute) sampled-traffic
     * series z-scored against the protocol's own distribution, spikes
@@ -951,6 +999,8 @@ object FlowQueries {
     "flow_ewma_forecast" -> (ewmaForecast _),
     "flow_ip_degree_dist" -> (ipDegreeDist _),
     "flow_dow_heatmap" -> (dowHeatmap _),
+    "flow_bidir_ratio" -> ((s: SparkSession, d: String) => bidirRatio(s, d)),
+    "flow_pkt_size_dist" -> (pktSizeDist _),
     "flow_rollup_5m" -> ((s: SparkSession, d: String) => rollup5m(s, d)),
     "flow_rollup_reagg" -> ((s, d) => rollupReagg(s, d)),
     "flow_top_src_ip" -> ((s: SparkSession, d: String) => topSrcIp(s, d)),
@@ -1019,6 +1069,27 @@ object FlowQueries {
          | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes,
          | count(*) AS flow_count
          | FROM flows GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin.replace('\n', ' '),
+    "flow_bidir_ratio" ->
+      s"""${cte}, pairs AS (
+         | SELECT least(src_ip, dst_ip) AS ip_lo, greatest(src_ip, dst_ip) AS ip_hi,
+         |  CAST(sum(CASE WHEN src_ip <= dst_ip THEN bytes * sampling_rate ELSE 0 END) AS BIGINT) AS fwd_bytes,
+         |  CAST(sum(CASE WHEN src_ip <= dst_ip THEN 0 ELSE bytes * sampling_rate END) AS BIGINT) AS rev_bytes,
+         |  CAST(sum(CASE WHEN src_ip <= dst_ip THEN 1 ELSE 0 END) AS BIGINT) AS fwd_flows,
+         |  CAST(sum(CASE WHEN src_ip <= dst_ip THEN 0 ELSE 1 END) AS BIGINT) AS rev_flows
+         | FROM flows GROUP BY 1, 2)
+         | SELECT ip_lo, ip_hi, fwd_bytes, rev_bytes, fwd_flows, rev_flows,
+         |  CASE WHEN fwd_bytes + rev_bytes = 0 THEN 0.0
+         |   ELSE round(CAST(fwd_bytes AS DOUBLE) / (fwd_bytes + rev_bytes), 6) END AS fwd_share
+         | FROM pairs
+         | ORDER BY fwd_bytes DESC, rev_bytes DESC, ip_lo, ip_hi LIMIT 20""".stripMargin.replace('\n', ' '),
+    "flow_pkt_size_dist" ->
+      s"""${cte}, b AS (SELECT proto, bytes, sampling_rate,
+         |  CASE WHEN bytes // packets <= 0 THEN 0
+         |   ELSE CAST(1 << (length(bin(bytes // packets)) - 1) AS BIGINT) END AS pkt_band
+         | FROM flows)
+         | SELECT proto, pkt_band, count(*) AS flow_count,
+         |  CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes
+         | FROM b GROUP BY 1, 2 ORDER BY proto, pkt_band""".stripMargin.replace('\n', ' '),
     "flow_anomaly_zscore" ->
       s"""${cte}, m AS (SELECT proto, (time_received // 60) * 60 AS minute,
          |  CAST(sum(bytes * sampling_rate) // 1000 AS BIGINT) AS kb FROM flows GROUP BY 1, 2),

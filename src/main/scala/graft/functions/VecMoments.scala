@@ -142,6 +142,55 @@ case class VecMomentsAgg(child: Expression,
     copy(inputAggBufferOffset = newOffset)
 }
 
+/** `vec_sums(codes)` → `struct<n_vecs:bigint, sums:array<bigint>>` — the
+  * per-dimension first-moment twin of [[VecMomentsAgg]] (same one-pass
+  * fold, same fixed-size buffer; the finalize exposes Σq[] instead of
+  * collapsing it), for centroid-style consumers: the per-label centroid
+  * is `sums/n` and never needs the corpus×dims explode. */
+case class VecSumsAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecMomentsState] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_sums needs array<bigint> codes, got $other")
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_vecs", LongType, nullable = false),
+    StructField("sums", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "vec_sums"
+
+  override def createAggregationBuffer(): VecMomentsState = new VecMomentsState
+
+  override def update(buffer: VecMomentsState, input: InternalRow): VecMomentsState = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    buffer
+  }
+
+  override def merge(buffer: VecMomentsState, other: VecMomentsState): VecMomentsState = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: VecMomentsState): Any = InternalRow(buffer.n,
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (buffer.s == null) Array.emptyLongArray else buffer.s))
+
+  override def serialize(buffer: VecMomentsState): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): VecMomentsState =
+    VecMomentsState.deserialize(bytes)
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VecSumsAgg = copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumsAgg =
+    copy(inputAggBufferOffset = newOffset)
+}
+
 object VecMoments {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -150,4 +199,9 @@ object VecMoments {
   def vecMoments(codes: Column): Column =
     ColumnBridge.column(
       VecMomentsAgg(ColumnBridge.expression(codes)).toAggregateExpression())
+
+  /** `vecSums(codes)` → `struct<n_vecs, sums>`. */
+  def vecSums(codes: Column): Column =
+    ColumnBridge.column(
+      VecSumsAgg(ColumnBridge.expression(codes)).toAggregateExpression())
 }

@@ -528,7 +528,127 @@ object RelQueries {
       .orderBy("ship_month")
   }
 
+  /** CUSTOMER ORDER-COUNT DISTRIBUTION (TPC-H Q13 shape): how many
+    * customers placed exactly k orders — including k = 0, the row an
+    * inner join silently drops. The canonical "aggregate the fact table
+    * FIRST, then outer-join the reduced relation" pattern: orders
+    * collapses to |custkeys| (custkey, cnt) rows map-side before any
+    * join, so the customer⋈counts join moves pairs, never order rows;
+    * the zero bucket comes from coalescing the left-outer miss. The
+    * naive form (outer join raw orders, then count) would shuffle the
+    * whole fact table on c_custkey — at 100 TB that is the difference
+    * between a dimension-sized join and a fact-sized one. */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** SMALL-QUANTITY REVENUE (TPC-H Q17 shape): revenue from lines whose
+    * quantity is below 20% of that part's average — the "join a fact
+    * table against its own aggregate" pattern. The per-part aggregate
+    * reduces lineitem to |parts| (sum, cnt) rows which re-attach via a
+    * BROADCAST join, so the fact table is never shuffled; the threshold
+    * compare is the exact integer form `5·qty·cnt < sum` (quantities are
+    * integer-valued, so no float boundary can disagree between engines —
+    * `0.2·avg` would put an IEEE division inside a predicate). */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pq = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("qsum"),
+        count(lit(1)).as("qcnt"))
+    li.join(broadcast(pq), li("l_partkey") === col("pk"))
+      .filter(lit(5L) * col("l_quantity").cast("long") * col("qcnt") < col("qsum"))
+      .agg(sum(cents(col("l_extendedprice"))).as("small_qty_cents"),
+        count(lit(1)).as("small_line_count"))
+  }
+
+  /** LATE-ORDER PRIORITY CHECK (TPC-H Q4 shape): per order priority, how
+    * many orders in a quarter had at least one line shipped more than 90
+    * days after the order date — the EXISTS / left-semi pattern. The date
+    * window prunes the orders scan (PushedFilters); lineitem projects to
+    * (orderkey, shipdate) only; the one shuffle is the unavoidable
+    * fact⋈fact orderkey co-location, and the semi join stops at the
+    * FIRST matching line (no distinct, no fan-out — a 1000-line order
+    * contributes one probe hit, not 1000 rows). The lateness predicate
+    * lives in the join condition, so it filters during the probe. */
+  def orderPriorityLate(spark: SparkSession, dir: String,
+      qStart: String = "1995-01-01 00:00:00", qEnd: String = "1995-04-01 00:00:00"): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= expr(s"TIMESTAMP_NTZ '$qStart'") &&
+        col("o_orderdate") < expr(s"TIMESTAMP_NTZ '$qEnd'"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** NATION-PAIR TRAFFIC (TPC-H Q7 shape): directional revenue between
+    * every (supplier nation, customer nation) pair by ship year — the
+    * full star exercised in ONE fact pass: lineitem⋈orders is the only
+    * fact-sized shuffle (orderkey co-location); customer, supplier, and
+    * both nation role-playing slices broadcast. Revenue in exact integer
+    * cents (per-row double product is bit-identical cross-engine; the
+    * integer sum is order-independent). Output is ≤ |nations|²·|years|
+    * rows — dashboard-sized at any SF. */
+  def nationTraffic(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val n1 = nat.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nat.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val rev = cents(li("l_extendedprice") * (lit(1.0) - li("l_discount")))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), sup("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), cust("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(li("l_shipdate")).as("l_year"))
+      .agg(sum(rev).as("revenue_cents"), count(lit(1)).as("line_count"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** SALES OPPORTUNITY (TPC-H Q22 shape): per nation, the count and
+    * balance mass of above-average-balance customers who never ordered —
+    * the scalar-subquery + anti-join pattern. The positive-balance
+    * average attaches as a BROADCAST 1-row (sum, count) relation and the
+    * threshold compares in the exact integer form `bal·n > Σbal` (no
+    * IEEE division inside a predicate); the anti join shuffles only the
+    * threshold-surviving customers against orders projected to ONE
+    * column. Balances in exact integer cents throughout. */
+  def salesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"))
+    val avgPos = c.filter(col("bal_cents") > 0)
+      .agg(sum("bal_cents").as("pos_sum"), count(lit(1)).as("pos_n"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val nat = Tables.nation(spark, dir)
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("bal_cents") * col("pos_n") > col("pos_sum"))
+      .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("total_bal_cents"))
+      .orderBy("nation")
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_customer_distribution" -> (customerDistribution _),
+    "rel_small_qty_revenue" -> (smallQtyRevenue _),
+    "rel_order_priority" -> ((s: SparkSession, d: String) => orderPriorityLate(s, d)),
+    "rel_nation_traffic" -> (nationTraffic _),
+    "rel_sales_opportunity" -> (salesOpportunity _),
     "rel_top_supplier" -> ((s: SparkSession, d: String) => topSupplier(s, d)),
     "rel_market_share" -> ((s: SparkSession, d: String) => marketShare(s, d)),
     "rel_promo_share" -> (promoShare _),
@@ -553,6 +673,60 @@ object RelQueries {
     "rel_rollup_agg" -> (rollupAgg _))
 
   val oracles: Map[String, String] = Map(
+    "rel_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin.replace('\n', ' '),
+    "rel_nation_traffic" ->
+      """WITH j AS (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name <> n2.n_name)
+        |SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(c) AS BIGINT) AS revenue_cents, count(*) AS line_count
+        |FROM j GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin.replace('\n', ' '),
+    "rel_sales_opportunity" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        | a AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS pos_sum,
+        |   count(*) AS pos_n FROM c WHERE bal_cents > 0)
+        |SELECT n_name AS nation, count(*) AS numcust,
+        |  CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+        |FROM c CROSS JOIN a JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal_cents * pos_n > pos_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY nation""".stripMargin.replace('\n', ' '),
+    "rel_customer_distribution" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT coalesce(cnt, 0) AS c_count
+        |  FROM customer LEFT JOIN pc ON c_custkey = o_custkey)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin.replace('\n', ' '),
+    "rel_small_qty_revenue" ->
+      """WITH pq AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum,
+        |    count(*) AS qcnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS small_qty_cents,
+        |  count(*) AS small_line_count
+        |FROM lineitem JOIN pq ON l_partkey = pk
+        |WHERE 5 * CAST(l_quantity AS BIGINT) * qcnt < qsum""".stripMargin.replace('\n', ' '),
     "rel_top_supplier" ->
       """WITH r AS (
         |  SELECT l_suppkey,

@@ -835,6 +835,87 @@ object Similarity {
             (col("n_vecs") * (col("n_vecs") - 1)).cast("double"), 6)).as("diversity"))
       .orderBy("label")
 
+  /** PER-LABEL CENTROIDS over the int8 codes — the cluster-geometry
+    * summary (centroid magnitude + population) curation dashboards put
+    * next to [[simDiversity]]'s spread. ONE pass via
+    * [[graft.functions.VecSumsAgg]]: each task folds its vectors into a
+    * per-dim Σq[] buffer, |labels| blobs cross the exchange, and the
+    * centroid 2-norm is `sqrt(Σ_d S_d²)/n` — the numerator an EXACT
+    * integer (Σ_d S_d² ≤ 64·(127·n)², inside Long to ~3M vectors/label),
+    * then one correctly-rounded sqrt and one division, so the rounded
+    * norm is bit-identical cross-engine. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), int8Codes(col("embedding")).as("codes"))
+      .groupBy("label")
+      .agg(graft.functions.VecMoments.vecSums(col("codes")).as("m"))
+      .select(col("label"), col("m.n_vecs").as("n_vecs"),
+        aggregate(col("m.sums"), lit(0L), (a, s) => a + s * s).as("sumsq_sums"))
+      .withColumn("centroid_norm",
+        when(col("n_vecs") === 0, lit(0.0))
+          .otherwise(round(sqrt(col("sumsq_sums").cast("double")) /
+            col("n_vecs").cast("double"), 6)))
+      .orderBy("label")
+
+  /** CENTROID OUTLIERS — the top-k vectors farthest from their own
+    * label's centroid: the mislabel/contamination-candidate list every
+    * embedding-cleaning pass starts from. Distance to centroid without
+    * ever forming the centroid's floats: `‖q − S/n‖ = sqrt(Σ(n·q−S)²)/n`
+    * with an exact integer Σ (bound: 64·(2·127·n)², Long-safe to ~1M
+    * vectors/label). The per-label (n, S[]) relation is |labels| rows and
+    * BROADCASTS back onto the corpus — one scan builds the moments, one
+    * scan scores, no self-join; final top-k is TakeOrderedAndProject.
+    * Ordering compares the rounded norm (correctly-rounded sqrt + one
+    * division — cross-engine identical) with a vec_id tiebreak. */
+  def centroidOutliers(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val coded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), int8Codes(col("embedding")).as("codes"))
+    val cents = coded.groupBy(col("label").as("c_label"))
+      .agg(graft.functions.VecMoments.vecSums(col("codes")).as("m"))
+      .select(col("c_label"), col("m.n_vecs").as("n"), col("m.sums").as("sums"))
+    coded.join(broadcast(cents), col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"), col("n").as("n_vecs"),
+        aggregate(zip_with(col("codes"), col("sums"),
+            (q, s) => (col("n") * q - s) * (col("n") * q - s)),
+          lit(0L), (a, x) => a + x).as("dist2_n2"))
+      .withColumn("centroid_dist",
+        round(sqrt(col("dist2_n2").cast("double")) / col("n_vecs").cast("double"), 6))
+      .orderBy(desc("centroid_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** INTER-LABEL CENTROID AFFINITY — pairwise cosine between every two
+    * labels' centroids: the "which classes blur together" confusion
+    * structure a curation pass reads before merging or re-labelling.
+    * Centroid cosine needs NO float centroids: `cos(S_a/n_a, S_b/n_b) =
+    * (S_a·S_b)/(‖S_a‖·‖S_b‖)` — the n's cancel — and every Σ is an exact
+    * integer over [[graft.functions.VecSumsAgg]]'s per-label sums, so the
+    * corpus is scanned ONCE into |labels| blobs and the pair relation is
+    * a |labels|²-row broadcast nested-loop join over that tiny relation
+    * (the only place a triangular `<` join is the RIGHT plan). One
+    * rounded expression — two correctly-rounded sqrts, one multiply, one
+    * division — gives a bit-identical oracle. */
+  def centroidPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.embeddings(spark, dir)
+      .select(col("label"), int8Codes(col("embedding")).as("codes"))
+      .groupBy("label")
+      .agg(graft.functions.VecMoments.vecSums(col("codes")).as("m"))
+      .select(col("label"), col("m.n_vecs").as("n"), col("m.sums").as("sums"))
+    val a = cents.select(col("label").as("label_a"), col("n").as("n_a"), col("sums").as("s_a"))
+    val b = cents.select(col("label").as("label_b"), col("n").as("n_b"), col("sums").as("s_b"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        aggregate(zip_with(col("s_a"), col("s_b"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"),
+        aggregate(col("s_a"), lit(0L), (acc, x) => acc + x * x).as("norm2_a"),
+        aggregate(col("s_b"), lit(0L), (acc, x) => acc + x * x).as("norm2_b"))
+      .withColumn("centroid_cos",
+        when(col("norm2_a") === 0 || col("norm2_b") === 0, lit(0.0))
+          .otherwise(round(col("dot").cast("double") /
+            (sqrt(col("norm2_a").cast("double")) * sqrt(col("norm2_b").cast("double"))), 6)))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Quantized serving path — brute-force top-k by INTEGER dot product
     * over the int8 codes ([[vecQuantize]]'s compressed representation):
     * what an ANN tier actually scores once its shards store int8. The
@@ -897,6 +978,9 @@ object Similarity {
     "sim_knn_label_agreement" -> ((s: SparkSession, d: String) => knnLabelAgreement(s, d)),
     "sim_vec_quantize" -> (vecQuantize _),
     "sim_diversity_int8" -> (simDiversity _),
+    "sim_label_centroids" -> (labelCentroids _),
+    "sim_centroid_outliers" -> ((s: SparkSession, d: String) => centroidOutliers(s, d)),
+    "sim_centroid_pairs" -> (centroidPairs _),
     "sim_knn_int8" -> ((s: SparkSession, d: String) => knnInt8(s, d)),
     "sim_knn_brute" -> ((s: SparkSession, d: String) => knnBrute(s, d)),
     "sim_cosine_dup_pairs" -> ((s: SparkSession, d: String) => cosineDupPairs(s, d)),
@@ -1133,6 +1217,97 @@ object Similarity {
         |    ELSE round(2.0 * ssd / CAST(n_vecs * (n_vecs - 1) AS DOUBLE), 6)
         |  END AS diversity
         |FROM a ORDER BY label""".stripMargin.replace('\n', ' '),
+    "sim_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, embedding AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT label,
+        |    CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(v, x -> 0)
+        |      ELSE list_transform(v, x -> CAST(trunc(CAST(x AS DOUBLE) / (mx / 127.0)) AS INT))
+        |    END AS codes
+        |  FROM e
+        |), d AS (
+        |  SELECT label, i, codes[i] AS qv
+        |  FROM q, UNNEST(range(1, len(codes) + 1)) AS t(i)
+        |), pd AS (
+        |  SELECT label, i, count(*) AS n, CAST(sum(qv) AS BIGINT) AS s
+        |  FROM d GROUP BY 1, 2
+        |), a AS (
+        |  SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        |    CAST(sum(s * s) AS BIGINT) AS sumsq_sums
+        |  FROM pd GROUP BY 1
+        |)
+        |SELECT label, n_vecs, sumsq_sums,
+        |  CASE WHEN n_vecs = 0 THEN 0.0
+        |    ELSE round(sqrt(CAST(sumsq_sums AS DOUBLE)) / n_vecs, 6)
+        |  END AS centroid_norm
+        |FROM a ORDER BY label""".stripMargin.replace('\n', ' '),
+    "sim_centroid_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(v, x -> 0)
+        |      ELSE list_transform(v, x -> CAST(trunc(CAST(x AS DOUBLE) / (mx / 127.0)) AS INT))
+        |    END AS codes
+        |  FROM e
+        |), d AS (
+        |  SELECT vec_id, label, i, codes[i] AS qv
+        |  FROM q, UNNEST(range(1, len(codes) + 1)) AS t(i)
+        |), pd AS (
+        |  SELECT label, i, count(*) AS n, CAST(sum(qv) AS BIGINT) AS s
+        |  FROM d GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT d.vec_id, d.label, CAST(max(pd.n) AS BIGINT) AS n_vecs,
+        |    CAST(sum((pd.n * d.qv - pd.s) * (pd.n * d.qv - pd.s)) AS BIGINT) AS dist2_n2
+        |  FROM d JOIN pd ON d.label = pd.label AND d.i = pd.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT vec_id, label, n_vecs, dist2_n2,
+        |  round(sqrt(CAST(dist2_n2 AS DOUBLE)) / n_vecs, 6) AS centroid_dist
+        |FROM sc ORDER BY centroid_dist DESC, vec_id LIMIT 20""".stripMargin.replace('\n', ' '),
+    "sim_centroid_pairs" ->
+      """WITH e AS (
+        |  SELECT label, embedding AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT label,
+        |    CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(v, x -> 0)
+        |      ELSE list_transform(v, x -> CAST(trunc(CAST(x AS DOUBLE) / (mx / 127.0)) AS INT))
+        |    END AS codes
+        |  FROM e
+        |), d AS (
+        |  SELECT label, i, codes[i] AS qv
+        |  FROM q, UNNEST(range(1, len(codes) + 1)) AS t(i)
+        |), pd AS (
+        |  SELECT label, i, count(*) AS n, CAST(sum(qv) AS BIGINT) AS s
+        |  FROM d GROUP BY 1, 2
+        |), ag AS (
+        |  SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        |    CAST(sum(s * s) AS BIGINT) AS norm2
+        |  FROM pd GROUP BY 1
+        |), dots AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(sum(a.s * b.s) AS BIGINT) AS dot
+        |  FROM pd a JOIN pd b ON a.i = b.i AND a.label < b.label
+        |  GROUP BY 1, 2
+        |)
+        |SELECT label_a, label_b, aa.n_vecs AS n_a, bb.n_vecs AS n_b, dot,
+        |  aa.norm2 AS norm2_a, bb.norm2 AS norm2_b,
+        |  CASE WHEN aa.norm2 = 0 OR bb.norm2 = 0 THEN 0.0
+        |    ELSE round(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(aa.norm2 AS DOUBLE)) * sqrt(CAST(bb.norm2 AS DOUBLE))), 6)
+        |  END AS centroid_cos
+        |FROM dots JOIN ag aa ON label_a = aa.label JOIN ag bb ON label_b = bb.label
+        |ORDER BY label_a, label_b""".stripMargin.replace('\n', ' '),
     "sim_knn_int8" ->
       """WITH e AS (
         |  SELECT vec_id, embedding AS v,

@@ -719,7 +719,83 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** STOPWORD CANDIDATES by corpus document frequency — the data-driven
+    * way curation pipelines derive their stopword / boilerplate lists
+    * (a term in nearly every document carries no signal for tf-idf or
+    * quality scoring). Per-doc dedup happens INSIDE the projection
+    * (`array_distinct` before the explode), so the exchange carries each
+    * (doc, term) pair once — not every occurrence; the corpus total
+    * attaches as a broadcast 1-row relation and the top-k is
+    * TakeOrderedAndProject. */
+  def stopwordDf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(explode(array_distinct(toks(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("df"), col("n_docs"),
+        round(col("df").cast("double") / col("n_docs").cast("double"), 6).as("df_ratio"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(k)
+  }
+
+  /** TYPE-TOKEN RATIO per source — the vocabulary-richness slice of the
+    * quality dashboard (templated/machine-generated sources sit far
+    * below organic text). Ratios divide two exact integer token sums
+    * once at the end, so the float never enters an aggregation; the
+    * whole query is one map-combined aggregate to |sources| rows. */
+  def ttrBySource(spark: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("source"), size(w).cast("long").as("tc"),
+        size(array_distinct(w)).cast("long").as("dt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tc").as("total_tokens"),
+        sum("dt").as("distinct_tokens"),
+        round(sum("dt").cast("double") / sum("tc").cast("double"), 6).as("ttr"))
+      .orderBy("source")
+  }
+
+  /** BIGRAM TEMPLATE COVERAGE per source — what fraction of a source's
+    * bigram occurrences fall in the corpus-wide top-100 bigram list: high
+    * coverage marks templated/boilerplate-heavy sources (navigation
+    * chrome, legal footers), the sources a mixing pass down-weights.
+    * Two corpus passes by design: pass 1 builds the top list (map-side
+    * combined gram counts → TakeOrderedAndProject — [[ngramTopK]]'s
+    * measured-winner shape), which then BROADCASTS (100 rows) onto pass
+    * 2's explode, so the membership test never shuffles; per-source
+    * totals come from one map-combined aggregate. Deterministic
+    * (count desc, gram asc) tie-break makes the top list — and hence the
+    * coverage — oracle-stable. */
+  def bigramCoverage(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    def grams(df: DataFrame, extra: Column*): DataFrame =
+      df.filter(col("text").isNotNull)
+        .select(extra :+ toks(col("text")).as("t"): _*)
+        .withColumn("n", size(col("t")))
+        .filter(col("n") >= 2)
+        .select(extra :+ explode(transform(sequence(lit(1), col("n") - 1),
+          i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("bigram"): _*)
+    val docs = Tables.documents(spark, dir)
+    val top = grams(docs)
+      .groupBy("bigram").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("bigram")).limit(topK)
+      .select(col("bigram").as("top_gram"))
+    grams(docs, col("source"))
+      .join(broadcast(top), col("bigram") === col("top_gram"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("total_bigrams"),
+        sum(when(col("top_gram").isNotNull, 1L).otherwise(0L)).as("covered_bigrams"))
+      .withColumn("coverage",
+        round(col("covered_bigrams").cast("double") / col("total_bigrams").cast("double"), 6))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_stopword_df" -> ((s: SparkSession, d: String) => stopwordDf(s, d)),
+    "text_ttr_by_source" -> (ttrBySource _),
+    "text_bigram_coverage" -> ((s: SparkSession, d: String) => bigramCoverage(s, d)),
     "text_freq_spectrum" -> (freqSpectrum _),
     "text_len_pctiles" -> (lenPctiles _),
     "text_gopher_quality" -> (gopherQuality _),
@@ -750,6 +826,38 @@ object TextOps {
     val stopSum = StopWords
       .map(s => s"CAST(list_contains(w, '$s') AS INT)").mkString(" + ")
     Map(
+      "text_stopword_df" ->
+        s"""WITH tok AS (SELECT unnest(list_distinct($w)) AS term FROM documents
+           |   WHERE text IS NOT NULL),
+           | df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok
+           |   WHERE term <> '' GROUP BY 1),
+           | n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+           |   WHERE text IS NOT NULL)
+           |SELECT term, df, n_docs,
+           |  round(CAST(df AS DOUBLE) / n_docs, 6) AS df_ratio
+           |FROM df, n ORDER BY df DESC, term LIMIT 20""".stripMargin.replace('\n', ' '),
+      "text_bigram_coverage" ->
+        s"""WITH t AS (SELECT source, $w AS w FROM documents WHERE text IS NOT NULL),
+           | b AS (SELECT source, w[i] || ' ' || w[i+1] AS bigram
+           |   FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+           |   WHERE len(w) >= 2),
+           | top AS (SELECT bigram, count(*) AS c FROM b GROUP BY 1
+           |   ORDER BY c DESC, bigram LIMIT 100)
+           |SELECT source, count(*) AS total_bigrams,
+           |  CAST(sum(CASE WHEN bigram IN (SELECT bigram FROM top) THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS covered_bigrams,
+           |  round(CAST(sum(CASE WHEN bigram IN (SELECT bigram FROM top) THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*), 6) AS coverage
+           |FROM b GROUP BY 1 ORDER BY source""".stripMargin.replace('\n', ' '),
+      "text_ttr_by_source" ->
+        s"""WITH b AS (SELECT source, CAST(len($w) AS BIGINT) AS tc,
+           |   CAST(len(list_distinct($w)) AS BIGINT) AS dt
+           | FROM documents WHERE text IS NOT NULL)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(tc) AS BIGINT) AS total_tokens,
+           |  CAST(sum(dt) AS BIGINT) AS distinct_tokens,
+           |  round(CAST(sum(dt) AS DOUBLE) / sum(tc), 6) AS ttr
+           |FROM b GROUP BY source ORDER BY source""".stripMargin.replace('\n', ' '),
       "text_freq_spectrum" ->
         s"""WITH tok AS (SELECT unnest($w) AS term FROM documents
            |   WHERE text IS NOT NULL),

@@ -549,4 +549,48 @@ class FlowQueriesSpec extends SparkTestBase {
     // total order: bytes desc then cell key
     assert(rows.map(r => (-r._4, r._1, r._2)).toSeq === rows.map(r => (-r._4, r._1, r._2)).toSeq.sorted)
   }
+
+  test("bidir ratio: canonical pairs conserve bytes without a self-join; shares replay (r13)") {
+    val df = FlowQueries.bidirRatio(spark, sf, k = Int.MaxValue)
+    // scale contract: ONE aggregate over the scan — no join of the fact
+    // table against its reversed projection
+    assert(df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      "pair canonicalization must not join")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val fl = FlowAdapter.flows(spark, sf)
+      .select("src_ip", "dst_ip", "bytes", "sampling_rate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) * r.getLong(3)))
+    assert(rows.map(r => r._3 + r._4).sum === fl.map(_._3).sum, "byte conservation")
+    assert(rows.map(r => r._5 + r._6).sum === fl.length.toLong, "flow conservation")
+    rows.foreach { case (lo, hi, fb, rb, _, _, share) =>
+      assert(lo <= hi, "canonical orientation")
+      if (fb + rb > 0) assert(math.abs(share - fb.toDouble / (fb + rb)) < 1e-6)
+    }
+    // per-pair forward slice replays driver-side
+    val want = fl.groupBy(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+      .map { case (k, xs) => k -> xs.filter(t => t._1 <= t._2).map(_._3).sum }
+    rows.foreach { case (lo, hi, fb, _, _, _, _) =>
+      assert(fb === want.getOrElse((lo, hi), 0L), s"pair ($lo,$hi)") }
+  }
+
+  test("pkt size dist: power-of-two bands partition the corpus (r13)") {
+    val df = FlowQueries.pktSizeDist(spark, sf)
+    assert(df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty)
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fl = FlowAdapter.flows(spark, sf)
+      .select("proto", "bytes", "packets", "sampling_rate").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum === fl.length.toLong, "flow conservation")
+    rows.foreach { case (_, band, _, _) =>
+      assert(band == 0L || (band & (band - 1)) == 0L, s"band $band is a power of two") }
+    // replay: each flow's band is the highest power of two <= avg pkt size
+    val want = fl.groupBy { case (p, b, pk, _) =>
+      val avg = b / pk
+      (p, if (avg <= 0) 0L else java.lang.Long.highestOneBit(avg))
+    }.map { case (k, xs) => k -> (xs.size.toLong, xs.map(t => t._2 * t._4).sum) }
+    assert(rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap === want)
+  }
 }

@@ -572,4 +572,119 @@ class PlanContractsSpec extends SparkTestBase {
       .foreach(s => assert(s.groupingExpressions.isEmpty,
         "a keyed SortAggregate crept back into the profile plan"))
   }
+
+  // ---- round-13 fourth/fifth wave ---------------------------------------
+
+  test("flow_bidir_ratio: join-free canonical-pair aggregate; top pairs via TakeOrdered") {
+    val p = plan("flow_bidir_ratio")
+    assert(p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      "pair canonicalization must not self-join the fact against its reversed projection")
+    assert(scans(p).size === 1)
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size === 1)
+  }
+
+  test("flow_pkt_size_dist: one scan, one hash exchange, no joins") {
+    val p = plan("flow_pkt_size_dist")
+    assert(p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty)
+    assert(scans(p).size === 1)
+    assert(hashShuffles(p).size === 1, "partial+final aggregate around ONE exchange")
+  }
+
+  test("rel_customer_distribution: the per-customer count folds below the single outer join") {
+    val p = plan("rel_customer_distribution")
+    val joins = p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.size === 1, "one customer<->counts join")
+    assert(joins.head.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }.nonEmpty,
+      "raw order rows must never reach the join — counts aggregate below it")
+  }
+
+  test("rel_small_qty_revenue: per-part aggregate broadcasts; lineitem never shuffles on partkey") {
+    val p = plan("rel_small_qty_revenue")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the reduced per-part relation must broadcast back onto lineitem")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(scans(p).size === 2, "base + per-part aggregate branch, once each")
+  }
+
+  test("rel_order_priority: date window pushed; lateness rides the LeftSemi join condition") {
+    val p = plan("rel_order_priority")
+    assert(pushed(p).contains("GreaterThanOrEqual(o_orderdate"),
+      "the quarter bounds must prune the orders scan")
+    val semis = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType.toString == "LeftSemi" => j }
+    assert(semis.size === 1, "EXISTS plans as one left-semi join")
+    assert(semis.head.condition.nonEmpty,
+      "the lateness predicate must live in the join condition (probe-time filter)")
+  }
+
+  test("rel_nation_traffic: four broadcast dims, single lineitem scan, no cartesian") {
+    val p = plan("rel_nation_traffic")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 4,
+      "customer/supplier/nation x2 must broadcast")
+    assert(scans(p).count(_.toString.contains("lineitem")) === 1)
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("rel_sales_opportunity: broadcast 1-row average, anti join, orders pruned to one column") {
+    val p = plan("rel_sales_opportunity")
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType.toString == "LeftAnti" => j }.size === 1,
+      "never-ordered plans as one left-anti join")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+    val orderScans = scans(p).filter(_.toString.contains("orders"))
+    assert(orderScans.nonEmpty &&
+      orderScans.forall(_.schema.fieldNames.toSeq === Seq("o_custkey")),
+      "the anti side must read only o_custkey")
+  }
+
+  test("sim_label_centroids: Generate-free one-pass moments; blob-only object aggregate") {
+    val p = plan("sim_label_centroids")
+    assert(p.collect { case g: GenerateExec => g }.isEmpty,
+      "centroid sums must come from vec_sums, not a corpus x dims posexplode")
+    assert(p.collect { case a: ObjectHashAggregateExec => a }.size >= 2,
+      "partial+final vec_sums fold")
+    assert(p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty)
+  }
+
+  test("sim_centroid_outliers: moments broadcast onto the corpus; top-k is TakeOrdered") {
+    val p = plan("sim_centroid_outliers")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the |labels|-row moments relation must broadcast — the corpus never shuffles for the join")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size === 1)
+  }
+
+  test("sim_centroid_pairs: the triangular pair join is an NLJ over the reduced |labels| relation") {
+    val p = plan("sim_centroid_pairs")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      p.collect { case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }.isEmpty,
+      "no shuffled join — pairs form over broadcast blobs")
+    assert(p.collect { case a: ObjectHashAggregateExec => a }.nonEmpty,
+      "the corpus folds through vec_sums exactly once")
+  }
+
+  test("text_stopword_df: per-doc dedup before the explode; text never crosses an exchange") {
+    val p = plan("text_stopword_df")
+    noTextInExchanges(p)
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size === 1)
+    assert(scans(p).size <= 2, "term pass + corpus-total pass only")
+  }
+
+  test("text_ttr_by_source: join-free single scan; text never crosses an exchange") {
+    val p = plan("text_ttr_by_source")
+    noTextInExchanges(p)
+    assert(p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty)
+    assert(scans(p).size === 1)
+  }
+
+  test("text_bigram_coverage: top list broadcasts onto the scoring pass; two scans by design") {
+    val p = plan("text_bigram_coverage")
+    noTextInExchanges(p)
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the 100-row top list must broadcast — membership never shuffles the exploded corpus")
+    assert(scans(p).size === 2, "top-list pass + scoring pass")
+  }
 }

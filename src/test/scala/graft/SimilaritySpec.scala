@@ -505,4 +505,80 @@ class SimilaritySpec extends SparkTestBase {
       .toSeq.sortBy(_._1)
     assert(hist.toSeq === want)
   }
+
+  /** Driver-side int8 quantization — the same trunc-toward-zero the
+    * engine and the DuckDB oracle apply. */
+  private def codesOf(v: Seq[Float]): Array[Long] = {
+    val mx = v.map(x => math.abs(x.toDouble)).max
+    if (mx == 0.0) Array.fill(v.size)(0L)
+    else v.map(x => (x.toDouble / (mx / 127.0)).toLong).toArray
+  }
+
+  test("label centroids: one-pass sums equal the per-vector fold; no Generate in the plan (r13)") {
+    val df = Similarity.labelCentroids(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+      "centroid moments must not posexplode the corpus")
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val vecs = Tables.embeddings(spark, sf).select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val want = vecs.groupBy(_._1).map { case (l, xs) =>
+      val sums = xs.map(x => codesOf(x._2)).reduce((a, b) => a.zip(b).map(t => t._1 + t._2))
+      l -> ((xs.length.toLong, sums.map(s => s * s).sum))
+    }
+    rows.foreach { case (l, n, ss, norm) =>
+      assert((n, ss) === want(l), s"label $l")
+      assert(math.abs(norm - math.sqrt(ss.toDouble) / n) < 1e-6)
+    }
+  }
+
+  test("centroid outliers: integer distances replay; moments broadcast back onto the corpus (r13)") {
+    val df = Similarity.centroidOutliers(spark, sf, k = 10)
+    assert(df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }.nonEmpty,
+      "the |labels|-row moments relation must broadcast")
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), codesOf(r.getSeq[Float](2))))
+    val byLabel = vecs.groupBy(_._2).map { case (l, xs) =>
+      l -> (xs.length.toLong, xs.map(_._3).reduce((a, b) => a.zip(b).map(t => t._1 + t._2)))
+    }
+    val dists = vecs.map { case (id, l, q) =>
+      val (n, s) = byLabel(l)
+      (id, l, n, q.zip(s).map { case (qi, si) => val d = n * qi - si; d * d }.sum)
+    }
+    // the reported top-k matches the driver-side ranking by normalized
+    // distance (sqrt(A)/n) with vec_id tiebreak
+    val wantTop = dists.sortBy { case (id, _, n, a) =>
+      (-math.sqrt(a.toDouble) / n, id) }.take(10)
+    assert(rows.map(r => (r._1, r._4)).toSeq === wantTop.map(t => (t._1, t._4)).toSeq)
+  }
+
+  test("centroid pairs: exact integer dots replay for every label pair; corpus scanned once (r13)") {
+    val df = Similarity.centroidPairs(spark, sf)
+    // the pair join must be over the reduced |labels| relation — the only
+    // joins allowed are broadcast (NLJ for the triangular condition)
+    assert(df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledJoin => j }.isEmpty,
+      "no shuffled join: pairs form over the broadcast |labels| relation")
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    val vecs = Tables.embeddings(spark, sf).select("label", "embedding").collect()
+      .map(r => (r.getInt(0), codesOf(r.getSeq[Float](1))))
+    val sums = vecs.groupBy(_._1).map { case (l, xs) =>
+      l -> ((xs.length.toLong, xs.map(_._2).reduce((a, b) => a.zip(b).map(t => t._1 + t._2))))
+    }
+    val labels = sums.keys.toSeq.sorted
+    assert(rows.length === labels.size * (labels.size - 1) / 2, "every unordered pair present")
+    rows.foreach { case (la, lb, na, nb, dot, n2a, n2b, cos) =>
+      assert(la < lb)
+      val (wn_a, sa) = sums(la); val (wn_b, sb) = sums(lb)
+      assert((na, nb) === ((wn_a, wn_b)))
+      assert(dot === sa.zip(sb).map { case (x, y) => x * y }.sum, s"pair ($la,$lb)")
+      assert(n2a === sa.map(x => x * x).sum)
+      assert(n2b === sb.map(x => x * x).sum)
+      if (n2a > 0 && n2b > 0)
+        assert(math.abs(cos - dot.toDouble / (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble))) < 1e-6)
+    }
+  }
 }

@@ -430,4 +430,63 @@ class TextOpsSpec extends SparkTestBase {
       assert(p50 <= p90 && p90 <= p99, "percentiles are monotone")
     }
   }
+
+  test("stopword df: document frequencies replay; per-doc dedup happens before the explode (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = TextOps.stopwordDf(spark, sf, k = 20)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.size <= 20)
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select("text").collect().map(_.getString(0))
+    val dfs = docs.flatMap(_.trim.split("\\s+").distinct.filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val want = dfs.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(rows.map(r => (r._1, r._2)).toSeq === want)
+    rows.foreach { case (_, d, n, ratio) =>
+      assert(n === docs.length.toLong)
+      assert(d <= n)
+      assert(math.abs(ratio - d.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("ttr by source: integer token sums replay; ratio divides once (r13)") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.ttrBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (s, xs) =>
+      val toks = xs.map(_._2.trim.split("\\s+").toSeq)
+      s -> ((xs.length.toLong, toks.map(_.size.toLong).sum, toks.map(_.distinct.size.toLong).sum))
+    }
+    rows.foreach { case (s, nd, tc, dt, ttr) =>
+      assert((nd, tc, dt) === want(s), s"source $s")
+      assert(dt <= tc)
+      assert(math.abs(ttr - dt.toDouble / tc) < 1e-6)
+    }
+  }
+
+  test("bigram coverage: top-list membership replays; the top list broadcasts (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = TextOps.bigramCoverage(spark, sf, topK = 100)
+    assert(df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }.nonEmpty,
+      "the 100-row top list must broadcast onto the scoring pass")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    def bigrams(t: String): Seq[String] = {
+      val w = t.trim.split("\\s+").toSeq
+      if (w.size < 2) Seq.empty else w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val all = docs.flatMap { case (s, t) => bigrams(t).map(s -> _) }
+    val top = all.map(_._2).groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(100).map(_._1).toSet
+    val want = all.groupBy(_._1).map { case (s, xs) =>
+      s -> ((xs.length.toLong, xs.count(x => top.contains(x._2)).toLong)) }
+    assert(rows.map(r => r._1 -> ((r._2, r._3))).toMap === want)
+    rows.foreach { case (_, tot, cov, ratio) =>
+      assert(math.abs(ratio - cov.toDouble / tot) < 1e-6) }
+  }
 }
