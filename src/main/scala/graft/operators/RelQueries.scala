@@ -643,7 +643,261 @@ object RelQueries {
       .orderBy("nation")
   }
 
+  /** FILTERED REVENUE (TPC-H Q6 shape): forecast-revenue-change — the
+    * pure scan-and-fold query: a year window, a discount band, and a
+    * quantity cap, ALL pushed into the parquet scan (PushedFilters on
+    * the NTZ shipdate plus both numeric bands), then ONE keyless
+    * map-combined aggregate to a single row. The canonical "is pushdown
+    * working" probe: at 100 TB this query's cost is exactly the row
+    * groups the filters fail to prune. Discount compares against the
+    * stored double directly (same literal, same stored value on both
+    * engines — no arithmetic before the compare). */
+  def filteredRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("line_count"))
+
+  /** PROFIT BY NATION (TPC-H Q9 shape): per (supplier nation, order
+    * year), profit on parts matching a name token. The testdata has no
+    * partsupp, so unit cost is the part's retail price (broadcast from
+    * the filtered part dimension) — the SHAPE is Q9's: a name-filtered
+    * part slice broadcast into the fact scan, lineitem⋈orders as the
+    * only fact-sized shuffle, supplier and nation broadcast, profit in
+    * exact integer cents (`rev_cents − unit_cost_cents·qty`, all Long).
+    * Output ≤ |nations|·|years| rows. */
+  def profitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("unit_cost_cents"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_quantity").cast("long").as("qty"),
+      cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_cents"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("o_year"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(col("rev_cents") - col("unit_cost_cents") * col("qty")).as("profit_cents"),
+        count(lit(1)).as("line_count"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** RETURNED-ITEM CUSTOMERS (TPC-H Q10 shape): top 20 customers by
+    * revenue lost to returned lines for orders placed in one quarter.
+    * The quarter prunes the orders scan; the returnflag filter prunes
+    * lineitem; revenue aggregates to the per-customer grain FIRST, so
+    * the customer join moves |matching customers| rows, never line rows;
+    * nation broadcasts; top-20 is TakeOrderedAndProject. */
+  def returnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val n = Tables.nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum("rev").as("lost_revenue_cents"), count(lit(1)).as("returned_lines"))
+      .join(c, col("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        col("c_mktsegment"), col("lost_revenue_cents"), col("returned_lines"))
+      .orderBy(desc("lost_revenue_cents"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** IMPORTANT PARTS (TPC-H Q11 shape): parts whose total lineitem value
+    * exceeds 1.5× the mean part value — the group-by + HAVING-against-a-
+    * global-scalar pattern, scale-free by construction (a fixed share
+    * threshold empties at higher SF as parts multiply). The per-part
+    * aggregate runs once; the global (Σ, n) folds over THAT reduced
+    * relation and re-attaches as a broadcast 1-row cross join; the
+    * threshold is exact-integer `value·n·2 > 3·total` (no IEEE division
+    * in a predicate). */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val pv = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+    val tot = pv.agg(sum("value_cents").as("tot"), count(lit(1)).as("np"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("value_cents") * col("np") * 2 > col("tot") * 3)
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(desc("value_cents"), asc("l_partkey"))
+  }
+
+  /** LATE-SHIPMENT PRIORITY MIX (TPC-H Q12 shape): for lines shipped
+    * more than 60 days after their order date within one ship year,
+    * how many belong to critical-priority orders vs not, per return
+    * flag (the testdata carries no shipmode — the flag keys the same
+    * conditional-count pattern). The ship-year window prunes the
+    * lineitem scan; lineitem⋈orders is the one shuffle; both counts are
+    * ONE conditional aggregate (never two passes). */
+  def latePriorityMix(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+      .select("l_orderkey", "l_shipdate", "l_returnflag")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val crit = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** SUPPLIER COUNTS BY PART ATTRIBUTE (TPC-H Q16 shape): distinct
+    * suppliers per (brand, type, size), excluding one brand, one type,
+    * and a supplier blocklist (negative balances — the complaints
+    * stand-in) — the NOT-IN + multi-key distinct-count pattern. The
+    * observed part↔supplier relation (lineitem has no partsupp) dedups
+    * to (partkey, suppkey) FIRST, so the attribute join and the distinct
+    * count run over the reduced relation; the blocklist anti-joins as a
+    * broadcast; part attributes broadcast. */
+  def supplierPartCounts(spark: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(spark, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("excl_key"))
+    val ps = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(excl), col("l_suppkey") === col("excl_key"), "left_anti")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO")
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+  }
+
+  /** LARGE-VOLUME ORDERS (TPC-H Q18 shape): the top-100 biggest orders
+    * among those whose total line quantity exceeds a threshold — the
+    * HAVING-against-own-aggregate pattern. The per-order quantity sum
+    * folds lineitem to the order grain and FILTERS before any join, so
+    * the orders join moves only qualifying keys; the customer lookup
+    * joins the doubly-reduced relation; top-100 is
+    * TakeOrderedAndProject. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val oq = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    o.join(oq, o("o_orderkey") === oq("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("total_cents"),
+        col("total_qty"))
+      .orderBy(desc("total_cents"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  /** DISJUNCTIVE-PREDICATE REVENUE (TPC-H Q19 shape): revenue matching
+    * any of three (brand, size band, quantity band) branches — the
+    * OR-of-conjunctions pattern. The branches' common quantity bound is
+    * stated as an explicit conjunct so it reaches the lineitem scan as a
+    * pushed filter even though the disjunction itself cannot; part
+    * attributes broadcast; the final fold is one keyless aggregate. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+    val b1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 11)
+    val b2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+      col("l_quantity").between(10, 20)
+    val b3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+      col("l_quantity").between(20, 30)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"), count(lit(1)).as("line_count"))
+  }
+
+  /** DOMINANT SUPPLIERS (TPC-H Q20 shape): suppliers who shipped more
+    * than half of some name-matched part's yearly volume — the
+    * nested-aggregate + semi-join pattern. The year window and the
+    * broadcast name-filtered part slice reduce the fact FIRST; the
+    * (part, supplier) and per-part aggregates both run over that
+    * reduced relation; the winner set (distinct suppkeys) joins
+    * supplier, nation broadcasts. The majority test is exact-integer
+    * `2·sq > tq`. */
+  def dominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("red")).select("p_partkey")
+    val ps = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"))
+    val pt = ps.groupBy(col("l_partkey").as("pk")).agg(sum("sq").as("tq"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+    val n = Tables.nation(spark, dir)
+    ps.join(pt, col("l_partkey") === col("pk"))
+      .filter(col("sq") * 2 > col("tq"))
+      .select(col("l_suppkey")).distinct()
+      .join(s, col("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+      .orderBy("s_suppkey")
+  }
+
+  /** WAITING-ON SUPPLIERS (TPC-H Q21 shape): for finished orders with
+    * more than one supplier, the supplier who was the ONLY late shipper
+    * — ranked by how many orders they alone held up. Q21's two
+    * correlated EXISTS/NOT-EXISTS self-joins of lineitem are replaced by
+    * ONE per-(order, supplier) fold (max-late flag) and ONE per-order
+    * fold (supplier count, late count, the late key) — two narrow
+    * exchanges, no Expand, no self-join, no distinct aggregates. Late =
+    * shipped >90 days after order date (the testdata has no
+    * receipt/commit dates). */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perSupp = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L).as("late"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max("late").as("late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ns"), sum("late").as("nl"),
+        max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    perOrder.filter(col("ns") > 1 && col("nl") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(s), col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_suppkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_filtered_revenue" -> (filteredRevenue _),
+    "rel_profit_by_nation" -> (profitByNation _),
+    "rel_returned_customers" -> (returnedCustomers _),
+    "rel_important_parts" -> (importantParts _),
+    "rel_late_priority_mix" -> (latePriorityMix _),
+    "rel_supplier_part_counts" -> (supplierPartCounts _),
+    "rel_large_orders" -> (largeOrders _),
+    "rel_disjunctive_revenue" -> (disjunctiveRevenue _),
+    "rel_dominant_suppliers" -> (dominantSuppliers _),
+    "rel_waiting_suppliers" -> (waitingSuppliers _),
     "rel_customer_distribution" -> (customerDistribution _),
     "rel_small_qty_revenue" -> (smallQtyRevenue _),
     "rel_order_priority" -> ((s: SparkSession, d: String) => orderPriorityLate(s, d)),
@@ -673,6 +927,109 @@ object RelQueries {
     "rel_rollup_agg" -> (rollupAgg _))
 
   val oracles: Map[String, String] = Map(
+    "rel_filtered_revenue" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS line_count
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin.replace('\n', ' '),
+    "rel_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |   - CAST(floor(p_retailprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents,
+        | count(*) AS line_count
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | WHERE p_name LIKE '%red%'
+        | GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin.replace('\n', ' '),
+    "rel_returned_customers" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS lost_revenue_cents,
+        |    count(*) AS returned_lines
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name AS nation, c_mktsegment,
+        |  lost_revenue_cents, returned_lines
+        |FROM r JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY lost_revenue_cents DESC, c_custkey ASC LIMIT 20""".stripMargin.replace('\n', ' '),
+    "rel_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem GROUP BY 1),
+        | t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tot, count(*) AS np FROM pv)
+        |SELECT l_partkey, value_cents FROM pv, t
+        |WHERE value_cents * np * 2 > tot * 3
+        |ORDER BY value_cents DESC, l_partkey ASC""".stripMargin.replace('\n', ' '),
+    "rel_late_priority_mix" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        | GROUP BY 1 ORDER BY l_returnflag""".stripMargin.replace('\n', ' '),
+    "rel_supplier_part_counts" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin.replace('\n', ' '),
+    "rel_large_orders" ->
+      """WITH oq AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents, total_qty
+        |FROM orders JOIN oq ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_orderkey ASC LIMIT 100""".stripMargin.replace('\n', ' '),
+    "rel_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | count(*) AS line_count
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_quantity >= 1 AND l_quantity <= 30 AND (
+        |   (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin.replace('\n', ' '),
+    "rel_dominant_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        | pt AS (SELECT l_partkey AS pk, CAST(sum(sq) AS BIGINT) AS tq FROM ps GROUP BY 1),
+        | win AS (SELECT DISTINCT l_suppkey FROM ps JOIN pt ON l_partkey = pk WHERE sq * 2 > tq)
+        |SELECT s_suppkey, s_name, n_name AS nation
+        |FROM win JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin.replace('\n', ' '),
+    "rel_waiting_suppliers" ->
+      """WITH per_supp AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        | per_order AS (
+        |  SELECT l_orderkey, count(*) AS ns, sum(late) AS nl,
+        |    max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+        |  FROM per_supp GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM per_order JOIN supplier ON late_supp = s_suppkey
+        |WHERE ns > 1 AND nl = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey ASC LIMIT 20""".stripMargin.replace('\n', ' '),
     "rel_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

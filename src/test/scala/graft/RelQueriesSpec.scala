@@ -403,4 +403,215 @@ class RelQueriesSpec extends SparkTestBase {
       .map { case (k, xs) => k -> ((xs.length.toLong, xs.map(_._3).sum)) }
     assert(rows.map(r => r._1 -> ((r._2, r._3))).toMap === want)
   }
+
+  // ---- round-13 sixth wave: the remaining TPC-H shapes ---------------------
+
+  test("filtered revenue (Q6): all three predicates reach the scan; fold replays (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = RelQueries.filteredRevenue(spark, sf)
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "") }.mkString(";")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+    val Array(row) = df.collect()
+    val want = Tables.lineitem(spark, sf)
+      .select(col("l_shipdate"), col("l_discount"), col("l_quantity"),
+        floor(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0).getYear,
+        r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .filter { case (y, d, q, _) => y == 1997 && d >= 0.05 && d <= 0.07 && q < 24 }
+    assert(row.getLong(0) === want.map(_._4).sum)
+    assert(row.getLong(1) === want.size.toLong)
+  }
+
+  test("profit by nation (Q9): part/supplier/nation broadcast; total profit replays (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = RelQueries.profitByNation(spark, sf)
+    val bhj = df.queryExecution.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 3, s"part + supplier + nation must broadcast, got ${bhj.size}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val unitCost = Tables.part(spark, sf)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), floor(col("p_retailprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity").cast("long"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(x => unitCost.contains(x._1))
+      .map(x => x._3 - unitCost(x._1) * x._2).sum
+    assert(rows.map(_.getLong(2)).sum === want)
+  }
+
+  test("returned customers (Q10): revenue aggregates below the customer join; top-20 replays (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = RelQueries.returnedCustomers(spark, sf)
+    assert(df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }.size === 1)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.size <= 20)
+    val inQuarter = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val perCust = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+      .collect().flatMap(r => inQuarter.get(r.getLong(0)).map(_ -> r.getLong(1)))
+      .groupBy(_._1).view.mapValues(xs => (xs.map(_._2).sum, xs.size.toLong)).toMap
+    val wantTop = perCust.toSeq.map { case (k, (rev, n)) => (k, rev, n) }
+      .sortBy(x => (-x._2, x._1)).take(20)
+    assert(rows.toSeq === wantTop)
+  }
+
+  test("important parts (Q11): global scalar attaches as a broadcast 1-row relation; threshold replays (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = RelQueries.importantParts(spark, sf)
+    val nlj = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j }
+    assert(nlj.size === 1, "the (tot, np) scalar must attach as a broadcast 1-row cross join")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pv = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), floor(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val (tot, np) = (pv.values.sum, pv.size.toLong)
+    val want = pv.filter { case (_, v) => v * np * 2 > tot * 3 }
+      .toSeq.sortBy(x => (-x._2, x._1))
+    assert(rows.toSeq === want)
+    assert(rows.nonEmpty, "threshold must not degenerate to empty at test SF")
+  }
+
+  test("late priority mix (Q12): ship-year window pruned; ONE conditional aggregate; counts replay (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = RelQueries.latePriorityMix(spark, sf)
+    val p = df.queryExecution.sparkPlan
+    assert(p.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.size === 2,
+      "exactly one lineitem scan + one orders scan")
+    val rows = df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val prio = Tables.orders(spark, sf).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .collect().map(r => (r.getLong(0),
+        (r.getAs[java.time.LocalDateTime](1), r.getString(2)))).toMap
+    val want = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getString(2)))
+      .filter { case (ok, sd, _) =>
+        sd.getYear == 1997 && prio.get(ok).exists(o => sd.isAfter(o._1.plusDays(60))) }
+      .groupBy(_._3).view.mapValues { xs =>
+        val crit = xs.count(x => Set("1-URGENT", "2-HIGH")(prio(x._1)._2)).toLong
+        (crit, xs.size - crit) }.toMap
+    assert(rows === want)
+  }
+
+  test("supplier part counts (Q16): blocklist anti-joins as broadcast; distinct counts replay (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = RelQueries.supplierPartCounts(spark, sf)
+    val anti = df.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT ANTI" => j }
+    assert(anti.size === 1, "the negative-balance blocklist must anti-join as a broadcast")
+    val rows = df.collect().map(r =>
+      ((r.getString(0), r.getString(1), r.getInt(2)), r.getLong(3))).toMap
+    val excl = Tables.supplier(spark, sf).filter(col("s_acctbal") < 0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val attrs = Tables.part(spark, sf)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO")
+      .select("p_partkey", "p_brand", "p_type", "p_size").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getInt(3)))).toMap
+    val want = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .filter(x => !excl(x._2) && attrs.contains(x._1))
+      .groupBy(x => attrs(x._1)).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(rows === want)
+  }
+
+  test("large orders (Q18): quantity HAVING filters before the joins; top-100 replays (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = RelQueries.largeOrders(spark, sf)
+    assert(df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }.size === 1)
+    val rows = df.collect().map(r => (r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.size <= 100)
+    val qty = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (ok, tc) =>
+        qty.get(ok).filter(_ > 150).map(q => (ok, tc, q)) }
+      .sortBy(x => (-x._2, x._1)).take(100)
+    assert(rows.toSeq === want.toSeq)
+  }
+
+  test("disjunctive revenue (Q19): the common quantity band reaches the lineitem scan (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = RelQueries.disjunctiveRevenue(spark, sf)
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "") }.mkString(";")
+    assert(pushed.contains("LessThanOrEqual(l_quantity"),
+      s"the branches' common quantity bound must push down: $pushed")
+    val Array(row) = df.collect()
+    val attrs = Tables.part(spark, sf).select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    val want = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+      .collect().map(r => (attrs(r.getLong(0)), r.getDouble(1), r.getLong(2)))
+      .filter { case ((b, s), q, _) =>
+        (b == "Brand#12" && s >= 1 && s <= 15 && q >= 1 && q <= 11) ||
+        (b == "Brand#23" && s >= 1 && s <= 25 && q >= 10 && q <= 20) ||
+        (b == "Brand#34" && s >= 1 && s <= 35 && q >= 20 && q <= 30) }
+    assert(row.getLong(0) === want.map(_._3).sum)
+    assert(row.getLong(1) === want.size.toLong)
+  }
+
+  test("dominant suppliers (Q20): majority test replays exactly (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = RelQueries.dominantSuppliers(spark, sf)
+    val rows = df.collect().map(_.getLong(0)).toSet
+    val red = Tables.part(spark, sf).filter(col("p_name").startsWith("red"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val ps = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long"),
+        col("l_shipdate")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[java.time.LocalDateTime](3).getYear))
+      .filter(x => red(x._1) && x._4 == 1997)
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).sum).toMap
+    val perPart = ps.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val want = ps.filter { case ((p, _), q) => 2 * q > perPart(p) }.keys.map(_._2).toSet
+    assert(rows === want)
+    assert(rows.nonEmpty)
+  }
+
+  test("waiting suppliers (Q21): no Expand (no distinct aggregates); numwait replays (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = RelQueries.waitingSuppliers(spark, sf)
+    assert(df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.isEmpty,
+      "the two-fold rewrite must not plan distinct-aggregate Expands")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+    val ord = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1))).toMap
+    val perSupp = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2)))
+      .filter(x => ord.contains(x._1))
+      .groupBy(x => (x._1, x._2)).view
+      .mapValues(_.exists(x => x._3.isAfter(ord(x._1).plusDays(90)))).toMap
+    val byOrder = perSupp.groupBy(_._1._1)
+    val waits = byOrder.toSeq.flatMap { case (_, supps) =>
+      val late = supps.filter(_._2).keys.map(_._2).toSeq
+      if (supps.size > 1 && late.size == 1) late.headOption else None }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wantTop = waits.toSeq.sortBy(x => (-x._2, x._1)).take(20)
+    assert(rows.toSeq === wantTop)
+  }
 }
