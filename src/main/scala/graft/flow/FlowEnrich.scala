@@ -283,10 +283,44 @@ object FlowEnrich {
       .orderBy(desc("sum_bytes"), asc("prefix"), asc("origin"))
   }
 
+  /** flow_as_balance: per-AS ingress/egress byte balance — the peering
+    * diagnostic behind "is this AS a source, a sink, or symmetric" (a
+    * CDN AS is egress-heavy, an eyeball AS ingress-heavy; a sudden flip
+    * marks a routing leak or a reflection attack). ONE fact pass reduces
+    * flows to the (src_as, dst_as) pair grain — the traffic-matrix grain,
+    * dashboard-sized at any SF — then egress and ingress re-aggregate
+    * from THAT relation and full-outer-join on the AS key (an AS seen
+    * only as destination still reports, with egress 0). Share is one
+    * rounded division of exact integer sums; names attach via the
+    * broadcast dimension. */
+  def flowAsBalance(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = FlowAdapter.flows(spark, dir)
+      .groupBy(col("src_as"), col("dst_as"))
+      .agg(sum(col("bytes") * col("sampling_rate")).as("b"))
+      .transform(graft.Storage.materializeOnce)
+    val egress = pairs.groupBy(col("src_as").as("asn"))
+      .agg(sum("b").as("egress_bytes"))
+    val ingress = pairs.groupBy(col("dst_as").as("asn"))
+      .agg(sum("b").as("ingress_bytes"))
+    val dims = broadcast(asDims(spark, dir).select(col("asn").as("d_asn"), col("as_name")))
+    egress.join(ingress, Seq("asn"), "full_outer")
+      .select(col("asn"),
+        coalesce(col("egress_bytes"), lit(0L)).as("egress_bytes"),
+        coalesce(col("ingress_bytes"), lit(0L)).as("ingress_bytes"))
+      .join(dims, col("asn") === col("d_asn"), "left")
+      .select(col("asn"), coalesce(col("as_name"), lit("--")).as("as_name"),
+        col("egress_bytes"), col("ingress_bytes"),
+        round(col("egress_bytes").cast("double") /
+          (col("egress_bytes") + col("ingress_bytes")).cast("double"), 6)
+          .as("egress_share"))
+      .orderBy("asn")
+  }
+
   val queries: Map[String, Q] = Map(
     "flow_enrich" -> (flowEnrich _),
     "flow_enrich_salted" -> (flowEnrichSalted _),
     "flow_enrich_geo" -> (flowEnrichGeo _),
+    "flow_as_balance" -> (flowAsBalance _),
     "flow_lpm_enrich" -> (flowLpmEnrich _),
     "flow_lpm_summary" -> (flowLpmSummary _))
 
@@ -340,6 +374,23 @@ object FlowEnrich {
   val oracles: Map[String, String] = Map(
     "flow_enrich_salted" -> enrichSql, // salting must be result-invisible
     "flow_enrich" -> enrichSql,
+    "flow_as_balance" ->
+      s"""${FlowAdapter.ducksql.trim}, $dimsCte, p AS (
+         |  SELECT src_as, dst_as, CAST(sum(bytes * sampling_rate) AS BIGINT) AS b
+         |  FROM flows GROUP BY 1, 2),
+         | e AS (SELECT src_as AS asn, CAST(sum(b) AS BIGINT) AS egress_bytes FROM p GROUP BY 1),
+         | i AS (SELECT dst_as AS asn, CAST(sum(b) AS BIGINT) AS ingress_bytes FROM p GROUP BY 1),
+         | j AS (SELECT coalesce(e.asn, i.asn) AS asn,
+         |   coalesce(egress_bytes, 0) AS egress_bytes,
+         |   coalesce(ingress_bytes, 0) AS ingress_bytes
+         | FROM e FULL OUTER JOIN i ON e.asn = i.asn)
+         |SELECT j.asn, coalesce(dims.as_name, '--') AS as_name,
+         |  CAST(egress_bytes AS BIGINT) AS egress_bytes,
+         |  CAST(ingress_bytes AS BIGINT) AS ingress_bytes,
+         |  round(CAST(egress_bytes AS DOUBLE)
+         |    / CAST(egress_bytes + ingress_bytes AS DOUBLE), 6) AS egress_share
+         |FROM j LEFT JOIN dims ON j.asn = dims.asn
+         |ORDER BY j.asn""".stripMargin.replace('\n', ' '),
     "flow_lpm_enrich" ->
       s"""${FlowAdapter.ducksql.trim}, $lpmCte
          |SELECT f.seq, f.src_ip, coalesce(b.prefix_len, 0) AS prefix_len,

@@ -275,6 +275,34 @@ object FlowQueries {
       .orderBy("proto", "pkt_band")
   }
 
+  /** PROTOCOL MIX SHIFT — day-over-day change in each protocol's share
+    * of sampled bytes: the "did the traffic composition move" panel that
+    * catches a protocol flood (or a dead service) even when total volume
+    * looks normal. ONE map-combined aggregate reduces the fact to the
+    * (day, proto) grain; the day total is a sum window and the previous
+    * day's share a lag window, both over that ≤ |days|·|protos| relation.
+    * Shares are exact integer PARTS-PER-MILLION (`bytes·10⁶ div total`)
+    * so the day-over-day delta is an integer subtraction — no float sum
+    * ever forms, the oracle is bit-deterministic. */
+  def protoMixShift(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = fl(spark, dir)
+      .groupBy((((col("time_received") / 86400).cast("long")) * 86400).as("day"),
+        col("proto"))
+      .agg(sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+    val withShare = byDay
+      .withColumn("day_total", sum("sum_bytes").over(w.partitionBy("day")))
+      .withColumn("share_ppm", expr("sum_bytes * 1000000 div day_total"))
+    withShare
+      .withColumn("prev_share_ppm",
+        lag("share_ppm", 1).over(w.partitionBy("proto").orderBy("day")))
+      .select(col("day"), col("proto"), col("sum_bytes"), col("share_ppm"),
+        col("prev_share_ppm"),
+        (col("share_ppm") - coalesce(col("prev_share_ppm"), col("share_ppm")))
+          .as("delta_ppm"))
+      .orderBy("day", "proto")
+  }
+
   /** Traffic-anomaly detection — the DDoS/volumetric-spike panel the
     * reference's domain exists for: per (proto, minute) sampled-traffic
     * series z-scored against the protocol's own distribution, spikes
@@ -1001,6 +1029,7 @@ object FlowQueries {
     "flow_dow_heatmap" -> (dowHeatmap _),
     "flow_bidir_ratio" -> ((s: SparkSession, d: String) => bidirRatio(s, d)),
     "flow_pkt_size_dist" -> (pktSizeDist _),
+    "flow_proto_mix_shift" -> (protoMixShift _),
     "flow_rollup_5m" -> ((s: SparkSession, d: String) => rollup5m(s, d)),
     "flow_rollup_reagg" -> ((s, d) => rollupReagg(s, d)),
     "flow_top_src_ip" -> ((s: SparkSession, d: String) => topSrcIp(s, d)),
@@ -1090,6 +1119,16 @@ object FlowQueries {
          | SELECT proto, pkt_band, count(*) AS flow_count,
          |  CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes
          | FROM b GROUP BY 1, 2 ORDER BY proto, pkt_band""".stripMargin.replace('\n', ' '),
+    "flow_proto_mix_shift" ->
+      s"""${cte}, d AS (SELECT (time_received // 86400) * 86400 AS day, proto,
+         |  CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes FROM flows GROUP BY 1, 2),
+         | s AS (SELECT day, proto, sum_bytes,
+         |  CAST(sum_bytes * 1000000 // sum(sum_bytes) OVER (PARTITION BY day) AS BIGINT) AS share_ppm
+         | FROM d),
+         | l AS (SELECT *, lag(share_ppm) OVER (PARTITION BY proto ORDER BY day) AS prev_share_ppm FROM s)
+         | SELECT day, proto, sum_bytes, share_ppm, prev_share_ppm,
+         |  CAST(share_ppm - coalesce(prev_share_ppm, share_ppm) AS BIGINT) AS delta_ppm
+         | FROM l ORDER BY day, proto""".stripMargin.replace('\n', ' '),
     "flow_anomaly_zscore" ->
       s"""${cte}, m AS (SELECT proto, (time_received // 60) * 60 AS minute,
          |  CAST(sum(bytes * sampling_rate) // 1000 AS BIGINT) AS kb FROM flows GROUP BY 1, 2),

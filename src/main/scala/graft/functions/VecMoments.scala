@@ -191,6 +191,129 @@ case class VecSumsAgg(child: Expression,
     copy(inputAggBufferOffset = newOffset)
 }
 
+/** Second-moment CROSS-dimension fold: the upper-triangle Gram matrix
+  * `G[i][j] = Σ_vec q_i·q_j` of an int8-code column, in ONE pass — the
+  * input PCA/whitening/covariance estimation needs, computed without
+  * ever materializing the corpus×dims² pair explosion. Each task folds
+  * its vectors into one fixed d(d+1)/2-long triangle buffer (64 dims →
+  * 2080 longs ≈ 16 KB), so the exchange carries one blob per partition
+  * however many vectors fold in.
+  *
+  * Exactness: int8 codes keep every product ≤ 127² and the triangle sums
+  * exact Longs up to ~5·10¹⁴ vectors — the covariance then derives from
+  * (gram, sums, n) in driver-or-SQL space with no float accumulation.
+  */
+final class VecGramState {
+  var n: Long = 0L
+  var d: Int = 0
+  var g: Array[Long] = null // upper triangle, row-major: (i,j) with j >= i
+
+  def update(codes: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    val dim = codes.numElements()
+    if (g == null) { d = dim; g = new Array[Long](dim * (dim + 1) / 2) }
+    else require(d == dim, s"vec_gram: dimensionality mismatch ($d vs $dim)")
+    var i = 0
+    var k = 0
+    while (i < dim) {
+      val qi = codes.getLong(i)
+      var j = i
+      while (j < dim) { g(k) += qi * codes.getLong(j); j += 1; k += 1 }
+      i += 1
+    }
+    n += 1
+  }
+
+  def merge(other: VecGramState): Unit = {
+    if (other.g != null) {
+      if (g == null) { g = other.g.clone(); d = other.d; n = other.n }
+      else {
+        require(d == other.d, s"vec_gram: dimensionality mismatch ($d vs ${other.d})")
+        var k = 0
+        while (k < g.length) { g(k) += other.g(k); k += 1 }
+        n += other.n
+      }
+    }
+  }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(n)
+    out.writeInt(d)
+    val len = if (g == null) 0 else g.length
+    out.writeInt(len)
+    var k = 0
+    while (k < len) { out.writeLong(g(k)); k += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object VecGramState {
+  def deserialize(bytes: Array[Byte]): VecGramState = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val st = new VecGramState
+    st.n = in.readLong()
+    st.d = in.readInt()
+    val len = in.readInt()
+    if (len > 0) {
+      st.g = new Array[Long](len)
+      var k = 0
+      while (k < len) { st.g(k) = in.readLong(); k += 1 }
+    }
+    st
+  }
+}
+
+/** `vec_gram(codes)` over `array<bigint>` →
+  * `struct<n_vecs:bigint, dims:int, gram:array<bigint>>` with `gram` the
+  * upper triangle in row-major (i, j ≥ i) order. Null vectors are
+  * skipped. */
+case class VecGramAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecGramState] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_gram needs array<bigint> codes, got $other")
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_vecs", LongType, nullable = false),
+    StructField("dims", IntegerType, nullable = false),
+    StructField("gram", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "vec_gram"
+
+  override def createAggregationBuffer(): VecGramState = new VecGramState
+
+  override def update(buffer: VecGramState, input: InternalRow): VecGramState = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    buffer
+  }
+
+  override def merge(buffer: VecGramState, other: VecGramState): VecGramState = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: VecGramState): Any = InternalRow(buffer.n, buffer.d,
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (buffer.g == null) Array.emptyLongArray else buffer.g))
+
+  override def serialize(buffer: VecGramState): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): VecGramState =
+    VecGramState.deserialize(bytes)
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VecGramAgg = copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecGramAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecGramAgg =
+    copy(inputAggBufferOffset = newOffset)
+}
+
 object VecMoments {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -204,4 +327,9 @@ object VecMoments {
   def vecSums(codes: Column): Column =
     ColumnBridge.column(
       VecSumsAgg(ColumnBridge.expression(codes)).toAggregateExpression())
+
+  /** `vecGram(codes)` → `struct<n_vecs, dims, gram>`. */
+  def vecGram(codes: Column): Column =
+    ColumnBridge.column(
+      VecGramAgg(ColumnBridge.expression(codes)).toAggregateExpression())
 }

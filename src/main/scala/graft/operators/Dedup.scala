@@ -227,6 +227,27 @@ object Dedup {
       .orderBy("threshold")
   }
 
+  /** SHINGLE DOCUMENT-FREQUENCY SPECTRUM — how many shingles live at each
+    * power-of-two document-frequency band, with the occurrence mass and
+    * the QUADRATIC PAIR MASS (`df·(df−1)/2`, the join rows an uncapped
+    * co-shingle self-join would generate) per band. This is the report
+    * that justifies (and tunes) the df cap: the capped operators' cost is
+    * the pair mass BELOW the cap, and the scale-killer the 50M run
+    * exposed (one 50k-df boilerplate shingle → 1.25B join rows) shows up
+    * here as a single top-band row long before anyone runs the join.
+    * Scale shape: one hash exchange on the shingle hash (ids/hashes only,
+    * text never leaves the scan), then a map-combined fold to ≤ ~32 band
+    * rows. Band exponent via `length(bin(df))` integer arithmetic — no
+    * libm. */
+  def dfProfile(spark: SparkSession, dir: String): DataFrame =
+    explodedShingleHashes(spark, dir)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .groupBy(expr("shiftleft(1L, length(bin(df)) - 1)").as("df_band"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum("df").as("occurrences"),
+        sum(expr("df * (df - 1) div 2")).as("pair_mass"))
+      .orderBy("df_band")
+
   /** ASYMMETRIC containment pairs — C(A→B) = |A∩B| / |A| over the same
     * distinct-shingle sets the Jaccard operators use. Jaccard is blind to
     * the length-skewed duplication a training corpus is full of: a short
@@ -1525,6 +1546,7 @@ object Dedup {
     "dedup_containment_groundtruth" -> ((s: SparkSession, d: String) =>
       containmentPairs(s, d, maxDf = None)),
     "dedup_rate_by_source" -> (dupRateBySource _),
+    "dedup_df_profile" -> (dfProfile _),
     "dedup_cross_source" -> (crossSourceDup _),
     "dedup_lsh_eval" -> (lshEval _))
 
@@ -1660,6 +1682,15 @@ object Dedup {
          | count(*) - count(DISTINCT $duckTextDigest) AS dup_docs,
          | round(CAST(count(*) - count(DISTINCT $duckTextDigest) AS DOUBLE) / count(*), 6) AS dup_rate
          | FROM documents GROUP BY source ORDER BY source""".stripMargin.replace('\n', ' '),
+    "dedup_df_profile" ->
+      s"""${duckShingleCte.trim},
+         | df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         | b AS (SELECT CAST(1 << (length(bin(df)) - 1) AS BIGINT) AS df_band,
+         |   df FROM df)
+         |SELECT df_band, count(*) AS n_shingles,
+         |  CAST(sum(df) AS BIGINT) AS occurrences,
+         |  CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_mass
+         |FROM b GROUP BY 1 ORDER BY df_band""".stripMargin.replace('\n', ' '),
     "dedup_cross_source" ->
       s"""WITH ds AS (SELECT $duckTextDigest AS d, source, count(*) AS docs
          |  FROM documents GROUP BY 1, 2)

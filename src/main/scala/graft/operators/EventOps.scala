@@ -399,7 +399,30 @@ object EventOps {
         sum("n_events").as("sum_events"))
       .orderBy("n_bits")
 
+  /** NEW vs RETURNING users per day — the growth-accounting panel (is
+    * today's activity acquisition or retention?). The corpus-sized
+    * (day, user) distinct materializes ONCE (same lineage-cut rationale
+    * as [[dauWau]]: the first-seen derivation would otherwise re-scan
+    * the fact table); first-seen day is a min aggregate over that
+    * reduced relation, joined back on user_id, and the day rollup is
+    * one conditional aggregate. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val daySec = 86400L
+    val ud = graft.Storage.materializeOnce(
+      Tables.events(spark, dir)
+        .select((expr("unix_timestamp(ts) div 86400") * daySec).as("day"), col("user_id"))
+        .distinct())
+    val firstSeen = ud.groupBy(col("user_id").as("u"))
+      .agg(min("day").as("first_day"))
+    ud.join(firstSeen, col("user_id") === col("u"))
+      .groupBy("day")
+      .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") === col("first_day"), 0L).otherwise(1L)).as("returning_users"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_new_vs_returning" -> (newVsReturning _),
     "events_user_activity_dist" -> (userActivityDist _),
     "events_value_stats" -> (valueStats _),
     "events_transitions" -> (transitions _),
@@ -416,6 +439,15 @@ object EventOps {
     "events_props_stats" -> (propsStats _))
 
   val oracles: Map[String, String] = Map(
+    "events_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT
+        |   (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day, user_id FROM events),
+        | fs AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN day = first_day THEN 0 ELSE 1 END) AS BIGINT) AS returning_users
+        |FROM ud JOIN fs USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin.replace('\n', ' '),
     "events_user_activity_dist" ->
       """WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
         |SELECT CAST(length(bin(n_events)) AS INT) AS n_bits, count(*) AS n_users,

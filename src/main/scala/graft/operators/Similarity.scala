@@ -857,6 +857,34 @@ object Similarity {
             col("n_vecs").cast("double"), 6)))
       .orderBy("label")
 
+  /** CORPUS GRAM MATRIX over the int8 codes — the `Σ q·qᵀ` second-moment
+    * matrix PCA / whitening / covariance estimation starts from, as a
+    * (dim_i, dim_j ≥ dim_i, gram) upper-triangle relation. ONE pass:
+    * [[graft.functions.VecGramAgg]] folds each task's vectors into a
+    * fixed d(d+1)/2-long triangle buffer (64-dim → 16 KB), so the
+    * exchange carries one blob per partition and the corpus×dims² pair
+    * explosion never exists — at 100 TB the cost is the scan plus
+    * d²/2 multiply-adds per vector, nothing shuffles but blobs. The
+    * triangle unpacks ABOVE the final aggregate via two bounded explodes
+    * of the ≤ d·(d+1)/2-entry array (`idx = i·d − i(i−1)/2 + (j−i)`,
+    * integer-exact). Every cell is an exact integer (int8 codes), so the
+    * oracle hash-matches bit-for-bit. */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.embeddings(spark, dir)
+      .select(int8Codes(col("embedding")).as("codes"))
+      .agg(graft.functions.VecMoments.vecGram(col("codes")).as("vg"))
+      .select(col("vg.dims").as("d"), col("vg.gram").as("gram"))
+    g.select(col("d"), col("gram"),
+        explode(sequence(lit(0), col("d") - 1)).as("dim_i"))
+      .select(col("d"), col("gram"), col("dim_i"),
+        explode(sequence(col("dim_i"), col("d") - 1)).as("dim_j"))
+      .select(col("dim_i"), col("dim_j"),
+        element_at(col("gram"),
+          expr("dim_i * d - (dim_i * (dim_i - 1)) div 2 + (dim_j - dim_i) + 1")
+            .cast("int")).as("gram"))
+      .orderBy("dim_i", "dim_j")
+  }
+
   /** CENTROID OUTLIERS — the top-k vectors farthest from their own
     * label's centroid: the mislabel/contamination-candidate list every
     * embedding-cleaning pass starts from. Distance to centroid without
@@ -978,6 +1006,7 @@ object Similarity {
     "sim_knn_label_agreement" -> ((s: SparkSession, d: String) => knnLabelAgreement(s, d)),
     "sim_vec_quantize" -> (vecQuantize _),
     "sim_diversity_int8" -> (simDiversity _),
+    "sim_gram_matrix" -> (gramMatrix _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_outliers" -> ((s: SparkSession, d: String) => centroidOutliers(s, d)),
     "sim_centroid_pairs" -> (centroidPairs _),
@@ -1188,6 +1217,23 @@ object Similarity {
         |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_saturated,
         |  CAST(list_sum(codes) AS BIGINT) AS code_sum
         |FROM q ORDER BY vec_id""".stripMargin.replace('\n', ' '),
+    "sim_gram_matrix" ->
+      """WITH e AS (
+        |  SELECT embedding AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(v, x -> 0)
+        |      ELSE list_transform(v, x -> CAST(trunc(CAST(x AS DOUBLE) / (mx / 127.0)) AS INT))
+        |    END AS codes
+        |  FROM e
+        |)
+        |SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+        |  CAST(sum(codes[CAST(i AS INT) + 1] * codes[CAST(j AS INT) + 1]) AS BIGINT) AS gram
+        |FROM q, UNNEST(range(0, len(codes))) AS a(i), UNNEST(range(0, len(codes))) AS b(j)
+        |WHERE j >= i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace('\n', ' '),
     "sim_diversity_int8" ->
       """WITH e AS (
         |  SELECT label, embedding AS v,

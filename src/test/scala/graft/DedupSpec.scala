@@ -964,4 +964,24 @@ class DedupSpec extends SparkTestBase {
     assert(curve(100) === ((1L, 2L)),
       "the planted identical pair lands in the 100-percent bucket")
   }
+
+  test("df profile: bands replay from a driver shingle recount; pair mass is the quadratic cost (r13)") {
+    val rows = Dedup.dfProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver recount with the operator's own shingle definition:
+    // whitespace 3-grams, DISTINCT within document
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0)).filter(_ != null)
+    val dfByShingle = docs.flatMap { t =>
+      val w = t.trim.split("\\s+").toSeq
+      (if (w.length < 3) Seq.empty[String]
+       else w.sliding(3).map(_.mkString(" ")).toSeq).distinct
+    }.groupBy(identity).map { case (_, xs) => xs.length.toLong }
+    def band(df: Long): Long = java.lang.Long.highestOneBit(df)
+    val want = dfByShingle.groupBy(band).map { case (b, dfs) =>
+      b -> ((dfs.size.toLong, dfs.sum, dfs.map(d => d * (d - 1) / 2).sum)) }
+    assert(rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap === want)
+    rows.foreach { case (b, _, _, _) =>
+      assert(java.lang.Long.bitCount(b) === 1, s"band $b must be a power of two") }
+  }
 }

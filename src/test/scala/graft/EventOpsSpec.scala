@@ -306,4 +306,19 @@ class EventOpsSpec extends SparkTestBase {
       assert(lo >= (1L << (b - 1)) && hi < (1L << b), s"bucket $b bounds")
     }
   }
+
+  test("new vs returning: per-day split sums to DAU; new users conserve the user base (r13)") {
+    val rows = EventOps.newVsReturning(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ud = Tables.events(spark, sf)
+      .select(expr("(unix_timestamp(ts) div 86400) * 86400").as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dau = ud.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (day, nu, ru) => assert(nu + ru === dau(day), s"day $day") }
+    assert(rows.map(_._2).sum === ud.map(_._2).distinct.length.toLong,
+      "every user is new exactly once")
+    val firstDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val wantNew = firstDay.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (day, nu, _) => assert(nu === wantNew.getOrElse(day, 0L)) }
+  }
 }

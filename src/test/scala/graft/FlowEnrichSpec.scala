@@ -159,4 +159,20 @@ class FlowEnrichSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("as balance: egress and ingress both conserve total sampled bytes; shares replay (r13)") {
+    import graft.flow.FlowAdapter
+    val rows = FlowEnrich.flowAsBalance(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val total = FlowAdapter.flows(spark, sf)
+      .agg(sum(col("bytes") * col("sampling_rate"))).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum === total, "egress conserves sampled bytes")
+    assert(rows.map(_._4).sum === total, "ingress conserves sampled bytes")
+    val names = FlowEnrich.asDims(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    rows.foreach { case (asn, name, e, i, share) =>
+      assert(name === names.getOrElse(asn, "--"))
+      assert(math.abs(share - e.toDouble / (e + i)) < 1e-6)
+    }
+  }
 }

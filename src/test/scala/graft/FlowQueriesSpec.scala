@@ -593,4 +593,32 @@ class FlowQueriesSpec extends SparkTestBase {
     }.map { case (k, xs) => k -> (xs.size.toLong, xs.map(t => t._2 * t._4).sum) }
     assert(rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap === want)
   }
+
+  test("proto mix shift: integer ppm shares replay; first-day delta is 0; one fact scan (r13)") {
+    val df = FlowQueries.protoMixShift(spark, sf)
+    assert(df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.size === 1,
+      "both windows run over the reduced (day, proto) relation — one fact scan")
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+    val byDayProto = FlowAdapter.flows(spark, sf)
+      .select(expr("(time_received div 86400) * 86400").as("day"),
+        col("proto"), (col("bytes") * col("sampling_rate")).as("b"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val dayTotals = byDayProto.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    rows.foreach { case (day, proto, sb, ppm, prev, delta) =>
+      assert(sb === byDayProto((day, proto)))
+      assert(ppm === sb * 1000000L / dayTotals(day))
+      prev match {
+        case Some(p) => assert(delta === ppm - p)
+        case None    => assert(delta === 0L, "first observed day has zero delta")
+      }
+    }
+    // per-day ppm shares sum to 1e6 within |protos| floor-truncations
+    rows.groupBy(_._1).foreach { case (day, xs) =>
+      val s = xs.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - xs.size, s"day $day shares sum $s")
+    }
+  }
 }

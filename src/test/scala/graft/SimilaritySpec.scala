@@ -581,4 +581,26 @@ class SimilaritySpec extends SparkTestBase {
         assert(math.abs(cos - dot.toDouble / (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble))) < 1e-6)
     }
   }
+
+  test("gram matrix: every triangle cell replays driver-side; no Generate below the aggregate (r13)") {
+    val df = Similarity.gramMatrix(spark, sf)
+    // the two unpacking explodes sit ABOVE the one-row aggregate; the
+    // corpus-side plan must fold via the blob aggregate, never explode
+    val plan = df.queryExecution.sparkPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a }
+    assert(aggs.nonEmpty, "vec_gram must plan as ObjectHashAggregate")
+    val generatesBelowAgg = aggs.flatMap(_.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g })
+    assert(generatesBelowAgg.isEmpty, "no explode below the gram fold")
+    val rows = df.collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val codes = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(r => codesOf(r.getSeq[Float](0)))
+    val d = codes.head.length
+    assert(rows.size === d * (d + 1) / 2, "full upper triangle present")
+    for (i <- 0 until d; j <- i until d) {
+      val want = codes.map(c => c(i) * c(j)).sum
+      assert(rows((i, j)) === want, s"cell ($i,$j)")
+    }
+  }
 }
