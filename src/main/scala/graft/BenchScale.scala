@@ -345,6 +345,22 @@ object BenchScale {
     bench("scale_flow_ip_pagerank_20") {
       graft.flow.FlowQueries.ipPageRank(spark, famDir, iters = 20)
     }
+    // r13 fourth/fifth-wave headliners at scale: the one-pass vec_sums
+    // centroid fold at 2M vectors (vs the 78 s explode-era diversity
+    // number), the join-free canonical-pair aggregate over 50M flows,
+    // and the two-pass broadcast bigram coverage over 5M docs
+    bench("scale_sim_label_centroids") {
+      graft.operators.Similarity.labelCentroids(spark, famDir)
+    }
+    bench("scale_sim_centroid_outliers") {
+      graft.operators.Similarity.centroidOutliers(spark, famDir)
+    }
+    bench("scale_flow_bidir_ratio") {
+      graft.flow.FlowQueries.bidirRatio(spark, famDir)
+    }
+    bench("scale_text_bigram_coverage") {
+      graft.operators.TextOps.bigramCoverage(spark, famDir)
+    }
 
     val ingestRate = (n / ingestSec).toLong
     val queriesJson = queries.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")

@@ -227,7 +227,86 @@ object Plans {
         "ObjectHashAggregate (|labels| blobs); the triangular pair join " +
         "is a BroadcastNestedLoopJoin over that reduced relation — the " +
         "only acceptable NLJ shape, because both sides are |labels| rows; " +
-        "no shuffled join anywhere"))
+        "no shuffled join anywhere"),
+      "rel_sales_opportunity" -> ("the positive-balance (sum, n) aggregate " +
+        "attaches as a BROADCAST 1-row cross join; the threshold predicate " +
+        "is exact-integer (bal*n > sum) ABOVE it — no IEEE division in a " +
+        "Filter; the LeftAnti join moves only threshold-survivors against " +
+        "orders pruned to the single o_custkey column"),
+      "flow_pkt_size_dist" -> ("ONE map-combined partial+final hash " +
+        "aggregate over the fact scan — the band exponent is pure " +
+        "integer/bin() arithmetic inside the grouping projection (no " +
+        "log2/libm, no join, no window); output <= |protos| x 11 rows"),
+      "text_ttr_by_source" -> ("ONE map-combined aggregate to |sources| " +
+        "rows — tokenize + array_distinct evaluate INSIDE the scan-stage " +
+        "projection, so only (source, long, long) triples reach the " +
+        "exchange; text never shuffles; the TTR division happens once " +
+        "above the final aggregate"),
+      "text_bigram_coverage" -> ("two corpus passes by design: pass 1's " +
+        "top list reduces via map-combined counts to TakeOrderedAndProject " +
+        "(100 rows) and BROADCASTS onto pass 2's explode — the membership " +
+        "test is a BroadcastHashJoin, gram strings never shuffle for it; " +
+        "per-source totals are one map-combined aggregate"),
+      "rel_filtered_revenue" -> ("the pushdown probe (Q6): shipdate " +
+        "window, discount band, and quantity cap ALL in PushedFilters; " +
+        "one keyless map-combined aggregate to a single row — query cost " +
+        "is exactly the row groups the filters fail to prune"),
+      "rel_profit_by_nation" -> ("Q9 star: the name-filtered part slice, " +
+        "supplier, and nation all BroadcastHashJoin; lineitem<->orders is " +
+        "the ONLY fact-sized shuffle; profit is exact-integer cents in " +
+        "the aggregate"),
+      "rel_returned_customers" -> ("Q10: returnflag and the order-date " +
+        "quarter prune their scans; revenue folds to the per-customer " +
+        "grain BEFORE the customer join (the join moves reduced rows, " +
+        "never line rows); top-20 is TakeOrderedAndProject"),
+      "rel_important_parts" -> ("Q11 HAVING-vs-global-scalar: the global " +
+        "(sum, n) folds over the per-part aggregate and re-attaches as a " +
+        "BROADCAST 1-row cross join; the threshold is exact-integer — no " +
+        "IEEE division in the Filter"),
+      "rel_late_priority_mix" -> ("Q12: the ship-year window reaches the " +
+        "lineitem scan; ONE fact<->fact shuffle; both priority counts are " +
+        "a single conditional aggregate — never two passes"),
+      "rel_supplier_part_counts" -> ("Q16: the (partkey, suppkey) " +
+        "relation dedups FIRST, the blocklist anti-joins as a broadcast, " +
+        "part attributes broadcast — the distinct count runs over the " +
+        "reduced relation only"),
+      "rel_large_orders" -> ("Q18 HAVING-against-own-aggregate: the " +
+        "quantity sum folds lineitem to the order grain and filters " +
+        "BELOW both joins; top-100 is TakeOrderedAndProject"),
+      "rel_disjunctive_revenue" -> ("Q19 OR-of-conjunctions: the " +
+        "branches' common quantity band is an explicit conjunct in " +
+        "PushedFilters even though the disjunction can't push; part " +
+        "attributes broadcast; one keyless fold"),
+      "rel_dominant_suppliers" -> ("Q20 nested-aggregate + semi: the " +
+        "year window and broadcast part slice reduce the fact before " +
+        "BOTH aggregates; the majority test is exact-integer 2*sq > tq " +
+        "over the reduced (part, supplier) relation"),
+      "rel_waiting_suppliers" -> ("Q21 without self-joins: two narrow " +
+        "fold exchanges — per-(order, supplier) max-late, then per-order " +
+        "(count, late-count, late-key) — replace the classic " +
+        "EXISTS/NOT-EXISTS pair; NO Expand (no distinct aggregates), " +
+        "supplier names broadcast, top-20 is TakeOrderedAndProject"),
+      "sim_gram_matrix" -> ("the vec_gram ObjectHashAggregate folds the " +
+        "corpus into ONE d(d+1)/2-long triangle blob per partition — no " +
+        "Generate below the aggregate, the corpus x dims^2 pair explosion " +
+        "never exists; the two unpacking explodes sit ABOVE the one-row " +
+        "aggregate"),
+      "flow_as_balance" -> ("ONE fact pass to the (src_as, dst_as) pair " +
+        "grain, PINNED (materializeOnce); egress/ingress re-aggregate " +
+        "from the pinned cells (no FileSourceScan in the serving plan); " +
+        "the dimension joins broadcast"),
+      "flow_proto_mix_shift" -> ("one map-combined aggregate to the " +
+        "(day, proto) grain; the day-total sum window and the lag window " +
+        "both run over that reduced relation; shares are integer ppm — " +
+        "no float sum anywhere"),
+      "dedup_df_profile" -> ("one hash exchange on the shingle hash " +
+        "(ids/hashes only, text never leaves the scan), then a " +
+        "map-combined fold to <= ~32 band rows; band exponent is " +
+        "integer bin() arithmetic"),
+      "events_new_vs_returning" -> ("the corpus-sized (day, user) " +
+        "distinct materializes ONCE (no FileSourceScan in the final " +
+        "plan); first-seen is a min aggregate over the reduced relation; " +
+        "the day rollup is one conditional aggregate"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
