@@ -70,6 +70,20 @@ object GraftFunctions {
     // the mergeable sketch family, SQL forms. Size/accuracy knobs must be
     // literals for the same plannability reason as heavy_hitters.
     registerSketchFamily(reg)
+    // the one-pass vector-moments family (no knobs: buffer shape derives
+    // from the data's dimensionality)
+    reg.createOrReplaceTempFunction("vec_moments", es => {
+      require(es.length == 1, "usage: vec_moments(codes)")
+      graft.functions.VecMomentsAgg(es.head).toAggregateExpression()
+    }, "built-in")
+    reg.createOrReplaceTempFunction("vec_sums", es => {
+      require(es.length == 1, "usage: vec_sums(codes)")
+      graft.functions.VecSumsAgg(es.head).toAggregateExpression()
+    }, "built-in")
+    reg.createOrReplaceTempFunction("vec_gram", es => {
+      require(es.length == 1, "usage: vec_gram(codes)")
+      graft.functions.VecGramAgg(es.head).toAggregateExpression()
+    }, "built-in")
   }
 
   private def registerSketchFamily(

@@ -603,4 +603,26 @@ class SimilaritySpec extends SparkTestBase {
       assert(rows((i, j)) === want, s"cell ($i,$j)")
     }
   }
+
+  test("vec aggregate family is SQL-registered; SQL forms equal the DataFrame API (r13)") {
+    import spark.implicits._
+    val codes = Seq(Array(1L, 2L, 3L), Array(4L, 5L, 6L), Array(-1L, 0L, 2L))
+    codes.toDF("c").createOrReplaceTempView("vec_family_probe")
+    val m = spark.sql("SELECT vec_moments(c) AS m FROM vec_family_probe")
+      .select("m.n_vecs", "m.ssd").collect()(0)
+    val s = spark.sql("SELECT vec_sums(c) AS s FROM vec_family_probe")
+      .select("s.n_vecs", "s.sums").collect()(0)
+    val g = spark.sql("SELECT vec_gram(c) AS g FROM vec_family_probe")
+      .select("g.n_vecs", "g.dims", "g.gram").collect()(0)
+    val sums = Array(4L, 7L, 11L)
+    val s2 = Array(18L, 29L, 49L)
+    assert(m.getLong(0) === 3L)
+    assert(m.getLong(1) === sums.indices.map(i => 3L * s2(i) - sums(i) * sums(i)).sum)
+    assert(s.getLong(0) === 3L)
+    assert(s.getSeq[Long](1).toArray.toSeq === sums.toSeq)
+    assert(g.getLong(0) === 3L && g.getInt(1) === 3)
+    val wantGram = for (i <- 0 until 3; j <- i until 3)
+      yield codes.map(c => c(i) * c(j)).sum
+    assert(g.getSeq[Long](2).toSeq === wantGram)
+  }
 }
