@@ -361,6 +361,17 @@ object BenchScale {
     bench("scale_text_bigram_coverage") {
       graft.operators.TextOps.bigramCoverage(spark, famDir)
     }
+    // r13 sixth/seventh-wave headliners at scale: the one-pass Gram
+    // triangle fold at 2M×64-dim (d²/2 madds per vector, one 16 KB blob
+    // per partition — the posture PCA/whitening inherits), and the
+    // shingle df spectrum over 5M docs (the df-cap tuning report at the
+    // same scale that exposed the 3243 s uncapped join)
+    bench("scale_sim_gram_matrix") {
+      graft.operators.Similarity.gramMatrix(spark, famDir)
+    }
+    bench("scale_dedup_df_profile") {
+      graft.operators.Dedup.dfProfile(spark, famDir)
+    }
 
     val ingestRate = (n / ingestSec).toLong
     val queriesJson = queries.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
