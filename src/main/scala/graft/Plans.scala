@@ -306,7 +306,21 @@ object Plans {
       "events_new_vs_returning" -> ("the corpus-sized (day, user) " +
         "distinct materializes ONCE (no FileSourceScan in the final " +
         "plan); first-seen is a min aggregate over the reduced relation; " +
-        "the day rollup is one conditional aggregate"))
+        "the day rollup is one conditional aggregate"),
+      "text_langid_eval" -> ("predictions evaluate INSIDE the scan-stage " +
+        "projection (never materialized); one map-combined aggregate to " +
+        "|langs|^2 cells; the label-share window runs over that reduced " +
+        "relation"),
+      "sim_norm_profile" -> ("one map-combined aggregate to <= ~21 band " +
+        "rows — norm2 and the band exponent are exact integer " +
+        "projections in the scan stage; no join, no window"),
+      "rel_yoy_growth" -> ("revenue folds to the (nation, year) grain in " +
+        "one fact pass (lineitem<->orders the only fact-sized shuffle, " +
+        "dims broadcast); the lag window runs over the reduced grain; " +
+        "growth is integer ppm"),
+      "dedup_cluster_size_dist" -> ("digest-only exchange (text never " +
+        "leaves the scan); two map-combined aggregates to <= ~32 band " +
+        "rows"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -227,6 +227,24 @@ object Dedup {
       .orderBy("threshold")
   }
 
+  /** EXACT-DUP CLUSTER-SIZE SPECTRUM — power-of-two distribution of
+    * identical-text group sizes: how DEEP the corpus's duplication runs
+    * (band 1 = unique documents; a fat 64+ band means boilerplate pages
+    * replicated across the crawl, the rows an exact-dedup pass deletes).
+    * `n_redundant` per band is exactly the document count that pass
+    * removes — the cost/benefit readout for scheduling it. Digest-only
+    * exchange (text never leaves the scan), two map-combined aggregates,
+    * ≤ ~32 rows out at any scale. */
+  def clusterSizeDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(textDigest.as("d"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(expr("shiftleft(1L, length(bin(sz)) - 1)").as("size_band"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"),
+        sum(col("sz") - 1).as("n_redundant"))
+      .orderBy("size_band")
+
   /** SHINGLE DOCUMENT-FREQUENCY SPECTRUM — how many shingles live at each
     * power-of-two document-frequency band, with the occurrence mass and
     * the QUADRATIC PAIR MASS (`df·(df−1)/2`, the join rows an uncapped
@@ -1547,6 +1565,7 @@ object Dedup {
       containmentPairs(s, d, maxDf = None)),
     "dedup_rate_by_source" -> (dupRateBySource _),
     "dedup_df_profile" -> (dfProfile _),
+    "dedup_cluster_size_dist" -> (clusterSizeDist _),
     "dedup_cross_source" -> (crossSourceDup _),
     "dedup_lsh_eval" -> (lshEval _))
 
@@ -1682,6 +1701,14 @@ object Dedup {
          | count(*) - count(DISTINCT $duckTextDigest) AS dup_docs,
          | round(CAST(count(*) - count(DISTINCT $duckTextDigest) AS DOUBLE) / count(*), 6) AS dup_rate
          | FROM documents GROUP BY source ORDER BY source""".stripMargin.replace('\n', ' '),
+    "dedup_cluster_size_dist" ->
+      s"""WITH g AS (SELECT $duckTextDigest AS d, count(*) AS sz
+         |  FROM documents GROUP BY 1)
+         |SELECT CAST(1 << (length(bin(sz)) - 1) AS BIGINT) AS size_band,
+         |  count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(sz - 1) AS BIGINT) AS n_redundant
+         |FROM g GROUP BY 1 ORDER BY size_band""".stripMargin.replace('\n', ' '),
     "dedup_df_profile" ->
       s"""${duckShingleCte.trim},
          | df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),

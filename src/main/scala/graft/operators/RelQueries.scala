@@ -887,7 +887,38 @@ object RelQueries {
       .limit(20)
   }
 
+  /** YEAR-OVER-YEAR GROWTH per nation — the trend view of the Q5-shaped
+    * revenue cascade: revenue folds to the (nation, year) grain in one
+    * fact pass (lineitem⋈orders the only fact-sized shuffle, customer +
+    * nation broadcast), then the lag window runs over that ≤
+    * |nations|·|years| relation. Growth is exact integer PPM
+    * (`(rev − prev)·10⁶ div prev`) — no float sum anywhere, first
+    * observed year reports 0. */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("int").as("o_year"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir)
+    val byYear = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(cents(li("l_extendedprice") * (lit(1.0) - li("l_discount"))))
+        .as("revenue_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("nation").orderBy("o_year")
+    byYear
+      .withColumn("prev_revenue_cents", lag("revenue_cents", 1).over(w))
+      .withColumn("growth_ppm",
+        when(col("prev_revenue_cents").isNull || col("prev_revenue_cents") === 0, 0L)
+          .otherwise(expr(
+            "(revenue_cents - prev_revenue_cents) * 1000000 div prev_revenue_cents")))
+      .orderBy("nation", "o_year")
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_yoy_growth" -> (yoyGrowth _),
     "rel_filtered_revenue" -> (filteredRevenue _),
     "rel_profit_by_nation" -> (profitByNation _),
     "rel_returned_customers" -> (returnedCustomers _),
@@ -927,6 +958,21 @@ object RelQueries {
     "rel_rollup_agg" -> (rollupAgg _))
 
   val oracles: Map[String, String] = Map(
+    "rel_yoy_growth" ->
+      """WITH r AS (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        | l AS (SELECT *, lag(revenue_cents) OVER
+        |   (PARTITION BY nation ORDER BY o_year) AS prev_revenue_cents FROM r)
+        |SELECT nation, o_year, revenue_cents, prev_revenue_cents,
+        |  CAST(CASE WHEN prev_revenue_cents IS NULL OR prev_revenue_cents = 0 THEN 0
+        |   ELSE (revenue_cents - prev_revenue_cents) * 1000000 // prev_revenue_cents
+        |  END AS BIGINT) AS growth_ppm
+        |FROM l ORDER BY nation, o_year""".stripMargin.replace('\n', ' '),
     "rel_filtered_revenue" ->
       """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
         | count(*) AS line_count

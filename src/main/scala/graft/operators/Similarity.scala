@@ -857,6 +857,22 @@ object Similarity {
             col("n_vecs").cast("double"), 6)))
       .orderBy("label")
 
+  /** EMBEDDING NORM PROFILE — power-of-two spectrum of the int8-code
+    * squared norms (`Σq²`, exact integer): the data-quality screen that
+    * catches degenerate embeddings (all-zero vectors land in band 0,
+    * collapsed encoders pile into one narrow band, healthy corpora
+    * spread). One map-combined aggregate to ≤ ~21 band rows at any
+    * scale; band exponent via `length(bin())` integer arithmetic. */
+  def normProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(aggregate(int8Codes(col("embedding")), lit(0L),
+        (a, q) => a + q * q).as("norm2"))
+      .groupBy(expr("CASE WHEN norm2 <= 0 THEN 0L ELSE " +
+        "shiftleft(1L, length(bin(norm2)) - 1) END").as("norm_band"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min("norm2").as("min_norm2"), max("norm2").as("max_norm2"))
+      .orderBy("norm_band")
+
   /** CORPUS GRAM MATRIX over the int8 codes — the `Σ q·qᵀ` second-moment
     * matrix PCA / whitening / covariance estimation starts from, as a
     * (dim_i, dim_j ≥ dim_i, gram) upper-triangle relation. ONE pass:
@@ -1007,6 +1023,7 @@ object Similarity {
     "sim_vec_quantize" -> (vecQuantize _),
     "sim_diversity_int8" -> (simDiversity _),
     "sim_gram_matrix" -> (gramMatrix _),
+    "sim_norm_profile" -> (normProfile _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_outliers" -> ((s: SparkSession, d: String) => centroidOutliers(s, d)),
     "sim_centroid_pairs" -> (centroidPairs _),
@@ -1217,6 +1234,27 @@ object Similarity {
         |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_saturated,
         |  CAST(list_sum(codes) AS BIGINT) AS code_sum
         |FROM q ORDER BY vec_id""".stripMargin.replace('\n', ' '),
+    "sim_norm_profile" ->
+      """WITH e AS (
+        |  SELECT embedding AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(v, x -> 0)
+        |      ELSE list_transform(v, x -> CAST(trunc(CAST(x AS DOUBLE) / (mx / 127.0)) AS INT))
+        |    END AS codes
+        |  FROM e
+        |), n AS (
+        |  SELECT CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT) * c)) AS BIGINT) AS norm2
+        |  FROM q
+        |)
+        |SELECT CAST(CASE WHEN norm2 <= 0 THEN 0
+        |    ELSE 1 << (length(bin(norm2)) - 1) END AS BIGINT) AS norm_band,
+        |  count(*) AS n_vecs,
+        |  CAST(min(norm2) AS BIGINT) AS min_norm2,
+        |  CAST(max(norm2) AS BIGINT) AS max_norm2
+        |FROM n GROUP BY 1 ORDER BY norm_band""".stripMargin.replace('\n', ' '),
     "sim_gram_matrix" ->
       """WITH e AS (
         |  SELECT embedding AS v,

@@ -154,6 +154,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX — [[langId]]'s heuristic scored against
+    * the corpus's `lang` label: (label, predicted) counts plus each
+    * cell's share of its label row. The eval every classifier-backed
+    * filter ships with (the dedup/ANN twins are [[graft.operators.Dedup]]
+    * `dedup_lsh_eval` and `sim_ann_recall`): run it after any rule change
+    * and diff the diagonal. One map-combined aggregate over the same
+    * scan-stage projection the per-doc operator uses — predictions never
+    * materialize, |langs|² rows out at any scale. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("label_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("label_total",
+        sum("n_docs").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("label_lang")))
+      .select(col("label_lang"), col("predicted_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("label_total").cast("double"), 6)
+          .as("label_share"))
+      .orderBy("label_lang", "predicted_lang")
+
   /** Document fingerprinting: md5 content hash over whitespace-normalized
     * text + a 64-bit prefix — the exact-dup key at 100 TB scale.
     *
@@ -815,6 +835,7 @@ object TextOps {
     "text_quality" -> (qualityScore _),
     "text_repetition" -> (repetitionStats _),
     "text_langid" -> (langId _),
+    "text_langid_eval" -> (langIdEval _),
     "text_fingerprint" -> (fingerprint _),
     "text_sample" -> ((s: SparkSession, d: String) => sampleDocs(s, d)),
     "text_weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
@@ -1101,6 +1122,27 @@ object TextOps {
            |  WHEN ($fr) > 0 THEN 'fr'
            |  ELSE 'und' END AS predicted_lang
            | FROM documents ORDER BY doc_id""".stripMargin.replace('\n', ' ')
+      },
+      "text_langid_eval" -> {
+        def hits(ms: Seq[String]) =
+          ms.map(m => duckSubCount("(' ' || lower(text) || ' ')", s" $m ")).mkString(" + ")
+        val en = hits(Seq("the", "and", "of"))
+        val es = hits(Seq("el", "la", "de"))
+        val de = hits(Seq("und", "der", "die"))
+        val fr = hits(Seq("le", "et", "les"))
+        s"""WITH p AS (SELECT lang AS label_lang,
+           | CASE WHEN ($en) >= ($es) AND ($en) >= ($de) AND ($en) >= ($fr) AND ($en) > 0 THEN 'en'
+           |  WHEN ($es) >= ($de) AND ($es) >= ($fr) AND ($es) > 0 THEN 'es'
+           |  WHEN ($de) >= ($fr) AND ($de) > 0 THEN 'de'
+           |  WHEN ($fr) > 0 THEN 'fr'
+           |  ELSE 'und' END AS predicted_lang
+           | FROM documents),
+           | c AS (SELECT label_lang, predicted_lang, count(*) AS n_docs
+           |  FROM p GROUP BY 1, 2)
+           |SELECT label_lang, predicted_lang, n_docs,
+           | round(CAST(n_docs AS DOUBLE)
+           |  / CAST(sum(n_docs) OVER (PARTITION BY label_lang) AS DOUBLE), 6) AS label_share
+           |FROM c ORDER BY label_lang, predicted_lang""".stripMargin.replace('\n', ' ')
       },
       "text_fingerprint" ->
         """SELECT doc_id,

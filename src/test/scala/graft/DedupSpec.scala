@@ -965,6 +965,18 @@ class DedupSpec extends SparkTestBase {
       "the planted identical pair lands in the 100-percent bucket")
   }
 
+  test("cluster size spectrum: conserves docs; redundant = docs - clusters; bands replay (r13)") {
+    val rows = Dedup.clusterSizeDist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum === nDocs, "bands conserve the corpus")
+    rows.foreach { case (_, nc, nd, nr) => assert(nr === nd - nc) }
+    val sizes = Dedup.exactSummary(spark, sf).collect().map(_.getLong(2))
+    val want = sizes.groupBy(java.lang.Long.highestOneBit)
+      .view.mapValues(xs => (xs.length.toLong, xs.sum, xs.sum - xs.length)).toMap
+    assert(rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap === want)
+  }
+
   test("df profile: bands replay from a driver shingle recount; pair mass is the quadratic cost (r13)") {
     val rows = Dedup.dfProfile(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -590,6 +590,36 @@ class RelQueriesSpec extends SparkTestBase {
     assert(rows.nonEmpty)
   }
 
+  test("yoy growth: integer ppm growth replays; lag runs over the reduced grain (r13)") {
+    import org.apache.spark.sql.functions._
+    val df = RelQueries.yoyGrowth(spark, sf)
+    val rows = df.collect().map(r => ((r.getString(0), r.getInt(1)),
+      (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))))
+    val names = Tables.nation(spark, sf).select("n_nationkey", "n_name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val cust = Tables.customer(spark, sf).select("c_custkey", "c_nationkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val ordKey = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_orderdate")
+      .collect().map(r => (r.getLong(0),
+        (names(cust(r.getLong(1))), r.getAs[java.time.LocalDateTime](2).getYear))).toMap
+    val byNationYear = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+      .collect().map(r => (ordKey(r.getLong(0)), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(rows.map { case (k, (rev, _, _)) => k -> rev }.toMap === byNationYear)
+    rows.groupBy(_._1._1).foreach { case (_, xs) =>
+      val sorted = xs.sortBy(_._1._2)
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          assert(cur._2._2 === Some(prev._2._1), "prev carries the prior year's revenue")
+          assert(cur._2._3 === (cur._2._1 - prev._2._1) * 1000000L / prev._2._1)
+        case _ => ()
+      }
+      assert(sorted.head._2._3 === 0L, "first year reports zero growth")
+    }
+  }
+
   test("waiting suppliers (Q21): no Expand (no distinct aggregates); numwait replays (r13)") {
     import org.apache.spark.sql.functions._
     val df = RelQueries.waitingSuppliers(spark, sf)

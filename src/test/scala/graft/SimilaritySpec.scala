@@ -604,6 +604,20 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("norm profile: bands conserve the corpus; every norm2 sits inside its band bounds (r13)") {
+    val rows = Similarity.normProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val norms = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(r => codesOf(r.getSeq[Float](0)).map(q => q * q).sum)
+    assert(rows.map(_._2).sum === norms.length.toLong, "bands conserve vectors")
+    val want = norms.groupBy(n => if (n <= 0) 0L else java.lang.Long.highestOneBit(n))
+      .view.mapValues(xs => (xs.length.toLong, xs.min, xs.max)).toMap
+    assert(rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap === want)
+    rows.filter(_._1 > 0).foreach { case (b, _, lo, hi) =>
+      assert(lo >= b && hi < 2 * b, s"band $b bounds [$lo, $hi]")
+    }
+  }
+
   test("vec aggregate family is SQL-registered; SQL forms equal the DataFrame API (r13)") {
     import spark.implicits._
     val codes = Seq(Array(1L, 2L, 3L), Array(4L, 5L, 6L), Array(-1L, 0L, 2L))

@@ -489,4 +489,18 @@ class TextOpsSpec extends SparkTestBase {
     rows.foreach { case (_, tot, cov, ratio) =>
       assert(math.abs(ratio - cov.toDouble / tot) < 1e-6) }
   }
+
+  test("langid eval: confusion cells replay from the per-doc operator and conserve the corpus (r13)") {
+    val rows = TextOps.langIdEval(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    val perDoc = TextOps.langId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(6)))
+    val want = perDoc.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map { case (k, (n, _)) => k -> n }.toMap === want)
+    assert(rows.map(_._2._1).sum === perDoc.length.toLong, "cells conserve the corpus")
+    val labelTotals = perDoc.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case ((l, _), (n, share)) =>
+      assert(math.abs(share - n.toDouble / labelTotals(l)) < 1e-6)
+    }
+  }
 }
