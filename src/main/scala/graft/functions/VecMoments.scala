@@ -212,12 +212,16 @@ final class VecGramState {
     val dim = codes.numElements()
     if (g == null) { d = dim; g = new Array[Long](dim * (dim + 1) / 2) }
     else require(d == dim, s"vec_gram: dimensionality mismatch ($d vs $dim)")
+    // one bulk copy, then the d²/2 inner loop runs on the primitive array —
+    // per-element ArrayData.getLong virtual calls dominated the fold at 2M
+    // vectors (each element is read d/2 times in the triangle)
+    val q = codes.toLongArray()
     var i = 0
     var k = 0
     while (i < dim) {
-      val qi = codes.getLong(i)
+      val qi = q(i)
       var j = i
-      while (j < dim) { g(k) += qi * codes.getLong(j); j += 1; k += 1 }
+      while (j < dim) { g(k) += qi * q(j); j += 1; k += 1 }
       i += 1
     }
     n += 1

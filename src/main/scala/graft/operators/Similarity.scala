@@ -773,7 +773,21 @@ object Similarity {
   private def int8Scale(v: Column): Column =
     array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
 
+  /** The NATIVE codegen'd quantizer ([[graft.functions.Int8Codes]]) — the
+    * r13 measured fix for the whole int8 family: the HOF spelling below
+    * evaluates interpreted (Catalyst higher-order functions never enter
+    * whole-stage codegen) and dominated gram/centroid/norm queries
+    * identically at 2M vectors. Kept as [[int8CodesHof]] for the
+    * bit-equality spec. */
   private def int8Codes(v: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.Int8Codes(expression(v)))
+  }
+
+  /** The original higher-order-function spelling — spec twin of
+    * [[int8Codes]]; DO NOT use in operators (interpreted per-element
+    * lambdas, three passes). */
+  private[graft] def int8CodesHof(v: Column): Column = {
     val mx = array_max(transform(v, x => abs(x.cast("double"))))
     val scale = int8Scale(v)
     when(mx.isNull || mx === 0.0, transform(v, _ => lit(0L)))

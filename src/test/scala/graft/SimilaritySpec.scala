@@ -618,6 +618,34 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("native int8_codes equals the HOF twin bit-for-bit on the corpus and on edge cases (r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // corpus parity: every vector, every element
+    val both = Tables.embeddings(spark, sf)
+      .select(Similarity.int8CodesHof(col("embedding")).as("hof"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.Int8Codes(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("embedding")))).as("nat"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    // edge cases the corpus can't exercise: empty, all-zero, negative-max,
+    // single element, saturating mix
+    val edges = Seq(
+      Array.empty[Float], Array(0f, 0f, 0f), Array(-2f, 1f, 0.5f),
+      Array(3.5f), Array(127f, -127f, 1f, -1f))
+    val edf = edges.toDF("embedding")
+      .select(Similarity.int8CodesHof(col("embedding")).as("hof"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.Int8Codes(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("embedding")))).as("nat"))
+      .collect()
+    edf.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("vec aggregate family is SQL-registered; SQL forms equal the DataFrame API (r13)") {
     import spark.implicits._
     val codes = Seq(Array(1L, 2L, 3L), Array(4L, 5L, 6L), Array(-1L, 0L, 2L))
