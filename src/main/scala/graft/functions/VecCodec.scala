@@ -52,6 +52,79 @@ object VecCodec {
   }
 }
 
+/** Static kernels for the integer vector reductions the int8 family
+  * folds through — same rationale as [[VecCodec.int8Codes]]: the
+  * `aggregate`/`zip_with` HOF spellings evaluate interpreted per element.
+  */
+object VecKernels {
+  /** Σ a_i·b_i. Lengths must match (the int8 operators only ever dot
+    * same-corpus codes); a silent zip-truncate would mis-score. */
+  def dotLongs(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"dot_longs: length mismatch ($n vs ${b.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  /** Σ a_i². */
+  def sumSqLongs(a: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { val x = a.getLong(i); acc += x * x; i += 1 }
+    acc
+  }
+}
+
+/** `dot_longs(array<bigint>, array<bigint>)` → bigint — native integer
+  * dot product (codegen'd; replaces `aggregate(zip_with(a, b, *), +)`). */
+case class DotLongs(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"dot_longs needs two array<bigint>, got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_longs"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dotLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.dotLongs($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLongs =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `sum_sq_longs(array<bigint>)` → bigint — native Σx² (codegen'd;
+  * replaces `aggregate(a, 0, (acc, x) -> acc + x*x)`). */
+case class SumSqLongs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sum_sq_longs needs array<bigint>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sum_sq_longs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.sumSqLongs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.sumSqLongs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SumSqLongs =
+    copy(child = newChild)
+}
+
 /** `int8_codes(array<float>)` → `array<bigint>` — the native codegen'd
   * quantizer every int8-family operator projects through. `doGenCode`
   * inlines a static call into the surrounding WholeStageCodegen consume,

@@ -784,6 +784,19 @@ object Similarity {
     column(graft.functions.Int8Codes(expression(v)))
   }
 
+  /** Native integer dot / Σx² ([[graft.functions.DotLongs]] /
+    * [[graft.functions.SumSqLongs]]) — the codegen'd forms of the
+    * `aggregate(zip_with(...))` reductions (same r13 HOF lesson as
+    * [[int8Codes]]). */
+  private def dotLongs(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.DotLongs(expression(a), expression(b)))
+  }
+  private def sumSqLongs(a: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.SumSqLongs(expression(a)))
+  }
+
   /** The original higher-order-function spelling — spec twin of
     * [[int8Codes]]; DO NOT use in operators (interpreted per-element
     * lambdas, three passes). */
@@ -864,7 +877,7 @@ object Similarity {
       .groupBy("label")
       .agg(graft.functions.VecMoments.vecSums(col("codes")).as("m"))
       .select(col("label"), col("m.n_vecs").as("n_vecs"),
-        aggregate(col("m.sums"), lit(0L), (a, s) => a + s * s).as("sumsq_sums"))
+        sumSqLongs(col("m.sums")).as("sumsq_sums"))
       .withColumn("centroid_norm",
         when(col("n_vecs") === 0, lit(0.0))
           .otherwise(round(sqrt(col("sumsq_sums").cast("double")) /
@@ -879,8 +892,7 @@ object Similarity {
     * scale; band exponent via `length(bin())` integer arithmetic. */
   def normProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(aggregate(int8Codes(col("embedding")), lit(0L),
-        (a, q) => a + q * q).as("norm2"))
+      .select(sumSqLongs(int8Codes(col("embedding"))).as("norm2"))
       .groupBy(expr("CASE WHEN norm2 <= 0 THEN 0L ELSE " +
         "shiftleft(1L, length(bin(norm2)) - 1) END").as("norm_band"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -932,10 +944,13 @@ object Similarity {
       .agg(graft.functions.VecMoments.vecSums(col("codes")).as("m"))
       .select(col("c_label"), col("m.n_vecs").as("n"), col("m.sums").as("sums"))
     coded.join(broadcast(cents), col("label") === col("c_label"))
+      // Σ(n·q−s)² expanded to n²·Σq² − 2n·Σqs + Σs² so every reduction is
+      // a native codegen kernel — identical exact integer by algebra (the
+      // zip_with spelling evaluated interpreted, r13 HOF lesson)
       .select(col("vec_id"), col("label"), col("n").as("n_vecs"),
-        aggregate(zip_with(col("codes"), col("sums"),
-            (q, s) => (col("n") * q - s) * (col("n") * q - s)),
-          lit(0L), (a, x) => a + x).as("dist2_n2"))
+        (col("n") * col("n") * sumSqLongs(col("codes"))
+          - lit(2L) * col("n") * dotLongs(col("codes"), col("sums"))
+          + sumSqLongs(col("sums"))).as("dist2_n2"))
       .withColumn("centroid_dist",
         round(sqrt(col("dist2_n2").cast("double")) / col("n_vecs").cast("double"), 6))
       .orderBy(desc("centroid_dist"), col("vec_id"))
@@ -963,10 +978,9 @@ object Similarity {
     val b = cents.select(col("label").as("label_b"), col("n").as("n_b"), col("sums").as("s_b"))
     a.join(broadcast(b), col("label_a") < col("label_b"))
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
-        aggregate(zip_with(col("s_a"), col("s_b"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v).as("dot"),
-        aggregate(col("s_a"), lit(0L), (acc, x) => acc + x * x).as("norm2_a"),
-        aggregate(col("s_b"), lit(0L), (acc, x) => acc + x * x).as("norm2_b"))
+        dotLongs(col("s_a"), col("s_b")).as("dot"),
+        sumSqLongs(col("s_a")).as("norm2_a"),
+        sumSqLongs(col("s_b")).as("norm2_b"))
       .withColumn("centroid_cos",
         when(col("norm2_a") === 0 || col("norm2_b") === 0, lit(0.0))
           .otherwise(round(col("dot").cast("double") /
@@ -990,8 +1004,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("codes").as("qc"))
     val c = coded.select(col("vec_id").as("neighbor_id"), col("codes").as("cc"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("dot_q", aggregate(
-        zip_with(col("qc"), col("cc"), (a, b) => a * b), lit(0L), (s, x) => s + x))
+      .withColumn("dot_q", dotLongs(col("qc"), col("cc")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(desc("dot_q"), asc("neighbor_id"))))
       .filter(col("rank") <= k)
