@@ -125,6 +125,57 @@ case class SumSqLongs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `bigrams(array<string>)` → `array<string>` — adjacent-token bigrams
+  * ("tok_i tok_i+1"), the native codegen'd form of
+  * `transform(sequence(1, n-1), i -> concat_ws(' ', slice(t, i, 2)))`.
+  * That HOF spelling evaluates interpreted and allocates a sequence
+  * array plus a 2-slice per gram; this is one pass of
+  * `UTF8String.concat` calls. Parity contract: identical output for
+  * non-null tokens (the `split`-produced arrays these operators feed it
+  * never contain nulls); a null token would concat as empty under
+  * concat_ws vs null-propagate here, pinned out of scope by the spec.
+  * Inputs with < 2 tokens yield an empty array (the HOF's
+  * `sequence(1, 0)` case). */
+object TextKernels {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def bigrams(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = toks.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = toks.getUTF8String(i)
+      out(i - 1) = org.apache.spark.unsafe.types.UTF8String.concat(prev, Space, cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class Bigrams(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bigrams needs array<string>, got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bigrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bigrams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Bigrams =
+    copy(child = newChild)
+}
+
 /** `int8_codes(array<float>)` → `array<bigint>` — the native codegen'd
   * quantizer every int8-family operator projects through. `doGenCode`
   * inlines a static call into the surrounding WholeStageCodegen consume,

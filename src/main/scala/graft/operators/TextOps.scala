@@ -18,6 +18,16 @@ object TextOps {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Adjacent-token bigram array via the native codegen'd
+    * [[graft.functions.Bigrams]] kernel — the interpreted
+    * `transform(sequence(..), i -> concat_ws(' ', slice(t, i, 2)))`
+    * spelling allocated a sequence + a 2-slice per gram and dominated
+    * the ngram/bigram scale rows (r13 HOF lesson, same as int8_codes). */
+  private def bigramsOf(t: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.Bigrams(expression(t)))
+  }
+
   /** Substring occurrence count via the replace-length identity — identical
     * semantics on both engines, no regex dialect risk. */
   private def subCount(c: Column, s: String): Column =
@@ -111,8 +121,7 @@ object TextOps {
       .groupBy("doc_id")
       .agg(max("c").as("top_token_count"), sum("c").as("token_count"))
     val topBi = d.filter(col("n") >= 2)
-      .select(col("doc_id"), explode(transform(sequence(lit(1), col("n") - 1),
-        i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("g"))
+      .select(col("doc_id"), explode(bigramsOf(col("t"))).as("g"))
       .groupBy(col("doc_id"), xxhash64(col("g")).as("gh"))
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_bigram_count"))
@@ -541,8 +550,7 @@ object TextOps {
       .select(toks(col("text")).as("t"))
       .withColumn("n", size(col("t")))
       .filter(col("n") >= 2)
-      .select(explode(transform(sequence(lit(1), col("n") - 1),
-        i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("bigram"))
+      .select(explode(bigramsOf(col("t"))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(desc("n_occurrences"), asc("bigram"))
@@ -795,8 +803,7 @@ object TextOps {
         .select(extra :+ toks(col("text")).as("t"): _*)
         .withColumn("n", size(col("t")))
         .filter(col("n") >= 2)
-        .select(extra :+ explode(transform(sequence(lit(1), col("n") - 1),
-          i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("bigram"): _*)
+        .select(extra :+ explode(bigramsOf(col("t"))).as("bigram"): _*)
     val docs = Tables.documents(spark, dir)
     val top = grams(docs)
       .groupBy("bigram").agg(count(lit(1)).as("c"))
