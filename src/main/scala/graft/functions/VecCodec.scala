@@ -155,6 +155,83 @@ object TextKernels {
   }
 }
 
+/** `shingles3(string)` → `array<string>` — distinct 3-word shingles
+  * (space-joined, first-occurrence order), the native form of
+  * [[graft.operators.Dedup]]'s shingle UDF. The UDF pays a
+  * UTF8String→String decode of the whole document, a Java-regex split,
+  * per-shingle String concats, and a CatalystTypeConverters round-trip
+  * on the returned Seq; this kernel splits the raw bytes on Java's
+  * `\s` class ([ \t\n\x0B\f\r] — byte-for-byte the `"\\s+"` regex the
+  * UDF used, and the corpus carries no \x0B for the RE2 oracle to
+  * diverge on), concats UTF8Strings directly, and dedups via a HashSet
+  * of UTF8String (its hashCode/equals are byte-wise). `trim` parity:
+  * leading/trailing whitespace produces no empty tokens, matching
+  * `split(trim(text), "\\s+")`. < 3 tokens → empty array. */
+object ShingleKernel {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def shingles3(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val nBytes = text.numBytes()
+    // tokenize on whitespace runs, skipping leading/trailing runs (trim)
+    val toks = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < nBytes) {
+      while (i < nBytes && isWs(text.getByte(i))) i += 1
+      if (i < nBytes) {
+        val start = i
+        while (i < nBytes && !isWs(text.getByte(i))) i += 1
+        // zero-copy byte-range view (safe: ASCII whitespace bytes never
+        // occur inside a UTF-8 multi-byte sequence, so [start, i) is
+        // always a valid UTF-8 boundary pair)
+        toks.add(org.apache.spark.unsafe.types.UTF8String.fromAddress(
+          text.getBaseObject, text.getBaseOffset + start, i - start))
+      }
+    }
+    val n = toks.size()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    i = 0
+    while (i + 2 < n) {
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concat(
+        toks.get(i), Space, toks.get(i + 1), Space, toks.get(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** See [[ShingleKernel.shingles3]]. Marked NON-deterministic for the same
+  * optimizer-barrier reason as the UDF it replaces: without it,
+  * InferFiltersFromGenerate + pushdown substitute the expression into
+  * inferred `size(..) > 0` filters below the projection and the shingle
+  * build runs 3× per row. The kernel is pure; the flag only pins WHERE
+  * it evaluates. */
+case class Shingles3(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles3 needs string, got $other")
+  }
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+  // nullSafeEval returns null for null text; Dedup's textDigest-keyed
+  // callers coalesce that to empty upstream (the UDF returned Seq.empty —
+  // withShingles wraps with a coalesce to preserve that contract)
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingles3(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.shingles3($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
 case class Bigrams(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.StringType, _) =>

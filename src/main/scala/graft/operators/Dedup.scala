@@ -67,7 +67,21 @@ object Dedup {
   // keeps exactly one evaluation per row per side.
     .asNondeterministic()
 
-  def withShingles(df: DataFrame, textCol: String): DataFrame =
+  /** NATIVE shingle build ([[graft.functions.Shingles3]]) — replaces the
+    * UDF's whole-document String decode + regex split + Seq encoder
+    * round-trip with a byte-level kernel over zero-copy UTF8String token
+    * views (r13, same-data A/B in the commit). The UDF stays below as
+    * the parity-spec twin; both are pinned identical by DedupSpec. Null
+    * text coalesces to the UDF's empty-array contract. */
+  def withShingles(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    df.withColumn("sh", coalesce(
+      column(graft.functions.Shingles3(expression(col(textCol)))),
+      typedLit(Seq.empty[String])))
+  }
+
+  /** Spec twin of [[withShingles]] — the original UDF spelling. */
+  private[graft] def withShinglesUdf(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("sh", shinglesUdf(col(textCol)))
 
   /** Exact-dup groups: digest → canonical id + duplicate count. */

@@ -965,6 +965,33 @@ class DedupSpec extends SparkTestBase {
       "the planted identical pair lands in the 100-percent bucket")
   }
 
+  test("native shingles3 equals the UDF twin on the corpus and on whitespace/unicode edges (r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    val nat = Dedup.withShingles(corpus, "text")
+      .select("doc_id", "sh").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val hof = Dedup.withShinglesUdf(corpus, "text")
+      .select("doc_id", "sh").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(nat.size === hof.size && nat.nonEmpty)
+    nat.foreach { case (id, sh) => assert(sh === hof(id), s"doc $id") }
+    // edges: leading/trailing/multi whitespace, tabs/newlines/CR, < 3
+    // tokens, repeated shingles (distinct, first-occurrence order),
+    // multi-byte UTF-8 tokens, empty and null text
+    val edges = Seq(
+      "  a b c  ", "a\t\tb\nc\rd", "one two", "", "x y z x y z x y z",
+      "héllo wörld ünïcode ångström", "a  b   c    d", null
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val edf = edges.toDF("doc_id", "text")
+    val natE = Dedup.withShingles(edf, "text").select("doc_id", "sh").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val hofE = Dedup.withShinglesUdf(edf, "text").select("doc_id", "sh").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    natE.foreach { case (id, sh) => assert(sh === hofE(id), s"edge $id") }
+  }
+
   test("cluster size spectrum: conserves docs; redundant = docs - clusters; bands replay (r13)") {
     val rows = Dedup.clusterSizeDist(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
