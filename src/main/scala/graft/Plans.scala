@@ -242,11 +242,12 @@ object Plans {
         "projection, so only (source, long, long) triples reach the " +
         "exchange; text never shuffles; the TTR division happens once " +
         "above the final aggregate"),
-      "text_bigram_coverage" -> ("two corpus passes by design: pass 1's " +
-        "top list reduces via map-combined counts to TakeOrderedAndProject " +
-        "(100 rows) and BROADCASTS onto pass 2's explode — the membership " +
-        "test is a BroadcastHashJoin, gram strings never shuffle for it; " +
-        "per-source totals are one map-combined aggregate"),
+      "text_bigram_coverage" -> ("ONE corpus explode (r13 rewrite): the " +
+        "(source, bigram) occurrence grain aggregates once and is PINNED " +
+        "— the serving plan shows NO FileSourceScan; the top list " +
+        "re-aggregates from the pinned relation (TakeOrderedAndProject) " +
+        "and BROADCASTS onto the same vocab-sized relation for the " +
+        "coverage join — never onto the raw occurrence stream"),
       "rel_filtered_revenue" -> ("the pushdown probe (Q6): shipdate " +
         "window, discount band, and quantity cap ALL in PushedFilters; " +
         "one keyless map-combined aggregate to a single row — query cost " +
