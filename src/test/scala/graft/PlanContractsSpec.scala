@@ -680,11 +680,15 @@ class PlanContractsSpec extends SparkTestBase {
     assert(scans(p).size === 1)
   }
 
-  test("text_bigram_coverage: top list broadcasts onto the scoring pass; two scans by design") {
+  test("text_bigram_coverage: ONE pinned explode; top list broadcasts onto the reduced grain") {
     val p = plan("text_bigram_coverage")
     noTextInExchanges(p)
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
-      "the 100-row top list must broadcast — membership never shuffles the exploded corpus")
-    assert(scans(p).size === 2, "top-list pass + scoring pass")
+      "the 100-row top list must broadcast — membership never shuffles occurrence rows")
+    // r13 rewrite: the (source, bigram) grain aggregates once and is
+    // PINNED (materializeOnce), so the serving plan reads the checkpointed
+    // relation — NO parquet scan, and the corpus is never exploded twice
+    assert(scans(p).isEmpty,
+      "both heads must read the pinned occurrence grain, not re-scan the corpus")
   }
 }
