@@ -321,7 +321,11 @@ object Plans {
         "growth is integer ppm"),
       "dedup_cluster_size_dist" -> ("digest-only exchange (text never " +
         "leaves the scan); two map-combined aggregates to <= ~32 band " +
-        "rows"))
+        "rows"),
+      "multimodal_batches" -> ("payload LENGTH evaluates in the scan " +
+        "stage — the exchange and the per-kind window carry only (kind, " +
+        "media_id, byte_len); the payload blob never shuffles; one " +
+        "window partition per modality"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

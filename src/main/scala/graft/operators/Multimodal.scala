@@ -150,12 +150,52 @@ object Multimodal {
         max("copies").as("max_copies"))
       .orderBy("kind")
 
+  /** DECODE-BATCH PLANNING — assign each media item to a fixed-byte-budget
+    * batch per modality: the manifest a GPU featurization pass reads so
+    * every device batch fits memory and codec/model setup amortizes over
+    * a full batch (the media twin of `text_pack`'s token-budget packing).
+    * Greedy prefix-sum assignment: `batch_id = cum_bytes_before div
+    * budget` under the deterministic (kind, media_id) order — one window
+    * per modality partition. The exchange carries only (kind, media_id,
+    * byte_len): payload LENGTH evaluates in the scan stage, the payload
+    * itself never shuffles — at 100 TB of media this plan moves a few
+    * bytes per item. */
+  def decodeBatches(spark: SparkSession, dir: String,
+      budgetBytes: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("kind").orderBy("media_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mediaTable(spark, dir)
+      .select(col("kind"), col("media_id"), length(col("payload")).cast("long").as("byte_len"))
+      .withColumn("cum_before", coalesce(sum("byte_len").over(win), lit(0L)))
+      .withColumn("batch_id", expr(s"cum_before div $budgetBytes"))
+      .groupBy("kind", "batch_id")
+      .agg(count(lit(1)).as("n_items"), sum("byte_len").as("sum_bytes"),
+        min("media_id").as("first_id"), max("media_id").as("last_id"))
+      .orderBy("kind", "batch_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_meta" -> (mediaMeta _),
     "multimodal_features" -> (mediaFeatures _),
-    "multimodal_dedup" -> (mediaDedup _))
+    "multimodal_dedup" -> (mediaDedup _),
+    "multimodal_batches" -> ((s: SparkSession, d: String) => decodeBatches(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_batches" ->
+      """WITH m AS (SELECT
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents
+        |), w AS (SELECT *, coalesce(sum(byte_len) OVER (
+        |    PARTITION BY kind ORDER BY media_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM m
+        |), b AS (SELECT kind, media_id, byte_len, cum_before // 4096 AS batch_id FROM w)
+        |SELECT kind, CAST(batch_id AS BIGINT) AS batch_id, count(*) AS n_items,
+        |  CAST(sum(byte_len) AS BIGINT) AS sum_bytes,
+        |  CAST(min(media_id) AS BIGINT) AS first_id,
+        |  CAST(max(media_id) AS BIGINT) AS last_id
+        |FROM b GROUP BY 1, 2 ORDER BY kind, batch_id""".stripMargin.replace('\n', ' '),
     // payload-grouped twin of the digest-grouped Spark plan: identical
     // counts unless md5 collides (never on a real corpus)
     "multimodal_dedup" ->

@@ -80,4 +80,32 @@ class MultimodalSpec extends SparkTestBase {
       .foreach(e => e.output.foreach(a =>
         assert(a.name != "payload", "payload blob crossed an exchange")))
   }
+
+  test("decode batches: greedy budget assignment replays; batches tile each kind; no payload in exchanges (r13)") {
+    import org.apache.spark.sql.functions.{col, length}
+    val budget = 4096L
+    val rows = Multimodal.decodeBatches(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val items = Multimodal.mediaTable(spark, sf)
+      .select(col("kind"), col("media_id"), length(col("payload")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = items.groupBy(_._1).flatMap { case (kind, xs) =>
+      var cum = 0L
+      xs.sortBy(_._2).map { case (_, id, len) =>
+        val b = cum / budget; cum += len; (kind, b, id, len) }
+        .groupBy(x => (x._1, x._2)).map { case (k, ys) =>
+          k -> ((ys.size.toLong, ys.map(_._4).sum, ys.map(_._3).min, ys.map(_._3).max)) }
+    }
+    assert(rows.toMap === want)
+    // batch ids are contiguous from 0 per kind; item counts conserve
+    rows.groupBy(_._1._1).foreach { case (_, xs) =>
+      val ids = xs.map(_._1._2).sorted
+      assert(ids === (0L until ids.length.toLong))
+    }
+    assert(rows.map(_._2._1).sum === items.length.toLong)
+    val p = Multimodal.decodeBatches(spark, sf).queryExecution.executedPlan
+    p.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      .foreach(e => e.output.foreach(a =>
+        assert(a.name != "payload", "payload blob crossed an exchange")))
+  }
 }
