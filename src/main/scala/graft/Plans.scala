@@ -105,13 +105,16 @@ object Plans {
       "flow_bytes_quantiles_kll" -> ("two ObjectHashAggregate levels — (proto, day) " +
         "KLL partials then per-proto merge — each partial+final; between them only " +
         "fixed-size sketch blobs cross the one exchange, never byte counts"),
-      "text_tfidf_topk" -> ("ONE corpus scan+explode; df is a count WINDOW over " +
-        "the reduced tf relation (no self-join recompute) and the rank<=k filter " +
-        "plans as partial+final WindowGroupLimit — bounded per-document state, " +
-        "no full sort per doc"),
+      "text_tfidf_topk" -> ("ONE corpus scan+explode; df is a map-combined " +
+        "AGGREGATE over the reduced tf relation joined back (exchange reuse " +
+        "keeps one scan) — never a count window partitioned by term, whose " +
+        "hot-term partition ('the': df ~ corpus) buffers in ONE task; the " +
+        "rank<=k filter plans as partial+final WindowGroupLimit — bounded " +
+        "per-document state, no full sort per doc"),
       "text_pmi_topk" -> ("ONE corpus scan+explode into a partial-combined pair " +
-        "aggregate; PMI marginals are two sum WINDOWS over the vocab²-sized " +
-        "bigram relation; final top-k is TakeOrderedAndProject (per-partition " +
+        "aggregate; PMI marginals are two map-combined sum AGGREGATES joined " +
+        "back (no window may buffer a hot marginal word's partition in one " +
+        "task); final top-k is TakeOrderedAndProject (per-partition " +
         "heaps, no global sort)"),
       "events_gap_sessions" -> ("lag, running-sum session id, and the final " +
         "aggregate ALL share the user_id exchange — one shuffle for three " +
@@ -187,9 +190,12 @@ object Plans {
         "counts -> <= 64 bit-length bands) — NO rank window (a literal " +
         "rank-frequency plot would global-sort the vocabulary); only " +
         "(term, count) crosses the exchange"),
-      "text_len_pctiles" -> ("rank + count windows partition BY LANG and " +
-        "sort only (n_chars, doc_id) pairs — text never leaves the scan; " +
-        "the percentile picks are one conditional aggregate to |langs| rows"),
+      "text_len_pctiles" -> ("the corpus reduces FIRST to the (lang, " +
+        "n_chars)-grain histogram (one map-combined aggregate; the scan " +
+        "prunes to two columns); the cumulative rank windows run over that " +
+        "bounded grain relation and the rank-r pick is an interval lookup " +
+        "— never a per-document rank window (a web-scale language would be " +
+        "one task's external sort)"),
       "flow_bidir_ratio" -> ("NO join anywhere: the canonical (lo, hi) pair " +
         "relation comes from ONE partial+final hash aggregate with " +
         "conditional fwd/rev sums — never a self-join of the fact table " +
@@ -208,8 +214,10 @@ object Plans {
         "rows; the norm math sits above the final aggregate"),
       "sim_centroid_outliers" -> ("the |labels|-row moments relation " +
         "BROADCASTS back onto the corpus (BroadcastHashJoin, no corpus " +
-        "shuffle); distances are exact-integer zip_with/aggregate " +
-        "projections; top-k is TakeOrderedAndProject, never a global sort"),
+        "shuffle); distances are exact-integer projections through the " +
+        "native dot_longs/sum_sq_longs codegen kernels (the r13 HOF " +
+        "lesson — no interpreted zip_with/aggregate in the hot loop); " +
+        "top-k is TakeOrderedAndProject, never a global sort"),
       "text_stopword_df" -> ("array_distinct applies INSIDE the projection " +
         "below the explode, so the exchange carries each (doc, term) pair " +
         "once; the corpus total attaches as a broadcast 1-row relation; " +

@@ -77,6 +77,32 @@ object VecKernels {
     while (i < n) { val x = a.getLong(i); acc += x * x; i += 1 }
     acc
   }
+
+  /** TYPED rejection of null elements — the guard the long-vector
+    * expressions/aggregates run when (and only when) the input TYPE
+    * admits nulls (`containsNull=true`: parquet round-trips, SQL array
+    * literals with NULL). Without it `getLong` silently reads 0 and
+    * `toLongArray` throws an opaque NPE (the r13 advice finding). The
+    * int8_codes-produced path declares containsNull=false and never
+    * pays this scan. */
+  def assertDense(a: ArrayData, fn: String): Unit = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$fn: null element at index $i — long-vector kernels need dense " +
+          "arrays; array_compact or coalesce the elements upstream")
+      i += 1
+    }
+  }
+
+  def dotLongsChecked(a: ArrayData, b: ArrayData): Long = {
+    assertDense(a, "dot_longs"); assertDense(b, "dot_longs"); dotLongs(a, b)
+  }
+
+  def sumSqLongsChecked(a: ArrayData): Long = {
+    assertDense(a, "sum_sq_longs"); sumSqLongs(a)
+  }
 }
 
 /** `dot_longs(array<bigint>, array<bigint>)` → bigint — native integer
@@ -93,11 +119,22 @@ case class DotLongs(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_longs"
 
+  // plan-time routing: the checked twin (null-element scan + typed error)
+  // only when either input TYPE admits null elements — zero cost on the
+  // int8_codes path, a clean error instead of silent 0s on arbitrary SQL
+  private lazy val kernel: String =
+    if (left.dataType.asInstanceOf[ArrayType].containsNull ||
+        right.dataType.asInstanceOf[ArrayType].containsNull) "dotLongsChecked"
+    else "dotLongs"
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecKernels.dotLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (kernel == "dotLongs")
+      VecKernels.dotLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VecKernels.dotLongsChecked(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.dotLongs($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.$kernel($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotLongs =
@@ -115,11 +152,17 @@ case class SumSqLongs(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "sum_sq_longs"
 
+  // see DotLongs.kernel — checked twin only for containsNull=true inputs
+  private lazy val kernel: String =
+    if (child.dataType.asInstanceOf[ArrayType].containsNull) "sumSqLongsChecked"
+    else "sumSqLongs"
+
   override protected def nullSafeEval(input: Any): Any =
-    VecKernels.sumSqLongs(input.asInstanceOf[ArrayData])
+    if (kernel == "sumSqLongs") VecKernels.sumSqLongs(input.asInstanceOf[ArrayData])
+    else VecKernels.sumSqLongsChecked(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.sumSqLongs($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.$kernel($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SumSqLongs =
     copy(child = newChild)
@@ -139,14 +182,20 @@ case class SumSqLongs(child: Expression) extends UnaryExpression {
 object TextKernels {
   private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
+  private val Empty = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+
   def bigrams(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n - 1)
-    var prev = toks.getUTF8String(0)
+    // null token elements (never produced by split(), but the SQL-registered
+    // form accepts arbitrary array<string>) substitute "" — concat would
+    // otherwise return null into a containsNull=false array, which codegen
+    // downstream is allowed to read as garbage
+    var prev = { val t = toks.getUTF8String(0); if (t == null) Empty else t }
     var i = 1
     while (i < n) {
-      val cur = toks.getUTF8String(i)
+      val cur = { val t = toks.getUTF8String(i); if (t == null) Empty else t }
       out(i - 1) = org.apache.spark.unsafe.types.UTF8String.concat(prev, Space, cur)
       prev = cur
       i += 1
@@ -165,19 +214,32 @@ object TextKernels {
   * UDF used, and the corpus carries no \x0B for the RE2 oracle to
   * diverge on), concats UTF8Strings directly, and dedups via a HashSet
   * of UTF8String (its hashCode/equals are byte-wise). `trim` parity:
-  * leading/trailing whitespace produces no empty tokens, matching
-  * `split(trim(text), "\\s+")`. < 3 tokens → empty array. */
+  * the leading/trailing strip drops EVERY byte <= 0x20 — `String.trim`'s
+  * exact contract (it strips chars <= U+0020, a superset of `\s`: NUL,
+  * \x01–\x08, \x0E–\x1F too) — so a doc with a leading/trailing sub-0x20
+  * control char tokenizes identically to `split(trim(text), "\\s+")`;
+  * INTERIOR control chars are non-whitespace for the split, as in the
+  * UDF. < 3 tokens → empty array. */
 object ShingleKernel {
   private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
+  // String.trim strips chars <= U+0020; in UTF-8 those are exactly the
+  // single bytes 0x00..0x20 (multi-byte sequence bytes are >= 0x80 and
+  // read negative here, so they never match)
+  private def isTrimmable(b: Byte): Boolean = b >= 0 && b <= 0x20
+
   def shingles3(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-    val nBytes = text.numBytes()
-    // tokenize on whitespace runs, skipping leading/trailing runs (trim)
+    var nBytes = text.numBytes()
+    // trim parity first: skip leading/trailing bytes <= 0x20, THEN
+    // tokenize the interior on the 6-byte \s class
+    var lo = 0
+    while (lo < nBytes && isTrimmable(text.getByte(lo))) lo += 1
+    while (nBytes > lo && isTrimmable(text.getByte(nBytes - 1))) nBytes -= 1
     val toks = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
-    var i = 0
+    var i = lo
     while (i < nBytes) {
       while (i < nBytes && isWs(text.getByte(i))) i += 1
       if (i < nBytes) {

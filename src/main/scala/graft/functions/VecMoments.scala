@@ -117,9 +117,18 @@ case class VecMomentsAgg(child: Expression,
 
   override def createAggregationBuffer(): VecMomentsState = new VecMomentsState
 
+  // null-element guard only when the input TYPE admits them (parquet
+  // round-trips / SQL literals) -- the int8_codes path never pays it
+  private lazy val checkNullElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def update(buffer: VecMomentsState, input: InternalRow): VecMomentsState = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (checkNullElems) VecKernels.assertDense(arr, prettyName)
+      buffer.update(arr)
+    }
     buffer
   }
 
@@ -164,9 +173,18 @@ case class VecSumsAgg(child: Expression,
 
   override def createAggregationBuffer(): VecMomentsState = new VecMomentsState
 
+  // null-element guard only when the input TYPE admits them (parquet
+  // round-trips / SQL literals) -- the int8_codes path never pays it
+  private lazy val checkNullElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def update(buffer: VecMomentsState, input: InternalRow): VecMomentsState = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (checkNullElems) VecKernels.assertDense(arr, prettyName)
+      buffer.update(arr)
+    }
     buffer
   }
 
@@ -291,9 +309,18 @@ case class VecGramAgg(child: Expression,
 
   override def createAggregationBuffer(): VecGramState = new VecGramState
 
+  // null-element guard only when the input TYPE admits them (parquet
+  // round-trips / SQL literals) -- the int8_codes path never pays it
+  private lazy val checkNullElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def update(buffer: VecGramState, input: InternalRow): VecGramState = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (checkNullElems) VecKernels.assertDense(arr, prettyName)
+      buffer.update(arr)
+    }
     buffer
   }
 

@@ -593,20 +593,30 @@ object TextOps {
     * bag (not the text) crosses the exchange, null texts get a per-doc
     * sentinel so they can never collide into one group. */
   def bowDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // branch BEFORE hashing: concat_ws never returns NULL (it skips null
     // args), so a coalesce on md5's output would silently key every
     // null-text doc as md5("") — the r12 review's finding; the oracle's
     // DuckDB md5(NULL) IS NULL, so the engines would diverge
     val key = when(col("text").isNull, concat(lit("__null__"), col("doc_id")))
       .otherwise(md5(concat_ws(" ", array_sort(toks(col("text"))))))
-    val byKey = Window.partitionBy(col("bow_key"))
+    // canonical pick as a map-combined AGGREGATE (min_by on the unique
+    // doc_id total order), not a window over the dup cluster: a
+    // boilerplate cluster of millions of identical bags partial-folds to
+    // one (key, row, count) per task instead of landing one task's
+    // window buffer (the r13 verdict's weak-spot rewrite). Only the
+    // digest plus four narrow columns cross the exchange — text still
+    // never leaves the scan.
     Tables.documents(spark, dir)
-      .withColumn("bow_key", key)
-      .withColumn("canonical_id", min("doc_id").over(byKey))
-      .withColumn("dup_count", count(lit(1)).over(byKey))
-      .filter(col("doc_id") === col("canonical_id"))
-      .select("doc_id", "lang", "source", "n_chars", "dup_count")
+      .select(key.as("bow_key"), col("doc_id"), col("lang"),
+        col("source"), col("n_chars"))
+      .groupBy("bow_key")
+      .agg(
+        min_by(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_chars")), col("doc_id")).as("c"),
+        count(lit(1)).as("dup_count"))
+      .select(col("c.doc_id").as("doc_id"), col("c.lang").as("lang"),
+        col("c.source").as("source"), col("c.n_chars").as("n_chars"),
+        col("dup_count"))
       .orderBy("doc_id")
   }
 
@@ -617,7 +627,16 @@ object TextOps {
     * lexicographic tie-break; the OUTPUT is integers only (rank, tf, df).
     * Shuffles carry (doc_id, term) then term aggregates; the per-document
     * window is bounded by document vocabulary and plans as
-    * WindowGroupLimit under the rank filter. */
+    * WindowGroupLimit under the rank filter.
+    *
+    * df is a map-combined AGGREGATE over the tf relation joined back —
+    * NOT a `count over (partition by term)` window: a hot term ("the",
+    * boilerplate) has df ≈ corpus size, and the window form buffers the
+    * whole hot-term partition in one task (the slowest text row of the
+    * r13 50M bench, 80.7 s at 5M docs). The aggregate's exchange carries
+    * one row per DISTINCT term, and the join back is skew-handled by AQE
+    * (or broadcast outright — |vocab| ≪ |tf|). Exchange reuse keeps one
+    * corpus scan: both join sides grow from the same tf aggregate. */
   def tfidfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(spark, dir)
@@ -625,12 +644,19 @@ object TextOps {
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(col("term") =!= "")
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df as a count WINDOW over the tf relation (one row per doc
-    // containing the term) — single corpus scan, no self-join recompute;
-    // all three exchanges move the REDUCED (doc, term, tf) relation
+    // sum(if tf >= 1) ≡ count(*) (tf = count(1) ≥ 1 by construction)
+    // but depends on tf's VALUE, so column pruning cannot strip tf from
+    // the df branch's inner aggregate: both branches canonicalize equal
+    // and ReuseExchange collapses them onto ONE corpus scan + ONE
+    // (doc_id, term) exchange read twice. A bare count(1) (and even
+    // count(tf) — the optimizer rewrites count(non-null) to count(1))
+    // prunes the branch into a distinct, and the corpus is scanned and
+    // exploded TWICE (measured).
+    val df = tf.groupBy("term")
+      .agg(sum(when(col("tf") >= 1, 1L).otherwise(0L)).as("df"))
     val score = col("tf").cast("double") / col("df")
     val win = Window.partitionBy("doc_id").orderBy(score.desc, col("term").asc)
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    tf.join(df, "term")
       .withColumn("rank", row_number().over(win))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
@@ -644,24 +670,35 @@ object TextOps {
     * `c_xy / (c_x·c_y)`, so the ranking uses that single IEEE division
     * (integer operands — deterministic across engines, see [[tfidfTopK]])
     * and the output is integers only. ONE corpus scan + explode into one
-    * map-side-combined pair aggregate; the marginals are two sum WINDOWS
-    * over the reduced bigram relation (vocab², not corpus, sized); the
-    * final top-k is TakeOrderedAndProject. */
+    * map-side-combined pair aggregate; the marginals are two sum
+    * AGGREGATES over the reduced bigram relation joined back — not
+    * windows: a hot marginal word ("the" as x) would land its whole
+    * partition in one window task's buffer, while the aggregate partial-
+    * folds it and the joins broadcast (|vocab| rows ≪ |bigrams|) or fall
+    * to AQE's skew handling (the same r14 rewrite as [[tfidfTopK]]'s df;
+    * exchange reuse keeps one scan under all three branches); the final
+    * top-k is TakeOrderedAndProject. */
   def pmiTopK(spark: SparkSession, dir: String, k: Int = 20,
       minCount: Long = 5L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(toks(col("text")).as("t"))
       .withColumn("n", size(col("t")))
-    t.filter(col("n") >= 2)
+    val bi = t.filter(col("n") >= 2)
       .select(explode(transform(sequence(lit(1), col("n") - 1),
         i => struct(element_at(col("t"), i).as("x"),
           element_at(col("t"), (i + 1).cast("int")).as("y")))).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
+      // x/y are non-null by construction (in-bounds element_at over
+      // split output); stating it EXPLICITLY makes the joins' inferred
+      // per-branch IsNotNull filters (x-only for cx, y-only for cy)
+      // subsumed and the three branch subtrees canonicalize equal, so
+      // ReuseExchange keeps ONE corpus scan (measured 3 without it)
+      .filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
-      .withColumn("c_x", sum("c_xy").over(Window.partitionBy("x")))
-      .withColumn("c_y", sum("c_xy").over(Window.partitionBy("y")))
+    val cx = bi.groupBy("x").agg(sum("c_xy").as("c_x"))
+    val cy = bi.groupBy("y").agg(sum("c_xy").as("c_y"))
+    bi.join(cx, "x").join(cy, "y")
       .filter(col("c_xy") >= minCount)
       .select("x", "y", "c_xy", "c_x", "c_y")
       .orderBy((col("c_xy").cast("double") / (col("c_x") * col("c_y"))).desc,
@@ -726,24 +763,37 @@ object TextOps {
     * budget and a truncation policy are calibrated against, per
     * language.
     *
-    * Scale shape: the rank window partitions BY LANGUAGE and sorts only
-    * (int, long) pairs — text never leaves the scan; the final fold is
-    * one conditional aggregate to |langs| rows. A corpus whose single
-    * language exceeds one task's sort budget would shard the window key
-    * (lang, n_chars bucket) — not needed at any realistic language
-    * skew since the sorted payload is 12 bytes/doc. */
+    * Scale shape (the r13 verdict's weak-spot rewrite): the corpus
+    * reduces FIRST to the (lang, n_chars)-GRAIN histogram — one
+    * map-combined hash aggregate whose exchange carries |langs| ×
+    * |distinct n_chars| rows, never a document row — and the rank
+    * arithmetic runs as cumulative windows over that grain relation
+    * (thousands of rows at any corpus size, since n_chars is a bounded
+    * int domain). The rank-r pick becomes an INTERVAL lookup: the grain
+    * row whose cumulative range (lo, hi] contains r holds the exact
+    * value a per-document rank window would have picked, because the
+    * picked VALUE depends only on the length distribution, not on the
+    * doc_id tie-break. English-at-web-scale (billions of docs in one
+    * lang) now folds in parallel instead of one task's 10–100 GB
+    * external sort. */
   def lenPctiles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byLen = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
-    Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"), col("n_chars"))
-      .withColumn("r", row_number().over(byLen))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-      .groupBy("lang")
+    val grain = Tables.documents(spark, dir)
+      .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy("lang")
+    val cum = grain
+      .withColumn("n", sum("c").over(byLang))
+      .withColumn("hi", sum("c").over(byLang.orderBy(col("n_chars").asc)))
+      .withColumn("lo", col("hi") - col("c"))
+    def pick(p: Int): Column = {
+      val t = expr(s"(n * $p + 99) div 100")
+      max(when(col("lo") < t && t <= col("hi"), col("n_chars")))
+    }
+    cum.groupBy("lang")
       .agg(max("n").as("n_docs"),
-        max(when(col("r") === expr("(n * 50 + 99) div 100"), col("n_chars"))).as("p50_chars"),
-        max(when(col("r") === expr("(n * 90 + 99) div 100"), col("n_chars"))).as("p90_chars"),
-        max(when(col("r") === expr("(n * 99 + 99) div 100"), col("n_chars"))).as("p99_chars"))
+        pick(50).as("p50_chars"),
+        pick(90).as("p90_chars"),
+        pick(99).as("p99_chars"))
       .orderBy("lang")
   }
 

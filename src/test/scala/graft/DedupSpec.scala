@@ -982,7 +982,12 @@ class DedupSpec extends SparkTestBase {
     // multi-byte UTF-8 tokens, empty and null text
     val edges = Seq(
       "  a b c  ", "a\t\tb\nc\rd", "one two", "", "x y z x y z x y z",
-      "héllo wörld ünïcode ångström", "a  b   c    d", null
+      "héllo wörld ünïcode ångström", "a  b   c    d", null,
+      // sub-0x20 control chars: String.trim strips ALL chars <= U+0020
+      // at the edges (not just the 6 \s bytes) — the r13 advice gap;
+      // interior controls are NON-whitespace for the \s+ split
+      "\u0001a b c\u001f", "\u0000\u0007 x y z \u0002", "a\u0001b c d",
+      "\u001fone two three\u0008"
     ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val edf = edges.toDF("doc_id", "text")
     val natE = Dedup.withShingles(edf, "text").select("doc_id", "sh").collect()

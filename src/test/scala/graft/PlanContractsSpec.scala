@@ -145,17 +145,39 @@ class PlanContractsSpec extends SparkTestBase {
     assert(n === 1, s"expected one md5 call, plan shows $n (the r3 doubled-digest regression)")
   }
 
-  test("text_tfidf_topk: rank filter plans as WindowGroupLimit, one corpus scan") {
+  test("text_tfidf_topk: rank filter plans as WindowGroupLimit, one corpus scan, df is an aggregate not a hot-term window") {
     val p = plan("text_tfidf_topk")
     assert(p.collect { case w: WindowGroupLimitExec => w }.size >= 2,
       "rank<=k must plan as partial+final WindowGroupLimit")
     assert(scans(p).size === 1, "df must derive from the reduced tf relation, not a re-scan")
+    // r14 rewrite: df = groupBy(term).count JOINED back — a
+    // `count over (partition by term)` window buffers the entire
+    // hot-term partition ("the": df ~ corpus) in ONE task
+    p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .foreach { w =>
+        assert(w.partitionSpec.exists(_.references.exists(_.name == "doc_id")),
+          "every remaining window must partition by doc_id (vocab-bounded), " +
+            "never by term (corpus-bounded hot keys)")
+      }
   }
 
-  test("text_pmi_topk: one scan+explode, top-k is TakeOrderedAndProject") {
+  test("text_pmi_topk: one scan+explode, top-k is TakeOrderedAndProject, marginals are aggregates not windows") {
     val p = plan("text_pmi_topk")
     assert(scans(p).size === 1)
     assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size === 1)
+    // r14 rewrite: c_x/c_y fold map-side and join back — no window may
+    // buffer a hot marginal word's whole partition in one task
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "marginal sums must be map-combined aggregates, not windows")
+  }
+
+  test("text_bow_dedup: canonical pick is a map-combined aggregate — no window over the dup cluster; digests only in exchanges") {
+    val p = plan("text_bow_dedup")
+    noTextInExchanges(p)
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "min_by/count must fold as partial+final aggregates — a window over " +
+        "bow_key lands a boilerplate mega-cluster in one task (r13 weak spot)")
+    assert(scans(p).size === 1)
   }
 
   test("text_ngram_topk: ONE Generate, top-k is TakeOrderedAndProject (the measured 50M winner)") {
@@ -527,14 +549,25 @@ class PlanContractsSpec extends SparkTestBase {
                        case j: SortMergeJoinExec => j }.isEmpty, "no joins")
   }
 
-  test("text_len_pctiles: rank window partitions by language and sorts only narrow columns") {
+  test("text_len_pctiles: corpus reduces to the (lang, n_chars) grain BELOW the rank windows (r14 shard rewrite)") {
     val p = plan("text_len_pctiles")
     noTextInExchanges(p)
-    p.collect { case w: WindowExec => w }.foreach(w =>
-      assert(w.partitionSpec.nonEmpty, "rank/count windows must partition by lang"))
+    p.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "cumulative windows must partition by lang")
+      // the windows must consume the GRAIN aggregate, not document rows:
+      // an aggregate (partial+final pair) sits beneath every window
+      assert(w.find {
+        case _: HashAggregateExec => true
+        case _: ObjectHashAggregateExec => true
+        case _ => false
+      }.isDefined,
+        "rank arithmetic must run over the (lang, n_chars)-grain " +
+          "histogram — a per-document window is a one-task external " +
+          "sort for a web-scale language (r13 weak spot)")
+    }
     assert(scans(p).size === 1)
-    assert(scans(p).head.schema.fieldNames.toSet === Set("doc_id", "lang", "n_chars"),
-      s"scan must prune to the three key columns, reads ${scans(p).head.schema.fieldNames.mkString(",")}")
+    assert(scans(p).head.schema.fieldNames.toSet === Set("lang", "n_chars"),
+      s"scan must prune to the two grain columns, reads ${scans(p).head.schema.fieldNames.mkString(",")}")
   }
 
   test("rel_top_supplier: quarter predicate pushed; ONE lineitem scan feeds revenue and max; broadcasts only") {
