@@ -212,6 +212,12 @@ object Plans {
         "ObjectHashAggregate folds each task to a per-label (n, sums[]) " +
         "blob — |labels| blobs cross the one exchange, never corpus x dims " +
         "rows; the norm math sits above the final aggregate"),
+      "events_rfm_sketch" -> ("NO NTILE window: quintile cut points come " +
+        "from the KLL sketch over the per-user relation (two tiny chained " +
+        "aggregates reusing the user_id exchange) and attach as a " +
+        "broadcast 1-row relation; scoring is a compare projection and " +
+        "the final segment aggregate is partial+final — zero global sort " +
+        "at any user count"),
       "sim_centroid_outliers" -> ("the |labels|-row moments relation " +
         "BROADCASTS back onto the corpus (BroadcastHashJoin, no corpus " +
         "shuffle); distances are exact-integer projections through the " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -185,8 +185,12 @@ object EventOps {
     * precedent): the NTILE windows are unpartitioned — exact quantile
     * scoring is a global rank by definition — but they run over the
     * PER-USER relation (one corpus-sized hash aggregate reduces events
-    * to it), dimension-sized next to the event stream. A fact-sized
-    * population would swap in the KLL sketch path for the cut points. */
+    * to it), dimension-sized next to the event stream. THIS EXACT FORM
+    * IS DIMENSION-ONLY: at 10⁸+ users the three unpartitioned windows
+    * are a single-task funnel ×3 — use [[rfmSketch]] (`events_rfm_sketch`),
+    * which derives the quintile cut points from the mergeable KLL
+    * sketch and buckets by compare (broadcast of 3×4 numbers, zero
+    * global sort). */
   def rfm(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
     val p = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
@@ -211,6 +215,76 @@ object EventOps {
         ntile(n).over(Window.orderBy(col("frequency").desc, col("user_id").asc)))
       .withColumn("m_score",
         ntile(n).over(Window.orderBy(col("monetary_micros").desc, col("user_id").asc)))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        sum("monetary_micros").as("sum_monetary_micros"),
+        min("recency_days").as("min_recency_days"),
+        max("recency_days").as("max_recency_days"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** SKETCH-CUT-POINT RFM — the fact-scale form of [[rfm]] (r13 verdict
+    * ask): instead of three unpartitioned NTILE sorts, the quintile cut
+    * points come from the mergeable KLL sketch
+    * ([[graft.functions.QuantileSketch]], k=200 → ≤3.3% normalized rank
+    * error) and every user buckets by COMPARING against the broadcast
+    * cut values — 3×(n-1) doubles plus the anchor day cross the driver,
+    * nothing is globally sorted, and the per-user relation folds
+    * map-side like any hash aggregate. Works unchanged at 10⁹ users.
+    *
+    * NTILE-equivalence device: each dimension sketches the TIE-BROKEN
+    * composite `value + (user_id % 2²⁰)/2²⁰` — a fractional tie-break
+    * that makes the value order coincide with NTILE's total order
+    * (value, user_id), so heavy ties (frequency is a small int; most
+    * users tie) split across buckets by rank exactly as NTILE splits
+    * them, and bucket COUNTS stay within the sketch's rank error of the
+    * exact form (EventOpsSpec pins the tolerance). The fraction is
+    * exactly representable next to day/frequency-sized values; for
+    * monetary (≫2³³ micros possible) it may collapse on the last ulp,
+    * which only re-merges a tie the rank-error bound already covers.
+    * Recency scoring needs no second pass: NTILE(recency asc) =
+    * NTILE(last_day desc), so the last_day sketch's quantiles serve
+    * reversed. Scores are value-bucket picks, not rank picks, so the
+    * result is rank-error-approximate — rows-only driver check, like
+    * the other sketch twins. */
+  def rfmSketch(spark: SparkSession, dir: String, n: Int = 5,
+      k: Int = 200): DataFrame = {
+    import graft.functions.QuantileSketch
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        max(expr("unix_timestamp(ts) div 86400")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("value") * 1000000).cast("long")).as("monetary_micros"))
+    def tb(c: Column): Column =
+      c.cast("double") + (col("user_id") % 1048576).cast("double") / 1048576.0
+    val pt = p.select(col("user_id"), col("last_day"), col("frequency"),
+      col("monetary_micros"), tb(col("last_day")).as("tb_r"),
+      tb(col("frequency")).as("tb_f"), tb(col("monetary_micros")).as("tb_m"))
+    val probs = (1 until n).map(i => i.toDouble / n)
+    val blobs = pt.agg(
+      max("last_day").as("anchor_day"),
+      QuantileSketch.quantileSketch(col("tb_r"), k).as("s_r"),
+      QuantileSketch.quantileSketch(col("tb_f"), k).as("s_f"),
+      QuantileSketch.quantileSketch(col("tb_m"), k).as("s_m"))
+    val cuts = blobs.agg(
+      max("anchor_day").as("anchor_day"),
+      QuantileSketch.quantileMerge(col("s_r"), k, probs).as("q_r"),
+      QuantileSketch.quantileMerge(col("s_f"), k, probs).as("q_f"),
+      QuantileSketch.quantileMerge(col("s_m"), k, probs).as("q_m"))
+    // score 1 = best (most recent / most frequent / highest spend):
+    // users ABOVE every cut score 1, below every cut score n — the
+    // reversed-quantile reading makes recency work off last_day directly
+    def score(tbc: String, qc: String): Column =
+      (lit(1) + (1 until n).map(i =>
+        when(col(tbc) < element_at(col(qc), i), 1).otherwise(0))
+        .reduce(_ + _)).cast("int")
+    pt.crossJoin(broadcast(cuts))
+      .withColumn("r_score", score("tb_r", "q_r"))
+      .withColumn("f_score", score("tb_f", "q_f"))
+      .withColumn("m_score", score("tb_m", "q_m"))
+      .withColumn("recency_days", col("anchor_day") - col("last_day"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_users"),
         sum("monetary_micros").as("sum_monetary_micros"),
@@ -428,6 +502,7 @@ object EventOps {
     "events_transitions" -> (transitions _),
     "events_attribution" -> (lastTouch _),
     "events_rfm" -> ((s: SparkSession, d: String) => rfm(s, d)),
+    "events_rfm_sketch" -> ((s: SparkSession, d: String) => rfmSketch(s, d)),
     "events_cohort_ltv" -> (cohortLtv _),
     "events_ab_test" -> ((s: SparkSession, d: String) => abTest(s, d)),
     "events_time_to_convert" -> (timeToConvert _),

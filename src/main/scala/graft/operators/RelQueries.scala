@@ -297,14 +297,49 @@ object RelQueries {
     * counts and integer-cents bounds). The tie-break on (cents, custkey)
     * makes the bucket assignment a function of the data alone, so the
     * oracle matches row-for-row. NTILE needs a TOTAL order by
-    * definition — fine for dimension-sized relations (customers); a
-    * fact-sized distribution panel uses the sketch path
-    * (`flow_bytes_quantiles*`) instead of a global sort. */
+    * definition — THIS EXACT FORM IS DIMENSION-ONLY (customers): a
+    * fact-sized population funnels through one task's global sort; use
+    * [[customerQuartilesSketch]] (`rel_customer_quartiles_sketch`) or the
+    * sketch panels (`flow_bytes_quantiles*`) there. */
   def customerQuartiles(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
     val w = Window.orderBy(col("cents").asc, col("c_custkey").asc)
     Tables.customer(spark, dir)
       .select(col("c_custkey"), cents(col("c_acctbal")).as("cents"))
       .withColumn("quartile", ntile(n).over(w))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("customer_count"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"),
+        sum("cents").as("sum_cents"))
+      .orderBy("quartile")
+  }
+
+  /** SKETCH-CUT-POINT quartiles — the fact-scale form of
+    * [[customerQuartiles]] (same device as
+    * [[graft.operators.EventOps.rfmSketch]]): cut points from the
+    * mergeable KLL sketch over the tie-broken composite
+    * `cents + (custkey % 2²⁰)/2²⁰` (cents ≤ ~10⁶, so the fraction is
+    * exactly representable and the value order IS NTILE's (cents,
+    * custkey) total order), then each customer buckets by comparing
+    * against the n-1 broadcast cut values — no global sort anywhere;
+    * bucket counts stay within KLL rank error (≤3.3% at k=200) of the
+    * exact NTILE form (RelQueriesSpec pins it). Rank-error-approximate →
+    * rows-only driver check like the other sketch twins. */
+  def customerQuartilesSketch(spark: SparkSession, dir: String, n: Int = 4,
+      k: Int = 200): DataFrame = {
+    import graft.functions.QuantileSketch
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), cents(col("c_acctbal")).as("cents"))
+      .withColumn("tb",
+        col("cents").cast("double") +
+          (col("c_custkey") % 1048576).cast("double") / 1048576.0)
+    val probs = (1 until n).map(i => i.toDouble / n)
+    val cuts = base.agg(QuantileSketch.quantileSketch(col("tb"), k).as("s"))
+      .agg(QuantileSketch.quantileMerge(col("s"), k, probs).as("q"))
+    base.crossJoin(broadcast(cuts))
+      .withColumn("quartile",
+        (lit(1) + (1 until n).map(i =>
+          when(col("tb") > element_at(col("q"), i), 1).otherwise(0))
+          .reduce(_ + _)).cast("int"))
       .groupBy("quartile")
       .agg(count(lit(1)).as("customer_count"),
         min("cents").as("min_cents"), max("cents").as("max_cents"),
@@ -941,6 +976,7 @@ object RelQueries {
     "rel_table_profile" -> (tableProfile _),
     "rel_numeric_corr" -> (numericCorr _),
     "rel_customer_quartiles" -> ((s: SparkSession, d: String) => customerQuartiles(s, d)),
+    "rel_customer_quartiles_sketch" -> ((s: SparkSession, d: String) => customerQuartilesSketch(s, d)),
     // prefix-sum serving form; the pairwise twin stays for sub-day inputs
     "rel_interval_join" -> ((s: SparkSession, d: String) => intervalJoinPrefix(s, d)),
     "rel_intersect" -> (urgentAndLowCustomers _),

@@ -235,6 +235,35 @@ class EventOpsSpec extends SparkTestBase {
     assert(segs.map(s => (s._1, s._2, s._3, s._4)).toSeq.sorted === wantSegs)
   }
 
+  test("rfm sketch twin: conserves users+revenue; marginal bucket counts within KLL rank error of exact NTILE (r14)") {
+    val exact = EventOps.rfm(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val sk = EventOps.rfmSketch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val nUsers = exact.map(_._4).sum
+    assert(sk.map(_._4).sum === nUsers, "sketch segmentation must conserve users")
+    assert(sk.map(_._5).sum === exact.map(_._5).sum,
+      "sketch segmentation must conserve revenue")
+    sk.foreach { case (rs, fs, ms, n, _) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5 && n > 0)
+    }
+    // per-dimension marginals: each score bucket within the sketch's
+    // rank-error budget of the exact NTILE bucket (k=200 → ≤3.3%
+    // normalized rank error per cut; a bucket has two cuts → 2ε·N,
+    // plus O(1) boundary-convention slack). The tie-broken composite is
+    // what makes this bound hold under heavy frequency ties.
+    val tol = math.max(3.0, 2 * 0.033 * nUsers)
+    def marginal(rows: Array[(Int, Int, Int, Long, Long)], dim: Int): Map[Int, Long] =
+      rows.groupBy(t => dim match { case 0 => t._1; case 1 => t._2; case _ => t._3 })
+        .view.mapValues(_.map(_._4).sum).toMap
+    for (dim <- 0 to 2; b <- 1 to 5) {
+      val e = marginal(exact, dim).getOrElse(b, 0L)
+      val s = marginal(sk, dim).getOrElse(b, 0L)
+      assert(math.abs(e - s) <= tol,
+        s"dim $dim bucket $b: exact=$e sketch=$s tol=$tol")
+    }
+  }
+
   test("cohort LTV: weekly revenue replays driver-side; cumulative is an exact running sum (r13)") {
     val rows = EventOps.cohortLtv(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

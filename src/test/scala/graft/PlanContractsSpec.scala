@@ -425,6 +425,16 @@ class PlanContractsSpec extends SparkTestBase {
       assert(w.partitionSpec.nonEmpty, "median windows must partition by proto"))
   }
 
+  test("sketch quantile segmentation twins: no NTILE window anywhere; cut points attach as a broadcast") {
+    for (name <- Seq("events_rfm_sketch", "rel_customer_quartiles_sketch")) {
+      val p = plan(name)
+      assert(p.collect { case w: WindowExec => w }.isEmpty,
+        s"$name: the sketch twin exists to avoid the global NTILE sort")
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+        s"$name: the 1-row cut relation must attach as a broadcast")
+    }
+  }
+
   test("events_rfm: events scanned once; NTILE windows run over the reduced per-user relation") {
     val p = plan("events_rfm")
     assert(scans(p).size === 1,

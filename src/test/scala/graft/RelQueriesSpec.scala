@@ -644,4 +644,21 @@ class RelQueriesSpec extends SparkTestBase {
     val wantTop = waits.toSeq.sortBy(x => (-x._2, x._1)).take(20)
     assert(rows.toSeq === wantTop)
   }
+
+  test("customer quartiles sketch twin: conserves customers+cents; bucket counts within KLL rank error of exact NTILE (r14)") {
+    val exact = RelQueries.customerQuartiles(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(4)))
+    val sk = RelQueries.customerQuartilesSketch(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(4)))
+    val n = exact.map(_._2).sum
+    assert(sk.map(_._2).sum === n, "sketch quartiles must conserve customers")
+    assert(sk.map(_._3).sum === exact.map(_._3).sum,
+      "sketch quartiles must conserve total cents")
+    val tol = math.max(3.0, 2 * 0.033 * n)
+    for (b <- 1 to 4) {
+      val e = exact.find(_._1 == b).map(_._2).getOrElse(0L)
+      val s = sk.find(_._1 == b).map(_._2).getOrElse(0L)
+      assert(math.abs(e - s) <= tol, s"bucket $b: exact=$e sketch=$s tol=$tol")
+    }
+  }
 }
