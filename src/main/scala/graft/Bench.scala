@@ -114,7 +114,19 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ingest failed: ${e.getMessage}"); ""
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread$errJson$ingest,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread$errJson$ingest,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full line in-repo: the driver's BENCH_r{N}.json
+    // keeps only the tail of stdout, which truncates per-query medians
+    // for roughly the first half of the alphabet (r13 verdict #4) — the
+    // file makes regressions diffable without re-running. Name is
+    // overridable so A/B runs don't clobber the round artifact.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -53,6 +53,19 @@ object DashboardSql {
         |WHERE $timeFilter
         |GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
+    // the $__interval-parameterized form of the instant-traffic panel:
+    // the reference pins 30 s / 1 m per panel (viz.json:62,
+    // viz-ch.json:74) but Grafana in practice re-binds $__interval to
+    // the zoom level; render() substitutes the width like it binds
+    // $timeFilter (r13 verdict #6)
+    "instant_traffic_interval" ->
+      """SELECT CAST(time_received / $__interval AS BIGINT) * $__interval AS bucket,
+        |       sum(bytes * sampling_rate) * 8 AS sum_bits,
+        |       (sum(bytes * sampling_rate) * 8) / CAST($__interval AS DOUBLE) AS rate_bps
+        |FROM flows_raw
+        |WHERE $timeFilter
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
     // viz-ch.json:74 — "Instant traffic", per-minute with Grafana ms epoch
     "instant_traffic_1m" ->
       """SELECT CAST(time_received / 60 AS BIGINT) * 60 AS bucket,
@@ -135,8 +148,12 @@ object DashboardSql {
 
   /** Render one panel's SQL with the time range bound in — `None` renders
     * the all-time tautology (`1 = 1`), mirroring a dashboard with the
-    * range picker set to "all". */
-  def render(spark: SparkSession, name: String, range: Option[TimeRange] = None): String = {
+    * range picker set to "all". `$__interval` (where a template carries
+    * it) binds the bucket width in seconds, Grafana-style; panels without
+    * the placeholder ignore the parameter. */
+  def render(spark: SparkSession, name: String, range: Option[TimeRange] = None,
+      intervalSec: Long = 30L): String = {
+    require(intervalSec > 0, s"$$__interval must be positive, got $intervalSec")
     val template = panels(name)
     val filter = range match {
       case None => "1 = 1"
@@ -145,11 +162,14 @@ object DashboardSql {
         else rawTimeFilter(spark, r)
     }
     template.replace("$timeFilter", filter)
+      .replace("$__interval", intervalSec.toString)
   }
 
-  /** Run one panel by name (after [[register]]), optionally time-bounded. */
-  def run(spark: SparkSession, name: String, range: Option[TimeRange] = None): DataFrame =
-    spark.sql(render(spark, name, range))
+  /** Run one panel by name (after [[register]]), optionally time-bounded
+    * and `$__interval`-bound. */
+  def run(spark: SparkSession, name: String, range: Option[TimeRange] = None,
+      intervalSec: Long = 30L): DataFrame =
+    spark.sql(render(spark, name, range, intervalSec))
 
   // ---------------------------------------------- managed-table twins (r9)
 
@@ -197,6 +217,15 @@ object DashboardSql {
     * stays in the text (the residual predicate; the manifest-level skip
     * happened in [[registerManaged]]). */
   val managedPanels: Map[String, String] = Map(
+    // $__interval twin over the managed view (see instant_traffic_interval)
+    "m_instant_traffic_interval" ->
+      """SELECT CAST(time_received / $__interval AS BIGINT) * $__interval AS bucket,
+        |       sum(bytes * sampling_rate) * 8 AS sum_bits,
+        |       (sum(bytes * sampling_rate) * 8) / CAST($__interval AS DOUBLE) AS rate_bps
+        |FROM flows_raw_managed
+        |WHERE $timeFilter
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
     "m_instant_traffic_30s" ->
       """SELECT CAST(time_received / 30 AS BIGINT) * 30 AS bucket,
         |       sum(bytes * sampling_rate) * 8 AS sum_bits,
@@ -263,8 +292,11 @@ object DashboardSql {
         |GROUP BY src_as, dst_as
         |ORDER BY src_as, dst_as""".stripMargin)
 
-  /** Render a managed panel with the residual `$timeFilter` bound. */
-  def renderManaged(name: String, range: Option[TimeRange] = None): String = {
+  /** Render a managed panel with the residual `$timeFilter` (and
+    * `$__interval`, where present) bound. */
+  def renderManaged(name: String, range: Option[TimeRange] = None,
+      intervalSec: Long = 30L): String = {
+    require(intervalSec > 0, s"$$__interval must be positive, got $intervalSec")
     val template = managedPanels(name)
     val filter = range match {
       case None => "1 = 1"
@@ -273,10 +305,12 @@ object DashboardSql {
         else s"(time_received >= ${r.from} AND time_received < ${r.until})"
     }
     template.replace("$timeFilter", filter)
+      .replace("$__interval", intervalSec.toString)
   }
 
   /** Run one managed panel (after [[registerManaged]] with the SAME
     * range, so the manifest skip and the residual filter agree). */
-  def runManaged(spark: SparkSession, name: String, range: Option[TimeRange] = None): DataFrame =
-    spark.sql(renderManaged(name, range))
+  def runManaged(spark: SparkSession, name: String, range: Option[TimeRange] = None,
+      intervalSec: Long = 30L): DataFrame =
+    spark.sql(renderManaged(name, range, intervalSec))
 }

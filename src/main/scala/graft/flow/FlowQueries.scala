@@ -133,13 +133,27 @@ object FlowQueries {
       .orderBy("seq")
   }
 
-  /** A3/F5: 30-second traffic-rate buckets, bits/sec (viz.json:62). */
-  def rate30s(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+  /** Grafana `$__interval`-PARAMETERIZED rate panel (r13 verdict #6):
+    * the reference dashboards pin the bucket width per panel (30 s at
+    * `viz.json:62`, 1 m at `viz-ch.json:74`), but a live Grafana
+    * deployment re-binds `$__interval` to the zoom level — so bucket
+    * width is a runtime parameter here, with [[rate30s]] the width=30
+    * binding. Same single partial+final aggregate at any width; the
+    * rate divides the exact integer bit sum once. */
+  def rateInterval(spark: SparkSession, dir: String, widthSec: Long,
+      range: Option[TimeRange] = None): DataFrame = {
+    require(widthSec > 0, s"bucket width must be positive, got $widthSec")
     inRange(fl(spark, dir), range)
-      .groupBy(((col("time_received") / 30).cast("long") * 30).as("bucket"))
+      .groupBy(((col("time_received") / widthSec).cast("long") * widthSec).as("bucket"))
       .agg((sum(col("bytes") * col("sampling_rate")) * 8).as("sum_bits"))
-      .withColumn("rate_bps", col("sum_bits") / 30.0)
+      .withColumn("rate_bps", col("sum_bits") / widthSec.toDouble)
       .orderBy("bucket")
+  }
+
+  /** A3/F5: 30-second traffic-rate buckets, bits/sec (viz.json:62) —
+    * [[rateInterval]] with the panel's pinned width. */
+  def rate30s(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+    rateInterval(spark, dir, 30L, range)
 
   /** A4/F3/F4: per-minute traffic with Grafana ms-epoch key (viz-ch.json:74). */
   def rate1m(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
@@ -1015,6 +1029,7 @@ object FlowQueries {
     // manifest-pruned read must be result-invisible
     "flow_time_filter_managed" -> ((s: SparkSession, d: String) => timeFilterManaged(s, d)),
     "flow_rate_30s" -> ((s: SparkSession, d: String) => rate30s(s, d)),
+    "flow_rate_interval" -> ((s: SparkSession, d: String) => rateInterval(s, d, 120L)),
     "flow_rate_1m" -> ((s: SparkSession, d: String) => rate1m(s, d)),
     "flow_rate_delta" -> ((s: SparkSession, d: String) => rateDelta(s, d)),
     "flow_moving_avg" -> ((s: SparkSession, d: String) => movingAvg(s, d)),
@@ -1079,6 +1094,13 @@ object FlowQueries {
       s"""${cte}SELECT (time_received // 30) * 30 AS bucket,
          | CAST(sum(bytes * sampling_rate) * 8 AS BIGINT) AS sum_bits,
          | CAST(sum(bytes * sampling_rate) * 8 AS BIGINT) / 30.0 AS rate_bps
+         | FROM flows GROUP BY 1 ORDER BY bucket""".stripMargin.replace('\n', ' '),
+    // the $__interval-parameterized panel, oracle-pinned at a NON-panel
+    // width (120 s) so the parameterization itself is hash-checked
+    "flow_rate_interval" ->
+      s"""${cte}SELECT (time_received // 120) * 120 AS bucket,
+         | CAST(sum(bytes * sampling_rate) * 8 AS BIGINT) AS sum_bits,
+         | CAST(sum(bytes * sampling_rate) * 8 AS BIGINT) / 120.0 AS rate_bps
          | FROM flows GROUP BY 1 ORDER BY bucket""".stripMargin.replace('\n', ' '),
     "flow_rate_1m" ->
       s"""${cte}SELECT (time_received // 60) * 60 AS bucket,

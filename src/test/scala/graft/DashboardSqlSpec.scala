@@ -13,6 +13,7 @@ class DashboardSqlSpec extends SparkTestBase {
     DashboardSql.register(spark, sf)
     val expects = Map(
       "instant_traffic_30s" -> FlowQueries.rate30s(spark, sf),
+      "instant_traffic_interval" -> FlowQueries.rateInterval(spark, sf, 30L),
       "instant_traffic_1m" -> FlowQueries.rate1m(spark, sf),
       "top_src_ip" -> FlowQueries.topSrcIp(spark, sf),
       "top_dst_ip" -> FlowQueries.topDstIp(spark, sf),
@@ -44,6 +45,7 @@ class DashboardSqlSpec extends SparkTestBase {
     val range = TimeRange(t0, t0 + (((t1 - t0) / 2) / 300).max(1) * 300)
     val expects = Map(
       "instant_traffic_30s" -> FlowQueries.rate30s(spark, sf, Some(range)),
+      "instant_traffic_interval" -> FlowQueries.rateInterval(spark, sf, 30L, Some(range)),
       "instant_traffic_1m" -> FlowQueries.rate1m(spark, sf, Some(range)),
       "top_src_ip" -> FlowQueries.topSrcIp(spark, sf, Some(range)),
       "top_dst_ip" -> FlowQueries.topDstIp(spark, sf, Some(range)),
@@ -128,9 +130,10 @@ class DashboardSqlSpec extends SparkTestBase {
     // managed path too — every reference dashboard panel now has a
     // manifest-range twin
     assert(DashboardSql.managedPanels.keySet === Set(
-      "m_instant_traffic_30s", "m_instant_traffic_1m", "m_top_src_ip",
-      "m_top_dst_ip", "m_top_src_port", "m_top_dst_port", "m_rollup_read"),
-      "all seven reference panels must have managed twins")
+      "m_instant_traffic_30s", "m_instant_traffic_1m", "m_instant_traffic_interval",
+      "m_top_src_ip", "m_top_dst_ip", "m_top_src_port", "m_top_dst_port",
+      "m_rollup_read"),
+      "all seven reference panels (+ the $__interval form) must have managed twins")
     val traffic1mTwin = FlowStreams.readRawManagedRange(spark, rawT, range.from, range.until)
       .groupBy(((col("timeReceived") / 60).cast("long") * 60).as("bucket"))
       .agg(sum(col("bytes") * col("samplingRate")).as("sum_bytes"))
@@ -177,5 +180,27 @@ class DashboardSqlSpec extends SparkTestBase {
     val allBuckets = DashboardSql.runManaged(spark, "m_instant_traffic_30s").count()
     assert(trafficSql.count() < allBuckets,
       "the bounded managed view must exclude the cold day's buckets")
+  }
+
+  test("$__interval panel: two widths both match their DataFrame twin; width 30 IS the pinned panel (r14)") {
+    DashboardSql.register(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    // width 30: the parameterized form reproduces the oracle-checked
+    // pinned panel bit-for-bit (rate_bps divisions run in the same engine)
+    val at30 = DashboardSql.run(spark, "instant_traffic_interval", intervalSec = 30L)
+    assert(rows(at30).nonEmpty && rows(at30) === rows(FlowQueries.rate30s(spark, sf)))
+    // a NON-panel width: SQL text and DataFrame twin agree (the DataFrame
+    // form is itself oracle-checked at width 120 via flow_rate_interval)
+    val at45 = DashboardSql.run(spark, "instant_traffic_interval", intervalSec = 45L)
+    assert(rows(at45).nonEmpty && rows(at45) === rows(FlowQueries.rateInterval(spark, sf, 45L)))
+    // widths genuinely differ (45 s coarsens the bucket count)
+    assert(at45.count() < at30.count())
+    // time bound composes with the interval binding
+    val mm = spark.table("flows_raw")
+      .agg(org.apache.spark.sql.functions.min("time_received"),
+        org.apache.spark.sql.functions.max("time_received")).head()
+    val range = TimeRange(mm.getLong(0), mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2)
+    val bound = DashboardSql.run(spark, "instant_traffic_interval", Some(range), 45L)
+    assert(rows(bound) === rows(FlowQueries.rateInterval(spark, sf, 45L, Some(range))))
   }
 }
