@@ -315,6 +315,12 @@ object BenchScale {
     bench("scale_text_tfidf_topk") { graft.operators.TextOps.tfidfTopK(spark, famDir) }
     bench("scale_text_pmi_topk") { graft.operators.TextOps.pmiTopK(spark, famDir) }
     bench("scale_text_bow_dedup") { graft.operators.TextOps.bowDedup(spark, famDir) }
+    bench("scale_text_len_pctiles") { graft.operators.TextOps.lenPctiles(spark, famDir) }
+    // exact NTILE vs sketch-cut-point segmentation at 500k users over 50M
+    // events (r14): same per-user reduction; the sketch form replaces the
+    // three unpartitioned sorts with broadcast cut-point compares
+    bench("scale_events_rfm") { graft.operators.EventOps.rfm(spark, famDir) }
+    bench("scale_events_rfm_sketch") { graft.operators.EventOps.rfmSketch(spark, famDir) }
     // PRODUCTION posture (df cap): the uncapped groundtruth form is
     // quadratic on the 1%-PII hot shingles here (3243 s measured) —
     // exactly the regime the cap exists for

@@ -72,6 +72,14 @@ object GraftFunctions {
     registerSketchFamily(reg)
     // the one-pass vector-moments family (no knobs: buffer shape derives
     // from the data's dimensionality)
+    // the native long-vector kernel family (r13 HOF lesson), SQL-exposed
+    // alongside its aggregates so ad-hoc SQL gets the codegen'd forms too
+    reg.createOrReplaceTempFunction("dot_longs",
+      es => graft.functions.DotLongs(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sum_sq_longs",
+      es => graft.functions.SumSqLongs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("int8_codes",
+      es => graft.functions.Int8Codes(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_moments", es => {
       require(es.length == 1, "usage: vec_moments(codes)")
       graft.functions.VecMomentsAgg(es.head).toAggregateExpression()

@@ -112,9 +112,10 @@ object Plans {
         "rank<=k filter plans as partial+final WindowGroupLimit — bounded " +
         "per-document state, no full sort per doc"),
       "text_pmi_topk" -> ("ONE corpus scan+explode into a partial-combined pair " +
-        "aggregate; PMI marginals are two map-combined sum AGGREGATES joined " +
-        "back (no window may buffer a hot marginal word's partition in one " +
-        "task); final top-k is TakeOrderedAndProject (per-partition " +
+        "aggregate; PMI marginals are two sum WINDOWS over the vocab²-sized " +
+        "bigram relation — KEPT after an r14 same-data A/B (aggregate+join " +
+        "~2x slower; partitions are vocabulary-bounded, no hot-key funnel); " +
+        "final top-k is TakeOrderedAndProject (per-partition " +
         "heaps, no global sort)"),
       "events_gap_sessions" -> ("lag, running-sum session id, and the final " +
         "aggregate ALL share the user_id exchange — one shuffle for three " +

@@ -632,11 +632,20 @@ object TextOps {
     * df is a map-combined AGGREGATE over the tf relation joined back —
     * NOT a `count over (partition by term)` window: a hot term ("the",
     * boilerplate) has df ≈ corpus size, and the window form buffers the
-    * whole hot-term partition in one task (the slowest text row of the
-    * r13 50M bench, 80.7 s at 5M docs). The aggregate's exchange carries
-    * one row per DISTINCT term, and the join back is skew-handled by AQE
-    * (or broadcast outright — |vocab| ≪ |tf|). Exchange reuse keeps one
-    * corpus scan: both join sides grow from the same tf aggregate. */
+    * whole hot-term partition in ONE task, which caps the operator at
+    * single-task throughput however many executors exist. The
+    * aggregate's exchange carries one row per DISTINCT term, and the
+    * join back broadcasts (|vocab| ≪ |tf|). Exchange reuse keeps one
+    * corpus scan: both join sides grow from the same tf aggregate.
+    *
+    * Measured honestly (r14 same-data A/B, BENCH_text_ab[_hot]_r14
+    * .json): at 5M docs the two forms are box-noise-comparable — even a
+    * PLANTED df=4.5M term still fits one task's window buffer (old
+    * 34–35 s vs new 41–51 s; uniform corpus old [34.9, 76.7] vs new
+    * [37.6, 63.4]) — so the rewrite buys nothing at benchmark scale and
+    * ~20% there. It is kept for the regime the bench box cannot stage:
+    * a web-corpus hot term has BILLIONS of tf rows, and a one-task sort
+    * of those is the difference between minutes and a wedged stage. */
   def tfidfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(spark, dir)
@@ -670,35 +679,36 @@ object TextOps {
     * `c_xy / (c_x·c_y)`, so the ranking uses that single IEEE division
     * (integer operands — deterministic across engines, see [[tfidfTopK]])
     * and the output is integers only. ONE corpus scan + explode into one
-    * map-side-combined pair aggregate; the marginals are two sum
-    * AGGREGATES over the reduced bigram relation joined back — not
-    * windows: a hot marginal word ("the" as x) would land its whole
-    * partition in one window task's buffer, while the aggregate partial-
-    * folds it and the joins broadcast (|vocab| rows ≪ |bigrams|) or fall
-    * to AQE's skew handling (the same r14 rewrite as [[tfidfTopK]]'s df;
-    * exchange reuse keeps one scan under all three branches); the final
-    * top-k is TakeOrderedAndProject. */
+    * map-side-combined pair aggregate; the marginals are two sum WINDOWS
+    * over the reduced bigram relation; the final top-k is
+    * TakeOrderedAndProject.
+    *
+    * Why the marginals stay WINDOWS (r14, measured): each window
+    * partition holds one word's distinct-successor (or -predecessor)
+    * rows — bounded by VOCABULARY, not corpus ("the" as x has at most
+    * |vocab| successors however many billions of bigram tokens fold
+    * into them), so no hot-key funnel exists here, unlike
+    * [[tfidfTopK]]'s per-occurrence df. The aggregate+join-back
+    * rewrite was A/B'd same-data at 5M docs and REVERTED: windows
+    * [29.3, 20.0] s vs aggregate+join [53.7, 39.6] s
+    * (BENCH_text_ab_r14.json) — the two extra map-combined folds plus
+    * two joins of the vocab²-sized bigram relation cost more than the
+    * two in-place window sorts ever do. */
   def pmiTopK(spark: SparkSession, dir: String, k: Int = 20,
       minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(toks(col("text")).as("t"))
       .withColumn("n", size(col("t")))
-    val bi = t.filter(col("n") >= 2)
+    t.filter(col("n") >= 2)
       .select(explode(transform(sequence(lit(1), col("n") - 1),
         i => struct(element_at(col("t"), i).as("x"),
           element_at(col("t"), (i + 1).cast("int")).as("y")))).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
-      // x/y are non-null by construction (in-bounds element_at over
-      // split output); stating it EXPLICITLY makes the joins' inferred
-      // per-branch IsNotNull filters (x-only for cx, y-only for cy)
-      // subsumed and the three branch subtrees canonicalize equal, so
-      // ReuseExchange keeps ONE corpus scan (measured 3 without it)
-      .filter(col("x").isNotNull && col("y").isNotNull)
       .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
-    val cx = bi.groupBy("x").agg(sum("c_xy").as("c_x"))
-    val cy = bi.groupBy("y").agg(sum("c_xy").as("c_y"))
-    bi.join(cx, "x").join(cy, "y")
+      .withColumn("c_x", sum("c_xy").over(Window.partitionBy("x")))
+      .withColumn("c_y", sum("c_xy").over(Window.partitionBy("y")))
       .filter(col("c_xy") >= minCount)
       .select("x", "y", "c_xy", "c_x", "c_y")
       .orderBy((col("c_xy").cast("double") / (col("c_x") * col("c_y"))).desc,

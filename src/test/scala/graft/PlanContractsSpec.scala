@@ -161,14 +161,22 @@ class PlanContractsSpec extends SparkTestBase {
       }
   }
 
-  test("text_pmi_topk: one scan+explode, top-k is TakeOrderedAndProject, marginals are aggregates not windows") {
+  test("text_pmi_topk: one scan+explode, top-k is TakeOrderedAndProject, marginal windows ride the reduced bigram relation") {
     val p = plan("text_pmi_topk")
     assert(scans(p).size === 1)
     assert(p.collect { case t: TakeOrderedAndProjectExec => t }.size === 1)
-    // r14 rewrite: c_x/c_y fold map-side and join back — no window may
-    // buffer a hot marginal word's whole partition in one task
-    assert(p.collect { case w: WindowExec => w }.isEmpty,
-      "marginal sums must be map-combined aggregates, not windows")
+    // r14 A/B kept the windows (aggregate+join measured ~2x slower,
+    // BENCH_text_ab_r14.json) — they are sound BECAUSE each partition is
+    // vocabulary-bounded AND they consume the (x,y)-grain aggregate, not
+    // bigram occurrences; the aggregate below every window pins that
+    p.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "marginal windows must partition by word")
+      assert(w.find {
+        case _: HashAggregateExec => true
+        case _: ObjectHashAggregateExec => true
+        case _ => false
+      }.isDefined, "marginal windows must run over the reduced bigram relation")
+    }
   }
 
   test("text_bow_dedup: canonical pick is a map-combined aggregate — no window over the dup cluster; digests only in exchanges") {

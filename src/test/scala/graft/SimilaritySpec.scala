@@ -667,4 +667,34 @@ class SimilaritySpec extends SparkTestBase {
       yield codes.map(c => c(i) * c(j)).sum
     assert(g.getSeq[Long](2).toSeq === wantGram)
   }
+
+  test("long-vector kernels reject null ELEMENTS with a typed error; dense nullable-typed input still works (r14)") {
+    import spark.implicits._
+    // containsNull=true by type (Option elements), but DENSE data: the
+    // checked kernel path must produce the same answers, not an error
+    val dense = Seq((Array[java.lang.Long](1L, 2L, 3L), Array[java.lang.Long](4L, 5L, 6L)))
+      .toDF("a", "b")
+    dense.createOrReplaceTempView("vk_dense")
+    assert(spark.sql("SELECT dot_longs(a, b) d FROM vk_dense").head().getLong(0) === 32L)
+    assert(spark.sql("SELECT sum_sq_longs(a) s FROM vk_dense").head().getLong(0) === 14L)
+    assert(spark.sql("SELECT vec_sums(a).sums FROM vk_dense")
+      .head().getSeq[Long](0) === Seq(1L, 2L, 3L))
+    // a null element: typed IllegalArgumentException naming the fix, not
+    // an opaque NPE (toLongArray) or a silent 0 (getLong) — the r13
+    // advice finding
+    val holed = Seq((Array[java.lang.Long](1L, null, 3L), Array[java.lang.Long](4L, 5L, 6L)))
+      .toDF("a", "b")
+    holed.createOrReplaceTempView("vk_holed")
+    for (q <- Seq("SELECT dot_longs(a, b) FROM vk_holed",
+      "SELECT sum_sq_longs(a) FROM vk_holed",
+      "SELECT vec_sums(a) FROM vk_holed",
+      "SELECT vec_moments(a) FROM vk_holed",
+      "SELECT vec_gram(a) FROM vk_holed")) {
+      val e = intercept[Exception](spark.sql(q).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("null element") && m.contains("array_compact")),
+        s"$q: expected the typed dense-array error, got ${msgs(e).mkString(" | ")}")
+    }
+  }
 }
