@@ -279,6 +279,10 @@ object BenchScale {
       graft.flow.FlowQueries.heavyHitters(spark, famDir)
     }
     bench("scale_flow_port_scan") { graft.flow.FlowQueries.portScan(spark, famDir) }
+    // Expand-free theta twin (r14): production screening regime
+    bench("scale_flow_port_scan_sketch") {
+      graft.flow.FlowQueries.portScanSketch(spark, famDir)
+    }
     bench("scale_events_dau_wau") { graft.operators.EventOps.dauWau(spark, famDir) }
     bench("scale_events_retention") { graft.operators.EventOps.retention(spark, famDir) }
     bench("scale_events_funnel") { graft.operators.EventOps.funnel(spark, famDir) }

@@ -213,6 +213,11 @@ object Plans {
         "ObjectHashAggregate folds each task to a per-label (n, sums[]) " +
         "blob — |labels| blobs cross the one exchange, never corpus x dims " +
         "rows; the norm math sits above the final aggregate"),
+      "flow_port_scan_sketch" -> ("NO Expand: the exact twin's " +
+        "multi-countDistinct doubles the pre-exchange row stream; here " +
+        "two theta ObjectHashAggregates fold partial+final around ONE " +
+        "exchange carrying compact sketch blobs per (day, src) group; " +
+        "strict oracle registration guards the exact regime loudly"),
       "events_rfm_sketch" -> ("NO NTILE window: quintile cut points come " +
         "from the KLL sketch over the per-user relation (two tiny chained " +
         "aggregates reusing the user_id exchange) and attach as a " +

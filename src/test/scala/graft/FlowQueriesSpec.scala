@@ -321,6 +321,26 @@ class FlowQueriesSpec extends SparkTestBase {
     assert(aggs.size >= 2, "expected partial+final aggregates")
   }
 
+  test("port scan sketch twin: equals the exact form in the guarded regime; NO Expand; blobs-only exchange (r14)") {
+    val exact = FlowQueries.portScan(spark, sf).collect().map(_.toSeq).toSeq
+    val sk = FlowQueries.portScanSketch(spark, sf, strict = true)
+      .collect().map(_.toSeq).toSeq
+    assert(sk.nonEmpty && sk === exact,
+      "below 2^lgK distinct per group the theta estimate is exact")
+    // the point of the twin: one pass, no row-stream-doubling Expand
+    val plan = FlowQueries.portScanSketch(spark, sf).queryExecution.sparkPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }.isEmpty, "sketch form must not Expand")
+    assert(plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }.size >= 2, "theta aggregates plan as ObjectHashAggregate partial+final")
+    // (the strict guard's loud estimation-mode throw is pinned by
+    // ThetaSketchSpec — this SF's fan-out can't reach capacity even at
+    // lgK=4, so tripping it here would need synthetic data that suite
+    // already owns)
+  }
+
   test("ip pagerank: integer fixed-point sweeps replay driver-side; partition-invariant (r12)") {
     val topFromQuery = FlowQueries.ipPageRank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
