@@ -213,6 +213,11 @@ object Plans {
         "ObjectHashAggregate folds each task to a per-label (n, sums[]) " +
         "blob — |labels| blobs cross the one exchange, never corpus x dims " +
         "rows; the norm math sits above the final aggregate"),
+      "sim_ivf_probe_curve" -> ("ONE candidate join + ONE exact re-score " +
+        "shared by every probe budget (each candidate carries its cell's " +
+        "probe rank; budgets expand only the nQueries-bounded candidate " +
+        "relation); corpus never shuffles — centroids and probe set " +
+        "broadcast, same as knn_ivf"),
       "flow_port_scan_sketch" -> ("NO Expand: the exact twin's " +
         "multi-countDistinct doubles the pre-exchange row stream; here " +
         "two theta ObjectHashAggregates fold partial+final around ONE " +

@@ -527,6 +527,71 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** IVF PROBE-BUDGET TUNING CURVE — recall@k and candidate cost as a
+    * function of `nProbe`, in ONE pass: the report that turns "pick
+    * nProbe" from folklore into a measured trade-off (the ANN-tier
+    * sibling of `dedup_threshold_curve` / `dedup_lsh_eval`). Every
+    * candidate carries the rank of its cell for that query (`probe_rn`),
+    * so all budgets share one centroid ranking, one candidate join and
+    * one exact re-score; each budget's top-k is a rank over the shared
+    * scored relation filtered to `probe_rn <= budget`. Output per
+    * budget: truth size, hits, candidate count (the cost an operator
+    * pays), and recall (ONE final division).
+    *
+    * Scale shape: identical to [[knnIvfOver]] — the corpus never
+    * shuffles (broadcast centroids, broadcast probe set); the
+    * budget×candidate expansion multiplies only the nQueries-bounded
+    * candidate relation. Exactness: deterministic sampled-Lloyd
+    * centroids + integer-stable rounding make the whole curve
+    * hash-comparable against the DuckDB replay. */
+  def ivfProbeCurve(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, nCentroids: Int = 16, kmeansIters: Int = 2,
+      budgets: Seq[Int] = Seq(1, 2, 4, 8),
+      trainBuckets: Int = 2500): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queryPred = col("vec_id") < nQueries
+    val cents = kmeansCentroids(emb, nCentroids, kmeansIters,
+      hashSeeds = true, trainBuckets = trainBuckets)
+    val assigned = withNearestCid(emb, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    val probeRanks = emb.filter(queryPred)
+      .join(broadcast(cents))
+      .withColumn("cos_c", round(cosine(col("embedding"), col("c_emb")), 6))
+      .withColumn("probe_rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("cos_c"), asc("cid"))))
+      .filter(col("probe_rn") <= budgets.max)
+      .select(col("vec_id").as("query_id"), col("cid"), col("probe_rn"))
+    val scored = assigned.join(broadcast(probeRanks), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))), Seq("query_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+        Seq("neighbor_id"))
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .select("query_id", "neighbor_id", "probe_rn", "cos_sim")
+    val budgetDf = budgets.toDF("n_probe")
+    val expanded = scored.join(broadcast(budgetDf), col("probe_rn") <= col("n_probe"))
+    val top = expanded
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("n_probe"), col("query_id"))
+          .orderBy(desc("cos_sim"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("n_probe", "query_id", "neighbor_id")
+    val truthX = knnBrute(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id").crossJoin(broadcast(budgetDf))
+    val hits = truthX.join(top, Seq("n_probe", "query_id", "neighbor_id"), "left_semi")
+      .groupBy("n_probe").agg(count(lit(1)).as("hits"))
+    val kTot = truthX.groupBy("n_probe").agg(count(lit(1)).as("k_total"))
+    val cost = expanded.groupBy("n_probe").agg(count(lit(1)).as("total_candidates"))
+    kTot.join(hits, Seq("n_probe"), "left").join(cost, Seq("n_probe"), "left")
+      .select(col("n_probe"), col("k_total"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("total_candidates"), lit(0L)).as("total_candidates"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("k_total"), 6).as("recall"))
+      .orderBy("n_probe")
+  }
+
   // ------------------------------------------------- materialized IVF index
 
   /** Materialize the IVF index at `indexDir`: train centroids, assign every
@@ -1062,6 +1127,7 @@ object Similarity {
     "sim_knn_lsh" -> ((s: SparkSession, d: String) => knnLsh(s, d)),
     "sim_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "sim_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
+    "sim_ivf_probe_curve" -> ((s: SparkSession, d: String) => ivfProbeCurve(s, d)),
     "sim_knn_ivf_indexed" -> ((s: SparkSession, d: String) =>
       knnIvfIndexed(s, ivfIndexFor(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 5, nProbe = 4)),
@@ -1223,6 +1289,49 @@ object Similarity {
        | FROM truth t LEFT JOIN ivf i
        |   ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
        | GROUP BY 1 ORDER BY t.query_id""".stripMargin.replace('\n', ' ')
+
+  /** Probe-budget curve: the [[ivfScoredCtes]] machinery generalized to
+    * carry the cell rank, crossed with the budget list. */
+  private lazy val ivfProbeCurveOracle: String =
+    s"""${duckKmeansCtes(16, 2, trainBuckets = 2500)},
+       | cents AS (SELECT cid, c_emb FROM cents2),
+       | asg AS (SELECT vec_id AS neighbor_id, cid FROM (
+       |   SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY round(${duckCos("e.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
+       |   FROM e, cents c) WHERE rn = 1),
+       | pr AS (SELECT query_id, cid, rn AS probe_rn FROM (
+       |   SELECT q.vec_id AS query_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY round(${duckCos("q.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
+       |   FROM e q, cents c WHERE q.vec_id < 5) WHERE rn <= 8),
+       | b AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+       | cand AS (SELECT b.n_probe, p.query_id, a.neighbor_id
+       |   FROM pr p JOIN asg a ON a.cid = p.cid CROSS JOIN b
+       |   WHERE p.probe_rn <= b.n_probe AND a.neighbor_id <> p.query_id),
+       | scored AS (SELECT cand.n_probe, cand.query_id, cand.neighbor_id,
+       |     round(${duckCos("eq.embedding", "ec.embedding")}, 6) AS cos_sim
+       |   FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+       |   JOIN e ec ON ec.vec_id = cand.neighbor_id),
+       | top AS (SELECT n_probe, query_id, neighbor_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY n_probe, query_id
+       |     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 5),
+       | truth AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |     row_number() OVER (PARTITION BY q.vec_id
+       |       ORDER BY round(${duckCos("q.embedding", "c.embedding")}, 6) DESC, c.vec_id ASC) AS rank
+       |   FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rank <= 5),
+       | tx AS (SELECT b.n_probe, t.query_id, t.neighbor_id FROM truth t CROSS JOIN b),
+       | cost AS (SELECT n_probe, CAST(count(*) AS BIGINT) AS total_candidates
+       |   FROM scored GROUP BY 1),
+       | h AS (SELECT tx.n_probe, CAST(count(*) AS BIGINT) AS k_total,
+       |     CAST(sum(CASE WHEN top.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |   FROM tx LEFT JOIN top ON top.n_probe = tx.n_probe
+       |     AND top.query_id = tx.query_id AND top.neighbor_id = tx.neighbor_id
+       |   GROUP BY 1)
+       | SELECT CAST(h.n_probe AS INT) AS n_probe, h.k_total, h.hits,
+       |   coalesce(cost.total_candidates, 0) AS total_candidates,
+       |   round(CAST(h.hits AS DOUBLE) / h.k_total, 6) AS recall
+       | FROM h LEFT JOIN cost ON cost.n_probe = h.n_probe
+       | ORDER BY n_probe""".stripMargin.replace('\n', ' ')
 
   val oracles: Map[String, String] = Map(
     "sim_knn_label_agreement" ->
@@ -1487,6 +1596,7 @@ object Similarity {
          | SELECT vec_id, label FROM embeddings
          | WHERE vec_id NOT IN (SELECT id_b FROM dropped) ORDER BY vec_id""".stripMargin.replace('\n', ' '),
     "sim_knn_ivf" -> ivfOracle,
+    "sim_ivf_probe_curve" -> ivfProbeCurveOracle,
     "sim_ann_recall" -> annRecallOracle,
     "sim_knn_lsh" -> lshOracle,
     "sim_knn_lsh_indexed" -> lshOracle)

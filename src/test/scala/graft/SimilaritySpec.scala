@@ -668,6 +668,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(g.getSeq[Long](2).toSeq === wantGram)
   }
 
+  test("ivf probe curve: recall and cost monotone in budget; budget-4 row replays sim_ann_recall exactly (r14)") {
+    val rows = Similarity.ivfProbeCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8), "one row per budget")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, "a wider probe can only add candidates")
+      assert(b._2 === a._2, "truth size is budget-independent")
+      assert(b._5 >= a._5 - 1e-9, "recall is monotone in probe budget")
+    }
+    // the budget-4 point IS sim_ann_recall's configuration — hit counts
+    // must agree exactly (same centroids, same tie-breaks)
+    val recallHits = Similarity.annRecall(spark, sf).collect().map(_.getLong(2)).sum
+    assert(rows.find(_._1 == 4).get._3 === recallHits,
+      "curve at nProbe=4 must replay the fixed-config recall report")
+  }
+
   test("long-vector kernels reject null ELEMENTS with a typed error; dense nullable-typed input still works (r14)") {
     import spark.implicits._
     // containsNull=true by type (Option elements), but DENSE data: the
