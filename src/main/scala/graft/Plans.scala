@@ -213,6 +213,11 @@ object Plans {
         "ObjectHashAggregate folds each task to a per-label (n, sums[]) " +
         "blob — |labels| blobs cross the one exchange, never corpus x dims " +
         "rows; the norm math sits above the final aggregate"),
+      "sim_lsh_probe_curve" -> ("ONE multiprobe bucket join at the widest " +
+        "radius with the exact hamming distance attached per candidate; " +
+        "each radius's top-k filters the shared scored relation — one " +
+        "bucket join, one exact re-score, four curve points; only " +
+        "(id, id, hamming) tuples cross the dedup shuffle"),
       "sim_ivf_probe_curve" -> ("ONE candidate join + ONE exact re-score " +
         "shared by every probe budget (each candidate carries its cell's " +
         "probe rank; budgets expand only the nQueries-bounded candidate " +

@@ -166,6 +166,62 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** LSH PROBE-DISTANCE TUNING CURVE — the [[ivfProbeCurve]] sibling for
+    * the hyperplane index: recall@k and candidate cost as a function of
+    * the hamming probe radius {0,1,2,3}, in ONE pass. Candidates come
+    * from the widest radius's multiprobe bucket join and carry their
+    * EXACT hamming distance (`bit_count(sig_q XOR sig_c)`), so each
+    * radius's top-k is a rank over the shared scored relation filtered
+    * to `hamming <= radius` — one bucket join, one exact re-score, four
+    * curve points. The report that turns "pick probeDist" (and, read
+    * against its cost column, "when to raise bits instead") into a
+    * measured trade-off. Hash-checked: the oracle recomputes signatures
+    * bit-for-bit from the md5-derived hyperplanes. */
+  def lshProbeCurve(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, bits: Int = 8, budgets: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val q = withSignature(e.filter(col("vec_id") < nQueries), "embedding", bits)
+      .select(col("vec_id").as("query_id"), col("lsh_sig").as("q_sig"))
+    val masks = probeMasks(bits, budgets.max)
+    val qProbes = q.select(col("query_id"), col("q_sig"),
+      explode(array(masks.map(m => col("q_sig").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val c = withSignature(e, "embedding", bits)
+      .select(col("vec_id").as("neighbor_id"), col("lsh_sig").as("c_sig"))
+    val cands = c.join(broadcast(qProbes), col("c_sig") === col("probe"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("q_sig").bitwiseXOR(col("c_sig"))).cast("int").as("hamming"))
+      .distinct()
+    val scored = cands
+      .join(broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+        Seq("neighbor_id"))
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .select("query_id", "neighbor_id", "hamming", "cos_sim")
+    val budgetDf = budgets.toDF("probe_dist")
+    val expanded = scored.join(broadcast(budgetDf), col("hamming") <= col("probe_dist"))
+    val top = expanded
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_dist"), col("query_id"))
+          .orderBy(desc("cos_sim"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("probe_dist", "query_id", "neighbor_id")
+    val truthX = knnBrute(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id").crossJoin(broadcast(budgetDf))
+    val hits = truthX.join(top, Seq("probe_dist", "query_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_dist").agg(count(lit(1)).as("hits"))
+    val kTot = truthX.groupBy("probe_dist").agg(count(lit(1)).as("k_total"))
+    val cost = expanded.groupBy("probe_dist").agg(count(lit(1)).as("total_candidates"))
+    kTot.join(hits, Seq("probe_dist"), "left").join(cost, Seq("probe_dist"), "left")
+      .select(col("probe_dist"), col("k_total"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("total_candidates"), lit(0L)).as("total_candidates"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("k_total"), 6).as("recall"))
+      .orderBy("probe_dist")
+  }
+
   /** Embedding near-duplicate pairs via the same hyperplane buckets: pairs
     * within signature hamming <= probeDist (multi-probe equality join on the
     * bucket), verified with exact cosine >= threshold. Linear in corpus +
@@ -1128,6 +1184,7 @@ object Similarity {
     "sim_knn_ivf" -> ((s: SparkSession, d: String) => knnIvf(s, d)),
     "sim_ann_recall" -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "sim_ivf_probe_curve" -> ((s: SparkSession, d: String) => ivfProbeCurve(s, d)),
+    "sim_lsh_probe_curve" -> ((s: SparkSession, d: String) => lshProbeCurve(s, d)),
     "sim_knn_ivf_indexed" -> ((s: SparkSession, d: String) =>
       knnIvfIndexed(s, ivfIndexFor(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 5, nProbe = 4)),
@@ -1332,6 +1389,43 @@ object Similarity {
        |   round(CAST(h.hits AS DOUBLE) / h.k_total, 6) AS recall
        | FROM h LEFT JOIN cost ON cost.n_probe = h.n_probe
        | ORDER BY n_probe""".stripMargin.replace('\n', ' ')
+
+  /** Probe-radius curve: [[lshOracle]]'s candidate CTE generalized to
+    * carry the exact hamming distance, crossed with the radius list. */
+  private lazy val lshProbeCurveOracle: String =
+    s"""${duckSigCte(8)},
+       | cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |     CAST(sum(CASE WHEN q.bit <> c.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+       |   FROM sig q JOIN sig c ON q.p = c.p AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+       |   GROUP BY 1, 2 HAVING sum(CASE WHEN q.bit <> c.bit THEN 1 ELSE 0 END) <= 3),
+       | b AS (SELECT unnest([0, 1, 2, 3]) AS probe_dist),
+       | ex AS (SELECT b.probe_dist, cand.query_id, cand.neighbor_id
+       |   FROM cand CROSS JOIN b WHERE cand.hamming <= b.probe_dist),
+       | scored AS (SELECT ex.probe_dist, ex.query_id, ex.neighbor_id,
+       |     round(${duckCos("eq.embedding", "ec.embedding")}, 6) AS cos_sim
+       |   FROM ex JOIN e eq ON eq.vec_id = ex.query_id
+       |   JOIN e ec ON ec.vec_id = ex.neighbor_id),
+       | top AS (SELECT probe_dist, query_id, neighbor_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY probe_dist, query_id
+       |     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 5),
+       | truth AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |     row_number() OVER (PARTITION BY q.vec_id
+       |       ORDER BY round(${duckCos("q.embedding", "c.embedding")}, 6) DESC, c.vec_id ASC) AS rank
+       |   FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rank <= 5),
+       | tx AS (SELECT b.probe_dist, t.query_id, t.neighbor_id FROM truth t CROSS JOIN b),
+       | cost AS (SELECT probe_dist, CAST(count(*) AS BIGINT) AS total_candidates
+       |   FROM ex GROUP BY 1),
+       | h AS (SELECT tx.probe_dist, CAST(count(*) AS BIGINT) AS k_total,
+       |     CAST(sum(CASE WHEN top.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |   FROM tx LEFT JOIN top ON top.probe_dist = tx.probe_dist
+       |     AND top.query_id = tx.query_id AND top.neighbor_id = tx.neighbor_id
+       |   GROUP BY 1)
+       | SELECT CAST(h.probe_dist AS INT) AS probe_dist, h.k_total, h.hits,
+       |   coalesce(cost.total_candidates, 0) AS total_candidates,
+       |   round(CAST(h.hits AS DOUBLE) / h.k_total, 6) AS recall
+       | FROM h LEFT JOIN cost ON cost.probe_dist = h.probe_dist
+       | ORDER BY probe_dist""".stripMargin.replace('\n', ' ')
 
   val oracles: Map[String, String] = Map(
     "sim_knn_label_agreement" ->
@@ -1597,6 +1691,7 @@ object Similarity {
          | WHERE vec_id NOT IN (SELECT id_b FROM dropped) ORDER BY vec_id""".stripMargin.replace('\n', ' '),
     "sim_knn_ivf" -> ivfOracle,
     "sim_ivf_probe_curve" -> ivfProbeCurveOracle,
+    "sim_lsh_probe_curve" -> lshProbeCurveOracle,
     "sim_ann_recall" -> annRecallOracle,
     "sim_knn_lsh" -> lshOracle,
     "sim_knn_lsh_indexed" -> lshOracle)

@@ -684,6 +684,24 @@ class SimilaritySpec extends SparkTestBase {
       "curve at nProbe=4 must replay the fixed-config recall report")
   }
 
+  test("lsh probe curve: recall/cost monotone in radius; radius-2 top-k replays knnLsh exactly (r14)") {
+    val rows = Similarity.lshProbeCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3 && b._4 >= a._4 && b._5 >= a._5 - 1e-9,
+        "hits, candidates and recall are monotone in the probe radius")
+    }
+    // the radius-2 point IS knnLsh's configuration: hit count against the
+    // brute truth must replay (same signatures, same tie-breaks)
+    val truth = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshHits = Similarity.knnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(truth.contains)
+    assert(rows.find(_._1 == 2).get._3 === lshHits.toLong,
+      "curve at radius 2 must replay the fixed-config knnLsh hits")
+  }
+
   test("long-vector kernels reject null ELEMENTS with a typed error; dense nullable-typed input still works (r14)") {
     import spark.implicits._
     // containsNull=true by type (Option elements), but DENSE data: the
