@@ -455,7 +455,7 @@ object Similarity {
     * that exchange is the whole cost of assignment. `collect_list` order
     * does not matter: (cos, -cid) pairs are distinct (cids are unique),
     * so the strict max is order-independent. */
-  private def withNearestCid(emb: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def withNearestCid(emb: DataFrame, cents: DataFrame): DataFrame = {
     val arr = cents.agg(collect_list(struct(col("cid"), col("c_emb"))).as("cents_arr"))
     val scored = transform(col("cents_arr"), c =>
       struct(round(cosine(col("embedding"), c.getField("c_emb")), 6).as("cos"),
@@ -700,6 +700,52 @@ object Similarity {
     val batch = ManifestTable.appendAllocate(assigned, s"$indexDir/cells", Some("cid_part"))
     recordDrift(indexDir, batch, obs)
   }
+
+  /** [[appendToIvfIndex]] with a CALLER-owned manifest batch id — the
+    * exactly-once form a streaming maintainer needs: a replayed id is a
+    * no-op BEFORE any job runs (the buildIvfIndex replay-guard pattern —
+    * Observation.get would otherwise block forever on the job the replay
+    * never runs), so a crash between the index commit and the
+    * checkpoint write re-delivers the micro-batch harmlessly and drift
+    * lines stay one-per-batch. Not for concurrent manual appenders —
+    * they race to the same id; those use [[appendToIvfIndex]]'s
+    * CAS-allocated form. */
+  def appendToIvfIndexBatch(newVecs: DataFrame, indexDir: String,
+      manifestBatch: Long): Unit = {
+    import graft.streaming.ManifestTable
+    require(manifestBatch > 0L, "manifest batch 0 is the build baseline")
+    if (ManifestTable.hasBatch(s"$indexDir/cells", manifestBatch)) return
+    val cents = ManifestTable.read(newVecs.sparkSession, s"$indexDir/centroids")
+    val obs = org.apache.spark.sql.Observation()
+    val assigned = observedAssign(withNearestCid(newVecs, cents), obs)
+    ManifestTable.append(assigned, s"$indexDir/cells", Some("cid_part"), manifestBatch)
+    recordDrift(indexDir, manifestBatch, obs)
+  }
+
+  /** STREAMING IVF index maintenance — the missing tier between "build
+    * once" and "retrain": a micro-batch sink that keeps a materialized
+    * [[buildIvfIndex]] index current as embeddings arrive (new documents
+    * embedded upstream), with per-batch cost O(batch) — one broadcast
+    * argmax assignment + one cell-partitioned manifest commit; the
+    * centroid table never moves and serving reads are atomic across
+    * commits (readers see the pre- or post-append manifest version,
+    * never a torn mix). Streaming micro-batch N commits as manifest
+    * batch N+1 (the build owns batch 0), so restart replay is a
+    * manifest-level no-op and every batch leaves exactly one drift line
+    * — [[ivfDriftStats]] / [[needsRetrain]] read the stream's quality
+    * trajectory with no extra pass. One streaming writer per index dir
+    * (the id mapping is the exactly-once contract; mixing in manual
+    * [[appendToIvfIndex]] calls would collide ids). */
+  def startStreamingIvfAppend(vecs: DataFrame, indexDir: String,
+      checkpoint: String, triggerMs: Long = 5000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendToIvfIndexBatch(batch, indexDir, id + 1L)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .start()
 
   /** The cell layout projection with the drift metrics observed on the
     * same plan the append writes — count/mean/p05/p95 of the winning

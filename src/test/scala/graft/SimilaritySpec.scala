@@ -702,6 +702,59 @@ class SimilaritySpec extends SparkTestBase {
       "curve at radius 2 must replay the fixed-config knnLsh hits")
   }
 
+  test("streaming IVF append: exactly-once micro-batches, one drift line each, assignments match the batch path (r14)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_sivf_cp").toString
+    Similarity.buildIvfIndex(
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 40),
+      dir, nCentroids = 4, kmeansIters = 1)
+    val rest = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 40 && col("vec_id") < 80)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.startStreamingIvfAppend(
+      ms.toDF().toDF("vec_id", "embedding"), dir, cp, triggerMs = 100L)
+    try {
+      ms.addData(rest.filter(_._1 < 60).toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(rest.filter(_._1 >= 60).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cells = ManifestTable.read(spark, s"$dir/cells")
+    assert(cells.count() === 80L && cells.select("vec_id").distinct().count() === 80L,
+      "build 40 + two streamed batches of 20, no loss, no duplication")
+    // one drift line per commit: build baseline + the two micro-batches
+    val drift = Similarity.ivfDriftStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drift === Map(0L -> 40L, 1L -> 20L, 2L -> 20L))
+    // restart replay of the LAST micro-batch is a manifest no-op
+    Similarity.appendToIvfIndexBatch(
+      rest.filter(_._1 >= 60).toSeq.toDF("vec_id", "embedding"), dir, 2L)
+    assert(ManifestTable.read(spark, s"$dir/cells").count() === 80L,
+      "a replayed micro-batch must not double-append")
+    assert(Similarity.ivfDriftStats(spark, dir).count() === 3L,
+      "a replayed micro-batch must not re-record drift")
+    // streamed assignments equal the batch path's: nearest-centroid is a
+    // pure function of (vector, frozen centroid table)
+    val cents = ManifestTable.read(spark, s"$dir/centroids")
+    val want = Similarity.withNearestCid(
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 80), cents)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = cells.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // the maintained index serves
+    val served = Similarity.knnIvfIndexed(spark, dir,
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 2), k = 3, nProbe = 2)
+    assert(served.count() > 0)
+  }
+
   test("long-vector kernels reject null ELEMENTS with a typed error; dense nullable-typed input still works (r14)") {
     import spark.implicits._
     // containsNull=true by type (Option elements), but DENSE data: the
