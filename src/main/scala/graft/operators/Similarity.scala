@@ -722,6 +722,34 @@ object Similarity {
     recordDrift(indexDir, manifestBatch, obs)
   }
 
+  /** ONLINE IVF cell compaction — the operational complement of the
+    * streaming maintainer: every micro-batch append adds one file per
+    * touched cell, so an always-on feed fragments the index
+    * (probe latency = files opened per probed cell). Rewrite every cell
+    * holding more than `filesPerCell` files into one file and swap them
+    * in a single atomic manifest commit — concurrent with appends and
+    * probes, the [[graft.streaming.FlowStreams.compactRawOnline]]
+    * protocol: a swap whose snapshot went stale (an append landed
+    * mid-rewrite) aborts harmlessly and the next call retries; probes
+    * see the pre- or post-compaction manifest, never a mix. Centroids,
+    * assignments, and drift lines are untouched — compaction is
+    * result-invisible by construction and the spec asserts it. Returns
+    * false on a lost race. */
+  def compactIvfCells(spark: SparkSession, indexDir: String,
+      filesPerCell: Int = 1): Boolean = {
+    import graft.streaming.ManifestTable
+    val table = s"$indexDir/cells"
+    val (_, files) = ManifestTable.snapshot(table)
+    if (files.isEmpty) return true
+    val byCell = files.groupBy(f =>
+      f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
+    val fragmented = byCell.filter(_._2.size > filesPerCell).values.flatten.toSeq
+    if (fragmented.isEmpty) return true
+    val compacted = ManifestTable.readSelected(spark, table, fragmented)
+      .repartition(col("cid_part"))
+    ManifestTable.swap(compacted, table, Some("cid_part"), fragmented)
+  }
+
   /** STREAMING IVF index maintenance — the missing tier between "build
     * once" and "retrain": a micro-batch sink that keeps a materialized
     * [[buildIvfIndex]] index current as embeddings arrive (new documents

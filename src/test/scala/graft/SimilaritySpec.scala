@@ -722,6 +722,10 @@ class SimilaritySpec extends SparkTestBase {
     try {
       ms.addData(rest.filter(_._1 < 60).toSeq: _*)
       q.processAllAvailable()
+      // online compaction RACES the maintainer between batches: cells
+      // fragmented by the append fold back to one file each, results
+      // untouched (asserted below on the full 80)
+      assert(Similarity.compactIvfCells(spark, dir))
       ms.addData(rest.filter(_._1 >= 60).toSeq: _*)
       q.processAllAvailable()
     } finally q.stop()
@@ -753,6 +757,20 @@ class SimilaritySpec extends SparkTestBase {
     val served = Similarity.knnIvfIndexed(spark, dir,
       Tables.embeddings(spark, sf).filter(col("vec_id") < 2), k = 3, nProbe = 2)
     assert(served.count() > 0)
+    // final compaction: every cell folds to one file; assignments,
+    // drift history and serving results are compaction-invisible
+    val servedRows = served.collect().map(_.toSeq).toSeq
+    assert(Similarity.compactIvfCells(spark, dir))
+    val (_, filesAfter) = ManifestTable.snapshot(s"$dir/cells")
+    val perCell = filesAfter.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    assert(perCell.values.forall(_.size <= 1),
+      s"every cell must fold to one file, got ${perCell.view.mapValues(_.size).toMap}")
+    assert(ManifestTable.read(spark, s"$dir/cells").count() === 80L)
+    assert(Similarity.ivfDriftStats(spark, dir).count() === 3L)
+    val servedAfter = Similarity.knnIvfIndexed(spark, dir,
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 2), k = 3, nProbe = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(servedAfter === servedRows, "compaction must be result-invisible")
   }
 
   test("long-vector kernels reject null ELEMENTS with a typed error; dense nullable-typed input still works (r14)") {
