@@ -360,6 +360,48 @@ object Similarity {
     ()
   }
 
+  /** STREAMING LSH index maintenance — the [[startStreamingIvfAppend]]
+    * twin for the hyperplane index (no centroids, no drift lines: the
+    * hash family is deterministic and never degrades, so the only
+    * streaming concerns are exactly-once and fragmentation). Micro-batch
+    * N commits as manifest batch N+1 (build owns 0); a replayed batch is
+    * a manifest no-op. One streaming writer per index dir. */
+  def startStreamingLshAppend(vecs: DataFrame, indexDir: String,
+      checkpoint: String, bits: Int = 8, triggerMs: Long = 5000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val table = s"$indexDir/buckets"
+        if (!graft.streaming.ManifestTable.hasBatch(table, id + 1L)) {
+          val signed = withSignature(batch, "embedding", bits)
+            .select(col("vec_id"), col("lsh_sig"), col("embedding"))
+            .withColumn("sig_part", col("lsh_sig"))
+            .repartition(col("sig_part"))
+          graft.streaming.ManifestTable.append(signed, table, Some("sig_part"), id + 1L)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .start()
+
+  /** Online bucket compaction for the LSH index — [[compactIvfCells]]
+    * over `sig_part` bucket dirs; same atomic result-invisible swap,
+    * same race-abort-retry posture against a running maintainer. */
+  def compactLshBuckets(spark: SparkSession, indexDir: String,
+      filesPerBucket: Int = 1): Boolean = {
+    import graft.streaming.ManifestTable
+    val table = s"$indexDir/buckets"
+    val (_, files) = ManifestTable.snapshot(table)
+    if (files.isEmpty) return true
+    val byBucket = files.groupBy(f =>
+      f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
+    val fragmented = byBucket.filter(_._2.size > filesPerBucket).values.flatten.toSeq
+    if (fragmented.isEmpty) return true
+    val compacted = ManifestTable.readSelected(spark, table, fragmented)
+      .repartition(col("sig_part"))
+    ManifestTable.swap(compacted, table, Some("sig_part"), fragmented)
+  }
+
   /** Serve top-k from the materialized LSH index: sign the queries, expand
     * the multi-probe masks (hamming ≤ probeDist), collect the probed
     * bucket ids (≤ queries × masks small ints to the driver), read ONLY

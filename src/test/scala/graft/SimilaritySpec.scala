@@ -773,6 +773,52 @@ class SimilaritySpec extends SparkTestBase {
     assert(servedAfter === servedRows, "compaction must be result-invisible")
   }
 
+  test("streaming LSH append: exactly-once micro-batches; compaction result-invisible; serving matches batch build (r14)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_slsh").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_slsh_cp").toString
+    Similarity.buildLshIndex(
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 40), dir, bits = 8)
+    val rest = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 40 && col("vec_id") < 80)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.startStreamingLshAppend(
+      ms.toDF().toDF("vec_id", "embedding"), dir, cp, bits = 8, triggerMs = 100L)
+    try {
+      ms.addData(rest.filter(_._1 < 60).toSeq: _*)
+      q.processAllAvailable()
+      assert(Similarity.compactLshBuckets(spark, dir))
+      ms.addData(rest.filter(_._1 >= 60).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val idx = ManifestTable.read(spark, s"$dir/buckets")
+    assert(idx.count() === 80L && idx.select("vec_id").distinct().count() === 80L)
+    // the maintained index serves identically to a one-shot batch build
+    // over the same 80 vectors (signatures are a pure function)
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_slsh_b").toString
+    Similarity.buildLshIndex(
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 80), batchDir, bits = 8)
+    val qs = Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+    val servedStream = Similarity.knnLshIndexed(spark, dir, qs, k = 5,
+      bits = 8, probeDist = 2).collect().map(_.toSeq).toSeq
+    val servedBatch = Similarity.knnLshIndexed(spark, batchDir, qs, k = 5,
+      bits = 8, probeDist = 2).collect().map(_.toSeq).toSeq
+    assert(servedStream.nonEmpty && servedStream === servedBatch)
+    // final compaction folds each bucket to one file, results untouched
+    assert(Similarity.compactLshBuckets(spark, dir))
+    val (_, filesAfter) = ManifestTable.snapshot(s"$dir/buckets")
+    assert(filesAfter.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .values.forall(_.size <= 1))
+    val servedAfter = Similarity.knnLshIndexed(spark, dir, qs, k = 5,
+      bits = 8, probeDist = 2).collect().map(_.toSeq).toSeq
+    assert(servedAfter === servedStream)
+  }
+
   test("long-vector kernels reject null ELEMENTS with a typed error; dense nullable-typed input still works (r14)") {
     import spark.implicits._
     // containsNull=true by type (Option elements), but DENSE data: the
