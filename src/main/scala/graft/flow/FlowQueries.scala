@@ -699,7 +699,17 @@ object FlowQueries {
     * approximation. Production screening at genuinely unbounded fan-out
     * (the regime the exact form's Expand chokes on) runs
     * `strict = false` and accepts the sketch's relative-error bound —
-    * a scanner touching ~65 k ports is not mis-screened by ±2%. */
+    * a scanner touching ~65 k ports is not mis-screened by ±2%.
+    *
+    * Measured honestly (r14, 50 M rows / BENCH_scale.json): the sketch
+    * form is SLOWER here — 35.3 s vs the exact Expand's 27.3 s — because
+    * at this shape (≲100 distinct values per group) the per-row
+    * ObjectHashAggregate sketch update costs more than the codegen'd
+    * Expand whose map-side distinct collapses repeats cheaply. The twin
+    * is the BOUNDED-MEMORY form, not a throughput win: its value is the
+    * regime where per-group distinct cardinality × group count makes the
+    * exact form's partial (key, value) state spill — the same posture as
+    * `flow_heavy_hitters` next to the exact top-N. */
   def portScanSketch(spark: SparkSession, dir: String, minPorts: Long = 5,
       lgK: Int = 12, strict: Boolean = false,
       range: Option[TimeRange] = None): DataFrame = {
