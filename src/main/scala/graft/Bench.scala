@@ -121,8 +121,11 @@ object Bench {
     // for roughly the first half of the alphabet (r13 verdict #4) — the
     // file makes regressions diffable without re-running. Name is
     // overridable so A/B runs don't clobber the round artifact.
+    // repo-relative default (resolved against the working dir) so a
+    // checkout anywhere still gets the diffable artifact; the env var
+    // stays the A/B override
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_full.json")
+      new java.io.File("BENCH_full.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")

@@ -284,6 +284,12 @@ object BenchScale {
       graft.flow.FlowQueries.portScanSketch(spark, famDir)
     }
     bench("scale_events_dau_wau") { graft.operators.EventOps.dauWau(spark, famDir) }
+    // same-data A/B vs the exact form (r14 verdict #2): the sketch twin
+    // replaces the 7×-fanned distinct relation + per-day countDistinct
+    // Expand with |days| blob unions (strict=false: fact-scale regime)
+    bench("scale_events_dau_wau_sketch") {
+      graft.operators.EventOps.dauWauSketch(spark, famDir)
+    }
     bench("scale_events_retention") { graft.operators.EventOps.retention(spark, famDir) }
     bench("scale_events_funnel") { graft.operators.EventOps.funnel(spark, famDir) }
     bench("scale_text_pii_scrub") { graft.operators.TextOps.piiScrub(spark, famDir) }

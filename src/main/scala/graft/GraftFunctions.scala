@@ -74,12 +74,18 @@ object GraftFunctions {
     // from the data's dimensionality)
     // the native long-vector kernel family (r13 HOF lesson), SQL-exposed
     // alongside its aggregates so ad-hoc SQL gets the codegen'd forms too
-    reg.createOrReplaceTempFunction("dot_longs",
-      es => graft.functions.DotLongs(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("sum_sq_longs",
-      es => graft.functions.SumSqLongs(es.head), "built-in")
-    reg.createOrReplaceTempFunction("int8_codes",
-      es => graft.functions.Int8Codes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("dot_longs", es => {
+      require(es.length == 2, "usage: dot_longs(a, b)")
+      graft.functions.DotLongs(es(0), es(1))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("sum_sq_longs", es => {
+      require(es.length == 1, "usage: sum_sq_longs(codes)")
+      graft.functions.SumSqLongs(es.head)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("int8_codes", es => {
+      require(es.length == 1, "usage: int8_codes(vec)")
+      graft.functions.Int8Codes(es.head)
+    }, "built-in")
     reg.createOrReplaceTempFunction("vec_moments", es => {
       require(es.length == 1, "usage: vec_moments(codes)")
       graft.functions.VecMomentsAgg(es.head).toAggregateExpression()

@@ -1063,30 +1063,57 @@ object FlowQueries {
     * value domains — while `approx_percentile` (Greenwald-Khanna sketch,
     * rank error ≤ 1/accuracy) keeps per-group state at a fixed budget
     * regardless of domain, and partial sketches merge map-side. Sketch
-    * values are actual data values, not interpolations, so they are NOT
-    * bit-comparable to the exact form or to DuckDB's t-digest — the
-    * registry records the driver's rows-only check and the spec bounds the
-    * sketch's rank error against the exact query. */
+    * values are actual data values (the ⌈p·n⌉-th order statistic when
+    * exact), not interpolations — NOT comparable to the exact
+    * interpolating form or to DuckDB's t-digest.
+    *
+    * EXACT REGIME (`strict = true`, the oracle registration): while
+    * n < accuracy/2 per group the GK summary retains every sample
+    * (merge threshold 2n/accuracy < 2 can never cover two unit weights)
+    * and the query returns exactly the ⌈p·n⌉-th order statistic —
+    * DuckDB's `quantile_disc`. The guard is structural: each quantile
+    * column raises if its group's count reaches the approximate regime,
+    * so approximate output can never silently face the exact oracle.
+    * Production path stays `strict = false` at the default accuracy. */
   def bytesQuantilesApprox(spark: SparkSession, dir: String,
-      accuracy: Int = 10000): DataFrame =
-    fl(spark, dir)
+      accuracy: Int = 10000, strict: Boolean = false): DataFrame = {
+    val agg = fl(spark, dir)
       .groupBy("proto")
       .agg(
         expr(s"approx_percentile(bytes, 0.5, $accuracy)").as("p50"),
         expr(s"approx_percentile(bytes, 0.95, $accuracy)").as("p95"),
         expr(s"approx_percentile(bytes, 0.99, $accuracy)").as("p99"),
         count(lit(1)).as("flow_count"))
+    def guarded(c: String): Column =
+      if (!strict) col(c)
+      else when(col("flow_count") * 2 < lit(accuracy.toLong), col(c))
+        .otherwise(raise_error(concat(
+          lit(s"bytes_quantiles_approx(strict=true): group count "),
+          col("flow_count"),
+          lit(s" reached the approximate regime (accuracy=$accuracy needs " +
+            "n < accuracy/2 for exact order statistics) — raise accuracy " +
+            "or pass strict=false"))).cast("long")).as(c)
+    agg.select(col("proto"), guarded("p50"), guarded("p95"), guarded("p99"),
+        col("flow_count"))
       .orderBy("proto")
+  }
 
   /** Byte-size quantiles through the mergeable KLL sketch pair
     * ([[graft.functions.QuantileSketch]]) in its batch merge-tree shape:
     * per-(proto, day) partial sketches (what the streaming MV stores per
     * micro-batch), folded to per-proto quantiles at read time. Only
-    * fixed-size blobs cross the second exchange. Rows-only driver check —
-    * sketch output is rank-error-bounded, not bit-comparable across
-    * engines; QuantileSketchSpec pins the exact regime and error bounds. */
+    * fixed-size blobs cross the second exchange.
+    *
+    * Oracle form (`strict = true`, k sized ≥ the per-proto count at the
+    * driver scales): below compaction the KLL INCLUSIVE quantile is the
+    * exact ⌈p·n⌉-th order statistic — DuckDB's `quantile_disc` — and the
+    * [[graft.functions.QuantileSketchMerge]] strict guard throws rather
+    * than let an estimation-mode fold face the exact oracle. Production
+    * path stays k=200/strict=false (the bounded-memory posture);
+    * QuantileSketchSpec pins the rank-error bound there. */
   def bytesQuantilesKll(spark: SparkSession, dir: String, k: Int = 200,
-      probs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+      probs: Seq[Double] = Seq(0.5, 0.95, 0.99),
+      strict: Boolean = false): DataFrame = {
     import graft.functions.QuantileSketch
     val partials = fl(spark, dir)
       .groupBy(col("proto"),
@@ -1094,7 +1121,7 @@ object FlowQueries {
       .agg(QuantileSketch.quantileSketch(col("bytes").cast("double"), k).as("s"),
         count(lit(1)).as("c"))
     val folded = partials.groupBy("proto")
-      .agg(QuantileSketch.quantileMerge(col("s"), k, probs).as("qs"),
+      .agg(QuantileSketch.quantileMerge(col("s"), k, probs, strict).as("qs"),
         sum("c").as("flow_count"))
     val qCols = probs.zipWithIndex.map { case (p, i) =>
       element_at(col("qs"), i + 1).as(s"p${(p * 100).round}")
@@ -1157,13 +1184,16 @@ object FlowQueries {
     "flow_sessions" -> ((s: SparkSession, d: String) => sessions(s, d)),
     "flow_unique_src" -> ((s: SparkSession, d: String) => uniqueSrc(s, d)),
     "flow_bytes_quantiles" -> (bytesQuantiles _),
-    // sketch twin: rows-only driver check (no oracle — sketch values are
-    // not bit-comparable across engines); rank error spec-bounded
+    // sketch twins registered in the STRICT EXACT REGIME (r14 verdict #3):
+    // accuracy/k sized ≥ 2× the per-proto count at sf0.1 so the ⌈p·n⌉
+    // order statistic is exact and hash-compares against quantile_disc;
+    // the guards THROW if data growth ever leaves the regime. Production
+    // calls keep the bounded-memory defaults (strict=false).
     "flow_bytes_quantiles_approx" -> ((s: SparkSession, d: String) =>
-      bytesQuantilesApprox(s, d)),
-    // mergeable-KLL twin (the streaming MV's batch shape): rows-only too
+      bytesQuantilesApprox(s, d, accuracy = 1000000, strict = true)),
+    // mergeable-KLL twin (the streaming MV's batch shape)
     "flow_bytes_quantiles_kll" -> ((s: SparkSession, d: String) =>
-      bytesQuantilesKll(s, d)),
+      bytesQuantilesKll(s, d, k = 65535, strict = true)),
     "flow_unique_src_overlap" -> ((s: SparkSession, d: String) =>
       uniqueSrcOverlap(s, d)),
     "flow_top_bytes_per_proto" -> ((s: SparkSession, d: String) => topBytesPerProto(s, d)),
@@ -1457,6 +1487,19 @@ object FlowQueries {
       s"""${cte}SELECT proto, round(quantile_cont(bytes, 0.5), 4) AS p50,
          | round(quantile_cont(bytes, 0.95), 4) AS p95,
          | round(quantile_cont(bytes, 0.99), 4) AS p99, count(*) AS flow_count
+         | FROM flows GROUP BY 1 ORDER BY proto""".stripMargin.replace('\n', ' '),
+    // exact-regime sketch twins: GK/KLL return the ⌈p·n⌉-th order
+    // statistic below compaction = DuckDB quantile_disc. approx keeps
+    // the input's LONG type; KLL sketches doubles → CAST
+    "flow_bytes_quantiles_approx" ->
+      s"""${cte}SELECT proto, quantile_disc(bytes, 0.5) AS p50,
+         | quantile_disc(bytes, 0.95) AS p95,
+         | quantile_disc(bytes, 0.99) AS p99, count(*) AS flow_count
+         | FROM flows GROUP BY 1 ORDER BY proto""".stripMargin.replace('\n', ' '),
+    "flow_bytes_quantiles_kll" ->
+      s"""${cte}SELECT proto, CAST(quantile_disc(bytes, 0.5) AS DOUBLE) AS p50,
+         | CAST(quantile_disc(bytes, 0.95) AS DOUBLE) AS p95,
+         | CAST(quantile_disc(bytes, 0.99) AS DOUBLE) AS p99, count(*) AS flow_count
          | FROM flows GROUP BY 1 ORDER BY proto""".stripMargin.replace('\n', ' '),
     "flow_top_bytes_per_proto" ->
       s"""${cte}SELECT proto, bytes FROM (

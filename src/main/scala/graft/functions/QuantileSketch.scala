@@ -78,8 +78,18 @@ case class QuantileSketchAgg(child: Expression, k: Int,
   * exact-regime results match `percentile_disc`-style picks from the
   * data). `k` must match the sketches' (a mixed-k merge silently degrades
   * to the coarser accuracy, so it throws instead). NULL when the folded
-  * sketch is empty (a group of all-null inputs). */
+  * sketch is empty (a group of all-null inputs).
+  *
+  * EXACT REGIME, loudly guarded (the [[ThetaSketchEstimate]] contract):
+  * while no compaction has occurred anywhere in the merge tree
+  * (`numRetained == n`, i.e. n ≤ k per folded group) the sketch retains
+  * EVERY value and the INCLUSIVE quantile is exactly the ⌈p·n⌉-th order
+  * statistic — DuckDB's `quantile_disc`. With `strict = true` (what
+  * oracle-checked registrations pass, with k sized to the driver scale)
+  * the finalizer THROWS if the folded sketch ever entered estimation
+  * mode, so approximate output can never silently face an exact oracle. */
 case class QuantileSketchMerge(child: Expression, k: Int, probs: Seq[Double],
+    strict: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch] {
 
@@ -114,8 +124,17 @@ case class QuantileSketchMerge(child: Expression, k: Int, probs: Seq[Double],
   }
   override def eval(buffer: KllDoublesSketch): Any =
     if (buffer.isEmpty) null
-    else new GenericArrayData(
-      buffer.getQuantiles(probs.toArray, QuantileSearchCriteria.INCLUSIVE))
+    else {
+      if (strict && buffer.isEstimationMode)
+        throw new IllegalStateException(
+          s"quantile_merge(strict=true): folded sketch is in estimation mode " +
+            s"(${buffer.getNumRetained} of ${buffer.getN} values retained) — " +
+            "quantiles are rank-error-approximate here; an exact oracle is " +
+            "only valid while n <= k per folded group. Raise k or pass " +
+            "strict=false.")
+      new GenericArrayData(
+        buffer.getQuantiles(probs.toArray, QuantileSearchCriteria.INCLUSIVE))
+    }
   override def serialize(buffer: KllDoublesSketch): Array[Byte] = buffer.toByteArray
   override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
@@ -195,9 +214,11 @@ object QuantileSketch {
       QuantileSketchAgg(ColumnBridge.expression(value), k).toAggregateExpression())
 
   /** Read-time finalize: `quantileMerge(sketchCol, k, probs)` →
-    * array<double> aligned with `probs`. */
-  def quantileMerge(sketch: Column, k: Int, probs: Seq[Double]): Column =
+    * array<double> aligned with `probs`. `strict = true` throws if the
+    * folded sketch left the exact regime (the oracle-registration form). */
+  def quantileMerge(sketch: Column, k: Int, probs: Seq[Double],
+      strict: Boolean = false): Column =
     ColumnBridge.column(
-      QuantileSketchMerge(ColumnBridge.expression(sketch), k, probs)
+      QuantileSketchMerge(ColumnBridge.expression(sketch), k, probs, strict)
         .toAggregateExpression())
 }

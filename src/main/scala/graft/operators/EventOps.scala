@@ -105,7 +105,15 @@ object EventOps {
     * then explodes each active (user, day) into the 7 calendar days it
     * contributes to (bounded ×7 amplification of the REDUCED relation,
     * not the event stream) and distinct-counts per day. Stickiness is a
-    * single division of two exact longs, rounded once — oracle-stable. */
+    * single division of two exact longs, rounded once — oracle-stable.
+    *
+    * THIS EXACT FORM IS THE LAST SCALE FUNNEL OF THE FAMILY (r14 verdict
+    * #1): the WAU exchange carries 7× the corpus-sized (day, user)
+    * distinct relation and the per-day `countDistinct` is another Expand
+    * — 34.5 s at 50 M events and growing linearly with users. Use
+    * [[dauWauSketch]] (`events_dau_wau_sketch`) at fact scale: ONE daily
+    * theta-sketch relation, WAU = 7-day sketch union, the exchange
+    * carries |days| fixed-size blobs regardless of user count. */
   def dauWau(spark: SparkSession, dir: String): DataFrame = {
     val daySec = 86400L
     // the corpus-sized distinct runs ONCE: without the materialization the
@@ -122,6 +130,46 @@ object EventOps {
       .select(col("user_id"),
         explode(sequence(col("day"), col("day") + 6 * daySec, lit(daySec))).as("day"))
       .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness", round(col("dau").cast("double") / col("wau"), 6))
+      .orderBy("day")
+  }
+
+  /** THETA-SKETCH DAU/WAU — the fact-scale form of [[dauWau]] (r14
+    * verdict #1): the corpus reduces ONCE to a |days|-row relation of
+    * per-day theta sketches of the user set (the corpus-sized exchange
+    * carries partial sketch blobs, merged map-side — never a (day, user)
+    * distinct relation); DAU finalizes each daily sketch, and the
+    * trailing-7-day WAU is the UNION of 7 daily sketches — theta union
+    * is associative and loss-free over exact-regime sketches, so the ×7
+    * fan-out amplifies |days| ≤64 KB blobs instead of the distinct
+    * relation, and the per-day `countDistinct` Expand disappears
+    * entirely. At 10⁹ users the plan's exchanges still carry
+    * O(days × 64 KB).
+    *
+    * Exact regime ([[graft.functions.ThetaSketchEstimate]] contract):
+    * below 2^lgK distinct users every estimate — including the 7-day
+    * unions — is an exact integer, and `strict = true` (the oracle
+    * registration) THROWS rather than face the exact oracle in
+    * estimation mode; the twin then shares [[dauWau]]'s oracle verbatim.
+    * Beyond it (strict = false, the 10⁹-user posture) estimates carry
+    * the published theta error bounds. */
+  def dauWauSketch(spark: SparkSession, dir: String, lgK: Int = 12,
+      strict: Boolean = false): DataFrame = {
+    import graft.functions.ThetaSketch
+    val daySec = 86400L
+    val daily = Tables.events(spark, dir)
+      .select((expr("unix_timestamp(ts) div 86400") * daySec).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(ThetaSketch.thetaSketch(col("user_id"), lgK).as("sk"))
+    val dau = daily.select(col("day"),
+      ThetaSketch.thetaEstimate(col("sk"), strict).as("dau"))
+    val wau = daily
+      .select(col("sk"),
+        explode(sequence(col("day"), col("day") + 6 * daySec, lit(daySec))).as("day"))
+      .groupBy("day")
+      .agg(ThetaSketch.thetaUnion(col("sk"), lgK).as("wsk"))
+      .select(col("day"), ThetaSketch.thetaEstimate(col("wsk"), strict).as("wau"))
     dau.join(wau, "day")
       .withColumn("stickiness", round(col("dau").cast("double") / col("wau"), 6))
       .orderBy("day")
@@ -244,11 +292,19 @@ object EventOps {
     * which only re-merges a tie the rank-error bound already covers.
     * Recency scoring needs no second pass: NTILE(recency asc) =
     * NTILE(last_day desc), so the last_day sketch's quantiles serve
-    * reversed. Scores are value-bucket picks, not rank picks, so the
-    * result is rank-error-approximate — rows-only driver check, like
-    * the other sketch twins. */
+    * reversed. Scores are value-bucket picks, not rank picks, so at
+    * k=200 the result is rank-error-approximate.
+    *
+    * Oracle form (`strict = true`, k ≥ purchase-user count at driver
+    * scale): exact-regime cut points are the ⌈p·n⌉-th order statistics
+    * of the tie-broken composites (`quantile_disc` in DuckDB), which
+    * makes the whole bucketing deterministic and hash-checkable — the
+    * cut-point DEFINITION (value-bucket, ⌈p·n⌉ cuts) is what the oracle
+    * replays, not the NTILE allocation (which splits N mod n leftovers
+    * differently by construction). The [[graft.functions.QuantileSketchMerge]]
+    * strict guard throws if user growth ever leaves the exact regime. */
   def rfmSketch(spark: SparkSession, dir: String, n: Int = 5,
-      k: Int = 200): DataFrame = {
+      k: Int = 200, strict: Boolean = false): DataFrame = {
     import graft.functions.QuantileSketch
     val p = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
@@ -270,9 +326,9 @@ object EventOps {
       QuantileSketch.quantileSketch(col("tb_m"), k).as("s_m"))
     val cuts = blobs.agg(
       max("anchor_day").as("anchor_day"),
-      QuantileSketch.quantileMerge(col("s_r"), k, probs).as("q_r"),
-      QuantileSketch.quantileMerge(col("s_f"), k, probs).as("q_f"),
-      QuantileSketch.quantileMerge(col("s_m"), k, probs).as("q_m"))
+      QuantileSketch.quantileMerge(col("s_r"), k, probs, strict).as("q_r"),
+      QuantileSketch.quantileMerge(col("s_f"), k, probs, strict).as("q_f"),
+      QuantileSketch.quantileMerge(col("s_m"), k, probs, strict).as("q_m"))
     // score 1 = best (most recent / most frequent / highest spend):
     // users ABOVE every cut score 1, below every cut score n — the
     // reversed-quantile reading makes recency work off last_day directly
@@ -502,12 +558,21 @@ object EventOps {
     "events_transitions" -> (transitions _),
     "events_attribution" -> (lastTouch _),
     "events_rfm" -> ((s: SparkSession, d: String) => rfm(s, d)),
-    "events_rfm_sketch" -> ((s: SparkSession, d: String) => rfmSketch(s, d)),
+    // strict exact regime (r14 verdict #3): k ≥ purchase users at sf0.1
+    // (1.5 k) with 10× headroom; throws rather than face the oracle
+    // approximate. Production calls keep k=200/strict=false.
+    "events_rfm_sketch" -> ((s: SparkSession, d: String) =>
+      rfmSketch(s, d, k = 16384, strict = true)),
     "events_cohort_ltv" -> (cohortLtv _),
     "events_ab_test" -> ((s: SparkSession, d: String) => abTest(s, d)),
     "events_time_to_convert" -> (timeToConvert _),
     "events_gap_sessions" -> ((s: SparkSession, d: String) => gapSessions(s, d)),
     "events_dau_wau" -> (dauWau _),
+    // strict exact regime: 2^12 = 4096 > user count at sf0.1 (1.5 k);
+    // shares the exact form's oracle verbatim. Fact-scale calls pass
+    // strict=false (theta error bounds apply beyond 4096 users).
+    "events_dau_wau_sketch" -> ((s: SparkSession, d: String) =>
+      dauWauSketch(s, d, strict = true)),
     "events_type_pivot" -> (typePivot _),
     "events_retention" -> (retention _),
     "events_funnel" -> (funnel _),
@@ -575,6 +640,40 @@ object EventOps {
         |  CAST(min(recency_days) AS BIGINT) AS min_recency_days,
         |  CAST(max(recency_days) AS BIGINT) AS max_recency_days
         | FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace('\n', ' '),
+    // exact-regime sketch twin: cut points are the ⌈p·n⌉ order statistics
+    // of the tie-broken composites (quantile_disc); above-cut users score
+    // 1, so scores count cuts strictly ABOVE the composite
+    "events_rfm_sketch" ->
+      """WITH p AS (SELECT user_id,
+        |   max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day,
+        |   count(*) AS frequency,
+        |   CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS monetary_micros
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | t AS (SELECT *,
+        |   CAST(last_day AS DOUBLE) + CAST(user_id % 1048576 AS DOUBLE) / 1048576.0 AS tb_r,
+        |   CAST(frequency AS DOUBLE) + CAST(user_id % 1048576 AS DOUBLE) / 1048576.0 AS tb_f,
+        |   CAST(monetary_micros AS DOUBLE) + CAST(user_id % 1048576 AS DOUBLE) / 1048576.0 AS tb_m
+        |  FROM p),
+        | q AS (SELECT max(last_day) AS anchor_day,
+        |   quantile_disc(tb_r, 0.2) AS qr1, quantile_disc(tb_r, 0.4) AS qr2,
+        |   quantile_disc(tb_r, 0.6) AS qr3, quantile_disc(tb_r, 0.8) AS qr4,
+        |   quantile_disc(tb_f, 0.2) AS qf1, quantile_disc(tb_f, 0.4) AS qf2,
+        |   quantile_disc(tb_f, 0.6) AS qf3, quantile_disc(tb_f, 0.8) AS qf4,
+        |   quantile_disc(tb_m, 0.2) AS qm1, quantile_disc(tb_m, 0.4) AS qm2,
+        |   quantile_disc(tb_m, 0.6) AS qm3, quantile_disc(tb_m, 0.8) AS qm4
+        |  FROM t)
+        | SELECT
+        |  CAST(1 + CAST(tb_r < qr1 AS INT) + CAST(tb_r < qr2 AS INT)
+        |    + CAST(tb_r < qr3 AS INT) + CAST(tb_r < qr4 AS INT) AS INT) AS r_score,
+        |  CAST(1 + CAST(tb_f < qf1 AS INT) + CAST(tb_f < qf2 AS INT)
+        |    + CAST(tb_f < qf3 AS INT) + CAST(tb_f < qf4 AS INT) AS INT) AS f_score,
+        |  CAST(1 + CAST(tb_m < qm1 AS INT) + CAST(tb_m < qm2 AS INT)
+        |    + CAST(tb_m < qm3 AS INT) + CAST(tb_m < qm4 AS INT) AS INT) AS m_score,
+        |  count(*) AS n_users,
+        |  CAST(sum(monetary_micros) AS BIGINT) AS sum_monetary_micros,
+        |  CAST(min(anchor_day - last_day) AS BIGINT) AS min_recency_days,
+        |  CAST(max(anchor_day - last_day) AS BIGINT) AS max_recency_days
+        | FROM t, q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace('\n', ' '),
     "events_cohort_ltv" ->
       """WITH sg AS (SELECT user_id,
         |   min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0
@@ -662,6 +761,17 @@ object EventOps {
         | FROM s GROUP BY user_id, session_seq
         | ORDER BY user_id, session_seq""".stripMargin.replace('\n', ' '),
     "events_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT
+        |   (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day, user_id FROM events),
+        | dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        | w AS (SELECT user_id, unnest(generate_series(day, day + 518400, 86400)) AS day FROM ud),
+        | wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY day)
+        | SELECT d.day, d.dau, w2.wau,
+        |  round(CAST(d.dau AS DOUBLE) / w2.wau, 6) AS stickiness
+        | FROM dau d JOIN wau w2 ON d.day = w2.day ORDER BY d.day""".stripMargin.replace('\n', ' '),
+    // the sketch twin shares the exact form's oracle VERBATIM: in the
+    // strict exact regime every theta estimate is the exact integer
+    "events_dau_wau_sketch" ->
       """WITH ud AS (SELECT DISTINCT
         |   (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day, user_id FROM events),
         | dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),

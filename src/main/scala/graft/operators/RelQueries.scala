@@ -322,10 +322,15 @@ object RelQueries {
     * custkey) total order), then each customer buckets by comparing
     * against the n-1 broadcast cut values — no global sort anywhere;
     * bucket counts stay within KLL rank error (≤3.3% at k=200) of the
-    * exact NTILE form (RelQueriesSpec pins it). Rank-error-approximate →
-    * rows-only driver check like the other sketch twins. */
+    * exact NTILE form (RelQueriesSpec pins it).
+    *
+    * Oracle form (`strict = true`, k ≥ the customer count at driver
+    * scale): exact-regime cut points are the ⌈p·n⌉-th order statistics
+    * (`quantile_disc`), making the bucketing deterministic and
+    * hash-checkable — the oracle replays the cut-point definition, not
+    * NTILE's leftover allocation. Strict throws on regime exit. */
   def customerQuartilesSketch(spark: SparkSession, dir: String, n: Int = 4,
-      k: Int = 200): DataFrame = {
+      k: Int = 200, strict: Boolean = false): DataFrame = {
     import graft.functions.QuantileSketch
     val base = Tables.customer(spark, dir)
       .select(col("c_custkey"), cents(col("c_acctbal")).as("cents"))
@@ -334,7 +339,7 @@ object RelQueries {
           (col("c_custkey") % 1048576).cast("double") / 1048576.0)
     val probs = (1 until n).map(i => i.toDouble / n)
     val cuts = base.agg(QuantileSketch.quantileSketch(col("tb"), k).as("s"))
-      .agg(QuantileSketch.quantileMerge(col("s"), k, probs).as("q"))
+      .agg(QuantileSketch.quantileMerge(col("s"), k, probs, strict).as("q"))
     base.crossJoin(broadcast(cuts))
       .withColumn("quartile",
         (lit(1) + (1 until n).map(i =>
@@ -976,7 +981,9 @@ object RelQueries {
     "rel_table_profile" -> (tableProfile _),
     "rel_numeric_corr" -> (numericCorr _),
     "rel_customer_quartiles" -> ((s: SparkSession, d: String) => customerQuartiles(s, d)),
-    "rel_customer_quartiles_sketch" -> ((s: SparkSession, d: String) => customerQuartilesSketch(s, d)),
+    // strict exact regime (r14 verdict #3): k ≥ customers at sf0.1 (15 k)
+    "rel_customer_quartiles_sketch" -> ((s: SparkSession, d: String) =>
+      customerQuartilesSketch(s, d, k = 16384, strict = true)),
     // prefix-sum serving form; the pairwise twin stays for sub-day inputs
     "rel_interval_join" -> ((s: SparkSession, d: String) => intervalJoinPrefix(s, d)),
     "rel_intersect" -> (urgentAndLowCustomers _),
@@ -1244,6 +1251,22 @@ object RelQueries {
         |  CAST(max(cents) AS BIGINT) AS max_cents,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         | FROM q GROUP BY 1 ORDER BY quartile""".stripMargin.replace('\n', ' '),
+    // exact-regime sketch twin: ⌈p·n⌉ cut points (quantile_disc) over the
+    // tie-broken composite, bucket = 1 + #cuts strictly below the value
+    "rel_customer_quartiles_sketch" ->
+      """WITH c AS (SELECT c_custkey,
+        |   CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        | b AS (SELECT *, CAST(cents AS DOUBLE)
+        |   + CAST(c_custkey % 1048576 AS DOUBLE) / 1048576.0 AS tb FROM c),
+        | q AS (SELECT quantile_disc(tb, 0.25) AS q1, quantile_disc(tb, 0.5) AS q2,
+        |   quantile_disc(tb, 0.75) AS q3 FROM b)
+        | SELECT CAST(1 + CAST(tb > q1 AS INT) + CAST(tb > q2 AS INT)
+        |   + CAST(tb > q3 AS INT) AS INT) AS quartile,
+        |  count(*) AS customer_count,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        | FROM b, q GROUP BY 1 ORDER BY quartile""".stripMargin.replace('\n', ' '),
     // the oracle is the NAIVE range join — the bucketized plan must be
     // result-identical to the quadratic reference
     "rel_interval_join" ->

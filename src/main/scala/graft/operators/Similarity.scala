@@ -749,14 +749,34 @@ object Similarity {
     * Observation.get would otherwise block forever on the job the replay
     * never runs), so a crash between the index commit and the
     * checkpoint write re-delivers the micro-batch harmlessly and drift
-    * lines stay one-per-batch. Not for concurrent manual appenders —
+    * lines stay EXACTLY one-per-batch: a replay whose cells commit is
+    * already durable but whose drift line is missing (crash landed
+    * between the manifest commit and [[recordDrift]]) re-derives the
+    * observation from the re-delivered data and re-emits the line —
+    * no second manifest write, just the observation job. Not for
+    * concurrent manual appenders —
     * they race to the same id; those use [[appendToIvfIndex]]'s
     * CAS-allocated form. */
   def appendToIvfIndexBatch(newVecs: DataFrame, indexDir: String,
       manifestBatch: Long): Unit = {
     import graft.streaming.ManifestTable
     require(manifestBatch > 0L, "manifest batch 0 is the build baseline")
-    if (ManifestTable.hasBatch(s"$indexDir/cells", manifestBatch)) return
+    if (ManifestTable.hasBatch(s"$indexDir/cells", manifestBatch)) {
+      // replayed delivery: the cells commit is durable, but a crash
+      // between that commit and recordDrift lost this batch's drift line
+      // — re-derive the observation from the re-delivered rows (no
+      // manifest write) so the one-line-per-batch contract survives the
+      // crash window
+      val io = ManifestTable.io(s"$indexDir/cells")
+      if (!io.exists(java.nio.file.Paths.get(indexDir, "drift", s"b$manifestBatch"))) {
+        val cents0 = ManifestTable.read(newVecs.sparkSession, s"$indexDir/centroids")
+        val obs0 = org.apache.spark.sql.Observation()
+        observedAssign(withNearestCid(newVecs, cents0), obs0)
+          .write.mode("overwrite").format("noop").save()
+        recordDrift(indexDir, manifestBatch, obs0)
+      }
+      return
+    }
     val cents = ManifestTable.read(newVecs.sparkSession, s"$indexDir/centroids")
     val obs = org.apache.spark.sql.Observation()
     val assigned = observedAssign(withNearestCid(newVecs, cents), obs)

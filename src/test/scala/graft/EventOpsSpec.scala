@@ -71,6 +71,25 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dau/wau sketch twin: exact regime matches the exact form bit-for-bit; strict guard throws past 2^lgK (r15)") {
+    // strict exact regime: user count << 2^12 at test scale, so every
+    // theta estimate (daily and 7-day union) is the exact integer and
+    // the twin must equal the exact form including stickiness rounding
+    val exact = EventOps.dauWau(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    val sk = EventOps.dauWauSketch(spark, sf, strict = true).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(sk.nonEmpty && sk.toSeq === exact.toSeq)
+    // past the exact regime the strict form must refuse, not approximate:
+    // lgK=4 (16 entries) against sf0.01's 150 users forces estimation
+    // mode (the test-scale corpus has too few users to exceed even 2^4)
+    val e = intercept[org.apache.spark.SparkException] {
+      EventOps.dauWauSketch(spark, "/root/testdata/sf0.01", lgK = 4,
+        strict = true).collect()
+    }
+    assert(e.getMessage.contains("estimation mode"))
+  }
+
   test("pivot: weekly type matrix reconciles with raw counts; single aggregate pass") {
     val p = EventOps.typePivot(spark, sf)
     val rows = p.collect()

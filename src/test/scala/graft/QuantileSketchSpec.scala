@@ -47,6 +47,36 @@ class QuantileSketchSpec extends SparkTestBase {
     }
   }
 
+  test("strict guard: exact regime passes, estimation mode throws (r14 verdict #3)") {
+    val small = (1 to 100).map(_.toDouble).toDF("v")
+    // below k: strict merge evaluates fine and is the exact order statistic
+    val ok = small.agg(QuantileSketch.quantileSketch(col("v"), 200).as("s"))
+      .agg(QuantileSketch.quantileMerge(col("s"), 200, Seq(0.5), strict = true).as("q"))
+      .head().getSeq[Double](0)
+    assert(ok.head === 50.0) // ceil(0.5*100) = 50th order statistic
+    // above k: the fold compacts — strict must THROW, not silently
+    // hand an approximate quantile to an exact oracle
+    val big = (1 to 5000).map(_.toDouble).toDF("v")
+    val e = intercept[org.apache.spark.SparkException] {
+      big.agg(QuantileSketch.quantileSketch(col("v"), 200).as("s"))
+        .agg(QuantileSketch.quantileMerge(col("s"), 200, Seq(0.5), strict = true).as("q"))
+        .collect()
+    }
+    assert(e.getMessage.contains("estimation mode"),
+      s"expected the strict estimation-mode refusal, got: ${e.getMessage}")
+  }
+
+  test("strict GK guard: approx_percentile registration raises beyond the exact regime") {
+    // flow_bytes_quantiles_approx's structural guard: the strict form
+    // must refuse when a group's count reaches accuracy/2
+    val e = intercept[Exception] {
+      graft.flow.FlowQueries.bytesQuantilesApprox(
+        spark, "/root/testdata/sf0.001", accuracy = 10, strict = true).collect()
+    }
+    assert(e.getMessage.contains("approximate regime"),
+      s"expected the accuracy-regime refusal, got: ${e.getMessage}")
+  }
+
   test("compaction regime: folded quantiles stay inside KLL's normalized rank error") {
     val rnd = new scala.util.Random(11)
     // heavy-tailed so rank error (not value error) is the right measure
