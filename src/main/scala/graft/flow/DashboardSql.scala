@@ -66,6 +66,17 @@ object DashboardSql {
         |WHERE $timeFilter
         |GROUP BY bucket
         |ORDER BY bucket""".stripMargin,
+    // the byte-sum panel's $__interval form (r14 verdict #8): same
+    // re-binding treatment as instant_traffic_interval for the
+    // viz-ch.json:74 shape
+    "instant_traffic_1m_interval" ->
+      """SELECT CAST(time_received / $__interval AS BIGINT) * $__interval AS bucket,
+        |       sum(bytes * sampling_rate) AS sum_bytes,
+        |       CAST(time_received / $__interval AS BIGINT) * $__interval * 1000 AS bucket_ms
+        |FROM flows_raw
+        |WHERE $timeFilter
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
     // viz-ch.json:74 — "Instant traffic", per-minute with Grafana ms epoch
     "instant_traffic_1m" ->
       """SELECT CAST(time_received / 60 AS BIGINT) * 60 AS bucket,
@@ -230,6 +241,15 @@ object DashboardSql {
       """SELECT CAST(time_received / 30 AS BIGINT) * 30 AS bucket,
         |       sum(bytes * sampling_rate) * 8 AS sum_bits,
         |       (sum(bytes * sampling_rate) * 8) / 30.0D AS rate_bps
+        |FROM flows_raw_managed
+        |WHERE $timeFilter
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+    // $__interval twin of the byte-sum shape over the managed view
+    "m_instant_traffic_1m_interval" ->
+      """SELECT CAST(time_received / $__interval AS BIGINT) * $__interval AS bucket,
+        |       sum(bytes * sampling_rate) AS sum_bytes,
+        |       CAST(time_received / $__interval AS BIGINT) * $__interval * 1000 AS bucket_ms
         |FROM flows_raw_managed
         |WHERE $timeFilter
         |GROUP BY bucket

@@ -207,13 +207,25 @@ object FlowQueries {
   def rate30s(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
     rateInterval(spark, dir, 30L, range)
 
-  /** A4/F3/F4: per-minute traffic with Grafana ms-epoch key (viz-ch.json:74). */
-  def rate1m(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+  /** `$__interval`-parameterized form of the BYTE-SUM panel shape
+    * (viz-ch.json:74 pins 1 m; a zoomed Grafana re-binds the width) —
+    * the [[rateInterval]] pattern applied to the remaining fixed-width
+    * panel (r14 verdict #8): same single partial+final aggregate at any
+    * width, ms-epoch key derived from the bucket after aggregation. */
+  def rate1mInterval(spark: SparkSession, dir: String, widthSec: Long,
+      range: Option[TimeRange] = None): DataFrame = {
+    require(widthSec > 0, s"bucket width must be positive, got $widthSec")
     inRange(fl(spark, dir), range)
-      .groupBy(((col("time_received") / 60).cast("long") * 60).as("bucket"))
+      .groupBy(((col("time_received") / widthSec).cast("long") * widthSec).as("bucket"))
       .agg(sum(col("bytes") * col("sampling_rate")).as("sum_bytes"))
       .withColumn("bucket_ms", col("bucket") * 1000)
       .orderBy("bucket")
+  }
+
+  /** A4/F3/F4: per-minute traffic with Grafana ms-epoch key
+    * (viz-ch.json:74) — [[rate1mInterval]] with the panel's pinned width. */
+  def rate1m(spark: SparkSession, dir: String, range: Option[TimeRange] = None): DataFrame =
+    rate1mInterval(spark, dir, 60L, range)
 
   /** Rate-of-change over the per-minute series — the Grafana
     * delta/derivative panel family on top of [[rate1m]]'s buckets: each
@@ -728,6 +740,47 @@ object FlowQueries {
       .orderBy("bucket", "src_ip")
   }
 
+  /** AUTO-ROUTED port-scan screen (r14 verdict #7): pick [[portScan]]'s
+    * exact Expand or [[portScanSketch]]'s bounded-memory theta form from
+    * the SAMPLED group fan-out, the way `dedup_df_profile` sizes its
+    * caps from a profile pass. The 50 M measurement (BENCH_scale.json
+    * r14) put the crossover at ≲100 distinct values per group: below it
+    * the codegen'd Expand whose map-side distinct collapses repeats
+    * beats the per-row ObjectHashAggregate sketch update (27.3 vs
+    * 35.3 s); above it the exact form's per-group (key, value) state
+    * grows without bound while the sketch's stays ≤ 2·16·2^lgK bytes.
+    *
+    * Router: one cheap pass over a `sampleFraction` row sample computes
+    * per-(day, src) sampled distinct ports `d` and sampled rows `c`.
+    * The exact form is chosen only when (a) every sampled group's
+    * fan-out is within `crossover`, and (b) every group whose sample
+    * barely revisits ports (`c < 2·d` — the sample saw mostly unique
+    * ports, so `d` is only a floor on the true fan-out) still sits
+    * under `crossover / 2`. Anything wider or unsaturated routes to the
+    * sketch: mis-routing a narrow scan to the sketch costs ~30%
+    * throughput; mis-routing an unbounded scan to the exact form costs
+    * executor memory — the asymmetry the guard encodes. Seeded sample →
+    * deterministic routing; both branches' results are what their
+    * direct forms produce (the routing spec pins both). */
+  def portScanAuto(spark: SparkSession, dir: String, minPorts: Long = 5,
+      crossover: Long = 100, sampleFraction: Double = 0.02, seed: Long = 7,
+      lgK: Int = 12, strict: Boolean = false,
+      range: Option[TimeRange] = None): DataFrame = {
+    val prof = inRange(fl(spark, dir), range)
+      .sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(((col("time_received") / 86400).cast("long") * 86400).as("bucket"),
+        col("src_ip"))
+      .agg(countDistinct(col("dst_port")).as("d"), count(lit(1)).as("c"))
+      .agg(coalesce(max(col("d")), lit(0L)).as("max_d"),
+        coalesce(max(when(col("c") < col("d") * 2, col("d"))), lit(0L))
+          .as("max_unsaturated"))
+      .head()
+    val exactWins = prof.getLong(0) <= crossover &&
+      prof.getLong(1) <= crossover / 2
+    if (exactWins) portScan(spark, dir, minPorts, range)
+    else portScanSketch(spark, dir, minPorts, lgK, strict, range)
+  }
+
   /** Heavy hitters per proto via the custom mergeable SpaceSaving
     * aggregate ([[graft.functions.HeavyHitters]]): top-k source addresses
     * with deterministic per-item bounds `est - err ≤ true ≤ est` in
@@ -1157,6 +1210,9 @@ object FlowQueries {
     "flow_rate_30s" -> ((s: SparkSession, d: String) => rate30s(s, d)),
     "flow_rate_interval" -> ((s: SparkSession, d: String) => rateInterval(s, d, 120L)),
     "flow_rate_1m" -> ((s: SparkSession, d: String) => rate1m(s, d)),
+    // the byte-sum panel's $__interval form, oracle-pinned at a NON-panel
+    // width (90 s) so the parameterization itself is hash-checked
+    "flow_rate_1m_interval" -> ((s: SparkSession, d: String) => rate1mInterval(s, d, 90L)),
     "flow_rate_delta" -> ((s: SparkSession, d: String) => rateDelta(s, d)),
     "flow_moving_avg" -> ((s: SparkSession, d: String) => movingAvg(s, d)),
     "flow_ip_pagerank" -> ((s: SparkSession, d: String) => ipPageRank(s, d)),
@@ -1202,6 +1258,9 @@ object FlowQueries {
     // strict=true: the theta estimate THROWS if any group enters
     // estimation mode, so this hash-compares against the exact SQL
     "flow_port_scan_sketch" -> ((s: SparkSession, d: String) => portScanSketch(s, d, strict = true)),
+    // router: whichever branch it picks is exact (the sketch branch runs
+    // strict), so the exact oracle text covers both routes
+    "flow_port_scan_auto" -> ((s: SparkSession, d: String) => portScanAuto(s, d, strict = true)),
     "flow_heavy_hitters" -> ((s: SparkSession, d: String) =>
       heavyHitters(s, d, requireExactRegime = true)),
     "flow_rollup_unpivot" -> ((s: SparkSession, d: String) => rollupUnpivot(s, d)),
@@ -1242,6 +1301,11 @@ object FlowQueries {
       s"""${cte}SELECT (time_received // 60) * 60 AS bucket,
          | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes,
          | (time_received // 60) * 60 * 1000 AS bucket_ms
+         | FROM flows GROUP BY 1 ORDER BY bucket""".stripMargin.replace('\n', ' '),
+    "flow_rate_1m_interval" ->
+      s"""${cte}SELECT (time_received // 90) * 90 AS bucket,
+         | CAST(sum(bytes * sampling_rate) AS BIGINT) AS sum_bytes,
+         | (time_received // 90) * 90 * 1000 AS bucket_ms
          | FROM flows GROUP BY 1 ORDER BY bucket""".stripMargin.replace('\n', ' '),
     "flow_rate_delta" ->
       s"""${cte}, m AS (SELECT (time_received // 60) * 60 AS bucket,
@@ -1387,6 +1451,15 @@ object FlowQueries {
     // the sketch twin is exact below 2^lgK distinct per group (strict
     // guard enforces the regime loudly) -> same oracle text
     "flow_port_scan_sketch" ->
+      s"""${cte}SELECT (time_received // 86400) * 86400 AS bucket, src_ip,
+         | count(DISTINCT dst_port) AS n_dst_ports,
+         | count(DISTINCT dst_ip) AS n_dst_hosts,
+         | count(*) AS flow_count
+         | FROM flows GROUP BY 1, 2 HAVING count(DISTINCT dst_port) >= 5
+         | ORDER BY bucket, src_ip""".stripMargin.replace('\n', ' '),
+    // auto-router: both routes are exact at driver scale (sketch branch
+    // registered strict), so the exact text covers whichever it picks
+    "flow_port_scan_auto" ->
       s"""${cte}SELECT (time_received // 86400) * 86400 AS bucket, src_ip,
          | count(DISTINCT dst_port) AS n_dst_ports,
          | count(DISTINCT dst_ip) AS n_dst_hosts,

@@ -14,6 +14,7 @@ class DashboardSqlSpec extends SparkTestBase {
     val expects = Map(
       "instant_traffic_30s" -> FlowQueries.rate30s(spark, sf),
       "instant_traffic_interval" -> FlowQueries.rateInterval(spark, sf, 30L),
+      "instant_traffic_1m_interval" -> FlowQueries.rate1mInterval(spark, sf, 30L),
       "instant_traffic_1m" -> FlowQueries.rate1m(spark, sf),
       "top_src_ip" -> FlowQueries.topSrcIp(spark, sf),
       "top_dst_ip" -> FlowQueries.topDstIp(spark, sf),
@@ -46,6 +47,7 @@ class DashboardSqlSpec extends SparkTestBase {
     val expects = Map(
       "instant_traffic_30s" -> FlowQueries.rate30s(spark, sf, Some(range)),
       "instant_traffic_interval" -> FlowQueries.rateInterval(spark, sf, 30L, Some(range)),
+      "instant_traffic_1m_interval" -> FlowQueries.rate1mInterval(spark, sf, 30L, Some(range)),
       "instant_traffic_1m" -> FlowQueries.rate1m(spark, sf, Some(range)),
       "top_src_ip" -> FlowQueries.topSrcIp(spark, sf, Some(range)),
       "top_dst_ip" -> FlowQueries.topDstIp(spark, sf, Some(range)),
@@ -131,9 +133,10 @@ class DashboardSqlSpec extends SparkTestBase {
     // manifest-range twin
     assert(DashboardSql.managedPanels.keySet === Set(
       "m_instant_traffic_30s", "m_instant_traffic_1m", "m_instant_traffic_interval",
+      "m_instant_traffic_1m_interval",
       "m_top_src_ip", "m_top_dst_ip", "m_top_src_port", "m_top_dst_port",
       "m_rollup_read"),
-      "all seven reference panels (+ the $__interval form) must have managed twins")
+      "all seven reference panels (+ both $__interval forms) must have managed twins")
     val traffic1mTwin = FlowStreams.readRawManagedRange(spark, rawT, range.from, range.until)
       .groupBy(((col("timeReceived") / 60).cast("long") * 60).as("bucket"))
       .agg(sum(col("bytes") * col("samplingRate")).as("sum_bytes"))
@@ -202,5 +205,17 @@ class DashboardSqlSpec extends SparkTestBase {
     val range = TimeRange(mm.getLong(0), mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2)
     val bound = DashboardSql.run(spark, "instant_traffic_interval", Some(range), 45L)
     assert(rows(bound) === rows(FlowQueries.rateInterval(spark, sf, 45L, Some(range))))
+  }
+
+  test("$__interval byte-sum panel: width 60 IS the pinned 1m panel; non-panel width matches its twin (r15)") {
+    DashboardSql.register(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val at60 = DashboardSql.run(spark, "instant_traffic_1m_interval", intervalSec = 60L)
+    assert(rows(at60).nonEmpty && rows(at60) === rows(FlowQueries.rate1m(spark, sf)))
+    // the DataFrame form is oracle-checked at width 90 via
+    // flow_rate_1m_interval; here SQL text and DataFrame agree at 90 too
+    val at90 = DashboardSql.run(spark, "instant_traffic_1m_interval", intervalSec = 90L)
+    assert(rows(at90).nonEmpty && rows(at90) === rows(FlowQueries.rate1mInterval(spark, sf, 90L)))
+    assert(at90.count() < at60.count(), "90 s coarsens the bucket count")
   }
 }

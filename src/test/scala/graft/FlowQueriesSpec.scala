@@ -341,6 +341,22 @@ class FlowQueriesSpec extends SparkTestBase {
     // already owns)
   }
 
+  test("port scan auto-router: narrow fan-out routes exact, forced crossover routes sketch; both match (r15)") {
+    val exact = FlowQueries.portScan(spark, sf).collect().map(_.toSeq).toSeq
+    // this corpus's sampled fan-out sits far below the measured ~100
+    // crossover → the router must pick the exact Expand form
+    val auto = FlowQueries.portScanAuto(spark, sf)
+    assert(auto.queryExecution.analyzed.toString.contains("count(distinct"),
+      "narrow fan-out must route to the exact countDistinct form")
+    assert(auto.collect().map(_.toSeq).toSeq === exact)
+    // crossover=0 makes every group look wide → the sketch branch, which
+    // in the exact regime still reproduces the exact rows
+    val forced = FlowQueries.portScanAuto(spark, sf, crossover = 0, strict = true)
+    assert(forced.queryExecution.analyzed.toString.contains("theta_sketch"),
+      "crossover=0 must route to the bounded-memory sketch form")
+    assert(forced.collect().map(_.toSeq).toSeq === exact)
+  }
+
   test("ip pagerank: integer fixed-point sweeps replay driver-side; partition-invariant (r12)") {
     val topFromQuery = FlowQueries.ipPageRank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
