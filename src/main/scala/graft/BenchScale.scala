@@ -326,6 +326,11 @@ object BenchScale {
     bench("scale_text_pmi_topk") { graft.operators.TextOps.pmiTopK(spark, famDir) }
     bench("scale_text_bow_dedup") { graft.operators.TextOps.bowDedup(spark, famDir) }
     bench("scale_text_len_pctiles") { graft.operators.TextOps.lenPctiles(spark, famDir) }
+    // 5M-doc tokenizer census (r14 verdict #4): map-side native kernel,
+    // worst-case vocab-miss-heavy text (the generated w<id> words barely
+    // match the default vocabulary, so most positions probe every length)
+    bench("scale_text_tokenize") { graft.operators.TextOps.tokenize(spark, famDir) }
+    bench("scale_text_pack_tokens") { graft.operators.TextOps.packDocsTokens(spark, famDir) }
     // exact NTILE vs sketch-cut-point segmentation at 500k users over 50M
     // events (r14): same per-user reduction; the sketch form replaces the
     // three unpartitioned sorts with broadcast cut-point compares

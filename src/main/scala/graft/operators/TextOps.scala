@@ -378,6 +378,89 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** The deterministic subword vocabulary the tokenizer rows bind
+    * (r14 verdict #4): full corpus words next to their prefixes/suffixes
+    * so greedy LONGEST-match is genuinely exercised ("table" must beat
+    * "tab", "scan" must beat "an"), plus the space — characters outside
+    * it fall back to single-character unknown tokens. Any other
+    * vocabulary can be passed per call; registry rows and the DuckDB
+    * oracles derive from THIS constant so the two can't drift. */
+  val TokenVocabDefault: Seq[String] = Seq(" ",
+    "the", "table", "tab", "a", "an", "scan", "value", "val", "row",
+    "fast", "slow", "batch", "data", "key", "agg", "join", "small", "big",
+    "query", "qu", "er", "or", "in", "line", "sort", "window", "ow",
+    "column", "col", "stream", "group", "vector", "vec", "filter", "ter",
+    "merge", "spark", "part", "hash", "order", "customer", "cust")
+
+  /** Per-document TOKEN metering under the greedy longest-match
+    * vocabulary tokenizer ([[graft.functions.TokenCounts]]): training
+    * pipelines budget in tokens, not characters, and this row is the
+    * corpus-wide token census the packing/mixing stages re-base on.
+    * Scale shape: one map-side native kernel per document (inside
+    * WholeStageCodegen — the r13 HOF lesson), no shuffle at all beyond
+    * the output sort; integer output only, hash-checked against a
+    * DuckDB recursive-CTE replay of the same walk. */
+  def tokenize(spark: SparkSession, dir: String,
+      vocab: Seq[String] = TokenVocabDefault): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Tokenize.tokenCounts(
+          coalesce(col("text"), lit("")), vocab).as("tc"))
+      .select(col("doc_id"),
+        element_at(col("tc"), 1).as("n_tokens"),
+        element_at(col("tc"), 2).as("n_unknown"))
+      .orderBy("doc_id")
+
+  /** [[packDocs]] re-based on TOKEN budgets (r14 verdict #4): identical
+    * greedy first-fit packing per source shard, but the budget meters
+    * the vocabulary tokenizer's token counts — what an actual training
+    * window consumes — instead of whitespace token counts. Same scale
+    * shape as [[packDocs]]: the tokenizer kernel is map-side, the
+    * running sum windows over the per-DOC relation partitioned by
+    * source (each source's docs sort within its partition; the fact
+    * text never enters the exchange). */
+  def packDocsTokens(spark: SparkSession, dir: String, budget: Long = 512L,
+      vocab: Seq[String] = TokenVocabDefault): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        element_at(graft.functions.Tokenize.tokenCounts(
+          coalesce(col("text"), lit("")), vocab), 1).as("token_count"))
+      .withColumn("cum_before", coalesce(sum("token_count").over(win), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("doc_count"), sum("token_count").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
+  /** The DuckDB form of the greedy walk: a recursive CTE advancing every
+    * document one token per iteration, the longest-match probe as a
+    * correlated max over the vocabulary VALUES list (generated from
+    * [[TokenVocabDefault]] so the two renderings can't drift). Counts
+    * are monotone along the walk, so the final value is a plain max. */
+  private def duckTokenWalk: String = {
+    val values = TokenVocabDefault
+      .map(t => s"('${t.replace("'", "''")}')").mkString(", ")
+    s"""WITH RECURSIVE v(tok, clen) AS (
+       |  SELECT t, length(t) FROM (VALUES $values) s(t)),
+       | d AS (SELECT doc_id, coalesce(text, '') AS text,
+       |   length(coalesce(text, '')) AS nc FROM documents),
+       | walk(doc_id, pos, n_tokens, n_unknown) AS (
+       |   SELECT doc_id, 1, 0, 0 FROM d
+       |   UNION ALL
+       |   SELECT w.doc_id, w.pos + coalesce(m.clen, 1), w.n_tokens + 1,
+       |     w.n_unknown + CASE WHEN m.clen IS NULL THEN 1 ELSE 0 END
+       |   FROM walk w JOIN d ON d.doc_id = w.doc_id
+       |   LEFT JOIN LATERAL (SELECT max(v.clen) AS clen FROM v
+       |     WHERE substring(d.text, w.pos, v.clen) = v.tok) m ON true
+       |   WHERE w.pos <= d.nc),
+       | tc AS (SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       |   CAST(max(n_unknown) AS BIGINT) AS n_unknown FROM walk GROUP BY doc_id)""".stripMargin
+  }
+
   /** Source-mixing weights: the temperature-reweighting step a pretraining
     * pipeline runs to decide how much of each source to sample — weight ∝
     * token_mass^α with α=0.5, flattening the natural source skew. Float
@@ -905,6 +988,8 @@ object TextOps {
     "text_mix" -> ((s: SparkSession, d: String) => mixWeights(s, d)),
     "text_chunks" -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "text_pack" -> ((s: SparkSession, d: String) => packDocs(s, d)),
+    "text_tokenize" -> ((s: SparkSession, d: String) => tokenize(s, d)),
+    "text_pack_tokens" -> ((s: SparkSession, d: String) => packDocsTokens(s, d)),
     "text_token_stats" -> (tokenStats _),
     "text_source_cap" -> ((s: SparkSession, d: String) => sourceCap(s, d)),
     "text_quality" -> (qualityScore _),
@@ -1136,6 +1221,21 @@ object TextOps {
            |)
            |SELECT source, CAST(cum_before // 4096 AS BIGINT) AS pack_id, count(*) AS doc_count,
            |  CAST(sum(token_count) AS BIGINT) AS sum_tokens,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin.replace('\n', ' '),
+      "text_tokenize" ->
+        s"""$duckTokenWalk
+           |SELECT doc_id, n_tokens, n_unknown FROM tc
+           |ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+      "text_pack_tokens" ->
+        s"""$duckTokenWalk,
+           | j AS (SELECT dd.source, dd.doc_id, tc.n_tokens AS token_count
+           |   FROM documents dd JOIN tc USING (doc_id)),
+           | cum AS (SELECT *, coalesce(sum(token_count) OVER (
+           |   PARTITION BY source ORDER BY doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM j)
+           |SELECT source, CAST(cum_before // 512 AS BIGINT) AS pack_id,
+           |  count(*) AS doc_count, CAST(sum(token_count) AS BIGINT) AS sum_tokens,
            |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
            |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin.replace('\n', ' '),
       "text_token_stats" ->

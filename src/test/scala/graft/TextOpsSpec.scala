@@ -490,6 +490,98 @@ class TextOpsSpec extends SparkTestBase {
       assert(math.abs(ratio - cov.toDouble / tot) < 1e-6) }
   }
 
+  test("tokenizer: greedy longest-match parity with a driver-side String replay; multibyte-safe unknowns (r15)") {
+    import graft.functions.Tokenize
+    import org.apache.spark.sql.functions.col
+    val vocab = TextOps.TokenVocabDefault
+    // driver-side replay in plain String ops (character semantics — the
+    // kernel's byte walk must coincide because it only advances by whole
+    // tokens or whole UTF-8 characters)
+    def replay(s: String): (Long, Long, Seq[Int]) = {
+      val byLenDesc = vocab.zipWithIndex.sortBy(-_._1.length)
+      var pos = 0; var n = 0L; var unk = 0L
+      val ids = Seq.newBuilder[Int]
+      while (pos < s.length) {
+        byLenDesc.find { case (t, _) => s.regionMatches(pos, t, 0, t.length) } match {
+          case Some((t, i)) => ids += i; pos += t.length
+          case None =>
+            ids += -1; unk += 1
+            pos += (if (s.codePointAt(pos) > 0xFFFF) 2 else 1) // whole code point
+        }
+        n += 1L
+      }
+      (n, unk, ids.result())
+    }
+    // corpus parity: every document's counts AND id sequence
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Tables.documents(spark, sf)
+      .select(col("doc_id"), Tokenize.tokenCounts(col("text"), vocab).as("tc"),
+        Tokenize.tokenIds(col("text"), vocab).as("ids"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getSeq[Long](1), r.getSeq[Int](2))))
+    assert(got.nonEmpty)
+    got.foreach { case (id, (tc, ids)) =>
+      val (n, unk, wantIds) = replay(docs(id))
+      assert(tc === Seq(n, unk), s"doc $id: counts diverged from the replay")
+      assert(ids === wantIds, s"doc $id: id sequence diverged from the replay")
+    }
+    // targeted greedy/boundary cases, incl. multibyte unknowns: "é" and
+    // "𝄞" (astral, 4 UTF-8 bytes) must each be ONE unknown token, and
+    // "table" must win over "tab"+"a"-ish splits ("scan" over "an")
+    import spark.implicits._
+    val probes = Seq("tablescan", "tab", "the", "é", "a𝄞b", "", "zzz")
+    val pr = probes.toDF("text")
+      .select(col("text"), Tokenize.tokenCounts(col("text"), vocab).as("tc"),
+        Tokenize.tokenIds(col("text"), vocab).as("ids"))
+      .collect().map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getSeq[Int](2)))).toMap
+    val iTable = vocab.indexOf("table"); val iScan = vocab.indexOf("scan")
+    val iTab = vocab.indexOf("tab"); val iThe = vocab.indexOf("the")
+    val iA = vocab.indexOf("a"); val iB = -1
+    assert(pr("tablescan")._2 === Seq(iTable, iScan), "longest match must pick table+scan")
+    assert(pr("tab")._2 === Seq(iTab))
+    assert(pr("the")._2 === Seq(iThe))
+    assert(pr("é") === ((Seq(1L, 1L), Seq(-1))), "one unknown token for a 2-byte char")
+    assert(pr("a𝄞b")._1 === Seq(3L, 2L), "astral char is ONE unknown, not four bytes")
+    assert(pr("a𝄞b")._2 === Seq(iA, -1, -1))
+    assert(pr("") === ((Seq(0L, 0L), Seq.empty[Int])))
+    assert(pr("zzz") === ((Seq(3L, 3L), Seq(-1, -1, -1))))
+    assert(iB === -1) // (documents the unknown-id convention)
+    // the kernel must be INSIDE the generated code (the r13 HOF lesson):
+    // a codegen-compile failure would silently fall back to interpreted.
+    // Execute first so AQE materializes its final stages.
+    val tok = TextOps.tokenize(spark, sf)
+    tok.collect()
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      tok.queryExecution.executedPlan)
+    assert(gen.contains("greedyCounts"),
+      "token_counts must codegen to the static kernel call")
+  }
+
+  test("token packing: packs conserve docs and tokens; budget boundaries replay (r15)") {
+    val budget = 512L
+    val packs = TextOps.packDocsTokens(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val perDoc = TextOps.tokenize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySource = Tables.documents(spark, sf).select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(packs.map(_._3).sum === perDoc.length.toLong, "packs conserve docs")
+    assert(packs.map(_._4).sum === perDoc.map(_._2).sum, "packs conserve tokens")
+    // per-source replay of the greedy cumulative packing
+    val counts = perDoc.toMap
+    bySource.groupBy(_._1).foreach { case (src, ds) =>
+      var cum = 0L
+      val want = ds.map(_._2).sorted.map { d =>
+        val p = cum / budget; cum += counts(d); (d, p)
+      }.groupBy(_._2).view.mapValues(g => (g.length.toLong, g.map(x => counts(x._1)).sum)).toMap
+      val got = packs.filter(_._1 == src)
+        .map(p => p._2 -> ((p._3, p._4))).toMap
+      assert(got === want, s"source $src: pack boundaries diverged from the replay")
+    }
+  }
+
   test("langid eval: confusion cells replay from the per-doc operator and conserve the corpus (r13)") {
     val rows = TextOps.langIdEval(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
