@@ -331,6 +331,13 @@ object BenchScale {
     // match the default vocabulary, so most positions probe every length)
     bench("scale_text_tokenize") { graft.operators.TextOps.tokenize(spark, famDir) }
     bench("scale_text_pack_tokens") { graft.operators.TextOps.packDocsTokens(spark, famDir) }
+    // 5M-media feature-space rows (r14 verdict #1): near-dup candidates
+    // stay bucket-bounded (df-cap drops degenerate feature collisions);
+    // the knn row measures build+serve of the 3 per-modality IVF indexes
+    bench("scale_multimodal_near_dup") {
+      graft.operators.Multimodal.nearDupPairs(spark, famDir)
+    }
+    bench("scale_multimodal_knn") { graft.operators.Multimodal.mediaKnn(spark, famDir) }
     // exact NTILE vs sketch-cut-point segmentation at 500k users over 50M
     // events (r14): same per-user reduction; the sketch form replaces the
     // three unpartitioned sorts with broadcast cut-point compares

@@ -73,14 +73,15 @@ object Multimodal {
   /** Batched feature extraction — the Scala analog of `mapInPandas`: records
     * are processed per-partition in fixed-size batches (the batch boundary is
     * where a real implementation amortizes codec/model setup). */
-  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64,
+      dims: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (decoder init, model session, ...)
         batch.iterator.map { m =>
           MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-            decodeStub(m.payload))
+            decodeStub(m.payload, dims))
         }
       }
     }
@@ -175,13 +176,228 @@ object Multimodal {
       .orderBy("kind", "batch_id")
   }
 
+  // ------------------------------------------- feature-space ANN bridge
+
+  /** One modality's features as an ANN-ready `(vec_id, embedding)`
+    * relation — the media→ANN bridge (r14 verdict #1): the `kind`
+    * equality filters BEFORE feature extraction (payload read once in
+    * the scan stage, other modalities' blobs untouched when the source
+    * is the [[writeMediaTable]] partitioned layout), and only the
+    * `dims`-float feature vector flows on. 64 dims default for the ANN
+    * rows: the 8-dim histograms are too concentrated to spread LSH/IVF
+    * buckets (measured at sf0.01: 7 buckets, max 146 of 167 — a bucket
+    * join would be ~all-pairs). */
+  def featureVecs(spark: SparkSession, dir: String, kind: String,
+      dims: Int = 64): DataFrame = {
+    import spark.implicits._
+    extractFeatures(
+        mediaTable(spark, dir).filter(col("kind") === kind).as[MediaRecord],
+        dims = dims)
+      .toDF()
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+  }
+
+  /** FEATURE-SPACE NEAR-DUPLICATE PAIRS per modality (r14 verdict #1) —
+    * the multimodal member of the near-dup family: candidates come from
+    * the hyperplane-LSH buckets ([[Similarity.withSignature]]'s
+    * md5-derived planes — never all-pairs), multi-probed so the
+    * candidate set is EXACTLY the pairs within `probeDist` signature
+    * bits, then exact cosine over the feature vectors keeps pairs at or
+    * above `threshold`.
+    *
+    * Scale shape: the payload decodes once in the scan stage and only
+    * (kind, id, signature) triples enter the bucket join — the media
+    * blob appears in NO exchange (plan-contract-locked). Degenerate
+    * buckets — feature collisions bigger than `maxBucket`, the stub
+    * features' failure mode on homogeneous corpora — are dropped from
+    * BOTH sides (the dedup family's df-cap precedent): a pair is kept
+    * only when both members sit in sane buckets, so candidate cost is
+    * bounded by `maxBucket` per probe however concentrated the feature
+    * space gets. The oracle replays the cap arithmetic, so the capped
+    * semantics are what's hash-checked. */
+  def nearDupPairs(spark: SparkSession, dir: String, bits: Int = 16,
+      probeDist: Int = 1, threshold: Double = 0.995, featureDims: Int = 64,
+      maxBucket: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val feats = graft.Storage.materializeOnce(
+      extractFeatures(mediaDataset(spark, dir), dims = featureDims).toDF()
+        .select(col("media_id"), col("kind"), col("features")))
+    val sigs = Similarity.withSignature(feats, "features", bits)
+      .select(col("kind"), col("media_id"), col("lsh_sig"))
+    // df-cap: bucket sizes from a map-combined aggregate (not a window —
+    // the cap exists because buckets skew, so don't sort inside them)
+    val bsz = sigs.groupBy("kind", "lsh_sig").agg(count(lit(1)).as("bsz"))
+    val small = graft.Storage.materializeOnce(
+      sigs.join(bsz.filter(col("bsz") <= maxBucket), Seq("kind", "lsh_sig"))
+        .select("kind", "media_id", "lsh_sig"))
+    val a = small.select(col("kind"), col("media_id").as("id_a"),
+        explode(typedLit(Similarity.probeMasks(bits, probeDist))).as("m"),
+        col("lsh_sig"))
+      .select(col("kind"), col("id_a"),
+        col("m").bitwiseXOR(col("lsh_sig")).as("bkt"))
+    val b = small.select(col("kind"), col("media_id").as("id_b"),
+      col("lsh_sig").as("bkt"))
+    val cands = a.join(b, Seq("kind", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("kind", "id_a", "id_b").distinct()
+    cands
+      .join(feats.select(col("media_id").as("id_a"), col("features").as("f_a")),
+        Seq("id_a"))
+      .join(feats.select(col("media_id").as("id_b"), col("features").as("f_b")),
+        Seq("id_b"))
+      .withColumn("cos_sim", round(Similarity.cosine(col("f_a"), col("f_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("kind", "id_a", "id_b", "cos_sim")
+      .orderBy("kind", "id_a", "id_b")
+  }
+
+  // per-(corpus, kind) media IVF indexes, built once per JVM — the
+  // Similarity registry-cache pattern, stamped on documents.parquet
+  private def mediaIndexFor(spark: SparkSession, dir: String, kind: String,
+      featureDims: Int = 64, nCentroids: Int = 8, iters: Int = 2): String =
+    Similarity.cachedIndex(s"media_ivf_$kind", dir,
+        Similarity.corpusStamp(dir, "documents.parquet")) { idx =>
+      Similarity.buildIvfIndex(featureVecs(spark, dir, kind, featureDims),
+        idx, nCentroids = nCentroids, kmeansIters = iters,
+        hashSeeds = true, trainBuckets = 10000)
+    }
+
+  /** MEDIA kNN THROUGH THE MATERIALIZED IVF INDEX (r14 verdict #1): per
+    * modality, [[Similarity.buildIvfIndex]] over the feature vectors
+    * (deterministic Lloyd, cells manifest-partitioned by centroid) and
+    * [[Similarity.knnIvfIndexed]] serving — a probe reads ONLY its
+    * probed cells' files. One index per modality: cross-modal neighbors
+    * are meaningless (an audio byte-histogram next to an image's is
+    * noise), and per-kind indexes keep every probe's read scope inside
+    * its modality by construction. Queries are each modality's
+    * `nQueries` lowest media ids. Fully oracle-checked: the DuckDB twin
+    * replays the kind-partitioned kmeans, probes, and exact re-rank. */
+  def mediaKnn(spark: SparkSession, dir: String, nQueries: Int = 2,
+      k: Int = 3, nCentroids: Int = 8, iters: Int = 2, nProbe: Int = 3,
+      featureDims: Int = 64): DataFrame =
+    Seq("image", "audio", "video").map { kind =>
+      val idx = mediaIndexFor(spark, dir, kind, featureDims, nCentroids, iters)
+      val queries = featureVecs(spark, dir, kind, featureDims)
+        .filter(col("vec_id") < 3L * nQueries)
+      Similarity.knnIvfIndexed(spark, idx, queries, k, nProbe)
+        .withColumn("kind", lit(kind))
+    }.reduce(_.unionByName(_))
+      .select(col("kind"), col("query_id"), col("neighbor_id"),
+        col("cos_sim"), col("rank"))
+      .orderBy("kind", "query_id", "rank")
+
   val queries: Map[String, Q] = Map(
     "multimodal_meta" -> (mediaMeta _),
     "multimodal_features" -> (mediaFeatures _),
     "multimodal_dedup" -> (mediaDedup _),
-    "multimodal_batches" -> ((s: SparkSession, d: String) => decodeBatches(s, d)))
+    "multimodal_batches" -> ((s: SparkSession, d: String) => decodeBatches(s, d)),
+    "multimodal_near_dup" -> ((s: SparkSession, d: String) => nearDupPairs(s, d)),
+    "multimodal_knn" -> ((s: SparkSession, d: String) => mediaKnn(s, d)))
+
+  /** CTE prefix deriving the 64-dim stub feature vectors in DuckDB —
+    * byte-class counts from the hex walk (the `multimodal_features`
+    * oracle generalized to all classes), divided in REAL then widened,
+    * exactly the kernel's float arithmetic. Ends at `ed` (per-dim
+    * values) and `ev` (per-media DOUBLE list). */
+  private def duckFeatureCtes(dims: Int): String =
+    s"""WITH fv0 AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |   octet_length(encode(text)) AS n FROM documents),
+       | u AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS i FROM fv0),
+       | byt AS (SELECT doc_id, ((strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+       |    + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) % $dims AS d FROM u),
+       | cnt AS (SELECT doc_id, d, count(*) AS c FROM byt GROUP BY 1, 2),
+       | dt AS (SELECT unnest(generate_series(0, ${dims - 1})) AS d),
+       | ed AS (SELECT f.doc_id AS vec_id,
+       |   CASE CAST(f.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |   dt.d AS d,
+       |   CASE WHEN f.n = 0 THEN CAST(CAST(0 AS REAL) AS DOUBLE)
+       |        ELSE CAST(CAST(coalesce(cnt.c, 0) AS REAL) / CAST(f.n AS REAL) AS DOUBLE) END AS v
+       |   FROM fv0 f CROSS JOIN dt LEFT JOIN cnt ON cnt.doc_id = f.doc_id AND cnt.d = dt.d),
+       | ev AS (SELECT vec_id, kind, list(v ORDER BY d) AS emb FROM ed GROUP BY 1, 2)""".stripMargin
+
+  /** md5-hyperplane signatures over the feature vectors (the
+    * [[Similarity]] `duckSigCte` applied to `ed`): `sig(vec_id, kind,
+    * sigv)` with the same bit packing as the Spark UDF. */
+  private def duckMediaSig(bits: Int): String =
+    s""" pd AS (SELECT pp.p AS p, dd.d AS d,
+       |   CASE WHEN (strpos('0123456789abcdef', substr(md5(pp.p::VARCHAR || ',' || dd.d::VARCHAR), 1, 1)) - 1) % 2 = 0
+       |        THEN 1.0 ELSE -1.0 END AS sgn
+       |   FROM (SELECT unnest(generate_series(0, ${bits - 1})) AS p) pp,
+       |        (SELECT DISTINCT d FROM ed) dd),
+       | sig AS (SELECT s.vec_id, e2.kind,
+       |   CAST(sum(CASE WHEN s.s > 0 THEN (1 << s.p) ELSE 0 END) AS BIGINT) AS sigv
+       |   FROM (SELECT ed.vec_id, pd.p, sum(ed.v * pd.sgn) AS s
+       |     FROM ed JOIN pd ON pd.d = ed.d GROUP BY 1, 2) s
+       |   JOIN (SELECT DISTINCT vec_id, kind FROM ed) e2 ON e2.vec_id = s.vec_id
+       |   GROUP BY 1, 2)""".stripMargin
+
+  /** Kind-partitioned fixed-iteration Lloyd replay over `ev`/`ed` — the
+    * [[Similarity]] `duckKmeansCtes` with every stage PARTITIONED BY
+    * kind (three independent per-modality indexes in one CTE chain;
+    * the modalities' id sets are disjoint, so per-kind seeds/sums can't
+    * mix). Ends at `cents` (kind, cid, c_emb). */
+  private def duckMediaKmeans(nCentroids: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s" cents0 AS (SELECT kind, vec_id AS cid, emb AS c_emb FROM ("
+    sb ++= s"SELECT kind, vec_id, emb, row_number() OVER (PARTITION BY kind "
+    sb ++= s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM ev) WHERE rn <= $nCentroids)"
+    for (t <- 0 until iters) {
+      sb ++= s", asg$t AS (SELECT kind, vec_id, cid FROM ("
+      sb ++= s"SELECT e.kind, e.vec_id, c.cid, row_number() OVER (PARTITION BY e.kind, e.vec_id "
+      sb ++= s"ORDER BY round(${Similarity.duckCos("e.emb", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn "
+      sb ++= s"FROM ev e JOIN cents$t c ON c.kind = e.kind) WHERE rn = 1)"
+      sb ++= s", sm$t AS (SELECT a.kind, a.cid, d.d AS pos, "
+      sb ++= s"sum(CAST(round(d.v * 1048576) AS BIGINT)) AS s "
+      sb ++= s"FROM asg$t a JOIN ed d ON d.vec_id = a.vec_id GROUP BY 1, 2, 3)"
+      sb ++= s", cents${t + 1} AS (SELECT c.kind, c.cid, coalesce(n.c_emb, c.c_emb) AS c_emb "
+      sb ++= s"FROM cents$t c LEFT JOIN (SELECT kind, cid, "
+      sb ++= s"list(CAST(CAST(s AS REAL) AS DOUBLE) ORDER BY pos) AS c_emb "
+      sb ++= s"FROM sm$t GROUP BY 1, 2) n ON n.kind = c.kind AND n.cid = c.cid)"
+    }
+    sb ++= s", cents AS (SELECT kind, cid, c_emb FROM cents$iters)"
+    sb.toString
+  }
 
   val oracles: Map[String, String] = Map(
+    // the capped LSH-bucket near-dup pairs: multiprobe of weight <= 1
+    // masks == exact hamming <= 1, both members in sane (<= cap) buckets
+    "multimodal_near_dup" ->
+      s"""${duckFeatureCtes(64)},
+         |${duckMediaSig(16)},
+         | bsz AS (SELECT kind, sigv, count(*) AS sz FROM sig GROUP BY 1, 2),
+         | small AS (SELECT sig.vec_id, sig.kind, sig.sigv FROM sig
+         |   JOIN bsz ON bsz.kind = sig.kind AND bsz.sigv = sig.sigv WHERE bsz.sz <= 1024),
+         | cand AS (SELECT a.kind, a.vec_id AS id_a, b.vec_id AS id_b FROM small a JOIN small b
+         |   ON a.kind = b.kind AND a.vec_id < b.vec_id AND bit_count(xor(a.sigv, b.sigv)) <= 1)
+         |SELECT kind, id_a, id_b, cos_sim FROM (
+         |  SELECT cand.kind, cand.id_a, cand.id_b,
+         |    round(${Similarity.duckCos("ea.emb", "eb.emb")}, 6) AS cos_sim
+         |  FROM cand JOIN ev ea ON ea.vec_id = cand.id_a JOIN ev eb ON eb.vec_id = cand.id_b)
+         |WHERE cos_sim >= 0.995 ORDER BY kind, id_a, id_b""".stripMargin.replace('\n', ' '),
+    // per-modality IVF serving replay: kind-partitioned Lloyd, nProbe=3
+    // probed cells, exact re-rank, k=3, queries = media ids < 6
+    "multimodal_knn" ->
+      s"""${duckFeatureCtes(64)},
+         |${duckMediaKmeans(8, 2)},
+         | asg AS (SELECT kind, vec_id, cid FROM (
+         |   SELECT e.kind, e.vec_id, c.cid, row_number() OVER (PARTITION BY e.kind, e.vec_id
+         |     ORDER BY round(${Similarity.duckCos("e.emb", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
+         |   FROM ev e JOIN cents c ON c.kind = e.kind) WHERE rn = 1),
+         | probes AS (SELECT kind, query_id, cid FROM (
+         |   SELECT q.kind, q.vec_id AS query_id, c.cid, row_number() OVER (PARTITION BY q.kind, q.vec_id
+         |     ORDER BY round(${Similarity.duckCos("q.emb", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
+         |   FROM ev q JOIN cents c ON c.kind = q.kind WHERE q.vec_id < 6) WHERE rn <= 3),
+         | cand AS (SELECT p.kind, p.query_id, a.vec_id AS neighbor_id
+         |   FROM probes p JOIN asg a ON a.kind = p.kind AND a.cid = p.cid
+         |   WHERE a.vec_id <> p.query_id),
+         | scored AS (SELECT cand.kind, cand.query_id, cand.neighbor_id,
+         |     round(${Similarity.duckCos("eq.emb", "ec.emb")}, 6) AS cos_sim
+         |   FROM cand JOIN ev eq ON eq.vec_id = cand.query_id
+         |   JOIN ev ec ON ec.vec_id = cand.neighbor_id)
+         |SELECT kind, query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY kind, query_id
+         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 3 ORDER BY kind, query_id, rank""".stripMargin.replace('\n', ' '),
     "multimodal_batches" ->
       """WITH m AS (SELECT
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

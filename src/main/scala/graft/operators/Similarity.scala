@@ -115,7 +115,7 @@ object Similarity {
     * set). Probing every mask of weight <= d makes the candidate predicate
     * exactly hamming(sig_a, sig_b) <= d. bits=8: dist 2 → 37 probes, dist 3
     * → 93 probes of 256 buckets. */
-  private def probeMasks(bits: Int, dist: Int): Seq[Int] = {
+  private[operators] def probeMasks(bits: Int, dist: Int): Seq[Int] = {
     // weight-4+ masks are not generated: accepting dist >= 4 would
     // silently return hamming<=3 candidates, breaking the documented
     // "exactly hamming <= probeDist" contract (r7 review). Raise bits,
@@ -1344,7 +1344,7 @@ object Similarity {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]() // key → (stamp, dir)
 
-  private def cachedIndex(kind: String, d: String, stamp: String)
+  private[operators] def cachedIndex(kind: String, d: String, stamp: String)
       (build: String => Unit): String =
     indexCache.compute(s"$kind:$d", (_, old) =>
       if (old != null && old._1 == stamp) old
@@ -1355,9 +1355,10 @@ object Similarity {
         (stamp, idx)
       })._2
 
-  private def corpusStamp(dir: String): String = {
+  private[operators] def corpusStamp(dir: String,
+      table: String = "embeddings.parquet"): String = {
     import java.nio.file.{Files, Paths}
-    val p = Paths.get(dir, "embeddings.parquet")
+    val p = Paths.get(dir, table)
     if (!Files.exists(p)) "absent"
     else if (Files.isRegularFile(p))
       s"${Files.size(p)}-${Files.getLastModifiedTime(p).toMillis}"
@@ -1384,7 +1385,7 @@ object Similarity {
 
   /** DuckDB cosine mirroring the Spark fold: explicit double cast, ordered
     * element-wise products, list_sum. */
-  private def duckCos(a: String, b: String): String =
+  private[operators] def duckCos(a: String, b: String): String =
     s"""(list_sum(list_transform(generate_series(1, len($a)),
        | i -> ($a::DOUBLE[])[i] * ($b::DOUBLE[])[i]))
        | / (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> ($a::DOUBLE[])[i] * ($a::DOUBLE[])[i])))

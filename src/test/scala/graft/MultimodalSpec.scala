@@ -56,6 +56,60 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.forall(_.length === 100))
   }
 
+  test("near-dup pairs: bucket candidates replay against a brute-force hamming+cosine sweep (r15)") {
+    import org.apache.spark.sql.functions.col
+    val bits = 16; val probeDist = 1; val threshold = 0.995
+    val got = Multimodal.nearDupPairs(spark, sf, bits, probeDist, threshold)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty, "sf0.001 must surface at least one near-dup pair")
+    // brute replay: signatures + cosines recomputed driver-side from the
+    // extracted features; expected = same-kind pairs within the hamming
+    // radius at/above the threshold (no bucket tops the cap at this SF)
+    val feats = Multimodal.extractFeatures(
+        Multimodal.mediaDataset(spark, sf), dims = 64).collect()
+      .map(f => (f.media_id, f.kind, f.features))
+    val sigs = graft.operators.Similarity
+      .withSignature(Multimodal.extractFeatures(
+          Multimodal.mediaDataset(spark, sf), dims = 64).toDF(), "features", bits)
+      .select(col("media_id"), col("lsh_sig")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = (for {
+      (ia, ka, fa) <- feats; (ib, kb, fb) <- feats
+      if ka == kb && ia < ib
+      if Integer.bitCount(sigs(ia) ^ sigs(ib)) <= probeDist
+      c = cos(fa, fb) if c >= threshold
+    } yield (ka, ia, ib, c)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("media knn: indexed serving equals the inline IVF at the same build parameters, per modality (r15)") {
+    import org.apache.spark.sql.functions.col
+    val got = Multimodal.mediaKnn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(got.nonEmpty)
+    // per-kind inline twin over the same feature relation: knnIvfOver with
+    // identical nCentroids/iters/probes must reproduce the served rows
+    val want = Seq("image", "audio", "video").flatMap { kind =>
+      graft.operators.Similarity.knnIvfOver(
+          Multimodal.featureVecs(spark, sf, kind), col("vec_id") < 6L,
+          k = 3, nCentroids = 8, nProbe = 3, kmeansIters = 2)
+        .collect()
+        .map(r => (kind, r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    }
+    assert(got.sortBy(t => (t._1, t._2, t._5)).toSeq ===
+      want.sortBy(t => (t._1, t._2, t._5)).toSeq)
+  }
+
   test("media dedup: identities hold, replay matches a payload groupBy, digests-only exchange (r13)") {
     val rows = Multimodal.mediaDedup(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

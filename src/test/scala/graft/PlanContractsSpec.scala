@@ -558,6 +558,18 @@ class PlanContractsSpec extends SparkTestBase {
       assert(a.name != "payload", "payload blob crossed an exchange")))
   }
 
+  test("multimodal_near_dup: payload decodes in the scan stage; no exchange carries it (r15)") {
+    val p = plan("multimodal_near_dup")
+    p.collect { case e: ShuffleExchangeExec => e }.foreach(e => e.output.foreach(a =>
+      assert(a.name != "payload", "payload blob crossed an exchange")))
+  }
+
+  test("multimodal_knn: per-modality serving — no exchange carries the payload (r15)") {
+    val p = plan("multimodal_knn")
+    p.collect { case e: ShuffleExchangeExec => e }.foreach(e => e.output.foreach(a =>
+      assert(a.name != "payload", "payload blob crossed an exchange")))
+  }
+
   test("text_freq_spectrum: no global sort below the bucket fold; text never crosses an exchange") {
     val p = plan("text_freq_spectrum")
     noTextInExchanges(p)
