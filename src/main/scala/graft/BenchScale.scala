@@ -123,6 +123,77 @@ object BenchScale {
     require(rawRows == n, s"raw table lost rows: $rawRows of $n")
     require(rollupFlows == n, s"rollup lost flows: $rollupFlows of $n")
 
+    // ---- stage 2b: pipeline_full — ONE topic replay, EVERY streaming tier
+    // (r14 verdict #5): raw MV + rollup MV + IVF append + LSH append off
+    // one decode (query A), the stateful exact-dedup leg as the concurrent
+    // query B (its watermark state lives in the engine), and the online
+    // compactors for all four managed layouts racing both. Records
+    // end-to-end rows/s next to the single-cascade ingest number.
+    val pfRaw = work.resolve("pf_raw").toString
+    val pfRollup = work.resolve("pf_rollup").toString
+    val pfIvf = work.resolve("pf_ivf").toString
+    val pfLsh = work.resolve("pf_lsh").toString
+    val pfDedup = work.resolve("pf_dedup").toString
+    val vecEvery = 1000L; val docEvery = 100L
+    import graft.streaming.FlowPipeline
+    // seed the IVF centroids from a deterministic DISJOINT-id vector set
+    // (negative ids can never collide with streamed sequence numbers)
+    graft.operators.Similarity.buildIvfIndex(
+      FlowPipeline.deriveVecs(
+          FlowGen.flows(spark, 100000L, seed = 77L, numPartitions = 8).toDF(), vecEvery)
+        .withColumn("vec_id", -col("vec_id") - 1L),
+      pfIvf, nCentroids = 16, kmeansIters = 2)
+    val pfCompactions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val (_, pipeSec) = timed {
+      def topic() = ProtoCodec.binaryFileStream(spark, wireDir,
+        Map("maxFilesPerTrigger" -> (genFiles / 8).toString)).toDF()
+      val qA = FlowPipeline.start(topic(), pfRaw, pfRollup, pfIvf, pfLsh,
+        work.resolve("pf_cpA").toString, vecEvery)
+      val qB = FlowPipeline.startDedupLeg(topic(), pfDedup,
+        work.resolve("pf_cpB").toString, docEvery)
+      val stopPf = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val pfCompactor = new Thread(() => {
+        while (!stopPf.get()) {
+          Thread.sleep(3000)
+          if (!stopPf.get() && ManifestTable.snapshot(pfRaw)._2.nonEmpty) {
+            val a = FlowStreams.compactRawOnline(spark, pfRaw, filesPerPartition = 4)
+            val b = FlowStreams.optimizeRollupOnline(spark, pfRollup)
+            val c = graft.operators.Similarity.compactIvfCells(spark, pfIvf, filesPerCell = 2)
+            val d = graft.operators.Similarity.compactLshBuckets(spark, pfLsh, filesPerBucket = 2)
+            if (a && b && c && d) pfCompactions.incrementAndGet()
+          }
+        }
+      })
+      pfCompactor.setDaemon(true)
+      pfCompactor.start()
+      qA.processAllAvailable(); qB.processAllAvailable()
+      qA.stop(); qB.stop()
+      stopPf.set(true)
+      pfCompactor.join()
+    }
+    // reconcile ALL five sinks against the deterministic generator
+    val pfRawRows = FlowStreams.readRawManaged(spark, pfRaw).count()
+    require(pfRawRows == n, s"pipeline raw lost rows: $pfRawRows of $n")
+    val pfRollupFlows = ManifestTable.read(spark, pfRollup)
+      .agg(sum("flow_count")).head().getLong(0)
+    require(pfRollupFlows == n, s"pipeline rollup lost flows: $pfRollupFlows of $n")
+    val genDf = FlowGen.flows(spark, n, seed = 1234L, numPartitions = genFiles).toDF()
+    val wantVecs = FlowPipeline.deriveVecs(genDf, vecEvery).count()
+    val pfIvfRows = ManifestTable.read(spark, s"$pfIvf/cells")
+      .filter(col("vec_id") >= 0).count()
+    require(pfIvfRows == wantVecs, s"pipeline IVF lost vectors: $pfIvfRows of $wantVecs")
+    val pfLshRows = ManifestTable.read(spark, s"$pfLsh/buckets").count()
+    require(pfLshRows == wantVecs, s"pipeline LSH lost vectors: $pfLshRows of $wantVecs")
+    val wantDocs = FlowPipeline.deriveDocs(genDf, docEvery).count()
+    val wantDistinctTexts = FlowPipeline.deriveDocs(genDf, docEvery)
+      .agg(countDistinct(col("text"))).head().getLong(0)
+    val pfDedupOut = ManifestTable.read(spark, pfDedup).count()
+    val pfDedupDistinct = ManifestTable.read(spark, pfDedup)
+      .select("text_md5").distinct().count()
+    require(pfDedupOut <= wantDocs && pfDedupDistinct == wantDistinctTexts,
+      s"pipeline dedup out $pfDedupOut/$wantDocs, distinct $pfDedupDistinct of $wantDistinctTexts")
+    val pipeRate = (n / pipeSec).toLong
+
     // ---- stage 3: the dashboard set over the ingested table -------------
     def consume(df: DataFrame): Unit =
       df.foreachPartition { (_: Iterator[org.apache.spark.sql.Row]) => () }
@@ -410,6 +481,10 @@ object BenchScale {
       f""""ingest_rows_per_sec":$ingestRate,"final_compact_sec":$compactSec%.1f,""" +
       f""""online_compactions_during_ingest":${compactions.get},""" +
       f""""raw_rows":$rawRows,"rollup_flow_count":$rollupFlows,""" +
+      f""""pipeline_full":{"sec":$pipeSec%.1f,"rows_per_sec":$pipeRate,""" +
+      f""""online_compactions":${pfCompactions.get},"raw_rows":$pfRawRows,""" +
+      f""""vec_index_rows":$pfIvfRows,"dedup_out_rows":$pfDedupOut,""" +
+      f""""dedup_distinct_texts":$pfDedupDistinct},""" +
       f""""queries":$queriesJson,""" +
       f""""skew_join":{"hot_frac":0.9,"salts":${cpus.toInt},""" +
       f""""plain_wall_sec":$plainWall%.2f,"plain_max_task_sec":$plainMaxTask%.2f,""" +

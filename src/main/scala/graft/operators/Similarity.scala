@@ -371,18 +371,27 @@ object Similarity {
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val table = s"$indexDir/buckets"
-        if (!graft.streaming.ManifestTable.hasBatch(table, id + 1L)) {
-          val signed = withSignature(batch, "embedding", bits)
-            .select(col("vec_id"), col("lsh_sig"), col("embedding"))
-            .withColumn("sig_part", col("lsh_sig"))
-            .repartition(col("sig_part"))
-          graft.streaming.ManifestTable.append(signed, table, Some("sig_part"), id + 1L)
-        }
+        appendToLshIndexBatch(batch, indexDir, id + 1L, bits)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .start()
+
+  /** The exactly-once micro-batch body of [[startStreamingLshAppend]],
+    * exposed for combined-sink pipelines ([[graft.streaming.FlowPipeline]]):
+    * a replayed manifest batch is a no-op before any job runs, so one
+    * re-delivered micro-batch can land in several sinks with each sink
+    * committing at most once. */
+  def appendToLshIndexBatch(batch: DataFrame, indexDir: String,
+      manifestBatch: Long, bits: Int = 8): Unit = {
+    val table = s"$indexDir/buckets"
+    if (graft.streaming.ManifestTable.hasBatch(table, manifestBatch)) return
+    val signed = withSignature(batch, "embedding", bits)
+      .select(col("vec_id"), col("lsh_sig"), col("embedding"))
+      .withColumn("sig_part", col("lsh_sig"))
+      .repartition(col("sig_part"))
+    graft.streaming.ManifestTable.append(signed, table, Some("sig_part"), manifestBatch)
+  }
 
   /** Online bucket compaction for the LSH index — [[compactIvfCells]]
     * over `sig_part` bucket dirs; same atomic result-invisible swap,

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** THE ONE-JOB-GRAPH PIPELINE (r14 verdict #5): a single decoded flow
+  * topic feeding EVERY streaming tier at once — the raw MV, the 5-minute
+  * rollup MV, the streaming exact dedup over the derived document slice,
+  * and the streaming IVF + LSH index appends over the derived embedding
+  * slice — with online compactions racing all of it. The individual
+  * pieces are each spec'd in isolation; this object is the topology that
+  * runs them as ONE deployment, the way the reference wires one Kafka
+  * insert into its whole MV cascade
+  * (`/root/reference/compose/clickhouse/create.sh:36-67` — one insert,
+  * many materialized consumers).
+  *
+  * Exactly-once across a COMBINED sink set: the decode runs once per
+  * micro-batch and four manifest commits land off it, each committing
+  * under the SAME micro-batch identity with its own replay guard
+  * ([[ManifestTable.append]]'s hasBatch no-op; the index appends'
+  * hasBatch fast-paths). A crash between ANY two commits re-delivers the
+  * batch on restart and only the missing commits land — the crash/restart
+  * spec walks every prefix of the commit sequence (FlowPipelineSpec).
+  *
+  * The dedup leg runs as a SECOND streaming query: its
+  * `dropDuplicatesWithinWatermark` state lives in the engine's state
+  * store (not expressible inside a foreachBatch of the first query), so
+  * the combined deployment is two queries over the same topic — exactly
+  * the consumer-group shape a broker gives, and what the bench runs
+  * concurrently.
+  */
+object FlowPipeline {
+
+  /** Deterministic embedding slice of a decoded flow batch: one
+    * `dims`-float vector per `every`-th sequence number (the "sampled
+    * feature extraction" topology — only some records carry vectors).
+    * Pure column arithmetic: replayable, and cheap enough to evaluate
+    * inside the decode stage. */
+  def deriveVecs(decoded: DataFrame, every: Long = 1000L,
+      dims: Int = 16): DataFrame = {
+    require(every > 0 && dims > 0, s"need positive every/dims, got $every/$dims")
+    val comps = (0 until dims).map { d =>
+      (pmod(xxhash64(col("sequenceNum"), lit(d)), lit(2001L)).cast("double")
+        / 1000.0 - 1.0).cast("float")
+    }
+    decoded.filter(pmod(col("sequenceNum"), lit(every)) === 0L)
+      .select(col("sequenceNum").as("vec_id"), array(comps: _*).as("embedding"))
+  }
+
+  /** Deterministic document slice: one collision-rich text per
+    * `every`-th sequence number (AS pair + proto + coarse byte bucket —
+    * few thousand distinct texts, so the dedup leg's watermark state
+    * stays bounded while duplicates are plentiful). */
+  def deriveDocs(decoded: DataFrame, every: Long = 100L): DataFrame = {
+    require(every > 0, s"need positive every, got $every")
+    decoded.filter(pmod(col("sequenceNum"), lit(every)) === 0L)
+      .select(col("sequenceNum").as("doc_id"), col("timeReceived"),
+        concat_ws(" ", lit("flow"), col("srcAS"), col("dstAS"), col("proto"),
+          (col("bytes") / 64).cast("long")).as("text"))
+  }
+
+  /** One decoded micro-batch → four replay-guarded commits. The batch
+    * materializes once (persist) and every sink projects from it; commit
+    * order is fixed (raw, rollup, IVF, LSH) so the crash matrix has a
+    * defined prefix structure. The IVF index must exist (centroids at
+    * manifest batch 0 — seed with [[Similarity.buildIvfIndex]]); the LSH
+    * index needs no seed (deterministic hyperplanes). */
+  def pipelineBatch(batch: DataFrame, id: Long, rawTable: String,
+      rollupTable: String, ivfIndexDir: String, lshIndexDir: String,
+      vecEvery: Long = 1000L, dims: Int = 16, bits: Int = 8): Unit = {
+    val b = batch.persist()
+    try {
+      ManifestTable.append(FlowStreams.projectRaw(b), rawTable,
+        Some("event_date"), id)
+      ManifestTable.append(FlowStreams.rollupPartials(b), rollupTable,
+        Some("event_date"), id)
+      Similarity.appendToIvfIndexBatch(deriveVecs(b, vecEvery, dims),
+        ivfIndexDir, id + 1L)
+      Similarity.appendToLshIndexBatch(deriveVecs(b, vecEvery, dims),
+        lshIndexDir, id + 1L, bits)
+    } finally { b.unpersist(); () }
+  }
+
+  /** Start the combined-sink query (raw MV + rollup MV + IVF + LSH off
+    * one decode). */
+  def start(decoded: DataFrame, rawTable: String, rollupTable: String,
+      ivfIndexDir: String, lshIndexDir: String, checkpoint: String,
+      vecEvery: Long = 1000L, dims: Int = 16, bits: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    decoded.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        pipelineBatch(batch, id, rawTable, rollupTable, ivfIndexDir,
+          lshIndexDir, vecEvery, dims, bits)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Start the concurrent dedup leg: derived documents →
+    * [[Dedup.streamingExactDedup]] (engine-managed watermark state) →
+    * replay-guarded managed output of `(doc_id, text_md5)` survivors. */
+  def startDedupLeg(decoded: DataFrame, outTable: String, checkpoint: String,
+      docEvery: Long = 100L, lateness: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    Dedup.streamingExactDedup(deriveDocs(decoded, docEvery), "text", "timeReceived",
+        lateness)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ManifestTable.append(b.select("doc_id", "text_md5"), outTable, None, id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+}
