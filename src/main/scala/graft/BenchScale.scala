@@ -402,6 +402,11 @@ object BenchScale {
     // match the default vocabulary, so most positions probe every length)
     bench("scale_text_tokenize") { graft.operators.TextOps.tokenize(spark, famDir) }
     bench("scale_text_pack_tokens") { graft.operators.TextOps.packDocsTokens(spark, famDir) }
+    // trained quality filter (r15): distributed retrain (one tid-grain
+    // exchange) + the fused single-scan rescore — the full distill cycle
+    bench("scale_text_quality_model") {
+      graft.operators.TextOps.qualityModelScores(spark, famDir)
+    }
     // 5M-media feature-space rows (r14 verdict #1): near-dup candidates
     // stay bucket-bounded (df-cap drops degenerate feature collisions);
     // the knn row measures build+serve of the 3 per-modality IVF indexes

@@ -130,6 +130,75 @@ object TokenizeKernel {
   }
 }
 
+/** One fused walk for MODEL SERVING: tokenize AND accumulate a per-token
+  * weight sum in a single pass — `[n_tokens, n_unknown, w_sum]`. The
+  * weight table is indexed by vocabulary id (the broadcast side of a
+  * trained quality/langid classifier); an unknown character contributes
+  * `unkW`. No id array materializes: scoring a document is one byte walk
+  * with one array load per token, so a 100-TB corpus scores in a single
+  * map-side scan with no shuffle at all. */
+object TokenScoreKernel {
+  def greedyScore(text: UTF8String, vocab: TokenVocab,
+      weights: Array[Long], unkW: Long): ArrayData = {
+    val nb = text.numBytes()
+    var pos = 0
+    var n = 0L
+    var unk = 0L
+    var s = 0L
+    while (pos < nb) {
+      val m = vocab.longestMatchAt(text, pos)
+      if (m >= 0L) {
+        s += weights(m.toInt)
+        pos += (m >>> 32).toInt
+      } else {
+        s += unkW
+        unk += 1L
+        pos += UTF8String.numBytesForFirstByte(text.getByte(pos))
+      }
+      n += 1L
+    }
+    new GenericArrayData(Array(n, unk, s))
+  }
+}
+
+/** `token_score(text)` → `array<bigint> [n_tokens, n_unknown, w_sum]`
+  * under the constructor-bound vocabulary and per-id weight table — the
+  * serving form of a trained token-weight classifier (quality filter,
+  * langid): the model is vocabulary-sized, rides the plan as a reference
+  * object like the vocabulary itself, and scoring stays inside
+  * WholeStageCodegen. Integer weights keep the score hash-exact across
+  * engines (no float summation order). */
+case class TokenScore(child: Expression, vocab: Seq[String],
+    weights: Seq[Long], unkWeight: Long) extends UnaryExpression {
+  require(weights.length == vocab.length,
+    s"token_score: ${weights.length} weights for ${vocab.length} vocab entries")
+
+  @transient private lazy val index = new TokenVocab(vocab.toArray)
+  @transient private lazy val wArr = weights.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_score needs string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScoreKernel.greedyScore(
+      input.asInstanceOf[UTF8String], index, wArr, unkWeight)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refV = ctx.addReferenceObj("tokVocab", index, classOf[TokenVocab].getName)
+    val refW = ctx.addReferenceObj("tokWeights", wArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenScoreKernel.greedyScore($c, $refV, $refW, ${unkWeight}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenScore =
+    copy(child = newChild)
+}
+
 /** `token_counts(text)` → `array<bigint> [n_tokens, n_unknown]` under the
   * constructor-bound vocabulary — the hot-path form for token-budget
   * metering (packing, mixing, per-source caps): counts only, no id array
@@ -200,4 +269,11 @@ object Tokenize {
   /** Token-id sequence of the greedy walk (-1 = unknown char). */
   def tokenIds(text: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(TokenIds(ColumnBridge.expression(text), vocab))
+
+  /** `[n_tokens, n_unknown, w_sum]` of the walk under a per-id weight
+    * table — fused tokenize+score for trained token-weight models. */
+  def tokenScore(text: Column, vocab: Seq[String], weights: Seq[Long],
+      unkWeight: Long): Column =
+    ColumnBridge.column(
+      TokenScore(ColumnBridge.expression(text), vocab, weights, unkWeight))
 }

@@ -286,13 +286,42 @@ object Multimodal {
         col("cos_sim"), col("rank"))
       .orderBy("kind", "query_id", "rank")
 
+  /** CROSS-MODAL ALIGNMENT FILTER — the pair-quality gate of a
+    * media+text training pipeline (the CLIP-score filtering step of
+    * LAION-style corpus construction): cosine between each media item's
+    * decoded feature vector and its paired text embedding
+    * (`embeddings.vec_id` = `media_id`), keep at `minAlign` on the
+    * ROUNDED score so both engines compare the same 6-decimal value.
+    * Feature dims bind to the embedding dims (64) so the cosine is
+    * well-formed; with real encoders the two sides would share a
+    * projection head instead.
+    *
+    * Scale shape: feature extraction is map-side over the media scan;
+    * the pairing is ONE id equi-join (both sides corpus-sized — at
+    * 100 TB this shuffles (id, 64-float vector) rows, never payload
+    * bytes or text), scoring is a codegen'd kernel above the join. */
+  def alignScores(spark: SparkSession, dir: String, featureDims: Int = 64,
+      minAlign: Double = 0.0): DataFrame = {
+    val feats = extractFeatures(mediaDataset(spark, dir), dims = featureDims)
+      .toDF().select(col("media_id"), col("kind"), col("features"))
+    val embs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    feats.join(embs, feats("media_id") === embs("vec_id"))
+      .select(col("media_id"), col("kind"),
+        round(Similarity.cosine(col("features"), col("embedding")), 6)
+          .as("align_score"))
+      .withColumn("keep", (col("align_score") >= minAlign).cast("int"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_meta" -> (mediaMeta _),
     "multimodal_features" -> (mediaFeatures _),
     "multimodal_dedup" -> (mediaDedup _),
     "multimodal_batches" -> ((s: SparkSession, d: String) => decodeBatches(s, d)),
     "multimodal_near_dup" -> ((s: SparkSession, d: String) => nearDupPairs(s, d)),
-    "multimodal_knn" -> ((s: SparkSession, d: String) => mediaKnn(s, d)))
+    "multimodal_knn" -> ((s: SparkSession, d: String) => mediaKnn(s, d)),
+    "multimodal_align" -> ((s: SparkSession, d: String) => alignScores(s, d)))
 
   /** CTE prefix deriving the 64-dim stub feature vectors in DuckDB —
     * byte-class counts from the hex walk (the `multimodal_features`
@@ -398,6 +427,16 @@ object Multimodal {
          |  SELECT *, row_number() OVER (PARTITION BY kind, query_id
          |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
          |WHERE rank <= 3 ORDER BY kind, query_id, rank""".stripMargin.replace('\n', ' '),
+    // cross-modal alignment: the feature replay joined to the embedding
+    // table on the shared id, same rounded-cosine parity as near_dup
+    "multimodal_align" ->
+      s"""${duckFeatureCtes(64)},
+         | al AS (SELECT e.vec_id AS media_id, e.kind,
+         |   round(${Similarity.duckCos("e.emb", "emb.embedding")}, 6) AS align_score
+         |   FROM ev e JOIN embeddings emb ON emb.vec_id = e.vec_id)
+         |SELECT media_id, kind, align_score,
+         |  CAST(CASE WHEN align_score >= 0.0 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM al ORDER BY media_id""".stripMargin.replace('\n', ' '),
     "multimodal_batches" ->
       """WITH m AS (SELECT
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -461,6 +461,197 @@ object TextOps {
        |   CAST(max(n_unknown) AS BIGINT) AS n_unknown FROM walk GROUP BY doc_id)""".stripMargin
   }
 
+  // ------------------------------------------- trained quality model
+
+  /** The gopher-keep label as a single int column over a `documents`
+    * scan — the TEACHER signal [[qualityModelWeights]] distills from
+    * (identical predicate to [[gopherQuality]]'s `keep`, which is
+    * hash-checked, so the label can't drift from the heuristic row). */
+  private def gopherKeepLabel: Column = {
+    val w = toks(col("text"))
+    val wc = size(w).cast("long")
+    val nonspace = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val dups = (size(w) - size(array_distinct(w))).cast("long")
+    val stopKinds = StopWords.map(s => array_contains(w, s).cast("int"))
+      .reduce(_ + _).cast("long")
+    (wc >= 20 && wc <= 500).cast("int") *
+      (nonspace >= wc * 3 && nonspace <= wc * 10).cast("int") *
+      (stopKinds >= 2).cast("int") *
+      ((dups * 2) < wc).cast("int")
+  }
+
+  /** Train the token-weight quality model: per vocabulary id, the
+    * add-one-smoothed probability (in milli) that a token OCCURRENCE
+    * comes from a gopher-keep document —
+    * `w_milli = (n_pos + 1) * 1000 div (n_pos + n_neg + 2)`. This is the
+    * classifier-distillation step a pretraining pipeline runs (heuristic
+    * labels → cheap model → corpus-wide filter, the FineWeb/CCNet
+    * pattern), kept in INTEGER arithmetic end-to-end so the learned
+    * weights are hash-exact against the oracle's replay of the same
+    * training. Scale shape: the exploded (label, tid) relation never
+    * carries doc ids or text and map-combines to vocabulary-grain
+    * partials before its single exchange — at 100 TB the shuffle is
+    * |vocab| rows per task, nothing more. Unknown characters (tid −1)
+    * learn a weight like any vocabulary entry. */
+  private def trainedWeights(spark: SparkSession, dir: String,
+      vocab: Seq[String]): DataFrame =
+    Tables.documents(spark, dir)
+      // label FIRST, in its own projection BELOW the explode: the gopher
+      // expressions (split / array_distinct / stopword probes) are
+      // per-DOCUMENT work, and a single select would hoist them above the
+      // Generate — re-evaluated once per token row, a measured 13 s vs
+      // 0.7 s at 5 k docs (~19×; the blow-up scales with tokens/doc)
+      .select(gopherKeepLabel.as("pos_label"), col("text"))
+      .select(col("pos_label"),
+        explode(graft.functions.Tokenize.tokenIds(
+          coalesce(col("text"), lit("")), vocab)).as("tid"))
+      .groupBy("tid")
+      .agg(sum(when(col("pos_label") === 1, 1L).otherwise(0L)).as("n_pos"),
+        count(lit(1)).as("n_occ"))
+      .select(col("tid"), col("n_pos"),
+        (col("n_occ") - col("n_pos")).as("n_neg"),
+        expr("(n_pos + 1) * 1000 div (n_occ + 2)").as("w_milli"))
+
+  /** The learned weight table itself — one row per OBSERVED token id
+    * (vocabulary entry or the −1 unknown bucket) with its label counts
+    * and milli-weight. Vocabulary-sized output; a token the corpus never
+    * produced is absent and serves at the smoothing prior (500 = the
+    * formula at zero counts), so absence and neutrality coincide. */
+  def qualityModelWeights(spark: SparkSession, dir: String,
+      vocab: Seq[String] = TokenVocabDefault): DataFrame = {
+    import spark.implicits._
+    val names = (vocab.zipWithIndex.map { case (t, i) => (i, t) } :+
+      ((-1, "<unk>"))).toDF("tid", "token")
+    trainedWeights(spark, dir, vocab)
+      .join(broadcast(names), Seq("tid"))
+      .select(col("tid"), col("token"), col("n_pos"), col("n_neg"),
+        col("w_milli"))
+      .orderBy("tid")
+  }
+
+  /** Score every document under the trained model: `mean_milli` is the
+    * integer mean token weight (score_sum div n_tokens; 0 for an empty
+    * document), `keep` fires at ≥ 500 — more positive than negative
+    * evidence under the smoothed odds. Serving shape: the vocabulary-
+    * sized model collects to the driver (bounded by |vocab|+1, the ANN
+    * centroid pattern) and rides the plan inside the fused
+    * [[graft.functions.TokenScore]] kernel — scoring is ONE map-side
+    * scan, no join, no shuffle, whole-stage-codegen'd; at 100 TB this is
+    * the cheapest possible corpus pass. */
+  def qualityModelScores(spark: SparkSession, dir: String,
+      vocab: Seq[String] = TokenVocabDefault): DataFrame = {
+    val learned = trainedWeights(spark, dir, vocab)
+      .select("tid", "w_milli").collect()
+    val wArr = Array.fill(vocab.length)(500L)
+    var unkW = 500L
+    learned.foreach { r =>
+      val t = r.getInt(0); val wm = r.getLong(1)
+      if (t >= 0) wArr(t) = wm else unkW = wm
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.Tokenize.tokenScore(
+        coalesce(col("text"), lit("")), vocab, wArr.toSeq, unkW).as("ts"))
+      .select(col("doc_id"),
+        element_at(col("ts"), 1).as("n_tokens"),
+        element_at(col("ts"), 3).as("score_sum"))
+      .withColumn("mean_milli",
+        when(col("n_tokens") > 0, expr("score_sum div n_tokens"))
+          .otherwise(0L))
+      .withColumn("keep", (col("mean_milli") >= 500).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Distillation fidelity: the teacher-label × model-keep confusion
+    * matrix with document and token mass per cell — the eval a pipeline
+    * reads before trusting the cheap model to filter at full scale.
+    * ≤ 6 output rows (label ∈ {0, 1, null-text}, keep ∈ {0, 1}); the
+    * scoring scan is the same single map-side pass as
+    * [[qualityModelScores]] plus the label expression. */
+  def qualityModelAgreement(spark: SparkSession, dir: String,
+      vocab: Seq[String] = TokenVocabDefault): DataFrame = {
+    val learned = trainedWeights(spark, dir, vocab)
+      .select("tid", "w_milli").collect()
+    val wArr = Array.fill(vocab.length)(500L)
+    var unkW = 500L
+    learned.foreach { r =>
+      val t = r.getInt(0); val wm = r.getLong(1)
+      if (t >= 0) wArr(t) = wm else unkW = wm
+    }
+    Tables.documents(spark, dir)
+      .select(gopherKeepLabel.as("gopher_keep"),
+        graft.functions.Tokenize.tokenScore(
+          coalesce(col("text"), lit("")), vocab, wArr.toSeq, unkW).as("ts"))
+      .select(col("gopher_keep"),
+        element_at(col("ts"), 1).as("n_tokens"),
+        element_at(col("ts"), 3).as("score_sum"))
+      .withColumn("mean_milli",
+        when(col("n_tokens") > 0, expr("score_sum div n_tokens"))
+          .otherwise(0L))
+      .withColumn("model_keep", (col("mean_milli") >= 500).cast("int"))
+      .groupBy("gopher_keep", "model_keep")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("gopher_keep", "model_keep")
+  }
+
+  /** DuckDB replay of the whole quality-model pipeline: the tokenizer
+    * walk EXTENDED with the matched id per step (lateral longest-match —
+    * a tie is impossible, two distinct same-length tokens can't both
+    * equal one substring), gopher labels, the integer training formula,
+    * and the per-document rescore. Generated from [[TokenVocabDefault]]
+    * and [[StopWords]] so the two engines train the same model by
+    * construction. Ends with CTEs: `v` (vocab), `lbl` (labels), `steps`
+    * (one row per consumed token), `wt` (learned weights), `fin`
+    * (per-doc scores). */
+  private def duckQualityCtes: String = {
+    val values = TokenVocabDefault.zipWithIndex
+      .map { case (t, i) => s"($i, '${t.replace("'", "''")}', ${t.length})" }
+      .mkString(", ")
+    val w = "regexp_split_to_array(trim(text), '\\s+')"
+    val stopSum = StopWords
+      .map(s => s"CAST(list_contains(w, '$s') AS INT)").mkString(" + ")
+    s"""WITH RECURSIVE v(id, tok, clen) AS (
+       |  SELECT * FROM (VALUES $values) s(id, tok, clen)),
+       | d AS (SELECT doc_id, coalesce(text, '') AS text,
+       |   length(coalesce(text, '')) AS nc FROM documents),
+       | lb AS (SELECT doc_id, $w AS w,
+       |   CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace_chars
+       |   FROM documents),
+       | lc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS word_count, nonspace_chars,
+       |   CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS dup_tokens,
+       |   CAST($stopSum AS BIGINT) AS stop_kinds FROM lb),
+       | lbl AS (SELECT doc_id,
+       |   CAST(word_count >= 20 AND word_count <= 500 AS INT) *
+       |   CAST(nonspace_chars >= word_count * 3 AND nonspace_chars <= word_count * 10 AS INT) *
+       |   CAST(stop_kinds >= 2 AS INT) *
+       |   CAST(dup_tokens * 2 < word_count AS INT) AS pos_label FROM lc),
+       | wk(doc_id, pos, tid) AS (
+       |   SELECT doc_id, 1, CAST(NULL AS INTEGER) FROM d
+       |   UNION ALL
+       |   SELECT wk.doc_id, wk.pos + coalesce(m.clen, 1),
+       |     CAST(coalesce(m.id, -1) AS INTEGER)
+       |   FROM wk JOIN d ON d.doc_id = wk.doc_id
+       |   LEFT JOIN LATERAL (SELECT v.id, v.clen FROM v
+       |     WHERE substring(d.text, wk.pos, v.clen) = v.tok
+       |     ORDER BY v.clen DESC LIMIT 1) m ON true
+       |   WHERE wk.pos <= d.nc),
+       | steps AS (SELECT doc_id, tid FROM wk WHERE tid IS NOT NULL),
+       | stats AS (SELECT tid,
+       |   CAST(sum(CASE WHEN l.pos_label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |   CAST(count(*) AS BIGINT) AS n_occ
+       |   FROM steps s JOIN lbl l USING (doc_id) GROUP BY tid),
+       | wt AS (SELECT tid, n_pos, n_occ - n_pos AS n_neg,
+       |   (n_pos + 1) * 1000 // (n_occ + 2) AS w_milli FROM stats),
+       | sc AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |   CAST(sum(t.w_milli) AS BIGINT) AS score_sum
+       |   FROM steps s JOIN wt t USING (tid) GROUP BY 1),
+       | fin AS (SELECT d.doc_id,
+       |   CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |   CAST(coalesce(sc.score_sum, 0) AS BIGINT) AS score_sum,
+       |   CAST(CASE WHEN coalesce(sc.n_tokens, 0) > 0
+       |     THEN sc.score_sum // sc.n_tokens ELSE 0 END AS BIGINT) AS mean_milli
+       |   FROM d LEFT JOIN sc USING (doc_id))""".stripMargin
+  }
+
   /** Source-mixing weights: the temperature-reweighting step a pretraining
     * pipeline runs to decide how much of each source to sample — weight ∝
     * token_mass^α with α=0.5, flattening the natural source skew. Float
@@ -990,6 +1181,12 @@ object TextOps {
     "text_pack" -> ((s: SparkSession, d: String) => packDocs(s, d)),
     "text_tokenize" -> ((s: SparkSession, d: String) => tokenize(s, d)),
     "text_pack_tokens" -> ((s: SparkSession, d: String) => packDocsTokens(s, d)),
+    "text_quality_model_weights" ->
+      ((s: SparkSession, d: String) => qualityModelWeights(s, d)),
+    "text_quality_model" ->
+      ((s: SparkSession, d: String) => qualityModelScores(s, d)),
+    "text_quality_model_agreement" ->
+      ((s: SparkSession, d: String) => qualityModelAgreement(s, d)),
     "text_token_stats" -> (tokenStats _),
     "text_source_cap" -> ((s: SparkSession, d: String) => sourceCap(s, d)),
     "text_quality" -> (qualityScore _),
@@ -1238,6 +1435,25 @@ object TextOps {
            |  count(*) AS doc_count, CAST(sum(token_count) AS BIGINT) AS sum_tokens,
            |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
            |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin.replace('\n', ' '),
+      "text_quality_model_weights" ->
+        s"""$duckQualityCtes
+           |SELECT t.tid, CASE WHEN t.tid = -1 THEN '<unk>'
+           |  ELSE (SELECT tok FROM v WHERE v.id = t.tid) END AS token,
+           |  t.n_pos, t.n_neg, CAST(t.w_milli AS BIGINT) AS w_milli
+           |FROM wt t ORDER BY t.tid""".stripMargin.replace('\n', ' '),
+      "text_quality_model" ->
+        s"""$duckQualityCtes
+           |SELECT doc_id, n_tokens, score_sum, mean_milli,
+           |  CAST(CASE WHEN mean_milli >= 500 THEN 1 ELSE 0 END AS INT) AS keep
+           |FROM fin ORDER BY doc_id""".stripMargin.replace('\n', ' '),
+      "text_quality_model_agreement" ->
+        s"""$duckQualityCtes
+           |SELECT l.pos_label AS gopher_keep,
+           |  CAST(CASE WHEN f.mean_milli >= 500 THEN 1 ELSE 0 END AS INT) AS model_keep,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(f.n_tokens) AS BIGINT) AS sum_tokens
+           |FROM fin f JOIN lbl l USING (doc_id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace('\n', ' '),
       "text_token_stats" ->
         s"""SELECT doc_id, n_chars, len(text) AS char_count,
            | CAST(len($w) AS BIGINT) AS token_count,

@@ -162,4 +162,43 @@ class MultimodalSpec extends SparkTestBase {
       .foreach(e => e.output.foreach(a =>
         assert(a.name != "payload", "payload blob crossed an exchange")))
   }
+
+  test("cross-modal align: scores replay from a driver-side decode+cosine; corpus conserved; no payload in exchanges (r15)") {
+    import org.apache.spark.sql.functions.col
+    val rows = Multimodal.alignScores(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    val media = Multimodal.mediaTable(spark, sf)
+      .select("media_id", "kind", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    // every media item with a paired embedding scores exactly once
+    assert(rows.size === media.count { case (id, _, _) => embs.contains(id) })
+    media.filter { case (id, _, _) => embs.contains(id) }.foreach {
+      case (id, kind, payload) =>
+        val f = Multimodal.decodeStub(payload, 64)
+        val e = embs(id)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < 64) {
+          dot += f(i).toDouble * e(i).toDouble
+          na += f(i).toDouble * f(i).toDouble
+          nb += e(i).toDouble * e(i).toDouble
+          i += 1
+        }
+        val want = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (k, score, keep) = rows(id)
+        assert(k === kind)
+        assert(math.abs(score - want) < 2e-6, s"media $id score diverged")
+        assert(keep === (if (score >= 0.0) 1 else 0))
+    }
+    val p = Multimodal.alignScores(spark, sf).queryExecution.executedPlan
+    p.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      .foreach(e => e.output.foreach(a =>
+        assert(a.name != "payload" && a.name != "text",
+          "payload/text crossed the pairing exchange")))
+  }
 }

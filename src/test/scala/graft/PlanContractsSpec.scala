@@ -754,4 +754,29 @@ class PlanContractsSpec extends SparkTestBase {
     assert(scans(p).isEmpty,
       "both heads must read the pinned occurrence grain, not re-scan the corpus")
   }
+
+  test("text_quality_model: serving is ONE map-side scan — no join, no generate, no hash shuffle") {
+    val p = plan("text_quality_model")
+    noTextInExchanges(p)
+    assert(p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      "the vocabulary-sized model must ride the kernel, not a join")
+    assert(p.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+      "serving must not explode token ids")
+    assert(hashShuffles(p).isEmpty,
+      "scoring is per-document — only the presentation sort may exchange")
+    assert(scans(p).size === 1)
+  }
+
+  test("text_quality_model_weights: training exchange carries vocabulary-grain partials, never doc ids or text") {
+    val p = plan("text_quality_model_weights")
+    noTextInExchanges(p)
+    p.collect { case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e }
+      .foreach { e =>
+        e.output.foreach(a => assert(a.name != "doc_id",
+          "doc ids must not cross the training exchange — the stats are token-grain"))
+      }
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the token-name attach must broadcast the |vocab|+1 relation")
+  }
 }

@@ -595,4 +595,72 @@ class TextOpsSpec extends SparkTestBase {
       assert(math.abs(share - n.toDouble / labelTotals(l)) < 1e-6)
     }
   }
+
+  test("quality model: integer training formula holds; fused serving kernel matches a driver-side retrain+rescore (r15)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = TextOps.TokenVocabDefault
+    val weights = TextOps.qualityModelWeights(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the add-one-smoothed integer formula, and weight bounds
+    weights.foreach { case (tid, tok, np, nn, wm) =>
+      assert(wm === (np + 1) * 1000 / (np + nn + 2), s"formula broken at tid=$tid")
+      assert(wm >= 0 && wm <= 1000)
+      if (tid >= 0) assert(tok === vocab(tid)) else assert(tok === "<unk>")
+    }
+    // driver-side independent retrain: greedy walk via TokenVocab, gopher
+    // labels via the (hash-checked) heuristic's definition
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    def walk(t: String): Seq[Int] = {
+      val v = new graft.functions.TokenVocab(vocab.toArray)
+      val u = UTF8String.fromString(t)
+      val ids = Seq.newBuilder[Int]
+      var pos = 0
+      while (pos < u.numBytes()) {
+        val m = v.longestMatchAt(u, pos)
+        if (m >= 0L) { ids += m.toInt; pos += (m >>> 32).toInt }
+        else { ids += -1; pos += UTF8String.numBytesForFirstByte(u.getByte(pos)) }
+      }
+      ids.result()
+    }
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    def label(t: String): Boolean = {
+      if (t == null) return false
+      val w = t.trim.split("\\s+").toSeq
+      val wc = w.length
+      val nonspace = t.replaceAll("\\s", "").length
+      val dups = wc - w.distinct.length
+      val stopKinds = stop.count(w.contains)
+      wc >= 20 && wc <= 500 && nonspace >= wc * 3 && nonspace <= wc * 10 &&
+        stopKinds >= 2 && dups * 2 < wc
+    }
+    val occ = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    docs.foreach { case (_, t) =>
+      val pos = label(t)
+      walk(if (t == null) "" else t).foreach { tid =>
+        val (p, n) = occ.getOrElse(tid, (0L, 0L))
+        occ(tid) = (p + (if (pos) 1L else 0L), n + 1L)
+      }
+    }
+    val wantW = occ.map { case (tid, (p, n)) => tid -> (p + 1) * 1000 / (n + 2) }
+    assert(weights.map(w => w._1 -> w._5).toMap === wantW.toMap,
+      "learned weights diverged from the driver-side retrain")
+    // serving: every per-doc score is the sum of learned weights along the walk
+    val scores = TextOps.qualityModelScores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val wMap = wantW.toMap
+    docs.foreach { case (id, t) =>
+      val ids = walk(if (t == null) "" else t)
+      val sum = ids.map(tid => wMap.getOrElse(tid, 500L)).sum
+      val (_, n, s, mean, keep) = scores.find(_._1 == id).get
+      assert(n === ids.length.toLong && s === sum, s"doc $id score diverged")
+      assert(mean === (if (n > 0) s / n else 0L))
+      assert(keep === (if (mean >= 500) 1 else 0))
+    }
+    // agreement cells conserve the corpus and its token mass
+    val cells = TextOps.qualityModelAgreement(spark, sf).collect()
+    assert(cells.map(_.getLong(2)).sum === docs.length.toLong)
+    assert(cells.map(_.getLong(3)).sum === scores.map(_._2).sum)
+  }
 }
