@@ -383,6 +383,21 @@ object BenchScale {
         graft.Tables.embeddings(spark, famDir).filter(col("vec_id") < 100),
         k = 5, nProbe = 8)
     }
+    // PQ tier (r15): train once (its own timed row, like the IVF build),
+    // then the corpus-wide encode — the pass that shrinks the vectors
+    // 64x — and a 100-query ADC serve over the codes relation
+    val (pqModel, pqTrainSec) = timed(
+      graft.operators.Pq.train(graft.Tables.embeddings(spark, famDir),
+        m = 4, k = 256, iters = 2))
+    queries("scale_sim_pq_train") = pqTrainSec
+    bench("scale_sim_pq_encode") {
+      graft.operators.Pq.encoded(
+        graft.Tables.embeddings(spark, famDir), pqModel)
+    }
+    bench("scale_sim_knn_pq") {
+      graft.operators.Pq.knnPqOver(
+        graft.Tables.embeddings(spark, famDir), pqModel, nQueries = 100, k = 5)
+    }
     // ---- round-12 additions: sketch set-ops, KLL quantiles, text/event
     // families (strict=false on theta: ~500k distinct/day IS the
     // estimation regime — the sketch's reason to exist at this scale)

@@ -1,0 +1,305 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PqCodec
+
+/** Product quantization for the ANN tier — the memory story that makes
+  * embedding search survive 100 TB: each vector compresses to `m`
+  * per-subspace codeword indexes (here 4 × 1 B in spirit; 4 B stored),
+  * a ~64× reduction over the raw 64-float embedding, and serving scores
+  * candidates from per-subspace LOOKUP TABLES (ADC — asymmetric distance
+  * computation) without ever touching raw vectors. The codes relation
+  * for a 100-TB float corpus fits in cluster RAM; the raw corpus never
+  * could. Composes with the IVF tier (coarse cells prune candidates,
+  * PQ scores the survivors) — registered standalone here so the
+  * quantization itself is oracle-checked end to end.
+  *
+  * Reference scope: the reference delegates analytics to ClickHouse/
+  * Postgres (`/root/reference/compose/clickhouse/create.sh:5-34`) and
+  * has no vector tier; this family extends the engine for the
+  * training-data-pipeline workloads the brief adds.
+  *
+  * EXACTNESS — everything in the quantized integer domain: components
+  * quantize to `round(v · 2^20)` longs ([[graft.functions.QuantLongs]]),
+  * so codeword training (integer L2 argmin, floor-div means), encoding,
+  * and ADC dot products are EXACT integer arithmetic, bit-reproducible
+  * against the DuckDB oracle with no float-summation-order caveats.
+  * The only float ops anywhere are the final `dot/(|q||x̂|)` division
+  * (single correctly-rounded sqrt/mul/div over exactly-representable
+  * integers) and its round-to-6 — the established parity contract.
+  *
+  * TRAINING (deterministic, Lloyd-style, per subspace): seeds are the
+  * `k` vectors with the lowest `(md5(vec_id), vec_id)` — the
+  * [[Similarity.kmeansCentroids]] hash-spread draw — sliced into `m`
+  * sub-vectors; each of `iters` fixed iterations assigns every
+  * sub-vector to its nearest codeword by INTEGER L2 (ties to the lowest
+  * code id) and re-centers codewords at the floor-div integer mean of
+  * their members (empty codewords keep their previous entry).
+  *
+  * Scale shape: one encode pass per iteration (fused
+  * [[graft.functions.PqEncode]] kernel, whole-stage codegen; the
+  * codebook rides the plan as an m×k×dsub reference object) plus one
+  * (sub, code, pos)-grain aggregate — the exchange carries
+  * m·k·dsub ≈ 512 partial rows per task, never vectors. The codebook
+  * collects to the driver (m×k rows — the ANN centroid pattern).
+  * Serving: encode is ONE map-side kernel pass; ADC scoring per query
+  * is two array loads per subspace above the codes relation.
+  */
+object Pq {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed-point scale, shared with the kmeans machinery: float · 2^20
+    * is exactly representable in double, so both engines round the same
+    * halves the same way. */
+  private val Scale = 1048576L
+
+  /** Driver-resident trained model: `codebook(sub)(j)(pos)` quantized
+    * codeword components with `codeIds(sub)(j)` the seed vec_id labels,
+    * ascending within each sub (the kernel tie-break order). */
+  final case class PqModel(codebook: Seq[Seq[Seq[Long]]], codeIds: Seq[Long],
+      m: Int, dsub: Int)
+
+  /** Train the per-subspace codebooks. `emb` needs (vec_id, embedding). */
+  def train(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
+      dims: Int = 64): PqModel = {
+    val dsub = dims / m
+    require(m * dsub == dims, s"dims $dims not divisible by m $m")
+    val qv = emb.select(col("vec_id"),
+      PqCodec.quantLongs(col("embedding"), Scale).as("qv"))
+    // seeds: k lowest (md5(vec_id), vec_id) quantized vectors, sliced
+    val seedRows = qv
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1) // ascending code-id order inside each sub
+    val codeIds = seedRows.map(_._1).toSeq
+    var cb: Array[Array[Array[Long]]] = Array.tabulate(m) { s =>
+      seedRows.map { case (_, q) => q.slice(s * dsub, (s + 1) * dsub) }
+    }
+    for (_ <- 0 until iters) {
+      // encode BELOW the explode (its own projection — a shared select
+      // would hoist the kernel above the Generate and re-run it per
+      // component row, the r15 gopher-label lesson), then fold the
+      // (sub, code, pos) sums
+      val sums = qv
+        .select(col("qv"),
+          PqCodec.pqEncode(col("qv"), cb.map(_.map(_.toSeq).toSeq).toSeq, dsub)
+            .as("codes"))
+        .select(col("codes"), posexplode(col("qv")))
+        .select(expr(s"pos div $dsub").cast("int").as("sub"),
+          expr(s"pos % $dsub").cast("int").as("spos"), col("col").as("q"),
+          element_at(col("codes"), (col("pos") / lit(dsub)).cast("int") + 1)
+            .as("j"))
+        .groupBy("sub", "j", "spos")
+        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val (sub, j, spos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        val (s, n) = (r.getLong(3), r.getLong(4))
+        // floor-div integer mean: exact in double (|s| ≪ 2^52), FLOOR on
+        // both engines (Spark `div` truncates toward zero on negatives —
+        // not the same thing)
+        next(sub)(j)(spos) = math.floor(s.toDouble / n).toLong
+      }
+      cb = next
+    }
+    PqModel(cb.map(_.map(_.toSeq).toSeq).toSeq, codeIds, m, dsub)
+  }
+
+  /** The learned codebook as a relation: (sub, code, pos, c_q) — the
+    * model artifact a serving fleet loads. m·k·dsub rows. */
+  def codebook(spark: SparkSession, dir: String, m: Int = 4, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val model = train(Tables.embeddings(spark, dir), m, k, iters)
+    val rows = for {
+      s <- 0 until model.m
+      j <- model.codebook(s).indices
+      p <- 0 until model.dsub
+    } yield (s, model.codeIds(j), p, model.codebook(s)(j)(p))
+    rows.toDF("sub", "code", "pos", "c_q").orderBy("sub", "code", "pos")
+  }
+
+  /** Encode the corpus: (vec_id, codes) with codes the per-subspace
+    * codeword indexes — the compressed form. One fused kernel pass. */
+  def encoded(emb: DataFrame, model: PqModel): DataFrame =
+    emb.select(col("vec_id"),
+        PqCodec.quantLongs(col("embedding"), Scale).as("qv"))
+      .select(col("vec_id"),
+        PqCodec.pqEncode(col("qv"), model.codebook, model.dsub).as("codes"))
+
+  /** Top-k by ADC: per query, the integer dot/norm lookup tables are
+    * computed on the driver from the collected model + quantized query
+    * (all integer), folded into ONE [[graft.functions.PqAdcParts]]
+    * kernel per query, and the scan emits every (query, candidate)
+    * score from the codes relation alone — raw vectors are read ONCE
+    * (to quantize queries), never at scoring time. */
+  def knnPq(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
+      m: Int = 4, nCodes: Int = 8, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    knnPqOver(emb, train(emb, m, nCodes, iters), nQueries, k)
+  }
+
+  /** Serving against an already-trained model — the deployment shape
+    * (train once, serve many; the bench's PQ rows split the two). */
+  def knnPqOver(emb: DataFrame, model: PqModel, nQueries: Int,
+      k: Int): DataFrame = {
+    val m = model.m
+    val dsub = model.dsub
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), PqCodec.quantLongs(col("embedding"), Scale).as("qq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val normLut: Seq[Seq[Long]] = model.codebook.map(_.map(c => c.map(x => x * x).sum))
+    val perQuery = queries.map { case (qid, qq) =>
+      val dotLut: Seq[Seq[Long]] = (0 until m).map { s =>
+        model.codebook(s).map { c =>
+          var d = 0L; var p = 0
+          while (p < dsub) { d += qq(s * dsub + p) * c(p); p += 1 }
+          d
+        }
+      }
+      val qnorm = qq.map(x => x * x).sum
+      struct(lit(qid).as("query_id"), lit(qnorm).as("qnorm"),
+        PqCodec.pqAdcParts(col("codes"), dotLut, normLut).as("parts"))
+    }
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("adc_cos").desc, col("vec_id").asc)
+    encoded(emb, model)
+      // per-query struct array in its own projection BELOW the explode
+      .select(col("vec_id"), array(perQuery.toIndexedSeq: _*).as("qs"))
+      .select(col("vec_id"), explode(col("qs")).as("qe"))
+      .filter(col("vec_id") =!= col("qe.query_id"))
+      .select(col("vec_id"), col("qe.query_id").as("query_id"),
+        round(element_at(col("qe.parts"), 1).cast("double") /
+          (sqrt(col("qe.qnorm").cast("double")) *
+            sqrt(element_at(col("qe.parts"), 2).cast("double"))), 6)
+          .as("adc_cos"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of the ADC ranking against exact brute-force cosine — the
+    * compression-quality eval read before trusting 64× smaller vectors. */
+  def pqRecall(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5): DataFrame = {
+    val truth = Similarity.knnBrute(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+    val approx = knnPq(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("k_eff"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k_eff"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("k_eff"), 6)
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_pq_codebook" -> ((s: SparkSession, d: String) => codebook(s, d)),
+    "sim_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
+    "sim_pq_recall" -> ((s: SparkSession, d: String) => pqRecall(s, d)))
+
+  // --------------------------------------------------------- oracles
+
+  /** DuckDB replay of the integer-domain training: quantize, hash-spread
+    * seeds, `iters` unrolled (integer-L2 assign, floor-div re-center)
+    * rounds. Ends at `cb(sub, code, spos, cq)` and the component
+    * relation `qd(vec_id, sub, spos, q)`. */
+  private def duckPqCtes(m: Int, k: Int, iters: Int, dims: Int): String = {
+    val dsub = dims / m
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
+    sb ++= "ed0 AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding FROM e), "
+    sb ++= s"qd AS (SELECT vec_id, CAST((i - 1) // $dsub AS INT) AS sub, "
+    sb ++= s"CAST((i - 1) % $dsub AS INT) AS spos, "
+    sb ++= s"CAST(round(embedding[i]::DOUBLE * $Scale) AS BIGINT) AS q FROM ed0), "
+    sb ++= s"sd AS (SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k), "
+    sb ++= "cb0 AS (SELECT qd.sub, qd.vec_id AS code, qd.spos, qd.q AS cq FROM qd JOIN sd ON sd.vec_id = qd.vec_id)"
+    for (t <- 0 until iters) {
+      sb ++= s", dist$t AS (SELECT qd.vec_id, qd.sub, c.code, "
+      sb ++= "sum((qd.q - c.cq) * (qd.q - c.cq)) AS d "
+      sb ++= s"FROM qd JOIN cb$t c ON c.sub = qd.sub AND c.spos = qd.spos GROUP BY 1, 2, 3)"
+      sb ++= s", asg$t AS (SELECT vec_id, sub, code FROM (SELECT *, "
+      sb ++= "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn "
+      sb ++= s"FROM dist$t) WHERE rn = 1)"
+      sb ++= s", sm$t AS (SELECT a.sub, a.code, qd.spos, "
+      sb ++= "CAST(sum(qd.q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n "
+      sb ++= s"FROM asg$t a JOIN qd ON qd.vec_id = a.vec_id AND qd.sub = a.sub GROUP BY 1, 2, 3)"
+      sb ++= s", cb${t + 1} AS (SELECT c.sub, c.code, c.spos, "
+      sb ++= "CAST(coalesce(CAST(floor(CAST(n.s AS DOUBLE) / n.n) AS BIGINT), c.cq) AS BIGINT) AS cq "
+      sb ++= s"FROM cb$t c LEFT JOIN sm$t n ON n.sub = c.sub AND n.code = c.code AND n.spos = c.spos)"
+    }
+    sb ++= s", cb AS (SELECT sub, code, spos, cq FROM cb$iters)"
+    sb.toString
+  }
+
+  /** Shared serving CTEs: final full-corpus assignment + per-query ADC
+    * ranking ending at `ranked(query_id, neighbor_id, adc_cos, rank)`. */
+  private def duckPqServeCtes(m: Int, k: Int, iters: Int, dims: Int,
+      nQueries: Int): String =
+    s"""${duckPqCtes(m, k, iters, dims)},
+       | distF AS (SELECT qd.vec_id, qd.sub, c.code,
+       |   sum((qd.q - c.cq) * (qd.q - c.cq)) AS d
+       |   FROM qd JOIN cb c ON c.sub = qd.sub AND c.spos = qd.spos GROUP BY 1, 2, 3),
+       | asgF AS (SELECT vec_id, sub, code FROM (SELECT *,
+       |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+       |   FROM distF) WHERE rn = 1),
+       | qdot AS (SELECT qq.vec_id AS query_id, c.sub, c.code,
+       |   CAST(sum(qq.q * c.cq) AS BIGINT) AS dot
+       |   FROM qd qq JOIN cb c ON c.sub = qq.sub AND c.spos = qq.spos
+       |   WHERE qq.vec_id < $nQueries GROUP BY 1, 2, 3),
+       | cnorm AS (SELECT sub, code, CAST(sum(cq * cq) AS BIGINT) AS nrm FROM cb GROUP BY 1, 2),
+       | qnorm AS (SELECT vec_id AS query_id, CAST(sum(q * q) AS BIGINT) AS qn
+       |   FROM qd WHERE vec_id < $nQueries GROUP BY 1),
+       | adc AS (SELECT d.query_id, a.vec_id AS neighbor_id,
+       |   CAST(sum(d.dot) AS BIGINT) AS dot, CAST(sum(n.nrm) AS BIGINT) AS rnorm
+       |   FROM asgF a JOIN qdot d ON d.sub = a.sub AND d.code = a.code
+       |   JOIN cnorm n ON n.sub = a.sub AND n.code = a.code
+       |   WHERE a.vec_id <> d.query_id GROUP BY 1, 2),
+       | sc AS (SELECT adc.query_id, adc.neighbor_id,
+       |   round(CAST(adc.dot AS DOUBLE) /
+       |     (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(adc.rnorm AS DOUBLE))), 6) AS adc_cos
+       |   FROM adc JOIN qnorm q USING (query_id)),
+       | ranked AS (SELECT query_id, neighbor_id, adc_cos, rank FROM (SELECT *,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id ASC) AS rank
+       |   FROM sc))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_pq_codebook" ->
+      s"""${duckPqCtes(4, 8, 2, 64)}
+         |SELECT sub, code, spos AS pos, cq AS c_q FROM cb
+         |ORDER BY sub, code, pos""".stripMargin.replace('\n', ' '),
+    "sim_knn_pq" ->
+      s"""${duckPqServeCtes(4, 8, 2, 64, 5)}
+         |SELECT query_id, neighbor_id, adc_cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
+    "sim_pq_recall" ->
+      s"""${duckPqServeCtes(4, 8, 2, 64, 5)},
+         | pq AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+         | truth AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     row_number() OVER (PARTITION BY q.vec_id
+         |       ORDER BY round(${Similarity.duckCos("q.embedding", "c.embedding")}, 6) DESC, c.vec_id ASC) AS rank
+         |   FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rank <= 5)
+         |SELECT t.query_id, count(*) AS k_eff,
+         |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  round(CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN pq p
+         |  ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+         |GROUP BY 1 ORDER BY t.query_id""".stripMargin.replace('\n', ' '))
+}
