@@ -398,6 +398,13 @@ object BenchScale {
       graft.operators.Pq.knnPqOver(
         graft.Tables.embeddings(spark, famDir), pqModel, nQueries = 100, k = 5)
     }
+    // the composed production stack: coarse cells prune candidates, PQ
+    // ADC scores the survivors (includes its own coarse kmeans + train)
+    bench("scale_sim_knn_ivfpq") {
+      graft.operators.Pq.knnIvfPq(spark, famDir, nQueries = 100, k = 5,
+        nCentroids = 64, kmIters = 2, nProbe = 8, m = 4, nCodes = 256,
+        iters = 2)
+    }
     // ---- round-12 additions: sketch set-ops, KLL quantiles, text/event
     // families (strict=false on theta: ~500k distinct/day IS the
     // estimation regime — the sketch's reason to exist at this scale)

@@ -72,6 +72,25 @@ object PqKernel {
     new GenericArrayData(out)
   }
 
+  /** [[adcParts]] over a query BATCH: `qidx` selects the query's dot
+    * table — the shape a probe-pruned candidate relation needs, where
+    * the query is a COLUMN of the row (IVF cell join output), not a
+    * plan-time constant. */
+  def adcPartsAt(codes: ArrayData, qidx: Int, dotLuts: Array[Array[Array[Long]]],
+      normLut: Array[Array[Long]]): ArrayData = {
+    val dotLut = dotLuts(qidx)
+    var dot = 0L
+    var norm = 0L
+    var s = 0
+    while (s < dotLut.length) {
+      val j = codes.getInt(s)
+      dot += dotLut(s)(j)
+      norm += normLut(s)(j)
+      s += 1
+    }
+    new GenericArrayData(Array(dot, norm))
+  }
+
   /** ADC parts for ONE query: `[Σ_s dotLut(s)(code_s), Σ_s normLut(s)
     * (code_s)]` — the asymmetric-distance numerator (integer dot of the
     * quantized query with the reconstruction) and the reconstruction's
@@ -178,6 +197,43 @@ case class PqAdcParts(child: Expression, dotLut: Seq[Seq[Long]],
     copy(child = newChild)
 }
 
+/** `pq_adc_parts_at(codes, qidx)` → `array<bigint> [adc_dot, recon_norm]`
+  * against the constructor-bound query-BATCH dot tables (`qidx` picks the
+  * query) — the serving form when candidates arrive from an IVF cell
+  * join, carrying their query as a column. */
+case class PqAdcPartsAt(left: Expression, right: Expression,
+    dotLuts: Seq[Seq[Seq[Long]]], normLut: Seq[Seq[Long]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(dotLuts.nonEmpty && dotLuts.forall(_.length == normLut.length),
+    "pq_adc_parts_at: LUT shape mismatch")
+
+  @transient private lazy val dArr: Array[Array[Array[Long]]] =
+    dotLuts.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val nArr: Array[Array[Long]] = normLut.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_parts_at needs (array<int>, int), got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_adc_parts_at"
+
+  override protected def nullSafeEval(codes: Any, qidx: Any): Any =
+    PqKernel.adcPartsAt(codes.asInstanceOf[ArrayData],
+      qidx.asInstanceOf[Int], dArr, nArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refD = ctx.addReferenceObj("pqDotLuts", dArr, "long[][][]")
+    val refN = ctx.addReferenceObj("pqNormLut", nArr, "long[][]")
+    defineCodeGen(ctx, ev, (c, q) =>
+      s"graft.functions.PqKernel.adcPartsAt($c, $q, $refD, $refN)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcPartsAt = copy(left = newLeft, right = newRight)
+}
+
 object PqCodec {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -192,4 +248,9 @@ object PqCodec {
       normLut: Seq[Seq[Long]]): Column =
     ColumnBridge.column(
       PqAdcParts(ColumnBridge.expression(codes), dotLut, normLut))
+
+  def pqAdcPartsAt(codes: Column, qidx: Column, dotLuts: Seq[Seq[Seq[Long]]],
+      normLut: Seq[Seq[Long]]): Column =
+    ColumnBridge.column(PqAdcPartsAt(ColumnBridge.expression(codes),
+      ColumnBridge.expression(qidx), dotLuts, normLut))
 }

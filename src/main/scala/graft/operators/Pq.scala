@@ -189,6 +189,80 @@ object Pq {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF + PQ — the full production ANN stack in one serving path:
+    * coarse centroids prune candidates to the probed cells' members
+    * (the [[Similarity.knnIvfOver]] probe contract) and PQ ADC scores
+    * the survivors from the codes relation — raw vectors are touched
+    * only by the one fused assign+encode corpus pass. At 100 TB this is
+    * THE deployable shape: candidates bounded by nProbe/nCentroids of
+    * the corpus, each scored by 2·m array loads against an 8-byte code
+    * word instead of a 256-byte float vector. The candidate join
+    * broadcasts the (nQueries·nProbe)-row probe relation; the kernel
+    * picks the query's lookup table by the probe row's query INDEX, so
+    * one plan serves the whole query batch. */
+  def knnIvfPq(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, nCentroids: Int = 8, kmIters: Int = 2, nProbe: Int = 3,
+      m: Int = 4, nCodes: Int = 8, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = train(emb, m, nCodes, iters)
+    val cents = Similarity.kmeansCentroids(emb, nCentroids, kmIters)
+    // ONE corpus pass: coarse cell + PQ codes
+    val asgCodes = Similarity.withNearestCid(emb, cents)
+      .select(col("vec_id"), col("cid"),
+        PqCodec.quantLongs(col("embedding"), Scale).as("qv"))
+      .select(col("vec_id"), col("cid"),
+        PqCodec.pqEncode(col("qv"), model.codebook, model.dsub).as("codes"))
+    // query-batch LUTs (driver, bounded by nQueries × m × nCodes longs)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), PqCodec.quantLongs(col("embedding"), Scale).as("qq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val qIdx = queries.map(_._1).zipWithIndex.toMap
+    val normLut: Seq[Seq[Long]] = model.codebook.map(_.map(c => c.map(x => x * x).sum))
+    val dotLuts: Seq[Seq[Seq[Long]]] = queries.toIndexedSeq.map { case (_, qq) =>
+      (0 until m).map { s =>
+        model.codebook(s).map { c =>
+          var d = 0L; var p = 0
+          while (p < model.dsub) { d += qq(s * model.dsub + p) * c(p); p += 1 }
+          d
+        }
+      }
+    }
+    val qnorms = queries.map { case (_, qq) => qq.map(x => x * x).sum }
+    // probe set: top-nProbe cells per query by the same rounded-cosine
+    // ranking the IVF serving path uses; collected (nQueries·nProbe rows)
+    import org.apache.spark.sql.expressions.Window
+    val probeRows = emb.filter(col("vec_id") < nQueries)
+      .join(broadcast(cents))
+      .withColumn("cos_c", round(Similarity.cosine(col("embedding"), col("c_emb")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("cos_c"), asc("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    import spark.implicits._
+    val probes = probeRows.toSeq
+      .map { case (q, c) => (q, qIdx(q), qnorms(qIdx(q)), c) }
+      .toDF("query_id", "qidx", "qnorm", "cid")
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("adc_cos").desc, col("vec_id").asc)
+    asgCodes.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qnorm"),
+        PqCodec.pqAdcPartsAt(col("codes"), col("qidx"), dotLuts, normLut)
+          .as("parts"))
+      .withColumn("adc_cos",
+        round(element_at(col("parts"), 1).cast("double") /
+          (sqrt(col("qnorm").cast("double")) *
+            sqrt(element_at(col("parts"), 2).cast("double"))), 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc_cos"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Recall@k of the ADC ranking against exact brute-force cosine — the
     * compression-quality eval read before trusting 64× smaller vectors. */
   def pqRecall(spark: SparkSession, dir: String, nQueries: Int = 5,
@@ -211,6 +285,7 @@ object Pq {
   val queries: Map[String, Q] = Map(
     "sim_pq_codebook" -> ((s: SparkSession, d: String) => codebook(s, d)),
     "sim_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
+    "sim_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
     "sim_pq_recall" -> ((s: SparkSession, d: String) => pqRecall(s, d)))
 
   // --------------------------------------------------------- oracles
@@ -247,9 +322,10 @@ object Pq {
     sb.toString
   }
 
-  /** Shared serving CTEs: final full-corpus assignment + per-query ADC
-    * ranking ending at `ranked(query_id, neighbor_id, adc_cos, rank)`. */
-  private def duckPqServeCtes(m: Int, k: Int, iters: Int, dims: Int,
+  /** Final full-corpus PQ assignment + per-query lookup relations —
+    * `asgF(vec_id, sub, code)`, `qdot`, `cnorm`, `qnorm`. Shared by the
+    * full-scan and IVF-pruned serving oracles. */
+  private def duckPqAsgCtes(m: Int, k: Int, iters: Int, dims: Int,
       nQueries: Int): String =
     s"""${duckPqCtes(m, k, iters, dims)},
        | distF AS (SELECT qd.vec_id, qd.sub, c.code,
@@ -264,7 +340,13 @@ object Pq {
        |   WHERE qq.vec_id < $nQueries GROUP BY 1, 2, 3),
        | cnorm AS (SELECT sub, code, CAST(sum(cq * cq) AS BIGINT) AS nrm FROM cb GROUP BY 1, 2),
        | qnorm AS (SELECT vec_id AS query_id, CAST(sum(q * q) AS BIGINT) AS qn
-       |   FROM qd WHERE vec_id < $nQueries GROUP BY 1),
+       |   FROM qd WHERE vec_id < $nQueries GROUP BY 1)""".stripMargin
+
+  /** Shared serving CTEs: full-scan per-query ADC ranking ending at
+    * `ranked(query_id, neighbor_id, adc_cos, rank)`. */
+  private def duckPqServeCtes(m: Int, k: Int, iters: Int, dims: Int,
+      nQueries: Int): String =
+    s"""${duckPqAsgCtes(m, k, iters, dims, nQueries)},
        | adc AS (SELECT d.query_id, a.vec_id AS neighbor_id,
        |   CAST(sum(d.dot) AS BIGINT) AS dot, CAST(sum(n.nrm) AS BIGINT) AS rnorm
        |   FROM asgF a JOIN qdot d ON d.sub = a.sub AND d.code = a.code
@@ -278,6 +360,29 @@ object Pq {
        |   row_number() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id ASC) AS rank
        |   FROM sc))""".stripMargin
 
+  /** Coarse-centroid Lloyd replay over the SAME `e`/`ed0` relations (the
+    * [[Similarity]] kmeans oracle pattern: rounded-cosine assign, ties to
+    * the lowest cid, fixed-point REAL sums), ending at `kc(cid, c_emb)`. */
+  private def duckCoarseKmeansCtes(nCentroids: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s", kc0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM e "
+    sb ++= s"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCentroids)"
+    for (t <- 0 until iters) {
+      sb ++= s", kasg$t AS (SELECT vec_id, cid FROM ("
+      sb ++= s"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+      sb ++= s"ORDER BY round(${Similarity.duckCos("e.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn "
+      sb ++= s"FROM e, kc$t c) WHERE rn = 1)"
+      sb ++= s", ksm$t AS (SELECT a.cid, d.i - 1 AS pos, "
+      sb ++= s"sum(CAST(round((d.embedding[d.i])::DOUBLE * $Scale) AS BIGINT)) AS s "
+      sb ++= s"FROM kasg$t a JOIN ed0 d ON d.vec_id = a.vec_id GROUP BY 1, 2)"
+      sb ++= s", kc${t + 1} AS (SELECT c.cid, coalesce(n.c_emb, c.c_emb) AS c_emb "
+      sb ++= s"FROM kc$t c LEFT JOIN (SELECT cid, list(CAST(s AS REAL) ORDER BY pos) AS c_emb "
+      sb ++= s"FROM ksm$t GROUP BY cid) n ON n.cid = c.cid)"
+    }
+    sb ++= s", kc AS (SELECT cid, c_emb FROM kc$iters)"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_pq_codebook" ->
       s"""${duckPqCtes(4, 8, 2, 64)}
@@ -287,6 +392,32 @@ object Pq {
       s"""${duckPqServeCtes(4, 8, 2, 64, 5)}
          |SELECT query_id, neighbor_id, adc_cos, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
+    "sim_knn_ivfpq" ->
+      s"""${duckPqAsgCtes(4, 8, 2, 64, 5)}
+         |${duckCoarseKmeansCtes(8, 2)},
+         | kasgF AS (SELECT vec_id, cid FROM (
+         |   SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY round(${Similarity.duckCos("e.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
+         |   FROM e, kc c) WHERE rn = 1),
+         | probes AS (SELECT query_id, cid FROM (
+         |   SELECT q.vec_id AS query_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY round(${Similarity.duckCos("q.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
+         |   FROM e q, kc c WHERE q.vec_id < 5) WHERE rn <= 3),
+         | adcp AS (SELECT p.query_id, ka.vec_id AS neighbor_id,
+         |   CAST(sum(d.dot) AS BIGINT) AS dot, CAST(sum(n.nrm) AS BIGINT) AS rnorm
+         |   FROM probes p JOIN kasgF ka ON ka.cid = p.cid
+         |   JOIN asgF a ON a.vec_id = ka.vec_id
+         |   JOIN qdot d ON d.query_id = p.query_id AND d.sub = a.sub AND d.code = a.code
+         |   JOIN cnorm n ON n.sub = a.sub AND n.code = a.code
+         |   WHERE ka.vec_id <> p.query_id GROUP BY 1, 2),
+         | scp AS (SELECT adcp.query_id, adcp.neighbor_id,
+         |   round(CAST(adcp.dot AS DOUBLE) /
+         |     (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(adcp.rnorm AS DOUBLE))), 6) AS adc_cos
+         |   FROM adcp JOIN qnorm q USING (query_id))
+         |SELECT query_id, neighbor_id, adc_cos, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_cos DESC, neighbor_id ASC) AS rank FROM scp)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
     "sim_pq_recall" ->
       s"""${duckPqServeCtes(4, 8, 2, 64, 5)},
          | pq AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),

@@ -134,4 +134,33 @@ class PqSpec extends SparkTestBase {
     val rec = Pq.pqRecall(spark, sf).collect().map(_.getDouble(3))
     assert(rec.nonEmpty && rec.forall(r => r >= 0.0 && r <= 1.0))
   }
+
+  test("ivf+pq: pruned serving scores agree with the full ADC scan on shared pairs; probes broadcast (r15)") {
+    val pruned = Pq.knnIvfPq(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pruned.nonEmpty)
+    // the full-scan ADC scores are THE scores — cell pruning may drop
+    // candidates but must never change a surviving pair's score
+    val full = Pq.knnPqOver(Tables.embeddings(spark, sf),
+        Pq.train(Tables.embeddings(spark, sf)), nQueries = 5, k = 499)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pruned.foreach { case (pair, cos) =>
+      assert(full(pair) === cos, s"ADC score diverged for $pair")
+    }
+    // plan: the probe relation broadcasts onto the assigned corpus; the
+    // ranking exchange never carries vectors or codes (AQE off for the
+    // one planning call — the PlanContractsSpec convention — so the
+    // asserted shape is the static one)
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try Pq.knnIvfPq(spark, sf).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, "probe set must broadcast — candidates come from cells, not a shuffle")
+    p.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      .foreach(e => e.output.foreach(a =>
+        assert(a.name != "embedding" && a.name != "qv" && a.name != "codes",
+          s"raw/quantized vectors ('${a.name}') crossed the ranking exchange")))
+  }
 }
