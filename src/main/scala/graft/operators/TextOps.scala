@@ -529,6 +529,43 @@ object TextOps {
       .orderBy("tid")
   }
 
+  /** The trained model as a driver-resident value — what a serving fleet
+    * (batch rescore or streaming ingest filter) loads once and binds
+    * into the fused kernel. `threshold` is the keep cut on the integer
+    * mean token weight (500 = more positive than negative evidence
+    * under the smoothed odds). */
+  final case class TokenWeightModel(vocab: Seq[String], weights: Seq[Long],
+      unkWeight: Long, threshold: Long = 500L)
+
+  /** Train and collect the model (bounded by |vocab|+1 rows — the ANN
+    * centroid pattern). A vocabulary token the corpus never produced
+    * serves at the smoothing prior 500 (the formula at zero counts). */
+  def trainQualityModel(spark: SparkSession, dir: String,
+      vocab: Seq[String] = TokenVocabDefault): TokenWeightModel = {
+    val learned = trainedWeights(spark, dir, vocab)
+      .select("tid", "w_milli").collect()
+    val wArr = Array.fill(vocab.length)(500L)
+    var unkW = 500L
+    learned.foreach { r =>
+      val t = r.getInt(0); val wm = r.getLong(1)
+      if (t >= 0) wArr(t) = wm else unkW = wm
+    }
+    TokenWeightModel(vocab, wArr.toSeq, unkW)
+  }
+
+  /** `(n_tokens, score_sum, mean_milli, keep)` columns of one fused
+    * kernel pass over `text` — shared by the batch rescore rows and the
+    * streaming ingest filter so the two can't drift. */
+  private def scoreCols(model: TokenWeightModel, text: Column)
+      : (Column, Column, Column, Column) = {
+    val ts = graft.functions.Tokenize.tokenScore(
+      coalesce(text, lit("")), model.vocab, model.weights, model.unkWeight)
+    val n = element_at(ts, 1)
+    val s = element_at(ts, 3)
+    val mean = when(n > 0, (s / n).cast("long")).otherwise(0L)
+    (n, s, mean, (mean >= model.threshold).cast("int"))
+  }
+
   /** Score every document under the trained model: `mean_milli` is the
     * integer mean token weight (score_sum div n_tokens; 0 for an empty
     * document), `keep` fires at ≥ 500 — more positive than negative
@@ -540,24 +577,11 @@ object TextOps {
     * the cheapest possible corpus pass. */
   def qualityModelScores(spark: SparkSession, dir: String,
       vocab: Seq[String] = TokenVocabDefault): DataFrame = {
-    val learned = trainedWeights(spark, dir, vocab)
-      .select("tid", "w_milli").collect()
-    val wArr = Array.fill(vocab.length)(500L)
-    var unkW = 500L
-    learned.foreach { r =>
-      val t = r.getInt(0); val wm = r.getLong(1)
-      if (t >= 0) wArr(t) = wm else unkW = wm
-    }
+    val model = trainQualityModel(spark, dir, vocab)
+    val (n, s, mean, keep) = scoreCols(model, col("text"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.functions.Tokenize.tokenScore(
-        coalesce(col("text"), lit("")), vocab, wArr.toSeq, unkW).as("ts"))
-      .select(col("doc_id"),
-        element_at(col("ts"), 1).as("n_tokens"),
-        element_at(col("ts"), 3).as("score_sum"))
-      .withColumn("mean_milli",
-        when(col("n_tokens") > 0, expr("score_sum div n_tokens"))
-          .otherwise(0L))
-      .withColumn("keep", (col("mean_milli") >= 500).cast("int"))
+      .select(col("doc_id"), n.as("n_tokens"), s.as("score_sum"),
+        mean.as("mean_milli"), keep.as("keep"))
       .orderBy("doc_id")
   }
 
@@ -569,28 +593,36 @@ object TextOps {
     * [[qualityModelScores]] plus the label expression. */
   def qualityModelAgreement(spark: SparkSession, dir: String,
       vocab: Seq[String] = TokenVocabDefault): DataFrame = {
-    val learned = trainedWeights(spark, dir, vocab)
-      .select("tid", "w_milli").collect()
-    val wArr = Array.fill(vocab.length)(500L)
-    var unkW = 500L
-    learned.foreach { r =>
-      val t = r.getInt(0); val wm = r.getLong(1)
-      if (t >= 0) wArr(t) = wm else unkW = wm
-    }
+    val model = trainQualityModel(spark, dir, vocab)
+    val (n, _, _, keep) = scoreCols(model, col("text"))
     Tables.documents(spark, dir)
-      .select(gopherKeepLabel.as("gopher_keep"),
-        graft.functions.Tokenize.tokenScore(
-          coalesce(col("text"), lit("")), vocab, wArr.toSeq, unkW).as("ts"))
-      .select(col("gopher_keep"),
-        element_at(col("ts"), 1).as("n_tokens"),
-        element_at(col("ts"), 3).as("score_sum"))
-      .withColumn("mean_milli",
-        when(col("n_tokens") > 0, expr("score_sum div n_tokens"))
-          .otherwise(0L))
-      .withColumn("model_keep", (col("mean_milli") >= 500).cast("int"))
+      .select(gopherKeepLabel.as("gopher_keep"), n.as("n_tokens"),
+        keep.as("model_keep"))
       .groupBy("gopher_keep", "model_keep")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
       .orderBy("gopher_keep", "model_keep")
+  }
+
+  /** STREAMING quality filter — the trained model deployed at INGEST:
+    * train offline on yesterday's corpus, score today's stream in-flight
+    * and drop below-threshold documents before they ever land (the
+    * FineWeb/CCNet deploy loop, and the LLM-pipeline counterpart of the
+    * reference's insert-time MVs). Stateless: one fused kernel
+    * expression per record — no state store, no watermark, no shuffle —
+    * so it adds nothing to any streaming topology's state posture.
+    * Appends `q_tokens`/`q_mean_milli`/`q_keep`; with `keepOnly` the
+    * rejects are dropped in-flight. */
+  def streamingQualityFilter(stream: DataFrame, textCol: String,
+      model: TokenWeightModel, keepOnly: Boolean = true): DataFrame = {
+    Seq("q_tokens", "q_mean_milli", "q_keep").foreach { c =>
+      require(!stream.columns.contains(c),
+        s"input already has a '$c' column the filter would overwrite — rename it")
+    }
+    val (n, _, mean, keep) = scoreCols(model, col(textCol))
+    val scored = stream.withColumn("q_tokens", n)
+      .withColumn("q_mean_milli", mean)
+      .withColumn("q_keep", keep)
+    if (keepOnly) scored.filter(col("q_keep") === 1) else scored
   }
 
   /** DuckDB replay of the whole quality-model pipeline: the tokenizer

@@ -96,6 +96,27 @@ object FlowPipeline {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Start the concurrent QUALITY leg: derived documents scored
+    * in-flight by a trained token-weight model
+    * ([[graft.operators.TextOps.streamingQualityFilter]] — train offline,
+    * filter at ingest; stateless, so this leg adds no state store to the
+    * deployment) → replay-guarded managed output of per-document scores
+    * and keep flags. */
+  def startQualityLeg(decoded: DataFrame,
+      model: graft.operators.TextOps.TokenWeightModel, outTable: String,
+      checkpoint: String, docEvery: Long = 100L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.operators.TextOps.streamingQualityFilter(
+        deriveDocs(decoded, docEvery), "text", model, keepOnly = false)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ManifestTable.append(
+          b.select("doc_id", "q_tokens", "q_mean_milli", "q_keep"),
+          outTable, None, id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Start the concurrent dedup leg: derived documents →
     * [[Dedup.streamingExactDedup]] (engine-managed watermark state) →
     * replay-guarded managed output of `(doc_id, text_md5)` survivors. */

@@ -663,4 +663,50 @@ class TextOpsSpec extends SparkTestBase {
     assert(cells.map(_.getLong(2)).sum === docs.length.toLong)
     assert(cells.map(_.getLong(3)).sum === scores.map(_._2).sum)
   }
+
+  test("streaming quality filter: in-flight keeps equal the batch rescore of the same records; stateless plan (r15)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // train offline on the corpus, filter a fresh stream with it
+    val model = TextOps.trainQualityModel(spark, sf)
+    val batch1 = Seq(
+      1L -> "the table scan the table scan the value row fast data key agg join small big query line sort window",
+      2L -> "zzz qqq xxx",
+      3L -> ("the a an in or " * 8).trim)
+    val batch2 = Seq(
+      4L -> "the customer order part merge spark hash stream group vector filter column line sort window table value row data key",
+      5L -> "")
+    val src = MemoryStream[(Long, String)]
+    val flt = TextOps.streamingQualityFilter(
+      src.toDF().toDF("doc_id", "text"), "text", model, keepOnly = true)
+    val q = flt.writeStream.outputMode("append")
+      .format("memory").queryName("stream_quality").start()
+    src.addData(batch1: _*); q.processAllAvailable()
+    src.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_quality")
+      .select("doc_id", "q_mean_milli", "q_keep").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    // batch rescore of the SAME records through the same model
+    val want = TextOps.streamingQualityFilter(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "text", model,
+        keepOnly = false)
+      .collect().map(r => (r.getLong(0),
+        (r.getAs[Long]("q_mean_milli"), r.getAs[Int]("q_keep")))).toMap
+    assert(got.keySet === want.filter(_._2._2 == 1).keySet,
+      "stream kept a different doc set than the batch rescore")
+    got.foreach { case (id, v) => assert(want(id) === v, s"doc $id diverged") }
+    // every kept doc is above threshold; empty doc scores 0 and drops
+    got.values.foreach { case (mean, keep) =>
+      assert(keep === 1 && mean >= model.threshold)
+    }
+    assert(!got.contains(5L))
+    // stateless: the streaming plan has no state store operator
+    val prog = flt.queryExecution.analyzed.collect {
+      case n if n.nodeName.toLowerCase.contains("state") ||
+        n.nodeName.toLowerCase.contains("dedup") => n
+    }
+    assert(prog.isEmpty, "quality filter must not introduce streaming state")
+  }
 }
