@@ -134,8 +134,15 @@ object BenchScale {
     val pfIvf = work.resolve("pf_ivf").toString
     val pfLsh = work.resolve("pf_lsh").toString
     val pfDedup = work.resolve("pf_dedup").toString
+    val pfQuality = work.resolve("pf_quality").toString
     val vecEvery = 1000L; val docEvery = 100L
     import graft.streaming.FlowPipeline
+    // the quality model trains OFFLINE on a disjoint generator slice
+    // ("yesterday's corpus") and filters the live stream — the deploy loop
+    val pfModel = graft.operators.TextOps.trainQualityModelOn(
+      FlowPipeline.deriveDocs(
+        FlowGen.flows(spark, 100000L, seed = 77L, numPartitions = 8).toDF(),
+        docEvery))
     // seed the IVF centroids from a deterministic DISJOINT-id vector set
     // (negative ids can never collide with streamed sequence numbers)
     graft.operators.Similarity.buildIvfIndex(
@@ -151,6 +158,8 @@ object BenchScale {
         work.resolve("pf_cpA").toString, vecEvery)
       val qB = FlowPipeline.startDedupLeg(topic(), pfDedup,
         work.resolve("pf_cpB").toString, docEvery)
+      val qC = FlowPipeline.startQualityLeg(topic(), pfModel, pfQuality,
+        work.resolve("pf_cpC").toString, docEvery)
       val stopPf = new java.util.concurrent.atomic.AtomicBoolean(false)
       val pfCompactor = new Thread(() => {
         while (!stopPf.get()) {
@@ -167,7 +176,8 @@ object BenchScale {
       pfCompactor.setDaemon(true)
       pfCompactor.start()
       qA.processAllAvailable(); qB.processAllAvailable()
-      qA.stop(); qB.stop()
+      qC.processAllAvailable()
+      qA.stop(); qB.stop(); qC.stop()
       stopPf.set(true)
       pfCompactor.join()
     }
@@ -192,6 +202,12 @@ object BenchScale {
       .select("text_md5").distinct().count()
     require(pfDedupOut <= wantDocs && pfDedupDistinct == wantDistinctTexts,
       s"pipeline dedup out $pfDedupOut/$wantDocs, distinct $pfDedupDistinct of $wantDistinctTexts")
+    // quality leg scores EVERY derived doc exactly once (keepOnly=false)
+    val pfQualityRows = ManifestTable.read(spark, pfQuality).count()
+    require(pfQualityRows == wantDocs,
+      s"pipeline quality leg scored $pfQualityRows of $wantDocs docs")
+    val pfQualityKept = ManifestTable.read(spark, pfQuality)
+      .filter(col("q_keep") === 1).count()
     val pipeRate = (n / pipeSec).toLong
 
     // ---- stage 3: the dashboard set over the ingested table -------------
@@ -511,7 +527,8 @@ object BenchScale {
       f""""pipeline_full":{"sec":$pipeSec%.1f,"rows_per_sec":$pipeRate,""" +
       f""""online_compactions":${pfCompactions.get},"raw_rows":$pfRawRows,""" +
       f""""vec_index_rows":$pfIvfRows,"dedup_out_rows":$pfDedupOut,""" +
-      f""""dedup_distinct_texts":$pfDedupDistinct},""" +
+      f""""dedup_distinct_texts":$pfDedupDistinct,""" +
+      f""""quality_scored_rows":$pfQualityRows,"quality_kept_rows":$pfQualityKept},""" +
       f""""queries":$queriesJson,""" +
       f""""skew_join":{"hot_frac":0.9,"salts":${cpus.toInt},""" +
       f""""plain_wall_sec":$plainWall%.2f,"plain_max_task_sec":$plainMaxTask%.2f,""" +

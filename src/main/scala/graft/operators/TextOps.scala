@@ -495,7 +495,10 @@ object TextOps {
     * learn a weight like any vocabulary entry. */
   private def trainedWeights(spark: SparkSession, dir: String,
       vocab: Seq[String]): DataFrame =
-    Tables.documents(spark, dir)
+    trainedWeightsOn(Tables.documents(spark, dir), vocab)
+
+  private def trainedWeightsOn(docs: DataFrame, vocab: Seq[String]): DataFrame =
+    docs
       // label FIRST, in its own projection BELOW the explode: the gopher
       // expressions (split / array_distinct / stopword probes) are
       // per-DOCUMENT work, and a single select would hoist them above the
@@ -541,8 +544,15 @@ object TextOps {
     * centroid pattern). A vocabulary token the corpus never produced
     * serves at the smoothing prior 500 (the formula at zero counts). */
   def trainQualityModel(spark: SparkSession, dir: String,
+      vocab: Seq[String] = TokenVocabDefault): TokenWeightModel =
+    trainQualityModelOn(Tables.documents(spark, dir), vocab)
+
+  /** [[trainQualityModel]] over any `(text, …)` relation — the offline
+    * corpus a streaming deployment trains on before filtering the live
+    * stream. */
+  def trainQualityModelOn(docs: DataFrame,
       vocab: Seq[String] = TokenVocabDefault): TokenWeightModel = {
-    val learned = trainedWeights(spark, dir, vocab)
+    val learned = trainedWeightsOn(docs, vocab)
       .select("tid", "w_milli").collect()
     val wArr = Array.fill(vocab.length)(500L)
     var unkW = 500L

@@ -37,17 +37,24 @@ class FlowPipelineSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[FlowMessage]
     val srcB = MemoryStream[FlowMessage]
+    val srcC = MemoryStream[FlowMessage]
     val raw = tmp(); val roll = tmp(); val ivf = tmp(); val lsh = tmp(); val ded = tmp()
+    val qual = tmp()
     seedIvf(ivf)
+    // quality model trains on a DISJOINT offline slice, filters the stream
+    val model = graft.operators.TextOps.trainQualityModelOn(
+      FlowPipeline.deriveDocs(
+        FlowGen.flows(spark, 500L, seed = 99L).toDF(), every = 5L))
     val qA = FlowPipeline.start(src.toDF(), raw, roll, ivf, lsh, tmp(), vecEvery = 10L)
     val qB = FlowPipeline.startDedupLeg(srcB.toDF(), ded, tmp(), docEvery = 5L)
+    val qC = FlowPipeline.startQualityLeg(srcC.toDF(), model, qual, tmp(), docEvery = 5L)
     val b1 = genBatch(300, seed = 1, baseTime = 1704067200L)
     val b2 = genBatch(300, seed = 2, baseTime = 1704070200L)
-    src.addData(b1); srcB.addData(b1)
-    qA.processAllAvailable(); qB.processAllAvailable()
-    src.addData(b2); srcB.addData(b2)
-    qA.processAllAvailable(); qB.processAllAvailable()
-    qA.stop(); qB.stop()
+    src.addData(b1); srcB.addData(b1); srcC.addData(b1)
+    qA.processAllAvailable(); qB.processAllAvailable(); qC.processAllAvailable()
+    src.addData(b2); srcB.addData(b2); srcC.addData(b2)
+    qA.processAllAvailable(); qB.processAllAvailable(); qC.processAllAvailable()
+    qA.stop(); qB.stop(); qC.stop()
     val all = (b1 ++ b2).toDS().toDF()
     val wantVecs = FlowPipeline.deriveVecs(all, 10L).count()
     val (r, f, iv, ls) = sinkCounts(raw, roll, ivf, lsh)
@@ -63,6 +70,18 @@ class FlowPipelineSpec extends SparkTestBase {
       "within-watermark repeats must drop in-flight")
     assert(out.select("text_md5").distinct().count() === wantDistinct)
     assert(wantDocs > wantDistinct, "the corpus must actually contain duplicates")
+    // quality leg: every derived doc scored exactly once, and the
+    // in-flight scores equal the batch rescore of the same records
+    val qOut = ManifestTable.read(spark, qual)
+    assert(qOut.count() === wantDocs, "quality leg must score every doc once")
+    val wantScores = graft.operators.TextOps.streamingQualityFilter(
+        docs, "text", model, keepOnly = false)
+      .select("doc_id", "q_mean_milli", "q_keep").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    qOut.select("doc_id", "q_mean_milli", "q_keep").collect().foreach { r =>
+      assert(wantScores(r.getLong(0)) === ((r.getLong(1), r.getInt(2))),
+        s"in-flight score diverged for doc ${r.getLong(0)}")
+    }
   }
 
   test("crash matrix: replay after any commit-prefix crash lands ONLY the missing sinks (r15)") {
