@@ -282,83 +282,125 @@ object Pq {
       .orderBy("query_id")
   }
 
+  /** COMPRESSION/RECALL TUNING CURVE — recall@k as a function of the
+    * subspace count `m` (2/4/8 codeword indexes per vector ≈ 128×/64×/
+    * 32× compression of the 64-float embedding): the report that turns
+    * "pick m" into a measured trade-off, the PQ sibling of
+    * `sim_ivf_probe_curve`/`sim_lsh_probe_curve`. One brute-truth pass
+    * is shared; each m trains its own codebooks (vocabulary-sized jobs)
+    * and full-scan ADC-ranks the same query batch. Output per m: truth
+    * size, hits, recall (ONE final division, rounded). */
+  def pqMCurve(spark: SparkSession, dir: String,
+      ms: Seq[Int] = Seq(2, 4, 8, 16, 32),
+      nQueries: Int = 5, k: Int = 5, nCodes: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val truth = Similarity.knnBrute(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+    ms.map { m =>
+      val approx = knnPq(spark, dir, nQueries, k, m, nCodes, iters)
+        .select("query_id", "neighbor_id")
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      truth.agg(count(lit(1)).as("n_truth")).crossJoin(hits)
+        .select(lit(m).as("m"), col("n_truth"), col("hits"),
+          round(col("hits").cast("double") / col("n_truth"), 6).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("m")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_pq_codebook" -> ((s: SparkSession, d: String) => codebook(s, d)),
     "sim_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
     "sim_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
-    "sim_pq_recall" -> ((s: SparkSession, d: String) => pqRecall(s, d)))
+    "sim_pq_recall" -> ((s: SparkSession, d: String) => pqRecall(s, d)),
+    "sim_pq_m_curve" -> ((s: SparkSession, d: String) => pqMCurve(s, d)))
 
   // --------------------------------------------------------- oracles
 
   /** DuckDB replay of the integer-domain training: quantize, hash-spread
     * seeds, `iters` unrolled (integer-L2 assign, floor-div re-center)
-    * rounds. Ends at `cb(sub, code, spos, cq)` and the component
-    * relation `qd(vec_id, sub, spos, q)`. */
-  private def duckPqCtes(m: Int, k: Int, iters: Int, dims: Int): String = {
+    * rounds. Ends at `cb$sfx(sub, code, spos, cq)` and the component
+    * relation `qd$sfx(vec_id, sub, spos, q)`. The shared relations `e`,
+    * `ed0`, `sd` (seeds depend only on `k`) come from [[duckPqShared]];
+    * `sfx` namespaces the m-dependent chain so the tuning-curve oracle
+    * can train several code sizes in one query. */
+  private def duckPqShared(k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       | ed0 AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding FROM e),
+       | sd AS (SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)""".stripMargin
+
+  private def duckPqTrainBody(m: Int, k: Int, iters: Int, dims: Int,
+      sfx: String): String = {
     val dsub = dims / m
     val sb = new StringBuilder
-    sb ++= "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
-    sb ++= "ed0 AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding FROM e), "
-    sb ++= s"qd AS (SELECT vec_id, CAST((i - 1) // $dsub AS INT) AS sub, "
+    sb ++= s", qd$sfx AS (SELECT vec_id, CAST((i - 1) // $dsub AS INT) AS sub, "
     sb ++= s"CAST((i - 1) % $dsub AS INT) AS spos, "
     sb ++= s"CAST(round(embedding[i]::DOUBLE * $Scale) AS BIGINT) AS q FROM ed0), "
-    sb ++= s"sd AS (SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k), "
-    sb ++= "cb0 AS (SELECT qd.sub, qd.vec_id AS code, qd.spos, qd.q AS cq FROM qd JOIN sd ON sd.vec_id = qd.vec_id)"
+    sb ++= s"cb${sfx}0 AS (SELECT qd.sub, qd.vec_id AS code, qd.spos, qd.q AS cq FROM qd$sfx qd JOIN sd ON sd.vec_id = qd.vec_id)"
     for (t <- 0 until iters) {
-      sb ++= s", dist$t AS (SELECT qd.vec_id, qd.sub, c.code, "
+      sb ++= s", dist$sfx$t AS (SELECT qd.vec_id, qd.sub, c.code, "
       sb ++= "sum((qd.q - c.cq) * (qd.q - c.cq)) AS d "
-      sb ++= s"FROM qd JOIN cb$t c ON c.sub = qd.sub AND c.spos = qd.spos GROUP BY 1, 2, 3)"
-      sb ++= s", asg$t AS (SELECT vec_id, sub, code FROM (SELECT *, "
+      sb ++= s"FROM qd$sfx qd JOIN cb$sfx$t c ON c.sub = qd.sub AND c.spos = qd.spos GROUP BY 1, 2, 3)"
+      sb ++= s", asg$sfx$t AS (SELECT vec_id, sub, code FROM (SELECT *, "
       sb ++= "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn "
-      sb ++= s"FROM dist$t) WHERE rn = 1)"
-      sb ++= s", sm$t AS (SELECT a.sub, a.code, qd.spos, "
+      sb ++= s"FROM dist$sfx$t) WHERE rn = 1)"
+      sb ++= s", sm$sfx$t AS (SELECT a.sub, a.code, qd.spos, "
       sb ++= "CAST(sum(qd.q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n "
-      sb ++= s"FROM asg$t a JOIN qd ON qd.vec_id = a.vec_id AND qd.sub = a.sub GROUP BY 1, 2, 3)"
-      sb ++= s", cb${t + 1} AS (SELECT c.sub, c.code, c.spos, "
+      sb ++= s"FROM asg$sfx$t a JOIN qd$sfx qd ON qd.vec_id = a.vec_id AND qd.sub = a.sub GROUP BY 1, 2, 3)"
+      sb ++= s", cb$sfx${t + 1} AS (SELECT c.sub, c.code, c.spos, "
       sb ++= "CAST(coalesce(CAST(floor(CAST(n.s AS DOUBLE) / n.n) AS BIGINT), c.cq) AS BIGINT) AS cq "
-      sb ++= s"FROM cb$t c LEFT JOIN sm$t n ON n.sub = c.sub AND n.code = c.code AND n.spos = c.spos)"
+      sb ++= s"FROM cb$sfx$t c LEFT JOIN sm$sfx$t n ON n.sub = c.sub AND n.code = c.code AND n.spos = c.spos)"
     }
-    sb ++= s", cb AS (SELECT sub, code, spos, cq FROM cb$iters)"
+    sb ++= s", cb$sfx AS (SELECT sub, code, spos, cq FROM cb$sfx$iters)"
     sb.toString
   }
 
+  private def duckPqCtes(m: Int, k: Int, iters: Int, dims: Int): String = {
+    // single-m form: shared prelude + unsuffixed body, aliased to the
+    // names the serve/codebook tails expect (qd, cb)
+    duckPqShared(k).replace('\n', ' ') + duckPqTrainBody(m, k, iters, dims, "")
+  }
+
   /** Final full-corpus PQ assignment + per-query lookup relations —
-    * `asgF(vec_id, sub, code)`, `qdot`, `cnorm`, `qnorm`. Shared by the
-    * full-scan and IVF-pruned serving oracles. */
+    * `asgF$sfx(vec_id, sub, code)`, `qdot$sfx`, `cnorm$sfx`,
+    * `qnorm$sfx`. */
+  private def duckPqAsgBody(nQueries: Int, sfx: String): String =
+    s""", distF$sfx AS (SELECT qd.vec_id, qd.sub, c.code,
+       |   sum((qd.q - c.cq) * (qd.q - c.cq)) AS d
+       |   FROM qd$sfx qd JOIN cb$sfx c ON c.sub = qd.sub AND c.spos = qd.spos GROUP BY 1, 2, 3),
+       | asgF$sfx AS (SELECT vec_id, sub, code FROM (SELECT *,
+       |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+       |   FROM distF$sfx) WHERE rn = 1),
+       | qdot$sfx AS (SELECT qq.vec_id AS query_id, c.sub, c.code,
+       |   CAST(sum(qq.q * c.cq) AS BIGINT) AS dot
+       |   FROM qd$sfx qq JOIN cb$sfx c ON c.sub = qq.sub AND c.spos = qq.spos
+       |   WHERE qq.vec_id < $nQueries GROUP BY 1, 2, 3),
+       | cnorm$sfx AS (SELECT sub, code, CAST(sum(cq * cq) AS BIGINT) AS nrm FROM cb$sfx GROUP BY 1, 2),
+       | qnorm$sfx AS (SELECT vec_id AS query_id, CAST(sum(q * q) AS BIGINT) AS qn
+       |   FROM qd$sfx WHERE vec_id < $nQueries GROUP BY 1)""".stripMargin
+
   private def duckPqAsgCtes(m: Int, k: Int, iters: Int, dims: Int,
       nQueries: Int): String =
-    s"""${duckPqCtes(m, k, iters, dims)},
-       | distF AS (SELECT qd.vec_id, qd.sub, c.code,
-       |   sum((qd.q - c.cq) * (qd.q - c.cq)) AS d
-       |   FROM qd JOIN cb c ON c.sub = qd.sub AND c.spos = qd.spos GROUP BY 1, 2, 3),
-       | asgF AS (SELECT vec_id, sub, code FROM (SELECT *,
-       |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
-       |   FROM distF) WHERE rn = 1),
-       | qdot AS (SELECT qq.vec_id AS query_id, c.sub, c.code,
-       |   CAST(sum(qq.q * c.cq) AS BIGINT) AS dot
-       |   FROM qd qq JOIN cb c ON c.sub = qq.sub AND c.spos = qq.spos
-       |   WHERE qq.vec_id < $nQueries GROUP BY 1, 2, 3),
-       | cnorm AS (SELECT sub, code, CAST(sum(cq * cq) AS BIGINT) AS nrm FROM cb GROUP BY 1, 2),
-       | qnorm AS (SELECT vec_id AS query_id, CAST(sum(q * q) AS BIGINT) AS qn
-       |   FROM qd WHERE vec_id < $nQueries GROUP BY 1)""".stripMargin
+    duckPqCtes(m, k, iters, dims) + duckPqAsgBody(nQueries, "")
 
-  /** Shared serving CTEs: full-scan per-query ADC ranking ending at
-    * `ranked(query_id, neighbor_id, adc_cos, rank)`. */
-  private def duckPqServeCtes(m: Int, k: Int, iters: Int, dims: Int,
-      nQueries: Int): String =
-    s"""${duckPqAsgCtes(m, k, iters, dims, nQueries)},
-       | adc AS (SELECT d.query_id, a.vec_id AS neighbor_id,
+  /** Full-scan per-query ADC ranking ending at
+    * `ranked$sfx(query_id, neighbor_id, adc_cos, rank)`. */
+  private def duckPqRankBody(sfx: String): String =
+    s""", adc$sfx AS (SELECT d.query_id, a.vec_id AS neighbor_id,
        |   CAST(sum(d.dot) AS BIGINT) AS dot, CAST(sum(n.nrm) AS BIGINT) AS rnorm
-       |   FROM asgF a JOIN qdot d ON d.sub = a.sub AND d.code = a.code
-       |   JOIN cnorm n ON n.sub = a.sub AND n.code = a.code
+       |   FROM asgF$sfx a JOIN qdot$sfx d ON d.sub = a.sub AND d.code = a.code
+       |   JOIN cnorm$sfx n ON n.sub = a.sub AND n.code = a.code
        |   WHERE a.vec_id <> d.query_id GROUP BY 1, 2),
-       | sc AS (SELECT adc.query_id, adc.neighbor_id,
+       | sc$sfx AS (SELECT adc.query_id, adc.neighbor_id,
        |   round(CAST(adc.dot AS DOUBLE) /
        |     (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(adc.rnorm AS DOUBLE))), 6) AS adc_cos
-       |   FROM adc JOIN qnorm q USING (query_id)),
-       | ranked AS (SELECT query_id, neighbor_id, adc_cos, rank FROM (SELECT *,
+       |   FROM adc$sfx adc JOIN qnorm$sfx q USING (query_id)),
+       | ranked$sfx AS (SELECT query_id, neighbor_id, adc_cos, rank FROM (SELECT *,
        |   row_number() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id ASC) AS rank
-       |   FROM sc))""".stripMargin
+       |   FROM sc$sfx))""".stripMargin
+
+  private def duckPqServeCtes(m: Int, k: Int, iters: Int, dims: Int,
+      nQueries: Int): String =
+    duckPqAsgCtes(m, k, iters, dims, nQueries) + duckPqRankBody("")
 
   /** Coarse-centroid Lloyd replay over the SAME `e`/`ed0` relations (the
     * [[Similarity]] kmeans oracle pattern: rounded-cosine assign, ties to
@@ -418,6 +460,29 @@ object Pq {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_cos DESC, neighbor_id ASC) AS rank FROM scp)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
+    "sim_pq_m_curve" -> {
+      val chains = Seq(2, 4, 8, 16, 32).map { m =>
+        duckPqTrainBody(m, 8, 2, 64, s"_m$m") +
+          duckPqAsgBody(5, s"_m$m") + duckPqRankBody(s"_m$m")
+      }.mkString
+      val sels = Seq(2, 4, 8, 16, 32).map { m =>
+        s"""SELECT CAST($m AS INT) AS m,
+           | CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           | CAST((SELECT count(*) FROM truth t JOIN ranked_m$m p
+           |   ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+           |   WHERE p.rank <= 5) AS BIGINT) AS hits""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""${duckPqShared(8)}
+         |$chains,
+         | truth AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     row_number() OVER (PARTITION BY q.vec_id
+         |       ORDER BY round(${Similarity.duckCos("q.embedding", "c.embedding")}, 6) DESC, c.vec_id ASC) AS rank
+         |   FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rank <= 5)
+         |SELECT m, n_truth, hits,
+         |  round(CAST(hits AS DOUBLE) / n_truth, 6) AS recall
+         |FROM ($sels) ORDER BY m""".stripMargin.replace('\n', ' ')
+    },
     "sim_pq_recall" ->
       s"""${duckPqServeCtes(4, 8, 2, 64, 5)},
          | pq AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),

@@ -135,6 +135,27 @@ class PqSpec extends SparkTestBase {
     assert(rec.nonEmpty && rec.forall(r => r >= 0.0 && r <= 1.0))
   }
 
+  test("pq m-curve: recall@k is non-decreasing in the subspace count and each row replays from sim_knn_pq (r15)") {
+    val rows = Pq.pqMCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(2, 4, 8, 16, 32))
+    rows.foreach { case (_, nTruth, hits, recall) =>
+      assert(nTruth === 25L && hits <= nTruth)
+      assert(math.abs(recall - hits.toDouble / nTruth) < 1e-9)
+    }
+    // finer quantization can only help on this corpus (deterministic
+    // data + deterministic training — this is a data check, not a law)
+    rows.sliding(2).foreach { case Array((m1, _, _, r1), (m2, _, _, r2)) =>
+      assert(r2 >= r1, s"recall fell from m=$m1 ($r1) to m=$m2 ($r2)")
+    }
+    // each point is exactly the per-m knnPq hit count against brute truth
+    val truth = graft.operators.Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h8 = Pq.knnPq(spark, sf, m = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(truth)
+    assert(rows.find(_._1 == 8).get._3 === h8.toLong)
+  }
+
   test("ivf+pq: pruned serving scores agree with the full ADC scan on shared pairs; probes broadcast (r15)") {
     val pruned = Pq.knnIvfPq(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
