@@ -355,7 +355,28 @@ object Plans {
       "multimodal_batches" -> ("payload LENGTH evaluates in the scan " +
         "stage — the exchange and the per-kind window carry only (kind, " +
         "media_id, byte_len); the payload blob never shuffles; one " +
-        "window partition per modality"))
+        "window partition per modality"),
+      "text_quality_model" -> ("serving is ONE map-side scan: the fused " +
+        "TokenScore kernel (vocabulary + learned integer weights as plan " +
+        "reference objects) inside WholeStageCodegen — no join, no " +
+        "Generate, no hash exchange; only the presentation sort " +
+        "exchanges (the training pass runs separately: explode carries " +
+        "(label, tid) only, gopher label computed BELOW the Generate — " +
+        "hoisted above it the split/array ops re-run per token row, " +
+        "measured 13 s vs 0.9 s at 5 k docs)"),
+      "sim_knn_pq" -> ("ADC serving over the CODES relation: encode is " +
+        "one fused kernel projection (quant_longs -> pq_encode, both " +
+        "codegen'd, codebook as a reference object); per-query scores " +
+        "are pq_adc_parts lookups — no join, no raw-vector access above " +
+        "the encode; the ranking exchange carries (vec_id, query_id, " +
+        "adc_cos) longs/doubles only"),
+      "sim_knn_ivfpq" -> ("the production ANN stack: ONE corpus pass " +
+        "fuses coarse-cell assignment (broadcast centroid array, " +
+        "zero-exchange argmax) with PQ encode; the (queries x nProbe) " +
+        "probe relation BROADCASTS onto it — candidates come from " +
+        "probed cells, never a corpus shuffle; ADC scores via the " +
+        "query-indexed LUT kernel; no vectors or codes in the ranking " +
+        "exchange"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

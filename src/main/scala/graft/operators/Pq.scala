@@ -169,10 +169,7 @@ object Pq {
       struct(lit(qid).as("query_id"), lit(qnorm).as("qnorm"),
         PqCodec.pqAdcParts(col("codes"), dotLut, normLut).as("parts"))
     }
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy("query_id")
-      .orderBy(col("adc_cos").desc, col("vec_id").asc)
-    encoded(emb, model)
+    val scored = encoded(emb, model)
       // per-query struct array in its own projection BELOW the explode
       .select(col("vec_id"), array(perQuery.toIndexedSeq: _*).as("qs"))
       .select(col("vec_id"), explode(col("qs")).as("qe"))
@@ -182,8 +179,31 @@ object Pq {
           (sqrt(col("qe.qnorm").cast("double")) *
             sqrt(element_at(col("qe.parts"), 2).cast("double"))), 6)
           .as("adc_cos"))
-      .withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
+  }
+
+  /** Per-query top-k of a scored (query_id, vec_id, adc_cos) relation
+    * through the custom [[graft.plans.GroupTopK]] operator — bounded
+    * per-group heaps, the exchange carries ≤ k rows per query per input
+    * partition. The r15 first cut ranked with a row_number window
+    * partitioned by query_id: at 2 M vectors × 100 queries that is a
+    * 200 M-row sort funneled into 100 partitions — measured 233 s; the
+    * heap form never materializes the sort. The rank window that remains
+    * runs over the k·|queries|-row survivor relation. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import graft.plans.{GroupTopK, GroupTopKStrategy}
+    val spark = scored.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupTopKStrategy
+    // composite heap key: higher adc_cos wins, ties to the LOWER vec_id
+    // (larger -vec_id) — the oracle's ORDER BY adc_cos DESC, vec_id ASC
+    val top = GroupTopK.topK(scored, Seq(col("query_id")),
+      struct(col("adc_cos"), (-col("vec_id")).as("nv")), k)
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("adc_cos").desc, col("vec_id").asc)
+    top.withColumn("rank", row_number().over(win))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adc_cos"), col("rank"))
       .orderBy("query_id", "rank")
@@ -245,9 +265,7 @@ object Pq {
     val probes = probeRows.toSeq
       .map { case (q, c) => (q, qIdx(q), qnorms(qIdx(q)), c) }
       .toDF("query_id", "qidx", "qnorm", "cid")
-    val win = Window.partitionBy("query_id")
-      .orderBy(col("adc_cos").desc, col("vec_id").asc)
-    asgCodes.join(broadcast(probes), Seq("cid"))
+    val scored = asgCodes.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("qnorm"),
         PqCodec.pqAdcPartsAt(col("codes"), col("qidx"), dotLuts, normLut)
@@ -256,11 +274,8 @@ object Pq {
         round(element_at(col("parts"), 1).cast("double") /
           (sqrt(col("qnorm").cast("double")) *
             sqrt(element_at(col("parts"), 2).cast("double"))), 6))
-      .withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("adc_cos"), col("rank"))
-      .orderBy("query_id", "rank")
+      .select("query_id", "vec_id", "adc_cos")
+    rankTopK(scored, k)
   }
 
   /** Recall@k of the ADC ranking against exact brute-force cosine — the
