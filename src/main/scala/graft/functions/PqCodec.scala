@@ -109,6 +109,68 @@ object PqKernel {
     }
     new GenericArrayData(Array(dot, norm))
   }
+
+  /** Quantized residual `q − mq(cidx)` — the vector a RESIDUAL product
+    * quantizer encodes (IVFADC: the coarse cell explains the bulk of the
+    * vector, PQ only has to code the remainder). Pure integer subtract. */
+  def subCentroid(q: ArrayData, cidx: Int, mq: Array[Array[Long]]): ArrayData = {
+    val c = mq(cidx)
+    val n = q.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = q.getLong(i) - c(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Squared quantization error `Σ_s |q_s − cb(s)(code_s)|²` of one
+    * vector against its assigned codewords — exact integers, the loss
+    * the PQ trainer minimizes and the honest A/B metric for residual
+    * vs plain coding (recall on a synthetic corpus is noise-dominated;
+    * reconstruction error is not). */
+  def sqErr(q: ArrayData, codes: ArrayData, cb: Array[Array[Array[Long]]],
+      dsub: Int): Long = {
+    var sse = 0L
+    var s = 0
+    while (s < cb.length) {
+      val c = cb(s)(codes.getInt(s))
+      val base = s * dsub
+      var p = 0
+      while (p < dsub) {
+        val d = q.getLong(base + p) - c(p)
+        sse += d * d
+        p += 1
+      }
+      s += 1
+    }
+    sse
+  }
+
+  /** Residual-ADC parts `[Σ dotLut, Σ crossLut, Σ normLut]` for a
+    * candidate carrying its query index AND its coarse-cell index: with
+    * reconstruction `x̂ = mq(cell) + r̂`, the dot decomposes as
+    * `q·x̂ = q·mq + Σ_s dot(q_s, r̂_s)` and the squared norm as
+    * `|mq|² + 2·Σ_s mq_s·r̂_s + Σ_s |r̂_s|²` — the first terms ride the
+    * broadcast probe relation as per-(query,cell) scalars; this kernel
+    * folds the three per-subspace sums in one pass (three array loads
+    * per subspace). */
+  def adcPartsResAt(codes: ArrayData, qidx: Int, cidx: Int,
+      dotLuts: Array[Array[Array[Long]]], crossLuts: Array[Array[Array[Long]]],
+      normLut: Array[Array[Long]]): ArrayData = {
+    val dotLut = dotLuts(qidx)
+    val crossLut = crossLuts(cidx)
+    var dot = 0L
+    var cross = 0L
+    var norm = 0L
+    var s = 0
+    while (s < dotLut.length) {
+      val j = codes.getInt(s)
+      dot += dotLut(s)(j)
+      cross += crossLut(s)(j)
+      norm += normLut(s)(j)
+      s += 1
+    }
+    new GenericArrayData(Array(dot, cross, norm))
+  }
 }
 
 /** `quant_longs(vec)` → `array<bigint>` of `round(v · scale)` — the
@@ -234,6 +296,117 @@ case class PqAdcPartsAt(left: Expression, right: Expression,
       newRight: Expression): PqAdcPartsAt = copy(left = newLeft, right = newRight)
 }
 
+/** `pq_residual(qv, cidx)` → `array<bigint>` of `qv − mq(cidx)` against
+  * the constructor-bound per-cell quantized mean centroids — the input
+  * to residual PQ training/encoding. The centroid table rides the plan
+  * as a reference object (nCells × dims longs, the centroid pattern). */
+case class PqResidual(left: Expression, right: Expression, mq: Seq[Seq[Long]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(mq.nonEmpty, "pq_residual: empty centroid table")
+
+  @transient private lazy val mArr: Array[Array[Long]] = mq.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_residual needs (array<bigint>, int), got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_residual"
+
+  override protected def nullSafeEval(q: Any, cidx: Any): Any =
+    PqKernel.subCentroid(q.asInstanceOf[ArrayData], cidx.asInstanceOf[Int], mArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqMeanCentroids", mArr, "long[][]")
+    defineCodeGen(ctx, ev, (q, c) =>
+      s"graft.functions.PqKernel.subCentroid($q, $c, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqResidual = copy(left = newLeft, right = newRight)
+}
+
+/** `pq_sq_err(qv, codes)` → BIGINT squared quantization error of `qv`
+  * against the constructor-bound codebook at the row's assigned codes. */
+case class PqSqErr(left: Expression, right: Expression,
+    codebook: Seq[Seq[Seq[Long]]], dsub: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty),
+    "pq_sq_err: empty codebook")
+
+  @transient private lazy val cb: Array[Array[Array[Long]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_sq_err needs (array<bigint>, array<int>), got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_sq_err"
+
+  override protected def nullSafeEval(q: Any, codes: Any): Any =
+    PqKernel.sqErr(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      cb, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", cb, "long[][][]")
+    defineCodeGen(ctx, ev, (q, c) =>
+      s"graft.functions.PqKernel.sqErr($q, $c, $ref, $dsub)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqSqErr = copy(left = newLeft, right = newRight)
+}
+
+/** `pq_adc_parts_res_at(codes, qidx, cidx)` →
+  * `array<bigint> [res_dot, cross, res_norm]` against the
+  * constructor-bound query-batch dot tables, per-cell cross tables and
+  * codeword norm table — the residual-IVFADC serving kernel. */
+case class PqAdcPartsResAt(first: Expression, second: Expression,
+    third: Expression, dotLuts: Seq[Seq[Seq[Long]]],
+    crossLuts: Seq[Seq[Seq[Long]]], normLut: Seq[Seq[Long]])
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(dotLuts.nonEmpty && crossLuts.nonEmpty &&
+    dotLuts.forall(_.length == normLut.length) &&
+    crossLuts.forall(_.length == normLut.length),
+    "pq_adc_parts_res_at: LUT shape mismatch")
+
+  @transient private lazy val dArr: Array[Array[Array[Long]]] =
+    dotLuts.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val xArr: Array[Array[Array[Long]]] =
+    crossLuts.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val nArr: Array[Array[Long]] = normLut.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_parts_res_at needs (array<int>, int, int), got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_adc_parts_res_at"
+
+  override protected def nullSafeEval(codes: Any, qidx: Any, cidx: Any): Any =
+    PqKernel.adcPartsResAt(codes.asInstanceOf[ArrayData],
+      qidx.asInstanceOf[Int], cidx.asInstanceOf[Int], dArr, xArr, nArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refD = ctx.addReferenceObj("pqDotLuts", dArr, "long[][][]")
+    val refX = ctx.addReferenceObj("pqCrossLuts", xArr, "long[][][]")
+    val refN = ctx.addReferenceObj("pqNormLut", nArr, "long[][]")
+    defineCodeGen(ctx, ev, (c, q, cell) =>
+      s"graft.functions.PqKernel.adcPartsResAt($c, $q, $cell, $refD, $refX, $refN)")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqAdcPartsResAt =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object PqCodec {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -253,4 +426,20 @@ object PqCodec {
       normLut: Seq[Seq[Long]]): Column =
     ColumnBridge.column(PqAdcPartsAt(ColumnBridge.expression(codes),
       ColumnBridge.expression(qidx), dotLuts, normLut))
+
+  def pqSqErr(qv: Column, codes: Column, codebook: Seq[Seq[Seq[Long]]],
+      dsub: Int): Column =
+    ColumnBridge.column(PqSqErr(ColumnBridge.expression(qv),
+      ColumnBridge.expression(codes), codebook, dsub))
+
+  def pqResidual(qv: Column, cidx: Column, mq: Seq[Seq[Long]]): Column =
+    ColumnBridge.column(PqResidual(ColumnBridge.expression(qv),
+      ColumnBridge.expression(cidx), mq))
+
+  def pqAdcPartsResAt(codes: Column, qidx: Column, cidx: Column,
+      dotLuts: Seq[Seq[Seq[Long]]], crossLuts: Seq[Seq[Seq[Long]]],
+      normLut: Seq[Seq[Long]]): Column =
+    ColumnBridge.column(PqAdcPartsResAt(ColumnBridge.expression(codes),
+      ColumnBridge.expression(qidx), ColumnBridge.expression(cidx),
+      dotLuts, crossLuts, normLut))
 }

@@ -63,11 +63,18 @@ object Pq {
 
   /** Train the per-subspace codebooks. `emb` needs (vec_id, embedding). */
   def train(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
+      dims: Int = 64): PqModel =
+    trainOnQ(emb.select(col("vec_id"),
+      PqCodec.quantLongs(col("embedding"), Scale).as("qv")), m, k, iters, dims)
+
+  /** [[train]] over an already-quantized `(vec_id, qv: array<bigint>)`
+    * relation — the entry point for RESIDUAL training, where `qv` is the
+    * vector minus its coarse cell's mean centroid. */
+  def trainOnQ(qvIn: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
       dims: Int = 64): PqModel = {
     val dsub = dims / m
     require(m * dsub == dims, s"dims $dims not divisible by m $m")
-    val qv = emb.select(col("vec_id"),
-      PqCodec.quantLongs(col("embedding"), Scale).as("qv"))
+    val qv = qvIn
     // seeds: k lowest (md5(vec_id), vec_id) quantized vectors, sliced
     val seedRows = qv
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -278,6 +285,198 @@ object Pq {
     rankTopK(scored, k)
   }
 
+  /** RESIDUAL IVF-PQ (IVFADC proper, the FAISS `IndexIVFPQ` shape): PQ
+    * codes the residual `v − mean(cell)` instead of the raw vector, so
+    * the codebook's entire budget explains the within-cell variation the
+    * coarse quantizer left behind — at the same `(m, nCodes)` the
+    * quantization error drops (measured exactly by [[ivfPqResGain]]'s
+    * `sse` column; recall follows on real clustered data, though on the
+    * synthetic uniform test corpus it is noise-dominated — the gain row
+    * reports both). All integer: cell means are floor-div integer
+    * means of quantized members, residuals are integer subtracts, and
+    * serving decomposes exactly as
+    * `q·x̂ = q·mq + Σ_s dotLut` / `|x̂|² = |mq|² + 2·Σ_s cross + Σ_s |r̂_s|²`
+    * with the per-(query,cell) scalars riding the broadcast probe
+    * relation and the three per-subspace sums folded by ONE
+    * [[graft.functions.PqAdcPartsResAt]] kernel pass. Driver state stays
+    * bounded: nCells×dims mean-centroid longs + nCells×m×k cross tables
+    * + nQueries×m×k dot tables (the ANN centroid pattern). Candidates
+    * remain probe-pruned; raw vectors are touched only by the one fused
+    * assign+residual-encode corpus pass. */
+  /** Shared residual-coding prep: coarse cells, per-cell integer mean
+    * centroids (driver-collected, nCells × dims — bounded), the
+    * cid→index relation, and the PQ model trained on residuals. */
+  private final case class ResPrep(cents: DataFrame, cids: Array[Long],
+      cidIdx: Map[Long, Int], mq: Array[Array[Long]], mqSeq: Seq[Seq[Long]],
+      model: PqModel, asgIdx: DataFrame)
+
+  private def residualPrep(spark: SparkSession, emb: DataFrame,
+      nCentroids: Int, kmIters: Int, m: Int, nCodes: Int, iters: Int,
+      dims: Int): ResPrep = {
+    val cents = Similarity.kmeansCentroids(emb, nCentroids, kmIters)
+    val asgQ = Similarity.withNearestCid(emb, cents)
+      .select(col("vec_id"), col("cid"),
+        PqCodec.quantLongs(col("embedding"), Scale).as("qv"))
+    // per-cell integer mean centroids: (cid, pos) sums + member counts,
+    // driver-collected (nCells × dims rows — bounded); empty cells keep
+    // zeros (they contribute no candidates, so the values never serve)
+    val cids: Array[Long] = cents.select("cid").collect().map(_.getLong(0)).sorted
+    val cidIdx = cids.zipWithIndex.toMap
+    val mq = Array.fill(cids.length, dims)(0L)
+    asgQ.select(col("cid"), posexplode(col("qv")))
+      .groupBy("cid", "pos").agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .collect()
+      .foreach { r =>
+        // floor-div integer mean — FLOOR (not truncate-toward-zero) on
+        // negatives, matching the codeword re-center and the oracle
+        mq(cidIdx(r.getLong(0)))(r.getInt(1)) =
+          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+      }
+    val mqSeq: Seq[Seq[Long]] = mq.map(_.toSeq).toSeq
+    import spark.implicits._
+    val cidxDf = cids.zipWithIndex.map { case (c, i) => (c, i) }
+      .toSeq.toDF("cid", "cidx")
+    val asgIdx = asgQ.join(broadcast(cidxDf), Seq("cid"))
+    // train the PQ codebooks on RESIDUALS (fused subtract kernel below
+    // the training passes)
+    val model = trainOnQ(asgIdx.select(col("vec_id"),
+      PqCodec.pqResidual(col("qv"), col("cidx"), mqSeq).as("qv")),
+      m, nCodes, iters, dims)
+    ResPrep(cents, cids, cidIdx, mq, mqSeq, model, asgIdx)
+  }
+
+  def knnIvfPqRes(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, nCentroids: Int = 8, kmIters: Int = 2, nProbe: Int = 3,
+      m: Int = 4, nCodes: Int = 8, iters: Int = 2, dims: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dsub = dims / m
+    require(m * dsub == dims, s"dims $dims not divisible by m $m")
+    val prep = residualPrep(spark, emb, nCentroids, kmIters, m, nCodes, iters, dims)
+    val ResPrep(cents, cids, cidIdx, mq, mqSeq, model, asgIdx) = prep
+    import spark.implicits._
+    // one fused residual-encode corpus pass
+    val encodedRes = asgIdx.select(col("vec_id"), col("cid"), col("cidx"),
+      PqCodec.pqEncode(
+        PqCodec.pqResidual(col("qv"), col("cidx"), mqSeq),
+        model.codebook, dsub).as("codes"))
+    // query-batch tables (driver, bounded)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), PqCodec.quantLongs(col("embedding"), Scale).as("qq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val qIdx = queries.map(_._1).zipWithIndex.toMap
+    val qnorms = queries.map { case (_, qq) => qq.map(x => x * x).sum }
+    val normLut: Seq[Seq[Long]] = model.codebook.map(_.map(c => c.map(x => x * x).sum))
+    val dotLuts: Seq[Seq[Seq[Long]]] = queries.toIndexedSeq.map { case (_, qq) =>
+      (0 until m).map { s =>
+        model.codebook(s).map { c =>
+          var d = 0L; var p = 0
+          while (p < dsub) { d += qq(s * dsub + p) * c(p); p += 1 }
+          d
+        }
+      }
+    }
+    val crossLuts: Seq[Seq[Seq[Long]]] = cids.indices.map { ci =>
+      (0 until m).map { s =>
+        model.codebook(s).map { c =>
+          var d = 0L; var p = 0
+          while (p < dsub) { d += mq(ci)(s * dsub + p) * c(p); p += 1 }
+          d
+        }
+      }
+    }
+    val cdot: Array[Array[Long]] = queries.map { case (_, qq) =>
+      cids.indices.map { ci =>
+        var d = 0L; var p = 0
+        while (p < dims) { d += qq(p) * mq(ci)(p); p += 1 }
+        d
+      }.toArray
+    }
+    val cnormc: Array[Long] = cids.indices.map { ci =>
+      mq(ci).map(x => x * x).sum
+    }.toArray
+    // probe set: same rounded-cosine ranking as [[knnIvfPq]]
+    import org.apache.spark.sql.expressions.Window
+    val probeRows = emb.filter(col("vec_id") < nQueries)
+      .join(broadcast(cents))
+      .withColumn("cos_c", round(Similarity.cosine(col("embedding"), col("c_emb")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("cos_c"), asc("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val probes = probeRows.toSeq
+      .map { case (q, c) =>
+        val qi = qIdx(q); val ci = cidIdx(c)
+        (q, qi, qnorms(qi), c, cdot(qi)(ci), cnormc(ci))
+      }
+      .toDF("query_id", "qidx", "qnorm", "cid", "cdot", "cnorm_c")
+    val scored = encodedRes.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qnorm"), col("cdot"),
+        col("cnorm_c"),
+        PqCodec.pqAdcPartsResAt(col("codes"), col("qidx"), col("cidx"),
+          dotLuts, crossLuts, normLut).as("parts"))
+      .withColumn("dot_t", col("cdot") + element_at(col("parts"), 1))
+      .withColumn("norm_t", col("cnorm_c") +
+        lit(2L) * element_at(col("parts"), 2) + element_at(col("parts"), 3))
+      .withColumn("adc_cos",
+        round(col("dot_t").cast("double") /
+          (sqrt(col("qnorm").cast("double")) *
+            sqrt(col("norm_t").cast("double"))), 6))
+      .select("query_id", "vec_id", "adc_cos")
+    rankTopK(scored, k)
+  }
+
+  /** The residual-coding payoff, measured two ways at IDENTICAL budgets
+    * (same coarse cells, same probe count, same m × nCodes codebook):
+    * `sse` — the corpus-total squared quantization error (exact
+    * integers), which residual coding directly minimizes and reliably
+    * reduces; and `recall`@k vs exact brute truth, which converts from
+    * the sse drop on real clustered data but is noise-dominated on this
+    * synthetic uniform corpus (documented, not hidden: the registry row
+    * shows both so the read is honest). */
+  def ivfPqResGain(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, nCentroids: Int = 8, kmIters: Int = 2, nProbe: Int = 3,
+      m: Int = 4, nCodes: Int = 8, iters: Int = 2, dims: Int = 64): DataFrame = {
+    val dsub = dims / m
+    val emb = Tables.embeddings(spark, dir)
+    val truth = Similarity.knnBrute(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+    def gainRow(name: String, approx: DataFrame, sse: DataFrame): DataFrame = {
+      val hits = truth.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      truth.agg(count(lit(1)).as("n_truth")).crossJoin(hits).crossJoin(sse)
+        .select(lit(name).as("variant"), col("n_truth"), col("hits"),
+          round(col("hits").cast("double") / col("n_truth"), 6).as("recall"),
+          col("sse"))
+    }
+    // plain: the raw-vector codebook's corpus SSE (one fused pass)
+    val plainModel = train(emb, m, nCodes, iters, dims)
+    val plainSse = emb
+      .select(PqCodec.quantLongs(col("embedding"), Scale).as("qv"))
+      .select(col("qv"),
+        PqCodec.pqEncode(col("qv"), plainModel.codebook, dsub).as("codes"))
+      .agg(sum(PqCodec.pqSqErr(col("qv"), col("codes"), plainModel.codebook,
+        dsub)).as("sse"))
+    // residual: SSE of the residual codebook over the residual relation
+    val prep = residualPrep(spark, emb, nCentroids, kmIters, m, nCodes,
+      iters, dims)
+    val resSse = prep.asgIdx
+      .select(PqCodec.pqResidual(col("qv"), col("cidx"), prep.mqSeq).as("rq"))
+      .select(col("rq"),
+        PqCodec.pqEncode(col("rq"), prep.model.codebook, dsub).as("codes"))
+      .agg(sum(PqCodec.pqSqErr(col("rq"), col("codes"), prep.model.codebook,
+        dsub)).as("sse"))
+    gainRow("ivfpq", knnIvfPq(spark, dir, nQueries, k, nCentroids, kmIters,
+        nProbe, m, nCodes, iters), plainSse)
+      .unionByName(gainRow("ivfpq_res", knnIvfPqRes(spark, dir, nQueries, k,
+        nCentroids, kmIters, nProbe, m, nCodes, iters), resSse))
+      .orderBy("variant")
+  }
+
   /** Recall@k of the ADC ranking against exact brute-force cosine — the
     * compression-quality eval read before trusting 64× smaller vectors. */
   def pqRecall(spark: SparkSession, dir: String, nQueries: Int = 5,
@@ -326,6 +525,8 @@ object Pq {
     "sim_pq_codebook" -> ((s: SparkSession, d: String) => codebook(s, d)),
     "sim_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
     "sim_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
+    "sim_knn_ivfpq_res" -> ((s: SparkSession, d: String) => knnIvfPqRes(s, d)),
+    "sim_ivfpq_res_gain" -> ((s: SparkSession, d: String) => ivfPqResGain(s, d)),
     "sim_pq_recall" -> ((s: SparkSession, d: String) => pqRecall(s, d)),
     "sim_pq_m_curve" -> ((s: SparkSession, d: String) => pqMCurve(s, d)))
 
@@ -343,24 +544,30 @@ object Pq {
        | ed0 AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding FROM e),
        | sd AS (SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)""".stripMargin
 
-  private def duckPqTrainBody(m: Int, k: Int, iters: Int, dims: Int,
-      sfx: String): String = {
+  /** Raw quantized sub-split relation `qd$sfx(vec_id, sub, spos, q)`. */
+  private def duckQdBody(m: Int, dims: Int, sfx: String): String = {
     val dsub = dims / m
+    s", qd$sfx AS (SELECT vec_id, CAST((i - 1) // $dsub AS INT) AS sub, " +
+      s"CAST((i - 1) % $dsub AS INT) AS spos, " +
+      s"CAST(round(embedding[i]::DOUBLE * $Scale) AS BIGINT) AS q FROM ed0)"
+  }
+
+  /** The Lloyd training chain over an EXISTING sub-split relation
+    * `$qdRel(vec_id, sub, spos, q)` (raw or residual), ending at
+    * `cb$sfx(sub, code, spos, cq)`. Seeds come from the shared `sd`. */
+  private def duckPqChainBody(iters: Int, sfx: String, qdRel: String): String = {
     val sb = new StringBuilder
-    sb ++= s", qd$sfx AS (SELECT vec_id, CAST((i - 1) // $dsub AS INT) AS sub, "
-    sb ++= s"CAST((i - 1) % $dsub AS INT) AS spos, "
-    sb ++= s"CAST(round(embedding[i]::DOUBLE * $Scale) AS BIGINT) AS q FROM ed0), "
-    sb ++= s"cb${sfx}0 AS (SELECT qd.sub, qd.vec_id AS code, qd.spos, qd.q AS cq FROM qd$sfx qd JOIN sd ON sd.vec_id = qd.vec_id)"
+    sb ++= s", cb${sfx}0 AS (SELECT qd.sub, qd.vec_id AS code, qd.spos, qd.q AS cq FROM $qdRel qd JOIN sd ON sd.vec_id = qd.vec_id)"
     for (t <- 0 until iters) {
       sb ++= s", dist$sfx$t AS (SELECT qd.vec_id, qd.sub, c.code, "
       sb ++= "sum((qd.q - c.cq) * (qd.q - c.cq)) AS d "
-      sb ++= s"FROM qd$sfx qd JOIN cb$sfx$t c ON c.sub = qd.sub AND c.spos = qd.spos GROUP BY 1, 2, 3)"
+      sb ++= s"FROM $qdRel qd JOIN cb$sfx$t c ON c.sub = qd.sub AND c.spos = qd.spos GROUP BY 1, 2, 3)"
       sb ++= s", asg$sfx$t AS (SELECT vec_id, sub, code FROM (SELECT *, "
       sb ++= "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn "
       sb ++= s"FROM dist$sfx$t) WHERE rn = 1)"
       sb ++= s", sm$sfx$t AS (SELECT a.sub, a.code, qd.spos, "
       sb ++= "CAST(sum(qd.q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n "
-      sb ++= s"FROM asg$sfx$t a JOIN qd$sfx qd ON qd.vec_id = a.vec_id AND qd.sub = a.sub GROUP BY 1, 2, 3)"
+      sb ++= s"FROM asg$sfx$t a JOIN $qdRel qd ON qd.vec_id = a.vec_id AND qd.sub = a.sub GROUP BY 1, 2, 3)"
       sb ++= s", cb$sfx${t + 1} AS (SELECT c.sub, c.code, c.spos, "
       sb ++= "CAST(coalesce(CAST(floor(CAST(n.s AS DOUBLE) / n.n) AS BIGINT), c.cq) AS BIGINT) AS cq "
       sb ++= s"FROM cb$sfx$t c LEFT JOIN sm$sfx$t n ON n.sub = c.sub AND n.code = c.code AND n.spos = c.spos)"
@@ -368,6 +575,10 @@ object Pq {
     sb ++= s", cb$sfx AS (SELECT sub, code, spos, cq FROM cb$sfx$iters)"
     sb.toString
   }
+
+  private def duckPqTrainBody(m: Int, k: Int, iters: Int, dims: Int,
+      sfx: String): String =
+    duckQdBody(m, dims, sfx) + duckPqChainBody(iters, sfx, s"qd$sfx")
 
   private def duckPqCtes(m: Int, k: Int, iters: Int, dims: Int): String = {
     // single-m form: shared prelude + unsuffixed body, aliased to the
@@ -440,6 +651,78 @@ object Pq {
     sb.toString
   }
 
+  /** Full-corpus coarse assignment + per-query probe set over `kc` —
+    * `kasgF(vec_id, cid)` and `probes(query_id, cid)` (the [[knnIvfPq]]
+    * probe contract: rounded-cosine ranking, ties to the lowest cid). */
+  private def duckKasgProbes(nQueries: Int, nProbe: Int): String =
+    s""", kasgF AS (SELECT vec_id, cid FROM (
+       |   SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY round(${Similarity.duckCos("e.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
+       |   FROM e, kc c) WHERE rn = 1),
+       | probes AS (SELECT query_id, cid FROM (
+       |   SELECT q.vec_id AS query_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY round(${Similarity.duckCos("q.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
+       |   FROM e q, kc c WHERE q.vec_id < $nQueries) WHERE rn <= $nProbe)""".stripMargin
+
+  /** RESIDUAL IVF-PQ replay: integer mean centroids of the full coarse
+    * assignment, residual sub-split relation, the PQ train chain over it
+    * (`cb_r`), full residual assignment, the raw-query × residual-codeword
+    * dot tables, the per-cell cross/norm terms, and the probe-pruned ADC
+    * ranking — ending at `rankedR(query_id, neighbor_id, adc_cos, rank)`.
+    * Assumes `e/ed0/sd`, `qd` (raw sub-split), `kc`, `kasgF`, `probes`. */
+  private def duckResServeBody(m: Int, iters: Int, dims: Int,
+      nQueries: Int): String = {
+    val dsub = dims / m
+    s""", qall AS (SELECT vec_id, i - 1 AS pos,
+       |   CAST(round(embedding[i]::DOUBLE * $Scale) AS BIGINT) AS q FROM ed0),
+       | mq AS (SELECT a.cid, qa.pos,
+       |   CAST(floor(CAST(sum(qa.q) AS DOUBLE) / count(*)) AS BIGINT) AS mqv
+       |   FROM kasgF a JOIN qall qa ON qa.vec_id = a.vec_id GROUP BY 1, 2),
+       | qdr AS (SELECT qa.vec_id, CAST(qa.pos // $dsub AS INT) AS sub,
+       |   CAST(qa.pos % $dsub AS INT) AS spos, qa.q - mq.mqv AS q
+       |   FROM qall qa JOIN kasgF a ON a.vec_id = qa.vec_id
+       |   JOIN mq ON mq.cid = a.cid AND mq.pos = qa.pos)""".stripMargin +
+      duckPqChainBody(iters, "_r", "qdr") +
+      s""", distFr AS (SELECT qd.vec_id, qd.sub, c.code,
+         |   sum((qd.q - c.cq) * (qd.q - c.cq)) AS d
+         |   FROM qdr qd JOIN cb_r c ON c.sub = qd.sub AND c.spos = qd.spos GROUP BY 1, 2, 3),
+         | asgFr AS (SELECT vec_id, sub, code FROM (SELECT *,
+         |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+         |   FROM distFr) WHERE rn = 1),
+         | qdotr AS (SELECT qq.vec_id AS query_id, c.sub, c.code,
+         |   CAST(sum(qq.q * c.cq) AS BIGINT) AS dot
+         |   FROM qd qq JOIN cb_r c ON c.sub = qq.sub AND c.spos = qq.spos
+         |   WHERE qq.vec_id < $nQueries GROUP BY 1, 2, 3),
+         | cnormr AS (SELECT sub, code, CAST(sum(cq * cq) AS BIGINT) AS nrm FROM cb_r GROUP BY 1, 2),
+         | qnormr AS (SELECT vec_id AS query_id, CAST(sum(q * q) AS BIGINT) AS qn
+         |   FROM qall WHERE vec_id < $nQueries GROUP BY 1),
+         | mqs AS (SELECT cid, CAST(pos // $dsub AS INT) AS sub,
+         |   CAST(pos % $dsub AS INT) AS spos, mqv FROM mq),
+         | ccross AS (SELECT mm.cid, c.sub, c.code, CAST(sum(mm.mqv * c.cq) AS BIGINT) AS cr
+         |   FROM mqs mm JOIN cb_r c ON c.sub = mm.sub AND c.spos = mm.spos GROUP BY 1, 2, 3),
+         | cdotq AS (SELECT qa.vec_id AS query_id, mq.cid, CAST(sum(qa.q * mq.mqv) AS BIGINT) AS cd
+         |   FROM qall qa JOIN mq ON mq.pos = qa.pos WHERE qa.vec_id < $nQueries GROUP BY 1, 2),
+         | cnormc AS (SELECT cid, CAST(sum(mqv * mqv) AS BIGINT) AS cn FROM mq GROUP BY 1),
+         | adcr AS (SELECT p.query_id, ka.vec_id AS neighbor_id,
+         |   cd.cd + CAST(sum(d.dot) AS BIGINT) AS dot,
+         |   cn.cn + 2 * CAST(sum(x.cr) AS BIGINT) + CAST(sum(nr.nrm) AS BIGINT) AS rnorm
+         |   FROM probes p JOIN kasgF ka ON ka.cid = p.cid
+         |   JOIN asgFr a ON a.vec_id = ka.vec_id
+         |   JOIN qdotr d ON d.query_id = p.query_id AND d.sub = a.sub AND d.code = a.code
+         |   JOIN ccross x ON x.cid = p.cid AND x.sub = a.sub AND x.code = a.code
+         |   JOIN cnormr nr ON nr.sub = a.sub AND nr.code = a.code
+         |   JOIN cdotq cd ON cd.query_id = p.query_id AND cd.cid = p.cid
+         |   JOIN cnormc cn ON cn.cid = p.cid
+         |   WHERE ka.vec_id <> p.query_id GROUP BY 1, 2, cd.cd, cn.cn),
+         | scr AS (SELECT adcr.query_id, adcr.neighbor_id,
+         |   round(CAST(adcr.dot AS DOUBLE) /
+         |     (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(adcr.rnorm AS DOUBLE))), 6) AS adc_cos
+         |   FROM adcr JOIN qnormr q USING (query_id)),
+         | rankedR AS (SELECT query_id, neighbor_id, adc_cos, rank FROM (SELECT *,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id ASC) AS rank
+         |   FROM scr))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_pq_codebook" ->
       s"""${duckPqCtes(4, 8, 2, 64)}
@@ -451,15 +734,8 @@ object Pq {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
     "sim_knn_ivfpq" ->
       s"""${duckPqAsgCtes(4, 8, 2, 64, 5)}
-         |${duckCoarseKmeansCtes(8, 2)},
-         | kasgF AS (SELECT vec_id, cid FROM (
-         |   SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-         |     ORDER BY round(${Similarity.duckCos("e.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
-         |   FROM e, kc c) WHERE rn = 1),
-         | probes AS (SELECT query_id, cid FROM (
-         |   SELECT q.vec_id AS query_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
-         |     ORDER BY round(${Similarity.duckCos("q.embedding", "c.c_emb")}, 6) DESC, c.cid ASC) AS rn
-         |   FROM e q, kc c WHERE q.vec_id < 5) WHERE rn <= 3),
+         |${duckCoarseKmeansCtes(8, 2)}
+         |${duckKasgProbes(5, 3)},
          | adcp AS (SELECT p.query_id, ka.vec_id AS neighbor_id,
          |   CAST(sum(d.dot) AS BIGINT) AS dot, CAST(sum(n.nrm) AS BIGINT) AS rnorm
          |   FROM probes p JOIN kasgF ka ON ka.cid = p.cid
@@ -475,6 +751,63 @@ object Pq {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_cos DESC, neighbor_id ASC) AS rank FROM scp)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
+    "sim_knn_ivfpq_res" ->
+      s"""${duckPqShared(8)}
+         |${duckQdBody(4, 64, "")}
+         |${duckCoarseKmeansCtes(8, 2)}
+         |${duckKasgProbes(5, 3)}
+         |${duckResServeBody(4, 2, 64, 5)}
+         |SELECT query_id, neighbor_id, adc_cos, CAST(rank AS INT) AS rank
+         |FROM rankedR WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
+    "sim_ivfpq_res_gain" ->
+      s"""${duckPqShared(8)}
+         |${duckQdBody(4, 64, "")}
+         |${duckPqChainBody(2, "", "qd")}
+         |${duckPqAsgBody(5, "")}
+         |${duckCoarseKmeansCtes(8, 2)}
+         |${duckKasgProbes(5, 3)},
+         | adcp AS (SELECT p.query_id, ka.vec_id AS neighbor_id,
+         |   CAST(sum(d.dot) AS BIGINT) AS dot, CAST(sum(n.nrm) AS BIGINT) AS rnorm
+         |   FROM probes p JOIN kasgF ka ON ka.cid = p.cid
+         |   JOIN asgF a ON a.vec_id = ka.vec_id
+         |   JOIN qdot d ON d.query_id = p.query_id AND d.sub = a.sub AND d.code = a.code
+         |   JOIN cnorm n ON n.sub = a.sub AND n.code = a.code
+         |   WHERE ka.vec_id <> p.query_id GROUP BY 1, 2),
+         | scp AS (SELECT adcp.query_id, adcp.neighbor_id,
+         |   round(CAST(adcp.dot AS DOUBLE) /
+         |     (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(adcp.rnorm AS DOUBLE))), 6) AS adc_cos
+         |   FROM adcp JOIN qnorm q USING (query_id)),
+         | rankedP AS (SELECT query_id, neighbor_id, adc_cos, rank FROM (SELECT *,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id ASC) AS rank
+         |   FROM scp))
+         |${duckResServeBody(4, 2, 64, 5)},
+         | sseP AS (SELECT CAST(sum((qd.q - c.cq) * (qd.q - c.cq)) AS BIGINT) AS sse
+         |   FROM qd JOIN asgF a ON a.vec_id = qd.vec_id AND a.sub = qd.sub
+         |   JOIN cb c ON c.sub = a.sub AND c.code = a.code AND c.spos = qd.spos),
+         | sseR AS (SELECT CAST(sum((qd.q - c.cq) * (qd.q - c.cq)) AS BIGINT) AS sse
+         |   FROM qdr qd JOIN asgFr a ON a.vec_id = qd.vec_id AND a.sub = qd.sub
+         |   JOIN cb_r c ON c.sub = a.sub AND c.code = a.code AND c.spos = qd.spos),
+         | truth AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     row_number() OVER (PARTITION BY q.vec_id
+         |       ORDER BY round(${Similarity.duckCos("q.embedding", "c.embedding")}, 6) DESC, c.vec_id ASC) AS rank
+         |   FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rank <= 5)
+         |SELECT variant, n_truth, hits,
+         |  round(CAST(hits AS DOUBLE) / n_truth, 6) AS recall, sse FROM (
+         |  SELECT 'ivfpq' AS variant,
+         |    CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         |    CAST((SELECT count(*) FROM truth t JOIN rankedP p
+         |      ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+         |      WHERE p.rank <= 5) AS BIGINT) AS hits,
+         |    (SELECT sse FROM sseP) AS sse
+         |  UNION ALL
+         |  SELECT 'ivfpq_res',
+         |    CAST((SELECT count(*) FROM truth) AS BIGINT),
+         |    CAST((SELECT count(*) FROM truth t JOIN rankedR p
+         |      ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+         |      WHERE p.rank <= 5) AS BIGINT),
+         |    (SELECT sse FROM sseR)
+         |) ORDER BY variant""".stripMargin.replace('\n', ' '),
     "sim_pq_m_curve" -> {
       val chains = Seq(2, 4, 8, 16, 32).map { m =>
         duckPqTrainBody(m, 8, 2, 64, s"_m$m") +

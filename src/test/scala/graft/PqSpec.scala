@@ -184,4 +184,75 @@ class PqSpec extends SparkTestBase {
         assert(a.name != "embedding" && a.name != "qv" && a.name != "codes",
           s"raw/quantized vectors ('${a.name}') crossed the ranking exchange")))
   }
+
+  test("residual ivf+pq: served scores equal a driver-side reconstruction replay; sse measures the residual gain (r15)") {
+    val emb = Tables.embeddings(spark, sf)
+    // driver-side replay of the residual pipeline: coarse assignment
+    // (taken from the same deterministic kmeans the operator uses),
+    // integer mean centroids, residual vectors, PQ retrain on them
+    val cents = graft.operators.Similarity.kmeansCentroids(emb, 8, 2)
+    val asg = graft.operators.Similarity.withNearestCid(emb, cents)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCid = vecs.groupBy { case (id, _) => asg(id) }
+    val mq: Map[Long, Array[Long]] = byCid.map { case (cid, vs) =>
+      val s = Array.fill(Dims)(0L)
+      vs.foreach { case (_, q) => for (p <- 0 until Dims) s(p) += q(p) }
+      cid -> s.map(x => math.floor(x.toDouble / vs.size).toLong)
+    }
+    val resVecs = vecs.map { case (id, q) =>
+      val c = mq(asg(id)); (id, Array.tabulate(Dims)(p => q(p) - c(p)))
+    }
+    val (_, cbR) = replayTrain(resVecs)
+    def assign(q: Array[Long], s: Int): Int = {
+      var bestJ = 0; var bestD = Long.MaxValue
+      for (j <- 0 until K) {
+        var d = 0L
+        for (p <- 0 until Dsub) {
+          val diff = q(s * Dsub + p) - cbR(s)(j)(p); d += diff * diff
+        }
+        if (d < bestD) { bestD = d; bestJ = j }
+      }
+      bestJ
+    }
+    // reconstruction x̂ = mean centroid + residual codewords
+    val recon: Map[Long, Array[Long]] = resVecs.map { case (id, rq) =>
+      val x = mq(asg(id)).clone()
+      for (s <- 0 until M) {
+        val c = cbR(s)(assign(rq, s))
+        for (p <- 0 until Dsub) x(s * Dsub + p) += c(p)
+      }
+      id -> x
+    }.toMap
+    val qmap = vecs.toMap
+    val served = Pq.knnIvfPqRes(spark, sf).collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      val (qid, nid, got) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val qq = qmap(qid); val x = recon(nid)
+      var dot = 0L; var xn = 0L; var qn = 0L
+      for (p <- 0 until Dims) {
+        dot += qq(p) * x(p); xn += x(p) * x(p); qn += qq(p) * qq(p)
+      }
+      val want = BigDecimal(dot.toDouble /
+          (math.sqrt(qn.toDouble) * math.sqrt(xn.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got === want, s"residual ADC score diverged for ($qid, $nid)")
+    }
+    // the gain row's sse is exactly the replay's residual training loss,
+    // and residual coding cuts it vs the plain codebook on this corpus
+    val gain = Pq.ivfPqResGain(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val wantResSse = resVecs.map { case (_, rq) =>
+      var e = 0L
+      for (s <- 0 until M) {
+        val c = cbR(s)(assign(rq, s))
+        for (p <- 0 until Dsub) { val d = rq(s * Dsub + p) - c(p); e += d * d }
+      }
+      e
+    }.sum
+    assert(gain("ivfpq_res") === wantResSse, "sse diverged from the replay")
+    assert(gain("ivfpq_res") < gain("ivfpq"),
+      "residual coding should cut quantization error on this corpus")
+  }
 }
