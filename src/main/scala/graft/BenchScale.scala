@@ -456,11 +456,26 @@ object BenchScale {
         graft.operators.Pq.knnPqOver(
           graft.Tables.embeddings(spark, famDir), pqModel, nQueries = 100, k = 5)
       }
+      // the row_number twin on the SAME model/data — the heap-vs-window
+      // A/B at the few-groups/huge-group shape (skew-A/B convention:
+      // both directions recorded, same run)
+      bench("scale_sim_knn_pq_window") {
+        graft.operators.Pq.knnPqOver(
+          graft.Tables.embeddings(spark, famDir), pqModel, nQueries = 100,
+          k = 5, windowRank = true)
+      }
     }
     // the composed production stack: coarse cells prune candidates, PQ
     // ADC scores the survivors (includes its own coarse kmeans + train)
     bench("scale_sim_knn_ivfpq") {
       graft.operators.Pq.knnIvfPq(spark, famDir, nQueries = 100, k = 5,
+        nCentroids = 64, kmIters = 2, nProbe = 8, m = 4, nCodes = 256,
+        iters = 2)
+    }
+    // residual coding at the same budget (r15): the IVFADC-proper shape —
+    // mean-centroid subtract + residual codebooks, same probe pruning
+    bench("scale_sim_knn_ivfpq_res") {
+      graft.operators.Pq.knnIvfPqRes(spark, famDir, nQueries = 100, k = 5,
         nCentroids = 64, kmIters = 2, nProbe = 8, m = 4, nCodes = 256,
         iters = 2)
     }
@@ -475,6 +490,14 @@ object BenchScale {
     }
     bench("scale_text_gopher_quality") { graft.operators.TextOps.gopherQuality(spark, famDir) }
     bench("scale_text_tfidf_topk") { graft.operators.TextOps.tfidfTopK(spark, famDir) }
+    // r15: BM25 retrieval (broadcast 8-term query onto the tf relation)
+    // and the bigram-LM NLL screen (vocab²-bounded count join) at 5M docs
+    bench("scale_text_bm25_topk") { graft.operators.TextOps.bm25TopK(spark, famDir) }
+    bench("scale_text_lm_nll") { graft.operators.TextOps.lmNll(spark, famDir) }
+    // r15: the PCA top-direction fold at 2M vectors (one Gram pass +
+    // driver power iteration — the gram row's promised consumer)
+    bench("scale_sim_pca_power") { graft.operators.Similarity.pcaPower(spark, famDir) }
+    bench("scale_sim_pca_project") { graft.operators.Similarity.pcaProject(spark, famDir) }
     bench("scale_text_pmi_topk") { graft.operators.TextOps.pmiTopK(spark, famDir) }
     bench("scale_text_bow_dedup") { graft.operators.TextOps.bowDedup(spark, famDir) }
     bench("scale_text_len_pctiles") { graft.operators.TextOps.lenPctiles(spark, famDir) }

@@ -366,10 +366,10 @@ object Plans {
         "measured 13 s vs 0.9 s at 5 k docs)"),
       "sim_knn_pq" -> ("ADC serving over the CODES relation: encode is " +
         "one fused kernel projection (quant_longs -> pq_encode, both " +
-        "codegen'd, codebook as a reference object); per-query scores " +
-        "are pq_adc_parts lookups — no join, no raw-vector access above " +
-        "the encode; the ranking exchange carries (vec_id, query_id, " +
-        "adc_cos) longs/doubles only"),
+        "codegen'd, codebook as a reference object); the whole query " +
+        "batch scores in one pq_adc_cos_batch call per candidate — no " +
+        "join, no raw-vector access above the encode; the ranking " +
+        "exchange carries (vec_id, query_id, adc_cos) longs/doubles only"),
       "sim_knn_ivfpq" -> ("the production ANN stack: ONE corpus pass " +
         "fuses coarse-cell assignment (broadcast centroid array, " +
         "zero-exchange argmax) with PQ encode; the (queries x nProbe) " +

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   * the DuckDB oracle with no float-summation-order caveats at all —
   * stronger than the rounded-cosine parity the float paths rely on.
   *
-  * All three expressions inline static kernels via `doGenCode` (the
+  * All the expressions here inline static kernels via `doGenCode` (the
   * VecCodec pattern): no interpreted higher-order functions in encode or
   * serve, which are the corpus-sized passes.
   */
@@ -91,23 +91,33 @@ object PqKernel {
     new GenericArrayData(Array(dot, norm))
   }
 
-  /** ADC parts for ONE query: `[Σ_s dotLut(s)(code_s), Σ_s normLut(s)
-    * (code_s)]` — the asymmetric-distance numerator (integer dot of the
-    * quantized query with the reconstruction) and the reconstruction's
-    * squared norm. Two array loads per subspace; no vector math at
-    * serve time. */
-  def adcParts(codes: ArrayData, dotLut: Array[Array[Long]],
-      normLut: Array[Array[Long]]): ArrayData = {
-    var dot = 0L
-    var norm = 0L
+  /** Whole-query-batch ADC cosines for one candidate: element `q` is
+    * `dot_q / (sqrt(qnorm_q) · sqrt(rnorm))` with `dot_q` the integer
+    * ADC dot against query q's lookup table and `rnorm` the (shared)
+    * reconstruction norm — computed ONCE per candidate. One kernel call
+    * and one primitive double[] per candidate row replaces |queries|
+    * struct + parts-array allocations in the full-scan serve (the
+    * explode-per-query shape measured allocation-bound at 2M × 100).
+    * Rounding to 6 places happens in the COLUMN after the explode, so
+    * the score values are bit-identical to the per-query parts path. */
+  def adcCosBatch(codes: ArrayData, dotLuts: Array[Array[Array[Long]]],
+      normLut: Array[Array[Long]], qnorms: Array[Long]): ArrayData = {
+    val m = normLut.length
+    var rnorm = 0L
     var s = 0
-    while (s < dotLut.length) {
-      val j = codes.getInt(s)
-      dot += dotLut(s)(j)
-      norm += normLut(s)(j)
-      s += 1
+    while (s < m) { rnorm += normLut(s)(codes.getInt(s)); s += 1 }
+    val rn = math.sqrt(rnorm.toDouble)
+    val out = new Array[Double](dotLuts.length)
+    var q = 0
+    while (q < dotLuts.length) {
+      val dl = dotLuts(q)
+      var dot = 0L
+      s = 0
+      while (s < m) { dot += dl(s)(codes.getInt(s)); s += 1 }
+      out(q) = dot.toDouble / (math.sqrt(qnorms(q).toDouble) * rn)
+      q += 1
     }
-    new GenericArrayData(Array(dot, norm))
+    new GenericArrayData(out)
   }
 
   /** Quantized residual `q − mq(cidx)` — the vector a RESIDUAL product
@@ -228,37 +238,6 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Long]]], dsub: Int)
     copy(child = newChild)
 }
 
-/** `pq_adc_parts(codes)` → `array<bigint> [adc_dot, recon_norm]` for the
-  * constructor-bound single-query lookup tables. */
-case class PqAdcParts(child: Expression, dotLut: Seq[Seq[Long]],
-    normLut: Seq[Seq[Long]]) extends UnaryExpression {
-  require(dotLut.length == normLut.length, "pq_adc_parts: LUT shape mismatch")
-
-  @transient private lazy val dArr: Array[Array[Long]] = dotLut.map(_.toArray).toArray
-  @transient private lazy val nArr: Array[Array[Long]] = normLut.map(_.toArray).toArray
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"pq_adc_parts needs array<int> (pq_encode output), got $other")
-  }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "pq_adc_parts"
-
-  override protected def nullSafeEval(input: Any): Any =
-    PqKernel.adcParts(input.asInstanceOf[ArrayData], dArr, nArr)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val refD = ctx.addReferenceObj("pqDotLut", dArr, "long[][]")
-    val refN = ctx.addReferenceObj("pqNormLut", nArr, "long[][]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.PqKernel.adcParts($c, $refD, $refN)")
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): PqAdcParts =
-    copy(child = newChild)
-}
-
 /** `pq_adc_parts_at(codes, qidx)` → `array<bigint> [adc_dot, recon_norm]`
   * against the constructor-bound query-BATCH dot tables (`qidx` picks the
   * query) — the serving form when candidates arrive from an IVF cell
@@ -325,6 +304,43 @@ case class PqResidual(left: Expression, right: Expression, mq: Seq[Seq[Long]])
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): PqResidual = copy(left = newLeft, right = newRight)
+}
+
+/** `pq_adc_cos_batch(codes)` → `array<double>` of unrounded ADC cosines
+  * for the constructor-bound query batch — one call per candidate. */
+case class PqAdcCosBatch(child: Expression, dotLuts: Seq[Seq[Seq[Long]]],
+    normLut: Seq[Seq[Long]], qnorms: Seq[Long]) extends UnaryExpression {
+  require(dotLuts.nonEmpty && dotLuts.length == qnorms.length &&
+    dotLuts.forall(_.length == normLut.length),
+    "pq_adc_cos_batch: LUT shape mismatch")
+
+  @transient private lazy val dArr: Array[Array[Array[Long]]] =
+    dotLuts.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val nArr: Array[Array[Long]] = normLut.map(_.toArray).toArray
+  @transient private lazy val qArr: Array[Long] = qnorms.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_cos_batch needs array<int> (pq_encode output), got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "pq_adc_cos_batch"
+
+  override protected def nullSafeEval(codes: Any): Any =
+    PqKernel.adcCosBatch(codes.asInstanceOf[ArrayData], dArr, nArr, qArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refD = ctx.addReferenceObj("pqDotLuts", dArr, "long[][][]")
+    val refN = ctx.addReferenceObj("pqNormLut", nArr, "long[][]")
+    val refQ = ctx.addReferenceObj("pqQnorms", qArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqKernel.adcCosBatch($c, $refD, $refN, $refQ)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcCosBatch =
+    copy(child = newChild)
 }
 
 /** `pq_sq_err(qv, codes)` → BIGINT squared quantization error of `qv`
@@ -417,15 +433,15 @@ object PqCodec {
   def pqEncode(q: Column, codebook: Seq[Seq[Seq[Long]]], dsub: Int): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(q), codebook, dsub))
 
-  def pqAdcParts(codes: Column, dotLut: Seq[Seq[Long]],
-      normLut: Seq[Seq[Long]]): Column =
-    ColumnBridge.column(
-      PqAdcParts(ColumnBridge.expression(codes), dotLut, normLut))
-
   def pqAdcPartsAt(codes: Column, qidx: Column, dotLuts: Seq[Seq[Seq[Long]]],
       normLut: Seq[Seq[Long]]): Column =
     ColumnBridge.column(PqAdcPartsAt(ColumnBridge.expression(codes),
       ColumnBridge.expression(qidx), dotLuts, normLut))
+
+  def pqAdcCosBatch(codes: Column, dotLuts: Seq[Seq[Seq[Long]]],
+      normLut: Seq[Seq[Long]], qnorms: Seq[Long]): Column =
+    ColumnBridge.column(PqAdcCosBatch(ColumnBridge.expression(codes),
+      dotLuts, normLut, qnorms))
 
   def pqSqErr(qv: Column, codes: Column, codebook: Seq[Seq[Seq[Long]]],
       dsub: Int): Column =

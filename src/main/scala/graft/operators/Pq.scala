@@ -140,12 +140,13 @@ object Pq {
       .select(col("vec_id"),
         PqCodec.pqEncode(col("qv"), model.codebook, model.dsub).as("codes"))
 
-  /** Top-k by ADC: per query, the integer dot/norm lookup tables are
-    * computed on the driver from the collected model + quantized query
-    * (all integer), folded into ONE [[graft.functions.PqAdcParts]]
-    * kernel per query, and the scan emits every (query, candidate)
-    * score from the codes relation alone — raw vectors are read ONCE
-    * (to quantize queries), never at scoring time. */
+  /** Top-k by ADC: the integer dot/norm lookup tables for the WHOLE
+    * query batch are computed on the driver from the collected model +
+    * quantized queries (all integer) and folded by ONE
+    * [[graft.functions.PqAdcCosBatch]] kernel call per candidate — the
+    * scan emits every (query, candidate) score from the codes relation
+    * alone; raw vectors are read ONCE (to quantize queries), never at
+    * scoring time. */
   def knnPq(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
       m: Int = 4, nCodes: Int = 8, iters: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -153,9 +154,13 @@ object Pq {
   }
 
   /** Serving against an already-trained model — the deployment shape
-    * (train once, serve many; the bench's PQ rows split the two). */
+    * (train once, serve many; the bench's PQ rows split the two).
+    * `windowRank` swaps the GroupTopK heap ranking for the row_number
+    * window twin — kept selectable so the 50M bench A/Bs the two forms
+    * on the same data in the same run (few-groups/huge-group shape:
+    * 100 queries × corpus candidates each). */
   def knnPqOver(emb: DataFrame, model: PqModel, nQueries: Int,
-      k: Int): DataFrame = {
+      k: Int, windowRank: Boolean = false): DataFrame = {
     val m = model.m
     val dsub = model.dsub
     val queries = emb.filter(col("vec_id") < nQueries)
@@ -164,53 +169,72 @@ object Pq {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
     val normLut: Seq[Seq[Long]] = model.codebook.map(_.map(c => c.map(x => x * x).sum))
-    val perQuery = queries.map { case (qid, qq) =>
-      val dotLut: Seq[Seq[Long]] = (0 until m).map { s =>
+    val dotLuts: Seq[Seq[Seq[Long]]] = queries.toIndexedSeq.map { case (_, qq) =>
+      (0 until m).map { s =>
         model.codebook(s).map { c =>
           var d = 0L; var p = 0
           while (p < dsub) { d += qq(s * dsub + p) * c(p); p += 1 }
           d
         }
       }
-      val qnorm = qq.map(x => x * x).sum
-      struct(lit(qid).as("query_id"), lit(qnorm).as("qnorm"),
-        PqCodec.pqAdcParts(col("codes"), dotLut, normLut).as("parts"))
     }
+    val qnorms: Seq[Long] = queries.toIndexedSeq
+      .map { case (_, qq) => qq.map(x => x * x).sum }
+    val qids: Seq[Long] = queries.toIndexedSeq.map(_._1)
+    // ONE batch kernel call + one primitive double[] per candidate
+    // (the per-query struct-array explode allocated |queries| structs and
+    // parts arrays per row — measured allocation-bound at 2M × 100);
+    // rounding stays a codegen'd column op, so scores are bit-identical
     val scored = encoded(emb, model)
-      // per-query struct array in its own projection BELOW the explode
-      .select(col("vec_id"), array(perQuery.toIndexedSeq: _*).as("qs"))
-      .select(col("vec_id"), explode(col("qs")).as("qe"))
-      .filter(col("vec_id") =!= col("qe.query_id"))
-      .select(col("vec_id"), col("qe.query_id").as("query_id"),
-        round(element_at(col("qe.parts"), 1).cast("double") /
-          (sqrt(col("qe.qnorm").cast("double")) *
-            sqrt(element_at(col("qe.parts"), 2).cast("double"))), 6)
-          .as("adc_cos"))
-    rankTopK(scored, k)
+      .select(col("vec_id"),
+        posexplode(PqCodec.pqAdcCosBatch(col("codes"), dotLuts, normLut,
+          qnorms)))
+      .select(col("vec_id"),
+        element_at(typedLit(qids), col("pos") + 1).as("query_id"),
+        round(col("col"), 6).as("adc_cos"))
+      .filter(col("vec_id") =!= col("query_id"))
+    rankTopK(scored, k, windowRank)
   }
 
   /** Per-query top-k of a scored (query_id, vec_id, adc_cos) relation
     * through the custom [[graft.plans.GroupTopK]] operator — bounded
     * per-group heaps, the exchange carries ≤ k rows per query per input
-    * partition. The r15 first cut ranked with a row_number window
-    * partitioned by query_id: at 2 M vectors × 100 queries that is a
-    * 200 M-row sort funneled into 100 partitions — measured 233 s; the
-    * heap form never materializes the sort. The rank window that remains
-    * runs over the k·|queries|-row survivor relation. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    import graft.plans.{GroupTopK, GroupTopKStrategy}
-    val spark = scored.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GroupTopKStrategy
-    // composite heap key: higher adc_cos wins, ties to the LOWER vec_id
-    // (larger -vec_id) — the oracle's ORDER BY adc_cos DESC, vec_id ASC
-    val top = GroupTopK.topK(scored, Seq(col("query_id")),
-      struct(col("adc_cos"), (-col("vec_id")).as("nv")), k)
+    * partition; the rank window that remains runs over the
+    * k·|queries|-row survivor relation.
+    *
+    * Same-run A/B at 2 M vectors × 100 queries (BENCH_scale.json,
+    * `scale_sim_knn_pq` vs `scale_sim_knn_pq_window`): heap 1099 s,
+    * window 961 s — at this few-groups/huge-group shape on one box the
+    * two are within ~13% because the SCORING pass dominates both (the
+    * motivation for [[graft.functions.PqAdcCosBatch]]). The heap stays
+    * the default on the cluster argument, not the local number: the
+    * window shuffles the full |corpus|·|queries| scored relation into
+    * |queries| partitions (a parallelism collapse at 1000 executors),
+    * the heap shuffles ≤ k·partitions rows per query. `windowRank`
+    * keeps the twin selectable so the A/B re-measures each round. */
+  private def rankTopK(scored: DataFrame, k: Int,
+      windowRank: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy("query_id")
       .orderBy(col("adc_cos").desc, col("vec_id").asc)
+    val top = if (windowRank) {
+      // the row_number twin: every scored row shuffles into |queries|
+      // partitions and sorts — the A/B baseline the heap form is
+      // measured against at 50M scale
+      scored
+    } else {
+      import graft.plans.{GroupTopK, GroupTopKStrategy}
+      val spark = scored.sparkSession
+      if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GroupTopKStrategy
+      // composite heap key: higher adc_cos wins, ties to the LOWER vec_id
+      // (larger -vec_id) — the oracle's ORDER BY adc_cos DESC, vec_id ASC
+      GroupTopK.topK(scored, Seq(col("query_id")),
+        struct(col("adc_cos"), (-col("vec_id")).as("nv")), k)
+    }
     top.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adc_cos"), col("rank"))
       .orderBy("query_id", "rank")

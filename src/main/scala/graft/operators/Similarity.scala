@@ -1193,6 +1193,91 @@ object Similarity {
       .orderBy("dim_i", "dim_j")
   }
 
+  /** TOP PRINCIPAL DIRECTION by deterministic power iteration over the
+    * exact int8 Gram — the PCA/whitening step [[gramMatrix]]'s scaladoc
+    * promises: `iters` fixed matvec rounds starting from the all-ones
+    * vector, each renormalized to max-component 2^20.
+    *
+    * Determinism: the Gram is the exact integer fold; each matvec is an
+    * exact Long dot (|G|·2^20·dims ≲ 2^60 at 2M int8 vectors — the
+    * Long-safe bound, re-scale the corpus sample above ~50M vectors);
+    * each renormalization is the mirrored float chain
+    * `round(w · 2^20 / max|w|)` (two correctly-rounded ops on
+    * identically-converted longs), so both engines walk the same
+    * integer vector sequence. Sign is pinned by the all-ones start.
+    *
+    * Scale shape: the ONLY distributed work is the one-pass Gram fold
+    * (d²/2 madds per vector, one 16 KB blob per partition); the d×d
+    * matrix collects to the driver and the iteration is O(d²·iters)
+    * driver math — the ANN-centroid pattern. Output: the eigvec's 64
+    * quantized components, with the eigenvalue magnitude (`lambda_q`,
+    * max |Gv| of the last round: v is max-normalized to 2^20, so
+    * λ ≈ lambda_q/2^20 in code² units) and the Gram trace riding along
+    * for a variance-explained read. */
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val (v, lambda, trace, _) = powerIteration(spark, dir, iters)
+    import spark.implicits._
+    v.zipWithIndex.map { case (vq, pos) => (pos, vq, lambda, trace) }
+      .toSeq.toDF("pos", "v_q", "lambda_q", "trace_q")
+      .orderBy("pos")
+  }
+
+  /** The shared Gram fold + driver power iteration behind [[pcaPower]]
+    * and [[pcaProject]]: `(v, lambda, trace, dims)`. */
+  private def powerIteration(spark: SparkSession, dir: String,
+      iters: Int): (Array[Long], Long, Long, Int) = {
+    val vg = Tables.embeddings(spark, dir)
+      .select(int8Codes(col("embedding")).as("codes"))
+      .agg(graft.functions.VecMoments.vecGram(col("codes")).as("vg"))
+      .select(col("vg.dims").as("d"), col("vg.gram").as("gram"))
+      .head()
+    val d = vg.getInt(0)
+    val packed = vg.getSeq[Long](1)
+    val g = Array.tabulate(d, d) { (i, j) =>
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      packed(lo * d - lo * (lo - 1) / 2 + (hi - lo))
+    }
+    var v = Array.fill(d)(1048576L)
+    var lambda = 0L
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(d) { i =>
+        var s = 0L; var j = 0
+        while (j < d) { s += g(i)(j) * v(j); j += 1 }
+        s
+      }
+      val ma = w.map(math.abs).max
+      require(ma > 0L, "pca_power: degenerate (all-zero) Gram")
+      lambda = ma
+      v = w.map(x => BigDecimal(x.toDouble * 1048576.0 / ma.toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+    }
+    val trace = (0 until d).map(i => g(i)(i)).sum
+    (v, lambda, trace, d)
+  }
+
+  /** PROJECTION HISTOGRAM onto the learned top direction — the
+    * whitening/curriculum consumer of [[pcaPower]]: every vector's exact
+    * integer projection `⟨int8 codes, v⟩` ([[dotLongs]] — one codegen'd
+    * corpus pass, the eigvec rides as a literal array), bucketed into 20
+    * equal-width integer bins over the observed range. All arithmetic
+    * integer (`(p − min)·20 div (range+1)` — operands non-negative, so
+    * truncate = floor on both engines); the only driver state is the
+    * 64-long eigvec. */
+  def pcaProject(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val (v, _, _, _) = powerIteration(spark, dir, iters)
+    val pr = Tables.embeddings(spark, dir)
+      .select(int8Codes(col("embedding")).as("codes"))
+      .select(dotLongs(col("codes"), typedLit(v.toSeq)).as("p"))
+    val bounds = pr.agg(min("p").as("mn"), max("p").as("mx"))
+    pr.crossJoin(broadcast(bounds))
+      .select(expr("CAST(((p - mn) * 20) div (mx - mn + 1) AS INT)")
+        .as("bucket"), col("p"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), min("p").as("min_p"),
+        max("p").as("max_p"))
+      .orderBy("bucket")
+  }
+
   /** CENTROID OUTLIERS — the top-k vectors farthest from their own
     * label's centroid: the mislabel/contamination-candidate list every
     * embedding-cleaning pass starts from. Distance to centroid without
@@ -1316,6 +1401,8 @@ object Similarity {
     "sim_vec_quantize" -> (vecQuantize _),
     "sim_diversity_int8" -> (simDiversity _),
     "sim_gram_matrix" -> (gramMatrix _),
+    "sim_pca_power" -> ((s: SparkSession, d: String) => pcaPower(s, d)),
+    "sim_pca_project" -> ((s: SparkSession, d: String) => pcaProject(s, d)),
     "sim_norm_profile" -> (normProfile _),
     "sim_label_centroids" -> (labelCentroids _),
     "sim_centroid_outliers" -> ((s: SparkSession, d: String) => centroidOutliers(s, d)),
@@ -1394,6 +1481,38 @@ object Similarity {
 
   /** DuckDB cosine mirroring the Spark fold: explicit double cast, ordered
     * element-wise products, list_sum. */
+  /** Gram + power-iteration replay shared by the PCA oracles: the int8
+    * code chain (vec_id carried through for per-vector projection), the
+    * full symmetric Gram relation `g(i, j, gv)`, `iters` unrolled matvec
+    * + max-renormalization rounds (`v$iters`, `m$iters`), and the trace. */
+  private def duckPcaCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (
+      |  SELECT vec_id, embedding AS v,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id, CASE WHEN mx IS NULL OR mx = 0
+      |      THEN list_transform(v, x -> 0)
+      |      ELSE list_transform(v, x -> CAST(trunc(CAST(x AS DOUBLE) / (mx / 127.0)) AS INT))
+      |    END AS codes
+      |  FROM e
+      |), g AS (
+      |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+      |    CAST(sum(codes[CAST(i AS INT) + 1] * codes[CAST(j AS INT) + 1]) AS BIGINT) AS gv
+      |  FROM q, UNNEST(range(0, len(codes))) AS a(i), UNNEST(range(0, len(codes))) AS b(j)
+      |  GROUP BY 1, 2
+      |), v0 AS (SELECT DISTINCT i, CAST(1048576 AS BIGINT) AS v FROM g)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s", w$t AS (SELECT g.i, CAST(sum(g.gv * p.v) AS BIGINT) AS w"
+      sb ++= s" FROM g JOIN v${t - 1} p ON p.i = g.j GROUP BY 1)"
+      sb ++= s", m$t AS (SELECT max(abs(w)) AS ma FROM w$t)"
+      sb ++= s", v$t AS (SELECT i, CAST(round(w * 1048576.0 / ma) AS BIGINT) AS v FROM w$t, m$t)"
+    }
+    sb ++= ", tr AS (SELECT CAST(sum(gv) AS BIGINT) AS trace_q FROM g WHERE i = j)"
+    sb.toString
+  }
+
   private[operators] def duckCos(a: String, b: String): String =
     s"""(list_sum(list_transform(generate_series(1, len($a)),
        | i -> ($a::DOUBLE[])[i] * ($b::DOUBLE[])[i]))
@@ -1648,6 +1767,20 @@ object Similarity {
         |FROM q, UNNEST(range(0, len(codes))) AS a(i), UNNEST(range(0, len(codes))) AS b(j)
         |WHERE j >= i
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace('\n', ' '),
+    "sim_pca_power" ->
+      (duckPcaCtes(8) +
+        s" SELECT v.i AS pos, v.v AS v_q, m.ma AS lambda_q, tr.trace_q" +
+        s" FROM v8 v, m8 m, tr ORDER BY pos").replace('\n', ' '),
+    "sim_pca_project" ->
+      (duckPcaCtes(8) +
+        s""", pr AS (SELECT q.vec_id, CAST(sum(codes[v.i + 1] * v.v) AS BIGINT) AS p
+           |   FROM q, v8 v GROUP BY q.vec_id),
+           | bounds AS (SELECT min(p) AS mn, max(p) AS mx FROM pr),
+           | bk AS (SELECT CAST(((p - mn) * 20) // (mx - mn + 1) AS INT) AS bucket, p
+           |   FROM pr, bounds)
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+           |  min(p) AS min_p, max(p) AS max_p
+           |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin).replace('\n', ' '),
     "sim_diversity_int8" ->
       """WITH e AS (
         |  SELECT label, embedding AS v,

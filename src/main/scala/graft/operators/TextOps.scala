@@ -988,6 +988,118 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** BM25 retrieval: rank the corpus against a deterministic query-term
+    * set (the `nTerms` highest-df terms, ties to the lexicographically
+    * first — a data-derived stand-in for a user query, so the oracle
+    * replays it) with the standard Okapi weighting, k1 = 1.2, b = 0.75.
+    *
+    * Determinism contract: idf quantizes to integer MICROS immediately
+    * after the one `ln` (`round(ln(1 + (N − df + ½)/(df + ½)) · 10⁶)`),
+    * each per-(doc,term) contribution quantizes to micros after one
+    * mirrored float chain (both engines evaluate the identical
+    * parenthesization of correctly-rounded ops; `ln` is the only
+    * library-rounded step, and a 10⁻⁹-of-a-half-boundary flip is the
+    * residual risk — hash-checked in practice), and the per-doc score is
+    * an INTEGER sum of those micros, so float summation order never
+    * matters.
+    *
+    * Scale shape: the 8-row query relation broadcasts onto the tf
+    * relation (map-side semi-reduction to matched rows before any
+    * exchange), doc lengths fold from the same (doc_id, term) exchange
+    * the df branch reuses, and the final top-k is one
+    * TakeOrderedAndProject — no global sort, no window over the corpus. */
+  def bm25TopK(spark: SparkSession, dir: String, nTerms: Int = 8,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // value-dependent sum keeps the branch canonicalization equal to tf's
+    // (ReuseExchange onto ONE corpus scan — the tfidfTopK contract)
+    val dfc = tf.groupBy("term")
+      .agg(sum(when(col("tf") >= 1, 1L).otherwise(0L)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val qidf = dfc.orderBy(desc("df"), asc("term")).limit(nTerms)
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          lit(1000000.0)).cast("long").as("idf_micros"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val contrib = tf.join(broadcast(qidf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round((col("idf_micros").cast("double") * (col("tf") * lit(2.2))) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / avgdl))))
+          .cast("long").as("sm"))
+    val scored = contrib.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("sm").as("score_micros"))
+    scored.orderBy(desc("score_micros"), asc("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score_micros"), asc("doc_id"))))
+      .select(col("doc_id"), col("n_terms"), col("score_micros"),
+        col("rank"))
+      .orderBy("rank")
+  }
+
+  /** Bigram language-model negative log-likelihood per document — the
+    * CCNet/KenLM-style perplexity screen: train add-one-smoothed bigram
+    * conditionals on the corpus itself, score every document's mean
+    * bigram NLL, and a pipeline drops the high-NLL (high-perplexity,
+    * i.e. unlike-the-corpus) tail. Complements [[qualityModelScores]]
+    * (a supervised token-weight model) with the UNSUPERVISED fluency
+    * signal real pipelines pair it with.
+    *
+    * Determinism: each distinct bigram's
+    * `nll = round(ln((c_x + V)/(c_xy + 1)) · 10⁶)` quantizes to integer
+    * micros right after the one ln-of-one-division (the [[bm25TopK]]
+    * contract); per-doc totals are integer sums, and the mean is one
+    * final rounded division.
+    *
+    * Scale shape: ONE bigram explode feeds both the corpus counts and
+    * the per-doc grain (ReuseExchange on the (doc_id, xy) aggregate is
+    * not available across different keys, but both aggregates
+    * map-combine, and the count relation is vocabulary²-bounded); the
+    * doc-grain join on `xy` carries 1 row per key on the count side, so
+    * hot bigrams skew partition sizes without row explosion (AQE skew
+    * split territory, not a funnel). Docs with < 2 tokens have no
+    * bigrams and are absent from the output (disclosed). */
+  def lmNll(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val bgTok = d.select(col("doc_id"),
+      explode(bigramsOf(toks(col("text")))).as("xy"))
+    // ONE bigram explode: the doc grain is the primary aggregate and the
+    // corpus counts re-fold from it (both map-combine), instead of a
+    // second scan+Generate over the corpus for an independent count
+    val docbg = bgTok.groupBy("doc_id", "xy").agg(count(lit(1)).as("n"))
+    val bg = docbg.groupBy("xy").agg(sum("n").as("c_xy"))
+    val cx = bg.select(substring_index(col("xy"), " ", 1).as("x"), col("c_xy"))
+      .groupBy("x").agg(sum("c_xy").as("c_x"))
+    val vocab = d.select(explode(toks(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .agg(countDistinct("term").as("v"))
+    val scoredBg = docbg
+      .join(bg, Seq("xy"))
+      .withColumn("x", substring_index(col("xy"), " ", 1))
+      .join(cx, Seq("x"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll_micros",
+        round(log((col("c_x") + col("v")).cast("double") /
+          (col("c_xy") + lit(1L))) * lit(1000000.0)).cast("long"))
+    scoredBg.groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        sum(col("n") * col("nll_micros")).as("nll_sum_micros"))
+      .withColumn("avg_nll_micros",
+        round(col("nll_sum_micros").cast("double") / col("n_bigrams"))
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level top-20 collocations by PMI over adjacent word pairs
     * (min support 5), with the bigram-distribution MARGINALS as the
     * normalizer (`c_x = Σ_y c_xy`, `c_y = Σ_x c_xy` — the textbook PMI
@@ -1212,6 +1324,8 @@ object TextOps {
     "text_gopher_quality" -> (gopherQuality _),
     "text_bow_dedup" -> (bowDedup _),
     "text_tfidf_topk" -> ((s: SparkSession, d: String) => tfidfTopK(s, d)),
+    "text_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
+    "text_lm_nll" -> ((s: SparkSession, d: String) => lmNll(s, d)),
     "text_pmi_topk" -> ((s: SparkSession, d: String) => pmiTopK(s, d)),
     "text_ngram_topk" -> ((s: SparkSession, d: String) => ngramTopK(s, d)),
     "text_shard_manifest" -> ((s: SparkSession, d: String) => shardManifest(s, d)),
@@ -1332,6 +1446,52 @@ object TextOps {
            |   FROM tf JOIN dfc USING (term))
            | SELECT doc_id, CAST(rn AS INT) AS rank, term, tf, df FROM j
            | WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin.replace('\n', ' '),
+      "text_bm25_topk" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($w) AS term FROM documents
+           |   WHERE text IS NOT NULL),
+           | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+           |   WHERE term <> '' GROUP BY 1, 2),
+           | dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           | dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+           | stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |   CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+           | qterms AS (SELECT term, df FROM (SELECT term, df,
+           |     row_number() OVER (ORDER BY df DESC, term ASC) AS rn FROM dfc)
+           |   WHERE rn <= 8),
+           | qidf AS (SELECT term, CAST(round(ln(1.0 +
+           |     (s.n_docs - df + 0.5) / (df + 0.5)) * 1000000.0) AS BIGINT) AS idf_micros
+           |   FROM qterms, stats s),
+           | contrib AS (SELECT tf.doc_id, CAST(round(
+           |     (CAST(q.idf_micros AS DOUBLE) * (tf.tf * 2.2)) /
+           |     (tf.tf + 1.2 * (0.25 + 0.75 *
+           |       (dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))) AS BIGINT) AS sm
+           |   FROM tf JOIN qidf q USING (term)
+           |   JOIN dl ON dl.doc_id = tf.doc_id, stats s),
+           | scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           |   CAST(sum(sm) AS BIGINT) AS score_micros FROM contrib GROUP BY 1)
+           |SELECT doc_id, n_terms, score_micros, CAST(rn AS INT) AS rank FROM (
+           |  SELECT *, row_number() OVER (
+           |    ORDER BY score_micros DESC, doc_id ASC) AS rn FROM scored)
+           |WHERE rn <= 20 ORDER BY rank""".stripMargin.replace('\n', ' '),
+      "text_lm_nll" ->
+        s"""WITH d AS (SELECT doc_id, $w AS w FROM documents WHERE text IS NOT NULL),
+           | bgt AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS xy
+           |   FROM d, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+           | bg AS (SELECT xy, CAST(count(*) AS BIGINT) AS c_xy FROM bgt GROUP BY 1),
+           | cx AS (SELECT split_part(xy, ' ', 1) AS x,
+           |   CAST(sum(c_xy) AS BIGINT) AS c_x FROM bg GROUP BY 1),
+           | voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+           |   FROM (SELECT unnest(w) AS term FROM d) WHERE term <> ''),
+           | docbg AS (SELECT doc_id, xy, CAST(count(*) AS BIGINT) AS n
+           |   FROM bgt GROUP BY 1, 2),
+           | sc AS (SELECT db.doc_id, db.n, CAST(round(ln(
+           |     CAST(cx.c_x + voc.v AS DOUBLE) / (bg.c_xy + 1)) * 1000000.0) AS BIGINT) AS nll
+           |   FROM docbg db JOIN bg USING (xy)
+           |   JOIN cx ON cx.x = split_part(db.xy, ' ', 1), voc)
+           |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(n * nll) AS BIGINT) AS nll_sum_micros,
+           |  CAST(round(CAST(sum(n * nll) AS DOUBLE) / sum(n)) AS BIGINT) AS avg_nll_micros
+           |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin.replace('\n', ' '),
       "text_pmi_topk" ->
         s"""WITH t AS (SELECT $w AS w FROM documents WHERE text IS NOT NULL),
            | pairs AS (SELECT w[i] AS x, w[i+1] AS y

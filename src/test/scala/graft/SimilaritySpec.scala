@@ -848,4 +848,52 @@ class SimilaritySpec extends SparkTestBase {
         s"$q: expected the typed dense-array error, got ${msgs(e).mkString(" | ")}")
     }
   }
+
+  test("pca power iteration recovers a planted dominant direction; deterministic; trace replays (r15)") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    // planted: strong ±1 component on axis 0, weak deterministic noise
+    // elsewhere — the top principal direction is e0 by construction
+    val rows = (0L until 200L).map { id =>
+      val sign = if (id % 2 == 0) 1.0f else -1.0f
+      val emb = Array.tabulate(64) { p =>
+        if (p == 0) sign
+        else ((id * 31 + p * 7) % 21 - 10).toFloat / 1000.0f
+      }
+      (id, emb, (id % 10).toInt)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir2/embeddings.parquet")
+    val out = graft.operators.Similarity.pcaPower(spark, dir2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 64)
+    val v = out.sortBy(_._1).map(_._2)
+    // dominant axis: |v_0| is the max-normalized 2^20 component and every
+    // other axis stays an order of magnitude below it
+    assert(math.abs(v(0)) === 1048576L,
+      "planted axis should carry the max-normalized component")
+    v.drop(1).foreach(x => assert(math.abs(x) < 104858L,
+      s"off-axis component $x too large — iteration failed to converge"))
+    // trace replays exactly from the collected int8 codes
+    val codes = Tables.embeddings(spark, dir2)
+      .selectExpr("int8_codes(embedding) AS c").collect().map(_.getSeq[Long](0))
+    val wantTrace = codes.map(c => c.map(x => x * x).sum).sum
+    assert(out.head._4 === wantTrace, "gram trace diverged")
+    // eigenvalue magnitude is bounded by the spectrum: lambda <= trace*2^20
+    assert(out.head._3 > 0L && out.head._3 <= wantTrace * 1048576L)
+    // deterministic end to end
+    val again = graft.operators.Similarity.pcaPower(spark, dir2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again === out)
+    // projection histogram: conserves the corpus, bucket ids in range,
+    // per-bucket extrema ordered; planted ± signs split the mass into
+    // (at least) the two sign lobes
+    val hist = graft.operators.Similarity.pcaProject(spark, dir2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hist.map(_._2).sum === 200L)
+    assert(hist.forall { case (b, n, mn, mx) =>
+      b >= 0 && b <= 19 && n > 0 && mn <= mx
+    })
+    assert(hist.length >= 2, "sign lobes should land in different buckets")
+  }
 }

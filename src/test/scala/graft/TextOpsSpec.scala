@@ -709,4 +709,86 @@ class TextOpsSpec extends SparkTestBase {
     }
     assert(prog.isEmpty, "quality filter must not introduce streaming state")
   }
+
+  test("bm25: full top-k replays driver-side over the sf corpus (r15)") {
+    def half(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val docs = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toksOf(t: String): Seq[String] =
+      t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val tfm: Map[(Long, String), Long] = docs.flatMap { case (id, t) =>
+      toksOf(t).groupBy(identity).map { case (w, xs) => ((id, w), xs.size.toLong) }
+    }.toMap
+    val dfm = tfm.keys.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val dlm = tfm.groupBy(_._1._1).map { case (id, m) => id -> m.values.sum }
+    val nDocs = dlm.size.toLong
+    val sumDl = dlm.values.sum
+    val qterms = dfm.toSeq.sortBy { case (w, df) => (-df, w) }.take(8)
+    val idf = qterms.map { case (w, df) =>
+      w -> half(math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)) * 1000000.0)
+    }.toMap
+    val wantScores = dlm.keys.toSeq.flatMap { id =>
+      val contribs = qterms.flatMap { case (w, _) =>
+        tfm.get((id, w)).map { tfv =>
+          // the exact float chain of the operator, in the same order
+          half((idf(w).toDouble * (tfv * 2.2)) /
+            (tfv + 1.2 * (0.25 + 0.75 * (dlm(id) / (sumDl.toDouble / nDocs)))))
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some((id, contribs.size.toLong, contribs.sum))
+    }
+    val wantTop = wantScores.sortBy { case (id, _, s) => (-s, id) }.take(20)
+    val got = graft.operators.TextOps.bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.length === wantTop.length)
+    got.zip(wantTop).zipWithIndex.foreach {
+      case (((gId, gN, gS, gR), (wId, wN, wS)), i) =>
+        assert(gR === i + 1)
+        assert((gId, gN, gS) === ((wId, wN, wS)), s"rank ${i + 1} diverged")
+    }
+  }
+
+  test("lm nll: bigram NLL replays driver-side; repetitive text scores more predictable than novel text (r15)") {
+    import spark.implicits._
+    def half(v: Double): Long =
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    // doc 1 repeats one bigram; doc 2 is all corpus-unique bigrams; the
+    // fillers give the model a background distribution
+    val rows = Seq(
+      (1L, "a b a b a b a b a b", "en", "t", 19L),
+      (2L, "q w e r t y u i o p", "en", "t", 19L)) ++
+      (3 until 10).map(i => (i.toLong, s"a b c$i a b d$i", "en", "t", 15L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    // driver replay
+    def toksOf(t: String): Seq[String] =
+      t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    def bgOf(t: String): Seq[(String, String)] = {
+      val w = toksOf(t); w.zip(w.drop(1))
+    }
+    val cXY = rows.flatMap { case (_, t, _, _, _) => bgOf(t) }
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val cX = cXY.groupBy(_._1._1).map { case (x, m) => x -> m.values.sum }
+    val v = rows.flatMap { case (_, t, _, _, _) => toksOf(t) }.distinct.size.toLong
+    val want = rows.map { case (id, t, _, _, _) =>
+      val bgs = bgOf(t)
+      val nlls = bgs.map { p =>
+        half(math.log((cX(p._1) + v).toDouble / (cXY(p) + 1)) * 1000000.0)
+      }
+      id -> ((bgs.size.toLong, nlls.sum,
+        half(nlls.sum.toDouble / bgs.size)))
+    }.toMap
+    val got = graft.operators.TextOps.lmNll(spark, dir2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === want)
+    // the repeated-bigram doc is more predictable than the novel one
+    assert(got(1L)._3 < got(2L)._3,
+      "repetitive text must score lower NLL than corpus-novel text")
+  }
 }
