@@ -507,22 +507,26 @@ object Similarity {
     * does not matter: (cos, -cid) pairs are distinct (cids are unique),
     * so the strict max is order-independent. */
   private[graft] def withNearestCid(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val arr = cents.agg(collect_list(struct(col("cid"), col("c_emb"))).as("cents_arr"))
-    val scored = transform(col("cents_arr"), c =>
-      struct(round(cosine(col("embedding"), c.getField("c_emb")), 6).as("cos"),
-        (-c.getField("cid")).as("ncid")))
-    val best = aggregate(scored,
-      struct(lit(Double.NegativeInfinity).as("cos"), lit(Long.MinValue).as("ncid")),
-      (acc, x) => when(x > acc, x).otherwise(acc))
+    // centroids are driver-resident by contract (kmeansCentroids pins a
+    // LocalRelation; every caller's table is nCentroids rows) — collect
+    // and bind them into ONE codegen'd argmax kernel call per row. The
+    // former transform+aggregate HOF spelling evaluated INTERPRETED
+    // (the r13 lesson) and was the last HOF island on the ANN hot paths;
+    // NearestCentroidParitySpec pins the kernel bit-identical to it.
+    val rows = cents.select(col("cid"), col("c_emb")).collect()
+    val cids = rows.map(_.getLong(0)).toSeq
+    val cembs = rows.map(_.getSeq[Float](1)).toSeq
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val best = column(graft.functions.NearestCentroid(
+      expression(col("embedding")), cids, cembs))
     // __best aliased once then split: a non-cheap alias referenced twice is
-    // never inlined by CollapseProject, so the argmax fold runs once per
+    // never inlined by CollapseProject, so the argmax kernel runs once per
     // row. assign_cos (the winning cosine) rides along for the drift
     // telemetry ([[ivfDriftStats]]); callers that don't need it drop it.
-    emb.crossJoin(broadcast(arr))
-      .withColumn("__best", best)
-      .withColumn("cid", -col("__best").getField("ncid"))
-      .withColumn("assign_cos", col("__best").getField("cos"))
-      .drop("cents_arr", "__best")
+    emb.withColumn("__best", best)
+      .withColumn("cid", col("__best").getField("cid"))
+      .withColumn("assign_cos", col("__best").getField("assign_cos"))
+      .drop("__best")
   }
 
   def kmeansCentroids(emb: DataFrame, nCentroids: Int, iters: Int,

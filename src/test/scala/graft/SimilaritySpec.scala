@@ -896,4 +896,41 @@ class SimilaritySpec extends SparkTestBase {
     })
     assert(hist.length >= 2, "sign lobes should land in different buckets")
   }
+
+  test("nearest-centroid kernel equals the interpreted HOF argmax bit-for-bit, incl. NaN/tie edges (r15)") {
+    import spark.implicits._
+    // corpus + edge rows: an all-zero vector (NaN cosine against every
+    // centroid — NaN is GREATEST in Spark's double order, ties resolve
+    // to the lowest cid) and an exact copy of a corpus vector
+    val corpus = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val dup = corpus.limit(1).select(lit(900000L).as("vec_id"), col("embedding"))
+    val zero = Seq((900001L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val emb = corpus.unionByName(dup).unionByName(zero)
+    val cents = Similarity.kmeansCentroids(corpus, 8, 2)
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    val got = Similarity.withNearestCid(emb, cents)
+      .select("vec_id", "cid", "assign_cos").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), bits(r.getDouble(2))))).toMap
+    // the HOF twin, spelled exactly as the pre-r15 interpreted operator
+    val arr = cents.agg(collect_list(struct(col("cid"), col("c_emb"))).as("cents_arr"))
+    val scored = transform(col("cents_arr"), c =>
+      struct(round(Similarity.cosine(col("embedding"), c.getField("c_emb")), 6).as("cos"),
+        (-c.getField("cid")).as("ncid")))
+    val bestE = aggregate(scored,
+      struct(lit(Double.NegativeInfinity).as("cos"), lit(Long.MinValue).as("ncid")),
+      (acc, x) => when(x > acc, x).otherwise(acc))
+    val want = emb.crossJoin(broadcast(arr))
+      .withColumn("__best", bestE)
+      .select(col("vec_id"), (-col("__best").getField("ncid")).as("cid"),
+        col("__best").getField("cos").as("assign_cos"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), bits(r.getDouble(2))))).toMap
+    assert(got.size === want.size)
+    got.foreach { case (id, v) =>
+      assert(v === want(id), s"assignment diverged for vec $id")
+    }
+    // the zero vector's NaN cosine must win with the LOWEST cid
+    val minCid = cents.select("cid").collect().map(_.getLong(0)).min
+    assert(got(900001L)._1 === minCid)
+  }
 }
