@@ -371,12 +371,26 @@ object Plans {
         "join, no raw-vector access above the encode; the ranking " +
         "exchange carries (vec_id, query_id, adc_cos) longs/doubles only"),
       "sim_knn_ivfpq" -> ("the production ANN stack: ONE corpus pass " +
-        "fuses coarse-cell assignment (broadcast centroid array, " +
+        "fuses coarse-cell assignment (nearest_centroid codegen kernel, " +
         "zero-exchange argmax) with PQ encode; the (queries x nProbe) " +
         "probe relation BROADCASTS onto it — candidates come from " +
         "probed cells, never a corpus shuffle; ADC scores via the " +
         "query-indexed LUT kernel; no vectors or codes in the ranking " +
-        "exchange"))
+        "exchange"),
+      "text_bm25_topk" -> ("BM25 retrieval: the 8-term query relation " +
+        "BROADCASTS onto the tf relation (map-side semi-reduction " +
+        "before any exchange); doc lengths and df fold from the same " +
+        "(doc_id, term) aggregate (ReuseExchange); per-doc scores are " +
+        "integer sums of micro-quantized contributions; the final " +
+        "top-k is TakeOrderedAndProject — no corpus window, no global " +
+        "sort"),
+      "sim_knn_ivfpq_res" -> ("residual IVFADC: the same probe-pruned " +
+        "candidate join as sim_knn_ivfpq, with per-(query,cell) " +
+        "integer scalars riding the broadcast probe relation and the " +
+        "three residual LUT sums folded by one pq_adc_parts_res_at " +
+        "kernel call — mean centroids, cross terms and codebooks are " +
+        "all plan reference objects; no vectors past the one fused " +
+        "assign+encode pass"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
