@@ -514,6 +514,13 @@ object Similarity {
     // (the r13 lesson) and was the last HOF island on the ANN hot paths;
     // NearestCentroidParitySpec pins the kernel bit-identical to it.
     val rows = cents.select(col("cid"), col("c_emb")).collect()
+    // empty centroid table: no nearest exists for any row — the result the
+    // explode/HOF spelling produced — rather than the kernel's
+    // construction-time nonEmpty require (r15 advice)
+    if (rows.isEmpty)
+      return emb.withColumn("cid", lit(null).cast("long"))
+        .withColumn("assign_cos", lit(null).cast("double"))
+        .filter(lit(false))
     val cids = rows.map(_.getLong(0)).toSeq
     val cembs = rows.map(_.getSeq[Float](1)).toSeq
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -1495,20 +1502,23 @@ object Similarity {
       |  SELECT vec_id, embedding AS v,
       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
       |  FROM embeddings
-      |), q AS (
+      |), q AS MATERIALIZED (
       |  SELECT vec_id, CASE WHEN mx IS NULL OR mx = 0
       |      THEN list_transform(v, x -> 0)
       |      ELSE list_transform(v, x -> CAST(trunc(CAST(x AS DOUBLE) / (mx / 127.0)) AS INT))
       |    END AS codes
       |  FROM e
-      |), g AS (
+      |), g AS MATERIALIZED (
       |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
       |    CAST(sum(codes[CAST(i AS INT) + 1] * codes[CAST(j AS INT) + 1]) AS BIGINT) AS gv
       |  FROM q, UNNEST(range(0, len(codes))) AS a(i), UNNEST(range(0, len(codes))) AS b(j)
       |  GROUP BY 1, 2
       |), v0 AS (SELECT DISTINCT i, CAST(1048576 AS BIGINT) AS v FROM g)""".stripMargin
     for (t <- 1 to iters) {
-      sb ++= s", w$t AS (SELECT g.i, CAST(sum(g.gv * p.v) AS BIGINT) AS w"
+      // MATERIALIZED: w$t is referenced by BOTH m$t and v$t — inlined CTEs
+      // re-evaluate per reference, doubling the whole predecessor chain
+      // each round (2^iters re-evals; the r15 >278 s oracle blow-up).
+      sb ++= s", w$t AS MATERIALIZED (SELECT g.i, CAST(sum(g.gv * p.v) AS BIGINT) AS w"
       sb ++= s" FROM g JOIN v${t - 1} p ON p.i = g.j GROUP BY 1)"
       sb ++= s", m$t AS (SELECT max(abs(w)) AS ma FROM w$t)"
       sb ++= s", v$t AS (SELECT i, CAST(round(w * 1048576.0 / ma) AS BIGINT) AS v FROM w$t, m$t)"
@@ -1777,7 +1787,7 @@ object Similarity {
         s" FROM v8 v, m8 m, tr ORDER BY pos").replace('\n', ' '),
     "sim_pca_project" ->
       (duckPcaCtes(8) +
-        s""", pr AS (SELECT q.vec_id, CAST(sum(codes[v.i + 1] * v.v) AS BIGINT) AS p
+        s""", pr AS MATERIALIZED (SELECT q.vec_id, CAST(sum(codes[v.i + 1] * v.v) AS BIGINT) AS p
            |   FROM q, v8 v GROUP BY q.vec_id),
            | bounds AS (SELECT min(p) AS mn, max(p) AS mx FROM pr),
            | bk AS (SELECT CAST(((p - mn) * 20) // (mx - mn + 1) AS INT) AS bucket, p
