@@ -442,7 +442,7 @@ object BenchScale {
     // then the corpus-wide encode — the pass that shrinks the vectors
     // 64x — and a 100-query ADC serve over the codes relation
     if (wanted("scale_sim_pq_train") || wanted("scale_sim_pq_encode") ||
-        wanted("scale_sim_knn_pq")) {
+        wanted("scale_sim_knn_pq") || wanted("scale_sim_knn_pq_window")) {
       val (pqModel, pqTrainSec) = timed(
         graft.operators.Pq.train(graft.Tables.embeddings(spark, famDir),
           m = 4, k = 256, iters = 2))

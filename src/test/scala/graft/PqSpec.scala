@@ -255,4 +255,23 @@ class PqSpec extends SparkTestBase {
     assert(gain("ivfpq_res") < gain("ivfpq"),
       "residual coding should cut quantization error on this corpus")
   }
+
+  test("empty edges: zero-query serve and empty centroid table return empty, not throw (r15 advice)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val model = Pq.train(emb)
+    // nQueries window matching no vectors — the batched ADC kernel must
+    // not be constructed with an empty LUT set
+    val served = Pq.knnPqOver(emb, model, nQueries = 0, k = 5)
+    assert(served.collect().isEmpty)
+    assert(served.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "adc_cos", "rank"))
+    // empty centroid table — the argmax kernel must not be constructed
+    // with zero centroids; result is the explode spelling's: no rows
+    val cents = graft.operators.Similarity.kmeansCentroids(emb, 8, 2)
+      .filter(col("cid") < Long.MinValue)
+    val asg = graft.operators.Similarity.withNearestCid(emb, cents)
+    assert(asg.collect().isEmpty)
+    assert(asg.columns.contains("cid") && asg.columns.contains("assign_cos"))
+  }
 }
