@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.flow.{FlowEnrich, FlowQueries}
-import graft.operators.{AsofJoin, Dedup, EventOps, Multimodal, OpsMetrics, Pq, RelQueries, Similarity, TextOps}
+import graft.operators.{AsofJoin, Bpe, Dedup, EventOps, Multimodal, OpsMetrics, Pq, RelQueries, Similarity, TextOps}
 // registry spans: flow dashboards, enrichment, ops metrics, relational,
 // text/dedup/similarity/multimodal training-pipeline operators
 
@@ -27,7 +27,7 @@ object SparkEntry {
     FlowQueries.queries ++ FlowEnrich.queries ++ OpsMetrics.queries ++
       RelQueries.queries ++ TextOps.queries ++ AsofJoin.queries ++
       Dedup.queries ++ Similarity.queries ++ Pq.queries ++
-      Multimodal.queries ++ EventOps.queries ++ Map(
+      Multimodal.queries ++ EventOps.queries ++ Bpe.queries ++ Map(
       "q1_agg" -> ((s: SparkSession, dir: String) =>
         Tables.lineitem(s, dir)
           .groupBy("l_returnflag", "l_linestatus")
@@ -43,7 +43,7 @@ object SparkEntry {
     FlowQueries.oracles ++ FlowEnrich.oracles ++ OpsMetrics.oracles ++
       RelQueries.oracles ++ TextOps.oracles ++ AsofJoin.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Pq.oracles ++
-      Multimodal.oracles ++ EventOps.oracles ++ Map(
+      Multimodal.oracles ++ EventOps.oracles ++ Bpe.oracles ++ Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
           | round(sum(l_extendedprice), 2) AS sum_base_price, count(*) AS count_order
