@@ -251,6 +251,84 @@ object Multimodal {
       .orderBy("kind", "id_a", "id_b")
   }
 
+  /** Integer average-hash (aHash) of a payload's decoded feature grid:
+    * bit d is set iff byte-class d's count exceeds the grid mean. The
+    * stub grid is the byte-class histogram, whose mean is EXACTLY
+    * len/64, so the whole fingerprint is integer arithmetic
+    * (`64·count_d > len`) — bit-reproducible in any engine, no float
+    * thresholds. A real image pipeline computes the same rule over the
+    * 8×8 downsampled luma grid (pHash's DCT-free sibling); only this
+    * decode changes when real codecs replace the stub. */
+  private val phashUdf = udf { (payload: Array[Byte]) =>
+    if (payload == null) null
+    else {
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < payload.length) { counts((payload(i) & 0xFF) % 64) += 1; i += 1 }
+      var fp = 0L
+      var d = 0
+      while (d < 64) {
+        if (64L * counts(d) > payload.length) fp |= (1L << d)
+        d += 1
+      }
+      java.lang.Long.valueOf(fp)
+    }
+  }
+  // optimizer barrier (the simhashUdf precedent): keeps the fingerprint
+  // from being inlined into the per-chunk banding expressions
+    .asNondeterministic()
+
+  /** PERCEPTUAL NEAR-DUP PAIRS per modality (r15 verdict #6) — the
+    * average-hash member of the media near-dup family, beside the
+    * cosine-LSH [[nearDupPairs]]: aHash quantizes each feature cell to
+    * one bit around the grid mean, so two re-encodes of the same media
+    * (the [[resizeStub]] truncate, a codec re-encode) keep nearly the
+    * same bit pattern even when the float feature vector moved enough
+    * for cosine-LSH to miss — the resize/re-encode dup class.
+    *
+    * Candidates via pigeonhole banding exactly like
+    * [[Dedup.simhashDupPairs]]: `maxDist+1` chunks of the 64-bit hash —
+    * any pair within distance shares one identical chunk — so the join
+    * is an equality join on (kind, band, chunk), never all-pairs; exact
+    * Hamming filters the survivors. Scale shape: the payload is read
+    * once by the hashing scan and only (kind, id, 8-byte hash) triples
+    * enter the exchange (plan-contract-locked in MultimodalSpec);
+    * identical payloads should be collapsed by the digest-exact
+    * [[mediaDedup]] upstream, which bounds the identical-hash bucket
+    * mass the same way the dedup family orders exact before near. */
+  def phashDupPairs(spark: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    require(maxDist >= 0 && maxDist < 64 && 64 % chunks == 0,
+      s"maxDist ($maxDist): maxDist+1 must divide 64 (0, 1, 3, 7, 15, 31, 63)")
+    val bits = 64 / chunks
+    val d = mediaTable(spark, dir)
+      .select(col("kind"), col("media_id"), phashUdf(col("payload")).as("phash"))
+      .filter(col("phash").isNotNull) // null payload: no hash, no pairs
+    val bandCols = (0 until chunks).map { c =>
+      struct(lit(c).as("band"),
+        shiftrightunsigned(col("phash"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("chunk"))
+    }
+    val banded = d
+      .select(col("kind"), col("media_id"), col("phash"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("kind"), col("media_id"), col("phash"),
+        col("b.band"), col("b.chunk"))
+    banded.as("l").join(banded.as("r"),
+        col("l.kind") === col("r.kind") && col("l.band") === col("r.band") &&
+          col("l.chunk") === col("r.chunk") &&
+          col("l.media_id") < col("r.media_id"))
+      .select(col("l.kind").as("kind"), col("l.media_id").as("id_a"),
+        col("r.media_id").as("id_b"),
+        col("l.phash").as("ph_a"), col("r.phash").as("ph_b")).distinct()
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("kind", "id_a", "id_b", "hamming")
+      .orderBy("kind", "id_a", "id_b")
+  }
+
   // per-(corpus, kind) media IVF indexes, built once per JVM — the
   // Similarity registry-cache pattern, stamped on documents.parquet
   private def mediaIndexFor(spark: SparkSession, dir: String, kind: String,
@@ -320,6 +398,7 @@ object Multimodal {
     "multimodal_dedup" -> (mediaDedup _),
     "multimodal_batches" -> ((s: SparkSession, d: String) => decodeBatches(s, d)),
     "multimodal_near_dup" -> ((s: SparkSession, d: String) => nearDupPairs(s, d)),
+    "multimodal_phash_dup" -> ((s: SparkSession, d: String) => phashDupPairs(s, d)),
     "multimodal_knn" -> ((s: SparkSession, d: String) => mediaKnn(s, d)),
     "multimodal_align" -> ((s: SparkSession, d: String) => alignScores(s, d)))
 
@@ -403,6 +482,29 @@ object Multimodal {
          |    round(${Similarity.duckCos("ea.emb", "eb.emb")}, 6) AS cos_sim
          |  FROM cand JOIN ev ea ON ea.vec_id = cand.id_a JOIN ev eb ON eb.vec_id = cand.id_b)
          |WHERE cos_sim >= 0.995 ORDER BY kind, id_a, id_b""".stripMargin.replace('\n', ' '),
+    // integer aHash replay on the bit relation (the dedup_simhash oracle
+    // shape): banding is candidate generation only, so the exact
+    // all-pairs hamming <= 3 twin IS the answer set
+    "multimodal_phash_dup" ->
+      """WITH fv0 AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |   octet_length(encode(text)) AS n,
+        |   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM documents WHERE text IS NOT NULL),
+        | u AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS i FROM fv0),
+        | byt AS (SELECT doc_id, ((strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) % 64 AS d FROM u),
+        | cnt AS (SELECT doc_id, d, count(*) AS c FROM byt GROUP BY 1, 2),
+        | dt AS (SELECT unnest(generate_series(0, 63)) AS d),
+        | vb AS MATERIALIZED (SELECT f.doc_id, f.kind, dt.d,
+        |   CASE WHEN 64 * coalesce(cnt.c, 0) > f.n THEN 1 ELSE 0 END AS vb
+        |   FROM fv0 f CROSS JOIN dt
+        |   LEFT JOIN cnt ON cnt.doc_id = f.doc_id AND cnt.d = dt.d)
+        |SELECT a.kind, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(sum(CASE WHEN a.vb <> b.vb THEN 1 ELSE 0 END) AS INT) AS hamming
+        |FROM vb a JOIN vb b ON a.kind = b.kind AND a.d = b.d AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2, 3
+        |HAVING sum(CASE WHEN a.vb <> b.vb THEN 1 ELSE 0 END) <= 3
+        |ORDER BY a.kind, id_a, id_b""".stripMargin.replace('\n', ' '),
     // per-modality IVF serving replay: kind-partitioned Lloyd, nProbe=3
     // probed cells, exact re-rank, k=3, queries = media ids < 6
     "multimodal_knn" ->

@@ -201,4 +201,46 @@ class MultimodalSpec extends SparkTestBase {
         assert(a.name != "payload" && a.name != "text",
           "payload/text crossed the pairing exchange")))
   }
+
+  test("phash near-dup: banded pairs equal the brute all-pairs hamming sweep of the integer aHash; no payload in exchanges (r16)") {
+    import org.apache.spark.sql.functions.col
+    val maxDist = 3
+    val got = Multimodal.phashDupPairs(spark, sf, maxDist).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty, "sf0.001 must surface at least one phash pair")
+    // brute replay: the integer average-hash recomputed driver-side from
+    // the raw payload bytes, then an exact all-pairs hamming sweep —
+    // pigeonhole banding is candidate generation only, so the two sets
+    // must be IDENTICAL
+    val media = Multimodal.mediaDataset(spark, sf).collect()
+      .filter(_.payload != null)
+    def ahash(payload: Array[Byte]): Long = {
+      val counts = new Array[Int](64)
+      payload.foreach(b => counts((b & 0xFF) % 64) += 1)
+      (0 until 64).foldLeft(0L) { (fp, d) =>
+        if (64L * counts(d) > payload.length) fp | (1L << d) else fp
+      }
+    }
+    val hashes = media.map(m => (m.media_id, m.kind, ahash(m.payload)))
+    val want = (for {
+      (ia, ka, ha) <- hashes; (ib, kb, hb) <- hashes
+      if ka == kb && ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= maxDist
+    } yield (ka, ia, ib, h)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq === want.toSeq)
+    // resize/re-encode dup class: a truncated re-encode of the same
+    // payload stays within the hamming radius (the class cosine-LSH's
+    // float thresholds can miss)
+    val big = media.maxBy(_.payload.length)
+    val resized = Multimodal.resizeStub(big.payload,
+      targetW = big.payload.length * 9 / 10, targetH = 1)
+    assert(java.lang.Long.bitCount(ahash(big.payload) ^ ahash(resized)) <= maxDist,
+      "a 10% truncation re-encode must stay within the phash radius")
+    // plan contract: only (kind, id, hash) cross the exchanges
+    val p = Multimodal.phashDupPairs(spark, sf, maxDist)
+      .queryExecution.executedPlan
+    p.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      .foreach(e => e.output.foreach(a =>
+        assert(a.name != "payload", "payload blob crossed an exchange")))
+  }
 }
