@@ -635,6 +635,137 @@ object TextOps {
     if (keepOnly) scored.filter(col("q_keep") === 1) else scored
   }
 
+  // ------------------------------------------- quality-model drift loop
+
+  /** Quality-score distribution observed on the SAME plan the sink
+    * writes — count / mean `q_mean_milli` / keep rate (the
+    * [[Similarity]] `observedAssign` pattern: metrics deliver when the
+    * write job runs, no second pass). */
+  private def observedQuality(scored: DataFrame,
+      obs: org.apache.spark.sql.Observation): DataFrame =
+    scored.observe(obs,
+      count(lit(1)).as("n"),
+      avg(col("q_mean_milli")).as("mean_milli"),
+      avg(col("q_keep").cast("double")).as("keep_rate"))
+
+  /** Persist one commit's quality-drift line under `outTable/drift/` —
+    * advisory telemetry with the [[Similarity]] `recordDrift` contract:
+    * written AFTER the commit, a failed write is logged never thrown
+    * (the commit landed; retrying "the batch" would double-append). */
+  private def recordQualityDrift(outTable: String, batch: Long,
+      obs: org.apache.spark.sql.Observation): Unit = {
+    import graft.streaming.ManifestTable
+    val m = obs.get
+    val n = m("n").asInstanceOf[Long]
+    def d(k: String): Double = m(k) match {
+      case null => Double.NaN
+      case v: java.lang.Number => v.doubleValue()
+    }
+    val line = s"$n,${d("mean_milli")},${d("keep_rate")}"
+    try ManifestTable.io(outTable).write(
+      java.nio.file.Paths.get(outTable, "drift", s"b$batch"),
+      line.getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"graft: quality drift line b$batch for $outTable lost (${e.getMessage})")
+    }
+  }
+
+  /** Write the batch-0 BASELINE drift line: the score distribution of
+    * the OFFLINE corpus the model was trained on, scored by that same
+    * model — what the live stream's per-batch lines are compared
+    * against (the `buildIvfIndex` batch-0 analog; r15 verdict #8). Call
+    * once at deployment, before the quality leg starts. */
+  def qualityDriftBaseline(docs: DataFrame, textCol: String,
+      model: TokenWeightModel, outTable: String): Unit = {
+    val obs = org.apache.spark.sql.Observation()
+    observedQuality(
+        streamingQualityFilter(docs, textCol, model, keepOnly = false)
+          .select("q_tokens", "q_mean_milli", "q_keep"), obs)
+      .write.mode("overwrite").format("noop").save()
+    recordQualityDrift(outTable, 0L, obs)
+  }
+
+  /** One quality-leg micro-batch → replay-guarded manifest commit + one
+    * drift line, with the EXACTLY-ONCE replay semantics of
+    * [[Similarity.appendToIvfIndexBatch]]: streaming micro-batch N
+    * commits as manifest batch N+1 (the baseline owns 0); a replayed id
+    * whose commit is durable but whose drift line is missing (crash in
+    * the commit→line window) re-derives the observation from the
+    * re-delivered rows — no second manifest write — so lines stay
+    * exactly one-per-batch. */
+  def qualityLegBatch(scored: DataFrame, outTable: String,
+      streamBatchId: Long): Unit = {
+    import graft.streaming.ManifestTable
+    val manifestBatch = streamBatchId + 1L
+    val sel = scored.select("doc_id", "q_tokens", "q_mean_milli", "q_keep")
+    if (ManifestTable.hasBatch(outTable, manifestBatch)) {
+      val io = ManifestTable.io(outTable)
+      if (!io.exists(java.nio.file.Paths.get(outTable, "drift",
+          s"b$manifestBatch"))) {
+        val obs = org.apache.spark.sql.Observation()
+        observedQuality(sel, obs).write.mode("overwrite").format("noop").save()
+        recordQualityDrift(outTable, manifestBatch, obs)
+      }
+      return
+    }
+    val obs = org.apache.spark.sql.Observation()
+    ManifestTable.append(observedQuality(sel, obs), outTable, None, manifestBatch)
+    recordQualityDrift(outTable, manifestBatch, obs)
+  }
+
+  /** The drift history: one row per quality commit — `(batch, n,
+    * mean_milli, keep_rate)`, ascending; batch 0 is the offline-training
+    * baseline. Driver-sized: O(commits) lines. */
+  def qualityDriftStats(spark: SparkSession, outTable: String): DataFrame = {
+    import graft.streaming.ManifestTable
+    import spark.implicits._
+    val io = ManifestTable.io(outTable)
+    io.list(java.nio.file.Paths.get(outTable, "drift"))
+      .flatMap { p =>
+        val name = p.getFileName.toString
+        if (!name.startsWith("b")) None
+        else name.stripPrefix("b").toLongOption.flatMap { b =>
+          new String(io.read(p), "UTF-8").trim.split(",", -1) match {
+            case Array(n, mean, keep) =>
+              try Some((b, n.toLong, mean.toDouble, keep.toDouble))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }
+      }
+      .sortBy(_._1)
+      .toDF("batch", "n", "mean_milli", "keep_rate")
+  }
+
+  /** Close the model-refresh loop (the ANN tier's [[Similarity
+    * .needsRetrain]] shape, r15 verdict #8): true when the live
+    * batches' n-weighted mean `q_mean_milli` has fallen more than
+    * `toleranceMilli` below the offline-training baseline — the corpus
+    * the stream now carries no longer looks like the corpus the weights
+    * were distilled from, so a retrain on recent data is due. Scores
+    * live in [0, 1000] with keep at 500; the default 50-milli tolerance
+    * flags genuine distribution movement while riding out batch noise
+    * (the [[Similarity.needsRetrain]] 0.05-of-range convention). Missing
+    * baseline or no live data returns false. */
+  def qualityNeedsRetrain(spark: SparkSession, outTable: String,
+      toleranceMilli: Double = 50.0): Boolean = {
+    val rows = qualityDriftStats(spark, outTable).collect()
+    rows.find(_.getLong(0) == 0L) match {
+      case None => false
+      case Some(base) if base.getDouble(2).isNaN => false
+      case Some(base) =>
+        val live = rows.filter(r =>
+          r.getLong(0) > 0L && r.getLong(1) > 0L && !r.getDouble(2).isNaN)
+        if (live.isEmpty) false
+        else {
+          val n = live.map(_.getLong(1)).sum.toDouble
+          val weighted = live.map(r => r.getDouble(2) * r.getLong(1)).sum / n
+          weighted < base.getDouble(2) - toleranceMilli
+        }
+    }
+  }
+
   /** DuckDB replay of the whole quality-model pipeline: the tokenizer
     * walk EXTENDED with the matched id per step (lateral longest-match —
     * a tie is impossible, two distinct same-length tokens can't both

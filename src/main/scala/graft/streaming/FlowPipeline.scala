@@ -101,7 +101,13 @@ object FlowPipeline {
     * ([[graft.operators.TextOps.streamingQualityFilter]] — train offline,
     * filter at ingest; stateless, so this leg adds no state store to the
     * deployment) → replay-guarded managed output of per-document scores
-    * and keep flags. */
+    * and keep flags, each commit leaving exactly one drift line
+    * ([[graft.operators.TextOps.qualityLegBatch]] — micro-batch N is
+    * manifest batch N+1, the offline-training baseline owns 0) so
+    * [[graft.operators.TextOps.qualityNeedsRetrain]] closes the
+    * model-refresh loop the way the ANN tier's drift line does
+    * (r15 verdict #8). Write the baseline first:
+    * [[graft.operators.TextOps.qualityDriftBaseline]]. */
   def startQualityLeg(decoded: DataFrame,
       model: graft.operators.TextOps.TokenWeightModel, outTable: String,
       checkpoint: String, docEvery: Long = 100L)
@@ -110,9 +116,7 @@ object FlowPipeline {
         deriveDocs(decoded, docEvery), "text", model, keepOnly = false)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        ManifestTable.append(
-          b.select("doc_id", "q_tokens", "q_mean_milli", "q_keep"),
-          outTable, None, id)
+        graft.operators.TextOps.qualityLegBatch(b, outTable, id)
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -791,4 +791,41 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(1L)._3 < got(2L)._3,
       "repetitive text must score lower NLL than corpus-novel text")
   }
+
+  test("quality drift loop: planted distribution shift flips the retrain flag; a replay re-emits a lost line (r15 #8)") {
+    import spark.implicits._
+    // synthetic model with known weights so the planted shift is exact:
+    // "good"-only docs score 900, "bad"-heavy docs 420 < 850 tolerance cut
+    val model = TextOps.TokenWeightModel(
+      Seq("good", "bad", " "), Seq(900L, 100L, 900L), unkWeight = 500L)
+    val out = java.nio.file.Files.createTempDirectory("graft_qdrift").toString
+    def score(df: org.apache.spark.sql.DataFrame) =
+      TextOps.streamingQualityFilter(df, "text", model, keepOnly = false)
+    val good = Seq.tabulate(50)(i => (i.toLong, "good good good"))
+      .toDF("doc_id", "text")
+    TextOps.qualityDriftBaseline(good, "text", model, out)
+    // a live batch from the training distribution: no retrain
+    TextOps.qualityLegBatch(score(good), out, streamBatchId = 0L)
+    assert(!TextOps.qualityNeedsRetrain(spark, out),
+      "same-distribution batch must not trip the flag")
+    // planted shift: the stream turns low-quality
+    val bad = Seq.tabulate(200)(i => (1000L + i, "bad bad bad"))
+      .toDF("doc_id", "text")
+    TextOps.qualityLegBatch(score(bad), out, streamBatchId = 1L)
+    assert(TextOps.qualityNeedsRetrain(spark, out),
+      "shifted batches must trip the retrain flag")
+    val stats = TextOps.qualityDriftStats(spark, out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(stats(0L) === ((50L, 900.0)) && stats(1L) === ((50L, 900.0)))
+    assert(stats(2L) === ((200L, 420.0)))
+    // crash window replay: line lost after a durable commit → the
+    // replayed id re-derives the line with NO second manifest write
+    val line = java.nio.file.Paths.get(out, "drift", "b2")
+    java.nio.file.Files.delete(line)
+    TextOps.qualityLegBatch(score(bad), out, streamBatchId = 1L)
+    assert(java.nio.file.Files.exists(line), "replay must re-emit the lost line")
+    assert(graft.streaming.ManifestTable.read(spark, out).count() === 250L,
+      "replay must not double-append")
+    assert(TextOps.qualityNeedsRetrain(spark, out))
+  }
 }
