@@ -438,6 +438,26 @@ object BenchScale {
           k = 5, nProbe = 8)
       }
     }
+    // materialized IVF-PQ index (r16): build (coarse kmeans + PQ train +
+    // fused assign/encode pass) and the code-scanning probe serve — the
+    // cells hold 64x-smaller codes, so the probed read is the memory
+    // story measured
+    val ivfPqDir = work.resolve("ivfpq_index").toString
+    if (wanted("scale_sim_ivfpq_index_build") ||
+        wanted("scale_sim_knn_ivfpq_indexed")) {
+      val (_, pqIdxBuildSec) = timed {
+        graft.operators.Pq.buildIvfPqIndex(
+          graft.Tables.embeddings(spark, famDir), ivfPqDir,
+          nCentroids = 64, kmIters = 2, m = 4, nCodes = 256, iters = 2)
+      }
+      if (wanted("scale_sim_ivfpq_index_build"))
+        queries("scale_sim_ivfpq_index_build") = pqIdxBuildSec
+      bench("scale_sim_knn_ivfpq_indexed") {
+        graft.operators.Pq.knnIvfPqIndexed(spark, ivfPqDir,
+          graft.Tables.embeddings(spark, famDir).filter(col("vec_id") < 100),
+          k = 5, nProbe = 8)
+      }
+    }
     // PQ tier (r15): train once (its own timed row, like the IVF build),
     // then the corpus-wide encode — the pass that shrinks the vectors
     // 64x — and a 100-query ADC serve over the codes relation

@@ -486,6 +486,177 @@ object Pq {
     rankTopK(scored, k)
   }
 
+  // --------------------------------- materialized IVF-PQ index (r16)
+
+  /** Empty-prune fallback schema for the code-bearing cells relation. */
+  private val PqCellSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+
+  /** The one fused corpus pass both build and append share: coarse
+    * assign + PQ encode, cells carrying (vec_id, cid, codes) ONLY. */
+  private def encodeCells(emb: DataFrame, cents: DataFrame,
+      model: PqModel): DataFrame =
+    Similarity.withNearestCid(emb, cents)
+      .select(col("vec_id"), col("cid"),
+        PqCodec.pqEncode(PqCodec.quantLongs(col("embedding"), Scale),
+          model.codebook, model.dsub).as("codes"))
+      .withColumn("cid_part", col("cid"))
+
+  /** Materialize the full IVF-PQ index — the FAISS `IndexIVFPQ`
+    * DEPLOYMENT shape the inline [[knnIvfPq]] row prototypes: coarse
+    * centroids + trained codebook + cells storing 8-byte-spirit CODES
+    * instead of the 256-byte embeddings [[Similarity.buildIvfIndex]]
+    * keeps. At 100 TB this is the difference between an index that fits
+    * in cluster RAM and one that doesn't (~64× smaller cells), while
+    * probes still read only their probed `cid_part=` directories. Same
+    * manifest layout as the plain IVF index (centroids at batch 0,
+    * cell-partitioned commits), so compaction
+    * ([[Similarity.compactIvfCells]] pointed at `cells`) and the
+    * append/retrain lifecycle carry over unchanged. */
+  def buildIvfPqIndex(emb: DataFrame, indexDir: String, nCentroids: Int = 8,
+      kmIters: Int = 2, m: Int = 4, nCodes: Int = 8, iters: Int = 2): Unit = {
+    import graft.streaming.ManifestTable
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = Similarity.kmeansCentroids(emb, nCentroids, kmIters)
+    ManifestTable.append(cents.select(col("cid"), col("c_emb")),
+      s"$indexDir/centroids", None, 0L)
+    val model = train(emb, m, nCodes, iters)
+    val cbRows = for {
+      s <- model.codebook.indices
+      c <- model.codebook(s).indices
+      p <- model.codebook(s)(c).indices
+    } yield (s, c, p, model.codebook(s)(c)(p))
+    ManifestTable.append(cbRows.toDF("sub", "code", "pos", "c_q"),
+      s"$indexDir/codebook", None, 0L)
+    ManifestTable.append(
+      model.codeIds.zipWithIndex.map { case (id, j) => (j, id) }
+        .toDF("code", "seed_vec_id"),
+      s"$indexDir/codeids", None, 0L)
+    ManifestTable.append(encodeCells(emb, cents, model),
+      s"$indexDir/cells", Some("cid_part"), 0L)
+  }
+
+  /** Rehydrate the persisted codebook as a driver [[PqModel]] (bounded:
+    * m × nCodes × dsub longs — the ANN centroid pattern). */
+  private[graft] def readIvfPqModel(spark: SparkSession,
+      indexDir: String): PqModel = {
+    import graft.streaming.ManifestTable
+    val rows = ManifestTable.read(spark, s"$indexDir/codebook")
+      .select("sub", "code", "pos", "c_q").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val dsub = rows.map(_._3).max + 1
+    val cb = Array.fill(m, k, dsub)(0L)
+    rows.foreach { case (s, c, p, q) => cb(s)(c)(p) = q }
+    val ids = ManifestTable.read(spark, s"$indexDir/codeids")
+      .select("code", "seed_vec_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    PqModel(cb.map(_.map(_.toSeq).toSeq).toSeq, ids.toSeq, m, dsub)
+  }
+
+  /** Exactly-once streaming append to a materialized IVF-PQ index: the
+    * [[Similarity.appendToIvfIndexBatch]] contract (caller-owned id;
+    * a replayed id is a no-op before any job runs) with the PQ encode
+    * fused into the same assignment pass — O(new data), centroids and
+    * codebook untouched. Retrain posture: the drift signal comes from
+    * the same assignment-cosine telemetry as the plain index; run a
+    * plain-IVF maintainer beside this one when the trigger matters, or
+    * rebuild at a fresh path on its flag. */
+  def appendToIvfPqIndexBatch(newVecs: DataFrame, indexDir: String,
+      manifestBatch: Long): Unit = {
+    import graft.streaming.ManifestTable
+    require(manifestBatch > 0L, "manifest batch 0 is the build baseline")
+    if (ManifestTable.hasBatch(s"$indexDir/cells", manifestBatch)) return
+    val spark = newVecs.sparkSession
+    val cents = ManifestTable.read(spark, s"$indexDir/centroids")
+    val model = readIvfPqModel(spark, indexDir)
+    ManifestTable.append(encodeCells(newVecs, cents, model),
+      s"$indexDir/cells", Some("cid_part"), manifestBatch)
+  }
+
+  /** Serve top-k from the MATERIALIZED IVF-PQ index: rank cells per
+    * query against the broadcast centroid table, read ONLY the probed
+    * cells' files (manifest partition pruning), and ADC-score the codes
+    * with the same integer lookup-table arithmetic as [[knnIvfPq]] —
+    * identical results at identical build parameters (the
+    * [[Similarity.knnIvfIndexed]] equality contract), but the index
+    * holds codes, never vectors: the scan is ~64× smaller per probed
+    * cell and raw embeddings exist only on the query side. */
+  def knnIvfPqIndexed(spark: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int = 5, nProbe: Int = 3): DataFrame = {
+    import graft.streaming.ManifestTable
+    val cents = ManifestTable.read(spark, s"$indexDir/centroids")
+    val model = readIvfPqModel(spark, indexDir)
+    val m = model.m
+    val dsub = model.dsub
+    val qrows = queries
+      .select(col("vec_id"), PqCodec.quantLongs(col("embedding"), Scale).as("qq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    import spark.implicits._
+    if (qrows.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("query_id", "neighbor_id", "adc_cos", "rank")
+    val qIdx = qrows.map(_._1).zipWithIndex.toMap
+    val normLut: Seq[Seq[Long]] =
+      model.codebook.map(_.map(c => c.map(x => x * x).sum))
+    val dotLuts: Seq[Seq[Seq[Long]]] = qrows.toIndexedSeq.map { case (_, qq) =>
+      (0 until m).map { s =>
+        model.codebook(s).map { c =>
+          var d = 0L; var p = 0
+          while (p < dsub) { d += qq(s * dsub + p) * c(p); p += 1 }
+          d
+        }
+      }
+    }
+    val qnorms = qrows.map { case (_, qq) => qq.map(x => x * x).sum }
+    import org.apache.spark.sql.expressions.Window
+    val probeRows = queries
+      .join(broadcast(cents))
+      .withColumn("cos_c",
+        round(Similarity.cosine(col("embedding"), col("c_emb")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("cos_c"), asc("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val probes = probeRows.toSeq
+      .map { case (q, c) => (q, qIdx(q), qnorms(qIdx(q)), c) }
+      .toDF("query_id", "qidx", "qnorm", "cid")
+    val probedCells = probeRows.map(_._2.toString).toSet
+    val cells = ManifestTable
+      .readPruned(spark, s"$indexDir/cells", "cid_part", probedCells,
+        Some(PqCellSchema))
+      .drop("cid_part")
+    val scored = cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qnorm"),
+        PqCodec.pqAdcPartsAt(col("codes"), col("qidx"), dotLuts, normLut)
+          .as("parts"))
+      .withColumn("adc_cos",
+        round(element_at(col("parts"), 1).cast("double") /
+          (sqrt(col("qnorm").cast("double")) *
+            sqrt(element_at(col("parts"), 2).cast("double"))), 6))
+      .select("query_id", "vec_id", "adc_cos")
+    rankTopK(scored, k)
+  }
+
+  /** Registry cache for the IVF-PQ index — the [[Similarity.ivfIndexFor]]
+    * build-once-serve-many pattern, stamped on the embeddings input. */
+  private[graft] def ivfPqIndexFor(s: SparkSession, d: String): String =
+    Similarity.cachedIndex("ivfpq", d, Similarity.corpusStamp(d)) { idx =>
+      buildIvfPqIndex(Tables.embeddings(s, d), idx, nCentroids = 8,
+        kmIters = 2, m = 4, nCodes = 8, iters = 2)
+    }
+
   /** The residual-coding payoff, measured two ways at IDENTICAL budgets
     * (same coarse cells, same probe count, same m × nCodes codebook):
     * `sse` — the corpus-total squared quantization error (exact
@@ -588,6 +759,9 @@ object Pq {
     "sim_pq_codebook" -> ((s: SparkSession, d: String) => codebook(s, d)),
     "sim_knn_pq" -> ((s: SparkSession, d: String) => knnPq(s, d)),
     "sim_knn_ivfpq" -> ((s: SparkSession, d: String) => knnIvfPq(s, d)),
+    "sim_knn_ivfpq_indexed" -> ((s: SparkSession, d: String) =>
+      knnIvfPqIndexed(s, ivfPqIndexFor(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 5, nProbe = 3)),
     "sim_knn_ivfpq_res" -> ((s: SparkSession, d: String) => knnIvfPqRes(s, d)),
     "sim_ivfpq_res_gain" -> ((s: SparkSession, d: String) => ivfPqResGain(s, d)),
     "sim_pq_recall" -> ((s: SparkSession, d: String) => pqRecall(s, d)),
@@ -791,6 +965,28 @@ object Pq {
          |   FROM scr))""".stripMargin
   }
 
+  /** Inline IVF-PQ serving replay, shared by the inline row and its
+    * materialized-index twin. */
+  private lazy val duckIvfPqServe: String =
+    s"""${duckPqAsgCtes(4, 8, 2, 64, 5)}
+       |${duckCoarseKmeansCtes(8, 2)}
+       |${duckKasgProbes(5, 3)},
+       | adcp AS (SELECT p.query_id, ka.vec_id AS neighbor_id,
+       |   CAST(sum(d.dot) AS BIGINT) AS dot, CAST(sum(n.nrm) AS BIGINT) AS rnorm
+       |   FROM probes p JOIN kasgF ka ON ka.cid = p.cid
+       |   JOIN asgF a ON a.vec_id = ka.vec_id
+       |   JOIN qdot d ON d.query_id = p.query_id AND d.sub = a.sub AND d.code = a.code
+       |   JOIN cnorm n ON n.sub = a.sub AND n.code = a.code
+       |   WHERE ka.vec_id <> p.query_id GROUP BY 1, 2),
+       | scp AS (SELECT adcp.query_id, adcp.neighbor_id,
+       |   round(CAST(adcp.dot AS DOUBLE) /
+       |     (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(adcp.rnorm AS DOUBLE))), 6) AS adc_cos
+       |   FROM adcp JOIN qnorm q USING (query_id))
+       |SELECT query_id, neighbor_id, adc_cos, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_cos DESC, neighbor_id ASC) AS rank FROM scp)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
+
   val oracles: Map[String, String] = Map(
     "sim_pq_codebook" ->
       s"""${duckPqCtes(4, 8, 2, 64)}
@@ -800,25 +996,11 @@ object Pq {
       s"""${duckPqServeCtes(4, 8, 2, 64, 5)}
          |SELECT query_id, neighbor_id, adc_cos, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
-    "sim_knn_ivfpq" ->
-      s"""${duckPqAsgCtes(4, 8, 2, 64, 5)}
-         |${duckCoarseKmeansCtes(8, 2)}
-         |${duckKasgProbes(5, 3)},
-         | adcp AS (SELECT p.query_id, ka.vec_id AS neighbor_id,
-         |   CAST(sum(d.dot) AS BIGINT) AS dot, CAST(sum(n.nrm) AS BIGINT) AS rnorm
-         |   FROM probes p JOIN kasgF ka ON ka.cid = p.cid
-         |   JOIN asgF a ON a.vec_id = ka.vec_id
-         |   JOIN qdot d ON d.query_id = p.query_id AND d.sub = a.sub AND d.code = a.code
-         |   JOIN cnorm n ON n.sub = a.sub AND n.code = a.code
-         |   WHERE ka.vec_id <> p.query_id GROUP BY 1, 2),
-         | scp AS (SELECT adcp.query_id, adcp.neighbor_id,
-         |   round(CAST(adcp.dot AS DOUBLE) /
-         |     (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(adcp.rnorm AS DOUBLE))), 6) AS adc_cos
-         |   FROM adcp JOIN qnorm q USING (query_id))
-         |SELECT query_id, neighbor_id, adc_cos, CAST(rank AS INT) AS rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adc_cos DESC, neighbor_id ASC) AS rank FROM scp)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
+    "sim_knn_ivfpq" -> duckIvfPqServe,
+    // the materialized index serves IDENTICAL results at identical build
+    // parameters (knnIvfPqIndexed's equality contract, spec-locked), so
+    // the inline replay IS its oracle — the sim_knn_ivf_indexed pattern
+    "sim_knn_ivfpq_indexed" -> duckIvfPqServe,
     "sim_knn_ivfpq_res" ->
       s"""${duckPqShared(8)}
          |${duckQdBody(4, 64, "")}

@@ -256,6 +256,37 @@ class PqSpec extends SparkTestBase {
       "residual coding should cut quantization error on this corpus")
   }
 
+  test("ivfpq index: materialized serving equals the inline stack; cells store codes not vectors; appends land exactly once (r16)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Pq.buildIvfPqIndex(emb, idx)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Pq.knnIvfPqIndexed(spark, idx, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val want = Pq.knnIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq === want.toSeq,
+      "materialized serving diverged from the inline stack")
+    // the index stores CODES, never embeddings — the ~64x memory story
+    val cells = graft.streaming.ManifestTable.read(spark, s"$idx/cells")
+    assert(cells.columns.contains("codes") && !cells.columns.contains("embedding"))
+    // round-trip: the persisted codebook rehydrates to the trained model
+    assert(Pq.readIvfPqModel(spark, idx) === Pq.train(emb))
+    // exactly-once append: new vectors serve; a replayed id is a no-op
+    val extra = emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .limit(7)
+    Pq.appendToIvfPqIndexBatch(extra, idx, 1L)
+    Pq.appendToIvfPqIndexBatch(extra, idx, 1L)
+    // re-read: a manifest read pins the snapshot current at read time
+    assert(graft.streaming.ManifestTable.read(spark, s"$idx/cells")
+      .filter(col("vec_id") >= 100000L).count() === 7L,
+      "replayed append must not double-encode")
+    // empty query window returns empty, not a kernel construction error
+    assert(Pq.knnIvfPqIndexed(spark, idx,
+      emb.filter(col("vec_id") < 0)).collect().isEmpty)
+  }
+
   test("empty edges: zero-query serve and empty centroid table return empty, not throw (r15 advice)") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sf)
