@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. Two sbt behaviors shadow it: the default logged output strategy
+// prefixes every forked line with "[info] ", and "[success] Total time…"
+// trails the run — so the bare summary line Bench prints last never ends up
+// as the literal final stdout line (r16 verdict #2, "parsed": null). Route
+// the forked process straight to stdout and drop the success banner.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consulted by the command engine, not by another task —
+// the unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

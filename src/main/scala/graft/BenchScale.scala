@@ -27,6 +27,56 @@ object BenchScale {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Direct-I/O storage probe (r16 verdict #1): sequential write then
+    * read of `mb` MiB through O_DIRECT — page cache bypassed both ways —
+    * on the SAME filesystem the scale tables land on, so the committed
+    * artifact carries the box state its ingest number was measured
+    * under. Prior rounds' 7× run-to-run ingest swings on identical code
+    * were storage-side; with (write, read) MB/s embedded in
+    * BENCH_scale.json the "box-degraded, not code-regressed" claim is
+    * machine-checkable instead of asserted. Falls back to buffered+fsync
+    * (labeled) if the filesystem refuses O_DIRECT. */
+  private def ioProbe(dir: java.nio.file.Path, mb: Int = 256)
+      : (Double, Double, String) = {
+    import java.nio.file.StandardOpenOption._
+    val f = dir.resolve("ioprobe.bin")
+    val block = 1 << 20
+    val raw = java.nio.ByteBuffer.allocateDirect(block + 8192).alignedSlice(4096)
+    raw.limit(block)
+    while (raw.hasRemaining) raw.put(0x5A.toByte)
+    def run(opts: Seq[java.nio.file.OpenOption], mode: String)
+        : (Double, Double, String) = {
+      val wch = java.nio.channels.FileChannel.open(f,
+        (Seq[java.nio.file.OpenOption](CREATE, WRITE, TRUNCATE_EXISTING) ++ opts): _*)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < mb) {
+        raw.rewind()
+        while (raw.hasRemaining) wch.write(raw)
+        i += 1
+      }
+      wch.force(true)
+      wch.close()
+      val wSec = (System.nanoTime() - t0) / 1e9
+      val rch = java.nio.channels.FileChannel.open(f,
+        (Seq[java.nio.file.OpenOption](READ) ++ opts): _*)
+      val t1 = System.nanoTime()
+      // reset limit to the aligned block each pass: clear() alone would
+      // expose the slice's unaligned tail capacity to an O_DIRECT read
+      raw.clear(); raw.limit(block)
+      while (rch.read(raw) > 0) { raw.clear(); raw.limit(block) }
+      rch.close()
+      val rSec = (System.nanoTime() - t1) / 1e9
+      java.nio.file.Files.deleteIfExists(f)
+      (mb / wSec, mb / rSec, mode)
+    }
+    try run(Seq(com.sun.nio.file.ExtendedOpenOption.DIRECT), "direct")
+    catch { case scala.util.control.NonFatal(_) =>
+      java.nio.file.Files.deleteIfExists(f)
+      run(Seq.empty, "buffered+fsync")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "50000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,6 +124,9 @@ object BenchScale {
     var fullPrefix: Option[String] = None
 
     if (fullRun) {
+    // ---- stage 0a: box-state probe (r16 verdict #1) ---------------------
+    val (ioW0, ioR0, ioMode) = ioProbe(work)
+    println(f"[scale] io probe before: write $ioW0%.0f MB/s, read $ioR0%.0f MB/s ($ioMode)")
     // ---- stage 0: generate + frame the wire corpus onto disk ------------
     // (the mocker's job — measured separately, not part of ingest time)
     val (_, genSec) = timed {
@@ -132,6 +185,12 @@ object BenchScale {
       // below race the compactor's in-flight staging
       compactor.join()
     }
+
+    // re-probe right after the ingest window: the pair brackets the
+    // measurement — a healthy-before / degraded-after pair explains a
+    // slow ingest as box contention, matching pairs pin it on the code
+    val (ioW1, ioR1, _) = ioProbe(work)
+    println(f"[scale] io probe after ingest: write $ioW1%.0f MB/s, read $ioR1%.0f MB/s")
 
     // final compaction + vacuum to the steady-state layout
     val (_, compactSec) = timed {
@@ -319,7 +378,11 @@ object BenchScale {
     val ingestRate = (n / ingestSec).toLong
     fullPrefix = Some(
       f"""{"metric":"scale_total","rows":$n,"gen_sec":$genSec%.1f,"ingest_sec":$ingestSec%.1f,""" +
-      f""""ingest_rows_per_sec":$ingestRate,"final_compact_sec":$compactSec%.1f,""" +
+      f""""ingest_rows_per_sec":$ingestRate,""" +
+      f""""io_probe":{"mode":"$ioMode","mb":256,""" +
+      f""""before":{"write_mb_per_sec":$ioW0%.1f,"read_mb_per_sec":$ioR0%.1f},""" +
+      f""""after_ingest":{"write_mb_per_sec":$ioW1%.1f,"read_mb_per_sec":$ioR1%.1f}},""" +
+      f""""final_compact_sec":$compactSec%.1f,""" +
       f""""online_compactions_during_ingest":${compactions.get},""" +
       f""""raw_rows":$rawRows,"rollup_flow_count":$rollupFlows,""" +
       f""""pipeline_full":{"sec":$pipeSec%.1f,"rows_per_sec":$pipeRate,""" +
@@ -530,6 +593,22 @@ object BenchScale {
     // exchange) + the fused single-scan rescore — the full distill cycle
     bench("scale_text_quality_model") {
       graft.operators.TextOps.qualityModelScores(spark, famDir)
+    }
+    // corpus-trained BPE at 5M docs (r16 verdict #7): training pays ONE
+    // corpus-sized word-count aggregate, then 8 rounds of windowed
+    // rewrites over the vocabCap-BOUNDED relation (the claimed shape,
+    // now measured); encode is the one-pass native longest-match kernel
+    // over the learned vocabulary — train once, shared (the knnPqOver
+    // split)
+    if (wanted("scale_text_bpe_train") || wanted("scale_text_bpe_encode")) {
+      val (bpeMerges, bpeTrainSec) = timed(
+        graft.operators.Bpe.trainedMergesFor(spark, famDir,
+          rounds = 8, vocabCap = 1000))
+      if (wanted("scale_text_bpe_train"))
+        queries("scale_text_bpe_train") = bpeTrainSec
+      bench("scale_text_bpe_encode") {
+        graft.operators.Bpe.bpeEncodeOver(spark, famDir, bpeMerges)
+      }
     }
     // 5M-media feature-space rows (r14 verdict #1): near-dup candidates
     // stay bucket-bounded (df-cap drops degenerate feature collisions);

@@ -39,6 +39,23 @@ object Storage {
     * the cache-fill job runs now instead of at first use. */
   def materializeOnce(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Free the executor blocks behind a [[materializeOnce]] result once no
+    * later consumer needs them — the iterative-loop hygiene ADVICE r16
+    * asked for: each training round checkpoints a new token relation, and
+    * without an explicit release the superseded rounds' blocks accumulate
+    * until session end. `Dataset.unpersist` can't do it (localCheckpoint
+    * persists the underlying RDD directly, bypassing the cache manager),
+    * so this walks the plan to the `LogicalRDD` the checkpoint left and
+    * unpersists that RDD. Blocking=false: eviction is hygiene, not a
+    * correctness edge — the checkpointed consumer was materialized eagerly
+    * before its input is released. No-op on non-checkpointed plans. */
+  def unpersistMaterialized(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Reliable variant of [[materializeOnce]]: blocks go to `checkpointDir`
     * on the table filesystem instead of executor memory/disk.
     *

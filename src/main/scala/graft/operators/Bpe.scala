@@ -106,18 +106,40 @@ object Bpe {
         val (lt, rt, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, lt, rt, cnt))
+        // release the superseded round's executor blocks AFTER the new
+        // round materializes (ADVICE r16: without this the loop pins
+        // rounds × vocabCap·maxWordLen rows of storage until session end)
+        val prev = toks
         toks = graft.Storage.materializeOnce(applyMerge(toks, lt, rt))
+        graft.Storage.unpersistMaterialized(prev)
         r += 1
       }
     }
+    // the final round's relation has served its last aggregate too
+    graft.Storage.unpersistMaterialized(toks)
     merges.result()
   }
+
+  /** Train-once cache keyed on (corpus stamp, rounds, vocabCap) — the
+    * [[Similarity.cachedIndex]] build-once-serve-many pattern (ADVICE
+    * r16): a run that executes both registry rows (`text_bpe_train` and
+    * `text_bpe_encode`) pays the corpus word-count and the merge loop
+    * ONCE; the stamp invalidates on corpus change, so a refreshed
+    * `documents.parquet` retrains. */
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int), Seq[(Int, String, String, Long)]]()
+
+  private[graft] def trainedMergesFor(spark: SparkSession, dir: String,
+      rounds: Int, vocabCap: Int): Seq[(Int, String, String, Long)] =
+    mergeCache.computeIfAbsent(
+      (dir, Similarity.corpusStamp(dir, "documents.parquet"), rounds, vocabCap),
+      _ => trainMerges(spark, dir, rounds, vocabCap))
 
   /** `text_bpe_train` — the learned merge table as a relation. */
   def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 8,
       vocabCap: Int = 1000): DataFrame = {
     import spark.implicits._
-    trainMerges(spark, dir, rounds, vocabCap)
+    trainedMergesFor(spark, dir, rounds, vocabCap)
       .map { case (r, lt, rt, cnt) => (r, lt, rt, lt + rt, cnt) }
       .toDF("round", "left_tok", "right_tok", "merged", "pair_count")
       .orderBy("round")
@@ -130,9 +152,16 @@ object Bpe {
     * Distinct because two merge paths can produce the same string
     * ("ab"+"c" and "a"+"bc" both yield "abc"). */
   def bpeEncode(spark: SparkSession, dir: String, rounds: Int = 8,
-      vocabCap: Int = 1000): DataFrame = {
-    val learned = trainMerges(spark, dir, rounds, vocabCap)
-      .map { case (_, lt, rt, _) => lt + rt }
+      vocabCap: Int = 1000): DataFrame =
+    bpeEncodeOver(spark, dir, trainedMergesFor(spark, dir, rounds, vocabCap))
+
+  /** The SERVING body of [[bpeEncode]] — encode through an
+    * already-trained merge table (the [[Pq]] `knnPqOver` split, ADVICE
+    * r16): a deployment trains once, persists the merges, and re-encodes
+    * any corpus slice without retraining. */
+  def bpeEncodeOver(spark: SparkSession, dir: String,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val learned = merges.map { case (_, lt, rt, _) => lt + rt }
     val vocab = (learned ++ ('a' to 'z').map(_.toString) :+ " ").distinct
     Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -208,25 +237,33 @@ object Bpe {
     * probes a PRE-JOINED per-(doc, pos) longest-match table instead of a
     * LATERAL subquery — DuckDB 1.0 returns wrong lateral-max results
     * when the recursion's probe target is a CTE chain with MATERIALIZED
-    * members (isolated empirically: off-by-one token counts), and the
-    * precomputed `lm` relation sidesteps the lateral entirely while
-    * staying docs × maxLen × |v| bounded at oracle scale. */
+    * members (isolated empirically: off-by-one token counts). The `lm`
+    * build joins positions to vocabulary candidates on FIRST CHARACTER
+    * (a tok matching at pos must start with text[pos]), not a full
+    * pos × |v| cross product — the r16 oracle-budget ask: |v| candidate
+    * probes per position drop to ~1 (the per-letter vocab bucket), and a
+    * position whose character heads no vocab entry is simply absent
+    * (LEFT JOIN NULL in the walk = unknown, advance 1 — identical
+    * semantics). */
   private[graft] def duckBpeEncodeSql(rounds: Int = 8,
       vocabCap: Int = 1000): String =
     (s"""WITH RECURSIVE ${duckBpeCtes(rounds, vocabCap)},
       | v AS (
-      |  SELECT DISTINCT tok, length(tok) AS clen FROM (
+      |  SELECT DISTINCT tok, length(tok) AS clen, substring(tok, 1, 1) AS c0 FROM (
       |    ${(1 to rounds).map(r => s"SELECT lt || rt AS tok FROM best$r")
           .mkString(" UNION ALL ")}
       |    UNION ALL SELECT chr(CAST(96 + i AS INT)) FROM UNNEST(generate_series(1, 26)) AS t(i)
       |    UNION ALL SELECT ' ') s),
       | d AS (SELECT doc_id, lower(coalesce(text, '')) AS text,
       |   length(lower(coalesce(text, ''))) AS nc FROM documents),
+      | posn AS (SELECT d.doc_id, CAST(p.i AS INT) AS pos,
+      |   substring(d.text, CAST(p.i AS INT), 1) AS c0
+      |   FROM d, UNNEST(generate_series(1, d.nc)) AS p(i)),
       | lm AS MATERIALIZED (
-      |   SELECT d.doc_id, CAST(p.i AS INT) AS pos,
-      |     max(CASE WHEN substring(d.text, CAST(p.i AS INT), v.clen) = v.tok
+      |   SELECT p.doc_id, p.pos,
+      |     max(CASE WHEN substring(d.text, p.pos, v.clen) = v.tok
       |       THEN v.clen END) AS clen
-      |   FROM d, UNNEST(generate_series(1, d.nc)) AS p(i), v
+      |   FROM posn p JOIN v USING (c0) JOIN d ON d.doc_id = p.doc_id
       |   GROUP BY 1, 2),
       | walk(doc_id, pos, n_tokens, n_unknown) AS (
       |   SELECT doc_id, 1, 0, 0 FROM d

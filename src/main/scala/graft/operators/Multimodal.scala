@@ -329,6 +329,96 @@ object Multimodal {
       .orderBy("kind", "id_a", "id_b")
   }
 
+  /** Per-sampled-frame integer aHashes of a video payload — the
+    * [[frameSampleStub]] framing (fixed `frameSize`-byte slices, every
+    * `everyNth` kept, last slice short) with the [[phashUdf]] rule per
+    * FRAME: bit d set iff 64·count_d > frame_len. One decode pass per
+    * payload in the scan stage; output is a few 8-byte hashes. */
+  private val frameHashUdf = udf {
+    (payload: Array[Byte], frameSize: Int, everyNth: Int) =>
+      if (payload == null) null
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var f = 0
+        var off = 0
+        while (off < payload.length) {
+          val len = math.min(frameSize, payload.length - off)
+          if (f % everyNth == 0) {
+            val counts = new Array[Int](64)
+            var i = 0
+            while (i < len) { counts((payload(off + i) & 0xFF) % 64) += 1; i += 1 }
+            var fp = 0L
+            var d = 0
+            while (d < 64) { if (64L * counts(d) > len) fp |= (1L << d); d += 1 }
+            out += fp
+          }
+          f += 1
+          off += frameSize
+        }
+        out.toSeq
+      }
+  }.asNondeterministic() // optimizer barrier, the phashUdf precedent
+
+  /** PER-FRAME perceptual near-dup pairs for VIDEO (r16 verdict #6):
+    * [[phashDupPairs]] hashes the whole payload grid, so a trimmed or
+    * re-cut video — which shares FRAMES, not its whole-payload byte
+    * distribution — slips past it. This row hashes each SAMPLED frame
+    * ([[frameSampleStub]] framing: a frame-aligned trim/re-cut leaves
+    * the surviving slices bit-identical), bands every frame hash with
+    * the same pigeonhole chunks, and keeps doc pairs with at least
+    * `minFrames` frame pairs within `maxDist` bits.
+    *
+    * Scale shape: the payload is read once by the frame-hashing scan and
+    * only (media_id, frame_idx, 8-byte hash) triples enter any exchange;
+    * the candidate join is an equality join on (band, chunk) with the
+    * [[nearDupPairs]] df-cap — a degenerate chunk bucket (the all-zero
+    * slice every sparse hash shares, on a corpus where near-blank frames
+    * dominate) is dropped from BOTH sides, so candidate cost is bounded
+    * by `maxBucket` per band however skewed the frame population; never
+    * all-pairs. The oracle replays the banding AND the cap arithmetic,
+    * so the capped semantics are what's hash-checked. */
+  def phashFramePairs(spark: SparkSession, dir: String, frameSize: Int = 64,
+      everyNth: Int = 2, maxDist: Int = 3, minFrames: Int = 2,
+      maxBucket: Int = 1024): DataFrame = {
+    val chunks = maxDist + 1
+    require(maxDist >= 0 && maxDist < 64 && 64 % chunks == 0,
+      s"maxDist ($maxDist): maxDist+1 must divide 64 (0, 1, 3, 7, 15, 31, 63)")
+    val bits = 64 / chunks
+    val fr = mediaTable(spark, dir)
+      .filter(col("kind") === "video")
+      .select(col("media_id"),
+        posexplode(frameHashUdf(col("payload"), lit(frameSize), lit(everyNth)))
+          .as(Seq("fidx", "fh")))
+    val bandCols = (0 until chunks).map { c =>
+      struct(lit(c).as("band"),
+        shiftrightunsigned(col("fh"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("chunk"))
+    }
+    val banded = graft.Storage.materializeOnce(fr
+      .select(col("media_id"), col("fidx"), col("fh"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("media_id"), col("fidx"), col("fh"),
+        col("b.band"), col("b.chunk")))
+    val bsz = banded.groupBy("band", "chunk").agg(count(lit(1)).as("bsz"))
+    val sane = banded.join(bsz.filter(col("bsz") <= maxBucket),
+      Seq("band", "chunk"))
+    val cand = sane.as("l").join(sane.as("r"),
+        col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
+          col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("id_a"), col("l.fidx").as("fa"),
+        col("l.fh").as("ph_a"), col("r.media_id").as("id_b"),
+        col("r.fidx").as("fb"), col("r.fh").as("ph_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_frame_matches"))
+      .filter(col("n_frame_matches") >= minFrames)
+      .orderBy("id_a", "id_b")
+  }
+
   // per-(corpus, kind) media IVF indexes, built once per JVM — the
   // Similarity registry-cache pattern, stamped on documents.parquet
   private def mediaIndexFor(spark: SparkSession, dir: String, kind: String,
@@ -399,6 +489,7 @@ object Multimodal {
     "multimodal_batches" -> ((s: SparkSession, d: String) => decodeBatches(s, d)),
     "multimodal_near_dup" -> ((s: SparkSession, d: String) => nearDupPairs(s, d)),
     "multimodal_phash_dup" -> ((s: SparkSession, d: String) => phashDupPairs(s, d)),
+    "multimodal_phash_frames" -> ((s: SparkSession, d: String) => phashFramePairs(s, d)),
     "multimodal_knn" -> ((s: SparkSession, d: String) => mediaKnn(s, d)),
     "multimodal_align" -> ((s: SparkSession, d: String) => alignScores(s, d)))
 
@@ -505,6 +596,48 @@ object Multimodal {
         |GROUP BY 1, 2, 3
         |HAVING sum(CASE WHEN a.vb <> b.vb THEN 1 ELSE 0 END) <= 3
         |ORDER BY a.kind, id_a, id_b""".stripMargin.replace('\n', ' '),
+    // per-frame aHash replay WITH the banding + df-cap arithmetic (the
+    // capped semantics are the contract, like multimodal_near_dup):
+    // per-(doc, sampled frame, bit) relation → per-band chunk values →
+    // sane (≤ cap) buckets → shared-bucket candidates → exact hamming →
+    // doc pairs with ≥ minFrames matching frame pairs
+    "multimodal_phash_frames" ->
+      """WITH fv0 AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |   octet_length(encode(text)) AS n FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 3 = 2),
+        | u AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS i FROM fv0),
+        | fbyt AS (SELECT doc_id, CAST((i - 1) // 64 AS INT) AS f,
+        |   ((strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) % 64 AS d,
+        |   n FROM u),
+        | fr AS (SELECT doc_id, f, least(64, n - f * 64) AS flen
+        |   FROM fbyt GROUP BY 1, 2, 3),
+        | sam AS (SELECT * FROM fr WHERE f % 2 = 0),
+        | cnt AS (SELECT doc_id, f, d, count(*) AS c FROM fbyt
+        |   WHERE f % 2 = 0 GROUP BY 1, 2, 3),
+        | dt AS (SELECT unnest(generate_series(0, 63)) AS d),
+        | vb AS MATERIALIZED (SELECT s.doc_id, s.f, dt.d,
+        |   CASE WHEN 64 * coalesce(c.c, 0) > s.flen THEN 1 ELSE 0 END AS vb
+        |   FROM sam s CROSS JOIN dt
+        |   LEFT JOIN cnt c ON c.doc_id = s.doc_id AND c.f = s.f AND c.d = dt.d),
+        | bandv AS MATERIALIZED (SELECT doc_id, f, CAST(d // 16 AS INT) AS band,
+        |   CAST(sum(vb * (1 << (d % 16))) AS BIGINT) AS chunk
+        |   FROM vb GROUP BY 1, 2, 3),
+        | bsz AS (SELECT band, chunk, count(*) AS sz FROM bandv GROUP BY 1, 2),
+        | sane AS (SELECT bandv.doc_id, bandv.f, bandv.band, bandv.chunk
+        |   FROM bandv JOIN bsz USING (band, chunk) WHERE bsz.sz <= 1024),
+        | cand AS (SELECT DISTINCT a.doc_id AS id_a, a.f AS fa,
+        |   b.doc_id AS id_b, b.f AS fb
+        |   FROM sane a JOIN sane b ON a.band = b.band AND a.chunk = b.chunk
+        |     AND a.doc_id < b.doc_id),
+        | hm AS (SELECT c.id_a, c.fa, c.id_b, c.fb,
+        |   sum(CASE WHEN va.vb <> vbb.vb THEN 1 ELSE 0 END) AS ham
+        |   FROM cand c JOIN vb va ON va.doc_id = c.id_a AND va.f = c.fa
+        |   JOIN vb vbb ON vbb.doc_id = c.id_b AND vbb.f = c.fb AND vbb.d = va.d
+        |   GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frame_matches
+        |FROM hm WHERE ham <= 3 GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin.replace('\n', ' '),
     // per-modality IVF serving replay: kind-partitioned Lloyd, nProbe=3
     // probed cells, exact re-rank, k=3, queries = media ids < 6
     "multimodal_knn" ->

@@ -488,7 +488,12 @@ object Pq {
 
   // --------------------------------- materialized IVF-PQ index (r16)
 
-  /** Empty-prune fallback schema for the code-bearing cells relation. */
+  /** Empty-prune fallback schema for the code-bearing cells relation.
+    * `codes` is array<int> — [[graft.functions.PqEncode]]'s output type —
+    * NOT bigint: [[graft.functions.PqAdcPartsAt]] type-checks its first
+    * argument as (array<int>, int), so a bigint fallback would fail
+    * analysis on exactly the edge this schema exists to soften (every
+    * probed cell empty → zero files selected → schema-only DataFrame). */
   private val PqCellSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("vec_id",
       org.apache.spark.sql.types.LongType),
@@ -496,17 +501,28 @@ object Pq {
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("codes",
       org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.LongType))))
+        org.apache.spark.sql.types.IntegerType))))
 
   /** The one fused corpus pass both build and append share: coarse
-    * assign + PQ encode, cells carrying (vec_id, cid, codes) ONLY. */
-  private def encodeCells(emb: DataFrame, cents: DataFrame,
-      model: PqModel): DataFrame =
-    Similarity.withNearestCid(emb, cents)
+    * assign + PQ encode, cells carrying (vec_id, cid, codes) ONLY. When
+    * `obs` is given, the batch's assignment-cosine distribution (count,
+    * mean, p05, p95 — the [[Similarity.ivfDriftStats]] line shape) rides
+    * the SAME plan and delivers when the append's write job runs: drift
+    * telemetry costs no extra pass. */
+  private def encodeCells(emb: DataFrame, cents: DataFrame, model: PqModel,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val assigned = Similarity.withNearestCid(emb, cents)
+    val observed = obs.fold(assigned)(o => assigned.observe(o,
+      count(lit(1)).as("n"),
+      avg(col("assign_cos")).as("mean_cos"),
+      percentile_approx(col("assign_cos"), lit(0.05), lit(10000)).as("p05_cos"),
+      percentile_approx(col("assign_cos"), lit(0.95), lit(10000)).as("p95_cos")))
+    observed
       .select(col("vec_id"), col("cid"),
         PqCodec.pqEncode(PqCodec.quantLongs(col("embedding"), Scale),
           model.codebook, model.dsub).as("codes"))
       .withColumn("cid_part", col("cid"))
+  }
 
   /** Materialize the full IVF-PQ index — the FAISS `IndexIVFPQ`
     * DEPLOYMENT shape the inline [[knnIvfPq]] row prototypes: coarse
@@ -539,8 +555,14 @@ object Pq {
       model.codeIds.zipWithIndex.map { case (id, j) => (j, id) }
         .toDF("code", "seed_vec_id"),
       s"$indexDir/codeids", None, 0L)
-    ManifestTable.append(encodeCells(emb, cents, model),
+    // replay guard BEFORE the append (the buildIvfIndex pattern): a re-run
+    // over an already-built index is a no-op inside append — no job runs,
+    // so Observation.get would block forever
+    val replay = ManifestTable.hasBatch(s"$indexDir/cells", 0L)
+    val obs = org.apache.spark.sql.Observation()
+    ManifestTable.append(encodeCells(emb, cents, model, Some(obs)),
       s"$indexDir/cells", Some("cid_part"), 0L)
+    if (!replay) Similarity.recordDrift(indexDir, 0L, obs)
   }
 
   /** Rehydrate the persisted codebook as a driver [[PqModel]] (bounded:
@@ -566,20 +588,64 @@ object Pq {
     * [[Similarity.appendToIvfIndexBatch]] contract (caller-owned id;
     * a replayed id is a no-op before any job runs) with the PQ encode
     * fused into the same assignment pass — O(new data), centroids and
-    * codebook untouched. Retrain posture: the drift signal comes from
-    * the same assignment-cosine telemetry as the plain index; run a
-    * plain-IVF maintainer beside this one when the trigger matters, or
-    * rebuild at a fresh path on its flag. */
+    * codebook untouched. NATIVE drift telemetry (r16 verdict #3): every
+    * append records its batch's assignment-cosine line riding the encode
+    * job's own plan, so [[Similarity.ivfDriftStats]] /
+    * [[Similarity.needsRetrain]] read this index's quality trajectory
+    * directly — no sidecar plain-IVF maintainer — and
+    * [[retrainIvfPqIndex]] rebuilds at a fresh path on the flag. A
+    * replayed delivery whose drift line is missing (crash landed between
+    * the manifest commit and the drift write) re-derives the observation
+    * from the re-delivered rows without a second manifest write. */
   def appendToIvfPqIndexBatch(newVecs: DataFrame, indexDir: String,
       manifestBatch: Long): Unit = {
     import graft.streaming.ManifestTable
     require(manifestBatch > 0L, "manifest batch 0 is the build baseline")
-    if (ManifestTable.hasBatch(s"$indexDir/cells", manifestBatch)) return
     val spark = newVecs.sparkSession
+    if (ManifestTable.hasBatch(s"$indexDir/cells", manifestBatch)) {
+      val io = ManifestTable.io(s"$indexDir/cells")
+      if (!io.exists(java.nio.file.Paths.get(indexDir, "drift", s"b$manifestBatch"))) {
+        val cents0 = ManifestTable.read(spark, s"$indexDir/centroids")
+        val obs0 = org.apache.spark.sql.Observation()
+        encodeCells(newVecs, cents0, readIvfPqModel(spark, indexDir), Some(obs0))
+          .write.mode("overwrite").format("noop").save()
+        Similarity.recordDrift(indexDir, manifestBatch, obs0)
+      }
+      return
+    }
     val cents = ManifestTable.read(spark, s"$indexDir/centroids")
     val model = readIvfPqModel(spark, indexDir)
-    ManifestTable.append(encodeCells(newVecs, cents, model),
+    val obs = org.apache.spark.sql.Observation()
+    ManifestTable.append(encodeCells(newVecs, cents, model, Some(obs)),
       s"$indexDir/cells", Some("cid_part"), manifestBatch)
+    Similarity.recordDrift(indexDir, manifestBatch, obs)
+  }
+
+  /** Close the code-cell index's retrain loop (r16 verdict #3): when the
+    * drift telemetry says the appended population has moved materially
+    * off the trained quantization ([[Similarity.needsRetrain]] over THIS
+    * index's per-append lines), rebuild — fresh coarse centroids, fresh
+    * codebook, every vector re-encoded — at `freshDir`, leaving the old
+    * index serving until the caller atomically swaps the serving path
+    * (the buildIvfIndex rebuild contract: readers see old or new, never
+    * a mix). Structural parameters (nCentroids, m, nCodes) are re-derived
+    * from the persisted index so a maintainer can't retrain at a
+    * different geometry by accident; iteration counts are training-time
+    * knobs and stay arguments. Returns true when a rebuild happened. */
+  def retrainIvfPqIndex(emb: DataFrame, indexDir: String, freshDir: String,
+      tolerance: Double = 0.05, kmIters: Int = 2, iters: Int = 2): Boolean = {
+    import graft.streaming.ManifestTable
+    val spark = emb.sparkSession
+    if (!Similarity.needsRetrain(spark, indexDir, tolerance)) false
+    else {
+      val nCentroids = ManifestTable.read(spark, s"$indexDir/centroids")
+        .count().toInt
+      val old = readIvfPqModel(spark, indexDir)
+      buildIvfPqIndex(emb, freshDir, nCentroids = nCentroids,
+        kmIters = kmIters, m = old.m, nCodes = old.codebook.head.size,
+        iters = iters)
+      true
+    }
   }
 
   /** Serve top-k from the MATERIALIZED IVF-PQ index: rank cells per

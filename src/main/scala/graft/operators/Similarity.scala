@@ -882,7 +882,7 @@ object Similarity {
     * double-append the vectors under a fresh batch id. A lost line is the
     * documented failure mode; it is logged, never thrown. Empty batches
     * record n=0 with NaN stats. */
-  private def recordDrift(indexDir: String, batch: Long,
+  private[operators] def recordDrift(indexDir: String, batch: Long,
       obs: org.apache.spark.sql.Observation): Unit = {
     import graft.streaming.ManifestTable
     val m = obs.get

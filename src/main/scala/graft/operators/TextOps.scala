@@ -767,14 +767,18 @@ object TextOps {
   }
 
   /** DuckDB replay of the whole quality-model pipeline: the tokenizer
-    * walk EXTENDED with the matched id per step (lateral longest-match —
-    * a tie is impossible, two distinct same-length tokens can't both
-    * equal one substring), gopher labels, the integer training formula,
-    * and the per-document rescore. Generated from [[TokenVocabDefault]]
-    * and [[StopWords]] so the two engines train the same model by
-    * construction. Ends with CTEs: `v` (vocab), `lbl` (labels), `steps`
-    * (one row per consumed token), `wt` (learned weights), `fin`
-    * (per-doc scores). */
+    * walk EXTENDED with the matched id per step (longest-match — a tie
+    * is impossible, two distinct same-length tokens can't both equal one
+    * substring), gopher labels, the integer training formula, and the
+    * per-document rescore. The walk probes a PRE-JOINED per-(doc, pos)
+    * longest-match table (`lmq`, arg_max on candidate length) built with
+    * a FIRST-CHARACTER equi-join — the [[graft.operators.Bpe]] encode
+    * oracle's shape, replacing the per-step LATERAL scan of the whole
+    * vocabulary that put this oracle at 16.6 s of the 30 s budget (r16
+    * verdict #4). Generated from [[TokenVocabDefault]] and [[StopWords]]
+    * so the two engines train the same model by construction. Ends with
+    * CTEs: `v` (vocab), `lbl` (labels), `steps` (one row per consumed
+    * token), `wt` (learned weights), `fin` (per-doc scores). */
   private def duckQualityCtes: String = {
     val values = TokenVocabDefault.zipWithIndex
       .map { case (t, i) => s"($i, '${t.replace("'", "''")}', ${t.length})" }
@@ -786,6 +790,17 @@ object TextOps {
        |  SELECT * FROM (VALUES $values) s(id, tok, clen)),
        | d AS (SELECT doc_id, coalesce(text, '') AS text,
        |   length(coalesce(text, '')) AS nc FROM documents),
+       | posn AS (SELECT d.doc_id, CAST(p.i AS INT) AS pos,
+       |   substring(d.text, CAST(p.i AS INT), 1) AS c0
+       |   FROM d, UNNEST(generate_series(1, d.nc)) AS p(i)),
+       | lmq AS MATERIALIZED (
+       |   SELECT p.doc_id, p.pos,
+       |     arg_max(v.id, v.clen) AS id, max(v.clen) AS clen
+       |   FROM posn p
+       |   JOIN (SELECT id, tok, clen, substring(tok, 1, 1) AS c0 FROM v) v USING (c0)
+       |   JOIN d ON d.doc_id = p.doc_id
+       |   WHERE substring(d.text, p.pos, v.clen) = v.tok
+       |   GROUP BY 1, 2),
        | lb AS (SELECT doc_id, $w AS w,
        |   CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace_chars
        |   FROM documents),
@@ -803,9 +818,7 @@ object TextOps {
        |   SELECT wk.doc_id, wk.pos + coalesce(m.clen, 1),
        |     CAST(coalesce(m.id, -1) AS INTEGER)
        |   FROM wk JOIN d ON d.doc_id = wk.doc_id
-       |   LEFT JOIN LATERAL (SELECT v.id, v.clen FROM v
-       |     WHERE substring(d.text, wk.pos, v.clen) = v.tok
-       |     ORDER BY v.clen DESC LIMIT 1) m ON true
+       |   LEFT JOIN lmq m ON m.doc_id = wk.doc_id AND m.pos = wk.pos
        |   WHERE wk.pos <= d.nc),
        | steps AS (SELECT doc_id, tid FROM wk WHERE tid IS NOT NULL),
        | stats AS (SELECT tid,

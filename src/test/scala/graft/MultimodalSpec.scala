@@ -243,4 +243,67 @@ class MultimodalSpec extends SparkTestBase {
       .foreach(e => e.output.foreach(a =>
         assert(a.name != "payload", "payload blob crossed an exchange")))
   }
+
+  test("phash frames: banded+capped pairs equal a driver replay; frame-aligned trim shares frames; no payload in exchanges (r17)") {
+    import org.apache.spark.sql.functions.col
+    val (frameSize, everyNth, maxDist, minFrames, maxBucket) = (64, 2, 3, 2, 1024)
+    val got = Multimodal.phashFramePairs(spark, sf, frameSize, everyNth,
+        maxDist, minFrames, maxBucket).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "sf0.001 must surface at least one frame-dup pair")
+    // driver replay of the WHOLE capped pipeline: sampled-frame aHashes,
+    // pigeonhole band chunks, df-capped buckets, shared-sane-bucket
+    // candidates, exact hamming, >= minFrames matching frame pairs
+    def frameHashes(payload: Array[Byte]): Seq[(Int, Long)] =
+      payload.grouped(frameSize).zipWithIndex
+        .collect { case (fb, f) if f % everyNth == 0 =>
+          val counts = new Array[Int](64)
+          fb.foreach(b => counts((b & 0xFF) % 64) += 1)
+          (f, (0 until 64).foldLeft(0L) { (fp, d) =>
+            if (64L * counts(d) > fb.length) fp | (1L << d) else fp
+          })
+        }.toSeq
+    val media = Multimodal.mediaDataset(spark, sf).collect()
+      .filter(m => m.kind == "video" && m.payload != null)
+    val frames = media.flatMap(m =>
+      frameHashes(m.payload).map { case (f, h) => (m.media_id, f, h) })
+    val chunks = maxDist + 1
+    val bits = 64 / chunks
+    val bandRows = for {
+      (id, f, h) <- frames.toSeq
+      c <- 0 until chunks
+    } yield ((c, (h >>> (c * bits)) & ((1L << bits) - 1)), (id, f, h))
+    val sane = bandRows.groupBy(_._1).filter(_._2.size <= maxBucket)
+    val cand = sane.values.flatMap { bucket =>
+      for {
+        (_, (ia, fa, ha)) <- bucket; (_, (ib, fb, hb)) <- bucket
+        if ia < ib
+      } yield (ia, fa, ha, ib, fb, hb)
+    }.toSet
+    val want = cand.toSeq
+      .filter { case (_, _, ha, _, _, hb) =>
+        java.lang.Long.bitCount(ha ^ hb) <= maxDist }
+      .groupBy { case (ia, _, _, ib, _, _) => (ia, ib) }
+      .collect { case ((ia, ib), ms) if ms.size >= minFrames =>
+        (ia, ib, ms.size.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+    // the dup class this row exists for: a FRAME-ALIGNED trim (cut a
+    // multiple of everyNth*frameSize bytes — a re-cut at sampled-frame
+    // granularity) keeps every surviving sampled frame bit-identical
+    val big = media.maxBy(_.payload.length)
+    val trimmed = big.payload.drop(everyNth * frameSize)
+    val origHashes = frameHashes(big.payload).map(_._2)
+    val trimHashes = frameHashes(trimmed).map(_._2)
+    assert(trimHashes.forall(origHashes.contains),
+      "frame-aligned trim must reproduce surviving sampled-frame hashes")
+    assert(trimHashes.size >= minFrames,
+      "planted trim pair must clear the minFrames gate")
+    // plan contract: the payload blob never crosses an exchange
+    val p = Multimodal.phashFramePairs(spark, sf, frameSize, everyNth,
+      maxDist, minFrames, maxBucket).queryExecution.executedPlan
+    p.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      .foreach(e => e.output.foreach(a =>
+        assert(a.name != "payload", "payload blob crossed an exchange")))
+  }
 }

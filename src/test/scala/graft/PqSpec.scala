@@ -287,6 +287,98 @@ class PqSpec extends SparkTestBase {
       emb.filter(col("vec_id") < 0)).collect().isEmpty)
   }
 
+  test("ivfpq index lifecycle: per-append drift lines; planted drift flips the flag; retrain serves hash-identical; compaction is serving-invisible (r17)") {
+    import org.apache.spark.sql.functions.{col, transform}
+    import graft.operators.Similarity
+    import graft.streaming.ManifestTable
+    val emb = Tables.embeddings(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_life").toString
+    Pq.buildIvfPqIndex(emb, idx)
+    // the build leaves the batch-0 baseline drift line
+    val base = Similarity.ivfDriftStats(spark, idx).collect()
+    assert(base.map(_.getLong(0)).toSeq === Seq(0L))
+    assert(base(0).getLong(1) === emb.count())
+    // healthy append: same-population vectors — a drift line lands, the
+    // flag stays down, and the retrain maintainer is a no-op
+    val healthy = emb
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      .limit(20)
+    Pq.appendToIvfPqIndexBatch(healthy, idx, 1L)
+    assert(Similarity.ivfDriftStats(spark, idx).collect()
+      .map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(!Similarity.needsRetrain(spark, idx),
+      "same-population appends must not trip the flag")
+    val noopDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_noop").toString
+    assert(!Pq.retrainIvfPqIndex(emb, idx, noopDir),
+      "undrifted index must not rebuild")
+    // planted drift: NEGATED vectors assign at cosine ≈ -baseline — the
+    // appended population has left the trained quantization
+    val drifted = emb
+      .select((col("vec_id") + 300000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    Pq.appendToIvfPqIndexBatch(drifted, idx, 2L)
+    assert(Similarity.needsRetrain(spark, idx),
+      "planted drift must flip the retrain flag")
+    // retrain on the flag: fresh path, re-derived geometry — serving over
+    // the undrifted corpus is hash-identical to the inline stack (the
+    // deterministic-build equality contract)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_ivfpq_fresh").toString
+    assert(Pq.retrainIvfPqIndex(emb, idx, fresh))
+    val queries = emb.filter(col("vec_id") < 5)
+    assert(Pq.knnIvfPqIndexed(spark, fresh, queries).collect().toSeq ===
+      Pq.knnIvfPq(spark, sf).collect().toSeq,
+      "post-retrain serving must be hash-identical on undrifted data")
+    // the fresh index starts a fresh drift history: baseline only → flag down
+    assert(!Similarity.needsRetrain(spark, fresh))
+    // ONLINE compaction over CODE cells: fragment with two more appends,
+    // compact to one file per cell, serving result-invisible
+    Pq.appendToIvfPqIndexBatch(healthy, fresh, 1L)
+    Pq.appendToIvfPqIndexBatch(
+      emb.select((col("vec_id") + 400000L).as("vec_id"), col("embedding"))
+        .limit(20), fresh, 2L)
+    val before = Pq.knnIvfPqIndexed(spark, fresh, queries).collect().toSeq
+    val byCell = ManifestTable.snapshot(s"$fresh/cells")._2
+      .groupBy(f => f.substring(0, f.lastIndexOf('/').max(0)))
+    assert(byCell.exists(_._2.size > 1), "appends must have fragmented a cell")
+    assert(Similarity.compactIvfCells(spark, fresh))
+    val after = ManifestTable.snapshot(s"$fresh/cells")._2
+      .groupBy(f => f.substring(0, f.lastIndexOf('/').max(0)))
+    assert(after.values.forall(_.size <= 1), "every cell compacts to one file")
+    assert(Pq.knnIvfPqIndexed(spark, fresh, queries).collect().toSeq === before,
+      "compaction must be serving-invisible")
+    // drift history untouched by compaction
+    assert(Similarity.ivfDriftStats(spark, fresh).collect()
+      .map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("ivfpq index: zero probed files serves empty through the int-typed fallback schema (r16 advice)") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.ManifestTable
+    val emb = Tables.embeddings(spark, sf)
+    val src = java.nio.file.Files.createTempDirectory("graft_ivfpq_src").toString
+    Pq.buildIvfPqIndex(emb, src)
+    // an index whose cells table committed EMPTY (a build over a fully-
+    // filtered corpus slice, or every probed cell unpopulated): the
+    // fallback schema's `codes` must be array<int> — PqEncode's output
+    // type and what pqAdcPartsAt type-checks — or the serve dies in
+    // analysis instead of returning the empty result this edge means
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_empty").toString
+    ManifestTable.append(ManifestTable.read(spark, s"$src/centroids"),
+      s"$idx/centroids", None, 0L)
+    ManifestTable.append(ManifestTable.read(spark, s"$src/codebook"),
+      s"$idx/codebook", None, 0L)
+    ManifestTable.append(ManifestTable.read(spark, s"$src/codeids"),
+      s"$idx/codeids", None, 0L)
+    ManifestTable.append(
+      ManifestTable.read(spark, s"$src/cells").filter(col("vec_id") < Long.MinValue),
+      s"$idx/cells", Some("cid_part"), 0L)
+    val served = Pq.knnIvfPqIndexed(spark, idx, emb.filter(col("vec_id") < 3))
+    assert(served.collect().isEmpty,
+      "an all-empty-cells index must serve an empty result")
+    assert(served.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "adc_cos", "rank"))
+  }
+
   test("empty edges: zero-query serve and empty centroid table return empty, not throw (r15 advice)") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sf)
