@@ -208,6 +208,76 @@ object BenchScale {
     require(rawRows == n, s"raw table lost rows: $rawRows of $n")
     require(rollupFlows == n, s"rollup lost flows: $rollupFlows of $n")
 
+    // ---- stage 1b: LOW-WRITE-AMPLIFICATION ingest A/B (r16 verdict #1) --
+    // Same wire corpus, same MV cascade, three write-path changes a
+    // degraded-storage deployment would make: (1) each micro-batch
+    // repartitions the raw projection by event_date before the append —
+    // one file per (date, batch) instead of one per (input split, date),
+    // ~30x fewer files and larger sequential writes; (2) parquet zstd
+    // instead of snappy (~40% fewer bytes through the throttled device);
+    // (3) no online compaction racing the ingest window — the rewrite
+    // amplification moves to the off-peak final compaction, which stage
+    // 1 already measures separately. The bracketing io probes make the
+    // comparison honest: if the device recovered between the two legs
+    // the probes say so; matching degraded probes pin any delta on the
+    // write path itself.
+    val (ioW2, ioR2, _) = ioProbe(work)
+    println(f"[scale] io probe before lowamp: write $ioW2%.0f MB/s, read $ioR2%.0f MB/s")
+    def dirMb(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum >> 20
+        } finally s.close()
+      }
+    }
+    val rawTableB = work.resolve("flows_raw_lowamp").toString
+    val rollupTableB = work.resolve("flows_5m_lowamp").toString
+    val checkpointB = work.resolve("cp_lowamp").toString
+    val oldCodec = spark.conf.get("spark.sql.parquet.compression.codec", "snappy")
+    val (_, ingestLowampSec) = timed {
+      spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+      try {
+        val stream = ProtoCodec.binaryFileStream(spark, wireDir,
+          Map("maxFilesPerTrigger" -> (genFiles / 8).toString)).toDF()
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val b = batch.persist()
+            try {
+              ManifestTable.append(
+                FlowStreams.projectRaw(b).repartition(col("event_date")),
+                rawTableB, Some("event_date"), id)
+              ManifestTable.append(FlowStreams.rollupPartials(b),
+                rollupTableB, Some("event_date"), id)
+            } finally { b.unpersist(); () }
+          }
+          .option("checkpointLocation", checkpointB)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally spark.conf.set("spark.sql.parquet.compression.codec", oldCodec)
+    }
+    val rawRowsB = FlowStreams.readRawManaged(spark, rawTableB).count()
+    require(rawRowsB == n, s"lowamp raw table lost rows: $rawRowsB of $n")
+    val rollupFlowsB = ManifestTable.read(spark, rollupTableB)
+      .agg(sum("flow_count")).head().getLong(0)
+    require(rollupFlowsB == n, s"lowamp rollup lost flows: $rollupFlowsB of $n")
+    val lowampFiles = ManifestTable.snapshot(rawTableB)._2.size
+    val lowampMb = dirMb(rawTableB)
+    val lowampRate = (n / ingestLowampSec).toLong
+    println(f"[scale] lowamp ingest: $ingestLowampSec%.1f s, $lowampRate rows/s, $lowampFiles files, $lowampMb MB")
+    // the A-leg's post-ingest layout for the same comparison: file count
+    // from the pre-final-compaction snapshot was consumed by stage 1's
+    // compactor; record its steady-state size instead
+    val rawMbA = dirMb(rawTable)
+    Storage.deleteTree(work.resolve("flows_raw_lowamp"))
+    Storage.deleteTree(work.resolve("flows_5m_lowamp"))
+    Storage.deleteTree(work.resolve("cp_lowamp"))
+
     // ---- stage 2b: pipeline_full — ONE topic replay, EVERY streaming tier
     // (r14 verdict #5): raw MV + rollup MV + IVF append + LSH append off
     // one decode (query A), the stateful exact-dedup leg as the concurrent
@@ -381,7 +451,13 @@ object BenchScale {
       f""""ingest_rows_per_sec":$ingestRate,""" +
       f""""io_probe":{"mode":"$ioMode","mb":256,""" +
       f""""before":{"write_mb_per_sec":$ioW0%.1f,"read_mb_per_sec":$ioR0%.1f},""" +
-      f""""after_ingest":{"write_mb_per_sec":$ioW1%.1f,"read_mb_per_sec":$ioR1%.1f}},""" +
+      f""""after_ingest":{"write_mb_per_sec":$ioW1%.1f,"read_mb_per_sec":$ioR1%.1f},""" +
+      f""""before_lowamp":{"write_mb_per_sec":$ioW2%.1f,"read_mb_per_sec":$ioR2%.1f}},""" +
+      f""""ingest_lowamp":{"sec":$ingestLowampSec%.1f,"rows_per_sec":$lowampRate,""" +
+      f""""files":$lowampFiles,"raw_table_mb":$lowampMb,"codec":"zstd",""" +
+      f""""per_batch_repartition":true,"online_compaction":false,""" +
+      f""""raw_rows":$rawRowsB,"rollup_flow_count":$rollupFlowsB},""" +
+      f""""raw_table_mb":$rawMbA,""" +
       f""""final_compact_sec":$compactSec%.1f,""" +
       f""""online_compactions_during_ingest":${compactions.get},""" +
       f""""raw_rows":$rawRows,"rollup_flow_count":$rollupFlows,""" +

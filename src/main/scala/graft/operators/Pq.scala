@@ -648,6 +648,27 @@ object Pq {
     }
   }
 
+  /** STREAMING IVF-PQ index maintenance — the code-cell twin of
+    * [[Similarity.startStreamingIvfAppend]]: a micro-batch sink keeping
+    * a materialized [[buildIvfPqIndex]] index current as embeddings
+    * arrive, per-batch cost O(batch) — one broadcast argmax assignment
+    * fused with the PQ encode, one cell-partitioned manifest commit, one
+    * drift line riding the commit's own plan. Micro-batch N commits as
+    * manifest batch N+1 (the build owns batch 0), so restart replay is a
+    * manifest-level no-op and [[Similarity.needsRetrain]] /
+    * [[retrainIvfPqIndex]] read the stream's quality trajectory with no
+    * extra pass. One streaming writer per index dir. */
+  def startStreamingIvfPqAppend(vecs: DataFrame, indexDir: String,
+      checkpoint: String, triggerMs: Long = 5000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendToIvfPqIndexBatch(batch, indexDir, id + 1L)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .start()
+
   /** Serve top-k from the MATERIALIZED IVF-PQ index: rank cells per
     * query against the broadcast centroid table, read ONLY the probed
     * cells' files (manifest partition pruning), and ADC-score the codes

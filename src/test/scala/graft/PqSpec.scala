@@ -351,6 +351,61 @@ class PqSpec extends SparkTestBase {
       .map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
   }
 
+  test("streaming ivfpq append: exactly-once micro-batches, one drift line each, equals the batch append path (r17)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.streaming.ManifestTable
+    val emb40 = Tables.embeddings(spark, sf).filter(col("vec_id") < 40)
+    val dirS = java.nio.file.Files.createTempDirectory("graft_sivfpq").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_bivfpq").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_sivfpq_cp").toString
+    // deterministic build → the streamed and batch twins start identical
+    Pq.buildIvfPqIndex(emb40, dirS, nCentroids = 4)
+    Pq.buildIvfPqIndex(emb40, dirB, nCentroids = 4)
+    val rest = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 40 && col("vec_id") < 80)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = Pq.startStreamingIvfPqAppend(
+      ms.toDF().toDF("vec_id", "embedding"), dirS, cp, triggerMs = 100L)
+    try {
+      ms.addData(rest.filter(_._1 < 60).toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(rest.filter(_._1 >= 60).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the same deliveries through the BATCH api on the twin
+    Pq.appendToIvfPqIndexBatch(
+      rest.filter(_._1 < 60).toSeq.toDF("vec_id", "embedding"), dirB, 1L)
+    Pq.appendToIvfPqIndexBatch(
+      rest.filter(_._1 >= 60).toSeq.toDF("vec_id", "embedding"), dirB, 2L)
+    def cellSet(d: String) = ManifestTable.read(spark, s"$d/cells")
+      .select("vec_id", "cid", "codes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    val s = cellSet(dirS)
+    assert(s.size === 80 && s.map(_._1).size === 80,
+      "build 40 + two streamed batches of 20, no loss, no duplication")
+    assert(s === cellSet(dirB),
+      "streamed cells must equal the batch append path's")
+    // one drift line per commit, batch N → manifest N+1
+    assert(Similarity.ivfDriftStats(spark, dirS).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(0L -> 40L, 1L -> 20L, 2L -> 20L))
+    // restart replay of the last micro-batch: manifest no-op, no extra line
+    Pq.appendToIvfPqIndexBatch(
+      rest.filter(_._1 >= 60).toSeq.toDF("vec_id", "embedding"), dirS, 2L)
+    assert(cellSet(dirS).size === 80, "replay must not double-encode")
+    assert(Similarity.ivfDriftStats(spark, dirS).count() === 3L)
+    // the maintained index serves identically to the batch twin
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 2)
+    assert(Pq.knnIvfPqIndexed(spark, dirS, queries).collect().toSeq ===
+      Pq.knnIvfPqIndexed(spark, dirB, queries).collect().toSeq)
+  }
+
   test("ivfpq index: zero probed files serves empty through the int-typed fallback schema (r16 advice)") {
     import org.apache.spark.sql.functions.col
     import graft.streaming.ManifestTable
