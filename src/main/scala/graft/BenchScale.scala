@@ -108,8 +108,16 @@ object BenchScale {
     val only: Seq[String] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
+    // INGEST REFRESH MODE: SPARK_GRAFT_SCALE_INGEST_ONLY=1 runs ONLY
+    // stage 0–2 (wire gen → streaming ingest → reconcile) plus the
+    // bracketing io probes, and merges the result as an `ingest_refresh`
+    // object into the existing BENCH_scale.json — provenance-labeled, so
+    // a later healthy-box window can re-prove the 100k anchor without
+    // paying the ~90-min full run (r16 verdict #1).
+    val ingestOnly = sys.env.get("SPARK_GRAFT_SCALE_INGEST_ONLY").exists(_ == "1")
     val fullRun = only.isEmpty
-    def wanted(name: String): Boolean = fullRun || only.exists(name.contains)
+    def wanted(name: String): Boolean =
+      !ingestOnly && (fullRun || only.exists(name.contains))
 
     def consume(df: DataFrame): Unit =
       df.foreachPartition { (_: Iterator[org.apache.spark.sql.Row]) => () }
@@ -123,90 +131,138 @@ object BenchScale {
     // the full-run stages (their stats are local to that path)
     var fullPrefix: Option[String] = None
 
-    if (fullRun) {
-    // ---- stage 0a: box-state probe (r16 verdict #1) ---------------------
-    val (ioW0, ioR0, ioMode) = ioProbe(work)
-    println(f"[scale] io probe before: write $ioW0%.0f MB/s, read $ioR0%.0f MB/s ($ioMode)")
-    // ---- stage 0: generate + frame the wire corpus onto disk ------------
-    // (the mocker's job — measured separately, not part of ingest time)
-    val (_, genSec) = timed {
-      FlowGen.flows(spark, n, seed = 1234L, numPartitions = genFiles)
-        .mapPartitions { it =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val out = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(f"$wireDir/payload_$pid%05d.bin"), 1 << 20)
-          var c = 0L
-          it.foreach { m => val b = ProtoCodec.encodeDelimited(m); out.write(b, 0, b.length); c += 1 }
-          out.close()
-          Iterator.single(c)
-        }.reduce(_ + _)
-    }
+    // stages 0–2 shared by the full run and the ingest-refresh mode:
+    // generate the wire corpus, stream it through the one-decode →
+    // raw MV + rollup MV cascade with the online compactor racing,
+    // bracket with io probes, final-compact, reconcile. Returns every
+    // measured number the JSON needs.
+    def ingestLeg(): (Double, Double, Double, Int, Long, Long,
+        Double, Double, Double, Double, String) = {
+      // ---- stage 0a: box-state probe (r16 verdict #1) -------------------
+      val (ioW0, ioR0, ioMode) = ioProbe(work)
+      println(f"[scale] io probe before: write $ioW0%.0f MB/s, read $ioR0%.0f MB/s ($ioMode)")
+      // ---- stage 0: generate + frame the wire corpus onto disk ----------
+      // (the mocker's job — measured separately, not part of ingest time)
+      val (_, genSec) = timed {
+        FlowGen.flows(spark, n, seed = 1234L, numPartitions = genFiles)
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(f"$wireDir/payload_$pid%05d.bin"), 1 << 20)
+            var c = 0L
+            it.foreach { m => val b = ProtoCodec.encodeDelimited(m); out.write(b, 0, b.length); c += 1 }
+            out.close()
+            Iterator.single(c)
+          }.reduce(_ + _)
+      }
 
-    // ---- stage 1: streaming ingest, raw MV + rollup MV, exactly-once ----
-    // one decode feeds both MVs (ClickHouse's one-insert-two-MVs topology);
-    // manifest commits make every batch atomic and online-compactable
-    val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
-    val (_, ingestSec) = timed {
-      // maxFilesPerTrigger is a SOURCE option — on the sink Spark ignores
-      // it silently and the whole corpus would ingest as one micro-batch
-      val stream = ProtoCodec.binaryFileStream(spark, wireDir,
-        Map("maxFilesPerTrigger" -> (genFiles / 8).toString)).toDF()
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val b = batch.persist()
-          try {
-            ManifestTable.append(FlowStreams.projectRaw(b), rawTable, Some("event_date"), id)
-            ManifestTable.append(FlowStreams.rollupPartials(b), rollupTable, Some("event_date"), id)
-          } finally { b.unpersist(); () }
-        }
-        .option("checkpointLocation", checkpoint)
-        .start()
-      // online compaction RACES the running stream (r2 had to stop it).
-      // The stop flag (not q.isActive) serializes against the FINAL
-      // compaction below — and even a true overlap is safe now: a swap
-      // whose snapshot went stale aborts instead of double-applying
-      val stopCompactor = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val compactor = new Thread(() => {
-        while (!stopCompactor.get()) {
-          Thread.sleep(3000)
-          if (!stopCompactor.get() && ManifestTable.snapshot(rawTable)._2.nonEmpty) {
-            val a = FlowStreams.compactRawOnline(spark, rawTable, filesPerPartition = 4)
-            val b = FlowStreams.optimizeRollupOnline(spark, rollupTable)
-            if (a && b) compactions.incrementAndGet()
+      // ---- stage 1: streaming ingest, raw MV + rollup MV, exactly-once --
+      // one decode feeds both MVs (ClickHouse's one-insert-two-MVs
+      // topology); manifest commits make every batch atomic and
+      // online-compactable
+      val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+      val (_, ingestSec) = timed {
+        // maxFilesPerTrigger is a SOURCE option — on the sink Spark
+        // ignores it silently and the whole corpus would ingest as one
+        // micro-batch
+        val stream = ProtoCodec.binaryFileStream(spark, wireDir,
+          Map("maxFilesPerTrigger" -> (genFiles / 8).toString)).toDF()
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val b = batch.persist()
+            try {
+              ManifestTable.append(FlowStreams.projectRaw(b), rawTable, Some("event_date"), id)
+              ManifestTable.append(FlowStreams.rollupPartials(b), rollupTable, Some("event_date"), id)
+            } finally { b.unpersist(); () }
           }
-        }
-      })
-      compactor.setDaemon(true)
-      compactor.start()
-      q.processAllAvailable()
-      q.stop()
-      stopCompactor.set(true)
-      // unbounded join: a timed-out join would let the grace-0 vacuum
-      // below race the compactor's in-flight staging
-      compactor.join()
+          .option("checkpointLocation", checkpoint)
+          .start()
+        // online compaction RACES the running stream (r2 had to stop it).
+        // The stop flag (not q.isActive) serializes against the FINAL
+        // compaction below — and even a true overlap is safe now: a swap
+        // whose snapshot went stale aborts instead of double-applying
+        val stopCompactor = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val compactor = new Thread(() => {
+          while (!stopCompactor.get()) {
+            Thread.sleep(3000)
+            if (!stopCompactor.get() && ManifestTable.snapshot(rawTable)._2.nonEmpty) {
+              val a = FlowStreams.compactRawOnline(spark, rawTable, filesPerPartition = 4)
+              val b = FlowStreams.optimizeRollupOnline(spark, rollupTable)
+              if (a && b) compactions.incrementAndGet()
+            }
+          }
+        })
+        compactor.setDaemon(true)
+        compactor.start()
+        q.processAllAvailable()
+        q.stop()
+        stopCompactor.set(true)
+        // unbounded join: a timed-out join would let the grace-0 vacuum
+        // below race the compactor's in-flight staging
+        compactor.join()
+      }
+
+      // re-probe right after the ingest window: the pair brackets the
+      // measurement — a healthy-before / degraded-after pair explains a
+      // slow ingest as box contention, matching pairs pin it on the code
+      val (ioW1, ioR1, _) = ioProbe(work)
+      println(f"[scale] io probe after ingest: write $ioW1%.0f MB/s, read $ioR1%.0f MB/s")
+
+      // final compaction + vacuum to the steady-state layout
+      val (_, compactSec) = timed {
+        FlowStreams.compactRawOnline(spark, rawTable, filesPerPartition = 4)
+        FlowStreams.optimizeRollupOnline(spark, rollupTable)
+        ManifestTable.vacuum(rawTable, graceSeconds = 0)
+        ManifestTable.vacuum(rollupTable, graceSeconds = 0)
+      }
+
+      // ---- stage 2: reconcile (no loss, no duplication) -----------------
+      val rawRows = FlowStreams.readRawManaged(spark, rawTable).count()
+      val rollupFlows = ManifestTable.read(spark, rollupTable)
+        .agg(sum("flow_count")).head().getLong(0)
+      require(rawRows == n, s"raw table lost rows: $rawRows of $n")
+      require(rollupFlows == n, s"rollup lost flows: $rollupFlows of $n")
+      (genSec, ingestSec, compactSec, compactions.get, rawRows, rollupFlows,
+        ioW0, ioR0, ioW1, ioR1, ioMode)
     }
 
-    // re-probe right after the ingest window: the pair brackets the
-    // measurement — a healthy-before / degraded-after pair explains a
-    // slow ingest as box contention, matching pairs pin it on the code
-    val (ioW1, ioR1, _) = ioProbe(work)
-    println(f"[scale] io probe after ingest: write $ioW1%.0f MB/s, read $ioR1%.0f MB/s")
-
-    // final compaction + vacuum to the steady-state layout
-    val (_, compactSec) = timed {
-      FlowStreams.compactRawOnline(spark, rawTable, filesPerPartition = 4)
-      FlowStreams.optimizeRollupOnline(spark, rollupTable)
-      ManifestTable.vacuum(rawTable, graceSeconds = 0)
-      ManifestTable.vacuum(rollupTable, graceSeconds = 0)
+    if (ingestOnly) {
+      val (genSec, ingestSec, compactSec, nCompactions, rawRows, rollupFlows,
+        ioW0, ioR0, ioW1, ioR1, ioMode) = ingestLeg()
+      val rate = (n / ingestSec).toLong
+      val refresh =
+        f"""{"rows":$n,"gen_sec":$genSec%.1f,"ingest_sec":$ingestSec%.1f,""" +
+        f""""ingest_rows_per_sec":$rate,"final_compact_sec":$compactSec%.1f,""" +
+        f""""online_compactions_during_ingest":$nCompactions,""" +
+        f""""raw_rows":$rawRows,"rollup_flow_count":$rollupFlows,""" +
+        f""""io_probe":{"mode":"$ioMode","mb":256,""" +
+        f""""before":{"write_mb_per_sec":$ioW0%.1f,"read_mb_per_sec":$ioR0%.1f},""" +
+        f""""after_ingest":{"write_mb_per_sec":$ioW1%.1f,"read_mb_per_sec":$ioR1%.1f}}}"""
+      println(s"""{"metric":"scale_ingest_refresh","refresh":$refresh}""")
+      try {
+        val f = java.nio.file.Paths.get("BENCH_scale.json")
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root =
+          if (java.nio.file.Files.exists(f))
+            mapper.readTree(java.nio.file.Files.readString(f))
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          else mapper.createObjectNode()
+        root.set[com.fasterxml.jackson.databind.JsonNode](
+          "ingest_refresh", mapper.readTree(refresh))
+        java.nio.file.Files.writeString(f, mapper.writeValueAsString(root) + "\n")
+        ()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench-scale] ingest refresh merge failed: ${e.getMessage}")
+      }
+      Storage.deleteTree(work)
+      spark.stop()
+      return
     }
 
-    // ---- stage 2: reconcile (no loss, no duplication) -------------------
+    if (fullRun) {
+    val (genSec, ingestSec, compactSec, nCompactions, rawRows, rollupFlows,
+      ioW0, ioR0, ioW1, ioR1, ioMode) = ingestLeg()
     val raw = FlowStreams.readRawManaged(spark, rawTable)
-    val rawRows = raw.count()
-    val rollupFlows = ManifestTable.read(spark, rollupTable)
-      .agg(sum("flow_count")).head().getLong(0)
-    require(rawRows == n, s"raw table lost rows: $rawRows of $n")
-    require(rollupFlows == n, s"rollup lost flows: $rollupFlows of $n")
 
     // ---- stage 1b: LOW-WRITE-AMPLIFICATION ingest A/B (r16 verdict #1) --
     // Same wire corpus, same MV cascade, three write-path changes a
@@ -459,7 +515,7 @@ object BenchScale {
       f""""raw_rows":$rawRowsB,"rollup_flow_count":$rollupFlowsB},""" +
       f""""raw_table_mb":$rawMbA,""" +
       f""""final_compact_sec":$compactSec%.1f,""" +
-      f""""online_compactions_during_ingest":${compactions.get},""" +
+      f""""online_compactions_during_ingest":$nCompactions,""" +
       f""""raw_rows":$rawRows,"rollup_flow_count":$rollupFlows,""" +
       f""""pipeline_full":{"sec":$pipeSec%.1f,"rows_per_sec":$pipeRate,""" +
       f""""online_compactions":${pfCompactions.get},"raw_rows":$pfRawRows,""" +
