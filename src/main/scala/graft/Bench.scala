@@ -56,25 +56,34 @@ object Bench {
     // error, keep the name out of queries/total, and surface it in the
     // JSON so downstream comparisons can't mistake a crash for a speedup
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    // r17 verdict #3: stamp every sample with its wall-clock offset from
+    // bench start so a contended system window (the driver box's 127 s
+    // outliers on alphabetically-late rows) is LOCATABLE in the artifact —
+    // "which wall-clock window was contended" becomes readable from
+    // BENCH_full.json instead of inferred from which rows look inflated.
+    val benchT0 = System.nanoTime()
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[(Double, Double)] = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).foreachPartition { (_: Iterator[org.apache.spark.sql.Row]) => () }
-        Some((System.nanoTime() - t0) / 1e9)
+        Some(((System.nanoTime() - t0) / 1e9, (t0 - benchT0) / 1e9))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         None
       }
     }
-    val passes: Seq[Seq[(String, Option[Double])]] =
+    // pass-level round-robin (rep 1 of ALL queries, then rep 2, …): a
+    // transient stall poisons at most one sample per query, and the
+    // median across passes rejects it
+    val passes: Seq[Seq[(String, Option[(Double, Double)])]] =
       (1 to reps).map(_ => picked.map { case (name, fn) => name -> timeOne(name, fn) })
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = picked.flatMap { case (name, _) =>
-      val samples = passes.flatMap(_.find(_._1 == name).get._2)
+      val samples = passes.flatMap(_.find(_._1 == name).get._2).map(_._1)
       if (samples.size < reps) None // any failed pass disqualifies the number
       else Some((name, median(samples), samples.min, samples.max))
     }
@@ -82,6 +91,21 @@ object Bench {
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, lo, hi) => "\"" + k + f"""":[$lo%.3f,$hi%.3f]""" }
       .mkString("{", ",", "}")
+    // per-rep [wall_offset_sec, dur_sec] pairs in pass order (file-only
+    // detail — the stdout summary stays short): an inflated sample is
+    // attributable to its wall-clock window, and a contended window shows
+    // up as a contiguous offset range with inflated durations
+    val samplesJson = picked.flatMap { case (name, _) =>
+      val ss = passes.flatMap(_.find(_._1 == name).get._2)
+      if (ss.isEmpty) None
+      else Some("\"" + name + "\":" + ss.map { case (dur, off) =>
+        f"[$off%.1f,$dur%.3f]" }.mkString("[", ",", "]"))
+    }.mkString("{", ",", "}")
+    val passWall = passes.map { p =>
+      val offs = p.flatMap(_._2)
+      if (offs.isEmpty) "[0,0]"
+      else f"[${offs.map(_._2).min}%.1f,${offs.map(x => x._2 + x._1).max}%.1f]"
+    }.mkString("[", ",", "]")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) =>
@@ -116,7 +140,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ingest failed: ${e.getMessage}"); ""
     }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread$errJson$ingest,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"samples":$samplesJson,"pass_wall":$passWall$errJson$ingest,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json keeps only a ~2 kB stdout TAIL; the full
     // line above is >10 kB, so its head (including the opening brace) is cut

@@ -73,7 +73,11 @@ object BenchScale {
     try run(Seq(com.sun.nio.file.ExtendedOpenOption.DIRECT), "direct")
     catch { case scala.util.control.NonFatal(_) =>
       java.nio.file.Files.deleteIfExists(f)
-      run(Seq.empty, "buffered+fsync")
+      // ADVICE r17: in this mode the read leg re-reads the file just
+      // written, so it measures page cache, not the device — the mode
+      // label must say so, or before/after probe deltas can't support
+      // box-state claims
+      run(Seq.empty, "buffered+fsync(read_cached)")
     }
   }
 
@@ -86,6 +90,12 @@ object BenchScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // NOTE (r18 forensics): the ingest window's 90%+ kernel-time storms
+      // stack-sample to mmap-based transferTo in
+      // BypassMergeSortShuffleWriter's segment concat; an A/B with
+      // spark.file.transferTo=false measured NO win (154.8k vs 195.3k
+      // rows/s on adjacent windows), so the default stays — the storm
+      // correlates with, but does not gate, throughput here.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -159,19 +169,37 @@ object BenchScale {
       // ---- stage 1: streaming ingest, raw MV + rollup MV, exactly-once --
       // one decode feeds both MVs (ClickHouse's one-insert-two-MVs
       // topology); manifest commits make every batch atomic and
-      // online-compactable
+      // online-compactable.
+      // r17 verdict #1 (the REAL CPU ceiling): the binaryFile source
+      // packs whole files into <=128MB scan partitions, so a 32-file
+      // micro-batch decoded on ~4 tasks — 28 cores idle through the
+      // protobuf decode that feeds every downstream stage. Pin
+      // maxPartitionBytes to ~one wire file so each file is its own
+      // decode task; restored by the caller after the ingest stages.
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
       val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
       val (_, ingestSec) = timed {
         // maxFilesPerTrigger is a SOURCE option — on the sink Spark
         // ignores it silently and the whole corpus would ingest as one
-        // micro-batch
+        // micro-batch. genFiles/16 (not /8): the 32-way decode above
+        // runs 8x more concurrent partial-agg maps and parquet writers
+        // than the old 4-partition scan, so the same trigger size that
+        // fit before OOMs the default heap at 50M — half-size batches
+        // restore the headroom (measured: /8 OOMs at 12g, /16 fits 8g)
         val stream = ProtoCodec.binaryFileStream(spark, wireDir,
-          Map("maxFilesPerTrigger" -> (genFiles / 8).toString)).toDF()
+          Map("maxFilesPerTrigger" -> (genFiles / 16).toString)).toDF()
         val q = stream.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             val b = batch.persist()
             try {
-              ManifestTable.append(FlowStreams.projectRaw(b), rawTable, Some("event_date"), id)
+              // r17 verdict #1: repartitionForWrite keeps every core
+              // encoding parquet while bounding the batch to ~one file
+              // per task — the low-amp A/B's 30x file reduction WITHOUT
+              // its 6-task CPU ceiling (salt = the cheap sequence key)
+              ManifestTable.append(
+                Storage.repartitionForWrite(FlowStreams.projectRaw(b),
+                  "event_date", cpus.toInt, Some(col("sequenceNum"))),
+                rawTable, Some("event_date"), id)
               ManifestTable.append(FlowStreams.rollupPartials(b), rollupTable, Some("event_date"), id)
             } finally { b.unpersist(); () }
           }
@@ -419,9 +447,19 @@ object BenchScale {
       s"pipeline quality leg scored $pfQualityRows of $wantDocs docs")
     val pfQualityKept = ManifestTable.read(spark, pfQuality)
       .filter(col("q_keep") === 1).count()
+    // r17 verdict #2: the gate must DISCRIMINATE at scale, not merely
+    // run — a threshold/corpus mismatch that zeroes or saturates the
+    // keep split used to pass silently (kept 0 of 500k in r17's
+    // artifact); the two-class derived corpus makes both outcomes occur
+    // and this reconcile makes a degenerate split a hard failure
+    require(pfQualityKept > 0 && pfQualityKept < pfQualityRows,
+      s"quality gate is degenerate: kept $pfQualityKept of $pfQualityRows")
     val pipeRate = (n / pipeSec).toLong
 
     // ---- stage 3: the dashboard set over the ingested table -------------
+    // restore the scan-partition packing the ingest stages narrowed (4m
+    // would fragment every parquet scan below into thousands of tasks)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
     bench("scale_top_src_ip") {
       raw.groupBy("srcAddr").agg(sum("bytes").as("sum_bytes"))
         .orderBy(desc("sum_bytes")).limit(10)
@@ -652,6 +690,16 @@ object BenchScale {
           graft.Tables.embeddings(spark, famDir).filter(col("vec_id") < 100),
           k = 5, nProbe = 8)
       }
+      // r17 verdict #5: the refine stage at serving scale — the same
+      // probed-code nomination plus the id-pruned raw-vector fetch and
+      // exact re-rank of 20 candidates/query; the delta vs the indexed
+      // row above is the refine's whole serving cost at 2M vectors
+      bench("scale_sim_knn_ivfpq_refined") {
+        graft.operators.Pq.knnIvfPqRefined(spark, ivfPqDir,
+          graft.Tables.embeddings(spark, famDir).filter(col("vec_id") < 100),
+          graft.Tables.embeddings(spark, famDir),
+          k = 5, nProbe = 8, rerankR = 20)
+      }
     }
     // PQ tier (r15): train once (its own timed row, like the IVF build),
     // then the corpus-wide encode — the pass that shrinks the vectors
@@ -749,6 +797,13 @@ object BenchScale {
       graft.operators.Multimodal.nearDupPairs(spark, famDir)
     }
     bench("scale_multimodal_knn") { graft.operators.Multimodal.mediaKnn(spark, famDir) }
+    // r17 verdict #6: per-frame video near-dup at payload scale — the
+    // one r17 family with no 50M-tier row. Frame hashes are the only
+    // thing entering an exchange (payload read once by the hashing
+    // scan); candidate cost is df-capped per (band, chunk) bucket
+    bench("scale_multimodal_phash_frames") {
+      graft.operators.Multimodal.phashFramePairs(spark, famDir)
+    }
     // exact NTILE vs sketch-cut-point segmentation at 500k users over 50M
     // events (r14): same per-user reduction; the sketch form replaces the
     // three unpartitioned sorts with broadcast cut-point compares

@@ -390,7 +390,13 @@ object Plans {
         "three residual LUT sums folded by one pq_adc_parts_res_at " +
         "kernel call — mean centroids, cross terms and codebooks are " +
         "all plan reference objects; no vectors past the one fused " +
-        "assign+encode pass"))
+        "assign+encode pass"),
+      "sim_knn_ivfpq_refined" -> ("ADC-nominate -> exact-refine: the " +
+        "materialized index's probed-cell code scan nominates top-R " +
+        "per query; the R x |queries| candidate relation BROADCASTS " +
+        "into the raw-vector scan (id-pruned fetch — the corpus is " +
+        "never re-scanned for scoring) and the exact cosine re-rank " +
+        "runs on candidates only; no raw vectors cross any exchange"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")

@@ -24,6 +24,34 @@ object Storage {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Shuffle shape for a partitioned columnar append that needs BOTH a
+    * bounded file count and full encode parallelism (r17 verdict #1).
+    *
+    * The two naive shapes each lose one property: writing the batch
+    * as-is emits one file per (input split × partition value) — every
+    * core encodes, but a batch spanning d dates amplifies to
+    * `tasks × d` small files; `repartition(partCol)` collapses that to
+    * one file per date, but then only d encode tasks are busy and the
+    * write is CPU-ceilinged at d/`parallelism` of the machine. This
+    * helper hash-partitions on (partCol, salt) with just enough salt
+    * slots to fill `parallelism` tasks: files per batch stay ≈
+    * `parallelism` (each task writes ~1 partition value), and every
+    * core encodes. The partition-value count is measured from the batch
+    * itself (one approx-distinct job — batches are persisted by the
+    * callers on this path, so the extra pass re-reads executor-local
+    * blocks, not the source). */
+  def repartitionForWrite(df: DataFrame, partCol: String, parallelism: Int,
+      saltOn: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nVals = df.select(approx_count_distinct(col(partCol)).as("n"))
+      .head().getLong(0).toInt.max(1)
+    val slots = math.max(1, parallelism / nVals)
+    // deterministic salt (a nondeterministic one would break shuffle-retry
+    // consistency): caller-named cheap key column, else a hash of the row
+    val salt = saltOn.getOrElse(xxhash64(df.columns.map(col): _*))
+    df.repartition(parallelism, col(partCol), pmod(salt, lit(slots)))
+  }
+
   /** Materialize a shared intermediate relation once (executor-local
     * blocks, lineage cut) so diamond-shaped plans — several consumers of
     * one expensive subtree — compute it exactly once.

@@ -127,13 +127,19 @@ object Bpe {
     * ONCE; the stamp invalidates on corpus change, so a refreshed
     * `documents.parquet` retrains. */
   private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int, Int), Seq[(Int, String, String, Long)]]()
+    (String, Int, Int), (String, Seq[(Int, String, String, Long)])]()
 
   private[graft] def trainedMergesFor(spark: SparkSession, dir: String,
-      rounds: Int, vocabCap: Int): Seq[(Int, String, String, Long)] =
-    mergeCache.computeIfAbsent(
-      (dir, Similarity.corpusStamp(dir, "documents.parquet"), rounds, vocabCap),
-      _ => trainMerges(spark, dir, rounds, vocabCap))
+      rounds: Int, vocabCap: Int): Seq[(Int, String, String, Long)] = {
+    // ADVICE r17: key on (dir, rounds, vocabCap) and store (stamp, merges)
+    // so a refreshed corpus REPLACES the superseded entry instead of
+    // accumulating stale stamps for the session's lifetime (the
+    // cachedIndex delete-old-build pattern).
+    val stamp = Similarity.corpusStamp(dir, "documents.parquet")
+    mergeCache.compute((dir, rounds, vocabCap), (_, prev) =>
+      if (prev != null && prev._1 == stamp) prev
+      else (stamp, trainMerges(spark, dir, rounds, vocabCap)))._2
+  }
 
   /** `text_bpe_train` — the learned merge table as a relation. */
   def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 8,

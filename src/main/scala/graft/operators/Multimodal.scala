@@ -383,6 +383,10 @@ object Multimodal {
     val chunks = maxDist + 1
     require(maxDist >= 0 && maxDist < 64 && 64 % chunks == 0,
       s"maxDist ($maxDist): maxDist+1 must divide 64 (0, 1, 3, 7, 15, 31, 63)")
+    // ADVICE r17: frameSize <= 0 spins frameHashUdf forever on executors
+    // (offset never advances); everyNth <= 0 throws ArithmeticException per row.
+    require(frameSize > 0 && everyNth > 0,
+      s"frameSize ($frameSize) and everyNth ($everyNth) must be positive")
     val bits = 64 / chunks
     val fr = mediaTable(spark, dir)
       .filter(col("kind") === "video")

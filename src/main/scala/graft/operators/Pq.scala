@@ -563,6 +563,19 @@ object Pq {
     ManifestTable.append(encodeCells(emb, cents, model, Some(obs)),
       s"$indexDir/cells", Some("cid_part"), 0L)
     if (!replay) Similarity.recordDrift(indexDir, 0L, obs)
+    else {
+      // ADVICE r17: replay after a crash between the batch-0 commit and the
+      // drift write re-derives the missing BASELINE line (the
+      // appendToIvfPqIndexBatch replay contract) — otherwise needsRetrain
+      // has no baseline and the retrain trigger is silently dead
+      val io = ManifestTable.io(s"$indexDir/cells")
+      if (!io.exists(java.nio.file.Paths.get(indexDir, "drift", "b0"))) {
+        val obs0 = org.apache.spark.sql.Observation()
+        encodeCells(emb, cents, model, Some(obs0))
+          .write.mode("overwrite").format("noop").save()
+        Similarity.recordDrift(indexDir, 0L, obs0)
+      }
+    }
   }
 
   /** Rehydrate the persisted codebook as a driver [[PqModel]] (bounded:
@@ -736,6 +749,76 @@ object Pq {
     rankTopK(scored, k)
   }
 
+  /** Exact-cosine re-rank of a nominated (query_id, neighbor_id)
+    * candidate set from the raw vectors — the refine half of
+    * [[knnIvfPqRefined]]: the R·|queries|-row nomination broadcasts INTO
+    * the raw-vector scan (id-pruned fetch; at 100 TB the raw table is
+    * bucketed by vec_id so this prunes to the candidates' buckets), each
+    * fetched vector is scored by the codegen'd [[Similarity.cosine]]
+    * against its broadcast query, and [[rankTopK]] keeps k. The corpus
+    * is never re-scanned for scoring — only the candidates are. */
+  private def exactRerank(cand: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val qemb = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val fetched = corpus
+      .select(col("vec_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cand.select(col("query_id"),
+        col("neighbor_id").as("vec_id"))), Seq("vec_id"))
+    val scored = fetched.join(broadcast(qemb), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosine(col("q_emb"), col("n_emb")), 6).as("adc_cos"))
+    rankTopK(scored, k).withColumnRenamed("adc_cos", "exact_cos")
+  }
+
+  /** ADC-nominate → exact-refine serving over the materialized IVF-PQ
+    * index (r17 verdict #5) — the standard production recall floor
+    * (FAISS `IndexRefineFlat`; Jégou et al. 2011 §VII): the index's ADC
+    * ranking nominates `rerankR` candidates per query reading codes from
+    * the probed cells ONLY, then the raw vectors of just those
+    * candidates are fetched (id-pruned broadcast join, never a corpus
+    * re-scan) and exactly re-ranked to top-k. ADC quantization error can
+    * then demote a true neighbor only out of the top-R, not the top-k —
+    * at equal probe budget recall@k is ≥ the pure-ADC ranking's
+    * (measured side by side by [[ivfPqRefineGain]]). */
+  def knnIvfPqRefined(spark: SparkSession, indexDir: String,
+      queries: DataFrame, corpus: DataFrame, k: Int = 5, nProbe: Int = 3,
+      rerankR: Int = 20): DataFrame = {
+    val cand = knnIvfPqIndexed(spark, indexDir, queries, rerankR, nProbe)
+      .select("query_id", "neighbor_id")
+    exactRerank(cand, queries, corpus, k)
+  }
+
+  /** The refine stage's payoff, measured at IDENTICAL probe budget: ONE
+    * index serve nominates ADC top-R; the pure-ADC variant is its
+    * rank ≤ k prefix (ADC top-k IS the first k of ADC top-R), the
+    * refined variant re-ranks all R exactly — so the candidate scoring
+    * pass runs once and the recall delta is attributable to the refine
+    * alone. */
+  def ivfPqRefineGain(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, nProbe: Int = 3, rerankR: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = ivfPqIndexFor(spark, dir)
+    val qs = emb.filter(col("vec_id") < nQueries)
+    val truth = Similarity.knnBrute(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id")
+    val cand = graft.Storage.materializeOnce(
+      knnIvfPqIndexed(spark, idx, qs, rerankR, nProbe)
+        .select("query_id", "neighbor_id", "rank"))
+    val plain = cand.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val refined = exactRerank(cand.select("query_id", "neighbor_id"), qs, emb, k)
+      .select("query_id", "neighbor_id")
+    def gRow(name: String, approx: DataFrame): DataFrame = {
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      truth.agg(count(lit(1)).as("n_truth")).crossJoin(hits)
+        .select(lit(name).as("variant"), col("n_truth"), col("hits"),
+          round(col("hits").cast("double") / col("n_truth"), 6).as("recall"))
+    }
+    gRow("ivfpq", plain).unionByName(gRow("ivfpq_refined", refined))
+      .orderBy("variant")
+  }
+
   /** Registry cache for the IVF-PQ index — the [[Similarity.ivfIndexFor]]
     * build-once-serve-many pattern, stamped on the embeddings input. */
   private[graft] def ivfPqIndexFor(s: SparkSession, d: String): String =
@@ -849,6 +932,12 @@ object Pq {
     "sim_knn_ivfpq_indexed" -> ((s: SparkSession, d: String) =>
       knnIvfPqIndexed(s, ivfPqIndexFor(s, d),
         Tables.embeddings(s, d).filter(col("vec_id") < 5), k = 5, nProbe = 3)),
+    "sim_knn_ivfpq_refined" -> ((s: SparkSession, d: String) =>
+      knnIvfPqRefined(s, ivfPqIndexFor(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 5),
+        Tables.embeddings(s, d), k = 5, nProbe = 3, rerankR = 20)),
+    "sim_ivfpq_refine_gain" -> ((s: SparkSession, d: String) =>
+      ivfPqRefineGain(s, d)),
     "sim_knn_ivfpq_res" -> ((s: SparkSession, d: String) => knnIvfPqRes(s, d)),
     "sim_ivfpq_res_gain" -> ((s: SparkSession, d: String) => ivfPqResGain(s, d)),
     "sim_pq_recall" -> ((s: SparkSession, d: String) => pqRecall(s, d)),
@@ -1052,9 +1141,10 @@ object Pq {
          |   FROM scr))""".stripMargin
   }
 
-  /** Inline IVF-PQ serving replay, shared by the inline row and its
-    * materialized-index twin. */
-  private lazy val duckIvfPqServe: String =
+  /** CTE chain of the inline IVF-PQ serve ending at `scp(query_id,
+    * neighbor_id, adc_cos)` — shared by the serve/indexed oracles and
+    * the refine-stage oracles, which re-rank scp's nominations. */
+  private lazy val duckIvfPqScp: String =
     s"""${duckPqAsgCtes(4, 8, 2, 64, 5)}
        |${duckCoarseKmeansCtes(8, 2)}
        |${duckKasgProbes(5, 3)},
@@ -1068,11 +1158,28 @@ object Pq {
        | scp AS (SELECT adcp.query_id, adcp.neighbor_id,
        |   round(CAST(adcp.dot AS DOUBLE) /
        |     (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(adcp.rnorm AS DOUBLE))), 6) AS adc_cos
-       |   FROM adcp JOIN qnorm q USING (query_id))
+       |   FROM adcp JOIN qnorm q USING (query_id))""".stripMargin
+
+  /** Inline IVF-PQ serving replay, shared by the inline row and its
+    * materialized-index twin. */
+  private lazy val duckIvfPqServe: String =
+    s"""$duckIvfPqScp
        |SELECT query_id, neighbor_id, adc_cos, CAST(rank AS INT) AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc_cos DESC, neighbor_id ASC) AS rank FROM scp)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' ')
+
+  /** ADC top-R nomination (rank ≤ 20) off `scp` — the refine oracles'
+    * shared candidate relation. MATERIALIZED: referenced by both the
+    * exact re-rank and (in the gain oracle) the plain-variant hits. */
+  private lazy val duckIvfPqCand: String =
+    s""", candR AS MATERIALIZED (SELECT query_id, neighbor_id, rank FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY adc_cos DESC, neighbor_id ASC) AS rank FROM scp) WHERE rank <= 20),
+       | rr AS (SELECT c.query_id, c.neighbor_id,
+       |   round(${Similarity.duckCos("q.embedding", "n.embedding")}, 6) AS exact_cos
+       |   FROM candR c JOIN e q ON q.vec_id = c.query_id
+       |   JOIN e n ON n.vec_id = c.neighbor_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_pq_codebook" ->
@@ -1088,6 +1195,37 @@ object Pq {
     // parameters (knnIvfPqIndexed's equality contract, spec-locked), so
     // the inline replay IS its oracle — the sim_knn_ivf_indexed pattern
     "sim_knn_ivfpq_indexed" -> duckIvfPqServe,
+    "sim_knn_ivfpq_refined" ->
+      s"""$duckIvfPqScp
+         |$duckIvfPqCand
+         |SELECT query_id, neighbor_id, exact_cos, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY exact_cos DESC, neighbor_id ASC) AS rank FROM rr)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace('\n', ' '),
+    "sim_ivfpq_refine_gain" ->
+      s"""$duckIvfPqScp
+         |$duckIvfPqCand,
+         | refined AS (SELECT query_id, neighbor_id FROM (SELECT *,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY exact_cos DESC, neighbor_id ASC) AS rank FROM rr) WHERE rank <= 5),
+         | truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     row_number() OVER (PARTITION BY q.vec_id
+         |       ORDER BY round(${Similarity.duckCos("q.embedding", "c.embedding")}, 6) DESC, c.vec_id ASC) AS rank
+         |   FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) WHERE rank <= 5)
+         |SELECT variant, n_truth, hits,
+         |  round(CAST(hits AS DOUBLE) / n_truth, 6) AS recall FROM (
+         |  SELECT 'ivfpq' AS variant,
+         |    CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         |    CAST((SELECT count(*) FROM truth t JOIN candR p
+         |      ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+         |      WHERE p.rank <= 5) AS BIGINT) AS hits
+         |  UNION ALL
+         |  SELECT 'ivfpq_refined',
+         |    CAST((SELECT count(*) FROM truth) AS BIGINT),
+         |    CAST((SELECT count(*) FROM truth t JOIN refined p
+         |      ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id) AS BIGINT)
+         |) ORDER BY variant""".stripMargin.replace('\n', ' '),
     "sim_knn_ivfpq_res" ->
       s"""${duckPqShared(8)}
          |${duckQdBody(4, 64, "")}

@@ -111,6 +111,51 @@ object Similarity {
   def withSignature(df: DataFrame, embCol: String, bits: Int = 8): DataFrame =
     df.withColumn("lsh_sig", signatureUdf(bits)(col(embCol)))
 
+  /** Per-vector LSH stability margin: min over planes of |cos(v, plane)|
+    * — the normalized distance to the nearest hash boundary (planes are
+    * ±1 rows, so ‖plane‖ = √dim). The hyperplane index's DRIFT statistic
+    * (r17 verdict #8): the hash family itself never degrades, but a
+    * population drifting TOWARD the planes (falling margins) splits true
+    * neighbor pairs across buckets and erodes recall at fixed probe
+    * distance — the re-seed/re-bit retrain signal, recorded in the same
+    * (n, mean, p05, p95) line shape as the centroid indexes' assignment
+    * cosine so [[needsRetrain]] covers all three index kinds uniformly. */
+  private def marginUdf(bits: Int) = udf { (v: Seq[Float]) =>
+    val m = planeMatrix(bits, v.length)
+    var norm = 0.0
+    var d = 0
+    while (d < v.length) { norm += v(d) * v(d); d += 1 }
+    val denom = math.sqrt(norm) * math.sqrt(v.length.toDouble)
+    var best = Double.MaxValue
+    var p = 0
+    while (p < bits) {
+      val row = m(p)
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * row(i); i += 1 }
+      val c = if (denom > 0) math.abs(dot) / denom else 0.0
+      if (c < best) best = c
+      p += 1
+    }
+    if (best == Double.MaxValue) 0.0 else best
+  }.asNondeterministic() // optimizer barrier, the signatureUdf precedent
+
+  /** The bucket layout projection with the margin drift metrics observed
+    * on the same plan the append writes — the [[observedAssign]] twin
+    * for the hyperplane index. */
+  private def observedSign(df: DataFrame, bits: Int,
+      obs: org.apache.spark.sql.Observation): DataFrame =
+    withSignature(df, "embedding", bits)
+      .withColumn("lsh_margin", marginUdf(bits)(col("embedding")))
+      .observe(obs,
+        count(lit(1)).as("n"),
+        avg(col("lsh_margin")).as("mean_cos"),
+        percentile_approx(col("lsh_margin"), lit(0.05), lit(10000)).as("p05_cos"),
+        percentile_approx(col("lsh_margin"), lit(0.95), lit(10000)).as("p95_cos"))
+      .select(col("vec_id"), col("lsh_sig"), col("embedding"))
+      .withColumn("sig_part", col("lsh_sig"))
+      .repartition(col("sig_part"))
+
   /** All XOR masks of hamming weight <= dist over `bits` bits (multi-probe
     * set). Probing every mask of weight <= d makes the candidate predicate
     * exactly hamming(sig_a, sig_b) <= d. bits=8: dist 2 → 37 probes, dist 3
@@ -331,11 +376,24 @@ object Similarity {
     * rebuild is one atomic manifest commit. */
   def buildLshIndex(emb: DataFrame, indexDir: String, bits: Int = 8): Unit = {
     import graft.streaming.ManifestTable
-    val signed = withSignature(emb, "embedding", bits)
-      .select(col("vec_id"), col("lsh_sig"), col("embedding"))
-      .withColumn("sig_part", col("lsh_sig"))
-      .repartition(col("sig_part"))
-    ManifestTable.append(signed, s"$indexDir/buckets", Some("sig_part"), 0L)
+    val table = s"$indexDir/buckets"
+    // replay guard BEFORE the append (the buildIvfIndex contract): on a
+    // re-run over a built index no job runs and Observation.get would
+    // block forever
+    val replay = ManifestTable.hasBatch(table, 0L)
+    val obs = org.apache.spark.sql.Observation()
+    ManifestTable.append(observedSign(emb, bits, obs), table,
+      Some("sig_part"), 0L)
+    if (!replay) recordDrift(indexDir, 0L, obs)
+    else {
+      val io = ManifestTable.io(table)
+      if (!io.exists(java.nio.file.Paths.get(indexDir, "drift", "b0"))) {
+        val obs0 = org.apache.spark.sql.Observation()
+        observedSign(emb, bits, obs0)
+          .write.mode("overwrite").format("noop").save()
+        recordDrift(indexDir, 0L, obs0)
+      }
+    }
   }
 
   /** INCREMENTAL append to a materialized LSH index: sign only the new
@@ -349,23 +407,22 @@ object Similarity {
     * bounded (appends add files inside bucket dirs, never new read scope). */
   def appendToLshIndex(newVecs: DataFrame, indexDir: String, bits: Int = 8): Unit = {
     import graft.streaming.ManifestTable
-    val signed = withSignature(newVecs, "embedding", bits)
-      .select(col("vec_id"), col("lsh_sig"), col("embedding"))
-      .withColumn("sig_part", col("lsh_sig"))
-      .repartition(col("sig_part"))
+    val obs = org.apache.spark.sql.Observation()
     // appendAllocate: the batch id is allocated inside the commit CAS —
     // two concurrent appenders both land (a maxBatchId+1 read outside the
     // commit would make the loser a silent "replay" no-op, r8 review)
-    ManifestTable.appendAllocate(signed, s"$indexDir/buckets", Some("sig_part"))
-    ()
+    val batch = ManifestTable.appendAllocate(observedSign(newVecs, bits, obs),
+      s"$indexDir/buckets", Some("sig_part"))
+    recordDrift(indexDir, batch, obs)
   }
 
   /** STREAMING LSH index maintenance — the [[startStreamingIvfAppend]]
-    * twin for the hyperplane index (no centroids, no drift lines: the
-    * hash family is deterministic and never degrades, so the only
-    * streaming concerns are exactly-once and fragmentation). Micro-batch
-    * N commits as manifest batch N+1 (build owns 0); a replayed batch is
-    * a manifest no-op. One streaming writer per index dir. */
+    * twin for the hyperplane index (no centroids to retrain: the hash
+    * family is deterministic; what CAN drift is the population's margin
+    * to the planes, and every commit records that line — r17 verdict
+    * #8). Micro-batch N commits as manifest batch N+1 (build owns 0); a
+    * replayed batch is a manifest no-op. One streaming writer per index
+    * dir. */
   def startStreamingLshAppend(vecs: DataFrame, indexDir: String,
       checkpoint: String, bits: Int = 8, triggerMs: Long = 5000L)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -384,13 +441,27 @@ object Similarity {
     * committing at most once. */
   def appendToLshIndexBatch(batch: DataFrame, indexDir: String,
       manifestBatch: Long, bits: Int = 8): Unit = {
+    import graft.streaming.ManifestTable
     val table = s"$indexDir/buckets"
-    if (graft.streaming.ManifestTable.hasBatch(table, manifestBatch)) return
-    val signed = withSignature(batch, "embedding", bits)
-      .select(col("vec_id"), col("lsh_sig"), col("embedding"))
-      .withColumn("sig_part", col("lsh_sig"))
-      .repartition(col("sig_part"))
-    graft.streaming.ManifestTable.append(signed, table, Some("sig_part"), manifestBatch)
+    if (ManifestTable.hasBatch(table, manifestBatch)) {
+      // replayed delivery whose drift line is missing (crash landed
+      // between the manifest commit and recordDrift): re-derive the
+      // observation from the re-delivered rows, no second manifest write
+      // — the appendToIvfIndexBatch replay contract
+      val io = ManifestTable.io(table)
+      if (!io.exists(java.nio.file.Paths.get(indexDir, "drift",
+          s"b$manifestBatch"))) {
+        val obs0 = org.apache.spark.sql.Observation()
+        observedSign(batch, bits, obs0)
+          .write.mode("overwrite").format("noop").save()
+        recordDrift(indexDir, manifestBatch, obs0)
+      }
+      return
+    }
+    val obs = org.apache.spark.sql.Observation()
+    ManifestTable.append(observedSign(batch, bits, obs), table,
+      Some("sig_part"), manifestBatch)
+    recordDrift(indexDir, manifestBatch, obs)
   }
 
   /** Online bucket compaction for the LSH index — [[compactIvfCells]]
@@ -738,6 +809,20 @@ object Similarity {
     val assigned = observedAssign(withNearestCid(emb, cents), obs)
     ManifestTable.append(assigned, s"$indexDir/cells", Some("cid_part"), 0L)
     if (!replay) recordDrift(indexDir, 0L, obs)
+    else {
+      // ADVICE r17: a retry after a crash between the batch-0 commit and
+      // the drift write must re-derive the BASELINE line (the
+      // appendToIvfIndexBatch replay contract) — without it needsRetrain
+      // has no baseline and stays false forever, silently disabling the
+      // retrain trigger
+      val io = ManifestTable.io(s"$indexDir/cells")
+      if (!io.exists(java.nio.file.Paths.get(indexDir, "drift", "b0"))) {
+        val obs0 = org.apache.spark.sql.Observation()
+        observedAssign(withNearestCid(emb, cents), obs0)
+          .write.mode("overwrite").format("noop").save()
+        recordDrift(indexDir, 0L, obs0)
+      }
+    }
   }
 
   /** INCREMENTAL append to a materialized IVF index: assign only the new
@@ -882,9 +967,21 @@ object Similarity {
     * double-append the vectors under a fresh batch id. A lost line is the
     * documented failure mode; it is logged, never thrown. Empty batches
     * record n=0 with NaN stats. */
+  /** The control-plane [[graft.streaming.ManifestTable.FileIO]] seam for
+    * an index dir's drift lines: the same io as the index's DATA table —
+    * `cells` for the centroid indexes (IVF, IVF-PQ), `buckets` for the
+    * hyperplane index — so telemetry rides the storage seam of the table
+    * it describes whichever kind the dir holds. */
+  private def driftIo(indexDir: String) = {
+    import graft.streaming.ManifestTable
+    val buckets = s"$indexDir/buckets"
+    val bio = ManifestTable.io(buckets)
+    if (bio.exists(java.nio.file.Paths.get(buckets))) bio
+    else ManifestTable.io(s"$indexDir/cells")
+  }
+
   private[operators] def recordDrift(indexDir: String, batch: Long,
       obs: org.apache.spark.sql.Observation): Unit = {
-    import graft.streaming.ManifestTable
     val m = obs.get
     val n = m("n").asInstanceOf[Long]
     def d(k: String): Double = m(k) match {
@@ -892,7 +989,7 @@ object Similarity {
       case v: java.lang.Number => v.doubleValue()
     }
     val line = s"$n,${d("mean_cos")},${d("p05_cos")},${d("p95_cos")}"
-    try ManifestTable.io(s"$indexDir/cells").write(
+    try driftIo(indexDir).write(
       java.nio.file.Paths.get(indexDir, "drift", s"b$batch"), line.getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"graft: drift line b$batch for $indexDir lost (${e.getMessage})")
@@ -907,9 +1004,10 @@ object Similarity {
     * retrain trigger the append-only posture needs. Driver-sized:
     * O(commits) lines. */
   def ivfDriftStats(spark: SparkSession, indexDir: String): DataFrame = {
-    import graft.streaming.ManifestTable
     import spark.implicits._
-    val io = ManifestTable.io(s"$indexDir/cells")
+    // driftIo: reads LSH (`buckets`) dirs' lines too — mean_cos carries
+    // the margin statistic there, same line shape (r17 verdict #8)
+    val io = driftIo(indexDir)
     val rows = io.list(java.nio.file.Paths.get(indexDir, "drift"))
       .flatMap { p =>
         val name = p.getFileName.toString

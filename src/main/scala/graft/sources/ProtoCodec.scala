@@ -466,7 +466,17 @@ object ProtoCodec {
     * Kafka `value` would carry (`mocker.go:95-106`). New files appear as new
     * micro-batch input, so the MV cascade downstream is identical to the
     * Kafka deployment; swapping in `readStream.format("kafka")` changes
-    * only this one method. */
+    * only this one method.
+    *
+    * Decode-parallelism caveat (r17 verdict #1): the binaryFile source
+    * packs whole files into scan partitions of up to
+    * `spark.sql.files.maxPartitionBytes` (default 128 MB), and the
+    * protobuf decode runs one task per PARTITION, not per file — a
+    * micro-batch of many small files can decode on a handful of tasks
+    * while the rest of the machine idles. For a CPU-bound ingest, set
+    * maxPartitionBytes near the wire-file size (one decode task per
+    * file); a real Kafka source doesn't have this problem — its
+    * parallelism is topic partitions. */
   def binaryFileStream(spark: org.apache.spark.sql.SparkSession, dir: String,
       options: Map[String, String] = Map.empty): org.apache.spark.sql.Dataset[FlowMessage] = {
     import org.apache.spark.sql.types._

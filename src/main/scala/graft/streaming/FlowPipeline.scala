@@ -48,16 +48,42 @@ object FlowPipeline {
       .select(col("sequenceNum").as("vec_id"), array(comps: _*).as("embedding"))
   }
 
-  /** Deterministic document slice: one collision-rich text per
-    * `every`-th sequence number (AS pair + proto + coarse byte bucket —
-    * few thousand distinct texts, so the dedup leg's watermark state
-    * stays bounded while duplicates are plentiful). */
+  /** Deterministic document slice: one text per `every`-th sequence
+    * number, keyed on (AS pair, proto, coarse byte bucket) so distinct
+    * texts stay few-thousand-bounded (the dedup leg's watermark state)
+    * while duplicates are plentiful. Two quality CLASSES alternate by
+    * doc index (r17 verdict #2 — a single-class corpus proves the
+    * quality gate *runs*, not that it *discriminates*):
+    *  - POOR (odd index): the short digit form — under 20 words, so the
+    *    gopher teacher labels it drop, and its tokens land almost
+    *    entirely in the unknown bucket under the default vocabulary;
+    *  - RICH (even index): the same key spelled in vocabulary words
+    *    (digit→word map, pure `regexp_replace` chain) plus a
+    *    stopword-rich tail — gopher-keep, scored through vocabulary
+    *    tokens the trained weights push above threshold.
+    * A model trained on ANY slice of this corpus therefore sees both
+    * labels, and a scored stream splits: 0 < kept < scored, which the
+    * 50M reconcile asserts. */
   def deriveDocs(decoded: DataFrame, every: Long = 100L): DataFrame = {
     require(every > 0, s"need positive every, got $every")
+    // digit → vocabulary word; replacements contain no digits, so the
+    // sequential replace chain cannot cascade
+    val digitWords = Seq("row", "key", "val", "tab", "agg", "col", "vec",
+      "sort", "line", "part")
+    val keyDigits = concat_ws(" ", col("srcAS"), col("dstAS"), col("proto"),
+      (col("bytes") / 64).cast("long"))
+    val keyWords = digitWords.zipWithIndex.foldLeft(keyDigits) {
+      case (c, (w, d)) => regexp_replace(c, d.toString, w + " ")
+    }
+    val tail = lit("the query stream and the data table join in order " +
+      "group window filter merge spark hash batch scan")
+    val rich = concat_ws(" ", lit("stream"), keyWords, tail)
+    val poor = concat_ws(" ", lit("flow"), col("srcAS"), col("dstAS"),
+      col("proto"), (col("bytes") / 64).cast("long"))
     decoded.filter(pmod(col("sequenceNum"), lit(every)) === 0L)
       .select(col("sequenceNum").as("doc_id"), col("timeReceived"),
-        concat_ws(" ", lit("flow"), col("srcAS"), col("dstAS"), col("proto"),
-          (col("bytes") / 64).cast("long")).as("text"))
+        when(pmod((col("sequenceNum") / every).cast("long"), lit(2L)) === 0L,
+          rich).otherwise(poor).as("text"))
   }
 
   /** One decoded micro-batch → four replay-guarded commits. The batch

@@ -74,14 +74,23 @@ class FlowPipelineSpec extends SparkTestBase {
     // in-flight scores equal the batch rescore of the same records
     val qOut = ManifestTable.read(spark, qual)
     assert(qOut.count() === wantDocs, "quality leg must score every doc once")
-    val wantScores = graft.operators.TextOps.streamingQualityFilter(
-        docs, "text", model, keepOnly = false)
-      .select("doc_id", "q_mean_milli", "q_keep").collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
-    qOut.select("doc_id", "q_mean_milli", "q_keep").collect().foreach { r =>
-      assert(wantScores(r.getLong(0)) === ((r.getLong(1), r.getInt(2))),
-        s"in-flight score diverged for doc ${r.getLong(0)}")
-    }
+    // r17 verdict #2: the gate must discriminate — the two-class derived
+    // corpus guarantees both keep outcomes occur, so a zeroed or
+    // saturated split is a bug, not a corpus artifact
+    val kept = qOut.filter(col("q_keep") === 1).count()
+    assert(kept > 0 && kept < wantDocs,
+      s"quality gate is degenerate: kept $kept of $wantDocs")
+    // multiset compare: doc_id legitimately collides across the two
+    // seeded batches (same sequence numbers, different field values), so
+    // a doc_id-keyed map would pair a record with the OTHER batch's score
+    def scoreBag(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "q_mean_milli", "q_keep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val wantScores = scoreBag(graft.operators.TextOps.streamingQualityFilter(
+      docs, "text", model, keepOnly = false))
+    assert(scoreBag(qOut) === wantScores,
+      "in-flight scores must equal the batch rescore of the same records")
   }
 
   test("crash matrix: replay after any commit-prefix crash lands ONLY the missing sinks (r15)") {

@@ -305,5 +305,13 @@ class MultimodalSpec extends SparkTestBase {
     p.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
       .foreach(e => e.output.foreach(a =>
         assert(a.name != "payload", "payload blob crossed an exchange")))
+    // ADVICE r17: degenerate framing params must fail fast at plan time,
+    // not spin/divide-by-zero on executors
+    intercept[IllegalArgumentException] {
+      Multimodal.phashFramePairs(spark, sf, frameSize = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.phashFramePairs(spark, sf, everyNth = 0)
+    }
   }
 }

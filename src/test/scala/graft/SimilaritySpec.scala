@@ -197,6 +197,57 @@ class SimilaritySpec extends SparkTestBase {
     assert(sel < tot)
   }
 
+  test("LSH drift telemetry: margin lines per commit; a planted toward-the-planes drift flips needsRetrain (r17 #8)") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_drift").toString
+    val dim = 8; val bits = 8
+    // one-hot build corpus: EVERY ±1 plane row gives |dot| = 1, so the
+    // margin is exactly 1/sqrt(dim) for every vector — a strong, uniform
+    // baseline the drifted batch can fall from
+    def oneHot(id: Long): (Long, Array[Float]) = {
+      val v = Array.fill(dim)(0.0f); v((id % dim).toInt) = 1.0f; (id, v)
+    }
+    Similarity.buildLshIndex((0L until 160L).map(oneHot)
+      .toDF("vec_id", "embedding"), idx, bits)
+    // in-distribution append: same margins → no flag
+    Similarity.appendToLshIndexBatch((1000L until 1050L).map(oneHot)
+      .toDF("vec_id", "embedding"), idx, 1L, bits)
+    assert(!Similarity.needsRetrain(spark, idx),
+      "healthy append must not flag a retrain")
+    // drifted append: vectors ON plane 0's boundary — replicate the
+    // deterministic plane construction (parity of md5("0,d")'s first hex
+    // digit) to find two dims with EQUAL sign; e_i - e_j then has dot 0
+    // with plane 0, i.e. margin 0: the population moved onto a boundary
+    def sign(p: Int, d: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p,$d".getBytes("UTF-8"))
+      if ((((h(0) >> 4) & 0xF) & 1) == 0) 1 else -1
+    }
+    val Seq(i, j, _*) = (0 until dim).filter(d => sign(0, d) == sign(0, 0))
+    val onPlane = (2000L until 2050L).map { id =>
+      val v = Array.fill(dim)(0.0f); v(i) = 1.0f; v(j) = -1.0f; (id, v)
+    }
+    Similarity.appendToLshIndexBatch(onPlane.toDF("vec_id", "embedding"), idx, 2L, bits)
+    val stats = Similarity.ivfDriftStats(spark, idx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(stats.keySet === Set(0L, 1L, 2L), s"one line per commit: $stats")
+    assert(stats(0L)._1 === 160L && stats(2L)._1 === 50L)
+    assert(math.abs(stats(0L)._2 - 1.0 / math.sqrt(dim)) < 1e-6,
+      s"one-hot baseline margin must be 1/sqrt(dim): $stats")
+    assert(stats(2L)._2 < 1e-9, s"on-plane batch must have zero margin: $stats")
+    assert(Similarity.needsRetrain(spark, idx),
+      s"planted margin drift must flip needsRetrain: $stats")
+    assert(!Similarity.needsRetrain(spark, idx, tolerance = 0.9))
+    // replay after a crash-lost drift line re-derives it, no re-commit
+    val cells = graft.streaming.ManifestTable.read(spark, s"$idx/buckets").count()
+    val line = java.nio.file.Paths.get(idx, "drift", "b2")
+    java.nio.file.Files.delete(line)
+    Similarity.appendToLshIndexBatch(onPlane.toDF("vec_id", "embedding"), idx, 2L, bits)
+    assert(java.nio.file.Files.exists(line),
+      "replay must re-derive the lost margin line")
+    assert(graft.streaming.ManifestTable.read(spark, s"$idx/buckets").count() === cells)
+  }
+
   test("IVF index runs object-store posture end-to-end: build, append, pruned probe") {
     import spark.implicits._
     import graft.streaming.ManifestTable
