@@ -52,6 +52,73 @@ object Storage {
     df.repartition(parallelism, col(partCol), pmod(salt, lit(slots)))
   }
 
+  /** Input-layout adaptation for kernel-heavy scans (opt guide §2.5,
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"): a single-row-group parquet file scans as ONE
+    * partition no matter how many cores the session has, so every
+    * downstream per-row kernel (window md5s, shingle hashing, feature
+    * decode, pair generation) runs on one core while the rest idle —
+    * the r18 profile showed 0.8–2.3 s single-task map jobs dominating
+    * the hottest queries at sf0.1. Round-robin repartition to the
+    * session default parallelism in EXACTLY that case; when the scan is
+    * already at least `minFraction` of default parallelism wide (any
+    * production-scale table), this is the identity — no exchange is
+    * added, so it is layout adaptation, not a constant tuned for a box.
+    * Row-set semantics are unchanged (round-robin repartition reorders
+    * rows only; the sort-before-repartition default keeps the
+    * assignment deterministic under task retry). Inspecting the scan
+    * width plans the input subtree once without running a job — apply
+    * this to (near-)bare table scans, not deep subtrees. */
+  def spreadScan(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts >= math.max(1, target / 2)) df
+    // hash repartition on the caller's (unique, deterministic) key: unlike
+    // keyless round-robin it skips the sort-before-repartition pass and
+    // stays retry-deterministic (guide §2.5)
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
+
+  /** Run independent driver actions concurrently (opt guide §2.6,
+    * "overlap independent jobs"): Spark's scheduler happily runs several
+    * jobs at once inside one application — actions are only sequential
+    * because driver code calls them sequentially. Multi-model queries
+    * (per-modality index serves, per-m codebook trainings) are chains of
+    * small jobs whose tails leave the cluster idle; submitting the
+    * independent chains from a bounded pool lets the next chain's tasks
+    * back-fill. FIFO scheduling (the default) gives exactly the
+    * back-fill behaviour. Results are returned in input order, so a
+    * deterministic caller stays deterministic. */
+  def concurrently[A, B](items: Seq[A], maxThreads: Int = 4)(f: A => B): Seq[B] =
+    if (items.sizeIs <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(items.size, maxThreads))
+      try {
+        val futs = items.map { a =>
+          pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) })
+        }
+        futs.map { fu =>
+          try fu.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
+
+  /** Two-sided [[concurrently]]: run two independent driver action chains
+    * at once and return both results (typed; avoids Either juggling). */
+  def par2[A, B](fa: => A, fb: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val fut = pool.submit(new java.util.concurrent.Callable[B] { def call(): B = fb })
+      val a = fa
+      val b = try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      (a, b)
+    } finally pool.shutdown()
+  }
+
   /** Materialize a shared intermediate relation once (executor-local
     * blocks, lineage cut) so diamond-shaped plans — several consumers of
     * one expensive subtree — compute it exactly once.

@@ -346,6 +346,10 @@ object Dedup {
   /** [[substringDupStats]] over an arbitrary `(doc_id, text)` relation
     * (specs plant span-sharing corpora). */
   def substringDupOver(docs: DataFrame, w: Int): DataFrame = {
+    // NOT spread (r18): parallelizing the window build on a one-file scan
+    // would shuffle corpus text — the plan contract (and the 100 TB
+    // posture) is that text crosses NO exchange; the single-task build is
+    // a local-file artifact a production scan width doesn't have
     val d = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .withColumn("n", size(col("t")))
@@ -403,7 +407,14 @@ object Dedup {
     // so the scan+split recomputes for the final rebuild — a column-pruned
     // narrow projection — and the window-build subtree feeds its two
     // h-keyed consumers through one reused exchange
+    // The explicit doc_id isNotNull keeps the two window-build subtrees
+    // CANONICALLY IDENTICAL (r18): the final left-outer join pushes
+    // IsNotNull(doc_id) into only the marked side's scan, which otherwise
+    // splits the shared exchange into two full window builds (r18 plan
+    // audit: 3 scans+Generates for one logical window relation; doc_id is
+    // never null, so the predicate is a no-op)
     val d = docs
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .withColumn("n", size(col("t")))
     // same one-shuffle shape as substringDupOver: repartition(h) shares

@@ -190,11 +190,17 @@ object Multimodal {
   def featureVecs(spark: SparkSession, dir: String, kind: String,
       dims: Int = 64): DataFrame = {
     import spark.implicits._
-    extractFeatures(
-        mediaTable(spark, dir).filter(col("kind") === kind).as[MediaRecord],
-        dims = dims)
-      .toDF()
-      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    // spreadScan ABOVE the decode (r18): payload stays inside the scan
+    // stage (the multimodal no-blob-in-exchange contract); the spread
+    // (vec_id, 64-float) relation gives the index build's iterative
+    // consumers full parallelism; identity at production scan widths
+    graft.Storage.spreadScan(
+      extractFeatures(
+          mediaTable(spark, dir).filter(col("kind") === kind).as[MediaRecord],
+          dims = dims)
+        .toDF()
+        .select(col("media_id").as("vec_id"), col("features").as("embedding")),
+      col("vec_id"))
   }
 
   /** FEATURE-SPACE NEAR-DUPLICATE PAIRS per modality (r14 verdict #1) —
@@ -219,9 +225,15 @@ object Multimodal {
       probeDist: Int = 1, threshold: Double = 0.995, featureDims: Int = 64,
       maxBucket: Int = 1024): DataFrame = {
     import spark.implicits._
-    val feats = graft.Storage.materializeOnce(
+    // spreadScan ABOVE the decode (r18): the payload never crosses an
+    // exchange (the multimodal plan contract) — what spreads is the
+    // (media_id, kind, 64-float features) relation, so the signature
+    // pass, the bucket join and the exact re-score run on every core
+    // instead of the one core a one-file scan yields; identity at scale
+    val feats = graft.Storage.materializeOnce(graft.Storage.spreadScan(
       extractFeatures(mediaDataset(spark, dir), dims = featureDims).toDF()
-        .select(col("media_id"), col("kind"), col("features")))
+        .select(col("media_id"), col("kind"), col("features")),
+      col("media_id")))
     val sigs = Similarity.withSignature(feats, "features", bits)
       .select(col("kind"), col("media_id"), col("lsh_sig"))
     // df-cap: bucket sizes from a map-combined aggregate (not a window —
@@ -302,9 +314,17 @@ object Multimodal {
     require(maxDist >= 0 && maxDist < 64 && 64 % chunks == 0,
       s"maxDist ($maxDist): maxDist+1 must divide 64 (0, 1, 3, 7, 15, 31, 63)")
     val bits = 64 / chunks
-    val d = mediaTable(spark, dir)
-      .select(col("kind"), col("media_id"), phashUdf(col("payload")).as("phash"))
-      .filter(col("phash").isNotNull) // null payload: no hash, no pairs
+    // spreadScan ABOVE the hash (r18): the candidate pair generation (the
+    // broadcast self-join probes run in the hash relation's stage)
+    // profiled as one 2.3 s single-task job on a one-file scan. Spreading
+    // the (kind, media_id, phash) relation — 17 bytes/row, payload stays
+    // inside the scan stage, no blob crosses the exchange — parallelizes
+    // banding + pair generation; identity at production scan widths
+    val d = graft.Storage.spreadScan(
+      mediaTable(spark, dir)
+        .select(col("kind"), col("media_id"), phashUdf(col("payload")).as("phash"))
+        .filter(col("phash").isNotNull), // null payload: no hash, no pairs
+      col("media_id"))
     val bandCols = (0 until chunks).map { c =>
       struct(lit(c).as("band"),
         shiftrightunsigned(col("phash"), c * bits)
@@ -315,16 +335,21 @@ object Multimodal {
         explode(array(bandCols: _*)).as("b"))
       .select(col("kind"), col("media_id"), col("phash"),
         col("b.band"), col("b.chunk"))
+    // hamming filter BELOW the distinct (r18, opt guide §2.3 "shuffle
+    // fewer bytes"): hamming is a function of the pair's two hashes, so
+    // filter-then-distinct ≡ distinct-then-filter — but the filter kills
+    // the (vast) non-duplicate candidate mass inside the join stage,
+    // before the distinct's exchange ever sees it
     banded.as("l").join(banded.as("r"),
         col("l.kind") === col("r.kind") && col("l.band") === col("r.band") &&
           col("l.chunk") === col("r.chunk") &&
           col("l.media_id") < col("r.media_id"))
       .select(col("l.kind").as("kind"), col("l.media_id").as("id_a"),
         col("r.media_id").as("id_b"),
-        col("l.phash").as("ph_a"), col("r.phash").as("ph_b")).distinct()
-      .withColumn("hamming",
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+        bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).cast("int")
+          .as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct()
       .select("kind", "id_a", "id_b", "hamming")
       .orderBy("kind", "id_a", "id_b")
   }
@@ -406,17 +431,21 @@ object Multimodal {
     val bsz = banded.groupBy("band", "chunk").agg(count(lit(1)).as("bsz"))
     val sane = banded.join(bsz.filter(col("bsz") <= maxBucket),
       Seq("band", "chunk"))
+    // hamming filter BELOW the distinct (the [[phashDupPairs]] reorder,
+    // r18): hamming is a function of the two frame hashes, themselves
+    // determined by (media_id, fidx), so the distinct frame-pair set is
+    // unchanged — the non-matching candidate mass just dies before the
+    // distinct's exchange instead of after it
     val cand = sane.as("l").join(sane.as("r"),
         col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
           col("l.media_id") < col("r.media_id"))
       .select(col("l.media_id").as("id_a"), col("l.fidx").as("fa"),
-        col("l.fh").as("ph_a"), col("r.media_id").as("id_b"),
-        col("r.fidx").as("fb"), col("r.fh").as("ph_b"))
+        col("r.media_id").as("id_b"), col("r.fidx").as("fb"),
+        bit_count(col("l.fh").bitwiseXOR(col("r.fh"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
       .distinct()
     cand
-      .withColumn("hamming",
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
-      .filter(col("hamming") <= maxDist)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_frame_matches"))
       .filter(col("n_frame_matches") >= minFrames)
@@ -429,9 +458,19 @@ object Multimodal {
       featureDims: Int = 64, nCentroids: Int = 8, iters: Int = 2): String =
     Similarity.cachedIndex(s"media_ivf_$kind", dir,
         Similarity.corpusStamp(dir, "documents.parquet")) { idx =>
-      Similarity.buildIvfIndex(featureVecs(spark, dir, kind, featureDims),
-        idx, nCentroids = nCentroids, kmeansIters = iters,
-        hashSeeds = true, trainBuckets = 10000)
+      // r18: the Lloyd loop + assignment + cell write re-scan their input
+      // 2·iters+2 times, and each re-scan used to re-run the full payload
+      // decode; pin the decoded (vec_id, 64-float) relation once for the
+      // build (guide §5: cache when reused AND recompute is expensive —
+      // the features are ~1000× smaller than the payloads they derive
+      // from) and release the blocks when the build commits
+      val feats = graft.Storage.materializeOnce(
+        featureVecs(spark, dir, kind, featureDims))
+      try
+        Similarity.buildIvfIndex(feats,
+          idx, nCentroids = nCentroids, kmeansIters = iters,
+          hashSeeds = true, trainBuckets = 10000)
+      finally graft.Storage.unpersistMaterialized(feats)
     }
 
   /** MEDIA kNN THROUGH THE MATERIALIZED IVF INDEX (r14 verdict #1): per
@@ -446,17 +485,31 @@ object Multimodal {
     * replays the kind-partitioned kmeans, probes, and exact re-rank. */
   def mediaKnn(spark: SparkSession, dir: String, nQueries: Int = 2,
       k: Int = 3, nCentroids: Int = 8, iters: Int = 2, nProbe: Int = 3,
-      featureDims: Int = 64): DataFrame =
-    Seq("image", "audio", "video").map { kind =>
+      featureDims: Int = 64): DataFrame = {
+    import spark.implicits._
+    // r18: the three per-kind serves (index build/read + query collect +
+    // probe ranking) are independent job chains — overlap them (opt guide
+    // §2.6) instead of leaving the cluster idle in each chain's tail
+    graft.Storage.concurrently(Seq("image", "audio", "video")) { kind =>
       val idx = mediaIndexFor(spark, dir, kind, featureDims, nCentroids, iters)
-      val queries = featureVecs(spark, dir, kind, featureDims)
-        .filter(col("vec_id") < 3L * nQueries)
+      // r18: the id predicate moves BELOW the feature extraction — the
+      // decode kernel is per-row, so filtering the handful of query rows
+      // first skips a full-corpus extract pass per kind (guide §1.2:
+      // don't compute what you throw away)
+      val queries = extractFeatures(
+          mediaTable(spark, dir)
+            .filter(col("kind") === kind && col("media_id") < 3L * nQueries)
+            .as[MediaRecord],
+          dims = featureDims)
+        .toDF()
+        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
       Similarity.knnIvfIndexed(spark, idx, queries, k, nProbe)
         .withColumn("kind", lit(kind))
     }.reduce(_.unionByName(_))
       .select(col("kind"), col("query_id"), col("neighbor_id"),
         col("cos_sim"), col("rank"))
       .orderBy("kind", "query_id", "rank")
+  }
 
   /** CROSS-MODAL ALIGNMENT FILTER — the pair-quality gate of a
     * media+text training pipeline (the CLIP-score filtering step of

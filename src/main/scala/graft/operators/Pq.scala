@@ -160,14 +160,11 @@ object Pq {
     * on the same data in the same run (few-groups/huge-group shape:
     * 100 queries × corpus candidates each). */
   def knnPqOver(emb: DataFrame, model: PqModel, nQueries: Int,
-      k: Int, windowRank: Boolean = false): DataFrame = {
+      k: Int, windowRank: Boolean = false,
+      queriesPre: Option[Array[(Long, Array[Long])]] = None): DataFrame = {
     val m = model.m
     val dsub = model.dsub
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), PqCodec.quantLongs(col("embedding"), Scale).as("qq"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1)
+    val queries = queriesPre.getOrElse(collectQuantQueries(emb, nQueries))
     // an nQueries window matching no vectors: empty result, same as the
     // explode spelling — not PqAdcCosBatch's construction-time nonEmpty
     // require (r15 advice)
@@ -264,9 +261,43 @@ object Pq {
       k: Int = 5, nCentroids: Int = 8, kmIters: Int = 2, nProbe: Int = 3,
       m: Int = 4, nCodes: Int = 8, iters: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val model = train(emb, m, nCodes, iters)
-    val cents = Similarity.kmeansCentroids(emb, nCentroids, kmIters)
+    // r18: the PQ training and the coarse k-means are independent job
+    // chains — overlap them (opt guide §2.6) instead of running the two
+    // Lloyd loops back to back
+    val (model, cents) = graft.Storage.par2(
+      train(emb, m, nCodes, iters),
+      Similarity.kmeansCentroids(emb, nCentroids, kmIters))
     knnIvfPqOver(spark, emb, model, cents, nQueries, k, nProbe)
+  }
+
+  /** Quantized query batch, collected once (driver, bounded by
+    * nQueries × dims longs) — shared by every PQ serving path so
+    * multi-variant rows ([[ivfPqResGain]], [[pqMCurve]]) pay the collect
+    * job once instead of per variant (r18, guide §1.2). */
+  private def collectQuantQueries(emb: DataFrame,
+      nQueries: Int): Array[(Long, Array[Long])] =
+    emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), PqCodec.quantLongs(col("embedding"), Scale).as("qq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+
+  /** Probe set — top-nProbe cells per query by the rounded-cosine ranking
+    * every IVF serving path uses; collected (nQueries·nProbe rows). Shared
+    * between the plain and residual serving paths of [[ivfPqResGain]]:
+    * both rank the SAME queries against the SAME centroid table, so the
+    * ranking job runs once (r18). */
+  private def probeRowsFor(emb: DataFrame, cents: DataFrame, nQueries: Int,
+      nProbe: Int): Array[(Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    emb.filter(col("vec_id") < nQueries)
+      .join(broadcast(cents))
+      .withColumn("cos_c", round(Similarity.cosine(col("embedding"), col("c_emb")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(desc("cos_c"), asc("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
   }
 
   /** Serving body of [[knnIvfPq]] against an ALREADY-trained model +
@@ -276,7 +307,8 @@ object Pq {
     * coarse k-means and PQ training twice per variant). */
   private[graft] def knnIvfPqOver(spark: SparkSession, emb: DataFrame,
       model: PqModel, cents: DataFrame, nQueries: Int, k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, queriesPre: Option[Array[(Long, Array[Long])]] = None,
+      probesPre: Option[Array[(Long, Long)]] = None): DataFrame = {
     val m = model.m
     // ONE corpus pass: coarse cell + PQ codes
     val asgCodes = Similarity.withNearestCid(emb, cents)
@@ -285,11 +317,7 @@ object Pq {
       .select(col("vec_id"), col("cid"),
         PqCodec.pqEncode(col("qv"), model.codebook, model.dsub).as("codes"))
     // query-batch LUTs (driver, bounded by nQueries × m × nCodes longs)
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), PqCodec.quantLongs(col("embedding"), Scale).as("qq"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1)
+    val queries = queriesPre.getOrElse(collectQuantQueries(emb, nQueries))
     val qIdx = queries.map(_._1).zipWithIndex.toMap
     val normLut: Seq[Seq[Long]] = model.codebook.map(_.map(c => c.map(x => x * x).sum))
     val dotLuts: Seq[Seq[Seq[Long]]] = queries.toIndexedSeq.map { case (_, qq) =>
@@ -302,17 +330,7 @@ object Pq {
       }
     }
     val qnorms = queries.map { case (_, qq) => qq.map(x => x * x).sum }
-    // probe set: top-nProbe cells per query by the same rounded-cosine
-    // ranking the IVF serving path uses; collected (nQueries·nProbe rows)
-    import org.apache.spark.sql.expressions.Window
-    val probeRows = emb.filter(col("vec_id") < nQueries)
-      .join(broadcast(cents))
-      .withColumn("cos_c", round(Similarity.cosine(col("embedding"), col("c_emb")), 6))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(desc("cos_c"), asc("cid"))))
-      .filter(col("rn") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("cid"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val probeRows = probesPre.getOrElse(probeRowsFor(emb, cents, nQueries, nProbe))
     import spark.implicits._
     val probes = probeRows.toSeq
       .map { case (q, c) => (q, qIdx(q), qnorms(qIdx(q)), c) }
@@ -395,9 +413,14 @@ object Pq {
     val emb = Tables.embeddings(spark, dir)
     val dsub = dims / m
     require(m * dsub == dims, s"dims $dims not divisible by m $m")
-    val coarse = Similarity.kmeansCentroids(emb, nCentroids, kmIters)
-    val prep = residualPrep(spark, emb, coarse, m, nCodes, iters, dims)
-    knnIvfPqResOver(spark, emb, prep, nQueries, k, nProbe, dims)
+    // r18: the query-batch collect only needs the raw embeddings — overlap
+    // it with the coarse-kmeans → residual-prep training chain
+    val (qArr, prep) = graft.Storage.par2(
+      collectQuantQueries(emb, nQueries), {
+        val coarse = Similarity.kmeansCentroids(emb, nCentroids, kmIters)
+        residualPrep(spark, emb, coarse, m, nCodes, iters, dims)
+      })
+    knnIvfPqResOver(spark, emb, prep, nQueries, k, nProbe, dims, Some(qArr))
   }
 
   /** Serving body of [[knnIvfPqRes]] against a precomputed [[ResPrep]] —
@@ -406,7 +429,8 @@ object Pq {
     * twice; now prep flows through). */
   private def knnIvfPqResOver(spark: SparkSession, emb: DataFrame,
       prep: ResPrep, nQueries: Int, k: Int, nProbe: Int,
-      dims: Int): DataFrame = {
+      dims: Int, queriesPre: Option[Array[(Long, Array[Long])]] = None,
+      probesPre: Option[Array[(Long, Long)]] = None): DataFrame = {
     val m = prep.model.m
     val dsub = prep.model.dsub
     val ResPrep(cents, cids, cidIdx, mq, mqSeq, model, asgIdx) = prep
@@ -417,11 +441,7 @@ object Pq {
         PqCodec.pqResidual(col("qv"), col("cidx"), mqSeq),
         model.codebook, dsub).as("codes"))
     // query-batch tables (driver, bounded)
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), PqCodec.quantLongs(col("embedding"), Scale).as("qq"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1)
+    val queries = queriesPre.getOrElse(collectQuantQueries(emb, nQueries))
     val qIdx = queries.map(_._1).zipWithIndex.toMap
     val qnorms = queries.map { case (_, qq) => qq.map(x => x * x).sum }
     val normLut: Seq[Seq[Long]] = model.codebook.map(_.map(c => c.map(x => x * x).sum))
@@ -454,15 +474,7 @@ object Pq {
       mq(ci).map(x => x * x).sum
     }.toArray
     // probe set: same rounded-cosine ranking as [[knnIvfPq]]
-    import org.apache.spark.sql.expressions.Window
-    val probeRows = emb.filter(col("vec_id") < nQueries)
-      .join(broadcast(cents))
-      .withColumn("cos_c", round(Similarity.cosine(col("embedding"), col("c_emb")), 6))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(desc("cos_c"), asc("cid"))))
-      .filter(col("rn") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("cid"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val probeRows = probesPre.getOrElse(probeRowsFor(emb, cents, nQueries, nProbe))
     val probes = probeRows.toSeq
       .map { case (q, c) =>
         val qi = qIdx(q); val ci = cidIdx(c)
@@ -855,10 +867,18 @@ object Pq {
     // its serving stack (r15 advice: the gain row used to re-run the plain
     // training inside knnIvfPq and the whole residualPrep inside
     // knnIvfPqRes — coarse k-means, mean-centroid collect and residual
-    // Lloyd all executed twice; determinism hid the waste)
-    val plainModel = train(emb, m, nCodes, iters, dims)
-    val cents = Similarity.kmeansCentroids(emb, nCentroids, kmIters)
-    val prep = residualPrep(spark, emb, cents, m, nCodes, iters, dims)
+    // Lloyd all executed twice; determinism hid the waste).
+    // r18: the plain PQ training is independent of the coarse
+    // k-means → residual-prep chain — overlap the two (opt guide §2.6)
+    val (plainModel, (cents, prep)) = graft.Storage.par2(
+      train(emb, m, nCodes, iters, dims), {
+        val c = Similarity.kmeansCentroids(emb, nCentroids, kmIters)
+        (c, residualPrep(spark, emb, c, m, nCodes, iters, dims))
+      })
+    // one query collect + one probe ranking feed BOTH serving paths (r18:
+    // they rank the same queries against the same centroid table)
+    val qArr = collectQuantQueries(emb, nQueries)
+    val probeArr = probeRowsFor(emb, cents, nQueries, nProbe)
     // plain: the raw-vector codebook's corpus SSE (one fused pass)
     val plainSse = emb
       .select(PqCodec.quantLongs(col("embedding"), Scale).as("qv"))
@@ -874,10 +894,12 @@ object Pq {
       .agg(sum(PqCodec.pqSqErr(col("rq"), col("codes"), prep.model.codebook,
         dsub)).as("sse"))
     gainRow("ivfpq",
-        knnIvfPqOver(spark, emb, plainModel, cents, nQueries, k, nProbe),
+        knnIvfPqOver(spark, emb, plainModel, cents, nQueries, k, nProbe,
+          Some(qArr), Some(probeArr)),
         plainSse)
       .unionByName(gainRow("ivfpq_res",
-        knnIvfPqResOver(spark, emb, prep, nQueries, k, nProbe, dims), resSse))
+        knnIvfPqResOver(spark, emb, prep, nQueries, k, nProbe, dims,
+          Some(qArr), Some(probeArr)), resSse))
       .orderBy("variant")
   }
 
@@ -914,8 +936,16 @@ object Pq {
       iters: Int = 2): DataFrame = {
     val truth = Similarity.knnBrute(spark, dir, nQueries, k)
       .select("query_id", "neighbor_id")
-    ms.map { m =>
-      val approx = knnPq(spark, dir, nQueries, k, m, nCodes, iters)
+    val emb = Tables.embeddings(spark, dir)
+    // r18 (opt guide §2.6 + §1.2): the five per-m codebook trainings are
+    // independent job chains — overlap them instead of running 5 Lloyd
+    // loops back to back; the quantized query batch is m-independent, so
+    // collect it once for all five serving paths
+    val qArr = collectQuantQueries(emb, nQueries)
+    val models = graft.Storage.concurrently(ms)(m =>
+      m -> train(emb, m, nCodes, iters))
+    models.map { case (m, model) =>
+      val approx = knnPqOver(emb, model, nQueries, k, queriesPre = Some(qArr))
         .select("query_id", "neighbor_id")
       val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
