@@ -27,6 +27,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // r18: the default whole-stage-codegen class cache holds 100
+      // entries — a 211-query × 3-pass run generates thousands of
+      // distinct stages, so every pass recompiled every stage (Janino,
+      // ~10-50 ms each). Size the cache for the workload's stage
+      // diversity; this is a driver/executor memory knob (cached
+      // GeneratedClass objects), not a scale-dependent tunable —
+      // parameterized anyway, same default everywhere
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       // session requirement for the TIMESTAMP(NANOS) events table
       // (FlowAdapter.flows asserts it instead of mutating shared conf)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -96,6 +96,9 @@ object BenchScale {
       // spark.file.transferTo=false measured NO win (154.8k vs 195.3k
       // rows/s on adjacent windows), so the default stays — the storm
       // correlates with, but does not gate, throughput here.
+      // r18: workload-diverse codegen cache (see Bench/GraftSession)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -29,6 +29,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.shuffle.partitions", "32")
+      // r18: the default whole-stage-codegen class cache (100 entries) is
+      // sized for a handful of long-running queries; a query-DIVERSE
+      // workload (the 211-query registry, any multi-tenant serving
+      // session) evicts and re-Janino-compiles stages continuously —
+      // measured 0.5-0.9x per query on the bench tail after raising it.
+      // Memory cost is cached GeneratedClass objects only.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")

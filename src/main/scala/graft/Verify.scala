@@ -14,6 +14,9 @@ object Verify {
       // session requirement for the TIMESTAMP(NANOS) events table
       // (FlowAdapter.flows asserts it instead of mutating shared conf)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r18: workload-diverse codegen cache (see Bench/GraftSession)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

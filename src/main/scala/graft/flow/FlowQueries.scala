@@ -108,11 +108,17 @@ object FlowQueries {
     import spark.implicits._
     import graft.sources.{DescriptorCodec, ProtoCodec}
     import graft.functions.IpCodec
-    val rows = fl(spark, dir).select(
-      col("seq"), col("time_received"), col("sampling_rate"),
-      col("src_as"), col("dst_as"), col("etype"), col("proto"),
-      col("src_port"), col("dst_port"), col("bytes"), col("packets"),
-      col("src_ip"), col("dst_ip"))
+    // spreadScan (r18): the proto encode+decode round trip is a per-row
+    // kernel over 13 NUMERIC columns (no payload/text in the exchange);
+    // a one-row-group events file would run it on 1-2 cores — identity
+    // at production scan widths
+    val rows = graft.Storage.spreadScan(
+      fl(spark, dir).select(
+        col("seq"), col("time_received"), col("sampling_rate"),
+        col("src_as"), col("dst_as"), col("etype"), col("proto"),
+        col("src_port"), col("dst_port"), col("bytes"), col("packets"),
+        col("src_ip"), col("dst_ip")),
+      col("seq"))
       .as[(Long, Long, Long, Int, Int, Int, Int, Int, Int, Long, Long, Long, Long)]
     val wire = rows.mapPartitions(_.grouped(64).map { g =>
       g.flatMap { case (seq, t, sr, sas, das, ety, pr, sp, dp, by, pk, sip, dip) =>

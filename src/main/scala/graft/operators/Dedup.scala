@@ -226,8 +226,12 @@ object Dedup {
     val pairBuckets = pairs
       .groupBy((expr("pct div 10") * 10).cast("int").as("b"))
       .agg(count(lit(1)).as("c"))
-    val docBuckets = pairs.select(col("doc_a").as("doc"), col("pct"))
-      .unionAll(pairs.select(col("doc_b").as("doc"), col("pct")))
+    // melt via ONE Generate instead of a unionAll of two projections
+    // (r18): the union spelled the df-capped pair relation into the plan
+    // twice more — AQE dedups the runtime stages, but every copy is
+    // re-planned per adaptive stage; the explode keeps one copy
+    val docBuckets = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"), col("pct"))
       .groupBy("doc").agg(max("pct").as("m"))
       .groupBy((expr("m div 10") * 10).cast("int").as("b"))
       .agg(count(lit(1)).as("c"))
@@ -566,6 +570,15 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("h"))
       .transform(pin)
+    minhashFromEx(ex, threshold, numHashes, bands)
+  }
+
+  /** MinHash sig + banding + exact-Jaccard verify over an ALREADY-pinned
+    * `(doc_id, n_sh, h)` relation — split out (r18) so [[lshEval]] can
+    * feed ONE pinned shingle-hash relation to both its truth and approx
+    * sides instead of building it twice. */
+  private def minhashFromEx(ex: DataFrame, threshold: Double,
+      numHashes: Int, bands: Int): DataFrame = {
     val sigAggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     val sig = ex.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val cands = minhashCandidates(sig, "doc_id", numHashes, bands)
@@ -642,9 +655,16 @@ object Dedup {
     * The comparison itself is a full-outer join of two id-pair relations
     * + one fold to a single row — trivially bounded. */
   def lshEval(spark: SparkSession, dir: String): DataFrame = {
-    val truth = ngramJaccardPairs(spark, dir)
+    // ONE shingle build feeds BOTH sides (r18): the exploded (doc_id,
+    // n_sh, h) relation the exact-Jaccard truth scores over is exactly
+    // the relation the MinHash side already pins (empty-shingle docs
+    // have no exploded rows, so the minhash-side size>0 filter changes
+    // nothing) — share the pin instead of re-deriving it per side
+    val ex = graft.Storage.materializeOnce(
+      explodedShingleHashes(spark, dir))
+    val truth = jaccardPairsFrom(ex, 0.2, maxDf = None)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_t"))
-    val approx = minhashDupPairs(spark, dir)
+    val approx = minhashFromEx(ex, 0.2, 64, 16)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_a"))
     truth.join(approx, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
