@@ -149,7 +149,10 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ingest failed: ${e.getMessage}"); ""
     }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"samples":$samplesJson,"pass_wall":$passWall$errJson$ingest,"sf":"$sfDir"}"""
+    // r19 (verdict #2): stamp the core count into BOTH json lines — the
+    // driver's scaling pass re-runs this main at a lower SPARK_GRAFT_CPUS
+    // and its per-query comparator needs to know which artifact is which
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"cpus":$cpus,"queries":$qs,"spread":$spread,"samples":$samplesJson,"pass_wall":$passWall$errJson$ingest,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json keeps only a ~2 kB stdout TAIL; the full
     // line above is >10 kB, so its head (including the opening brace) is cut
@@ -157,7 +160,7 @@ object Bench {
     // summary as the FINAL stdout line — short enough that any tail ≥200
     // bytes contains it whole. Per-query detail stays in the full line and
     // in BENCH_full.json.
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"ingest_rows_per_sec":$ingestRate,"sf":"$sfDir","detail":"BENCH_full.json"}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"cpus":$cpus,"ingest_rows_per_sec":$ingestRate,"sf":"$sfDir","detail":"BENCH_full_c$cpus.json"}"""
     println(summary)
     // ALSO persist the full line in-repo: the driver's BENCH_r{N}.json
     // keeps only the tail of stdout, which truncates per-query medians
@@ -167,10 +170,23 @@ object Bench {
     // repo-relative default (resolved against the working dir) so a
     // checkout anywhere still gets the diffable artifact; the env var
     // stays the A/B override
+    // r19 (verdict #2): the default filename is now PER CORE COUNT — the
+    // driver's scaling run (same main, lower SPARK_GRAFT_CPUS) used to
+    // clobber the 32-core per-query artifact because both wrote
+    // BENCH_full.json. BENCH_full.json is still written for back-compat
+    // readers, but it is now a copy of the LAST run, while
+    // BENCH_full_c{cpus}.json is the stable per-configuration artifact.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      new java.io.File("BENCH_full.json").getAbsolutePath)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable =>
+      new java.io.File(s"BENCH_full_c$cpus.json").getAbsolutePath)
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(new java.io.File("BENCH_full.json").getAbsolutePath),
+          line + "\n")
+        ()
+      }
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()

@@ -99,6 +99,13 @@ object BenchScale {
       // r18: workload-diverse codegen cache (see Bench/GraftSession)
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+      // r19 A/B knob: ObjectHashAggregate falls back to SORT-based
+      // aggregation after this many distinct groups per partition
+      // (default 128) — the wide-group sketch rows (15M (day, src)
+      // groups) live far past it, turning every sketch aggregate into a
+      // sort of the fact table plus per-group buffer serialization
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "128"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -188,9 +195,14 @@ object BenchScale {
         // runs 8x more concurrent partial-agg maps and parquet writers
         // than the old 4-partition scan, so the same trigger size that
         // fit before OOMs the default heap at 50M — half-size batches
-        // restore the headroom (measured: /8 OOMs at 12g, /16 fits 8g)
+        // restore the headroom (measured: /8 OOMs at 12g, /16 fits 8g).
+        // r19 (verdict #7): divisor env-tunable for the fewer/larger-
+        // shuffle-files A/B — fewer micro-batches mean fewer (shuffle
+        // files × batches) on the write path; needs the raised driver
+        // heap (SPARK_DRIVER_MEM) below /16.
+        val triggerDiv = sys.env.getOrElse("SPARK_GRAFT_INGEST_TRIGGER_DIV", "16").toInt
         val stream = ProtoCodec.binaryFileStream(spark, wireDir,
-          Map("maxFilesPerTrigger" -> (genFiles / 16).toString)).toDF()
+          Map("maxFilesPerTrigger" -> (genFiles / triggerDiv).toString)).toDF()
         val q = stream.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
             val b = batch.persist()
@@ -261,8 +273,10 @@ object BenchScale {
       val (genSec, ingestSec, compactSec, nCompactions, rawRows, rollupFlows,
         ioW0, ioR0, ioW1, ioR1, ioMode) = ingestLeg()
       val rate = (n / ingestSec).toLong
+      val trigDiv = sys.env.getOrElse("SPARK_GRAFT_INGEST_TRIGGER_DIV", "16")
       val refresh =
         f"""{"rows":$n,"gen_sec":$genSec%.1f,"ingest_sec":$ingestSec%.1f,""" +
+        f""""trigger_div":$trigDiv,""" +
         f""""ingest_rows_per_sec":$rate,"final_compact_sec":$compactSec%.1f,""" +
         f""""online_compactions_during_ingest":$nCompactions,""" +
         f""""raw_rows":$rawRows,"rollup_flow_count":$rollupFlows,""" +

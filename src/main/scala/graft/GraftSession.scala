@@ -34,7 +34,16 @@ object GraftSession {
       // workload (the 211-query registry, any multi-tenant serving
       // session) evicts and re-Janino-compiles stages continuously —
       // measured 0.5-0.9x per query on the bench tail after raising it.
-      // Memory cost is cached GeneratedClass objects only.
+      // COSTS (ADVICE r18): each entry pins a Janino classloader + its
+      // GeneratedClass — METASPACE, not just heap — so 5000 entries can
+      // hold ~50x the default's class memory; size down via
+      // SPARK_GRAFT_CODEGEN_CACHE on metaspace-tight deployments. It is
+      // also a STATIC conf: if the application already has a
+      // SparkSession, getOrCreate silently ignores this value (the
+      // existing session's cache size wins) — the getOrCreate warning
+      // below covers the extensions half of that caveat; the cache half
+      // is inherently silent, so library users embedding graft into an
+      // existing session should set the conf in their own builder.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.sql.warehouse.dir",

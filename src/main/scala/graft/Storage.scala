@@ -70,6 +70,18 @@ object Storage {
     * width plans the input subtree once without running a job — apply
     * this to (near-)bare table scans, not deep subtrees. */
   def spreadScan(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    // guard (ADVICE r18): with AQE on, probing width via .rdd on a subtree
+    // that CONTAINS an exchange materializes its shuffle query stages at
+    // DataFrame-construction time — real jobs run during plan building.
+    // The "(near-)bare scan" restriction was doc-comment-only; now an
+    // exchange-bearing subtree short-circuits to the identity — its
+    // partitioning is already managed by that exchange, and the width
+    // probe below never runs on it. sparkPlan inspection is
+    // planning-only (no jobs).
+    if (df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     val parts = df.rdd.getNumPartitions
     if (parts >= math.max(1, target / 2)) df
@@ -95,13 +107,32 @@ object Storage {
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(items.size, maxThreads))
+      // ADVICE r18: on first failure, stop paying for the sibling chains —
+      // cancel(true) the remaining futures, shutdownNow() the pool, and
+      // cancel each chain's Spark job group (interruptOnCancel) so
+      // in-flight cluster work stops instead of running to completion on
+      // non-daemon threads and delaying error propagation
+      val gid = "graft-conc-" + java.util.UUID.randomUUID()
+      val sc = org.apache.spark.sql.SparkSession.getDefaultSession.map(_.sparkContext)
       try {
-        val futs = items.map { a =>
-          pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) })
+        val futs = items.zipWithIndex.map { case (a, i) =>
+          pool.submit(new java.util.concurrent.Callable[B] { def call(): B = {
+            // keep the inherited job description (thread-locals copy from
+            // the submitting thread); only the group id + interrupt change
+            sc.foreach(s => s.setJobGroup(s"$gid-$i",
+              s.getLocalProperty("spark.job.description"),
+              interruptOnCancel = true))
+            f(a)
+          } })
         }
-        futs.map { fu =>
+        try futs.map { fu =>
           try fu.get()
           catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        } catch { case t: Throwable =>
+          futs.foreach(_.cancel(true))
+          pool.shutdownNow()
+          sc.foreach(s => items.indices.foreach(i => s.cancelJobGroup(s"$gid-$i")))
+          throw t
         }
       } finally pool.shutdown()
     }
@@ -110,9 +141,24 @@ object Storage {
     * at once and return both results (typed; avoids Either juggling). */
   def par2[A, B](fa: => A, fb: => B): (A, B) = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val gid = "graft-par2-" + java.util.UUID.randomUUID()
+    val sc = org.apache.spark.sql.SparkSession.getDefaultSession.map(_.sparkContext)
     try {
-      val fut = pool.submit(new java.util.concurrent.Callable[B] { def call(): B = fb })
-      val a = fa
+      val fut = pool.submit(new java.util.concurrent.Callable[B] { def call(): B = {
+        sc.foreach(s => s.setJobGroup(gid,
+          s.getLocalProperty("spark.job.description"),
+          interruptOnCancel = true))
+        fb
+      } })
+      // ADVICE r18: if the foreground chain fails, cancel the background
+      // one (future + its Spark job group) instead of letting it run to
+      // completion before the error propagates
+      val a = try fa catch { case t: Throwable =>
+        fut.cancel(true)
+        pool.shutdownNow()
+        sc.foreach(_.cancelJobGroup(gid))
+        throw t
+      }
       val b = try fut.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       (a, b)
@@ -133,6 +179,25 @@ object Storage {
     * the call stack keeps every metric resolvable; the only cost is that
     * the cache-fill job runs now instead of at first use. */
   def materializeOnce(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** True when `df` is (a cheap projection/filter over) an
+    * already-materialized relation — a [[materializeOnce]] result or a
+    * driver-collected LocalRelation — so pin-for-the-loop helpers
+    * ([[graft.operators.Pq.trainOnQ]], kmeans training) don't stack a
+    * second copy of blocks that already sit in executor storage. */
+  def isMaterialized(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project, SubqueryAlias}
+    @annotation.tailrec
+    def strip(p: LogicalPlan): Boolean = p match {
+      case p: Project       => strip(p.child)
+      case f: Filter        => strip(f.child)
+      case s: SubqueryAlias => strip(s.child)
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: LocalRelation => true
+      case _                => false
+    }
+    strip(df.queryExecution.analyzed)
+  }
 
   /** Free the executor blocks behind a [[materializeOnce]] result once no
     * later consumer needs them — the iterative-loop hygiene ADVICE r16

@@ -1081,19 +1081,30 @@ object FlowQueries {
   def uniqueSrcOverlap(spark: SparkSession, dir: String, lgK: Int = 12,
       strict: Boolean = true): DataFrame = {
     import graft.functions.ThetaSketch
-    import org.apache.spark.sql.expressions.Window
     val daily = fl(spark, dir)
       .groupBy(((col("time_received") / 86400).cast("long") * 86400).as("day"))
       .agg(ThetaSketch.thetaSketch(col("src_ip"), lgK).as("sk"))
-    // consecutive-day pairing as a lead WINDOW over the one-row-per-day
-    // sketch relation (NOT a self-join): the fact table is scanned once,
-    // and the global window runs over ~365 rows/year of ≤64 KB blobs
-    val byDay = Window.orderBy("day")
-    daily
-      .withColumn("next_day", lead("day", 1).over(byDay))
-      .withColumn("sk_next", lead("sk", 1).over(byDay))
-      .filter(col("next_day") === col("day") + 86400)
-      .select(col("day"), col("next_day"),
+      // no-op filter pair (the r18 substring-trim device): the self-join
+      // below pushes isnotnull(day) into its left subtree but
+      // isnotnull(day - 86400) into the right (the join key there is the
+      // shifted day), which breaks canonical equality and re-scans the
+      // fact table. Carrying BOTH (each implied by the other — day is
+      // null iff day-86400 is) keeps the two subtrees identical, so the
+      // day-grain aggregate exchange is planned once (ReuseExchange).
+      .filter(col("day").isNotNull && (col("day") - 86400L).isNotNull)
+    // r19 (r18 verdict #6): consecutive-day pairing as a BROADCAST
+    // self-join of the day-grain relation on (day + 1d) instead of an
+    // unpartitioned lead window. The day-grain aggregate's exchange is
+    // shared between the two sides (ReuseExchange — the fact table is
+    // still scanned once, pinned by the plan-contract suite); the
+    // broadcast carries |days| bounded blobs; and the per-pair
+    // estimate/intersection kernels run data-parallel across days
+    // instead of inside the window's single task. Row set is identical:
+    // daily is one row per day, so lead(day)==day+86400 pairs exactly
+    // the days whose successor row exists — the inner join's condition.
+    val nxt = daily.select((col("day") - 86400).as("day"), col("sk").as("sk_next"))
+    daily.join(broadcast(nxt), Seq("day"))
+      .select(col("day"), (col("day") + 86400).as("next_day"),
         ThetaSketch.thetaEstimate(col("sk"), strict).as("unique_day"),
         ThetaSketch.thetaEstimate(col("sk_next"), strict).as("unique_next"),
         ThetaSketch.thetaIntersectCount(col("sk"), col("sk_next"), strict)

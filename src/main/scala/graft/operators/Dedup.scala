@@ -349,11 +349,56 @@ object Dedup {
 
   /** [[substringDupStats]] over an arbitrary `(doc_id, text)` relation
     * (specs plant span-sharing corpora). */
+  /** Per-window digest relation `(doc_id, i, h)` over a tokenized corpus
+    * `(doc_id, t, n)` (caller pre-filters `n >= w`) — the shared window
+    * build of [[substringDupOver]] and [[substringTrimOver]].
+    *
+    * WIDE SCAN (any production table): hash windows directly in the scan
+    * stage — md5 over the window text, zero exchanges below the digest
+    * grain; the r13–r18 shape, unchanged.
+    *
+    * NARROW SCAN (r18 verdict #4 — the one-file local artifact whose
+    * whole build serialized through one task): TWO-LEVEL digests. The
+    * scan stage hashes TOKENS — the only per-text kernel that must stay
+    * below the no-text-exchange boundary — and emits one
+    * (doc_id, n, token-digest array) row per document; those digest rows
+    * spread across the session's cores (doc_id-keyed, the spreadScan
+    * trigger), and the per-window digest — md5 over the window's w
+    * CONCATENATED token digests — computes data-parallel above the
+    * spread. Equivalence: window equality under md5∘concat∘md5-tokens
+    * coincides with window equality under md5-of-window-text (both are
+    * injective on realized windows up to md5 collisions — the same trust
+    * the single-level form already carries), and NO window hash reaches
+    * either operator's output (both aggregate/join on `h` and emit
+    * doc-level results), so results are bit-identical on both paths;
+    * DedupSpec pins the two paths equal on a planted corpus and the
+    * DuckDB oracle gate re-proves the registry rows. */
+  private def windowDigests(d: DataFrame, w: Int): DataFrame = {
+    val target = d.sparkSession.sparkContext.defaultParallelism
+    val narrow = d.rdd.getNumPartitions < math.max(1, target / 2)
+    // ROUND-ROBIN spread, not doc_id-keyed (the r18 trap, re-hit here): a
+    // doc_id-hash spread CLUSTERS by doc_id, which subsumes the
+    // (h, doc_id) grouping downstream — the planner then elides the
+    // aggregate exchange both substringDupOver branches share, splitting
+    // the window build into two full copies (plan-contract "ONE
+    // window-build Generate" catches it). Round-robin satisfies no
+    // clustering, so the shared exchange stays; sort-before-repartition
+    // keeps the assignment retry-deterministic.
+    val src =
+      if (!narrow) d
+      else d
+        .select(col("doc_id"), col("n"),
+          transform(col("t"), tok => md5(tok)).as("th"))
+        .repartition(target)
+    val winOf: Column => Column =
+      if (!narrow) i => md5(concat_ws(" ", slice(col("t"), i, lit(w))))
+      else i => md5(concat_ws("", slice(col("th"), i, lit(w))))
+    src.select(col("doc_id"),
+      posexplode(transform(sequence(lit(1), col("n") - w + 1), winOf)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+  }
+
   def substringDupOver(docs: DataFrame, w: Int): DataFrame = {
-    // NOT spread (r18): parallelizing the window build on a one-file scan
-    // would shuffle corpus text — the plan contract (and the 100 TB
-    // posture) is that text crosses NO exchange; the single-task build is
-    // a local-file artifact a production scan width doesn't have
     val d = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .withColumn("n", size(col("t")))
@@ -368,9 +413,13 @@ object Dedup {
     // the hottest boilerplate hash — the exact skew this operator hunts —
     // through one task's sort. Hot h here hits aggregates (map-side
     // combine) and a 1-row-build join side (AQE skew split), never a sort.
-    val wins = d.select(col("doc_id"),
-      explode(transform(sequence(lit(0), col("n") - w),
-        i => md5(concat_ws(" ", slice(col("t"), i + lit(1), lit(w)))))).as("h"))
+    // (On the narrow-scan path the spread's doc_id clustering subsumes
+    // the (h, doc_id) grouping, so perDoc aggregates exchange-free right
+    // above the spread; the freq and join branches then each re-derive
+    // perDoc above the ONE reused spread exchange — duplicated
+    // window-hashing, but data-parallel, where the unspread form ran it
+    // once on one core.)
+    val wins = windowDigests(d, w)
     val perDoc = wins.groupBy("h", "doc_id").agg(count(lit(1)).as("k"))
     val freq = perDoc.groupBy("h").agg(sum("k").as("cnt"))
     perDoc.join(freq, Seq("h"))
@@ -404,7 +453,16 @@ object Dedup {
   def substringDupTrim(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
     substringTrimOver(Tables.documents(spark, dir).select("doc_id", "text"), w)
 
-  /** [[substringDupTrim]] over an arbitrary `(doc_id, text)` relation. */
+  /** [[substringDupTrim]] over an arbitrary `(doc_id, text)` relation.
+    *
+    * PRECONDITION (ADVICE r18): `doc_id` must be non-null. The
+    * exchange-reuse alignment below filters `doc_id IS NOT NULL` at the
+    * source, so a null-doc_id row — which before r18 flowed through the
+    * final left join (text rebuilt, removed_tokens = 0) — is dropped
+    * entirely. Tables.documents guarantees non-null doc_ids (the oracle
+    * gate rides that), and a null document KEY is meaningless for a
+    * per-document trim; specs feeding arbitrary corpora must honor the
+    * same contract. */
   def substringTrimOver(docs: DataFrame, w: Int): DataFrame = {
     // no materialization anywhere: the token relation is corpus-sized (a
     // localCheckpoint would hold a full corpus copy in executor storage),
@@ -423,11 +481,9 @@ object Dedup {
       .withColumn("n", size(col("t")))
     // same one-shuffle shape as substringDupOver: repartition(h) shares
     // the window-build exchange between the canonical aggregate and the
-    // marked-occurrence join
-    val wins = d.filter(col("n") >= w).select(col("doc_id"),
-      posexplode(transform(sequence(lit(1), col("n") - w + 1),
-        i => md5(concat_ws(" ", slice(col("t"), i, lit(w)))))))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+    // marked-occurrence join (the shared [[windowDigests]] build spreads
+    // token digests first on a narrow local scan — r18 verdict #4)
+    val wins = windowDigests(d.filter(col("n") >= w), w)
       .repartition(col("h"))
     // one aggregate per hash: occurrence count + the canonical (first)
     // occurrence as a min-struct fold — partial-combining, skew-immune

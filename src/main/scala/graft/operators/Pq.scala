@@ -74,7 +74,17 @@ object Pq {
       dims: Int = 64): PqModel = {
     val dsub = dims / m
     require(m * dsub == dims, s"dims $dims not divisible by m $m")
-    val qv = qvIn
+    // r19 (r18 verdict #5, guide §5): the quantized training relation is
+    // evaluated (iters + 1) times — the seed TakeOrdered plus one encode
+    // pass per Lloyd round — and each evaluation re-ran the full upstream
+    // (parquet scan + quantization; for residual training also the
+    // coarse-assign argmax and residual subtract). Pin it for the
+    // duration of training, release on return (the model is driver
+    // arrays; nothing later reads the blocks). Skipped when the caller
+    // already hands a materialized relation.
+    val pin = iters >= 1 && !graft.Storage.isMaterialized(qvIn)
+    val qv = if (pin) graft.Storage.materializeOnce(qvIn) else qvIn
+    try {
     // seeds: k lowest (md5(vec_id), vec_id) quantized vectors, sliced
     val seedRows = qv
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -116,6 +126,7 @@ object Pq {
       cb = next
     }
     PqModel(cb.map(_.map(_.toSeq).toSeq).toSeq, codeIds, m, dsub)
+    } finally if (pin) graft.Storage.unpersistMaterialized(qv)
   }
 
   /** The learned codebook as a relation: (sub, code, pos, c_q) — the
@@ -376,9 +387,19 @@ object Pq {
   private def residualPrep(spark: SparkSession, emb: DataFrame,
       cents: DataFrame, m: Int, nCodes: Int, iters: Int,
       dims: Int): ResPrep = {
-    val asgQ = Similarity.withNearestCid(emb, cents)
-      .select(col("vec_id"), col("cid"),
-        PqCodec.quantLongs(col("embedding"), Scale).as("qv"))
+    // r19 (r18 verdict #5, guide §5 — the media IVF build's pattern): the
+    // assigned+quantized relation feeds ~5 downstream evaluations (the
+    // per-cell mean collect, the residual training's seed scan + Lloyd
+    // rounds, the SSE fold, the serving encode), and every one re-ran the
+    // coarse-assign argmax kernel plus quantization over the corpus. Pin
+    // it once; it is ~(dims longs + 2 ids) per vector — bounded, and
+    // ~4-30x smaller than re-running the kernels. The blocks stay live
+    // because the returned ResPrep.asgIdx serves from them; they are
+    // released when the plan is garbage-collected (ContextCleaner).
+    val asgQ = graft.Storage.materializeOnce(
+      Similarity.withNearestCid(emb, cents)
+        .select(col("vec_id"), col("cid"),
+          PqCodec.quantLongs(col("embedding"), Scale).as("qv")))
     // per-cell integer mean centroids: (cid, pos) sums + member counts,
     // driver-collected (nCells × dims rows — bounded); empty cells keep
     // zeros (they contribute no candidates, so the values never serve)

@@ -609,10 +609,21 @@ object Similarity {
 
   def kmeansCentroids(emb: DataFrame, nCentroids: Int, iters: Int,
       hashSeeds: Boolean = true, trainBuckets: Int = 10000): DataFrame = {
-    val train =
+    // r19 (r18 verdict #5, guide §5): the training relation is evaluated
+    // (iters + 1) times — the seed scan plus one assign pass per Lloyd
+    // round — and the full-corpus path (trainBuckets >= 10000) re-read
+    // the parquet source each time. Pin it for the duration of the loop
+    // and RELEASE on return: the returned centroids are a driver-resident
+    // LocalRelation, so no later consumer reads the blocks. (The sampled
+    // path was already pinned — it now also gets the release.) Skipped
+    // when the caller hands an already-materialized relation (the media
+    // IVF build pins its decoded features itself).
+    val trainBase =
       if (trainBuckets >= 10000) emb
       else emb.filter(TextOps.hashBucket(col("vec_id")) < trainBuckets)
-        .transform(graft.Storage.materializeOnce)
+    val pin = iters >= 1 && !graft.Storage.isMaterialized(trainBase)
+    val train = if (pin) graft.Storage.materializeOnce(trainBase) else trainBase
+    try {
     val seeds =
       if (hashSeeds)
         train.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nCentroids)
@@ -639,6 +650,7 @@ object Similarity {
         java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
     cents
+    } finally if (pin) graft.Storage.unpersistMaterialized(train)
   }
 
   /** IVF (inverted-file) approximate top-k — the clustered alternative to

@@ -603,17 +603,19 @@ object FlowStreams {
   private def finalizeUniqueSrcOverlap(partials: DataFrame, lgK: Int,
       strict: Boolean): DataFrame = {
     import graft.functions.ThetaSketch
-    import org.apache.spark.sql.expressions.Window
     val daily = partials
       .groupBy("day")
       .agg(ThetaSketch.thetaUnion(col("theta_sketch"), lgK).as("sk"),
         sum("flow_count").as("flow_count"))
-    val byDay = Window.orderBy("day")
-    daily
-      .withColumn("next_day", lead("day", 1).over(byDay))
-      .withColumn("sk_next", lead("sk", 1).over(byDay))
-      .filter(col("next_day") === col("day") + 86400)
-      .select(col("day"), col("next_day"),
+      // no-op filter pair — see FlowQueries.uniqueSrcOverlap: aligns the
+      // two self-join subtrees so the day-grain exchange plans once
+      .filter(col("day").isNotNull && (col("day") - 86400L).isNotNull)
+    // r19 (r18 verdict #6): broadcast self-join pairing instead of an
+    // unpartitioned lead window — same rewrite (and the same row-set
+    // identity argument) as FlowQueries.uniqueSrcOverlap
+    val nxt = daily.select((col("day") - 86400).as("day"), col("sk").as("sk_next"))
+    daily.join(broadcast(nxt), Seq("day"))
+      .select(col("day"), (col("day") + 86400).as("next_day"),
         ThetaSketch.thetaEstimate(col("sk"), strict).as("unique_day"),
         ThetaSketch.thetaEstimate(col("sk_next"), strict).as("unique_next"),
         ThetaSketch.thetaIntersectCount(col("sk"), col("sk_next"), strict)

@@ -657,6 +657,30 @@ class DedupSpec extends SparkTestBase {
       val (nw, dw) = (r.getLong(1), r.getLong(2)); dw >= 0 && dw <= nw })
   }
 
+  test("substring window digests: two-level narrow-scan build equals the direct wide-scan build bit-for-bit (r19)") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val rows = Seq(
+      (1L, uniq("alpha", 20)),
+      (2L, boiler + " " + uniq("beta", 15)),
+      (3L, uniq("gamma", 15) + " " + boiler),
+      (5L, boiler.replace("boiler", "only") + " filler " +
+        boiler.replace("boiler", "only")),
+      (9L, (1 to 20).map(_ => "tok").mkString(" ")))
+    // 1 input partition < defaultParallelism/2 → the token-digest spread
+    // path; defaultParallelism partitions → the direct md5-of-window path
+    val narrowDocs = rows.toDF("doc_id", "text").coalesce(1)
+    val wideDocs = rows.toDF("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    assert(Dedup.substringDupOver(narrowDocs, 8).collect().toSeq ===
+      Dedup.substringDupOver(wideDocs, 8).collect().toSeq,
+      "dup stats must not depend on which digest build ran")
+    assert(Dedup.substringTrimOver(narrowDocs, 8).collect().toSeq ===
+      Dedup.substringTrimOver(wideDocs, 8).collect().toSeq,
+      "trim output must not depend on which digest build ran")
+  }
+
   test("substring trim: one canonical copy survives corpus-wide; clean docs untouched") {
     import spark.implicits._
     val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ")

@@ -121,14 +121,20 @@ class PlanContractsSpec extends SparkTestBase {
     assert(hashShuffles(p).size <= 2)
   }
 
-  test("flow_unique_src_overlap: one scan, blob exchanges, window pairing (no self-join)") {
+  test("flow_unique_src_overlap: one scan, blob exchanges, broadcast pairing (no window, no shuffle join)") {
     val p = plan("flow_unique_src_overlap")
     assert(scans(p).size === 1, "consecutive-day pairing must not re-scan")
     assert(p.collect { case a: ObjectHashAggregateExec => a }.size >= 2)
-    assert(p.collect { case w: WindowExec => w }.size === 1)
-    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty
-      && p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
-      "day-over-day overlap must be a lead window, not a self-join")
+    // r19 (verdict #6): pairing is a broadcast self-join of the day-grain
+    // relation (both sides share the aggregate exchange), replacing the
+    // unpartitioned lead window whose single task also serialized the
+    // per-pair blob-intersection kernels
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "no unpartitioned lead window on the pairing path")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size === 1,
+      "day-over-day overlap pairs via broadcast")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "the day-grain self-join must never shuffle")
   }
 
   test("flow_bytes_quantiles_kll: two ObjectHashAggregate levels, blobs-only between") {
@@ -443,11 +449,25 @@ class PlanContractsSpec extends SparkTestBase {
     }
   }
 
-  test("events_rfm: events scanned once; NTILE windows run over the reduced per-user relation") {
+  test("events_rfm: events scanned once; no NTILE funnel — rank is range-partitioned; unpartitioned windows only over the P-row offsets relation (r19)") {
     val p = plan("events_rfm")
-    assert(scans(p).size === 1,
-      "per-user base and its anchor must share one scan (exchange reuse)")
+    // the per-user relation is pinned (materializeOnce) at build: the one
+    // fact scan ran in the checkpoint-fill job, so the serving plan reads
+    // executor blocks — a FileSourceScan here means a pass re-scanned
+    assert(scans(p).isEmpty,
+      "rank passes must serve from the pinned per-user relation, not re-scan events")
     assert(p.collect { case a: HashAggregateExec => a }.nonEmpty)
+    p.collect { case w: WindowExec => w }.foreach { w =>
+      assert(!w.windowExpression.exists(_.sql.toLowerCase.contains("ntile")),
+        "the NTILE single-task funnel must not reappear (r18 verdict #3)")
+      if (w.partitionSpec.isEmpty)
+        assert(w.child.collectFirst {
+          case a: HashAggregateExec
+            if a.groupingExpressions.exists(_.sql.contains("__p")) => a
+        }.isDefined,
+          "an unpartitioned window may only run over the P-row per-partition " +
+          "offsets relation, never the per-user relation")
+    }
   }
 
   test("dedup_cross_source: digests-only exchanges; the self-join shares one aggregate subtree") {
