@@ -254,6 +254,13 @@ class EventOpsSpec extends SparkTestBase {
     assert(segs.map(s => (s._1, s._2, s._3, s._4)).toSeq.sorted === wantSegs)
   }
 
+  test("rfm: fact-regime range-partitioned rank equals the dimension-regime NTILE path bit-for-bit (r19)") {
+    val dim = EventOps.rfm(spark, sf).collect().map(_.toSeq)
+    val fact = EventOps.rfm(spark, sf, 5, rankThreshold = 0L).collect().map(_.toSeq)
+    assert(fact.toSeq === dim.toSeq,
+      "the adaptive strategies must be observationally identical")
+  }
+
   test("rfm sketch twin: conserves users+revenue; marginal bucket counts within KLL rank error of exact NTILE (r14)") {
     val exact = EventOps.rfm(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))

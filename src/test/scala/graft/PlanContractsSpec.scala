@@ -449,17 +449,22 @@ class PlanContractsSpec extends SparkTestBase {
     }
   }
 
-  test("events_rfm: events scanned once; no NTILE funnel — rank is range-partitioned; unpartitioned windows only over the P-row offsets relation (r19)") {
+  test("events_rfm: adaptive rank — pinned dimension + NTILE at gate SF; range-partitioned rank (no funnel) in the fact regime (r19)") {
+    // DIMENSION regime (gate SF sits far under rankThreshold): chained
+    // NTILE windows over ONE single-partition pass of the PINNED per-user
+    // relation — the measured-faster form at dimension sizes (r19 A/B)
     val p = plan("events_rfm")
-    // the per-user relation is pinned (materializeOnce) at build: the one
-    // fact scan ran in the checkpoint-fill job, so the serving plan reads
-    // executor blocks — a FileSourceScan here means a pass re-scanned
     assert(scans(p).isEmpty,
-      "rank passes must serve from the pinned per-user relation, not re-scan events")
+      "rank scoring must serve from the pinned per-user relation, not re-scan events")
     assert(p.collect { case a: HashAggregateExec => a }.nonEmpty)
-    p.collect { case w: WindowExec => w }.foreach { w =>
+    // FACT regime (rankThreshold = 0 forces it): no NTILE funnel — rank is
+    // a range-partitioned parallel sort; the only unpartitioned windows
+    // run over the P-row per-partition offsets relations
+    val pf = physical(graft.operators.EventOps.rfm(spark, sf, 5, rankThreshold = 0L))
+    assert(scans(pf).isEmpty)
+    pf.collect { case w: WindowExec => w }.foreach { w =>
       assert(!w.windowExpression.exists(_.sql.toLowerCase.contains("ntile")),
-        "the NTILE single-task funnel must not reappear (r18 verdict #3)")
+        "the NTILE single-task funnel must not reappear in the fact regime (r18 verdict #3)")
       if (w.partitionSpec.isEmpty)
         assert(w.child.collectFirst {
           case a: HashAggregateExec
